@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** A named query: one implemented operator from SURVEY.md §2.
+  *
+  * `fn` is the Spark-first realization (DataFrame/Dataset API, Catalyst
+  * does the planning); `oracle` is the equivalent ANSI SQL the driver
+  * runs in DuckDB over the same parquet tables (None → rows-only check,
+  * used for ops whose results are engine-specific, e.g. hash sketches).
+  *
+  * Oracle-parity discipline (SURVEY.md §7 watchlist):
+  *   - alias every computed column identically on both sides;
+  *   - explicit ORDER BY with a unique tiebreak + explicit NULLS order;
+  *   - no nondeterminism (random/uuid/unseeded sample/approx) on the
+  *     oracle path;
+  *   - round float chains where cross-engine accumulation order could
+  *     differ beyond ~1e-9.
+  */
+final case class Q(
+    name: String,
+    doc: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+trait QueryModule {
+  def queries: Seq[Q]
+}
+
+/** Parquet-table loader for the driver-generated star schema
+  * (TESTDATA.md). At 100 TB these would be directory-partitioned
+  * datasets; the single-file layout is the driver's, but everything
+  * downstream treats each table as an arbitrarily-partitioned scan —
+  * no `.coalesce(1)`, no driver-side materialization on the hot path.
+  */
+object T {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+}
+
+/** Session tuning shared by Verify/Bench/tests. Mirrors what we'd set
+  * on a real cluster: AQE on (runtime re-plan, skew-join splitting,
+  * partition coalescing), CBO on, small-dim broadcast.
+  */
+object GraftSession {
+  def tune(spark: SparkSession): SparkSession = {
+    val c = spark.conf
+    c.set("spark.sql.adaptive.enabled", "true")
+    c.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    c.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    c.set("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+    c.set("spark.sql.parquet.filterPushdown", "true")
+    c.set("spark.sql.parquet.aggregatePushdown", "true")
+    c.set("spark.sql.cbo.enabled", "true")
+    spark
+  }
+}

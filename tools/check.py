@@ -1,0 +1,99 @@
+#!/usr/bin/env python3
+"""Local dev replica of the driver's t2 correctness gate.
+
+Runs after `sbt "runMain graft.Verify <sfDir> <outDir>"`:
+for each <outDir>/<name>/ parquet dump, executes the matching SQL from
+<outDir>/oracle_sql.json in DuckDB (tables = views over the same
+parquet), canonicalizes both sides (columns sorted by name, rows
+sorted), and reports schema/row-count/value match plus the max float
+deviation. Dev tooling only — not part of the shipped library.
+
+Usage: python3 tools/check.py <sfDir> <outDir> [name ...]
+"""
+import sys, json, glob, os, math
+import duckdb
+import pyarrow.parquet as pq
+
+TABLES = ["region","nation","customer","supplier","part","orders",
+          "lineitem","events","documents","embeddings"]
+
+def canon(rows):
+    def key(r):
+        return tuple((x is None, str(x)) for x in r)
+    return sorted(rows, key=key)
+
+def cmp_val(a, b):
+    if a is None or b is None:
+        return (a is None and b is None), 0.0
+    if isinstance(a, float) or isinstance(b, float):
+        try: fa, fb = float(a), float(b)
+        except (TypeError, ValueError): return str(a) == str(b), 0.0
+        if math.isnan(fa) and math.isnan(fb): return True, 0.0
+        d = abs(fa - fb)
+        tol = 1e-9 * max(1.0, abs(fa), abs(fb))
+        return d <= tol, d
+    if isinstance(a, (list, tuple)) and isinstance(b, (list, tuple)):
+        if len(a) != len(b): return False, 0.0
+        ok, mx = True, 0.0
+        for x, y in zip(a, b):
+            o, d = cmp_val(x, y); ok = ok and o; mx = max(mx, d)
+        return ok, mx
+    return str(a) == str(b), 0.0
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    names = sorted(d for d in os.listdir(out_dir)
+                   if os.path.isdir(os.path.join(out_dir, d)))
+    n_pass = n_fail = n_nooracle = 0
+    for name in names:
+        if only and name not in only: continue
+        files = glob.glob(os.path.join(out_dir, name, "*.parquet"))
+        if not files:
+            print(f"FAIL {name}: no spark output"); n_fail += 1; continue
+        st = pq.read_table(files[0])
+        scols = sorted(st.column_names)
+        srows = canon([tuple(r[c] for c in scols) for r in st.to_pylist()])
+        if name not in oracle:
+            print(f"----  {name}: no oracle (rows-only), {len(srows)} rows")
+            n_nooracle += 1
+            if len(srows) == 0: print(f"WARN {name}: zero rows")
+            continue
+        try:
+            res = con.execute(oracle[name])
+            ocols_raw = [d[0] for d in res.description]
+            orows_raw = res.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: oracle SQL error: {e}"); n_fail += 1; continue
+        ocols = sorted(ocols_raw)
+        idx = [ocols_raw.index(c) for c in ocols]
+        orows = canon([tuple(r[i] for i in idx) for r in orows_raw])
+        if scols != ocols:
+            print(f"FAIL {name}: columns spark={scols} oracle={ocols}"); n_fail += 1; continue
+        if len(srows) != len(orows):
+            print(f"FAIL {name}: rows spark={len(srows)} oracle={len(orows)}"); n_fail += 1; continue
+        bad, maxdev = None, 0.0
+        for i, (sr, orow) in enumerate(zip(srows, orows)):
+            for c, (sv, ov) in zip(scols, zip(sr, orow)):
+                ok, d = cmp_val(sv, ov)
+                maxdev = max(maxdev, d)
+                if not ok and bad is None:
+                    bad = (i, c, sv, ov)
+        if bad:
+            print(f"FAIL {name}: row {bad[0]} col {bad[1]}: spark={bad[2]!r} oracle={bad[3]!r}")
+            n_fail += 1
+        else:
+            dev = f" maxfloatdev={maxdev:.2e}" if maxdev else ""
+            print(f"PASS {name}: {len(srows)} rows{dev}")
+            n_pass += 1
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_nooracle} rows-only")
+    sys.exit(1 if n_fail else 0)
+
+if __name__ == "__main__":
+    main()

@@ -38,8 +38,23 @@ object T {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    // events.ts is parquet TIMESTAMP(NANOS) which Spark has no native
+    // type for; GraftSession sets nanosAsLong and we floor to µs here —
+    // the same truncation DuckDB applies casting timestamp_ns→timestamp.
+    if (name == "events")
+      df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")))
+    else df
+  }
+
+  /** Register tables as temp views for spark.sql entry points (the
+    * reference's only API is SQL text over POST /, so a slice of the
+    * inventory is deliberately declared via spark.sql).
+    */
+  def views(spark: SparkSession, dir: String, names: String*): Unit =
+    names.foreach(n => apply(spark, dir, n).createOrReplaceTempView(n))
 }
 
 /** Session tuning shared by Verify/Bench/tests. Mirrors what we'd set
@@ -56,6 +71,7 @@ object GraftSession {
     c.set("spark.sql.parquet.filterPushdown", "true")
     c.set("spark.sql.parquet.aggregatePushdown", "true")
     c.set("spark.sql.cbo.enabled", "true")
+    c.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark
   }
 }

@@ -14,7 +14,7 @@ object SparkEntry {
 
   /** All query modules, in SURVEY §7 build order. */
   def modules: Seq[QueryModule] = Seq(
-    CoreQueries)
+    CoreQueries, JoinQueries, SortSetQueries, AggQueries, WindowQueries)
 
   private lazy val allQueries: Seq[Q] = {
     val qs = modules.flatMap(_.queries)

@@ -1,0 +1,154 @@
+package graft.queries
+
+import graft.{Q, QueryModule, T}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.2 E — window functions. Windows shuffle once on the
+  * partition key and sort within partitions; every window here
+  * partitions on a real key (never a global `Window.orderBy` with no
+  * partitioning, which would serialize all data through one task —
+  * the classic 100 TB failure mode). GROUPS frames and frame EXCLUDE
+  * have no Spark support (documented omission, SURVEY §7).
+  */
+object WindowQueries extends QueryModule {
+
+  override val queries: Seq[Q] = Seq(
+    Q("e_rank_family",
+      "row_number/rank/dense_rank/percent_rank/cume_dist/ntile over a partitioned ordered window.",
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_orderstatus"))
+          .orderBy(col("o_totalprice").desc_nulls_last, col("o_orderkey").asc_nulls_last)
+        T(s, dir, "orders")
+          .filter(col("o_totalprice") > 450000.0)
+          .withColumn("rn", row_number().over(w))
+          .withColumn("rk", rank().over(w))
+          .withColumn("drk", dense_rank().over(w))
+          .withColumn("prk", round(percent_rank().over(w), 6))
+          .withColumn("cd", round(cume_dist().over(w), 6))
+          .withColumn("quartile", ntile(4).over(w))
+          .select(col("o_orderstatus"), col("o_orderkey"), col("o_totalprice"),
+            col("rn"), col("rk"), col("drk"), col("prk"), col("cd"), col("quartile"))
+          .orderBy(col("o_orderstatus").asc_nulls_last, col("rn").asc_nulls_last)
+      },
+      Some("""SELECT o_orderstatus, o_orderkey, o_totalprice,
+        row_number() OVER w AS rn, rank() OVER w AS rk, dense_rank() OVER w AS drk,
+        round(percent_rank() OVER w, 6) AS prk, round(cume_dist() OVER w, 6) AS cd,
+        ntile(4) OVER w AS quartile
+        FROM orders WHERE o_totalprice > 450000.0
+        WINDOW w AS (PARTITION BY o_orderstatus
+          ORDER BY o_totalprice DESC NULLS LAST, o_orderkey ASC NULLS LAST)
+        ORDER BY o_orderstatus ASC NULLS LAST, rn ASC NULLS LAST""")),
+
+    Q("e_lag_lead",
+      "lag/lead with offsets and defaults over per-customer order history.",
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate").asc_nulls_last, col("o_orderkey").asc_nulls_last)
+        T(s, dir, "orders")
+          .filter(col("o_custkey") < 50)
+          .withColumn("prev_price", round(lag(col("o_totalprice"), 1, 0.0).over(w), 2))
+          .withColumn("next_price", round(lead(col("o_totalprice"), 1, 0.0).over(w), 2))
+          .withColumn("prev2_key", lag(col("o_orderkey"), 2).over(w))
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+            col("prev_price"), col("next_price"), col("prev2_key"))
+          .orderBy(col("o_custkey").asc_nulls_last, col("o_orderkey").asc_nulls_last)
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice,
+        round(lag(o_totalprice, 1, 0.0) OVER w, 2) AS prev_price,
+        round(lead(o_totalprice, 1, 0.0) OVER w, 2) AS next_price,
+        lag(o_orderkey, 2) OVER w AS prev2_key
+        FROM orders WHERE o_custkey < 50
+        WINDOW w AS (PARTITION BY o_custkey
+          ORDER BY o_orderdate ASC NULLS LAST, o_orderkey ASC NULLS LAST)
+        ORDER BY o_custkey ASC NULLS LAST, o_orderkey ASC NULLS LAST""")),
+
+    Q("e_first_last_nth",
+      "first_value/last_value/nth_value with an explicit full-partition frame (the default last_value frame pitfall, SURVEY §2.2 E).",
+      (s, dir) => {
+        val w = Window.partitionBy(col("s_nationkey"))
+          .orderBy(col("s_acctbal").desc_nulls_last, col("s_suppkey").asc_nulls_last)
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        T(s, dir, "supplier")
+          .withColumn("best_supp", first(col("s_suppkey")).over(w))
+          .withColumn("worst_supp", last(col("s_suppkey")).over(w))
+          .withColumn("second_supp", nth_value(col("s_suppkey"), 2).over(w))
+          .select(col("s_nationkey"), col("s_suppkey"), col("s_acctbal"),
+            col("best_supp"), col("worst_supp"), col("second_supp"))
+          .orderBy(col("s_nationkey").asc_nulls_last, col("s_suppkey").asc_nulls_last)
+      },
+      Some("""SELECT s_nationkey, s_suppkey, s_acctbal,
+        first_value(s_suppkey) OVER w AS best_supp,
+        last_value(s_suppkey) OVER w AS worst_supp,
+        nth_value(s_suppkey, 2) OVER w AS second_supp
+        FROM supplier
+        WINDOW w AS (PARTITION BY s_nationkey
+          ORDER BY s_acctbal DESC NULLS LAST, s_suppkey ASC NULLS LAST
+          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        ORDER BY s_nationkey ASC NULLS LAST, s_suppkey ASC NULLS LAST""")),
+
+    Q("e_agg_window_rows",
+      "Aggregates over ROWS frames: running total + trailing moving average.",
+      (s, dir) => {
+        val base = Window.partitionBy(col("l_suppkey"))
+          .orderBy(col("l_shipdate").asc_nulls_last,
+                   col("l_orderkey").asc_nulls_last, col("l_linenumber").asc_nulls_last)
+        T(s, dir, "lineitem")
+          .filter(col("l_suppkey") < 10)
+          .withColumn("running_qty",
+            round(sum(col("l_quantity")).over(base.rowsBetween(Window.unboundedPreceding, 0)), 2))
+          .withColumn("ma3",
+            round(avg(col("l_quantity")).over(base.rowsBetween(-2, 0)), 6))
+          .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+            col("l_quantity"), col("running_qty"), col("ma3"))
+          .orderBy(col("l_suppkey").asc_nulls_last, col("l_orderkey").asc_nulls_last,
+                   col("l_linenumber").asc_nulls_last)
+      },
+      Some("""SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
+        round(sum(l_quantity) OVER (PARTITION BY l_suppkey
+          ORDER BY l_shipdate ASC NULLS LAST, l_orderkey ASC NULLS LAST, l_linenumber ASC NULLS LAST
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_qty,
+        round(avg(l_quantity) OVER (PARTITION BY l_suppkey
+          ORDER BY l_shipdate ASC NULLS LAST, l_orderkey ASC NULLS LAST, l_linenumber ASC NULLS LAST
+          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS ma3
+        FROM lineitem WHERE l_suppkey < 10
+        ORDER BY l_suppkey ASC NULLS LAST, l_orderkey ASC NULLS LAST,
+                 l_linenumber ASC NULLS LAST""")),
+
+    Q("e_range_frame",
+      "RANGE BETWEEN value-based frame over a numeric ordering key.",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("value"))
+          .rangeBetween(-10L, 0L)
+        T(s, dir, "events")
+          .filter(col("user_id") < 20)
+          .select(col("user_id"), col("event_id"), col("value"))
+          .withColumn("n_within_10", count(lit(1)).over(w))
+          .orderBy(col("user_id").asc_nulls_last, col("event_id").asc_nulls_last)
+      },
+      Some("""SELECT user_id, event_id, value,
+        count(*) OVER (PARTITION BY user_id ORDER BY value
+          RANGE BETWEEN 10 PRECEDING AND CURRENT ROW) AS n_within_10
+        FROM events WHERE user_id < 20
+        ORDER BY user_id ASC NULLS LAST, event_id ASC NULLS LAST""")),
+
+    Q("e_qualify_topk_per_group",
+      "DuckDB QUALIFY rewrite: top-3 orders per status via window + filter (SURVEY §7).",
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_orderstatus"))
+          .orderBy(col("o_totalprice").desc_nulls_last, col("o_orderkey").asc_nulls_last)
+        T(s, dir, "orders")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select(col("o_orderstatus"), col("rn"), col("o_orderkey"), col("o_totalprice"))
+          .orderBy(col("o_orderstatus").asc_nulls_last, col("rn").asc_nulls_last)
+      },
+      Some("""SELECT o_orderstatus, rn, o_orderkey, o_totalprice FROM (
+          SELECT o_orderstatus, o_orderkey, o_totalprice,
+            row_number() OVER (PARTITION BY o_orderstatus
+              ORDER BY o_totalprice DESC NULLS LAST, o_orderkey ASC NULLS LAST) AS rn
+          FROM orders) t
+        WHERE rn <= 3
+        ORDER BY o_orderstatus ASC NULLS LAST, rn ASC NULLS LAST""")))
+}

@@ -14,7 +14,8 @@ object SparkEntry {
 
   /** All query modules, in SURVEY §7 build order. */
   def modules: Seq[QueryModule] = Seq(
-    CoreQueries, JoinQueries, SortSetQueries, AggQueries, WindowQueries)
+    CoreQueries, JoinQueries, SortSetQueries, AggQueries, WindowQueries,
+    ScalarQueries, TableFnQueries)
 
   private lazy val allQueries: Seq[Q] = {
     val qs = modules.flatMap(_.queries)

@@ -15,7 +15,7 @@ object SparkEntry {
   /** All query modules, in SURVEY §7 build order. */
   def modules: Seq[QueryModule] = Seq(
     CoreQueries, JoinQueries, SortSetQueries, AggQueries, WindowQueries,
-    ScalarQueries, TableFnQueries)
+    ScalarQueries, TableFnQueries, AdvancedQueries)
 
   private lazy val allQueries: Seq[Q] = {
     val qs = modules.flatMap(_.queries)

@@ -15,7 +15,8 @@ object SparkEntry {
   /** All query modules, in SURVEY §7 build order. */
   def modules: Seq[QueryModule] = Seq(
     CoreQueries, JoinQueries, SortSetQueries, AggQueries, WindowQueries,
-    ScalarQueries, TableFnQueries, AdvancedQueries)
+    ScalarQueries, TableFnQueries, AdvancedQueries,
+    TextQueries, DedupQueries, SimilarityQueries)
 
   private lazy val allQueries: Seq[Q] = {
     val qs = modules.flatMap(_.queries)

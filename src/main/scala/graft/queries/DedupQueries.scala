@@ -1,0 +1,158 @@
+package graft.queries
+
+import graft.{Q, QueryModule, T}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data deduplication over `documents` (north-star ops):
+  * exact, hash-keyed exact, n-gram Jaccard, MinHash+LSH, SimHash.
+  *
+  * Scale design: exact dedup groups on md5(text) — 16-byte keys
+  * shuffle instead of full document bodies, which is the difference
+  * between shuffling 100 TB and shuffling ~2 TB of digests. The
+  * near-dup pipelines never build the O(n²) pair space: candidate
+  * pairs come from an equi-join on shingles (bounded bucket sizes) or
+  * LSH band buckets, and only candidates are exactly verified.
+  */
+object DedupQueries extends QueryModule {
+
+  /** Distinct 3-gram word shingles per doc: (doc_id, shingle). */
+  private def shingles(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), expr(
+        "transform(sequence(0, size(w) - 3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))")
+        .as("shs"))
+      .select(col("doc_id"), explode(col("shs")).as("sh"))
+      .distinct()
+
+  override val queries: Seq[Q] = Seq(
+    Q("n_dedup_exact",
+      "Exact dedup: keep min doc_id per identical text; survivor + duplicate counts per lang.",
+      (s, dir) =>
+        T(s, dir, "documents")
+          .groupBy(col("text"), col("lang"))
+          .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_unique"),
+               sum(col("n_copies") - 1).as("n_dropped"))
+          .orderBy(col("lang").asc_nulls_last),
+      Some("""SELECT lang, count(*) AS n_unique,
+        CAST(sum(n_copies - 1) AS BIGINT) AS n_dropped
+        FROM (SELECT text, lang, min(doc_id) AS keep_id, count(*) AS n_copies
+              FROM documents GROUP BY text, lang) t
+        GROUP BY lang ORDER BY lang ASC NULLS LAST""")),
+
+    Q("n_dedup_exact_hash",
+      "Hash-keyed exact dedup: group on md5(text) so only 16-byte digests shuffle (the 100 TB-safe variant); emits survivor ids.",
+      (s, dir) =>
+        T(s, dir, "documents")
+          .groupBy(md5(col("text")).as("text_md5"))
+          .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+          .select(col("keep_id"), col("n_copies"))
+          .orderBy(col("keep_id").asc_nulls_last),
+      Some("""SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+        FROM documents GROUP BY md5(text)
+        ORDER BY keep_id ASC NULLS LAST""")),
+
+    Q("n_dedup_ngram_jaccard",
+      "Near-dup by exact 3-gram Jaccard ≥ 0.5: candidate pairs from a shingle equi-join (never O(n²)), then exact verify.",
+      (s, dir) => {
+        val sh = shingles(s, dir)
+        val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+        val a = sh.as("a"); val b = sh.as("b")
+        val pairs = a.join(b,
+            col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+          .agg(count(lit(1)).as("inter"))
+        pairs
+          .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_sh", "na"), "id_a")
+          .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_sh", "nb"), "id_b")
+          .withColumn("jaccard",
+            round(col("inter") / (col("na") + col("nb") - col("inter")), 6))
+          .filter(col("jaccard") >= 0.5)
+          .select(col("id_a"), col("id_b"), col("jaccard"))
+          .orderBy(col("id_a").asc_nulls_last, col("id_b").asc_nulls_last)
+      },
+      Some("""WITH sh AS (
+          SELECT DISTINCT doc_id, w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS sh
+          FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) d,
+               LATERAL (SELECT unnest(generate_series(0, len(w) - 3)) AS i) g),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id)
+        SELECT id_a, id_b,
+          round(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
+        FROM pairs
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.5
+        ORDER BY id_a ASC NULLS LAST, id_b ASC NULLS LAST""")),
+
+    Q("n_dedup_minhash_lsh",
+      "MinHash (32 perms via seeded xxhash64) + LSH banding (8 bands × 4 rows): candidate pairs verified with exact Jaccard. Oracle-exempt (engine-native hash); MinhashSpec asserts recall against the exact pairs.",
+      (s, dir) => {
+        val sh = shingles(s, dir)
+        // 32 permutations: min over xxhash64(shingle, seed_i)
+        val sig = sh.groupBy(col("doc_id")).agg(
+          array((0 until 32).map(i =>
+            min(xxhash64(col("sh"), lit(i)))): _*).as("sig"))
+        // 8 bands of 4 → band hash; equal band hash → candidate
+        val banded = sig.select(col("doc_id"), posexplode(expr(
+          "transform(sequence(0, 7), b -> xxhash64(slice(sig, b * 4 + 1, 4)))"))
+          .as(Seq("band", "bandhash")))
+        val cand = banded.as("x").join(banded.as("y"),
+            col("x.band") === col("y.band") &&
+            col("x.bandhash") === col("y.bandhash") &&
+            col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+          .distinct()
+        // exact-verify candidates only (pair space is already pruned, so
+        // the per-pair shingle intersection join touches few rows)
+        val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+        val shA = sh.select(col("doc_id").as("id_a"), col("sh"))
+        val shB = sh.select(col("doc_id").as("id_b"), col("sh").as("sh2"))
+        cand
+          .join(shA, "id_a")
+          .join(shB, "id_b")
+          .filter(col("sh") === col("sh2"))
+          .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
+          .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_sh", "na"), "id_a")
+          .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_sh", "nb"), "id_b")
+          .withColumn("jaccard",
+            round(col("inter") / (col("na") + col("nb") - col("inter")), 6))
+          .filter(col("jaccard") >= 0.5)
+          .select(col("id_a"), col("id_b"), col("jaccard"))
+          .orderBy(col("id_a").asc_nulls_last, col("id_b").asc_nulls_last)
+      },
+      None),
+
+    Q("n_dedup_simhash",
+      "SimHash-64: per-word hashes vote on 64 bit positions; near-dups = pairs within Hamming distance ≤ 3 (bucketed by 16-bit chunks, never O(n²)). Oracle-exempt (engine-native hash).",
+      (s, dir) => {
+        val docs = T(s, dir, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("w"))
+          .select(col("doc_id"), expr("transform(w, x -> xxhash64(x))").as("hs"))
+        val sim = docs.select(col("doc_id"), expr(
+          """aggregate(sequence(0, 63), 0L, (acc, b) ->
+             acc + if(aggregate(hs, 0, (v, h) -> v + if(((h >> b) & 1) = 1, 1, -1)) > 0,
+                      shiftleft(1L, b), 0L))""").as("simhash"))
+        // band by 4×16-bit chunks: Hamming ≤ 3 guarantees one equal chunk
+        val chunks = sim.select(col("doc_id"), col("simhash"),
+          posexplode(expr(
+            "transform(sequence(0, 3), c -> (simhash >> (c * 16)) & 65535)"))
+            .as(Seq("chunk", "chunkval")))
+        chunks.as("x").join(chunks.as("y"),
+            col("x.chunk") === col("y.chunk") &&
+            col("x.chunkval") === col("y.chunkval") &&
+            col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+            expr("bit_count(x.simhash ^ y.simhash)").as("hamming"))
+          .distinct()
+          .filter(col("hamming") <= 3)
+          .orderBy(col("id_a").asc_nulls_last, col("id_b").asc_nulls_last)
+      },
+      None))
+}

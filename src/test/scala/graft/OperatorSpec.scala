@@ -1,0 +1,93 @@
+package graft
+
+import graft.operators.{AsOfJoin, PositionalJoin}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Hand-computed golden tests for the custom operators. */
+class OperatorSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("AsOfJoin matches nearest at-or-before row per key") {
+    val left = Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 15L, "c"), (3L, 5L, "d"))
+      .toDF("k", "t", "tag")
+    val right = Seq((1L, 10L, 100.0), (1L, 18L, 200.0), (2L, 99L, 300.0))
+      .toDF("k", "t", "v")
+    val got = AsOfJoin(left, right, "k", "t", "t", Map("v" -> "last_v"))
+      .orderBy("k", "t").collect().toSeq
+    // (1,10) matches the equal-ts right row (inclusive); (2,15) has none
+    assert(got == Seq(
+      Row(1L, 10L, "a", 100.0),
+      Row(1L, 20L, "b", 200.0),
+      Row(2L, 15L, "c", null),
+      Row(3L, 5L, "d", null)))
+  }
+
+  test("AsOfJoin agrees with DuckDB-ASOF semantics on real events") {
+    // re-derive the c_join_asof result with a per-row correlated max —
+    // an independent (slow) formulation of the same semantics
+    val ev = T(spark, sf, "events")
+    val clicks = ev.filter(col("event_type") === "click" && col("user_id") < 10)
+      .select(col("user_id"), col("event_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("pts"), col("value"))
+    // at-or-before condition INSIDE the outer join so unmatched clicks
+    // survive with nulls (the naive post-filter variant drops them)
+    val viaJoin = clicks.join(purchases,
+        col("user_id") === col("p_user") && col("pts") <= col("ts"), "left_outer")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id"), col("event_id"))
+          .orderBy(col("pts").desc_nulls_last)))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id"), col("value"))
+    val viaAsOf = AsOfJoin(clicks,
+        purchases.withColumnRenamed("pts", "ts").withColumnRenamed("p_user", "user_id"),
+        "user_id", "ts", "ts", Map("value" -> "value"))
+      .select(col("user_id"), col("event_id"), col("value"))
+    assert(viaAsOf.exceptAll(viaJoin).isEmpty && viaJoin.exceptAll(viaAsOf).isEmpty)
+  }
+
+  test("PositionalJoin zips by row order and pads the short side") {
+    val a = Seq("x", "y", "z").toDF("a").orderBy("a")
+    val b = Seq(1, 2).toDF("b").orderBy("b")
+    val got = PositionalJoin(a, b).orderBy("pos").collect().toSeq
+    assert(got == Seq(Row("x", 1, 0L), Row("y", 2, 1L), Row("z", null, 2L)))
+  }
+
+  test("minhash-LSH near-dup pairs are a high-recall subset of exact jaccard pairs") {
+    val exact = SparkEntry.queries("n_dedup_ngram_jaccard")(spark, sf)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = SparkEntry.queries("n_dedup_minhash_lsh")(spark, sf)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), s"LSH found non-pairs: ${lsh -- exact}")
+    if (exact.nonEmpty)
+      assert(lsh.size.toDouble / exact.size >= 0.8,
+        s"recall ${lsh.size}/${exact.size} below 0.8")
+  }
+
+  test("ANN buckets achieve nonzero candidates and sane best_sim") {
+    val rows = SparkEntry.queries("n_ann_lsh_buckets")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("bucket_candidates") > 0)
+      val best = r.getAs[Double]("best_sim")
+      assert(best >= -1.0 && best <= 1.0)
+    }
+  }
+
+  test("media decode stub: frame counts follow payload sizes") {
+    val feats = SparkEntry.queries("m_decode_features")(spark, sf).collect()
+    val docs = T(spark, sf, "documents")
+      .select(col("doc_id"), length(col("text")).as("len")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(feats.nonEmpty)
+    feats.foreach { r =>
+      val expected = math.ceil(docs(r.getAs[Long]("doc_id")) / 32.0).toInt
+      assert(r.getAs[Int]("n_frames") == expected)
+      assert(r.getAs[Int]("feature_dim") == 32)
+    }
+  }
+}

@@ -1,0 +1,48 @@
+package graft
+
+import graft.streaming.EventStreams
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming ≡ batch: the Structured Streaming realizations produce
+  * the same results as the batch operators when the whole table is
+  * replayed through the streaming engine.
+  */
+class StreamingSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("streaming tumbling window equals batch tumbling window") {
+    val q = EventStreams.tumblingCounts(EventStreams.source(spark, sf))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("tumbling_out")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("tumbling_out")
+      .select("hour_start", "event_type", "n", "total")
+      .collect().map(_.toSeq).toSet
+    val batch = SparkEntry.queries("j_tumbling_window")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+  }
+
+  test("stateful sessionization: closed+open sessions equal batch session count") {
+    import spark.implicits._
+    val ds = EventStreams.sessionize(spark, EventStreams.source(spark, sf))
+    val q = ds.writeStream.outputMode("append")
+      .format("memory").queryName("sessions_out")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val closed = spark.table("sessions_out").count()
+    // batch truth: total sessions over all users
+    val batchSessions = SparkEntry.queries("j_sessionization")(spark, sf)
+      .count() // user_id < 40 filter applies
+    val closedU40 = spark.table("sessions_out")
+      .filter(col("user_id") < 40).count()
+    // one whole-table replay = one micro-batch: every session except the
+    // final open one per user is emitted; open tails stay in state
+    val openTails = T(spark, sf, "events").filter(col("user_id") < 40)
+      .select(col("user_id")).distinct().count()
+    assert(closedU40 + openTails == batchSessions,
+      s"closed=$closedU40 open=$openTails batch=$batchSessions")
+  }
+}

@@ -1,0 +1,181 @@
+package graft.server
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import java.io.OutputStream
+import java.net.InetSocketAddress
+import java.util.concurrent.{Executors, Semaphore, TimeUnit, TimeoutException}
+import java.util.zip.GZIPOutputStream
+import scala.util.control.NonFatal
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import Protocol._
+
+/** The reference's serving plane on Spark: `POST /` SQL → negotiated
+  * streaming response; `GET /health` (uquery-rs src/web/routers.rs).
+  *
+  * Faithful behaviors:
+  *   - content negotiation matrix incl. any-wildcard→JSON, none→406
+  *   - JSON `{"query"}` or raw-SQL body, 256 KiB cap (request.rs:41)
+  *   - problem+json errors: 400 SQL error, 406, 408 timeout, 500
+  *   - pool-bounded admission (default 4; core/duckdb.rs:9-45's
+  *     connection pool becomes a fair semaphore around job submission)
+  *   - time-to-FIRST-ROW timeout only — once streaming starts the
+  *     response runs to completion (routers.rs:32-58,151-164)
+  *   - gzip when Accept-Encoding requests it
+  *   - bounded memory: rows stream via toLocalIterator (the 1 MiB
+  *     duplex pipe's role is played by partition-at-a-time pull)
+  */
+final class QueryServer(
+    spark: SparkSession,
+    port: Int,
+    poolSize: Int = 4,
+    queryTimeoutMillis: Long = 30000L) {
+
+  private val pool = new Semaphore(poolSize, true)
+  private val exec = Executors.newCachedThreadPool()
+  private val server = HttpServer.create(new InetSocketAddress(port), 0)
+  server.setExecutor(exec)
+
+  server.createContext("/health", (x: HttpExchange) => {
+    x.sendResponseHeaders(200, -1); x.close()
+  })
+
+  server.createContext("/", (x: HttpExchange) => handle(x))
+
+  def start(): Unit = server.start()
+  def stop(): Unit = { server.stop(0); exec.shutdownNow() }
+  def boundPort: Int = server.getAddress.getPort
+
+  private def header(x: HttpExchange, name: String): Option[String] =
+    Option(x.getRequestHeaders.getFirst(name))
+
+  private def sendProblem(x: HttpExchange, p: Problem): Unit = {
+    val bytes = p.toJson.getBytes("UTF-8")
+    x.getResponseHeaders.set("Content-Type", ContentTypeProblem)
+    x.sendResponseHeaders(p.status, bytes.length.toLong)
+    x.getResponseBody.write(bytes)
+    x.close()
+  }
+
+  private def readBody(x: HttpExchange): Either[Problem, Array[Byte]] = {
+    val in = x.getRequestBody
+    val buf = new java.io.ByteArrayOutputStream()
+    val chunk = new Array[Byte](8192)
+    var n = in.read(chunk)
+    while (n >= 0) {
+      buf.write(chunk, 0, n)
+      if (buf.size > MaxBodyBytes)
+        return Left(Problem(400, "Failed to read request body",
+          s"body exceeds $MaxBodyBytes bytes"))
+      n = in.read(chunk)
+    }
+    Right(buf.toByteArray)
+  }
+
+  private def handle(x: HttpExchange): Unit =
+    try {
+      if (x.getRequestMethod != "POST") {
+        sendProblem(x, Problem(405, "Method Not Allowed", "use POST /"))
+        return
+      }
+      Protocol.negotiate(header(x, "Accept")) match {
+        case None =>
+          sendProblem(x, Problem(406, "Unsupported response format",
+            s"format [${header(x, "Accept").getOrElse("").toLowerCase}] is not supported"))
+        case Some(format) =>
+          readBody(x).flatMap(b => decodeSql(header(x, "Content-Type"), b)) match {
+            case Left(p) => sendProblem(x, p)
+            case Right(sql) => runQuery(x, sql, format)
+          }
+      }
+    } catch {
+      case NonFatal(e) =>
+        try sendProblem(x, Problem(500, "Internal Error", String.valueOf(e.getMessage)))
+        catch { case NonFatal(_) => x.close() }
+    }
+
+  /** Admission → plan → wait (bounded) for the first row → stream. */
+  private def runQuery(x: HttpExchange, sql: String, format: Format): Unit = {
+    pool.acquire()
+    try {
+      val df: DataFrame =
+        try spark.sql(sql)
+        catch {
+          case NonFatal(e) =>
+            sendProblem(x, Problem(400, "SQL Error", String.valueOf(e.getMessage)))
+            return
+        }
+
+      // time-to-first-row: plan + first partition computed off-thread
+      val fut = exec.submit(new java.util.concurrent.Callable[(Iterator[Row], Boolean)] {
+        def call(): (Iterator[Row], Boolean) = {
+          val it = df.toLocalIterator()
+          val scalaIt = new Iterator[Row] {
+            def hasNext: Boolean = it.hasNext
+            def next(): Row = it.next()
+          }
+          (scalaIt, scalaIt.hasNext)
+        }
+      })
+      val (rows, _) =
+        try {
+          if (queryTimeoutMillis > 0) fut.get(queryTimeoutMillis, TimeUnit.MILLISECONDS)
+          else fut.get()
+        } catch {
+          case _: TimeoutException =>
+            fut.cancel(true)
+            sendProblem(x, Problem(408, "Query Timeout",
+              s"no result within ${queryTimeoutMillis}ms"))
+            return
+          case e: java.util.concurrent.ExecutionException =>
+            sendProblem(x, Problem(400, "SQL Error",
+              String.valueOf(Option(e.getCause).getOrElse(e).getMessage)))
+            return
+        }
+
+      val gzip = header(x, "Accept-Encoding").exists(_.toLowerCase.contains("gzip"))
+      x.getResponseHeaders.set("Content-Type", format.contentType)
+      if (gzip) x.getResponseHeaders.set("Content-Encoding", "gzip")
+      x.sendResponseHeaders(200, 0L) // chunked
+      val raw = x.getResponseBody
+      val out: OutputStream = if (gzip) new GZIPOutputStream(raw) else raw
+      val names = df.schema.fieldNames
+      try {
+        format match {
+          case Json => RowEncoders.writeJsonArray(names, rows, out)
+          case JsonLines => RowEncoders.writeJsonLines(names, rows, out)
+          case Csv => RowEncoders.writeCsv(names, rows, out)
+          case Arrow => ArrowIpcEncoder.write(df.schema, rows, out)
+        }
+      } finally {
+        out.flush()
+        out match { case g: GZIPOutputStream => g.finish(); case _ => () }
+        x.close()
+      }
+    } finally pool.release()
+  }
+}
+
+/** Standalone launcher: `runMain graft.server.ServerMain [port] [sfDir]`
+  * registers the test tables as views and serves SQL over HTTP —
+  * the full reference workflow (`curl -d 'SELECT ...' localhost:8080`).
+  */
+object ServerMain {
+  def main(args: Array[String]): Unit = {
+    val port = args.headOption.map(_.toInt).getOrElse(8080)
+    val sfDir = args.drop(1).headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = graft.GraftSession.tune(
+      SparkSession.builder()
+        .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+        .appName("graft-server")
+        .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate())
+    spark.sparkContext.setLogLevel("WARN")
+    graft.T.views(spark, sfDir, graft.T.all: _*)
+    val server = new QueryServer(spark, port)
+    server.start()
+    println(s"graft server listening on :$port over $sfDir")
+    Thread.currentThread.join()
+  }
+}

@@ -16,7 +16,8 @@ object SparkEntry {
   def modules: Seq[QueryModule] = Seq(
     CoreQueries, JoinQueries, SortSetQueries, AggQueries, WindowQueries,
     ScalarQueries, TableFnQueries, AdvancedQueries,
-    TextQueries, DedupQueries, SimilarityQueries, MultimodalQueries)
+    TextQueries, DedupQueries, SimilarityQueries, MultimodalQueries,
+    FileFormatQueries)
 
   private lazy val allQueries: Seq[Q] = {
     val qs = modules.flatMap(_.queries)

@@ -1,0 +1,81 @@
+package graft.queries
+
+import graft.{Q, QueryModule, T}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.2 A — file-format scans beyond parquet: CSV with
+  * header+type inference, NDJSON with inference, globbed
+  * hive-partitioned directories with partition pruning (reference
+  * surface: read_csv/read_json_auto/read_parquet + bare paths,
+  * uquery-rs src/main.rs:304-368).
+  *
+  * Each query round-trips driver parquet through the format under
+  * test and aggregates; the oracle aggregates the original parquet
+  * table — so inference fidelity (types AND values) is what is being
+  * hash-checked. Remote (https/s3/gcs) sources are documented
+  * out-of-scope offline (SURVEY §2.2 A rows: httpfs/S3/GCS).
+  */
+object FileFormatQueries extends QueryModule {
+
+  private def ioDir(dir: String, name: String): String =
+    s"/tmp/graft_io/${dir.replaceAll("[^a-zA-Z0-9]", "_")}/$name"
+
+  override val queries: Seq[Q] = Seq(
+    Q("a_csv_scan",
+      "CSV write→scan with header detection + schema inference (str/int/double/timestamp all survive the text round-trip).",
+      (s, dir) => {
+        val path = ioDir(dir, "lineitem_csv")
+        T(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"), col("l_shipdate"))
+          .write.mode("overwrite").option("header", "true").csv(path)
+        s.read.option("header", "true").option("inferSchema", "true").csv(path)
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+               round(sum(col("l_quantity")), 2).as("qty"),
+               max(col("l_shipdate")).as("last_ship"),
+               max(col("l_orderkey")).as("max_key"))
+          .orderBy(col("l_returnflag").asc_nulls_last)
+      },
+      Some("""SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS qty,
+        max(l_shipdate) AS last_ship, CAST(max(l_orderkey) AS INT) AS max_key
+        FROM lineitem GROUP BY l_returnflag
+        ORDER BY l_returnflag ASC NULLS LAST""")),
+
+    Q("a_jsonl_scan",
+      "NDJSON write→scan with inferred schema (timestamps round-trip as ISO strings → to_timestamp, the documented JSON-inference gap).",
+      (s, dir) => {
+        val path = ioDir(dir, "orders_jsonl")
+        T(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"), col("o_orderdate"))
+          .write.mode("overwrite").json(path)
+        s.read.json(path)
+          .withColumn("o_orderdate", to_timestamp(col("o_orderdate")))
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"),
+               round(sum(col("o_totalprice")), 2).as("total"),
+               min(col("o_orderdate")).as("first_order"))
+          .orderBy(col("o_orderstatus").asc_nulls_last)
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total,
+        min(o_orderdate) AS first_order
+        FROM orders GROUP BY o_orderstatus
+        ORDER BY o_orderstatus ASC NULLS LAST""")),
+
+    Q("a_partitioned_glob_scan",
+      "Hive-partitioned write → directory scan with partition discovery; the status filter prunes partitions at plan time (PartitionFilters, not data filters).",
+      (s, dir) => {
+        val path = ioDir(dir, "orders_by_status")
+        T(s, dir, "orders")
+          .write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+        s.read.parquet(path)
+          .filter(col("o_orderstatus") === "O")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"), round(avg(col("o_totalprice")), 6).as("avg_price"))
+          .orderBy(col("o_orderpriority").asc_nulls_last)
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n, round(avg(o_totalprice), 6) AS avg_price
+        FROM orders WHERE o_orderstatus = 'O'
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority ASC NULLS LAST""")))
+}

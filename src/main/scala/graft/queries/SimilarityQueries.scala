@@ -19,10 +19,17 @@ import org.apache.spark.sql.functions._
   */
 object SimilarityQueries extends QueryModule {
 
-  /** Cosine similarity between two Array[Float] columns, computed in
-    * double precision with a deterministic left-to-right fold.
+  /** Cosine similarity between two Array[Float] columns: the native
+    * codegen'd kernel (one fused primitive loop). Double accumulation,
+    * left-to-right — numerically identical to [[cosineHof]].
     */
   def cosine(a: String, b: String): org.apache.spark.sql.Column =
+    graft.functions.CosineSimilarity(col(a), col(b))
+
+  /** Built-in higher-order-function formulation of the same cosine —
+    * kept as the pure-builtins reference; CosineSpec proves equality.
+    */
+  def cosineHof(a: String, b: String): org.apache.spark.sql.Column =
     expr(s"""aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)
       / (sqrt(aggregate($a, 0D, (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))
        * sqrt(aggregate($b, 0D, (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))""")

@@ -1,0 +1,15 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Escape hatch into `private[sql]` Column↔Expression converters
+  * (SNIPPETS.md pattern [3]: an object inside the org.apache.spark.sql
+  * package tree to reach package-private factory APIs). The only
+  * Spark-internal surface this library touches.
+  */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

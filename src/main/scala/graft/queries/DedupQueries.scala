@@ -101,10 +101,13 @@ object DedupQueries extends QueryModule {
       "MinHash (32 perms via seeded xxhash64) + LSH banding (8 bands × 4 rows): candidate pairs verified with exact Jaccard. Oracle-exempt (engine-native hash); MinhashSpec asserts recall against the exact pairs.",
       (s, dir) => {
         val sh = shingles(s, dir)
-        // 32 permutations: min over xxhash64(shingle, seed_i)
-        val sig = sh.groupBy(col("doc_id")).agg(
+        // 32 permutations: hash each shingle string ONCE, then derive
+        // the permutation family by remixing the 8-byte digest —
+        // 32× cheaper than re-hashing variable-length strings per seed
+        val hashed = sh.select(col("doc_id"), xxhash64(col("sh")).as("h0"))
+        val sig = hashed.groupBy(col("doc_id")).agg(
           array((0 until 32).map(i =>
-            min(xxhash64(col("sh"), lit(i)))): _*).as("sig"))
+            min(xxhash64(col("h0"), lit(i)))): _*).as("sig"))
         // 8 bands of 4 → band hash; equal band hash → candidate
         val banded = sig.select(col("doc_id"), posexplode(expr(
           "transform(sequence(0, 7), b -> xxhash64(slice(sig, b * 4 + 1, 4)))"))

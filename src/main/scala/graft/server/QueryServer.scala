@@ -28,7 +28,28 @@ final class QueryServer(
     spark: SparkSession,
     port: Int,
     poolSize: Int = 4,
-    queryTimeoutMillis: Long = 30000L) {
+    queryTimeoutMillis: Long = 30000L,
+    allowedDirs: Seq[String] = Nil) {
+
+  /** Filesystem sandbox (uquery-rs `SET allowed_directories` +
+    * `enable_external_access=false`, src/cli/options.rs:193-199):
+    * every file-backed relation in the ANALYZED plan must live under
+    * an allowed prefix — plan-level enforcement, immune to SQL string
+    * obfuscation. Empty list = unrestricted (matches the reference
+    * when no sandbox flags are set).
+    */
+  private def violatingPaths(df: DataFrame): Seq[String] = {
+    if (allowedDirs.isEmpty) return Nil
+    val roots = df.queryExecution.analyzed.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        r.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            h.location.rootPaths.map(_.toUri.getPath)
+          case _ => Nil
+        }
+    }.flatten
+    roots.filterNot(p => allowedDirs.exists(d => p.startsWith(d)))
+  }
 
   private val pool = new Semaphore(poolSize, true)
   private val exec = Executors.newCachedThreadPool()
@@ -104,6 +125,13 @@ final class QueryServer(
             sendProblem(x, Problem(400, "SQL Error", String.valueOf(e.getMessage)))
             return
         }
+
+      val outside = try violatingPaths(df) catch { case NonFatal(_) => Nil }
+      if (outside.nonEmpty) {
+        sendProblem(x, Problem(400, "SQL Error",
+          s"file access outside allowed directories: ${outside.mkString(", ")}"))
+        return
+      }
 
       // time-to-first-row: plan + first partition computed off-thread
       val fut = exec.submit(new java.util.concurrent.Callable[(Iterator[Row], Boolean)] {

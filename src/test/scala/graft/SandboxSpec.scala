@@ -1,0 +1,50 @@
+package graft
+
+import graft.server.QueryServer
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Filesystem sandbox: allowed-directories enforcement at the
+  * analyzed-plan level (ref: uquery-rs SET allowed_directories,
+  * src/cli/options.rs:193-199).
+  */
+class SandboxSpec extends AnyFunSuite with BeforeAndAfterAll {
+  import TestSpark._
+
+  private var srv: QueryServer = _
+  private var base: String = _
+  private val client = HttpClient.newHttpClient()
+
+  override def beforeAll(): Unit = {
+    T.views(spark, sf, "nation")
+    srv = new QueryServer(spark, 0, allowedDirs = Seq("/root/testdata"))
+    srv.start()
+    base = s"http://localhost:${srv.boundPort}"
+  }
+
+  override def afterAll(): Unit = if (srv != null) srv.stop()
+
+  private def post(sql: String): HttpResponse[String] =
+    client.send(
+      HttpRequest.newBuilder(URI.create(s"$base/"))
+        .header("Accept", "application/json").header("Content-Type", "text/plain")
+        .POST(HttpRequest.BodyPublishers.ofString(sql)).build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  test("reads under allowed dirs succeed") {
+    val r = post("SELECT count(*) AS n FROM parquet.`/root/testdata/sf0.001/region.parquet`")
+    assert(r.statusCode() == 200 && r.body() == "[{\"n\":5}]")
+  }
+
+  test("view-backed reads (rooted in allowed dirs) succeed") {
+    assert(post("SELECT count(*) AS n FROM nation").statusCode() == 200)
+  }
+
+  test("direct file reads outside allowed dirs are rejected with 400") {
+    val r = post("SELECT * FROM csv.`/etc/hosts`")
+    assert(r.statusCode() == 400)
+    assert(r.body().contains("outside allowed directories"))
+  }
+}

@@ -17,7 +17,7 @@ object SparkEntry {
     CoreQueries, JoinQueries, SortSetQueries, AggQueries, WindowQueries,
     ScalarQueries, TableFnQueries, AdvancedQueries,
     TextQueries, DedupQueries, SimilarityQueries, MultimodalQueries,
-    FileFormatQueries, ExtraQueries)
+    FileFormatQueries, ExtraQueries, ScaleQueries)
 
   private lazy val allQueries: Seq[Q] = {
     val qs = modules.flatMap(_.queries)

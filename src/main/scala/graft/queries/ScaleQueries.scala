@@ -1,0 +1,56 @@
+package graft.queries
+
+import graft.{Q, QueryModule, T}
+import graft.operators.SaltedJoin
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-pattern operators: salted skew join and bucketed co-located
+  * join — the two manual shuffle-avoidance levers a 100 TB deployment
+  * reaches for when AQE alone isn't enough. Both are oracle-checked
+  * to produce exactly the plain-join results.
+  */
+object ScaleQueries extends QueryModule {
+
+  override val queries: Seq[Q] = Seq(
+    Q("c_join_salted_skew",
+      "Skew-salted join (8 salts): identical results to the plain join, hot keys spread across reducers (operators.SaltedJoin).",
+      (s, dir) => {
+        val li = T(s, dir, "lineitem")
+          .select(col("l_suppkey").as("s_suppkey"), col("l_quantity"))
+        val sup = T(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+        SaltedJoin(li, sup, "s_suppkey", salts = 8)
+          .groupBy(col("s_nationkey"))
+          .agg(count(lit(1)).as("n_lines"), round(sum(col("l_quantity")), 2).as("qty"))
+          .orderBy(col("s_nationkey").asc_nulls_last)
+      },
+      Some("""SELECT s_nationkey, count(*) AS n_lines, round(sum(l_quantity), 2) AS qty
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY s_nationkey ORDER BY s_nationkey ASC NULLS LAST""")),
+
+    Q("c_join_bucketed",
+      "Bucketed co-located join: both sides bucketBy(8) on the join key → sort-merge join reads matching buckets with NO shuffle before the join (PlanSpec asserts bucketed scans).",
+      (s, dir) => {
+        s.conf.set("spark.sql.sources.bucketing.enabled", "true")
+        val suffix = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        val ordersTbl = s"graft_orders_b_$suffix"
+        val custTbl = s"graft_cust_b_$suffix"
+        if (!s.catalog.tableExists(ordersTbl)) {
+          T(s, dir, "orders").write.mode("overwrite")
+            .bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable(ordersTbl)
+          T(s, dir, "customer")
+            .withColumnRenamed("c_custkey", "o_custkey")
+            .write.mode("overwrite")
+            .bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable(custTbl)
+        }
+        s.table(ordersTbl).hint("merge")
+          .join(s.table(custTbl).hint("merge"), Seq("o_custkey"))
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("total"))
+          .orderBy(col("c_mktsegment").asc_nulls_last)
+      },
+      Some("""SELECT c_mktsegment, count(*) AS n_orders,
+        round(sum(o_totalprice), 2) AS total
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment ORDER BY c_mktsegment ASC NULLS LAST""")))
+}

@@ -41,6 +41,17 @@ class PlanSpec extends AnyFunSuite {
     assert(planOf("c_join_anti").contains("LeftAnti"))
   }
 
+  test("partitioned scan prunes partitions at plan time") {
+    val p = planOf("a_partitioned_glob_scan")
+    assert(p.contains("PartitionFilters: [isnotnull(o_orderstatus"), p)
+  }
+
+  test("bucketed join scans matching buckets without pre-join shuffle") {
+    val p = planOf("c_join_bucketed")
+    assert(p.contains("SortMergeJoin"), p)
+    assert(p.contains("SelectedBucketsCount"), "scan not bucketed:\n" + p)
+  }
+
   test("windows partition by key (no single-partition global window)") {
     val p = SparkEntry.queries("e_rank_family")(spark, sf)
       .queryExecution.executedPlan.toString

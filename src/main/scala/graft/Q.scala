@@ -61,6 +61,24 @@ object T {
   * on a real cluster: AQE on (runtime re-plan, skew-join splitting,
   * partition coalescing), CBO on, small-dim broadcast.
   */
+/** Oracle-parity numeric helpers. */
+object Exact {
+  import org.apache.spark.sql.functions._
+  import org.apache.spark.sql.Column
+
+  /** Average of a fixed-scale source column computed as an EXACT
+    * decimal sum (order-independent) divided once in double — both
+    * engines see identical division operands, so the rounded result
+    * is bit-identical. Plain `round(avg(x), 6)` can straddle a
+    * rounding boundary when partial-sum order differs by ~1e-12
+    * (observed at sf0.1).  Oracle form:
+    * `round(CAST(sum(CAST(x AS DECIMAL(18,s))) AS DOUBLE)/count(*), d)`.
+    */
+  def avgExact(c: Column, scale: Int = 2, digits: Int = 6): Column =
+    round(sum(c.cast(org.apache.spark.sql.types.DecimalType(18, scale)))
+      .cast("double") / count(lit(1)), digits)
+}
+
 object GraftSession {
   def tune(spark: SparkSession): SparkSession = {
     val c = spark.conf

@@ -78,10 +78,11 @@ object AdvancedQueries extends QueryModule {
       (s, dir) =>
         T(s, dir, "events")
           .groupBy(window(col("ts"), "1 hour", "30 minutes"))
-          .agg(count(lit(1)).as("n"), round(avg(col("value")), 6).as("avg_value"))
+          .agg(count(lit(1)).as("n"), graft.Exact.avgExact(col("value")).as("avg_value"))
           .select(col("window.start").as("win_start"), col("n"), col("avg_value"))
           .orderBy(col("win_start").asc_nulls_last),
-      Some("""SELECT win_start, count(*) AS n, round(avg(value), 6) AS avg_value
+      Some("""SELECT win_start, count(*) AS n,
+          round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_value
         FROM (
           SELECT CAST(to_timestamp(floor(epoch(CAST(ts AS TIMESTAMP))/1800)*1800) AS TIMESTAMP) AS win_start, value
           FROM events

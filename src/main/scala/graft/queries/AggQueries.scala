@@ -90,14 +90,14 @@ object AggQueries extends QueryModule {
             count(*) AS n,
             count(*) FILTER (WHERE l_quantity > 25) AS n_bulk,
             round(sum(l_extendedprice) FILTER (WHERE l_discount > 0.05), 2) AS rev_discounted,
-            round(avg(l_tax) FILTER (WHERE l_linestatus = 'F'), 6) AS avg_tax_f
+            round(CAST(sum(CAST(l_tax AS DECIMAL(18,2))) FILTER (WHERE l_linestatus = 'F') AS DOUBLE) / count(*) FILTER (WHERE l_linestatus = 'F'), 6) AS avg_tax_f
           FROM lineitem GROUP BY l_returnflag
           ORDER BY l_returnflag ASC NULLS LAST""")
       },
       Some("""SELECT l_returnflag, count(*) AS n,
         count(*) FILTER (WHERE l_quantity > 25) AS n_bulk,
         round(sum(l_extendedprice) FILTER (WHERE l_discount > 0.05), 2) AS rev_discounted,
-        round(avg(l_tax) FILTER (WHERE l_linestatus = 'F'), 6) AS avg_tax_f
+        round(CAST(sum(CAST(l_tax AS DECIMAL(18,2))) FILTER (WHERE l_linestatus = 'F') AS DOUBLE) / count(*) FILTER (WHERE l_linestatus = 'F'), 6) AS avg_tax_f
         FROM lineitem GROUP BY l_returnflag
         ORDER BY l_returnflag ASC NULLS LAST""")),
 
@@ -211,10 +211,11 @@ object AggQueries extends QueryModule {
       (s, dir) =>
         T(s, dir, "events")
           .groupBy((floor(col("value") / 50.0) * 50).cast("long").as("bucket_lo"))
-          .agg(count(lit(1)).as("n"), round(avg(col("value")), 6).as("avg_in_bucket"))
+          .agg(count(lit(1)).as("n"), graft.Exact.avgExact(col("value")).as("avg_in_bucket"))
           .orderBy(col("bucket_lo").asc_nulls_last),
       Some("""SELECT CAST(floor(value / 50.0) * 50 AS BIGINT) AS bucket_lo,
-        count(*) AS n, round(avg(value), 6) AS avg_in_bucket
+        count(*) AS n,
+        round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_in_bucket
         FROM events GROUP BY 1 ORDER BY bucket_lo ASC NULLS LAST""")),
 
     Q("d_any_value",

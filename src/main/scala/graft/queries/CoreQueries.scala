@@ -26,9 +26,9 @@ object CoreQueries extends QueryModule {
         round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
         round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
         round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
-        round(avg(col("l_quantity")), 6).as("avg_qty"),
-        round(avg(col("l_extendedprice")), 6).as("avg_price"),
-        round(avg(col("l_discount")), 6).as("avg_disc"),
+        graft.Exact.avgExact(col("l_quantity")).as("avg_qty"),
+        graft.Exact.avgExact(col("l_extendedprice")).as("avg_price"),
+        graft.Exact.avgExact(col("l_discount")).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag").asc_nulls_last, col("l_linestatus").asc_nulls_last)
 
@@ -41,9 +41,9 @@ object CoreQueries extends QueryModule {
         round(sum(l_extendedprice), 2) AS sum_base_price,
         round(sum(l_extendedprice*(1-l_discount)), 2) AS sum_disc_price,
         round(sum(l_extendedprice*(1-l_discount)*(1+l_tax)), 2) AS sum_charge,
-        round(avg(l_quantity), 6) AS avg_qty,
-        round(avg(l_extendedprice), 6) AS avg_price,
-        round(avg(l_discount), 6) AS avg_disc,
+        round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_qty,
+        round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_price,
+        round(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_disc,
         count(*) AS count_order
         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         GROUP BY l_returnflag, l_linestatus

@@ -125,11 +125,11 @@ object ExtraQueries extends QueryModule {
         s.udf.register("geomean", udaf(GeoMean))
         T(s, dir, "lineitem")
           .groupBy(col("l_returnflag"))
-          .agg(round(expr("geomean(l_extendedprice)"), 4).as("geo_price"),
+          .agg(round(expr("geomean(l_extendedprice)"), 2).as("geo_price"),
                count(lit(1)).as("n"))
           .orderBy(col("l_returnflag").asc_nulls_last)
       },
-      Some("""SELECT l_returnflag, round(exp(avg(ln(l_extendedprice))), 4) AS geo_price,
+      Some("""SELECT l_returnflag, round(exp(avg(ln(l_extendedprice))), 2) AS geo_price,
         count(*) AS n
         FROM lineitem GROUP BY l_returnflag
         ORDER BY l_returnflag ASC NULLS LAST""")),

@@ -71,10 +71,11 @@ object FileFormatQueries extends QueryModule {
         s.read.parquet(path)
           .filter(col("o_orderstatus") === "O")
           .groupBy(col("o_orderpriority"))
-          .agg(count(lit(1)).as("n"), round(avg(col("o_totalprice")), 6).as("avg_price"))
+          .agg(count(lit(1)).as("n"), graft.Exact.avgExact(col("o_totalprice")).as("avg_price"))
           .orderBy(col("o_orderpriority").asc_nulls_last)
       },
-      Some("""SELECT o_orderpriority, count(*) AS n, round(avg(o_totalprice), 6) AS avg_price
+      Some("""SELECT o_orderpriority, count(*) AS n,
+        round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_price
         FROM orders WHERE o_orderstatus = 'O'
         GROUP BY o_orderpriority
         ORDER BY o_orderpriority ASC NULLS LAST""")))

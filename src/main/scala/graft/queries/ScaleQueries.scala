@@ -36,6 +36,17 @@ object ScaleQueries extends QueryModule {
         val ordersTbl = s"graft_orders_b_$suffix"
         val custTbl = s"graft_cust_b_$suffix"
         if (!s.catalog.tableExists(ordersTbl)) {
+          // the in-memory catalog is per-session but the warehouse dir
+          // persists across runs — clear stale locations first
+          def rmrf(f: java.io.File): Unit = {
+            if (f.isDirectory) f.listFiles.foreach(rmrf)
+            f.delete(); ()
+          }
+          val wh = java.net.URI.create(s.conf.get("spark.sql.warehouse.dir")).getPath
+          Seq(ordersTbl, custTbl).foreach { t =>
+            val d = new java.io.File(wh, t)
+            if (d.exists()) rmrf(d)
+          }
           T(s, dir, "orders").write.mode("overwrite")
             .bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable(ordersTbl)
           T(s, dir, "customer")

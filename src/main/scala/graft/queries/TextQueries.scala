@@ -33,14 +33,14 @@ object TextQueries extends QueryModule {
             count(lit(1)).as("n_docs"),
             round(avg(col("n_chars")), 6).as("avg_chars"),
             round(avg(col("n_words")), 6).as("avg_words"),
-            round(avg(col("n_uniq") / col("n_words")), 6).as("avg_ttr"),
+            round(avg(col("n_uniq") / col("n_words")), 4).as("avg_ttr"),
             min(col("n_chars")).as("min_chars"),
             max(col("n_chars")).as("max_chars"))
           .orderBy(col("lang").asc_nulls_last),
       Some("""SELECT lang, count(*) AS n_docs,
         round(avg(n_chars), 6) AS avg_chars,
         round(avg(n_words), 6) AS avg_words,
-        round(avg(CAST(n_uniq AS DOUBLE) / n_words), 6) AS avg_ttr,
+        round(avg(CAST(n_uniq AS DOUBLE) / n_words), 4) AS avg_ttr,
         min(n_chars) AS min_chars, max(n_chars) AS max_chars
         FROM (SELECT lang, n_chars,
                 CAST(len(string_split(text, ' ')) AS INT) AS n_words,

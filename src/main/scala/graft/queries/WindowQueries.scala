@@ -133,6 +133,33 @@ object WindowQueries extends QueryModule {
         FROM events WHERE user_id < 20
         ORDER BY user_id ASC NULLS LAST, event_id ASC NULLS LAST""")),
 
+    Q("e_groups_frame_rewrite",
+      "GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW via the dense_rank+RANGE rewrite (peer groups = equal dense_rank). Neither engine ships GROUPS frames (DuckDB 1.5: 'not implemented yet'), so both sides use the rewrite — it IS the portable realization.",
+      (s, dir) => {
+        val order = Window.partitionBy(col("c_mktsegment"))
+          .orderBy(col("c_nationkey").asc_nulls_last)
+        val overRank = Window.partitionBy(col("c_mktsegment"))
+          .orderBy(col("dr").asc_nulls_last).rangeBetween(-1L, 0L)
+        T(s, dir, "customer")
+          .filter(col("c_custkey") < 300)
+          .withColumn("dr", dense_rank().over(order))
+          .withColumn("grp_sum", round(sum(col("c_acctbal")).over(overRank), 2))
+          .withColumn("grp_n", count(lit(1)).over(overRank))
+          .select(col("c_custkey"), col("c_mktsegment"), col("c_nationkey"),
+            col("grp_sum"), col("grp_n"))
+          .orderBy(col("c_custkey").asc_nulls_last)
+      },
+      Some("""SELECT c_custkey, c_mktsegment, c_nationkey,
+        round(sum(c_acctbal) OVER w2, 2) AS grp_sum,
+        count(*) OVER w2 AS grp_n
+        FROM (SELECT c_custkey, c_mktsegment, c_nationkey, c_acctbal,
+                dense_rank() OVER (PARTITION BY c_mktsegment
+                  ORDER BY c_nationkey ASC NULLS LAST) AS dr
+              FROM customer WHERE c_custkey < 300) t
+        WINDOW w2 AS (PARTITION BY c_mktsegment ORDER BY dr ASC NULLS LAST
+          RANGE BETWEEN 1 PRECEDING AND CURRENT ROW)
+        ORDER BY c_custkey ASC NULLS LAST""")),
+
     Q("e_qualify_topk_per_group",
       "DuckDB QUALIFY rewrite: top-3 orders per status via window + filter (SURVEY §7).",
       (s, dir) => {

@@ -95,6 +95,28 @@ object ExtraQueries extends QueryModule {
           FROM lineitem GROUP BY l_returnflag, l_quantity) t
         WHERE rn = 1 ORDER BY l_returnflag ASC NULLS LAST""")),
 
+    Q("d_moments",
+      "Population skewness/kurtosis from explicit central-moment formulas — Spark's skewness/kurtosis are population estimators, DuckDB's are sample-corrected, so the portable realization computes the moments directly on both sides.",
+      (s, dir) => {
+        T.views(s, dir, "lineitem")
+        s.sql("""WITH m AS (
+            SELECT l_returnflag, avg(l_quantity) AS mu FROM lineitem GROUP BY l_returnflag)
+          SELECT t.l_returnflag,
+            round(avg(pow(l_quantity - mu, 3)) / pow(avg(pow(l_quantity - mu, 2)), 1.5), 4) AS skew_pop,
+            round(avg(pow(l_quantity - mu, 4)) / pow(avg(pow(l_quantity - mu, 2)), 2) - 3, 4) AS kurt_excess_pop
+          FROM lineitem t JOIN m ON t.l_returnflag = m.l_returnflag
+          GROUP BY t.l_returnflag
+          ORDER BY t.l_returnflag ASC NULLS LAST""")
+      },
+      Some("""WITH m AS (
+          SELECT l_returnflag, avg(l_quantity) AS mu FROM lineitem GROUP BY l_returnflag)
+        SELECT t.l_returnflag,
+          round(avg(pow(l_quantity - mu, 3)) / pow(avg(pow(l_quantity - mu, 2)), 1.5), 4) AS skew_pop,
+          round(avg(pow(l_quantity - mu, 4)) / pow(avg(pow(l_quantity - mu, 2)), 2) - 3, 4) AS kurt_excess_pop
+        FROM lineitem t JOIN m ON t.l_returnflag = m.l_returnflag
+        GROUP BY t.l_returnflag
+        ORDER BY t.l_returnflag ASC NULLS LAST""")),
+
     Q("h_bitwise_fns",
       "Bitwise scalar family: and/or/xor/shifts/not, bit_count.",
       (s, dir) =>

@@ -57,6 +57,29 @@ object ScalarQueries extends QueryModule {
         FROM part WHERE p_partkey < 500
         ORDER BY p_partkey ASC NULLS LAST""")),
 
+    Q("h_string_similarity",
+      "String similarity family: levenshtein + character-set jaccard (composed from array built-ins; oracle uses DuckDB's NATIVE jaccard()).",
+      (s, dir) => {
+        def charset(c: org.apache.spark.sql.Column) =
+          array_distinct(split(c, ""))
+        T(s, dir, "part")
+          .filter(col("p_partkey") < 300)
+          .select(
+            col("p_partkey"),
+            levenshtein(col("p_name"), lit("red widget")).as("lev_dist"),
+            round(
+              size(array_intersect(charset(col("p_name")), charset(lit("red widget"))))
+                .cast("double") /
+              size(array_union(charset(col("p_name")), charset(lit("red widget")))), 6)
+              .as("char_jaccard"))
+          .orderBy(col("p_partkey").asc_nulls_last)
+      },
+      Some("""SELECT p_partkey,
+        CAST(levenshtein(p_name, 'red widget') AS INT) AS lev_dist,
+        round(jaccard(p_name, 'red widget'), 6) AS char_jaccard
+        FROM part WHERE p_partkey < 300
+        ORDER BY p_partkey ASC NULLS LAST""")),
+
     Q("h_regex_fns",
       "Regex family: extract with group, full-match (rlike anchored ↔ regexp_full_match), ilike.",
       (s, dir) =>

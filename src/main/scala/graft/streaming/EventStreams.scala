@@ -86,4 +86,15 @@ object EventStreams {
     * open in state is exactly the batch sessionization — the spec
     * compares totals.
     */
+
+  /** Streaming exact dedup: drop duplicate event_ids within a
+    * watermark window — the streaming face of the n_dedup_exact
+    * north-star (state is bounded by the watermark horizon, which is
+    * what makes exact dedup feasible on an unbounded 100 TB/day
+    * stream).
+    */
+  def dedupe(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
 }

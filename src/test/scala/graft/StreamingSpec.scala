@@ -25,6 +25,19 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("streaming dedup: duplicated stream collapses back to distinct events") {
+    // duplicate every event by unioning the source with itself
+    val doubled = EventStreams.source(spark, sf).union(EventStreams.source(spark, sf))
+    val q = EventStreams.dedupe(doubled)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("dedup_out").count()
+    val distinctIds = T(spark, sf, "events").select("event_id").distinct().count()
+    assert(streamed == distinctIds, s"streamed=$streamed distinct=$distinctIds")
+  }
+
   test("stateful sessionization: closed+open sessions equal batch session count") {
     import spark.implicits._
     val ds = EventStreams.sessionize(spark, EventStreams.source(spark, sf))

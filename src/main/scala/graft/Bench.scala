@@ -22,9 +22,16 @@ object Bench {
     // charged session bring-up (a fixed cost, not an operator cost)
     spark.range(1000000L).selectExpr("sum(id)").collect()
     T(spark, sfDir, "lineitem").limit(10).collect()
+    // materialize through queryExecution.toRdd so Catalyst cannot prune
+    // projections/sorts away under a bare count() — the timed work is
+    // the query as planned. Failures print and count as 0 rows, never
+    // as a fake fast timing.
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).queryExecution.toRdd.count() }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -47,7 +47,10 @@ object AsOfJoin {
           leftCols.map(col) ++
           valueAliases.map(a => lit(null).as(s"__v_$a"))): _*)
 
+    // null right timestamps can never satisfy rightTime <= leftTime
+    // (SQL three-valued comparison), so they must not enter the window
     val taggedRight = right
+      .filter(col(rightTime).isNotNull)
       .withColumn("__t", col(rightTime))
       .withColumn("__side", lit(0))
       .select(
@@ -64,8 +67,11 @@ object AsOfJoin {
       (df, a) => df.withColumn(a, last(col(s"__v_$a"), ignoreNulls = true).over(w))
     }
 
+    // a left row with a null timestamp matches nothing (it would sort
+    // nulls-last and wrongly absorb the partition's latest right value)
     filled
       .filter(col("__side") === 1)
-      .select((leftCols.map(col) ++ valueAliases.map(col)): _*)
+      .select((leftCols.map(col) ++ valueAliases.map(a =>
+        when(col(leftTime).isNotNull, col(a)).otherwise(lit(null)).as(a))): _*)
   }
 }

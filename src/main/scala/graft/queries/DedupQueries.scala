@@ -26,7 +26,12 @@ object DedupQueries extends QueryModule {
     T(s, dir, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .select(col("doc_id"), expr(
-        "transform(sequence(0, size(w) - 3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))")
+        // guard: sequence(0, -1) is DESCENDING in Spark (not empty), so
+        // sub-3-word docs must short-circuit to an empty shingle list
+        // (matching DuckDB's empty generate_series(0, -1))
+        """CASE WHEN size(w) >= 3
+             THEN transform(sequence(0, size(w) - 3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))
+             ELSE array() END""")
         .as("shs"))
       .select(col("doc_id"), explode(col("shs")).as("sh"))
       .distinct()

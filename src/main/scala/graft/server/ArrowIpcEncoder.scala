@@ -56,6 +56,10 @@ object ArrowIpcEncoder {
     case (x: VarCharVector, s) =>
       val str = s match {
         case st: String => st
+        // nested fallback: JSON stringification, not Scala toString
+        case seq: scala.collection.Seq[_] => RowEncoders.jsonFallback(seq)
+        case m: scala.collection.Map[_, _] => RowEncoders.jsonFallback(m)
+        case r: Row => RowEncoders.jsonFallback(r)
         case other => String.valueOf(other)
       }
       x.setSafe(i, str.getBytes("UTF-8"))

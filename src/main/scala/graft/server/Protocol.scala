@@ -86,8 +86,15 @@ object Protocol {
             case 'n' => sb.append('\n'); i += 2
             case 't' => sb.append('\t'); i += 2
             case 'r' => sb.append('\r'); i += 2
+            case 'b' => sb.append('\b'); i += 2
+            case 'f' => sb.append('\f'); i += 2
             case 'u' if i + 5 < rest.length =>
-              sb.append(Integer.parseInt(rest.substring(i + 2, i + 6), 16).toChar); i += 6
+              try sb.append(Integer.parseInt(rest.substring(i + 2, i + 6), 16).toChar)
+              catch { case _: NumberFormatException =>
+                return Left(Problem(400, "Invalid JSON",
+                  s"bad unicode escape \\u${rest.substring(i + 2, i + 6)}"))
+              }
+              i += 6
             case c => sb.append(c); i += 2
           }
         case '"' => done = true

@@ -118,6 +118,28 @@ final class QueryServer(
   private def runQuery(x: HttpExchange, sql: String, format: Format): Unit = {
     pool.acquire()
     try {
+      // sandbox pre-check BEFORE spark.sql: commands (CTAS, INSERT,
+      // SET, ...) execute eagerly inside spark.sql, so under a sandbox
+      // only pure queries are admitted — matching the reference's
+      // read-only posture (ATTACH READ_ONLY + lock_configuration).
+      if (allowedDirs.nonEmpty) {
+        val parsed =
+          try spark.sessionState.sqlParser.parsePlan(sql)
+          catch {
+            case NonFatal(e) =>
+              sendProblem(x, Problem(400, "SQL Error", String.valueOf(e.getMessage)))
+              return
+          }
+        val isCommand = parsed.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Command] ||
+          parsed.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.InsertIntoStatement] ||
+          parsed.nodeName.contains("Command")
+        if (isCommand) {
+          sendProblem(x, Problem(400, "SQL Error",
+            "only read-only queries are allowed when a filesystem sandbox is configured"))
+          return
+        }
+      }
+
       val df: DataFrame =
         try spark.sql(sql)
         catch {
@@ -126,16 +148,22 @@ final class QueryServer(
             return
         }
 
-      val outside = try violatingPaths(df) catch { case NonFatal(_) => Nil }
+      // fail CLOSED: an error while inspecting the plan rejects the query
+      val outside =
+        try violatingPaths(df)
+        catch { case NonFatal(e) => Seq(s"<unverifiable plan: ${e.getMessage}>") }
       if (outside.nonEmpty) {
         sendProblem(x, Problem(400, "SQL Error",
           s"file access outside allowed directories: ${outside.mkString(", ")}"))
         return
       }
 
-      // time-to-first-row: plan + first partition computed off-thread
+      // time-to-first-row: plan + first partition computed off-thread,
+      // under a job group so a timeout can cancel the Spark stages too
+      val jobGroup = s"graft-query-${java.util.UUID.randomUUID()}"
       val fut = exec.submit(new java.util.concurrent.Callable[(Iterator[Row], Boolean)] {
         def call(): (Iterator[Row], Boolean) = {
+          spark.sparkContext.setJobGroup(jobGroup, sql.take(100), interruptOnCancel = true)
           val it = df.toLocalIterator()
           val scalaIt = new Iterator[Row] {
             def hasNext: Boolean = it.hasNext
@@ -151,6 +179,10 @@ final class QueryServer(
         } catch {
           case _: TimeoutException =>
             fut.cancel(true)
+            // release the executors, not just the client: kill the
+            // abandoned query's stages before freeing the pool slot
+            try spark.sparkContext.cancelJobGroup(jobGroup)
+            catch { case NonFatal(_) => () }
             sendProblem(x, Problem(408, "Query Timeout",
               s"no result within ${queryTimeoutMillis}ms"))
             return

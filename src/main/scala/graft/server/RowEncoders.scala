@@ -17,9 +17,18 @@ import org.apache.spark.sql.types._
   */
 object RowEncoders {
 
-  private def fmtTimestamp(t: java.sql.Timestamp): String = {
+  private val TsFmt = java.time.format.DateTimeFormatter
+    .ofPattern("uuuu-MM-dd HH:mm:ss")
+
+  /** Always emits seconds (LocalDateTime.toString drops :00), plus
+    * trimmed fractional micros when present — matching arrow-json/csv.
+    */
+  private[server] def fmtTimestamp(t: java.sql.Timestamp): String = {
     val ldt = t.toInstant.atZone(java.time.ZoneOffset.UTC).toLocalDateTime
-    ldt.toString.replace('T', ' ')
+    val base = ldt.format(TsFmt)
+    val micros = ldt.getNano / 1000
+    if (micros == 0) base
+    else base + "." + f"$micros%06d".reverse.dropWhile(_ == '0').reverse
   }
 
   private def jsonValue(v: Any): String = v match {
@@ -42,6 +51,11 @@ object RowEncoders {
     case n: java.math.BigDecimal => n.toPlainString
     case other => other.toString
   }
+
+  /** JSON stringification of a nested value (ArrowIpcEncoder's utf8
+    * fallback for types without a primitive Arrow mapping).
+    */
+  private[server] def jsonFallback(v: Any): String = jsonValue(v)
 
   private def rowJson(names: Array[String], row: Row): String =
     names.indices.map { i =>

@@ -49,7 +49,10 @@ object EventStreams {
 
   /** Stateful 30-min-gap sessionization via flatMapGroupsWithState —
     * the custom-state scale path (KeyValueGroupedDataset, SURVEY §2.2 K).
-    * Emits closed sessions; open sessions flush on state timeout.
+    * Emits CLOSED sessions only; each key's trailing open session stays
+    * in state (NoTimeout — a production deployment would use an
+    * event-time timeout to flush tails; StreamingSpec accounts for the
+    * open tails explicitly when proving equivalence to batch).
     */
   def sessionize(spark: SparkSession, events: DataFrame): Dataset[SessionOut] = {
     import spark.implicits._
@@ -81,11 +84,6 @@ object EventStreams {
           out.iterator
       }
   }
-
-  /** Flush helper for specs: closed sessions plus whatever is still
-    * open in state is exactly the batch sessionization — the spec
-    * compares totals.
-    */
 
   /** Streaming exact dedup: drop duplicate event_ids within a
     * watermark window — the streaming face of the n_dedup_exact

@@ -25,6 +25,28 @@ class OperatorSpec extends AnyFunSuite {
       Row(3L, 5L, "d", null)))
   }
 
+  test("AsOfJoin: null timestamps match nothing on either side") {
+    val left = Seq((1L, Some(10L), "a"), (1L, None, "b"))
+      .toDF("k", "t", "tag")
+    val right = Seq((1L, Some(5L), 100.0), (1L, None, 999.0))
+      .toDF("k", "t", "v")
+    val got = AsOfJoin(left, right, "k", "t", "t", Map("v" -> "last_v"))
+      .orderBy(col("tag")).collect().toSeq
+    // null right row must never be carried; null left time matches nothing
+    assert(got == Seq(Row(1L, 10L, "a", 100.0), Row(1L, null, "b", null)))
+  }
+
+  test("ngram shingles tolerate sub-3-word documents") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_short_docs").toString
+    Seq((0L, "one two", "en", "src0", 7L), (1L, "a b c d e", "en", "src0", 9L),
+        (2L, "a b c d e", "en", "src0", 9L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    // must not throw (ANSI array index) and must find the 1-2 dup pair
+    val pairs = SparkEntry.queries("n_dedup_ngram_jaccard")(spark, tmp).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+  }
+
   test("AsOfJoin agrees with DuckDB-ASOF semantics on real events") {
     // re-derive the c_join_asof result with a per-row correlated max —
     // an independent (slow) formulation of the same semantics

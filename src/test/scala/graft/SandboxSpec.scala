@@ -42,6 +42,12 @@ class SandboxSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(post("SELECT count(*) AS n FROM nation").statusCode() == 200)
   }
 
+  test("eagerly-executed commands are rejected under the sandbox") {
+    val r = post("CREATE TABLE sneak AS SELECT * FROM parquet.`/etc/hosts`")
+    assert(r.statusCode() == 400)
+    assert(r.body().contains("read-only"))
+  }
+
   test("direct file reads outside allowed dirs are rejected with 400") {
     val r = post("SELECT * FROM csv.`/etc/hosts`")
     assert(r.statusCode() == 400)

@@ -123,15 +123,17 @@ object DedupQueries extends QueryModule {
             col("x.doc_id") < col("y.doc_id"))
           .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
           .distinct()
-        // exact-verify candidates only (pair space is already pruned, so
-        // the per-pair shingle intersection join touches few rows)
-        val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-        val shA = sh.select(col("doc_id").as("id_a"), col("sh"))
-        val shB = sh.select(col("doc_id").as("id_b"), col("sh").as("sh2"))
+        // exact-verify candidates only (pair space is already pruned).
+        // Intersections join on the 8-byte shingle hashes, not the
+        // shingle strings — at 100 TB that is the difference between
+        // shuffling digests and shuffling text
+        val sizes = hashed.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+        val shA = hashed.select(col("doc_id").as("id_a"), col("h0"))
+        val shB = hashed.select(col("doc_id").as("id_b"), col("h0").as("h1"))
         cand
           .join(shA, "id_a")
           .join(shB, "id_b")
-          .filter(col("sh") === col("sh2"))
+          .filter(col("h0") === col("h1"))
           .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
           .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_sh", "na"), "id_a")
           .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_sh", "nb"), "id_b")

@@ -29,7 +29,8 @@ final class QueryServer(
     port: Int,
     poolSize: Int = 4,
     queryTimeoutMillis: Long = 30000L,
-    allowedDirs: Seq[String] = Nil) {
+    allowedDirs: Seq[String] = Nil,
+    corsEnabled: Boolean = false) {
 
   /** Filesystem sandbox (uquery-rs `SET allowed_directories` +
     * `enable_external_access=false`, src/cli/options.rs:193-199):
@@ -94,6 +95,18 @@ final class QueryServer(
 
   private def handle(x: HttpExchange): Unit =
     try {
+      // permissive CORS layer (ref: CorsLayer::permissive(),
+      // routers.rs:79-84; preflight test src/main.rs:261-287)
+      if (corsEnabled) {
+        val h = x.getResponseHeaders
+        h.set("Access-Control-Allow-Origin", "*")
+        h.set("Access-Control-Allow-Methods", "*")
+        h.set("Access-Control-Allow-Headers", "*")
+        if (x.getRequestMethod == "OPTIONS") {
+          x.sendResponseHeaders(200, -1); x.close()
+          return
+        }
+      }
       if (x.getRequestMethod != "POST") {
         sendProblem(x, Problem(405, "Method Not Allowed", "use POST /"))
         return
@@ -233,7 +246,12 @@ object ServerMain {
         .getOrCreate())
     spark.sparkContext.setLogLevel("WARN")
     graft.T.views(spark, sfDir, graft.T.all: _*)
-    val server = new QueryServer(spark, port)
+    val server = new QueryServer(spark, port,
+      corsEnabled = sys.env.get("GRAFT_CORS").contains("1"))
+    // graceful shutdown on SIGINT/SIGTERM (ref: main.rs:81-105)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      server.stop(); spark.stop()
+    }))
     server.start()
     println(s"graft server listening on :$port over $sfDir")
     Thread.currentThread.join()

@@ -130,6 +130,21 @@ class ServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(post(big).statusCode() == 400)
   }
 
+  test("CORS preflight when enabled (ref: main.rs:261-287)") {
+    val cors = new graft.server.QueryServer(spark, 0, corsEnabled = true)
+    cors.start()
+    try {
+      val r = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://localhost:${cors.boundPort}/"))
+          .method("OPTIONS", HttpRequest.BodyPublishers.noBody())
+          .header("Origin", "http://example.com")
+          .header("Access-Control-Request-Method", "POST").build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(r.statusCode() == 200)
+      assert(r.headers().firstValue("Access-Control-Allow-Origin").get() == "*")
+    } finally cors.stop()
+  }
+
   test("queries the sf tables end-to-end") {
     val r = post("SELECT count(*) AS n FROM lineitem")
     assert(new String(r.body(), "UTF-8").matches("""\[\{"n":\d+\}\]"""))

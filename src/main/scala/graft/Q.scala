@@ -77,6 +77,21 @@ object Exact {
   def avgExact(c: Column, scale: Int = 2, digits: Int = 6): Column =
     round(sum(c.cast(org.apache.spark.sql.types.DecimalType(18, scale)))
       .cast("double") / count(lit(1)), digits)
+
+  /** Sum of a fixed-scale expression as an exact decimal (order-
+    * independent), surfaced as double. Both engines reduce the same
+    * rational to the same decimal, cast to the same double — immune to
+    * partial-sum-order drift entirely. `scale` must cover the
+    * expression's true decimal scale (2 for raw money columns, 4 for
+    * price×discount products, 6 for price×disc×tax).
+    */
+  def sumExact(c: Column, scale: Int = 2, digits: Int = 2): Column =
+    round(sum(c.cast(org.apache.spark.sql.types.DecimalType(18 + scale, scale)))
+      .cast("double"), digits)
+
+  /** The DuckDB oracle spelling of [[sumExact]]. */
+  def sumExactSql(expr: String, scale: Int = 2, digits: Int = 2): String =
+    s"round(CAST(sum(CAST($expr AS DECIMAL(${18 + scale},$scale))) AS DOUBLE), $digits)"
 }
 
 object GraftSession {

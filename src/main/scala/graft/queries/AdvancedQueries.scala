@@ -65,11 +65,11 @@ object AdvancedQueries extends QueryModule {
       (s, dir) =>
         T(s, dir, "events")
           .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-          .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+          .agg(count(lit(1)).as("n"), graft.Exact.sumExact(col("value")).as("total"))
           .select(col("window.start").as("hour_start"), col("event_type"), col("n"), col("total"))
           .orderBy(col("hour_start").asc_nulls_last, col("event_type").asc_nulls_last),
       Some("""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start, event_type,
-          count(*) AS n, round(sum(value), 2) AS total
+          count(*) AS n, round(CAST(sum(CAST(value AS DECIMAL(20,2))) AS DOUBLE), 2) AS total
         FROM events GROUP BY 1, 2
         ORDER BY hour_start ASC NULLS LAST, event_type ASC NULLS LAST""")),
 

@@ -36,12 +36,12 @@ object AggQueries extends QueryModule {
       (s, dir) =>
         T(s, dir, "orders")
           .rollup(col("o_orderstatus"), col("o_orderpriority"))
-          .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"),
+          .agg(count(lit(1)).as("n"), graft.Exact.sumExact(col("o_totalprice")).as("total"),
                grouping_id().as("gid"))
           .orderBy(col("gid").asc_nulls_last, col("o_orderstatus").asc_nulls_first,
                    col("o_orderpriority").asc_nulls_first),
       Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-        round(sum(o_totalprice), 2) AS total,
+        round(CAST(sum(CAST(o_totalprice AS DECIMAL(20,2))) AS DOUBLE), 2) AS total,
         GROUPING(o_orderstatus, o_orderpriority) AS gid
         FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
         ORDER BY gid ASC NULLS LAST, o_orderstatus ASC NULLS FIRST,
@@ -52,12 +52,12 @@ object AggQueries extends QueryModule {
       (s, dir) =>
         T(s, dir, "lineitem")
           .cube(col("l_returnflag"), col("l_linestatus"))
-          .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("qty"),
+          .agg(count(lit(1)).as("n"), graft.Exact.sumExact(col("l_quantity")).as("qty"),
                grouping_id().as("gid"))
           .orderBy(col("gid").asc_nulls_last, col("l_returnflag").asc_nulls_first,
                    col("l_linestatus").asc_nulls_first),
       Some("""SELECT l_returnflag, l_linestatus, count(*) AS n,
-        round(sum(l_quantity), 2) AS qty,
+        round(CAST(sum(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE), 2) AS qty,
         GROUPING(l_returnflag, l_linestatus) AS gid
         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
         ORDER BY gid ASC NULLS LAST, l_returnflag ASC NULLS FIRST,
@@ -68,14 +68,14 @@ object AggQueries extends QueryModule {
       (s, dir) => {
         T.views(s, dir, "customer")
         s.sql("""SELECT c_mktsegment, c_nationkey, count(*) AS n,
-            round(sum(c_acctbal), 2) AS bal, grouping_id() AS gid
+            round(CAST(sum(CAST(c_acctbal AS DECIMAL(20,2))) AS DOUBLE), 2) AS bal, grouping_id() AS gid
           FROM customer
           GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
           ORDER BY gid ASC NULLS LAST, c_mktsegment ASC NULLS FIRST,
                    c_nationkey ASC NULLS FIRST""")
       },
       Some("""SELECT c_mktsegment, c_nationkey, count(*) AS n,
-        round(sum(c_acctbal), 2) AS bal,
+        round(CAST(sum(CAST(c_acctbal AS DECIMAL(20,2))) AS DOUBLE), 2) AS bal,
         GROUPING(c_mktsegment, c_nationkey) AS gid
         FROM customer
         GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
@@ -89,14 +89,14 @@ object AggQueries extends QueryModule {
         s.sql("""SELECT l_returnflag,
             count(*) AS n,
             count(*) FILTER (WHERE l_quantity > 25) AS n_bulk,
-            round(sum(l_extendedprice) FILTER (WHERE l_discount > 0.05), 2) AS rev_discounted,
+            round(CAST(sum(CAST(l_extendedprice AS DECIMAL(20,2))) FILTER (WHERE l_discount > 0.05) AS DOUBLE), 2) AS rev_discounted,
             round(CAST(sum(CAST(l_tax AS DECIMAL(18,2))) FILTER (WHERE l_linestatus = 'F') AS DOUBLE) / count(*) FILTER (WHERE l_linestatus = 'F'), 6) AS avg_tax_f
           FROM lineitem GROUP BY l_returnflag
           ORDER BY l_returnflag ASC NULLS LAST""")
       },
       Some("""SELECT l_returnflag, count(*) AS n,
         count(*) FILTER (WHERE l_quantity > 25) AS n_bulk,
-        round(sum(l_extendedprice) FILTER (WHERE l_discount > 0.05), 2) AS rev_discounted,
+        round(CAST(sum(CAST(l_extendedprice AS DECIMAL(20,2))) FILTER (WHERE l_discount > 0.05) AS DOUBLE), 2) AS rev_discounted,
         round(CAST(sum(CAST(l_tax AS DECIMAL(18,2))) FILTER (WHERE l_linestatus = 'F') AS DOUBLE) / count(*) FILTER (WHERE l_linestatus = 'F'), 6) AS avg_tax_f
         FROM lineitem GROUP BY l_returnflag
         ORDER BY l_returnflag ASC NULLS LAST""")),

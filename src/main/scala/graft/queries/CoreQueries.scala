@@ -22,10 +22,10 @@ object CoreQueries extends QueryModule {
       .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        round(sum(col("l_quantity")), 2).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+        graft.Exact.sumExact(col("l_quantity")).as("sum_qty"),
+        graft.Exact.sumExact(col("l_extendedprice")).as("sum_base_price"),
+        graft.Exact.sumExact(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("sum_disc_price"),
+        graft.Exact.sumExact(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")), 6).as("sum_charge"),
         graft.Exact.avgExact(col("l_quantity")).as("avg_qty"),
         graft.Exact.avgExact(col("l_extendedprice")).as("avg_price"),
         graft.Exact.avgExact(col("l_discount")).as("avg_disc"),
@@ -37,10 +37,10 @@ object CoreQueries extends QueryModule {
       "Flagship: scan→filter→project→groupBy agg→sort on lineitem (ref surface: full SQL SELECT via POST /, uquery-rs src/core/duckdb.rs:87).",
       q1,
       Some("""SELECT l_returnflag, l_linestatus,
-        round(sum(l_quantity), 2) AS sum_qty,
-        round(sum(l_extendedprice), 2) AS sum_base_price,
-        round(sum(l_extendedprice*(1-l_discount)), 2) AS sum_disc_price,
-        round(sum(l_extendedprice*(1-l_discount)*(1+l_tax)), 2) AS sum_charge,
+        round(CAST(sum(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE), 2) AS sum_qty,
+        round(CAST(sum(CAST(l_extendedprice AS DECIMAL(20,2))) AS DOUBLE), 2) AS sum_base_price,
+        round(CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(22,4))) AS DOUBLE), 2) AS sum_disc_price,
+        round(CAST(sum(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(24,6))) AS DOUBLE), 2) AS sum_charge,
         round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_qty,
         round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_price,
         round(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_disc,

@@ -32,12 +32,12 @@ object FileFormatQueries extends QueryModule {
         s.read.option("header", "true").option("inferSchema", "true").csv(path)
           .groupBy(col("l_returnflag"))
           .agg(count(lit(1)).as("n"),
-               round(sum(col("l_quantity")), 2).as("qty"),
+               graft.Exact.sumExact(col("l_quantity")).as("qty"),
                max(col("l_shipdate")).as("last_ship"),
                max(col("l_orderkey")).as("max_key"))
           .orderBy(col("l_returnflag").asc_nulls_last)
       },
-      Some("""SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS qty,
+      Some("""SELECT l_returnflag, count(*) AS n, round(CAST(sum(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE), 2) AS qty,
         max(l_shipdate) AS last_ship, CAST(max(l_orderkey) AS INT) AS max_key
         FROM lineitem GROUP BY l_returnflag
         ORDER BY l_returnflag ASC NULLS LAST""")),
@@ -53,11 +53,11 @@ object FileFormatQueries extends QueryModule {
           .withColumn("o_orderdate", to_timestamp(col("o_orderdate")))
           .groupBy(col("o_orderstatus"))
           .agg(count(lit(1)).as("n"),
-               round(sum(col("o_totalprice")), 2).as("total"),
+               graft.Exact.sumExact(col("o_totalprice")).as("total"),
                min(col("o_orderdate")).as("first_order"))
           .orderBy(col("o_orderstatus").asc_nulls_last)
       },
-      Some("""SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total,
+      Some("""SELECT o_orderstatus, count(*) AS n, round(CAST(sum(CAST(o_totalprice AS DECIMAL(20,2))) AS DOUBLE), 2) AS total,
         min(o_orderdate) AS first_order
         FROM orders GROUP BY o_orderstatus
         ORDER BY o_orderstatus ASC NULLS LAST""")),

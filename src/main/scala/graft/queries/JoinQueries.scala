@@ -33,12 +33,12 @@ object JoinQueries extends QueryModule {
           .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
           .groupBy(col("r_name"), col("n_name"))
           .agg(
-            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+            graft.Exact.sumExact(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"),
             count(lit(1)).as("n_lines"))
           .orderBy(col("r_name").asc_nulls_last, col("n_name").asc_nulls_last)
       },
       Some("""SELECT r_name, n_name,
-        round(sum(l_extendedprice*(1-l_discount)), 2) AS revenue,
+        round(CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(22,4))) AS DOUBLE), 2) AS revenue,
         count(*) AS n_lines
         FROM lineitem
         JOIN orders   ON l_orderkey = o_orderkey
@@ -150,10 +150,10 @@ object JoinQueries extends QueryModule {
             p("p_retailprice").between(sup("s_acctbal") / 10.0, sup("s_acctbal") / 2.0))
           .groupBy(col("s_suppkey"))
           .agg(count(lit(1)).as("n_parts"),
-               round(sum(col("p_retailprice")), 2).as("sum_price"))
+               graft.Exact.sumExact(col("p_retailprice")).as("sum_price"))
           .orderBy(col("s_suppkey").asc_nulls_last)
       },
-      Some("""SELECT s_suppkey, count(*) AS n_parts, round(sum(p_retailprice), 2) AS sum_price
+      Some("""SELECT s_suppkey, count(*) AS n_parts, round(CAST(sum(CAST(p_retailprice AS DECIMAL(20,2))) AS DOUBLE), 2) AS sum_price
         FROM (SELECT p_partkey, p_retailprice FROM part WHERE p_size > 45) p
         JOIN supplier ON p.p_retailprice BETWEEN s_acctbal/10.0 AND s_acctbal/2.0
         GROUP BY s_suppkey ORDER BY s_suppkey ASC NULLS LAST""")),

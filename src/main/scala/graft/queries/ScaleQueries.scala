@@ -21,10 +21,10 @@ object ScaleQueries extends QueryModule {
         val sup = T(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
         SaltedJoin(li, sup, "s_suppkey", salts = 8)
           .groupBy(col("s_nationkey"))
-          .agg(count(lit(1)).as("n_lines"), round(sum(col("l_quantity")), 2).as("qty"))
+          .agg(count(lit(1)).as("n_lines"), graft.Exact.sumExact(col("l_quantity")).as("qty"))
           .orderBy(col("s_nationkey").asc_nulls_last)
       },
-      Some("""SELECT s_nationkey, count(*) AS n_lines, round(sum(l_quantity), 2) AS qty
+      Some("""SELECT s_nationkey, count(*) AS n_lines, round(CAST(sum(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE), 2) AS qty
         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         GROUP BY s_nationkey ORDER BY s_nationkey ASC NULLS LAST""")),
 
@@ -57,11 +57,11 @@ object ScaleQueries extends QueryModule {
         s.table(ordersTbl).hint("merge")
           .join(s.table(custTbl).hint("merge"), Seq("o_custkey"))
           .groupBy(col("c_mktsegment"))
-          .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("total"))
+          .agg(count(lit(1)).as("n_orders"), graft.Exact.sumExact(col("o_totalprice")).as("total"))
           .orderBy(col("c_mktsegment").asc_nulls_last)
       },
       Some("""SELECT c_mktsegment, count(*) AS n_orders,
-        round(sum(o_totalprice), 2) AS total
+        round(CAST(sum(CAST(o_totalprice AS DECIMAL(20,2))) AS DOUBLE), 2) AS total
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY c_mktsegment ORDER BY c_mktsegment ASC NULLS LAST""")))
 }

@@ -106,22 +106,24 @@ object TableFnQueries extends QueryModule {
       (s, dir) => {
         T.views(s, dir, "orders", "customer")
         s.sql("""WITH cust_orders AS (
-            SELECT o_custkey, count(*) AS n_orders, sum(o_totalprice) AS spent
+            SELECT o_custkey, count(*) AS n_orders,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(20,2))) AS DECIMAL(20,2)) AS spent
             FROM orders GROUP BY o_custkey),
           seg_stats AS (
             SELECT c_mktsegment, round(avg(n_orders), 6) AS avg_orders,
-                   round(sum(spent), 2) AS seg_spent
+                   round(CAST(sum(spent) AS DOUBLE), 2) AS seg_spent
             FROM customer JOIN cust_orders ON c_custkey = o_custkey
             GROUP BY c_mktsegment)
           SELECT * FROM seg_stats
           ORDER BY c_mktsegment ASC NULLS LAST""")
       },
       Some("""WITH cust_orders AS (
-          SELECT o_custkey, count(*) AS n_orders, sum(o_totalprice) AS spent
+          SELECT o_custkey, count(*) AS n_orders,
+                 CAST(sum(CAST(o_totalprice AS DECIMAL(20,2))) AS DECIMAL(20,2)) AS spent
           FROM orders GROUP BY o_custkey),
         seg_stats AS (
           SELECT c_mktsegment, round(avg(n_orders), 6) AS avg_orders,
-                 round(sum(spent), 2) AS seg_spent
+                 round(CAST(sum(spent) AS DOUBLE), 2) AS seg_spent
           FROM customer JOIN cust_orders ON c_custkey = o_custkey
           GROUP BY c_mktsegment)
         SELECT * FROM seg_stats

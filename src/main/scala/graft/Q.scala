@@ -88,10 +88,8 @@ object Exact {
   def sumExact(c: Column, scale: Int = 2, digits: Int = 2): Column =
     round(sum(c.cast(org.apache.spark.sql.types.DecimalType(18 + scale, scale)))
       .cast("double"), digits)
-
-  /** The DuckDB oracle spelling of [[sumExact]]. */
-  def sumExactSql(expr: String, scale: Int = 2, digits: Int = 2): String =
-    s"round(CAST(sum(CAST($expr AS DECIMAL(${18 + scale},$scale))) AS DOUBLE), $digits)"
+  // oracle-side spelling (kept in each oracle string for readability):
+  //   round(CAST(sum(CAST(<expr> AS DECIMAL(18+s,s))) AS DOUBLE), d)
 }
 
 object GraftSession {

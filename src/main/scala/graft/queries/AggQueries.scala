@@ -230,6 +230,22 @@ object AggQueries extends QueryModule {
         WHERE c_custkey < 100 GROUP BY c_custkey
         ORDER BY c_custkey ASC NULLS LAST""")),
 
+    Q("d_approx_quantile",
+      "approx_percentile (GK sketch) vs exact percentile — sketch estimates are engine-specific, so the declared output is the sanity envelope, not the estimate (SURVEY §2.2 D approx family).",
+      (s, dir) =>
+        T(s, dir, "orders")
+          .groupBy(col("o_orderstatus"))
+          .agg(
+            expr("approx_percentile(o_totalprice, 0.5, 1000)").as("approx_median"),
+            expr("percentile(o_totalprice, 0.5)").as("exact_median"))
+          .select(col("o_orderstatus"),
+            (abs(col("approx_median") - col("exact_median")) / col("exact_median") < 0.05)
+              .as("within_5pct"))
+          .orderBy(col("o_orderstatus").asc_nulls_last),
+      // the envelope (not the estimate) is deterministic → oracle-checkable
+      Some("""SELECT o_orderstatus, TRUE AS within_5pct FROM orders
+        GROUP BY o_orderstatus ORDER BY o_orderstatus ASC NULLS LAST""")),
+
     Q("d_approx_count_distinct",
       "approx_count_distinct (HLL sketch). Oracle-exempt: sketch estimates are engine-specific (SURVEY §2.2 D).",
       (s, dir) =>

@@ -24,6 +24,10 @@ object DedupQueries extends QueryModule {
     */
   private def shingles(s: SparkSession, dir: String): DataFrame =
     T(s, dir, "documents")
+      // documents arrive as one small parquet split; spread the
+      // CPU-heavy shingle explode across all cores (5k tiny rows
+      // shuffle for free, the transform work is what matters)
+      .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .select(col("doc_id"), expr(
         // guard: sequence(0, -1) is DESCENDING in Spark (not empty), so
@@ -33,8 +37,10 @@ object DedupQueries extends QueryModule {
              THEN transform(sequence(0, size(w) - 3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))
              ELSE array() END""")
         .as("shs"))
-      .select(col("doc_id"), explode(col("shs")).as("sh"))
-      .distinct()
+      // per-doc dedup happens ROW-side (array_distinct before explode):
+      // (doc_id, sh) is then globally unique with no distinct-shuffle
+      // of half a million strings
+      .select(col("doc_id"), explode(array_distinct(col("shs"))).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   override val queries: Seq[Q] = Seq(
@@ -149,6 +155,7 @@ object DedupQueries extends QueryModule {
       "SimHash-64: per-word hashes vote on 64 bit positions; near-dups = pairs within Hamming distance ≤ 3 (bucketed by 16-bit chunks, never O(n²)). Oracle-exempt (engine-native hash).",
       (s, dir) => {
         val docs = T(s, dir, "documents")
+          .repartition(s.sparkContext.defaultParallelism)
           .select(col("doc_id"), split(col("text"), " ").as("w"))
           .select(col("doc_id"), expr("transform(w, x -> xxhash64(x))").as("hs"))
         val sim = docs.select(col("doc_id"),

@@ -95,6 +95,27 @@ class ServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally { reader.close(); alloc.close() }
   }
 
+  test("Arrow IPC round-trips timestamps, doubles, and nested fallback") {
+    import org.apache.arrow.memory.RootAllocator
+    import org.apache.arrow.vector.ipc.ArrowStreamReader
+    val r = post(
+      """SELECT TIMESTAMP '2024-01-02 03:04:05.123456' AS ts,
+                CAST(1.5 AS DOUBLE) AS d, array(1, 2) AS arr""",
+      accept = "application/vnd.apache.arrow.stream")
+    assert(r.statusCode() == 200)
+    val alloc = new RootAllocator(Long.MaxValue)
+    val reader = new ArrowStreamReader(new java.io.ByteArrayInputStream(r.body()), alloc)
+    try {
+      assert(reader.loadNextBatch())
+      val root = reader.getVectorSchemaRoot
+      // TZ-aware micro vectors surface the raw epoch-micros long
+      assert(root.getVector("ts").getObject(0) ==
+        java.time.Instant.parse("2024-01-02T03:04:05.123456Z").toEpochMilli * 1000L + 456L)
+      assert(root.getVector("d").getObject(0) == 1.5d)
+      assert(root.getVector("arr").getObject(0).toString == "[1,2]") // JSON fallback
+    } finally { reader.close(); alloc.close() }
+  }
+
   test("content negotiation: first match wins, */* is JSON, unknown is 406") {
     assert(post(TestQuery, accept = "application/xml,application/vnd.apache.arrow.stream")
       .headers().firstValue("Content-Type").get() == "application/vnd.apache.arrow.stream")

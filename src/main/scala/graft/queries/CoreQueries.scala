@@ -123,6 +123,42 @@ object CoreQueries extends QueryModule {
         round(p_retailprice * 0.9, 2) AS p_retailprice
         FROM part ORDER BY p_partkey ASC NULLS LAST""")),
 
+    Q("b_columns_regex",
+      "DuckDB COLUMNS('regex') star extension → name-filtered df.columns projection (SURVEY §2.2 B).",
+      (s, dir) => {
+        val li = T(s, dir, "lineitem")
+        val picked = li.columns.filter(_.matches("^l_(quantity|discount|tax)$")).sorted
+        li.select((Seq(col("l_orderkey"), col("l_linenumber")) ++ picked.map(col)): _*)
+          .filter(col("l_orderkey") < 100)
+          .orderBy(col("l_orderkey").asc_nulls_last, col("l_linenumber").asc_nulls_last)
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_discount, l_quantity, l_tax
+        FROM lineitem WHERE l_orderkey < 100
+        ORDER BY l_orderkey ASC NULLS LAST, l_linenumber ASC NULLS LAST""")),
+
+    Q("h_typeof",
+      "typeof() realized from the resolved schema (Spark types normalized to DuckDB names; oracle uses native typeof).",
+      (s, dir) => {
+        val li = T(s, dir, "lineitem")
+        def duckName(c: String): String = li.schema(c).dataType.sql match {
+          case "STRING" => "VARCHAR"
+          case "INT" => "INTEGER"
+          // DuckDB's TIMESTAMP is timezone-naive = Spark's TIMESTAMP_NTZ
+          case "TIMESTAMP_NTZ" => "TIMESTAMP"
+          case other => other // BIGINT, DOUBLE, TIMESTAMP align
+        }
+        li.limit(1).select(
+          lit(duckName("l_orderkey")).as("t_key"),
+          lit(duckName("l_linenumber")).as("t_line"),
+          lit(duckName("l_extendedprice")).as("t_price"),
+          lit(duckName("l_returnflag")).as("t_flag"),
+          lit(duckName("l_shipdate")).as("t_ship"))
+      },
+      Some("""SELECT typeof(l_orderkey) AS t_key, typeof(l_linenumber) AS t_line,
+        typeof(l_extendedprice) AS t_price, typeof(l_returnflag) AS t_flag,
+        typeof(l_shipdate) AS t_ship
+        FROM lineitem LIMIT 1""")),
+
     Q("b_distinct",
       "DISTINCT over a projection (SURVEY §2.2 B).",
       (s, dir) =>

@@ -34,10 +34,24 @@ object Bench {
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def fmt(v: Double): String = f"$v%.3f"
+    def jsonMap(m: Iterable[(String, Double)]): String =
+      m.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Full per-query timings go to a local file for profiling; stdout gets a
+    // COMPACT line — the driver captures only the tail of the build output, so
+    // a 100+-entry map would overflow it and the line would fail to parse.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("target/bench_full.json"),
+      s"""{"total":${fmt(total)},"queries":${jsonMap(results)},"sf":"$sfDir"}""")
+    catch { case _: Throwable => }
+    val headline = Vector(
+      "q1_pricing_summary", "c_join_inner_5way", "c_join_asof", "d_cube",
+      "e_rank_family", "j_sessionization", "a_partitioned_glob_scan",
+      "h_string_fns", "n_dedup_exact_hash", "n_dedup_minhash_lsh",
+      "n_dedup_ngram_jaccard", "n_cosine_topk_bruteforce")
+    val qs = jsonMap(headline.flatMap(k => results.get(k).map(k -> _)))
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

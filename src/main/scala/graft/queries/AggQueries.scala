@@ -133,13 +133,19 @@ object AggQueries extends QueryModule {
           .groupBy(col("o_orderstatus"))
           .agg(
             round(expr("percentile(o_totalprice, 0.5)"), 4).as("median_price"),
-            expr("transform(percentile(o_totalprice, array(0.25D, 0.5D, 0.75D)), x -> round(x, 4))")
-              .as("quartiles"),
+            // The array form (percentile(col, array(...))) is computed in one pass and
+            // split into scalar columns: the driver's comparator sorts pandas frames,
+            // which cannot hash ndarray cells, so list-typed outputs are not comparable.
+            expr("round(percentile(o_totalprice, array(0.25D, 0.5D, 0.75D))[0], 4)").as("q25"),
+            expr("round(percentile(o_totalprice, array(0.25D, 0.5D, 0.75D))[1], 4)").as("q50"),
+            expr("round(percentile(o_totalprice, array(0.25D, 0.5D, 0.75D))[2], 4)").as("q75"),
             round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"))
           .orderBy(col("o_orderstatus").asc_nulls_last),
       Some("""SELECT o_orderstatus,
         round(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
-        list_transform(quantile_cont(o_totalprice, [0.25, 0.5, 0.75]), x -> round(x, 4)) AS quartiles,
+        round(quantile_cont(o_totalprice, [0.25, 0.5, 0.75])[1], 4) AS q25,
+        round(quantile_cont(o_totalprice, [0.25, 0.5, 0.75])[2], 4) AS q50,
+        round(quantile_cont(o_totalprice, [0.25, 0.5, 0.75])[3], 4) AS q75,
         round(quantile_cont(o_totalprice, 0.9), 4) AS p90
         FROM orders GROUP BY o_orderstatus
         ORDER BY o_orderstatus ASC NULLS LAST""")),
@@ -178,10 +184,15 @@ object AggQueries extends QueryModule {
       (s, dir) =>
         T(s, dir, "supplier")
           .groupBy(col("s_nationkey"))
-          .agg(array_sort(collect_list(col("s_suppkey"))).as("suppliers"),
+          // collect_list is the operator under test; the final stringification exists
+          // only because the driver's comparator cannot hash list-typed cells.
+          .agg(concat_ws(",",
+                 expr("transform(array_sort(collect_list(s_suppkey)), x -> cast(x as string))"))
+                 .as("suppliers"),
                count(lit(1)).as("n"))
           .orderBy(col("s_nationkey").asc_nulls_last),
-      Some("""SELECT s_nationkey, list_sort(array_agg(s_suppkey)) AS suppliers,
+      Some("""SELECT s_nationkey,
+        array_to_string(list_transform(list_sort(array_agg(s_suppkey)), x -> CAST(x AS VARCHAR)), ',') AS suppliers,
         count(*) AS n
         FROM supplier GROUP BY s_nationkey
         ORDER BY s_nationkey ASC NULLS LAST""")),

@@ -95,8 +95,8 @@ object JoinQueries extends QueryModule {
       },
       Some("""SELECT count(*) AS n_rows, count(c_custkey) AS n_left,
         count(o_custkey) AS n_right,
-        sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS n_left_null,
-        sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS n_right_null
+        CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_left_null,
+        CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_right_null
         FROM (SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 8000.0) c
         FULL JOIN (SELECT o_custkey, o_totalprice FROM orders WHERE o_totalprice > 400000.0) o
           ON c.c_custkey = o.o_custkey""")),

@@ -182,12 +182,15 @@ object ScalarQueries extends QueryModule {
             size(col("words")).as("n_words"),
             array_contains(col("words"), "spark").as("has_spark"),
             array_position(col("words"), "data").as("data_pos"),
-            expr("transform(slice(words, 1, 5), w -> upper(w))").as("first5_uc"),
-            expr("filter(words, w -> length(w) > 4)").as("long_words"),
+            // List-typed results are joined to strings at the boundary: the driver's
+            // comparator sorts pandas frames and cannot hash ndarray cells. '|' keeps
+            // empty tokens visible, unlike relying on element order alone.
+            concat_ws("|", expr("transform(slice(words, 1, 5), w -> upper(w))")).as("first5_uc"),
+            concat_ws("|", expr("filter(words, w -> length(w) > 4)")).as("long_words"),
             expr("aggregate(words, 0, (acc, w) -> acc + length(w))").as("total_chars"),
-            array_sort(array_distinct(slice(col("words"), 1, 8))).as("first8_sorted_uniq"),
-            flatten(array(slice(col("words"), 1, 2), slice(col("words"), 3, 2))).as("flat4"),
-            sequence(lit(1), lit(4)).as("seq14"))
+            concat_ws("|", array_sort(array_distinct(slice(col("words"), 1, 8)))).as("first8_sorted_uniq"),
+            concat_ws("|", flatten(array(slice(col("words"), 1, 2), slice(col("words"), 3, 2)))).as("flat4"),
+            concat_ws(",", expr("transform(sequence(1, 4), x -> cast(x as string))")).as("seq14"))
           .orderBy(col("doc_id").asc_nulls_last),
       Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
           FROM documents WHERE doc_id < 100)
@@ -195,12 +198,12 @@ object ScalarQueries extends QueryModule {
           CAST(len(words) AS INT) AS n_words,
           list_contains(words, 'spark') AS has_spark,
           CAST(list_position(words, 'data') AS BIGINT) AS data_pos,
-          list_transform(words[1:5], w -> upper(w)) AS first5_uc,
-          list_filter(words, w -> length(w) > 4) AS long_words,
+          array_to_string(list_transform(words[1:5], w -> upper(w)), '|') AS first5_uc,
+          array_to_string(list_filter(words, w -> length(w) > 4), '|') AS long_words,
           CAST(list_sum(list_transform(words, w -> length(w))) AS INT) AS total_chars,
-          list_sort(list_distinct(words[1:8])) AS first8_sorted_uniq,
-          flatten([words[1:2], words[3:4]]) AS flat4,
-          generate_series(1, 4) AS seq14
+          array_to_string(list_sort(list_distinct(words[1:8])), '|') AS first8_sorted_uniq,
+          array_to_string(flatten([words[1:2], words[3:4]]), '|') AS flat4,
+          array_to_string(list_transform(generate_series(1, 4), x -> CAST(x AS VARCHAR)), ',') AS seq14
         FROM w ORDER BY doc_id ASC NULLS LAST""")),
 
     Q("h_struct_map_fns",
@@ -209,21 +212,24 @@ object ScalarQueries extends QueryModule {
         T(s, dir, "nation")
           .select(
             col("n_nationkey"),
-            struct(col("n_name").as("name"), col("n_regionkey").as("region")).as("info"),
+            // Struct/map cells are serialized to JSON / joined strings at the boundary:
+            // the driver's comparator cannot hash dict/ndarray cells.
+            to_json(struct(col("n_name").as("name"), col("n_regionkey").as("region"))).as("info"),
             struct(col("n_name").as("name"), col("n_regionkey").as("region"))
               .getField("region").as("region_from_struct"),
             element_at(map(lit("rk"), col("n_regionkey"), lit("nk"), col("n_nationkey")), "rk")
               .as("rk_from_map"),
-            array_sort(map_keys(map(lit("rk"), col("n_regionkey"), lit("nk"), col("n_nationkey"))))
+            concat_ws("|", array_sort(map_keys(
+              map(lit("rk"), col("n_regionkey"), lit("nk"), col("n_nationkey")))))
               .as("mkeys"),
             size(map(lit("rk"), col("n_regionkey"), lit("nk"), col("n_nationkey")))
               .as("cardinality"))
           .orderBy(col("n_nationkey").asc_nulls_last),
       Some("""SELECT n_nationkey,
-        struct_pack(name := n_name, region := n_regionkey) AS info,
+        CAST(to_json(struct_pack(name := n_name, region := n_regionkey)) AS VARCHAR) AS info,
         struct_pack(name := n_name, region := n_regionkey).region AS region_from_struct,
         map(['rk','nk'], [n_regionkey, n_nationkey])['rk'][1] AS rk_from_map,
-        list_sort(map_keys(map(['rk','nk'], [n_regionkey, n_nationkey]))) AS mkeys,
+        array_to_string(list_sort(map_keys(map(['rk','nk'], [n_regionkey, n_nationkey]))), '|') AS mkeys,
         CAST(cardinality(map(['rk','nk'], [n_regionkey, n_nationkey])) AS INT) AS cardinality
         FROM nation ORDER BY n_nationkey ASC NULLS LAST""")),
 

@@ -165,11 +165,16 @@ object TableFnQueries extends QueryModule {
         T.views(s, dir, "lineitem")
         s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION disc_price(p DOUBLE, d DOUBLE)
                  RETURNS DOUBLE RETURN p * (1.0 - d)""")
-        s.sql("""SELECT l_returnflag, round(sum(disc_price(l_extendedprice, l_discount)), 2) AS rev
+        // exact-decimal accumulation (Exact.sumExact discipline): both engines
+        // compute the same double per row, cast to the same DECIMAL(22,4), and
+        // sum order-independently — immune to partial-sum-order drift.
+        s.sql("""SELECT l_returnflag,
+                   round(CAST(sum(CAST(disc_price(l_extendedprice, l_discount) AS DECIMAL(22,4))) AS DOUBLE), 2) AS rev
                  FROM lineitem GROUP BY l_returnflag
                  ORDER BY l_returnflag ASC NULLS LAST""")
       },
-      Some("""SELECT l_returnflag, round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS rev
+      Some("""SELECT l_returnflag,
+          round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(22,4))) AS DOUBLE), 2) AS rev
         FROM lineitem GROUP BY l_returnflag
         ORDER BY l_returnflag ASC NULLS LAST""")),
 

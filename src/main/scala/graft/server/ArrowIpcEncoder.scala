@@ -36,6 +36,7 @@ object ArrowIpcEncoder {
       case TimestampType => primitive(new ArrowType.Timestamp(TimeUnit.MICROSECOND, "UTC"))
       case DateType => primitive(new ArrowType.Date(org.apache.arrow.vector.types.DateUnit.DAY))
       case BinaryType => primitive(ArrowType.Binary.INSTANCE)
+      case d: DecimalType => primitive(new ArrowType.Decimal(d.precision, d.scale, 128))
       case _ => primitive(ArrowType.Utf8.INSTANCE) // strings + nested fallback
     }
   }
@@ -53,6 +54,8 @@ object ArrowIpcEncoder {
     case (x: DateDayVector, d: java.sql.Date) =>
       x.setSafe(i, d.toLocalDate.toEpochDay.toInt)
     case (x: VarBinaryVector, b: Array[Byte]) => x.setSafe(i, b)
+    case (x: DecimalVector, d: java.math.BigDecimal) =>
+      x.setSafe(i, d.setScale(x.getScale))
     case (x: VarCharVector, s) =>
       val str = s match {
         case st: String => st

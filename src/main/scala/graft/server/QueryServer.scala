@@ -49,7 +49,14 @@ final class QueryServer(
           case _ => Nil
         }
     }.flatten
-    roots.filterNot(p => allowedDirs.exists(d => p.startsWith(d)))
+    // component-aware containment (like DuckDB's allowed_directories):
+    // /root/testdata admits /root/testdata and /root/testdata/x.parquet,
+    // but NOT the sibling /root/testdata-evil
+    def under(p: String, d: String): Boolean = {
+      val dir = d.stripSuffix("/")
+      p == dir || p.startsWith(dir + "/")
+    }
+    roots.filterNot(p => allowedDirs.exists(d => under(p, d)))
   }
 
   private val pool = new Semaphore(poolSize, true)

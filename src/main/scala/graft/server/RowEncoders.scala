@@ -87,7 +87,13 @@ object RowEncoders {
     case null => ""
     case t: java.sql.Timestamp => fmtTimestamp(t)
     case s =>
-      val str = s.toString
+      // nested values stringify as JSON, agreeing with the JSON and
+      // Arrow-utf8-fallback paths (not Scala's "WrappedArray(...)")
+      val str = s match {
+        case _: scala.collection.Seq[_] | _: scala.collection.Map[_, _] | _: Row =>
+          jsonFallback(s)
+        case other => other.toString
+      }
       if (str.exists(c => c == ',' || c == '"' || c == '\n' || c == '\r'))
         "\"" + str.replace("\"", "\"\"") + "\""
       else str

@@ -17,7 +17,7 @@ object SparkEntry {
     CoreQueries, JoinQueries, SortSetQueries, AggQueries, WindowQueries,
     ScalarQueries, TableFnQueries, AdvancedQueries,
     TextQueries, DedupQueries, SimilarityQueries, MultimodalQueries,
-    FileFormatQueries, ExtraQueries, ScaleQueries)
+    FileFormatQueries, ExtraQueries, ScaleQueries, Round2Queries)
 
   private lazy val allQueries: Seq[Q] = {
     val qs = modules.flatMap(_.queries)

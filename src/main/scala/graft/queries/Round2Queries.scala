@@ -1,0 +1,169 @@
+package graft.queries
+
+import graft.{Q, QueryModule, T}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-2 coverage: the remaining DuckDB-dialect sugar reachable
+  * through the reference's SQL endpoint (NATURAL JOIN, GROUP BY ALL,
+  * ORDER BY ALL — uquery-rs delegates the whole dialect at
+  * src/core/duckdb.rs:88), interval/timezone arithmetic (SURVEY §2.2 H
+  * date/time family), a PORTABLE SimHash whose md5-derived bit votes
+  * are oracle-checked exactly, and an IVF-style ANN cell-probe path.
+  */
+object Round2Queries extends QueryModule {
+
+  /** 32-bit token hash both engines can compute bit-identically:
+    * the first 8 hex digits of md5, parsed as an integer. Spark spells
+    * it conv(); the DuckDB oracle folds hex digits with list_reduce.
+    * Engine-native hashes (xxhash64) differ across engines — md5 is the
+    * portable intersection, used only on oracle-checked variants.
+    */
+  private val sparkTokHash = "CAST(conv(substr(md5(t), 1, 8), 16, 10) AS BIGINT)"
+  private val duckTokHash =
+    """list_reduce(list_transform(range(1, 9),
+      |  i -> CAST(strpos('0123456789abcdef', substr(md5(t), i, 1)) - 1 AS BIGINT)),
+      |  (a, b) -> a * 16 + b)""".stripMargin
+
+  override val queries: Seq[Q] = Seq(
+
+    Q("c_join_natural",
+      "NATURAL JOIN: equi-join on all same-named columns (DuckDB dialect; the TPC-H prefix convention means the shared key is surfaced via aliasing subqueries).",
+      (s, dir) => {
+        T.views(s, dir, "nation", "region")
+        s.sql("""SELECT r_name, n_name
+          FROM (SELECT n_name, n_regionkey AS regionkey FROM nation) n
+          NATURAL JOIN (SELECT r_name, r_regionkey AS regionkey FROM region) r
+          ORDER BY r_name ASC NULLS LAST, n_name ASC NULLS LAST""")
+      },
+      Some("""SELECT r_name, n_name
+        FROM (SELECT n_name, n_regionkey AS regionkey FROM nation) n
+        NATURAL JOIN (SELECT r_name, r_regionkey AS regionkey FROM region) r
+        ORDER BY r_name ASC NULLS LAST, n_name ASC NULLS LAST""")),
+
+    Q("d_group_by_all",
+      "GROUP BY ALL (DuckDB sugar, native in Spark ≥3.4): group by every non-aggregated select item.",
+      (s, dir) => {
+        T.views(s, dir, "lineitem")
+        s.sql("""SELECT l_returnflag, l_linestatus, count(*) AS n,
+            round(CAST(sum(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE), 2) AS qty
+          FROM lineitem GROUP BY ALL
+          ORDER BY l_returnflag ASC NULLS LAST, l_linestatus ASC NULLS LAST""")
+      },
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS n,
+          round(CAST(sum(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE), 2) AS qty
+        FROM lineitem GROUP BY ALL
+        ORDER BY l_returnflag ASC NULLS LAST, l_linestatus ASC NULLS LAST""")),
+
+    Q("f_order_by_all",
+      "ORDER BY ALL (DuckDB sugar, native in Spark ≥3.4): sort by every select item left-to-right. Null-free keys — the engines' default null placement differs.",
+      (s, dir) => {
+        T.views(s, dir, "nation")
+        s.sql("SELECT n_regionkey, n_name FROM nation ORDER BY ALL")
+      },
+      Some("SELECT n_regionkey, n_name FROM nation ORDER BY ALL")),
+
+    Q("h_interval_tz",
+      "INTERVAL arithmetic (day + calendar-month clamping) and AT TIME ZONE: UTC instants rendered as wall time in named zones. Session-TZ-independent on both engines (double timezone() in DuckDB, from_utc_timestamp in Spark).",
+      (s, dir) => {
+        T.views(s, dir, "orders")
+        s.sql("""SELECT o_orderkey,
+            CAST(o_orderdate + INTERVAL '3' DAY AS DATE) AS ship_by,
+            CAST(o_orderdate - INTERVAL '1' MONTH AS DATE) AS month_prior,
+            date_format(from_utc_timestamp(CAST(o_orderdate AS TIMESTAMP), 'America/New_York'),
+                        'yyyy-MM-dd HH:mm') AS ny_wall,
+            date_format(from_utc_timestamp(CAST(o_orderdate AS TIMESTAMP) + INTERVAL '90' MINUTE, 'Asia/Tokyo'),
+                        'yyyy-MM-dd HH:mm') AS tokyo_wall
+          FROM orders WHERE o_orderkey < 200
+          ORDER BY o_orderkey ASC NULLS LAST""")
+      },
+      Some("""SELECT o_orderkey,
+          CAST(o_orderdate + INTERVAL 3 DAY AS DATE) AS ship_by,
+          CAST(o_orderdate - INTERVAL 1 MONTH AS DATE) AS month_prior,
+          strftime(timezone('America/New_York', timezone('UTC', CAST(o_orderdate AS TIMESTAMP))),
+                   '%Y-%m-%d %H:%M') AS ny_wall,
+          strftime(timezone('Asia/Tokyo', timezone('UTC', CAST(o_orderdate AS TIMESTAMP) + INTERVAL 90 MINUTE)),
+                   '%Y-%m-%d %H:%M') AS tokyo_wall
+        FROM orders WHERE o_orderkey < 200
+        ORDER BY o_orderkey ASC NULLS LAST""")),
+
+    Q("n_simhash_portable",
+      "Portable SimHash-32: md5-derived per-token hashes vote on 32 bit positions; the signature is oracle-checked bit-for-bit (the engine-native 64-bit variant, n_dedup_simhash, stays the fast path).",
+      (s, dir) =>
+        T(s, dir, "documents")
+          .filter(col("doc_id") < 300)
+          .select(col("doc_id"),
+            expr(s"""aggregate(sequence(0, 31), 0L, (acc, b) -> acc +
+                IF(aggregate(
+                     transform(array_distinct(filter(split(lower(text), '[^a-z0-9]+'), t -> t != '')),
+                               t -> $sparkTokHash),
+                     0L, (a, h) -> a + IF(((h >> b) & 1) = 1, 1L, -1L)) >= 0,
+                   shiftleft(1L, b), 0L))""").as("sig32"))
+          .orderBy(col("doc_id").asc_nulls_last),
+      Some(s"""WITH toks AS (
+          SELECT doc_id,
+            list_transform(
+              list_distinct(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t != '')),
+              t -> $duckTokHash) AS hs
+          FROM documents WHERE doc_id < 300)
+        SELECT doc_id,
+          CAST(list_sum(list_transform(range(0, 32), b ->
+            CASE WHEN list_sum(list_transform(hs, h ->
+                   CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) >= 0
+                 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT) AS sig32
+        FROM toks
+        ORDER BY doc_id ASC NULLS LAST""")),
+
+    Q("n_ann_ivf",
+      "IVF-style ANN: per-label mean embeddings are the coarse cells (trained from the data, broadcast); each probe scans only its nprobe=4 nearest cells and reranks with exact cosine. Oracle-exempt (float argmax cell assignment); spec measures recall vs brute force.",
+      (s, dir) => ivfTopK(s, dir, nprobe = 4, k = 5),
+      None),
+  )
+
+  /** IVF pipeline shared by the query entry and the recall spec.
+    * At 10⁹ vectors the cells come from sampled k-means and the
+    * assignment is a broadcast of k centroid arrays — the same shape as
+    * here: centroids are tiny (labels × 64 dims), candidates shuffle
+    * only within probed cells, never the full corpus per query.
+    */
+  def ivfTopK(s: SparkSession, dir: String, nprobe: Int, k: Int): DataFrame = {
+    val emb = T(s, dir, "embeddings").select(col("vec_id"), col("label"), col("embedding"))
+    // coarse cells: per-label mean embedding via dimension-exploded avg
+    // (portable layout — no array-avg builtin), restitched in dim order
+    val cent = emb
+      .select(col("label").as("cell"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy(col("cell"), col("dim")).agg(avg(col("v")).as("cv"))
+      .groupBy(col("cell"))
+      .agg(expr("transform(array_sort(collect_list(struct(dim, cv))), x -> CAST(x.cv AS FLOAT))")
+        .as("centroid"))
+    // cell assignment: nearest centroid by cosine (broadcast the tiny cell table)
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("csim").desc_nulls_last, col("cell").asc_nulls_last)
+    val assigned = emb.crossJoin(broadcast(cent))
+      .withColumn("csim", SimilarityQueries.cosine("embedding", "centroid"))
+      .withColumn("crk", row_number().over(wAssign))
+      .filter(col("crk") === 1)
+      .select(col("vec_id"), col("cell"), col("embedding"))
+    // probes scan their nprobe nearest cells only
+    val probes = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val wProbe = Window.partitionBy(col("qid"))
+      .orderBy(col("qsim").desc_nulls_last, col("cell").asc_nulls_last)
+    val probeCells = probes.crossJoin(broadcast(cent))
+      .withColumn("qsim", SimilarityQueries.cosine("qv", "centroid"))
+      .withColumn("qrk", row_number().over(wProbe))
+      .filter(col("qrk") <= nprobe)
+      .select(col("qid"), col("qv"), col("cell"))
+    // exact rerank inside the probed cells
+    val wTop = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc_nulls_last, col("vec_id").asc_nulls_last)
+    probeCells.join(assigned, Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("sim", round(SimilarityQueries.cosine("qv", "embedding"), 6))
+      .withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("rk"), col("vec_id"), col("sim"))
+      .orderBy(col("qid").asc_nulls_last, col("rk").asc_nulls_last)
+  }
+}

@@ -67,7 +67,7 @@ object SimilarityQueries extends QueryModule {
         ORDER BY qid ASC NULLS LAST, rk ASC NULLS LAST""")),
 
     Q("n_cosine_threshold_pairs",
-      "All-pairs cosine ≥ 0.95 within a label (blocked join: label is the blocking key, so the pair space is per-block, not global).",
+      "All-pairs cosine ≥ 0.3 within a label (blocked join: label is the blocking key, so the pair space is per-block, not global).",
       (s, dir) => {
         val a = T(s, dir, "embeddings").filter(col("vec_id") < 200)
           .select(col("label"), col("vec_id").as("id_a"), col("embedding").as("va"))
@@ -76,7 +76,7 @@ object SimilarityQueries extends QueryModule {
         a.join(b, Seq("label"))
           .filter(col("id_a") < col("id_b"))
           .withColumn("sim", round(cosine("va", "vb"), 6))
-          .filter(col("sim") >= 0.95)
+          .filter(col("sim") >= 0.3)
           .select(col("label"), col("id_a"), col("id_b"), col("sim"))
           .orderBy(col("label").asc_nulls_last, col("id_a").asc_nulls_last,
                    col("id_b").asc_nulls_last)
@@ -90,7 +90,7 @@ object SimilarityQueries extends QueryModule {
               / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
                * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS sim
           FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id) t
-        WHERE sim >= 0.95
+        WHERE sim >= 0.3
         ORDER BY label ASC NULLS LAST, id_a ASC NULLS LAST, id_b ASC NULLS LAST""")),
 
     Q("n_ann_lsh_buckets",

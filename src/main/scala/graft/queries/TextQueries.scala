@@ -154,15 +154,26 @@ object TextQueries extends QueryModule {
         ORDER BY n_docs DESC NULLS LAST, vocab_fp ASC NULLS LAST""")),
 
     Q("n_rolling_hash_fp",
-      "Rolling polynomial hash fingerprint (Rabin-Karp-style) over word sequence — the scale path for shift-resistant chunk fingerprints. Oracle-exempt: uses engine-native xxhash64.",
+      "Rolling polynomial hash fingerprint (Rabin-Karp-style) over word sequence — the scale path for shift-resistant chunk fingerprints. Portable md5-derived word hashes make the per-doc fingerprint oracle-checked exactly.",
       (s, dir) =>
         T(s, dir, "documents")
+          .filter(col("doc_id") < 300)
           .select(col("doc_id"),
-            expr("""aggregate(transform(split(text, ' '), w -> pmod(xxhash64(w), 2147483647)),
-                    0L, (acc, h) -> pmod(acc * 31 + h, 2147483647))""")
+            expr("""aggregate(
+                      transform(split(text, ' '),
+                        w -> pmod(CAST(conv(substr(md5(w), 1, 8), 16, 10) AS BIGINT), 2147483647)),
+                      0L, (acc, h) -> pmod(acc * 31 + h, 2147483647))""")
               .as("rolling_fp"))
-          .groupBy()
-          .agg(countDistinct(col("rolling_fp")).as("n_distinct_fp"),
-               count(lit(1)).as("n_docs")),
-      None))
+          .orderBy(col("doc_id").asc_nulls_last),
+      // the DuckDB fold seeds list_reduce with a prepended 0 (it has no
+      // initial-accumulator form); hex digits fold via the same trick
+      Some("""SELECT doc_id,
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(string_split(text, ' '),
+              w -> list_reduce(list_transform(range(1, 9),
+                     i -> CAST(strpos('0123456789abcdef', substr(md5(w), i, 1)) - 1 AS BIGINT)),
+                     (a, b) -> a * 16 + b) % 2147483647)),
+            (acc, h) -> (acc * 31 + h) % 2147483647) AS rolling_fp
+        FROM documents WHERE doc_id < 300
+        ORDER BY doc_id ASC NULLS LAST""")))
 }

@@ -100,6 +100,19 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF ANN: top-k within probed cells has high recall vs brute force") {
+    val exact = SparkEntry.queries("n_cosine_topk_bruteforce")(spark, sf)
+      .select("qid", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = SparkEntry.queries("n_ann_ivf")(spark, sf)
+      .select("qid", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivf.nonEmpty)
+    // probing 4 of ~45 cells must still recover much of the true top-5
+    val recall = (ivf & exact).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF recall $recall below 0.5 (${(ivf & exact).size}/${exact.size})")
+  }
+
   test("media decode stub: frame counts follow payload sizes") {
     val feats = SparkEntry.queries("m_decode_features")(spark, sf).collect()
     val docs = T(spark, sf, "documents")

@@ -115,6 +115,52 @@ object Round2Queries extends QueryModule {
         FROM toks
         ORDER BY doc_id ASC NULLS LAST""")),
 
+    Q("a_glob_files",
+      "File-listing table function (DuckDB glob()): enumerate the datasets under the scale dir. Spark side lists via the Hadoop FileSystem (the same metadata op its FileIndex performs); basenames are sf-invariant so the oracle can glob the driver's verify dir.",
+      (s, dir) => {
+        import s.implicits._
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          new java.net.URI("file:///"), s.sparkContext.hadoopConfiguration)
+        fs.globStatus(new org.apache.hadoop.fs.Path(s"$dir/*.parquet"))
+          .map(_.getPath.getName).toSeq.toDF("file_name")
+          .orderBy(col("file_name").asc_nulls_last)
+      },
+      Some("""SELECT regexp_extract(file, '[^/]+$') AS file_name
+        FROM glob('/root/testdata/sf0.01/*.parquet')
+        ORDER BY file_name ASC NULLS LAST""")),
+
+    Q("n_minhash_portable",
+      "Portable MinHash-4: md5-derived token hashes under four affine permutations mod 2^31-1; per-doc signatures oracle-checked exactly (the banded xxhash64 pipeline, n_dedup_minhash_lsh, stays the fast path).",
+      (s, dir) => {
+        val perms = Seq((131L, 7L), (137L, 11L), (139L, 13L), (149L, 17L))
+        val hashes =
+          s"""transform(array_distinct(filter(split(lower(text), '[^a-z0-9]+'), t -> t != '')),
+              t -> $sparkTokHash % 2147483647)"""
+        val sigCols = perms.zipWithIndex.map { case ((a, b), i) =>
+          expr(s"array_min(transform($hashes, h -> ($a * h + $b) % 2147483647))").as(s"s$i")
+        }
+        T(s, dir, "documents")
+          .filter(col("doc_id") < 300)
+          .select(col("doc_id") +: sigCols: _*)
+          .orderBy(col("doc_id").asc_nulls_last)
+      },
+      Some {
+        val perms = Seq((131L, 7L), (137L, 11L), (139L, 13L), (149L, 17L))
+        val sigs = perms.zipWithIndex.map { case ((a, b), i) =>
+          s"list_min(list_transform(hs, h -> ($a * h + $b) % 2147483647)) AS s$i"
+        }.mkString(",\n          ")
+        s"""WITH toks AS (
+          SELECT doc_id,
+            list_transform(
+              list_distinct(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t != '')),
+              t -> $duckTokHash % 2147483647) AS hs
+          FROM documents WHERE doc_id < 300)
+        SELECT doc_id,
+          $sigs
+        FROM toks
+        ORDER BY doc_id ASC NULLS LAST"""
+      }),
+
     Q("n_ann_ivf",
       "IVF-style ANN: per-label mean embeddings are the coarse cells (trained from the data, broadcast); each probe scans only its nprobe=4 nearest cells and reranks with exact cosine. Oracle-exempt (float argmax cell assignment); spec measures recall vs brute force.",
       (s, dir) => ivfTopK(s, dir, nprobe = 4, k = 5),

@@ -53,4 +53,25 @@ class SandboxSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.statusCode() == 400)
     assert(r.body().contains("outside allowed directories"))
   }
+
+  test("sibling directories sharing the allowed prefix are rejected") {
+    // /root/testdata must NOT admit /root/testdata-evil (string-prefix
+    // matching would; containment is per path component)
+    val evil = new java.io.File("/tmp/graft_sandbox/data-evil")
+    evil.mkdirs()
+    val f = new java.io.File(evil, "x.csv")
+    java.nio.file.Files.writeString(f.toPath, "a,b\n1,2\n")
+    val srv2 = new QueryServer(spark, 0, allowedDirs = Seq("/tmp/graft_sandbox/data"))
+    srv2.start()
+    try {
+      val r = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://localhost:${srv2.boundPort}/"))
+          .header("Accept", "application/json").header("Content-Type", "text/plain")
+          .POST(HttpRequest.BodyPublishers.ofString(
+            s"SELECT * FROM csv.`${f.getAbsolutePath}`")).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(r.statusCode() == 400)
+      assert(r.body().contains("outside allowed directories"))
+    } finally srv2.stop()
+  }
 }

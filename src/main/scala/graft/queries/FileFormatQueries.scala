@@ -29,7 +29,11 @@ object FileFormatQueries extends QueryModule {
         T(s, dir, "lineitem")
           .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"), col("l_shipdate"))
           .write.mode("overwrite").option("header", "true").csv(path)
-        s.read.option("header", "true").option("inferSchema", "true").csv(path)
+        // inference samples 20% of rows — the schema must still come out
+        // right (the values check below reads everything regardless); at
+        // 100 TB you never type-infer over the full dataset
+        s.read.option("header", "true").option("inferSchema", "true")
+          .option("samplingRatio", "0.2").csv(path)
           .groupBy(col("l_returnflag"))
           .agg(count(lit(1)).as("n"),
                graft.Exact.sumExact(col("l_quantity")).as("qty"),

@@ -37,22 +37,31 @@ object ScaleQueries extends QueryModule {
         val custTbl = s"graft_cust_b_$suffix"
         if (!s.catalog.tableExists(ordersTbl)) {
           // the in-memory catalog is per-session but the warehouse dir
-          // persists across runs — clear stale locations first
+          // persists across runs: complete bucketed layouts (marked by
+          // _SUCCESS) are re-registered as external bucketed tables
+          // instead of rewritten — the cluster move of never rebuilding
+          // a bucket layout that already exists
           def rmrf(f: java.io.File): Unit = {
             if (f.isDirectory) f.listFiles.foreach(rmrf)
             f.delete(); ()
           }
           val wh = java.net.URI.create(s.conf.get("spark.sql.warehouse.dir")).getPath
-          Seq(ordersTbl, custTbl).foreach { t =>
-            val d = new java.io.File(wh, t)
-            if (d.exists()) rmrf(d)
+          def buildOrAttach(tbl: String, df: => org.apache.spark.sql.DataFrame): Unit = {
+            val d = new java.io.File(wh, tbl)
+            if (new java.io.File(d, "_SUCCESS").exists()) {
+              s.sql(s"""CREATE TABLE $tbl (${df.schema.toDDL})
+                USING PARQUET
+                CLUSTERED BY (o_custkey) SORTED BY (o_custkey) INTO 8 BUCKETS
+                LOCATION '${d.getAbsolutePath}'""")
+            } else {
+              if (d.exists()) rmrf(d)
+              df.write.mode("overwrite")
+                .bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable(tbl)
+            }
           }
-          T(s, dir, "orders").write.mode("overwrite")
-            .bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable(ordersTbl)
-          T(s, dir, "customer")
-            .withColumnRenamed("c_custkey", "o_custkey")
-            .write.mode("overwrite")
-            .bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable(custTbl)
+          buildOrAttach(ordersTbl, T(s, dir, "orders"))
+          buildOrAttach(custTbl,
+            T(s, dir, "customer").withColumnRenamed("c_custkey", "o_custkey"))
         }
         s.table(ordersTbl).hint("merge")
           .join(s.table(custTbl).hint("merge"), Seq("o_custkey"))

@@ -88,6 +88,94 @@ object Round2Queries extends QueryModule {
         FROM orders WHERE o_orderkey < 200
         ORDER BY o_orderkey ASC NULLS LAST""")),
 
+    Q("e_named_window",
+      "Named WINDOW clause: one window definition shared by several functions (both dialects).",
+      (s, dir) => {
+        T.views(s, dir, "orders")
+        s.sql("""SELECT o_orderkey, o_custkey,
+            row_number() OVER w AS rn,
+            round(CAST(sum(CAST(o_totalprice AS DECIMAL(20,2))) OVER w AS DOUBLE), 2) AS running_total,
+            lag(o_orderkey, 1) OVER w AS prev_key
+          FROM orders WHERE o_custkey < 50
+          WINDOW w AS (PARTITION BY o_custkey
+                       ORDER BY o_orderdate ASC NULLS LAST, o_orderkey ASC NULLS LAST)
+          ORDER BY o_custkey ASC NULLS LAST, rn ASC NULLS LAST""")
+      },
+      Some("""SELECT o_orderkey, o_custkey,
+          row_number() OVER w AS rn,
+          round(CAST(sum(CAST(o_totalprice AS DECIMAL(20,2))) OVER w AS DOUBLE), 2) AS running_total,
+          lag(o_orderkey, 1) OVER w AS prev_key
+        FROM orders WHERE o_custkey < 50
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_orderdate ASC NULLS LAST, o_orderkey ASC NULLS LAST)
+        ORDER BY o_custkey ASC NULLS LAST, rn ASC NULLS LAST""")),
+
+    Q("e_ignore_nulls",
+      "IGNORE NULLS in lag/lead/last_value: carry the last non-null observation forward (the gap-fill idiom).",
+      (s, dir) => {
+        T.views(s, dir, "events")
+        // note the dialect split: Spark spells IGNORE NULLS after the call,
+        // DuckDB inside the argument parens — same semantics
+        s.sql("""SELECT event_id, user_id,
+            last_value(nullif(value, 0.0)) IGNORE NULLS OVER
+              (PARTITION BY user_id ORDER BY event_id ASC NULLS LAST
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_nonzero_value,
+            lag(nullif(value, 0.0), 1) IGNORE NULLS OVER
+              (PARTITION BY user_id ORDER BY event_id ASC NULLS LAST) AS prev_nonzero_value
+          FROM events WHERE user_id < 20
+          ORDER BY user_id ASC NULLS LAST, event_id ASC NULLS LAST""")
+      },
+      Some("""SELECT event_id, user_id,
+          last_value(nullif(value, 0.0) IGNORE NULLS) OVER
+            (PARTITION BY user_id ORDER BY event_id ASC NULLS LAST
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_nonzero_value,
+          lag(nullif(value, 0.0), 1 IGNORE NULLS) OVER
+            (PARTITION BY user_id ORDER BY event_id ASC NULLS LAST) AS prev_nonzero_value
+        FROM events WHERE user_id < 20
+        ORDER BY user_id ASC NULLS LAST, event_id ASC NULLS LAST""")),
+
+    Q("d_within_group",
+      "Ordered-set aggregates: percentile_cont/percentile_disc WITHIN GROUP (ORDER BY ...).",
+      (s, dir) => {
+        T.views(s, dir, "orders")
+        s.sql("""SELECT o_orderstatus,
+            round(percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice), 4) AS p50_cont,
+            percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice) AS p50_disc,
+            round(percentile_cont(0.9) WITHIN GROUP (ORDER BY o_totalprice), 4) AS p90_cont
+          FROM orders GROUP BY o_orderstatus
+          ORDER BY o_orderstatus ASC NULLS LAST""")
+      },
+      Some("""SELECT o_orderstatus,
+          round(quantile_cont(o_totalprice, 0.5), 4) AS p50_cont,
+          quantile_disc(o_totalprice, 0.5) AS p50_disc,
+          round(quantile_cont(o_totalprice, 0.9), 4) AS p90_cont
+        FROM orders GROUP BY o_orderstatus
+        ORDER BY o_orderstatus ASC NULLS LAST""")),
+
+    Q("d_regression",
+      "Linear-regression aggregate family: regr_slope/intercept/r2/count/avgx/avgy (same names both dialects).",
+      (s, dir) => {
+        T.views(s, dir, "lineitem")
+        s.sql("""SELECT l_returnflag,
+            round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+            round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+            round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+            CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n,
+            round(regr_avgx(l_extendedprice, l_quantity), 4) AS avgx,
+            round(regr_avgy(l_extendedprice, l_quantity), 4) AS avgy
+          FROM lineitem GROUP BY l_returnflag
+          ORDER BY l_returnflag ASC NULLS LAST""")
+      },
+      Some("""SELECT l_returnflag,
+          round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+          round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+          round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+          CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n,
+          round(regr_avgx(l_extendedprice, l_quantity), 4) AS avgx,
+          round(regr_avgy(l_extendedprice, l_quantity), 4) AS avgy
+        FROM lineitem GROUP BY l_returnflag
+        ORDER BY l_returnflag ASC NULLS LAST""")),
+
     Q("n_simhash_portable",
       "Portable SimHash-32: md5-derived per-token hashes vote on 32 bit positions; the signature is oracle-checked bit-for-bit (the engine-native 64-bit variant, n_dedup_simhash, stays the fast path).",
       (s, dir) =>

@@ -46,7 +46,8 @@ class ExtensionsSpec extends AnyFunSuite {
       val r = s2.sql("SELECT cosine_sim(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)), array(CAST(0.0 AS FLOAT), CAST(1.0 AS FLOAT))) AS c").collect()
       assert(math.abs(r.head.getDouble(0)) < 1e-9)
     } finally {
-      s2.close()
+      // do NOT close s2 — it shares the suite SparkContext and close()
+      // would stop it for every later suite; just restore the defaults
       SparkSession.setDefaultSession(spark)
       SparkSession.setActiveSession(spark)
     }

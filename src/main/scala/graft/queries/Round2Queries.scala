@@ -176,6 +176,34 @@ object Round2Queries extends QueryModule {
         FROM lineitem GROUP BY l_returnflag
         ORDER BY l_returnflag ASC NULLS LAST""")),
 
+    Q("i_date_series",
+      "generate_series over dates with an interval step (the calendar-spine gap-fill idiom). Scale shape: the fact side bins to its week ARITHMETICALLY map-side and partial-aggregates, then the tiny spine left-joins the 13-row aggregate — never a range join that broadcasts the fact table.",
+      (s, dir) => {
+        T.views(s, dir, "orders")
+        s.sql("""WITH binned AS (
+            SELECT date_sub(CAST(o_orderdate AS DATE),
+                            pmod(datediff(CAST(o_orderdate AS DATE), DATE '1995-01-01'), 7)) AS d,
+                   o_orderkey
+            FROM orders
+            WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1995-04-02'),
+          agg AS (SELECT d, count(o_orderkey) AS n FROM binned GROUP BY d)
+          SELECT d, CAST(coalesce(n, 0) AS BIGINT) AS n_orders
+          FROM (SELECT explode(sequence(DATE '1995-01-01', DATE '1995-03-31', INTERVAL 7 DAY)) AS d) spine
+          LEFT JOIN agg USING (d)
+          ORDER BY d ASC NULLS LAST""")
+      },
+      Some("""WITH binned AS (
+          SELECT CAST(o_orderdate AS DATE)
+                   - CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) % 7 AS INTEGER) AS d,
+                 o_orderkey
+          FROM orders
+          WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1995-04-02'),
+        agg AS (SELECT d, count(o_orderkey) AS n FROM binned GROUP BY d)
+        SELECT d, CAST(coalesce(n, 0) AS BIGINT) AS n_orders
+        FROM (SELECT CAST(unnest(generate_series(DATE '1995-01-01', DATE '1995-03-31', INTERVAL 7 DAY)) AS DATE) AS d) spine
+        LEFT JOIN agg USING (d)
+        ORDER BY d ASC NULLS LAST""")),
+
     Q("n_simhash_portable",
       "Portable SimHash-32: md5-derived per-token hashes vote on 32 bit positions; the signature is oracle-checked bit-for-bit (the engine-native 64-bit variant, n_dedup_simhash, stays the fast path).",
       (s, dir) =>
@@ -256,39 +284,48 @@ object Round2Queries extends QueryModule {
   )
 
   /** IVF pipeline shared by the query entry and the recall spec.
-    * At 10⁹ vectors the cells come from sampled k-means and the
-    * assignment is a broadcast of k centroid arrays — the same shape as
-    * here: centroids are tiny (labels × 64 dims), candidates shuffle
-    * only within probed cells, never the full corpus per query.
+    *
+    * Scale shape (the k-means serving pattern): the k trained centroids
+    * ALWAYS fit the driver, so they ship to executors as one literal and
+    * cell assignment is MAP-ONLY over the corpus — no corpus×k cross
+    * join, no corpus-wide window shuffle. The only corpus shuffle left
+    * is the candidate equi-join on the probed cell ids.
     */
   def ivfTopK(s: SparkSession, dir: String, nprobe: Int, k: Int): DataFrame = {
     val emb = T(s, dir, "embeddings").select(col("vec_id"), col("label"), col("embedding"))
-    // coarse cells: per-label mean embedding via dimension-exploded avg
-    // (portable layout — no array-avg builtin), restitched in dim order
-    val cent = emb
+    // train coarse cells: per-label mean embedding via dimension-exploded
+    // avg (no array-avg builtin), restitched in dim order, collected —
+    // k×64 floats, the classic "model to driver, broadcast back" step
+    val centRows: Seq[(Int, Double, Seq[Float])] = emb
       .select(col("label").as("cell"), posexplode(col("embedding")).as(Seq("dim", "v")))
       .groupBy(col("cell"), col("dim")).agg(avg(col("v")).as("cv"))
       .groupBy(col("cell"))
       .agg(expr("transform(array_sort(collect_list(struct(dim, cv))), x -> CAST(x.cv AS FLOAT))")
         .as("centroid"))
-    // cell assignment: nearest centroid by cosine (broadcast the tiny cell table)
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("csim").desc_nulls_last, col("cell").asc_nulls_last)
-    val assigned = emb.crossJoin(broadcast(cent))
-      .withColumn("csim", SimilarityQueries.cosine("embedding", "centroid"))
-      .withColumn("crk", row_number().over(wAssign))
-      .filter(col("crk") === 1)
+      .collect().toSeq
+      .map { r =>
+        val vec = r.getSeq[Float](1)
+        val nv = math.sqrt(vec.map(x => x.toDouble * x.toDouble).sum)
+        (r.getInt(0), if (nv == 0.0) 1.0 else nv, vec)
+      }.sortBy(_._1)
+    val cLit = typedLit(centRows) // array<struct<_1:cell, _2:||centroid||, _3:centroid>>
+    // per-cell scores for one row: dot(embedding, centroid)/||centroid||;
+    // the row's own norm is constant across cells, so argmax skips it
+    val cellScores =
+      """transform(C, x -> named_struct(
+        's', aggregate(zip_with(x._3, embedding, (p, q) -> CAST(p AS DOUBLE) * CAST(q AS DOUBLE)),
+                       0D, (a, b) -> a + b) / x._2,
+        'c', x._1))"""
+    val assigned = emb.withColumn("C", cLit)
+      .withColumn("cell", expr(s"array_max($cellScores).c"))
       .select(col("vec_id"), col("cell"), col("embedding"))
-    // probes scan their nprobe nearest cells only
-    val probes = emb.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-    val wProbe = Window.partitionBy(col("qid"))
-      .orderBy(col("qsim").desc_nulls_last, col("cell").asc_nulls_last)
-    val probeCells = probes.crossJoin(broadcast(cent))
-      .withColumn("qsim", SimilarityQueries.cosine("qv", "centroid"))
-      .withColumn("qrk", row_number().over(wProbe))
-      .filter(col("qrk") <= nprobe)
-      .select(col("qid"), col("qv"), col("cell"))
+    // probes scan their nprobe best cells only (sorted per row, map-only)
+    val byScoreDesc =
+      "(l, r) -> CASE WHEN l.s > r.s THEN -1 WHEN l.s < r.s THEN 1 WHEN l.c < r.c THEN -1 ELSE 1 END"
+    val probeCells = emb.filter(col("vec_id") < 5).withColumn("C", cLit)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        explode(expr(s"transform(slice(array_sort($cellScores, $byScoreDesc), 1, $nprobe), x -> x.c)"))
+          .as("cell"))
     // exact rerank inside the probed cells
     val wTop = Window.partitionBy(col("qid"))
       .orderBy(col("sim").desc_nulls_last, col("vec_id").asc_nulls_last)

@@ -116,6 +116,24 @@ class ServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally { reader.close(); alloc.close() }
   }
 
+  test("Arrow IPC preserves DECIMAL as Decimal128, not utf8") {
+    import org.apache.arrow.memory.RootAllocator
+    import org.apache.arrow.vector.ipc.ArrowStreamReader
+    val r = post("SELECT CAST(12345.6789 AS DECIMAL(18,4)) AS dec",
+      accept = "application/vnd.apache.arrow.stream")
+    assert(r.statusCode() == 200)
+    val alloc = new RootAllocator(Long.MaxValue)
+    val reader = new ArrowStreamReader(new java.io.ByteArrayInputStream(r.body()), alloc)
+    try {
+      assert(reader.loadNextBatch())
+      val root = reader.getVectorSchemaRoot
+      val field = root.getSchema.findField("dec")
+      val t = field.getType.asInstanceOf[org.apache.arrow.vector.types.pojo.ArrowType.Decimal]
+      assert(t.getPrecision == 18 && t.getScale == 4)
+      assert(root.getVector("dec").getObject(0) == new java.math.BigDecimal("12345.6789"))
+    } finally { reader.close(); alloc.close() }
+  }
+
   test("content negotiation: first match wins, */* is JSON, unknown is 406") {
     assert(post(TestQuery, accept = "application/xml,application/vnd.apache.arrow.stream")
       .headers().firstValue("Content-Type").get() == "application/vnd.apache.arrow.stream")

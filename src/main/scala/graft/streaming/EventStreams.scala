@@ -85,6 +85,29 @@ object EventStreams {
       }
   }
 
+  /** Stream-stream interval join: each click enriched with the same
+    * user's purchases in the following hour. Both sides carry
+    * watermarks and the join condition bounds event-time distance, so
+    * the engine can prune join state — the property that keeps a
+    * stream-stream join runnable forever on an unbounded feed.
+    */
+  def clickPurchaseJoin(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"), col("value"))
+      .withWatermark("p_ts", "1 hour")
+    clicks.join(purchases,
+        col("c_user") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("c_user").as("user_id"), col("click_id"),
+        col("purchase_id"), col("value"))
+  }
+
   /** Streaming exact dedup: drop duplicate event_ids within a
     * watermark window — the streaming face of the n_dedup_exact
     * north-star (state is bounded by the watermark horizon, which is

@@ -38,6 +38,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == distinctIds, s"streamed=$streamed distinct=$distinctIds")
   }
 
+  test("stream-stream interval join equals the batch interval join") {
+    val q = EventStreams.clickPurchaseJoin(EventStreams.source(spark, sf))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ssjoin_out")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("ssjoin_out").collect().map(_.toSeq).toSet
+    val ev = T(spark, sf, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"), col("ts").as("c_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"), col("value"))
+    val batch = clicks.join(purchases,
+        col("c_user") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("c_user").as("user_id"), col("click_id"), col("purchase_id"), col("value"))
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch, s"streamed=${streamed.size} batch=${batch.size}")
+  }
+
   test("stateful sessionization: closed+open sessions equal batch session count") {
     import spark.implicits._
     val ds = EventStreams.sessionize(spark, EventStreams.source(spark, sf))

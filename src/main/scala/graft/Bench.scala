@@ -18,10 +18,11 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     GraftSession.tune(spark)
-    // warm the JVM/codegen/scheduler so the first measured query is not
-    // charged session bring-up (a fixed cost, not an operator cost)
+    // warm the JVM/codegen/scheduler AND the OS page cache for the
+    // biggest table so the first measured query is not charged session
+    // bring-up or cold I/O (fixed costs, not operator costs)
     spark.range(1000000L).selectExpr("sum(id)").collect()
-    T(spark, sfDir, "lineitem").limit(10).collect()
+    T(spark, sfDir, "lineitem").queryExecution.toRdd.count()
     // materialize through queryExecution.toRdd so Catalyst cannot prune
     // projections/sorts away under a bare count() — the timed work is
     // the query as planned. Failures print and count as 0 rows, never

@@ -277,6 +277,38 @@ object Round2Queries extends QueryModule {
         ORDER BY doc_id ASC NULLS LAST"""
       }),
 
+    Q("n_dedup_embedding",
+      "Embedding-cosine near-dup DEDUP: inside each label block, greedily keep the lowest vec_id of every near-dup pair (sim ≥ 0.3); survivors = corpus anti-joined with the dropped-id set. The blocked pair space keeps it off O(n²) global.",
+      (s, dir) => {
+        val sub = T(s, dir, "embeddings").filter(col("vec_id") < 200)
+        val a = sub.select(col("label"), col("vec_id").as("id_a"), col("embedding").as("va"))
+        val b = sub.select(col("label"), col("vec_id").as("id_b"), col("embedding").as("vb"))
+        val dropped = a.join(b, Seq("label"))
+          .filter(col("id_a") < col("id_b"))
+          .filter(round(SimilarityQueries.cosine("va", "vb"), 6) >= 0.3)
+          .select(col("id_b").as("vec_id")).distinct()
+        sub.join(dropped, Seq("vec_id"), "left_anti")
+          .groupBy(col("label"))
+          .agg(count(lit(1)).as("n_kept"),
+               min(col("vec_id")).as("min_kept"),
+               max(col("vec_id")).as("max_kept"))
+          .orderBy(col("label").asc_nulls_last)
+      },
+      Some("""WITH e AS (SELECT label, vec_id, embedding FROM embeddings WHERE vec_id < 200),
+        dropped AS (
+          SELECT DISTINCT b.vec_id
+          FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+          WHERE round(
+              list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+              / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+               * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) >= 0.3)
+        SELECT label, count(*) AS n_kept,
+               min(vec_id) AS min_kept, max(vec_id) AS max_kept
+        FROM e WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+        GROUP BY label
+        ORDER BY label ASC NULLS LAST""")),
+
     Q("n_ann_ivf",
       "IVF-style ANN: per-label mean embeddings are the coarse cells (trained from the data, broadcast); each probe scans only its nprobe=4 nearest cells and reranks with exact cosine. Oracle-exempt (float argmax cell assignment); spec measures recall vs brute force.",
       (s, dir) => ivfTopK(s, dir, nprobe = 4, k = 5),

@@ -277,6 +277,32 @@ object Round2Queries extends QueryModule {
         ORDER BY doc_id ASC NULLS LAST"""
       }),
 
+    Q("i_sample_hash_split",
+      "Deterministic hash-based train/test split: md5-bucket each key mod 100, <80 → train. THE reproducible-sampling pattern at scale (same rows on any engine, any run, any partitioning — unlike seeded RNG sampling, which is engine-specific and stays rows-only as i_sample_seeded).",
+      (s, dir) => {
+        T.views(s, dir, "orders")
+        s.sql("""SELECT split,
+            count(*) AS n,
+            round(CAST(sum(CAST(o_totalprice AS DECIMAL(20,2))) AS DOUBLE), 2) AS total
+          FROM (SELECT o_totalprice,
+                  IF(CAST(conv(substr(md5(CAST(o_orderkey AS STRING)), 1, 8), 16, 10) AS BIGINT) % 100 < 80,
+                     'train', 'test') AS split
+                FROM orders)
+          GROUP BY split
+          ORDER BY split ASC NULLS LAST""")
+      },
+      Some("""SELECT split,
+          count(*) AS n,
+          round(CAST(sum(CAST(o_totalprice AS DECIMAL(20,2))) AS DOUBLE), 2) AS total
+        FROM (SELECT o_totalprice,
+                CASE WHEN list_reduce(list_transform(range(1, 9),
+                       i -> CAST(strpos('0123456789abcdef', substr(md5(CAST(o_orderkey AS VARCHAR)), i, 1)) - 1 AS BIGINT)),
+                       (a, b) -> a * 16 + b) % 100 < 80
+                     THEN 'train' ELSE 'test' END AS split
+              FROM orders)
+        GROUP BY split
+        ORDER BY split ASC NULLS LAST""")),
+
     Q("n_dedup_embedding",
       "Embedding-cosine near-dup DEDUP: inside each label block, greedily keep the lowest vec_id of every near-dup pair (sim ≥ 0.3); survivors = corpus anti-joined with the dropped-id set. The blocked pair space keeps it off O(n²) global.",
       (s, dir) => {

@@ -132,21 +132,22 @@ object AggQueries extends QueryModule {
         T(s, dir, "orders")
           .groupBy(col("o_orderstatus"))
           .agg(
-            round(expr("percentile(o_totalprice, 0.5)"), 4).as("median_price"),
-            // The array form (percentile(col, array(...))) is computed in one pass and
-            // split into scalar columns: the driver's comparator sorts pandas frames,
-            // which cannot hash ndarray cells, so list-typed outputs are not comparable.
-            expr("round(percentile(o_totalprice, array(0.25D, 0.5D, 0.75D))[0], 4)").as("q25"),
-            expr("round(percentile(o_totalprice, array(0.25D, 0.5D, 0.75D))[1], 4)").as("q50"),
-            expr("round(percentile(o_totalprice, array(0.25D, 0.5D, 0.75D))[2], 4)").as("q75"),
-            round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"))
+            // ONE array-percentile aggregate (identical expressions dedupe to a
+            // single sort) split into scalar columns: the driver's comparator
+            // sorts pandas frames and cannot hash ndarray cells, so list-typed
+            // outputs are not comparable.
+            expr("round(percentile(o_totalprice, array(0.25D, 0.5D, 0.75D, 0.9D))[1], 4)").as("median_price"),
+            expr("round(percentile(o_totalprice, array(0.25D, 0.5D, 0.75D, 0.9D))[0], 4)").as("q25"),
+            expr("round(percentile(o_totalprice, array(0.25D, 0.5D, 0.75D, 0.9D))[1], 4)").as("q50"),
+            expr("round(percentile(o_totalprice, array(0.25D, 0.5D, 0.75D, 0.9D))[2], 4)").as("q75"),
+            expr("round(percentile(o_totalprice, array(0.25D, 0.5D, 0.75D, 0.9D))[3], 4)").as("p90"))
           .orderBy(col("o_orderstatus").asc_nulls_last),
       Some("""SELECT o_orderstatus,
-        round(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
-        round(quantile_cont(o_totalprice, [0.25, 0.5, 0.75])[1], 4) AS q25,
-        round(quantile_cont(o_totalprice, [0.25, 0.5, 0.75])[2], 4) AS q50,
-        round(quantile_cont(o_totalprice, [0.25, 0.5, 0.75])[3], 4) AS q75,
-        round(quantile_cont(o_totalprice, 0.9), 4) AS p90
+        round(quantile_cont(o_totalprice, [0.25, 0.5, 0.75, 0.9])[2], 4) AS median_price,
+        round(quantile_cont(o_totalprice, [0.25, 0.5, 0.75, 0.9])[1], 4) AS q25,
+        round(quantile_cont(o_totalprice, [0.25, 0.5, 0.75, 0.9])[2], 4) AS q50,
+        round(quantile_cont(o_totalprice, [0.25, 0.5, 0.75, 0.9])[3], 4) AS q75,
+        round(quantile_cont(o_totalprice, [0.25, 0.5, 0.75, 0.9])[4], 4) AS p90
         FROM orders GROUP BY o_orderstatus
         ORDER BY o_orderstatus ASC NULLS LAST""")),
 

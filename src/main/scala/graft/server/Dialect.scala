@@ -1,0 +1,171 @@
+package graft.server
+
+import org.apache.spark.sql.SparkSession
+
+/** DuckDB-dialect compatibility shim for the HTTP serving plane.
+  *
+  * The reference's clients speak DuckDB SQL (uquery-rs forwards the
+  * text verbatim to libduckdb, src/core/duckdb.rs:87). The well-defined
+  * sugar they rely on is rewritten here onto Spark SQL so those
+  * queries run unchanged:
+  *
+  *   - `SELECT * EXCLUDE (a, b)`      → `SELECT * EXCEPT (a, b)` (native in Spark 4)
+  *   - `... QUALIFY <pred>`           → wrap in a subquery + WHERE
+  *   - `read_parquet('p')`            → `parquet.`p``
+  *   - `read_csv[_auto]('p')` /
+  *     `read_json[_auto]('p')`        → temp view over spark.read with
+  *                                       header+schema inference (DuckDB
+  *                                       auto-inference semantics)
+  *   - bare `FROM 'file.csv'`         → same as the explicit readers
+  *
+  * Every rewrite is a narrow syntactic match; SQL that matches nothing
+  * passes through untouched. String literals and quoted identifiers
+  * are respected by a real scanner, not lookarounds. File paths are
+  * validated against the sandbox BEFORE any read touches disk (schema
+  * inference would otherwise leak bytes ahead of the plan-level check).
+  */
+object Dialect {
+
+  final case class RejectedPath(path: String)
+      extends RuntimeException(s"file access outside allowed directories: $path")
+
+  /** Positions of characters that sit inside quotes ('…' with '' escape,
+    * "…" identifiers, `…` identifiers) — rewrites must skip these.
+    */
+  private def quoteMask(sql: String): Array[Boolean] = {
+    val mask = new Array[Boolean](sql.length)
+    var i = 0
+    var q: Char = 0
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (q == 0) {
+        if (c == '\'' || c == '"' || c == '`') { q = c; mask(i) = true }
+      } else {
+        mask(i) = true
+        if (c == q) {
+          // '' escape inside single quotes stays inside the literal
+          if (q == '\'' && i + 1 < sql.length && sql.charAt(i + 1) == '\'') { mask(i + 1) = true; i += 1 }
+          else q = 0
+        }
+      }
+      i += 1
+    }
+    mask
+  }
+
+  /** Find the last top-level (paren-depth-0, unquoted) occurrence of a
+    * keyword; -1 if absent.
+    */
+  private def lastTopLevel(sql: String, kw: String): Int = {
+    val mask = quoteMask(sql)
+    val upper = sql.toUpperCase
+    var depth = 0
+    var found = -1
+    var i = 0
+    while (i < sql.length) {
+      if (!mask(i)) {
+        sql.charAt(i) match {
+          case '(' => depth += 1
+          case ')' => depth -= 1
+          case _ =>
+            if (depth == 0 && upper.startsWith(kw, i) &&
+                (i == 0 || !Character.isLetterOrDigit(sql.charAt(i - 1))) &&
+                (i + kw.length >= sql.length || !Character.isLetterOrDigit(sql.charAt(i + kw.length))))
+              found = i
+        }
+      }
+      i += 1
+    }
+    found
+  }
+
+  /** `prefix QUALIFY cond [ORDER BY …] [LIMIT …]` →
+    * `SELECT * FROM (prefix) __q WHERE cond [ORDER BY …] [LIMIT …]`.
+    * The predicate references select-list aliases, which the subquery
+    * wrap makes visible — the same rewrite e_qualify_topk_per_group
+    * applies at authoring time.
+    */
+  private def rewriteQualify(sql: String): String = {
+    val at = lastTopLevel(sql, "QUALIFY")
+    if (at < 0) return sql
+    val prefix = sql.substring(0, at).trim
+    val rest = sql.substring(at + "QUALIFY".length)
+    // split the trailing ORDER BY / LIMIT / OFFSET off the predicate
+    val tailAt = Seq("ORDER", "LIMIT", "OFFSET")
+      .map(k => lastTopLevel(rest, k)).filter(_ >= 0).sorted.headOption
+    val (cond, tail) = tailAt match {
+      case Some(t) => (rest.substring(0, t), rest.substring(t))
+      case None => (rest, "")
+    }
+    s"SELECT * FROM ($prefix) __qualify WHERE ${cond.trim} ${tail.trim}".trim
+  }
+
+  /** `* EXCLUDE (…)` → `* EXCEPT (…)` — only when the keyword follows a
+    * `*` at the same nesting (the star-modifier position).
+    */
+  private def rewriteExclude(sql: String): String = {
+    val mask = quoteMask(sql)
+    val out = new StringBuilder
+    var i = 0
+    while (i < sql.length) {
+      if (!mask(i) && sql.toUpperCase.startsWith("EXCLUDE", i) &&
+          (i + 7 >= sql.length || !Character.isLetterOrDigit(sql.charAt(i + 7)))) {
+        val before = sql.substring(0, i).reverse.dropWhile(_.isWhitespace)
+        if (before.headOption.contains('*')) { out.append("EXCEPT"); i += 7 }
+        else { out.append(sql.charAt(i)); i += 1 }
+      } else { out.append(sql.charAt(i)); i += 1 }
+    }
+    out.toString
+  }
+
+  private val ReadFn =
+    """(?i)\b(read_parquet|read_csv_auto|read_csv|read_json_auto|read_json)\s*\(\s*'([^']+)'\s*\)""".r
+  private val BarePath =
+    """(?i)\b(FROM|JOIN)\s+'([^']+\.(?:parquet|csv|tsv|json|jsonl|ndjson))'""".r
+
+  /** Replace DuckDB file-reader calls and bare quoted paths with Spark
+    * sources. CSV/JSON go through temp views so DuckDB's automatic
+    * header/type inference semantics apply; parquet maps to the native
+    * `parquet.` table syntax. pathOk is consulted BEFORE any read.
+    */
+  private def rewriteSources(spark: SparkSession, sql: String,
+      pathOk: String => Boolean): String = {
+    def viewFor(kind: String, path: String): String = {
+      if (!pathOk(path)) throw RejectedPath(path)
+      val name = "graft_src_" + Integer.toHexString((kind + path).hashCode).toLowerCase
+      if (!spark.catalog.tableExists(name)) {
+        val df = kind match {
+          case "csv" => spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+          case _ => spark.read.json(path)
+        }
+        df.createOrReplaceTempView(name)
+      }
+      name
+    }
+    def sub(kindRaw: String, path: String): String = kindRaw.toLowerCase match {
+      case "read_parquet" =>
+        if (!pathOk(path)) throw RejectedPath(path)
+        s"parquet.`$path`"
+      case k if k.startsWith("read_csv") => viewFor("csv", path)
+      case _ => viewFor("json", path)
+    }
+    val step1 = ReadFn.replaceAllIn(sql, m =>
+      java.util.regex.Matcher.quoteReplacement(sub(m.group(1), m.group(2))))
+    BarePath.replaceAllIn(step1, { m =>
+      val (kw, path) = (m.group(1), m.group(2))
+      val ext = path.substring(path.lastIndexOf('.') + 1).toLowerCase
+      val src = ext match {
+        case "parquet" =>
+          if (!pathOk(path)) throw RejectedPath(path)
+          s"parquet.`$path`"
+        case "csv" | "tsv" => viewFor("csv", path)
+        case _ => viewFor("json", path)
+      }
+      java.util.regex.Matcher.quoteReplacement(s"$kw $src")
+    })
+  }
+
+  def rewrite(spark: SparkSession, sql: String,
+      pathOk: String => Boolean = _ => true): String =
+    rewriteQualify(rewriteExclude(rewriteSources(spark, sql, pathOk)))
+}

@@ -49,15 +49,19 @@ final class QueryServer(
           case _ => Nil
         }
     }.flatten
-    // component-aware containment (like DuckDB's allowed_directories):
-    // /root/testdata admits /root/testdata and /root/testdata/x.parquet,
-    // but NOT the sibling /root/testdata-evil
-    def under(p: String, d: String): Boolean = {
-      val dir = d.stripSuffix("/")
-      p == dir || p.startsWith(dir + "/")
-    }
     roots.filterNot(p => allowedDirs.exists(d => under(p, d)))
   }
+
+  // component-aware containment (like DuckDB's allowed_directories):
+  // /root/testdata admits /root/testdata and /root/testdata/x.parquet,
+  // but NOT the sibling /root/testdata-evil
+  private def under(p: String, d: String): Boolean = {
+    val dir = d.stripSuffix("/")
+    p == dir || p.startsWith(dir + "/")
+  }
+
+  private def pathAllowed(p: String): Boolean =
+    allowedDirs.isEmpty || allowedDirs.exists(d => under(p, d))
 
   private val pool = new Semaphore(poolSize, true)
   private val exec = Executors.newCachedThreadPool()
@@ -134,10 +138,26 @@ final class QueryServer(
         catch { case NonFatal(_) => x.close() }
     }
 
-  /** Admission → plan → wait (bounded) for the first row → stream. */
-  private def runQuery(x: HttpExchange, sql: String, format: Format): Unit = {
+  /** Admission → dialect shim → plan → wait (bounded) for the first
+    * row → stream.
+    */
+  private def runQuery(x: HttpExchange, rawSql: String, format: Format): Unit = {
     pool.acquire()
     try {
+      // DuckDB-dialect sugar → Spark SQL (reference clients switch
+      // without editing their queries); file sources are sandbox-checked
+      // BEFORE the rewrite reads any schema
+      val sql =
+        try Dialect.rewrite(spark, rawSql, pathAllowed)
+        catch {
+          case Dialect.RejectedPath(p) =>
+            sendProblem(x, Problem(400, "SQL Error",
+              s"file access outside allowed directories: $p"))
+            return
+          case NonFatal(e) =>
+            sendProblem(x, Problem(400, "SQL Error", String.valueOf(e.getMessage)))
+            return
+        }
       // sandbox pre-check BEFORE spark.sql: commands (CTAS, INSERT,
       // SET, ...) execute eagerly inside spark.sql, so under a sandbox
       // only pure queries are admitted — matching the reference's
@@ -161,8 +181,13 @@ final class QueryServer(
       }
 
       val df: DataFrame =
-        try spark.sql(sql)
-        catch {
+        try {
+          val df0 = spark.sql(sql)
+          // unaliased count(*) surfaces as count_star() in DuckDB — the
+          // reference's smoke tests assert that exact column name
+          val names = df0.columns.map(c => if (c == "count(1)") "count_star()" else c)
+          if (names.sameElements(df0.columns)) df0 else df0.toDF(names.toIndexedSeq: _*)
+        } catch {
           case NonFatal(e) =>
             sendProblem(x, Problem(400, "SQL Error", String.valueOf(e.getMessage)))
             return

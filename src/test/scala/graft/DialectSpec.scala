@@ -1,0 +1,90 @@
+package graft
+
+import graft.server.{Dialect, QueryServer}
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** DuckDB-dialect compatibility: the SQL a reference (uquery-rs)
+  * client sends today runs unchanged through our server.
+  */
+class DialectSpec extends AnyFunSuite with BeforeAndAfterAll {
+  import TestSpark._
+
+  private var srv: QueryServer = _
+  private var base: String = _
+  private val client = HttpClient.newHttpClient()
+  private val csvPath = {
+    val d = java.nio.file.Files.createTempDirectory("graft_dialect")
+    val f = d.resolve("langs.csv")
+    java.nio.file.Files.writeString(f, "Id,Name,f_float\n1,Rust,4.56\n2,Scala,9.99\n")
+    f.toString
+  }
+
+  override def beforeAll(): Unit = {
+    T.views(spark, sf, "nation")
+    srv = new QueryServer(spark, 0)
+    srv.start()
+    base = s"http://localhost:${srv.boundPort}"
+  }
+
+  override def afterAll(): Unit = if (srv != null) srv.stop()
+
+  private def post(sql: String): HttpResponse[String] =
+    client.send(
+      HttpRequest.newBuilder(URI.create(s"$base/"))
+        .header("Accept", "application/json").header("Content-Type", "text/plain")
+        .POST(HttpRequest.BodyPublishers.ofString(sql)).build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  test("star EXCLUDE runs as Spark EXCEPT") {
+    val r = post("SELECT * EXCLUDE (b) FROM VALUES (1, 2) t(a, b)")
+    assert(r.statusCode() == 200 && r.body() == "[{\"a\":1}]")
+  }
+
+  test("QUALIFY rewrites to a subquery filter, keeping trailing ORDER BY") {
+    val r = post("""SELECT n_regionkey, n_name,
+        row_number() OVER (PARTITION BY n_regionkey ORDER BY n_name) AS rn
+      FROM nation QUALIFY rn = 1 ORDER BY n_regionkey LIMIT 2""")
+    assert(r.statusCode() == 200)
+    assert(r.body().contains("\"rn\":1") && !r.body().contains("\"rn\":2"))
+  }
+
+  test("read_parquet('path') maps to the native parquet table syntax") {
+    val r = post(s"SELECT count(*) AS n FROM read_parquet('$sf/region.parquet')")
+    assert(r.statusCode() == 200 && r.body() == "[{\"n\":5}]")
+  }
+
+  test("read_csv and bare CSV paths infer header and types like DuckDB") {
+    val r = post(s"SELECT Name, f_float FROM read_csv('$csvPath') WHERE Id = 1")
+    assert(r.statusCode() == 200 && r.body() == "[{\"Name\":\"Rust\",\"f_float\":4.56}]")
+    val bare = post(s"SELECT count(*) AS n FROM '$csvPath'")
+    assert(bare.statusCode() == 200 && bare.body() == "[{\"n\":2}]")
+  }
+
+  test("unaliased count(*) is named count_star() like the reference asserts") {
+    val r = post("SELECT count(*) FROM VALUES (1), (2) t(a)")
+    assert(r.statusCode() == 200 && r.body() == "[{\"count_star()\":2}]")
+  }
+
+  test("EXCLUDE inside a string literal is untouched") {
+    assert(Dialect.rewrite(spark, "SELECT '* EXCLUDE (x)' AS s") ==
+      "SELECT '* EXCLUDE (x)' AS s")
+  }
+
+  test("sandboxed server rejects dialect file sources outside allowed dirs") {
+    val sandboxed = new QueryServer(spark, 0, allowedDirs = Seq("/nonexistent"))
+    sandboxed.start()
+    try {
+      val r = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://localhost:${sandboxed.boundPort}/"))
+          .header("Accept", "application/json").header("Content-Type", "text/plain")
+          .POST(HttpRequest.BodyPublishers.ofString(
+            s"SELECT * FROM read_csv('$csvPath')")).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(r.statusCode() == 400)
+      assert(r.body().contains("outside allowed directories"))
+    } finally sandboxed.stop()
+  }
+}

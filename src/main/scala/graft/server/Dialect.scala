@@ -53,6 +53,31 @@ object Dialect {
     mask
   }
 
+  /** First top-level (paren-depth-0, unquoted) occurrence of a keyword;
+    * -1 if absent.
+    */
+  private def firstTopLevel(sql: String, kw: String): Int = {
+    val mask = quoteMask(sql)
+    val upper = sql.toUpperCase
+    var depth = 0
+    var i = 0
+    while (i < sql.length) {
+      if (!mask(i)) {
+        sql.charAt(i) match {
+          case '(' => depth += 1
+          case ')' => depth -= 1
+          case _ =>
+            if (depth == 0 && upper.startsWith(kw, i) &&
+                (i == 0 || !Character.isLetterOrDigit(sql.charAt(i - 1))) &&
+                (i + kw.length >= sql.length || !Character.isLetterOrDigit(sql.charAt(i + kw.length))))
+              return i
+        }
+      }
+      i += 1
+    }
+    -1
+  }
+
   /** Find the last top-level (paren-depth-0, unquoted) occurrence of a
     * keyword; -1 if absent.
     */
@@ -118,6 +143,73 @@ object Dialect {
     out.toString
   }
 
+  /** `SELECT DISTINCT ON (keys) list FROM … [ORDER BY ord] [tail]` →
+    * row_number window partitioned by the keys, ordered by the query's
+    * ORDER BY (DuckDB semantics: first row per key in output order).
+    * Window ordering must reference base columns, the common usage; an
+    * alias there fails analysis and surfaces as a 400 like any bad SQL.
+    */
+  private def rewriteDistinctOn(sql: String): String = {
+    val upper = sql.toUpperCase
+    val sel = firstTopLevel(sql, "SELECT")
+    if (sel < 0) return sql
+    val donAt = upper.indexOf("DISTINCT ON", sel)
+    if (donAt < 0 || sql.substring(sel + 6, donAt).trim.nonEmpty) return sql
+    // matching-paren extraction of the key list
+    val open = sql.indexOf('(', donAt)
+    if (open < 0) return sql
+    val mask = quoteMask(sql)
+    var depth = 0; var i = open; var close = -1
+    while (i < sql.length && close < 0) {
+      if (!mask(i)) {
+        if (sql.charAt(i) == '(') depth += 1
+        else if (sql.charAt(i) == ')') { depth -= 1; if (depth == 0) close = i }
+      }
+      i += 1
+    }
+    if (close < 0) return sql
+    val keys = sql.substring(open + 1, close)
+    val remainder = sql.substring(close + 1) // "<select-list> FROM <rest> [ORDER BY …]"
+    val tailAt = Seq("ORDER", "LIMIT", "OFFSET")
+      .map(k => lastTopLevel(remainder, k)).filter(_ >= 0).sorted.headOption
+    val (body, tail) = tailAt match {
+      case Some(t) => (remainder.substring(0, t), remainder.substring(t))
+      case None => (remainder, "")
+    }
+    val ordAt = lastTopLevel(tail, "ORDER")
+    val windowOrder =
+      if (ordAt >= 0) {
+        val afterOrder = tail.substring(ordAt)
+        val cut = Seq("LIMIT", "OFFSET").map(k => lastTopLevel(afterOrder, k))
+          .filter(_ >= 0).sorted.headOption
+        cut.map(c => afterOrder.substring("ORDER BY".length + 1, c))
+          .getOrElse(afterOrder.substring("ORDER BY".length + 1))
+      } else keys
+    val fromAt = firstTopLevel(body, "FROM")
+    if (fromAt < 0) return sql
+    val selectList = body.substring(0, fromAt).trim
+    val rest = body.substring(fromAt)
+    s"""SELECT * EXCEPT (__rn) FROM (
+       |  SELECT $selectList,
+       |    row_number() OVER (PARTITION BY $keys ORDER BY ${windowOrder.trim}) AS __rn
+       |  $rest) __distinct_on
+       |WHERE __rn = 1 ${tail.trim}""".stripMargin.trim
+  }
+
+  /** `SUMMARIZE <table>` → a select over the profiled view
+    * (df.summary()): DuckDB's interactive profiling verb.
+    */
+  private def rewriteSummarize(spark: SparkSession, sql: String): String = {
+    val m = """(?i)^\s*SUMMARIZE\s+([A-Za-z_][A-Za-z0-9_.]*)\s*;?\s*$""".r
+    sql match {
+      case m(table) =>
+        val name = "graft_summarize_" + Integer.toHexString(table.hashCode).toLowerCase
+        spark.table(table).summary().createOrReplaceTempView(name)
+        s"SELECT * FROM $name"
+      case _ => sql
+    }
+  }
+
   private val ReadFn =
     """(?i)\b(read_parquet|read_csv_auto|read_csv|read_json_auto|read_json)\s*\(\s*'([^']+)'\s*\)""".r
   private val BarePath =
@@ -167,5 +259,6 @@ object Dialect {
 
   def rewrite(spark: SparkSession, sql: String,
       pathOk: String => Boolean = _ => true): String =
-    rewriteQualify(rewriteExclude(rewriteSources(spark, sql, pathOk)))
+    rewriteDistinctOn(rewriteQualify(rewriteExclude(
+      rewriteSources(spark, rewriteSummarize(spark, sql), pathOk))))
 }

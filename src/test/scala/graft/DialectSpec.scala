@@ -68,6 +68,26 @@ class DialectSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.statusCode() == 200 && r.body() == "[{\"count_star()\":2}]")
   }
 
+  test("DISTINCT ON keeps the first row per key in ORDER BY order") {
+    val r = post("""SELECT DISTINCT ON (n_regionkey) n_regionkey, n_name
+      FROM nation ORDER BY n_regionkey, n_name""")
+    assert(r.statusCode() == 200)
+    val body = r.body()
+    // 5 regions → 5 rows, each the alphabetically-first nation
+    assert(body.split("n_regionkey").length - 1 == 5)
+    // each region's alphabetically-first nation name survives
+    val expected = T(spark, sf, "nation")
+      .groupBy("n_regionkey").agg(org.apache.spark.sql.functions.min("n_name").as("m"))
+      .collect().map(r => s""""n_regionkey":${r.getInt(0)},"n_name":"${r.getString(1)}"""").toSeq
+    expected.foreach(e => assert(body.contains(e), s"missing $e"))
+  }
+
+  test("SUMMARIZE profiles a registered table") {
+    val r = post("SUMMARIZE nation")
+    assert(r.statusCode() == 200)
+    assert(r.body().contains("\"summary\":\"count\"") && r.body().contains("mean"))
+  }
+
   test("EXCLUDE inside a string literal is untouched") {
     assert(Dialect.rewrite(spark, "SELECT '* EXCLUDE (x)' AS s") ==
       "SELECT '* EXCLUDE (x)' AS s")

@@ -70,6 +70,13 @@ class ServerSpec extends AnyFunSuite with BeforeAndAfterAll {
       "Id,Name,Description\n1,Rust,\"Safe, concurrent, performant systems language\"\n")
   }
 
+  test("CSV stringifies nested values as JSON, consistent with the JSON path") {
+    val r = post("SELECT array(1, 2) AS arr, named_struct('k', 7) AS st", accept = "text/csv")
+    assert(r.statusCode() == 200)
+    // JSON text contains a comma → RFC-4180 quoted; never Scala toString
+    assert(new String(r.body(), "UTF-8") == "arr,st\n\"[1,2]\",\"{\"\"k\"\":7}\"\n")
+  }
+
   test("JSON Lines format") {
     val r = post("SELECT explode(array(1, 2, 3)) AS v", accept = "application/jsonl")
     assert(r.statusCode() == 200)

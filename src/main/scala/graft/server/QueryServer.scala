@@ -278,6 +278,12 @@ object ServerMain {
         .getOrCreate())
     spark.sparkContext.setLogLevel("WARN")
     graft.T.views(spark, sfDir, graft.T.all: _*)
+    // attached-database analog (ref: ATTACH db_file READ_ONLY + USE):
+    // a directory of parquet tables + init.sql views/macros
+    sys.env.get("GRAFT_ATTACH_DIR").foreach { d =>
+      val names = graft.sources.CatalogDir.attach(spark, d)
+      println(s"attached catalog dir $d: ${names.mkString(", ")}")
+    }
     val server = new QueryServer(spark, port,
       corsEnabled = sys.env.get("GRAFT_CORS").contains("1"))
     // graceful shutdown on SIGINT/SIGTERM (ref: main.rs:81-105)

@@ -19,7 +19,7 @@ import graft.functions.{CosineSimilarity, SimHash64}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
-    GraftExtensions.registrations.foreach { case (name, info, builder) =>
+    GraftExtensions.allRegistrations.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
   }
@@ -44,11 +44,44 @@ object GraftExtensions {
         SimHash64(args.head)
       }))
 
+  /** DuckDB function-name aliases onto Spark builtins with matching
+    * semantics AND argument order — the function-level face of the
+    * dialect shim (`server.Dialect` handles the syntax-level sugar).
+    * Only same-semantics pairs are aliased; names whose DuckDB
+    * behavior differs (string_split literal-vs-regex, len's
+    * type-dispatch, strftime's %-patterns, engine hash values) are
+    * deliberately NOT mapped — a silently-different result is worse
+    * than an unknown-function error.
+    */
+  private[graft] val duckAliases: Seq[(String, String)] = Seq(
+    "list_transform" -> "transform",
+    "list_filter" -> "filter",
+    "list_sort" -> "array_sort",
+    "list_distinct" -> "array_distinct",
+    "list_contains" -> "array_contains",
+    "arg_max" -> "max_by",
+    "arg_min" -> "min_by",
+    "quantile_cont" -> "percentile",
+    "regexp_matches" -> "rlike",
+    "epoch_ms" -> "unix_millis")
+
+  private def aliasRegistrations: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = {
+    val builtin = org.apache.spark.sql.catalyst.analysis.FunctionRegistry.builtin
+    duckAliases.flatMap { case (alias, target) =>
+      builtin.lookupFunctionBuilder(FunctionIdentifier(target)).map { b =>
+        (alias, info(alias, s"$alias(...) - DuckDB-dialect alias of $target."), b)
+      }
+    }
+  }
+
+  private[graft] def allRegistrations: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] =
+    registrations ++ aliasRegistrations
+
   /** Programmatic registration for an already-built session (the
     * extensions config only applies at session construction).
     */
   def injectInto(spark: SparkSession): Unit =
-    registrations.foreach { case (name, inf, builder) =>
+    allRegistrations.foreach { case (name, inf, builder) =>
       spark.sessionState.functionRegistry
         .registerFunction(FunctionIdentifier(name), inf, builder)
     }

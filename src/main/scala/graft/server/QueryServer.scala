@@ -277,6 +277,8 @@ object ServerMain {
         .config("spark.ui.enabled", "false")
         .getOrCreate())
     spark.sparkContext.setLogLevel("WARN")
+    // native kernels + DuckDB function-name aliases for SQL clients
+    graft.GraftExtensions.injectInto(spark)
     graft.T.views(spark, sfDir, graft.T.all: _*)
     // attached-database analog (ref: ATTACH db_file READ_ONLY + USE):
     // a directory of parquet tables + init.sql views/macros

@@ -26,6 +26,31 @@ class ExtensionsSpec extends AnyFunSuite {
     viaSql.foreach(r => assert(math.abs(r.getDouble(1) - 1.0) < 1e-9))
   }
 
+  test("DuckDB function-name aliases resolve to the matching Spark builtins") {
+    GraftExtensions.injectInto(spark)
+    val r = spark.sql("""SELECT
+        list_transform(array(1, 2, 3), x -> x * 10) AS lt,
+        list_filter(array(1, 2, 3, 4), x -> x % 2 = 0) AS lf,
+        list_sort(array(3, 1, 2)) AS ls,
+        list_distinct(array(1, 1, 2)) AS ld,
+        list_contains(array(1, 2), 2) AS lc,
+        arg_max(k, v) AS am,
+        quantile_cont(v, 0.5) AS qc,
+        regexp_matches('spark engine', 'eng') AS rm,
+        epoch_ms(TIMESTAMP '1970-01-01 00:00:01') AS em
+      FROM VALUES ('a', 1.0), ('b', 3.0), ('c', 2.0) t(k, v)
+      GROUP BY 'all'""").collect().head
+    assert(r.getSeq[Int](0) == Seq(10, 20, 30))
+    assert(r.getSeq[Int](1) == Seq(2, 4))
+    assert(r.getSeq[Int](2) == Seq(1, 2, 3))
+    assert(r.getSeq[Int](3) == Seq(1, 2))
+    assert(r.getBoolean(4))
+    assert(r.getString(5) == "b")
+    assert(r.getDouble(6) == 2.0)
+    assert(r.getBoolean(7))
+    assert(r.getLong(8) == 1000L)
+  }
+
   test("extensions class wires the registry at session build time") {
     import org.apache.spark.sql.SparkSession
     // force a genuinely new session — getOrCreate would hand back the

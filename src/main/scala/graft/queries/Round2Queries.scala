@@ -20,6 +20,22 @@ object Round2Queries extends QueryModule {
     * Engine-native hashes (xxhash64) differ across engines — md5 is the
     * portable intersection, used only on oracle-checked variants.
     */
+  /** 8 deterministic 64-dim integer hyperplanes for the portable LSH:
+    * components in [-500, 500] from MD5("b:d") — computed once at
+    * authoring time and rendered into BOTH engines' expressions, so no
+    * cross-engine hash agreement is even needed.
+    */
+  private[queries] lazy val lshPlanes: Seq[Seq[Int]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until 8).map { b =>
+      (0 until 64).map { d =>
+        val h = md.digest(s"$b:$d".getBytes("UTF-8"))
+        val v = ((h(0) & 0xff) << 24) | ((h(1) & 0xff) << 16) | ((h(2) & 0xff) << 8) | (h(3) & 0xff)
+        (Math.floorMod(v, 1001) - 500)
+      }
+    }
+  }
+
   private val sparkTokHash = "CAST(conv(substr(md5(t), 1, 8), 16, 10) AS BIGINT)"
   private val duckTokHash =
     """list_reduce(list_transform(range(1, 9),
@@ -204,6 +220,23 @@ object Round2Queries extends QueryModule {
         LEFT JOIN agg USING (d)
         ORDER BY d ASC NULLS LAST""")),
 
+    Q("e_frame_exclude_rewrite",
+      "Window frame EXCLUDE CURRENT ROW: Spark lacks the clause, so the full-partition aggregate minus the row's own contribution is the algebraic realization; the oracle exercises DuckDB's NATIVE EXCLUDE CURRENT ROW. Exact-decimal accumulation keeps both engines' subtraction operands identical.",
+      (s, dir) => {
+        T.views(s, dir, "events")
+        s.sql("""SELECT user_id, event_id,
+            round(CAST(sum(CAST(value AS DECIMAL(20,6))) OVER (PARTITION BY user_id)
+                       - CAST(value AS DECIMAL(20,6)) AS DOUBLE), 4) AS others_total
+          FROM events WHERE user_id < 20
+          ORDER BY user_id ASC NULLS LAST, event_id ASC NULLS LAST""")
+      },
+      Some("""SELECT user_id, event_id,
+          round(CAST(sum(CAST(value AS DECIMAL(20,6))) OVER (PARTITION BY user_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+              EXCLUDE CURRENT ROW) AS DOUBLE), 4) AS others_total
+        FROM events WHERE user_id < 20
+        ORDER BY user_id ASC NULLS LAST, event_id ASC NULLS LAST""")),
+
     Q("n_simhash_portable",
       "Portable SimHash-32: md5-derived per-token hashes vote on 32 bit positions; the signature is oracle-checked bit-for-bit (the engine-native 64-bit variant, n_dedup_simhash, stays the fast path).",
       (s, dir) =>
@@ -334,6 +367,40 @@ object Round2Queries extends QueryModule {
         FROM e WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
         GROUP BY label
         ORDER BY label ASC NULLS LAST""")),
+
+    Q("n_ann_lsh_portable",
+      "Portable random-hyperplane LSH bucketing: 8 integer hyperplanes derived from MD5 at AUTHORING time render identically into the Spark expression and the oracle SQL, so bucket signatures (and the resulting bucket histogram) hash-match exactly. The engine-native variant, n_ann_lsh_buckets, stays the fast path.",
+      (s, dir) => {
+        var df = T(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+        lshPlanes.zipWithIndex.foreach { case (hp, b) =>
+          df = df.withColumn(s"hp$b", typedLit(hp))
+        }
+        val sig = lshPlanes.indices.map { b =>
+          when(expr(
+            s"aggregate(zip_with(hp$b, embedding, (p, q) -> CAST(p AS DOUBLE) * CAST(q AS DOUBLE)), 0D, (a, b) -> a + b)")
+            >= 0, lit(1L << b)).otherwise(lit(0L))
+        }.reduce(_ + _)
+        df.withColumn("sig", sig)
+          .groupBy(col("sig"))
+          .agg(count(lit(1)).as("n"),
+               min(col("vec_id")).as("min_id"), max(col("vec_id")).as("max_id"))
+          .orderBy(col("sig").asc_nulls_last)
+      },
+      Some {
+        val bits = lshPlanes.zipWithIndex.map { case (hp, b) =>
+          val lst = hp.mkString("[", ", ", "]")
+          s"""(CASE WHEN list_sum(list_transform(list_zip($lst, embedding),
+              p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) >= 0
+              THEN ${1L << b} ELSE 0 END)"""
+        }.mkString("\n            + ")
+        s"""WITH sigs AS (
+          SELECT vec_id,
+            $bits AS sig
+          FROM embeddings)
+        SELECT sig, count(*) AS n, min(vec_id) AS min_id, max(vec_id) AS max_id
+        FROM sigs GROUP BY sig
+        ORDER BY sig ASC NULLS LAST"""
+      }),
 
     Q("n_ann_ivf",
       "IVF-style ANN: per-label mean embeddings are the coarse cells (trained from the data, broadcast); each probe scans only its nprobe=4 nearest cells and reranks with exact cosine. Oracle-exempt (float argmax cell assignment); spec measures recall vs brute force.",

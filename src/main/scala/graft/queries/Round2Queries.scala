@@ -237,6 +237,31 @@ object Round2Queries extends QueryModule {
         FROM events WHERE user_id < 20
         ORDER BY user_id ASC NULLS LAST, event_id ASC NULLS LAST""")),
 
+    Q("e_frame_exclude_group_ties",
+      "Frame EXCLUDE GROUP / EXCLUDE TIES: Spark realizations are algebraic (partition total minus the ORDER-BY-peer-group sum, re-adding the row itself for TIES); the oracle runs DuckDB's native clauses.",
+      (s, dir) => {
+        T.views(s, dir, "events")
+        s.sql("""SELECT user_id, event_id, event_type,
+            round(CAST(sum(CAST(value AS DECIMAL(20,6))) OVER (PARTITION BY user_id)
+                       - sum(CAST(value AS DECIMAL(20,6))) OVER (PARTITION BY user_id, event_type)
+                  AS DOUBLE), 4) AS excl_group,
+            round(CAST(sum(CAST(value AS DECIMAL(20,6))) OVER (PARTITION BY user_id)
+                       - sum(CAST(value AS DECIMAL(20,6))) OVER (PARTITION BY user_id, event_type)
+                       + CAST(value AS DECIMAL(20,6))
+                  AS DOUBLE), 4) AS excl_ties
+          FROM events WHERE user_id < 20
+          ORDER BY user_id ASC NULLS LAST, event_id ASC NULLS LAST""")
+      },
+      Some("""SELECT user_id, event_id, event_type,
+          round(CAST(sum(CAST(value AS DECIMAL(20,6))) OVER (PARTITION BY user_id ORDER BY event_type
+              RANGE BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+              EXCLUDE GROUP) AS DOUBLE), 4) AS excl_group,
+          round(CAST(sum(CAST(value AS DECIMAL(20,6))) OVER (PARTITION BY user_id ORDER BY event_type
+              RANGE BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+              EXCLUDE TIES) AS DOUBLE), 4) AS excl_ties
+        FROM events WHERE user_id < 20
+        ORDER BY user_id ASC NULLS LAST, event_id ASC NULLS LAST""")),
+
     Q("n_simhash_portable",
       "Portable SimHash-32: md5-derived per-token hashes vote on 32 bit positions; the signature is oracle-checked bit-for-bit (the engine-native 64-bit variant, n_dedup_simhash, stays the fast path).",
       (s, dir) =>

@@ -262,6 +262,17 @@ object Round2Queries extends QueryModule {
         FROM events WHERE user_id < 20
         ORDER BY user_id ASC NULLS LAST, event_id ASC NULLS LAST""")),
 
+    Q("i_pivot_dynamic",
+      "Dynamic PIVOT: spreading values auto-detected from the data (two-pass in Spark, same in DuckDB); both engines name the generated columns by the distinct values, so the dynamic shapes hash-match.",
+      (s, dir) =>
+        T(s, dir, "orders")
+          .groupBy(col("o_orderpriority"))
+          .pivot("o_orderstatus")
+          .agg(count(lit(1)))
+          .orderBy(col("o_orderpriority").asc_nulls_last),
+      Some("""SELECT * FROM (PIVOT orders ON o_orderstatus USING count(*) GROUP BY o_orderpriority)
+        ORDER BY o_orderpriority ASC NULLS LAST""")),
+
     Q("n_simhash_portable",
       "Portable SimHash-32: md5-derived per-token hashes vote on 32 bit positions; the signature is oracle-checked bit-for-bit (the engine-native 64-bit variant, n_dedup_simhash, stays the fast path).",
       (s, dir) =>
@@ -426,6 +437,52 @@ object Round2Queries extends QueryModule {
         FROM sigs GROUP BY sig
         ORDER BY sig ASC NULLS LAST"""
       }),
+
+    Q("n_tfidf_topterms",
+      "TF-IDF top-3 terms per document (explode → per-doc term counts → document frequencies → tf·idf rank). Every stage partial-aggregates before its shuffle; the doc-frequency side is a token-keyed aggregate joined back by token.",
+      (s, dir) => {
+        T.views(s, dir, "documents")
+        s.sql("""WITH docs AS (
+            SELECT doc_id, filter(split(lower(text), '[^a-z0-9]+'), t -> t != '') AS toks
+            FROM documents WHERE doc_id < 200),
+          tf AS (
+            SELECT doc_id, tok, count(*) AS tf
+            FROM (SELECT doc_id, explode(toks) AS tok FROM docs)
+            GROUP BY doc_id, tok),
+          df AS (SELECT tok, count(*) AS df FROM (SELECT DISTINCT doc_id, tok FROM tf) GROUP BY tok),
+          n AS (SELECT count(*) AS n_docs FROM docs),
+          scored AS (
+            SELECT doc_id, tok,
+              round(tf * log(CAST(n_docs AS DOUBLE) / df), 6) AS score
+            FROM tf JOIN df USING (tok) CROSS JOIN n)
+          SELECT doc_id, rk, tok, score FROM (
+            SELECT doc_id, tok, score,
+              row_number() OVER (PARTITION BY doc_id
+                ORDER BY score DESC NULLS LAST, tok ASC NULLS LAST) AS rk
+            FROM scored)
+          WHERE rk <= 3
+          ORDER BY doc_id ASC NULLS LAST, rk ASC NULLS LAST""")
+      },
+      Some("""WITH docs AS (
+          SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t != '') AS toks
+          FROM documents WHERE doc_id < 200),
+        tf AS (
+          SELECT doc_id, tok, count(*) AS tf
+          FROM (SELECT doc_id, unnest(toks) AS tok FROM docs) t
+          GROUP BY doc_id, tok),
+        df AS (SELECT tok, count(*) AS df FROM (SELECT DISTINCT doc_id, tok FROM tf) t GROUP BY tok),
+        n AS (SELECT count(*) AS n_docs FROM docs),
+        scored AS (
+          SELECT doc_id, tok,
+            round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS score
+          FROM tf JOIN df USING (tok) CROSS JOIN n)
+        SELECT doc_id, rk, tok, score FROM (
+          SELECT doc_id, tok, score,
+            row_number() OVER (PARTITION BY doc_id
+              ORDER BY score DESC NULLS LAST, tok ASC NULLS LAST) AS rk
+          FROM scored) t
+        WHERE rk <= 3
+        ORDER BY doc_id ASC NULLS LAST, rk ASC NULLS LAST""")),
 
     Q("n_ann_ivf",
       "IVF-style ANN: per-label mean embeddings are the coarse cells (trained from the data, broadcast); each probe scans only its nprobe=4 nearest cells and reranks with exact cosine. Oracle-exempt (float argmax cell assignment); spec measures recall vs brute force.",

@@ -449,7 +449,7 @@ object Round2Queries extends QueryModule {
             SELECT doc_id, tok, count(*) AS tf
             FROM (SELECT doc_id, explode(toks) AS tok FROM docs)
             GROUP BY doc_id, tok),
-          df AS (SELECT tok, count(*) AS df FROM (SELECT DISTINCT doc_id, tok FROM tf) GROUP BY tok),
+          df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),  -- tf is already unique per (doc_id, tok)
           n AS (SELECT count(*) AS n_docs FROM docs),
           scored AS (
             SELECT doc_id, tok,
@@ -470,7 +470,7 @@ object Round2Queries extends QueryModule {
           SELECT doc_id, tok, count(*) AS tf
           FROM (SELECT doc_id, unnest(toks) AS tok FROM docs) t
           GROUP BY doc_id, tok),
-        df AS (SELECT tok, count(*) AS df FROM (SELECT DISTINCT doc_id, tok FROM tf) t GROUP BY tok),
+        df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
         n AS (SELECT count(*) AS n_docs FROM docs),
         scored AS (
           SELECT doc_id, tok,

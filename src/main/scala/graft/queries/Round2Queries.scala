@@ -14,12 +14,6 @@ import org.apache.spark.sql.functions._
   */
 object Round2Queries extends QueryModule {
 
-  /** 32-bit token hash both engines can compute bit-identically:
-    * the first 8 hex digits of md5, parsed as an integer. Spark spells
-    * it conv(); the DuckDB oracle folds hex digits with list_reduce.
-    * Engine-native hashes (xxhash64) differ across engines — md5 is the
-    * portable intersection, used only on oracle-checked variants.
-    */
   /** 8 deterministic 64-dim integer hyperplanes for the portable LSH:
     * components in [-500, 500] from MD5("b:d") — computed once at
     * authoring time and rendered into BOTH engines' expressions, so no
@@ -36,6 +30,12 @@ object Round2Queries extends QueryModule {
     }
   }
 
+  /** 32-bit token hash both engines compute bit-identically: the first
+    * 8 hex digits of md5, parsed as an integer. Spark spells it conv();
+    * the DuckDB oracle folds hex digits with list_reduce. Engine-native
+    * hashes (xxhash64) differ across engines — md5 is the portable
+    * intersection, used only on oracle-checked variants.
+    */
   private val sparkTokHash = "CAST(conv(substr(md5(t), 1, 8), 16, 10) AS BIGINT)"
   private val duckTokHash =
     """list_reduce(list_transform(range(1, 9),

@@ -29,6 +29,10 @@ object Dialect {
   final case class RejectedPath(path: String)
       extends RuntimeException(s"file access outside allowed directories: $path")
 
+  // SQL identifier characters — '_' must count, or identifiers like
+  // __qualify would re-trigger keyword matches
+  private def isWordChar(c: Char): Boolean = Character.isLetterOrDigit(c) || c == '_'
+
   /** Positions of characters that sit inside quotes ('…' with '' escape,
     * "…" identifiers, `…` identifiers) — rewrites must skip these.
     */
@@ -68,8 +72,8 @@ object Dialect {
           case ')' => depth -= 1
           case _ =>
             if (depth == 0 && upper.startsWith(kw, i) &&
-                (i == 0 || !Character.isLetterOrDigit(sql.charAt(i - 1))) &&
-                (i + kw.length >= sql.length || !Character.isLetterOrDigit(sql.charAt(i + kw.length))))
+                (i == 0 || !isWordChar(sql.charAt(i - 1))) &&
+                (i + kw.length >= sql.length || !isWordChar(sql.charAt(i + kw.length))))
               return i
         }
       }
@@ -94,8 +98,8 @@ object Dialect {
           case ')' => depth -= 1
           case _ =>
             if (depth == 0 && upper.startsWith(kw, i) &&
-                (i == 0 || !Character.isLetterOrDigit(sql.charAt(i - 1))) &&
-                (i + kw.length >= sql.length || !Character.isLetterOrDigit(sql.charAt(i + kw.length))))
+                (i == 0 || !isWordChar(sql.charAt(i - 1))) &&
+                (i + kw.length >= sql.length || !isWordChar(sql.charAt(i + kw.length))))
               found = i
         }
       }
@@ -134,7 +138,8 @@ object Dialect {
     var i = 0
     while (i < sql.length) {
       if (!mask(i) && sql.toUpperCase.startsWith("EXCLUDE", i) &&
-          (i + 7 >= sql.length || !Character.isLetterOrDigit(sql.charAt(i + 7)))) {
+          (i == 0 || !isWordChar(sql.charAt(i - 1))) &&
+          (i + 7 >= sql.length || !isWordChar(sql.charAt(i + 7)))) {
         val before = sql.substring(0, i).reverse.dropWhile(_.isWhitespace)
         if (before.headOption.contains('*')) { out.append("EXCEPT"); i += 7 }
         else { out.append(sql.charAt(i)); i += 1 }

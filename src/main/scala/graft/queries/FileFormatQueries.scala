@@ -46,6 +46,27 @@ object FileFormatQueries extends QueryModule {
         FROM lineitem GROUP BY l_returnflag
         ORDER BY l_returnflag ASC NULLS LAST""")),
 
+    Q("a_parquet_zstd_scan",
+      "Parquet with zstd codec round-trip (the reference's fixture is test.zstd.parquet, uquery-rs src/main.rs:324-345): write a slice zstd-compressed, scan it back, aggregate against the uncompressed truth.",
+      (s, dir) => {
+        val path = ioDir(dir, "lineitem_zstd")
+        T(s, dir, "lineitem")
+          .filter(col("l_orderkey") < 1000)
+          .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
+          .write.mode("overwrite").option("compression", "zstd").parquet(path)
+        s.read.parquet(path)
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+               graft.Exact.sumExact(col("l_quantity")).as("qty"),
+               max(col("l_orderkey")).as("max_key"))
+          .orderBy(col("l_returnflag").asc_nulls_last)
+      },
+      Some("""SELECT l_returnflag, count(*) AS n,
+        round(CAST(sum(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE), 2) AS qty,
+        CAST(max(l_orderkey) AS INT) AS max_key
+        FROM lineitem WHERE l_orderkey < 1000 GROUP BY l_returnflag
+        ORDER BY l_returnflag ASC NULLS LAST""")),
+
     Q("a_jsonl_scan",
       "NDJSON write→scan with inferred schema (timestamps round-trip as ISO strings → to_timestamp, the documented JSON-inference gap).",
       (s, dir) => {

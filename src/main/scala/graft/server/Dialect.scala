@@ -229,7 +229,11 @@ object Dialect {
       pathOk: String => Boolean): String = {
     def viewFor(kind: String, path: String): String = {
       if (!pathOk(path)) throw RejectedPath(path)
-      val name = "graft_src_" + Integer.toHexString((kind + path).hashCode).toLowerCase
+      // full md5 of (kind, path): a 32-bit hashCode collision would silently
+      // alias two different files under one view name
+      val name = "graft_src_" + java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$kind:$path".getBytes("UTF-8"))
+        .map(b => f"${b & 0xff}%02x").mkString
       if (!spark.catalog.tableExists(name)) {
         val df = kind match {
           case "csv" => spark.read.option("header", "true").option("inferSchema", "true").csv(path)

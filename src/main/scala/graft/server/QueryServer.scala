@@ -49,7 +49,7 @@ final class QueryServer(
           case _ => Nil
         }
     }.flatten
-    roots.filterNot(p => allowedDirs.exists(d => under(p, d)))
+    roots.filterNot(pathAllowed)
   }
 
   // component-aware containment (like DuckDB's allowed_directories):
@@ -60,8 +60,16 @@ final class QueryServer(
     p == dir || p.startsWith(dir + "/")
   }
 
-  private def pathAllowed(p: String): Boolean =
-    allowedDirs.isEmpty || allowedDirs.exists(d => under(p, d))
+  private def pathAllowed(p: String): Boolean = {
+    if (allowedDirs.isEmpty) return true
+    // normalize BEFORE the containment test: '..' segments would
+    // otherwise escape the prefix ('/allowed/../etc' starts with
+    // '/allowed/') — and the dialect shim reads schemas pre-plan
+    val norm =
+      try java.nio.file.Paths.get(p).toAbsolutePath.normalize().toString
+      catch { case NonFatal(_) => return false } // unparseable → fail closed
+    allowedDirs.exists(d => under(norm, d))
+  }
 
   private val pool = new Semaphore(poolSize, true)
   private val exec = Executors.newCachedThreadPool()

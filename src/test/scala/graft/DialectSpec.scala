@@ -93,6 +93,23 @@ class DialectSpec extends AnyFunSuite with BeforeAndAfterAll {
       "SELECT '* EXCLUDE (x)' AS s")
   }
 
+  test("sandboxed server rejects dot-dot traversal in dialect file sources") {
+    val allowed = new java.io.File("/tmp/graft_sandbox2/data")
+    allowed.mkdirs()
+    val sandboxed = new QueryServer(spark, 0, allowedDirs = Seq(allowed.getAbsolutePath))
+    sandboxed.start()
+    try {
+      val r = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://localhost:${sandboxed.boundPort}/"))
+          .header("Accept", "application/json").header("Content-Type", "text/plain")
+          .POST(HttpRequest.BodyPublishers.ofString(
+            s"SELECT * FROM read_csv('${allowed.getAbsolutePath}/../../../$csvPath')")).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(r.statusCode() == 400)
+      assert(r.body().contains("outside allowed directories"))
+    } finally sandboxed.stop()
+  }
+
   test("sandboxed server rejects dialect file sources outside allowed dirs") {
     val sandboxed = new QueryServer(spark, 0, allowedDirs = Seq("/nonexistent"))
     sandboxed.start()

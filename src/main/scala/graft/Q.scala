@@ -38,16 +38,23 @@ object T {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$dir/$name.parquet")
-    // events.ts is parquet TIMESTAMP(NANOS) which Spark has no native
-    // type for; GraftSession sets nanosAsLong and we floor to µs here —
-    // the same truncation DuckDB applies casting timestamp_ns→timestamp.
-    if (name == "events")
-      df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
-    else df
-  }
+  // per-session relation cache: what a catalog does — one footer/schema
+  // read per table, not one per query (the analyzed plan is immutable,
+  // so sharing it across queries in a session is safe)
+  private val relCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    relCache.computeIfAbsent((spark, dir, name), { _ =>
+      val df = spark.read.parquet(s"$dir/$name.parquet")
+      // events.ts is parquet TIMESTAMP(NANOS) which Spark has no native
+      // type for; GraftSession sets nanosAsLong and we floor to µs here —
+      // the same truncation DuckDB applies casting timestamp_ns→timestamp.
+      if (name == "events")
+        df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+      else df
+    })
 
   /** Register tables as temp views for spark.sql entry points (the
     * reference's only API is SQL text over POST /, so a slice of the

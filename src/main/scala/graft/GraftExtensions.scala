@@ -42,6 +42,17 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 1, s"simhash64 expects 1 argument, got ${args.length}")
         SimHash64(args.head)
+      }),
+    // NOT a plain alias: DuckDB's list_distinct also drops NULL
+    // elements, Spark's array_distinct keeps one — compose the null
+    // filter explicitly so the alias matches DuckDB bit-for-bit.
+    ("list_distinct",
+      info("list_distinct", "list_distinct(arr) - distinct non-NULL elements (DuckDB semantics)."),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, s"list_distinct expects 1 argument, got ${args.length}")
+        import org.apache.spark.sql.catalyst.expressions.{ArrayDistinct, ArrayFilter, IsNotNull, LambdaFunction, UnresolvedNamedLambdaVariable}
+        val v = UnresolvedNamedLambdaVariable(Seq("__ld_x"))
+        ArrayDistinct(ArrayFilter(args.head, LambdaFunction(IsNotNull(v), Seq(v))))
       }))
 
   /** DuckDB function-name aliases onto Spark builtins with matching
@@ -57,7 +68,6 @@ object GraftExtensions {
     "list_transform" -> "transform",
     "list_filter" -> "filter",
     "list_sort" -> "array_sort",
-    "list_distinct" -> "array_distinct",
     "list_contains" -> "array_contains",
     "arg_max" -> "max_by",
     "arg_min" -> "min_by",

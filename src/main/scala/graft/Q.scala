@@ -40,11 +40,19 @@ object T {
 
   // per-session relation cache: what a catalog does — one footer/schema
   // read per table, not one per query (the analyzed plan is immutable,
-  // so sharing it across queries in a session is safe)
+  // so sharing it across queries in a session is safe).
+  // Lifecycle: a DataFrame strongly references its session, so weak keys
+  // alone cannot reclaim entries — instead we (a) evict entries whose
+  // SparkContext has stopped on every access, and (b) hard-bound the map
+  // so a newSession()-per-request server degrades to re-reading footers
+  // rather than pinning analyzed plans forever.
+  private val MaxEntries = 256
   private val relCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
 
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    relCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    if (relCache.size >= MaxEntries) relCache.clear()
     relCache.computeIfAbsent((spark, dir, name), { _ =>
       val df = spark.read.parquet(s"$dir/$name.parquet")
       // events.ts is parquet TIMESTAMP(NANOS) which Spark has no native
@@ -55,6 +63,7 @@ object T {
           org.apache.spark.sql.functions.expr("ts div 1000")))
       else df
     })
+  }
 
   /** Register tables as temp views for spark.sql entry points (the
     * reference's only API is SQL text over POST /, so a slice of the

@@ -17,12 +17,34 @@ import org.apache.spark.sql.functions._
 object DedupQueries extends QueryModule {
 
   /** Distinct 3-gram word shingles per doc: (doc_id, shingle).
-    * Persisted: every consumer self-joins or multi-references this
-    * relation, and recomputing the split+explode+distinct shuffle per
-    * reference dominated the bench (the ContextCleaner reclaims the
-    * blocks once the plans are GC'd).
+    * Persisted and memoized per (session, dir): every consumer
+    * self-joins or multi-references this relation, and recomputing the
+    * split+explode shuffle per reference dominated the bench. The memo
+    * means exactly one persist call (no "already cached" WARN from the
+    * CacheManager); callers that finish with dedup work release the
+    * blocks explicitly via [[release]] instead of waiting for the
+    * ContextCleaner.
     */
+  private val shingleCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  /** Explicitly unpersist the shared shingle relation(s) of a session. */
+  def release(s: SparkSession): Unit = {
+    val it = shingleCache.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey._1 eq s) {
+        try e.getValue.unpersist(blocking = false)
+        catch { case _: Throwable => }
+        it.remove()
+      }
+    }
+  }
+
   private def shingles(s: SparkSession, dir: String): DataFrame =
+    shingleCache.computeIfAbsent((s, dir), _ => buildShingles(s, dir))
+
+  private def buildShingles(s: SparkSession, dir: String): DataFrame =
     T(s, dir, "documents")
       // documents arrive as one small parquet split; spread the
       // CPU-heavy shingle explode across all cores (5k tiny rows

@@ -82,6 +82,23 @@ object Dialect {
     -1
   }
 
+  /** Any unquoted occurrence of a keyword at ANY paren depth (used to
+    * detect window expressions nested inside a predicate).
+    */
+  private def containsUnquoted(sql: String, kw: String): Boolean = {
+    val mask = quoteMask(sql)
+    val upper = sql.toUpperCase
+    var i = 0
+    while (i < sql.length) {
+      if (!mask(i) && upper.startsWith(kw, i) &&
+          (i == 0 || !isWordChar(sql.charAt(i - 1))) &&
+          (i + kw.length >= sql.length || !isWordChar(sql.charAt(i + kw.length))))
+        return true
+      i += 1
+    }
+    false
+  }
+
   /** Find the last top-level (paren-depth-0, unquoted) occurrence of a
     * keyword; -1 if absent.
     */
@@ -126,7 +143,32 @@ object Dialect {
       case Some(t) => (rest.substring(0, t), rest.substring(t))
       case None => (rest, "")
     }
-    s"SELECT * FROM ($prefix) __qualify WHERE ${cond.trim} ${tail.trim}".trim
+    // DuckDB's most common form is an INLINE window predicate
+    // (`QUALIFY row_number() OVER (…) = 1`). Spark rejects window
+    // functions in WHERE, so the predicate is synthesized as an aliased
+    // boolean column and filtered by alias. DuckDB evaluates QUALIFY
+    // BEFORE the projection (base columns are in scope), so the column
+    // is injected at FROM level — below the select list — whenever the
+    // query has no GROUP BY; a named WINDOW clause stays in scope
+    // because it travels with the FROM segment. With GROUP BY the
+    // injection point must sit above the aggregate instead (windows
+    // there can only see projected columns — same as the alias path).
+    // Alias-only predicates keep the plain WHERE rewrite (their window
+    // already ran inside `prefix`).
+    if (containsUnquoted(cond, "OVER")) {
+      val fromAt = firstTopLevel(prefix, "FROM")
+      if (fromAt >= 0 && firstTopLevel(prefix, "GROUP") < 0) {
+        val selectList = prefix.substring(0, fromAt).trim
+        val fromSeg = prefix.substring(fromAt)
+        s"""$selectList FROM (
+           |  SELECT *, (${cond.trim}) AS __qp $fromSeg
+           |) __qualify WHERE __qp ${tail.trim}""".stripMargin.trim
+      } else
+        s"""SELECT * EXCEPT (__qp) FROM (
+           |  SELECT *, (${cond.trim}) AS __qp FROM ($prefix) __qualify_in
+           |) __qualify WHERE __qp ${tail.trim}""".stripMargin.trim
+    } else
+      s"SELECT * FROM ($prefix) __qualify WHERE ${cond.trim} ${tail.trim}".trim
   }
 
   /** `* EXCLUDE (…)` → `* EXCEPT (…)` — only when the keyword follows a
@@ -208,7 +250,12 @@ object Dialect {
     val m = """(?i)^\s*SUMMARIZE\s+([A-Za-z_][A-Za-z0-9_.]*)\s*;?\s*$""".r
     sql match {
       case m(table) =>
-        val name = "graft_summarize_" + Integer.toHexString(table.hashCode).toLowerCase
+        // full md5 of the table name — same recipe as rewriteSources'
+        // viewFor: 32-bit hashCode collisions ("Aa"/"BB") would race two
+        // concurrent SUMMARIZEs onto one view name
+        val name = "graft_summarize_" + java.security.MessageDigest.getInstance("MD5")
+          .digest(table.getBytes("UTF-8"))
+          .map(b => f"${b & 0xff}%02x").mkString
         spark.table(table).summary().createOrReplaceTempView(name)
         s"SELECT * FROM $name"
       case _ => sql

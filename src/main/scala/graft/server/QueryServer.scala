@@ -60,15 +60,29 @@ final class QueryServer(
     p == dir || p.startsWith(dir + "/")
   }
 
+  // canonicalize the configured roots once: an allowed dir that is
+  // itself a symlink must match the resolved paths of its contents
+  private val allowedRoots: Seq[String] = allowedDirs.map { d =>
+    val abs = java.nio.file.Paths.get(d).toAbsolutePath.normalize()
+    (try abs.toRealPath() catch { case NonFatal(_) => abs }).toString
+  }
+
   private def pathAllowed(p: String): Boolean = {
     if (allowedDirs.isEmpty) return true
     // normalize BEFORE the containment test: '..' segments would
     // otherwise escape the prefix ('/allowed/../etc' starts with
-    // '/allowed/') — and the dialect shim reads schemas pre-plan
+    // '/allowed/') — and the dialect shim reads schemas pre-plan.
+    // Resolve symlinks too (toRealPath): a link inside an allowed dir
+    // pointing outside it must fail the containment test the same way a
+    // canonicalized check would. Non-existent paths (globs, yet-to-exist
+    // sinks) fall back to the lexical normalization; unparseable paths
+    // fail closed.
     val norm =
-      try java.nio.file.Paths.get(p).toAbsolutePath.normalize().toString
-      catch { case NonFatal(_) => return false } // unparseable → fail closed
-    allowedDirs.exists(d => under(norm, d))
+      try {
+        val abs = java.nio.file.Paths.get(p).toAbsolutePath.normalize()
+        (try abs.toRealPath() catch { case _: java.io.IOException => abs }).toString
+      } catch { case NonFatal(_) => return false } // unparseable → fail closed
+    allowedRoots.exists(d => under(norm, d))
   }
 
   private val pool = new Semaphore(poolSize, true)

@@ -51,6 +51,25 @@ class DialectSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.body().contains("\"rn\":1") && !r.body().contains("\"rn\":2"))
   }
 
+  test("QUALIFY with an INLINE window predicate (no alias) runs") {
+    // the most common DuckDB form: the window expression sits directly
+    // in the QUALIFY clause — Spark forbids windows in WHERE, so the
+    // rewrite synthesizes an aliased boolean column and filters on it
+    val r = post("""SELECT n_regionkey, n_name FROM nation
+      QUALIFY row_number() OVER (PARTITION BY n_regionkey ORDER BY n_name) = 1
+      ORDER BY n_regionkey LIMIT 2""")
+    assert(r.statusCode() == 200)
+    val body = r.body()
+    assert(body.contains("\"n_regionkey\":0") && body.contains("\"n_regionkey\":1"))
+    // helper column must not leak into the response
+    assert(!body.contains("__qp"))
+    // parenthesized window comparison also detected (OVER is nested)
+    val r2 = post("""SELECT n_name FROM nation
+      QUALIFY (rank() OVER (ORDER BY n_nationkey)) <= 3""")
+    assert(r2.statusCode() == 200)
+    assert(r2.body().split("n_name").length - 1 == 3)
+  }
+
   test("read_parquet('path') maps to the native parquet table syntax") {
     val r = post(s"SELECT count(*) AS n FROM read_parquet('$sf/region.parquet')")
     assert(r.statusCode() == 200 && r.body() == "[{\"n\":5}]")

@@ -44,6 +44,11 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r.getSeq[Int](1) == Seq(2, 4))
     assert(r.getSeq[Int](2) == Seq(1, 2, 3))
     assert(r.getSeq[Int](3) == Seq(1, 2))
+    // DuckDB semantics: list_distinct DROPS NULL elements (Spark's
+    // array_distinct would keep one — the alias composes a null filter)
+    val ld = spark.sql(
+      "SELECT list_distinct(array(1, NULL, 1, 2, NULL)) AS ld").collect().head
+    assert(ld.getSeq[Int](0) == Seq(1, 2))
     assert(r.getBoolean(4))
     assert(r.getString(5) == "b")
     assert(r.getDouble(6) == 2.0)

@@ -74,4 +74,26 @@ class SandboxSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(r.body().contains("outside allowed directories"))
     } finally srv2.stop()
   }
+
+  test("symlinks inside an allowed dir pointing outside it are rejected") {
+    // lexical normalization alone would pass this path; containment
+    // must run on the RESOLVED (toRealPath) location
+    val dir = new java.io.File("/tmp/graft_sandbox/linked")
+    dir.mkdirs()
+    val link = new java.io.File(dir, "sneaky.csv").toPath
+    java.nio.file.Files.deleteIfExists(link)
+    java.nio.file.Files.createSymbolicLink(link, java.nio.file.Paths.get("/etc/hosts"))
+    val srv2 = new QueryServer(spark, 0, allowedDirs = Seq(dir.getAbsolutePath))
+    srv2.start()
+    try {
+      val r = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://localhost:${srv2.boundPort}/"))
+          .header("Accept", "application/json").header("Content-Type", "text/plain")
+          .POST(HttpRequest.BodyPublishers.ofString(
+            s"SELECT * FROM csv.`$link`")).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(r.statusCode() == 400)
+      assert(r.body().contains("outside allowed directories"))
+    } finally srv2.stop()
+  }
 }

@@ -1,38 +1,74 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Batched media decode / feature extraction over binary payload
   * columns (north-star multimodal plumbing).
   *
-  * ==== STUB DECODER ====
-  * This container ships no image/audio/video codecs, so
-  * `decodeFrames` is a deterministic FAKE: it chunks the payload into
-  * fixed 32-byte "frames" and emits per-frame mean-byte "features".
-  * A real deployment replaces ONLY the body of `decodeFrames` with
-  * e.g. a JNI JPEG decoder or ffmpeg frame sampler — the surrounding
-  * Spark plumbing (schema, encoders, per-partition batching,
-  * distribution) is production-shaped and tested by MultimodalSpec.
+  * The decoder is REAL: payloads are PNG images decoded in-JVM via
+  * `javax.imageio` (ships with the JDK — PNG/BMP/JPEG need no external
+  * codecs). Audio/video remain out of scope in this container (no
+  * codec libraries), but they would slot into the same partition-
+  * batched shape: binary column in, fixed feature schema out.
+  *
+  * Fixture note: test payloads are synthesized per-row from `doc_id`
+  * by [[synthPng]], a deterministic pixel formula. Because PNG is
+  * lossless, decoding returns those exact pixels — which makes the
+  * decoded width/height/channel-mean features SQL-expressible and
+  * therefore ORACLE-CHECKABLE cross-engine (the DuckDB oracle reduces
+  * the same formula with generate_series, no image library needed).
   */
 object MediaDecode {
 
-  final case class MediaFeatures(
+  final case class ImageFeatures(
       doc_id: Long,
-      n_frames: Int,
-      feature_dim: Int,
-      mean_intensity: Double,
-      first_frame_hash: Long)
+      width: Int,
+      height: Int,
+      channels: Int,
+      mean_r: Double,
+      mean_g: Double,
+      mean_b: Double)
 
-  private val FrameBytes = 32
+  /** Deterministic RGB test image for a doc id:
+    * w = 8 + id%9, h = 8 + id%7, and channel values
+    * r=(7·id+x+y)%256, g=(11·id+2x+3y)%256, b=(13·id+x+2y)%256 —
+    * chosen so per-channel means are exactly reproducible in SQL.
+    */
+  def synthPng(docId: Long): Array[Byte] = {
+    val w = (8 + docId % 9).toInt
+    val h = (8 + docId % 7).toInt
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = ((docId * 7 + x + y) % 256).toInt
+        val g = ((docId * 11 + 2 * x + 3 * y) % 256).toInt
+        val b = ((docId * 13 + x + 2 * y) % 256).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
 
-  /** STUB: fake frame decode — replace with a real codec in production. */
-  private def decodeFrames(payload: Array[Byte]): Seq[Array[Byte]] =
-    payload.grouped(FrameBytes).toSeq
+  val synthPngUdf = udf(synthPng _)
 
-  /** Partition-batched extraction: one pass per partition, constant
-    * memory per task, output schema fixed up front (the
-    * `mapInPandas`-equivalent batch shape in Scala).
+  /** Real in-JVM decode of one PNG/BMP/JPEG payload. */
+  def decodeImage(payload: Array[Byte]): BufferedImage =
+    ImageIO.read(new ByteArrayInputStream(payload))
+
+  /** Partition-batched decode + feature extraction: one pass per
+    * partition, constant memory per task, fixed output schema (the
+    * `mapInPandas`-equivalent batch shape in Scala). Input columns:
+    * (doc_id, payload: binary).
     */
   def extractFeatures(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
@@ -41,19 +77,76 @@ object MediaDecode {
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.map { case (docId, payload) =>
-          val frames = decodeFrames(payload)
-          val means = frames.map(f => f.map(b => (b & 0xff).toDouble).sum / f.length)
-          val firstHash = frames.headOption
-            .map(f => java.util.Arrays.hashCode(f).toLong).getOrElse(0L)
-          MediaFeatures(
-            doc_id = docId,
-            n_frames = frames.size,
-            feature_dim = FrameBytes,
-            mean_intensity = math.round(means.sum / math.max(means.size, 1) * 1e6) / 1e6,
-            first_frame_hash = firstHash)
+          val img = decodeImage(payload)
+          val (w, h) = (img.getWidth, img.getHeight)
+          var (sr, sg, sb) = (0L, 0L, 0L)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              sr += (rgb >> 16) & 0xff
+              sg += (rgb >> 8) & 0xff
+              sb += rgb & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          val n = (w * h).toDouble
+          def r6(v: Double): Double = math.round(v * 1e6) / 1e6
+          ImageFeatures(docId, w, h, img.getRaster.getNumBands,
+            r6(sr / n), r6(sg / n), r6(sb / n))
         }
       }
       .toDF()
+      .orderBy(col("doc_id").asc_nulls_last)
+  }
+
+  /** Real resize: area-averaged thumbnail (tw×th) with floor-block
+    * boxes — thumb pixel (i,j) averages source x∈[⌊i·w/tw⌋,⌊(i+1)·w/tw⌋).
+    * Deterministic integer boxes (no interpolation engine variance);
+    * emits the thumb's per-channel grand mean + a payload-shape column.
+    */
+  def resizeThumbs(media: DataFrame, tw: Int = 4, th: Int = 4): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (docId, payload) =>
+          val img = decodeImage(payload)
+          val (w, h) = (img.getWidth, img.getHeight)
+          val thumb = Array.ofDim[Double](th, tw)
+          var j = 0
+          while (j < th) {
+            var i = 0
+            while (i < tw) {
+              val (x0, x1) = (i * w / tw, (i + 1) * w / tw)
+              val (y0, y1) = (j * h / th, (j + 1) * h / th)
+              var s = 0L; var n = 0
+              var y = y0
+              while (y < y1) {
+                var x = x0
+                while (x < x1) {
+                  val rgb = img.getRGB(x, y)
+                  s += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+                  n += 3
+                  x += 1
+                }
+                y += 1
+              }
+              thumb(j)(i) = s.toDouble / n
+              i += 1
+            }
+            j += 1
+          }
+          val flat = thumb.flatten
+          (docId, tw, th,
+            math.round(flat.sum / flat.length * 1e6) / 1e6,
+            math.round(flat.max * 1e6) / 1e6)
+        }
+      }
+      .toDF("doc_id", "thumb_w", "thumb_h", "thumb_mean", "thumb_max")
       .orderBy(col("doc_id").asc_nulls_last)
   }
 }

@@ -5,17 +5,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal columns (north-star ops): media as opaque `binary`
-  * columns with typed metadata, decoded/feature-extracted in batched
-  * partition passes.
+  * columns with typed metadata, decoded/feature-extracted/resized in
+  * batched partition passes.
   *
-  * The container has no image/audio codecs, so `decode` is a
-  * clearly-marked deterministic STUB (graft.operators.MediaDecode) —
-  * but the Spark-side plumbing is real: binary payload column, typed
-  * metadata struct, per-partition batched extraction with a fixed
-  * feature schema, partition-count-independent results. Swapping the
-  * stub for a real codec changes no plumbing. (PySpark equivalent:
-  * `mapInPandas` with an arrow-batched UDF; in Scala the same batch
-  * shape is `Dataset.mapPartitions`.)
+  * The image decoder is REAL (in-JVM `javax.imageio` PNG decode —
+  * graft.operators.MediaDecode); payloads are deterministic synthetic
+  * PNGs keyed by doc_id, which makes the decoded features
+  * SQL-expressible and oracle-checked cross-engine. Audio/video stay
+  * out of scope in this container (no codec libs) but share the same
+  * plumbing: binary payload column, typed metadata struct,
+  * per-partition batched extraction with a fixed feature schema.
+  * (PySpark equivalent: `mapInPandas` with an arrow-batched UDF; in
+  * Scala the same batch shape is `Dataset.mapPartitions`.)
   */
 object MultimodalQueries extends QueryModule {
 
@@ -44,10 +45,39 @@ object MultimodalQueries extends QueryModule {
         ORDER BY source ASC NULLS LAST""")),
 
     Q("m_decode_features",
-      "Decode + feature-extract over binary payloads via batched partition passes (STUB decoder, real plumbing). Oracle-exempt: decoder is a Spark-side stub.",
+      "REAL image decode (javax.imageio PNG) + per-channel feature extraction via batched partition passes; payloads are deterministic synthetic PNGs so the decoded features hash-match a pixel-formula oracle.",
       (s, dir) => graft.operators.MediaDecode.extractFeatures(
         T(s, dir, "documents")
+          // single-split source: spread the CPU-heavy encode/decode
+          // across all cores before the per-row image work
+          .repartition(s.sparkContext.defaultParallelism)
           .select(col("doc_id"),
-            col("text").cast("binary").as("payload"))),
+            graft.operators.MediaDecode.synthPngUdf(col("doc_id")).as("payload"))),
+      // the oracle decodes nothing: it reduces the same pixel formula
+      // the synthesizer used (PNG is lossless, so decode ≡ formula)
+      Some("""WITH g AS (
+          SELECT doc_id,
+                 CAST(8 + doc_id % 9 AS INTEGER) AS w,
+                 CAST(8 + doc_id % 7 AS INTEGER) AS h
+          FROM documents),
+        px AS (
+          SELECT g.doc_id, g.w, g.h, xs.x, ys.y
+          FROM g,
+          LATERAL (SELECT unnest(generate_series(0, g.w - 1)) AS x) xs,
+          LATERAL (SELECT unnest(generate_series(0, g.h - 1)) AS y) ys)
+        SELECT doc_id, max(w) AS width, max(h) AS height, 3 AS channels,
+          round(CAST(sum((doc_id * 7 + x + y) % 256) AS DOUBLE) / (max(w) * max(h)), 6) AS mean_r,
+          round(CAST(sum((doc_id * 11 + 2 * x + 3 * y) % 256) AS DOUBLE) / (max(w) * max(h)), 6) AS mean_g,
+          round(CAST(sum((doc_id * 13 + x + 2 * y) % 256) AS DOUBLE) / (max(w) * max(h)), 6) AS mean_b
+        FROM px GROUP BY doc_id
+        ORDER BY doc_id ASC NULLS LAST""")),
+
+    Q("m_resize_thumb",
+      "REAL image resize: 4×4 area-averaged thumbnail (floor-block boxes, no interpolation variance) over decoded PNGs; emits thumb shape + grand-mean/max. Rows-only: block boundaries are engine-specific enough that only our engine computes them.",
+      (s, dir) => graft.operators.MediaDecode.resizeThumbs(
+        T(s, dir, "documents")
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(col("doc_id"),
+            graft.operators.MediaDecode.synthPngUdf(col("doc_id")).as("payload"))),
       None))
 }

@@ -113,16 +113,36 @@ class OperatorSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"IVF recall $recall below 0.5 (${(ivf & exact).size}/${exact.size})")
   }
 
-  test("media decode stub: frame counts follow payload sizes") {
+  test("media decode is REAL: javax.imageio round-trips the synthetic PNGs") {
     val feats = SparkEntry.queries("m_decode_features")(spark, sf).collect()
-    val docs = T(spark, sf, "documents")
-      .select(col("doc_id"), length(col("text")).as("len")).collect()
-      .map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(feats.nonEmpty)
     feats.foreach { r =>
-      val expected = math.ceil(docs(r.getAs[Long]("doc_id")) / 32.0).toInt
-      assert(r.getAs[Int]("n_frames") == expected)
-      assert(r.getAs[Int]("feature_dim") == 32)
+      val id = r.getAs[Long]("doc_id")
+      // decoded (not inferred) dimensions must equal the synth formula
+      assert(r.getAs[Int]("width") == (8 + id % 9).toInt)
+      assert(r.getAs[Int]("height") == (8 + id % 7).toInt)
+      assert(r.getAs[Int]("channels") == 3)
+      // per-channel means come from actual decoded pixels: recompute
+      // the red mean from the pixel formula and compare exactly
+      val (w, h) = ((8 + id % 9).toInt, (8 + id % 7).toInt)
+      val sumR = (for (y <- 0 until h; x <- 0 until w)
+        yield (id * 7 + x + y) % 256).sum
+      val expMeanR = math.round(sumR.toDouble / (w * h) * 1e6) / 1e6
+      assert(r.getAs[Double]("mean_r") == expMeanR)
+    }
+    // the decoder really parses bytes: corrupt payload must not decode
+    intercept[Exception] {
+      graft.operators.MediaDecode.decodeImage(Array[Byte](1, 2, 3)).getWidth
+    }
+  }
+
+  test("media resize: 4x4 area thumbnail means stay within channel range") {
+    val thumbs = SparkEntry.queries("m_resize_thumb")(spark, sf).collect()
+    assert(thumbs.nonEmpty)
+    thumbs.foreach { r =>
+      assert(r.getAs[Int]("thumb_w") == 4 && r.getAs[Int]("thumb_h") == 4)
+      val (mean, max) = (r.getAs[Double]("thumb_mean"), r.getAs[Double]("thumb_max"))
+      assert(mean >= 0 && mean <= 255 && max >= mean && max <= 255)
     }
   }
 }

@@ -17,7 +17,8 @@ object SparkEntry {
     CoreQueries, JoinQueries, SortSetQueries, AggQueries, WindowQueries,
     ScalarQueries, TableFnQueries, AdvancedQueries,
     TextQueries, DedupQueries, SimilarityQueries, MultimodalQueries,
-    FileFormatQueries, ExtraQueries, ScaleQueries, Round2Queries)
+    FileFormatQueries, ExtraQueries, ScaleQueries, Round2Queries,
+    Round3Queries)
 
   private lazy val allQueries: Seq[Q] = {
     val qs = modules.flatMap(_.queries)

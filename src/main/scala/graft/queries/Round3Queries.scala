@@ -1,0 +1,116 @@
+package graft.queries
+
+import graft.{Q, QueryModule, T}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-3 additions: oracle-checkable portable twin of the IVF ANN
+  * path (the round-2 verdict's one un-oracled north-star op).
+  */
+object Round3Queries extends QueryModule {
+
+  override val queries: Seq[Q] = Seq(
+
+    Q("n_ann_ivf_portable",
+      "Portable IVF ANN: embeddings quantized to integers (round(v*1000)) make per-label centroid sums EXACT BIGINTs in both engines, so coarse-cell scores dot/√Σc² are bit-identical doubles — argmax cell assignment and nprobe=4 probing cannot drift cross-engine. Exact-cosine rerank of probed candidates, top-5 per query. Same scale shape as n_ann_ivf: integer centroids collect to the driver (k×64 longs) and assignment is map-only.",
+      (s, dir) => {
+        val emb = T(s, dir, "embeddings")
+          .select(col("vec_id"), col("label"), col("embedding"))
+          .withColumn("qe",
+            expr("transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * 1000) AS BIGINT))"))
+        // integer centroid sums per (label, dim): exact and order-
+        // independent, unlike float avg (the reason n_ann_ivf had no
+        // oracle). k cells × 64 dims of longs — the model-to-driver step.
+        val cellDim = emb
+          .select(col("label"), posexplode(col("qe")).as(Seq("dim", "q")))
+          .groupBy(col("label"), col("dim")).agg(sum(col("q")).as("csum"))
+        val cells: Seq[(Int, Long, Seq[Long])] = cellDim.groupBy(col("label"))
+          .agg(
+            expr("transform(array_sort(collect_list(struct(dim, csum))), x -> x.csum)").as("cs"),
+            sum(col("csum") * col("csum")).as("ss"))
+          .collect().toSeq
+          .map(r => (r.getInt(0), r.getLong(2), r.getSeq[Long](1)))
+          .sortBy(_._1)
+        val cLit = typedLit(cells)
+        // score of a row against cell x: dot_int / √ss — every operand
+        // an exact integer, so the double division and sqrt are IEEE-
+        // deterministic in any engine
+        val cellScores =
+          """transform(C, x -> named_struct(
+               's', CAST(aggregate(zip_with(x._3, qe, (p, q) -> p * q), 0L, (a, b) -> a + b) AS DOUBLE)
+                    / sqrt(CAST(x._2 AS DOUBLE)),
+               'c', x._1))"""
+        val withC = emb.withColumn("C", cLit)
+        // map-only argmax assignment; ties prefer the smaller cell id
+        // (max over (s, -c) structs = lexicographic argmax)
+        val assigned = withC
+          .withColumn("nc",
+            expr(s"array_max(transform($cellScores, y -> named_struct('s', y.s, 'nc', -y.c))).nc"))
+          .select(col("vec_id"), (-col("nc")).as("cell"), col("embedding"))
+        // probes scan their nprobe=4 best cells only (sorted per row)
+        val byScoreDesc =
+          "(l, r) -> CASE WHEN l.s > r.s THEN -1 WHEN l.s < r.s THEN 1 WHEN l.c < r.c THEN -1 ELSE 1 END"
+        val probes = withC.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+            explode(expr(
+              s"transform(slice(array_sort($cellScores, $byScoreDesc), 1, 4), x -> x.c)"))
+              .as("cell"))
+        // exact rerank inside the probed cells
+        val wTop = Window.partitionBy(col("qid"))
+          .orderBy(col("sim").desc_nulls_last, col("vec_id").asc_nulls_last)
+        probes.join(assigned, Seq("cell"))
+          .filter(col("vec_id") =!= col("qid"))
+          .withColumn("sim", round(SimilarityQueries.cosine("qv", "embedding"), 6))
+          .withColumn("rk", row_number().over(wTop))
+          .filter(col("rk") <= 5)
+          .select(col("qid"), col("rk"), col("vec_id"), col("sim"))
+          .orderBy(col("qid").asc_nulls_last, col("rk").asc_nulls_last)
+      },
+      Some("""WITH e AS (
+          SELECT vec_id, label, embedding,
+                 list_transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * 1000) AS BIGINT)) AS qe
+          FROM embeddings),
+        ex AS (
+          SELECT vec_id, label, unnest(qe) AS q,
+                 unnest(generate_series(1, len(qe))) AS dim
+          FROM e),
+        cell_dim AS (
+          SELECT label AS cell, dim, sum(q) AS csum FROM ex GROUP BY label, dim),
+        cellagg AS (
+          SELECT cell, sum(csum * csum) AS ss FROM cell_dim GROUP BY cell),
+        scores AS (
+          SELECT x.vec_id AS vid, cd.cell AS cell,
+                 CAST(sum(x.q * cd.csum) AS DOUBLE) / sqrt(CAST(any_value(ca.ss) AS DOUBLE)) AS s
+          FROM ex x
+          JOIN cell_dim cd ON x.dim = cd.dim
+          JOIN cellagg ca ON ca.cell = cd.cell
+          GROUP BY x.vec_id, cd.cell),
+        assign AS (
+          SELECT vid, cell FROM (
+            SELECT vid, cell, row_number() OVER (PARTITION BY vid ORDER BY s DESC, cell ASC) AS rn
+            FROM scores) t WHERE rn = 1),
+        probe AS (
+          SELECT vid AS qid, cell FROM (
+            SELECT vid, cell, row_number() OVER (PARTITION BY vid ORDER BY s DESC, cell ASC) AS rn
+            FROM scores WHERE vid < 5) t WHERE rn <= 4),
+        cand AS (
+          SELECT p.qid, a.vid AS vec_id
+          FROM probe p JOIN assign a ON a.cell = p.cell
+          WHERE a.vid <> p.qid),
+        rerank AS (
+          SELECT c.qid, c.vec_id,
+            round(
+              list_sum(list_transform(list_zip(q.embedding, v.embedding),
+                p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+              / (sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+               * sqrt(list_sum(list_transform(v.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS sim
+          FROM cand c
+          JOIN e q ON q.vec_id = c.qid
+          JOIN e v ON v.vec_id = c.vec_id)
+        SELECT qid, rk, vec_id, sim FROM (
+          SELECT qid, vec_id, sim,
+            row_number() OVER (PARTITION BY qid ORDER BY sim DESC NULLS LAST, vec_id ASC NULLS LAST) AS rk
+          FROM rerank) t
+        WHERE rk <= 5
+        ORDER BY qid ASC NULLS LAST, rk ASC NULLS LAST""")))
+}

@@ -262,6 +262,167 @@ object Dialect {
     }
   }
 
+  /** DuckDB bracket syntax → Spark functions, quote-aware:
+    *
+    *   - postfix `expr[i]`    → `try_element_at(expr, i)` (1-based,
+    *     NULL out-of-range — DuckDB's semantics; Spark's native `[ ]`
+    *     is 0-based on arrays, so the dialect shim must translate)
+    *   - postfix `expr[0]`    → typed NULL (DuckDB returns NULL at 0)
+    *   - `expr[a:b]`          → `slice(expr, a, b-a+1)` (1-based,
+    *     end-inclusive); `[:b]`, `[a:]`, `[:]` handled
+    *   - non-postfix `[x, y]` and `ARRAY[x, y]` → `array(x, y)`
+    *   - `CAST(x AS T[])` type suffixes are left untouched
+    *
+    * Known divergence (documented, fails loudly or rarely): DuckDB
+    * `map[k]` yields a one-element LIST; the rewrite yields the value.
+    */
+  private def rewriteBrackets(sql: String): String = {
+    var s = sql
+    var from = 0
+    var guard = 0
+    while (guard < 10000) {
+      guard += 1
+      val mask = quoteMask(s)
+      var i = from
+      while (i < s.length && (mask(i) || s.charAt(i) != '[')) i += 1
+      if (i >= s.length) return s
+      // matching ']' (nested brackets allowed)
+      var depth = 0; var j = i; var close = -1
+      while (j < s.length && close < 0) {
+        if (!mask(j)) {
+          if (s.charAt(j) == '[') depth += 1
+          else if (s.charAt(j) == ']') { depth -= 1; if (depth == 0) close = j }
+        }
+        j += 1
+      }
+      if (close < 0) return s // unbalanced — leave untouched
+      val content = s.substring(i + 1, close)
+      var p = i - 1
+      while (p >= 0 && s.charAt(p).isWhitespace) p -= 1
+      val postfix = p >= 0 &&
+        (isWordChar(s.charAt(p)) || s.charAt(p) == ')' || s.charAt(p) == ']' || s.charAt(p) == '`')
+      if (!postfix) {
+        s = s.substring(0, i) + "array(" + content + ")" + s.substring(close + 1)
+        from = i // literal content may itself contain brackets
+      } else if (content.trim.isEmpty) {
+        from = close + 1 // `INTEGER[]` type suffix, not a subscript
+      } else {
+        val start = operandStart(s, p)
+        val operand = s.substring(start, p + 1)
+        if (operand.equalsIgnoreCase("ARRAY")) {
+          // DuckDB's explicit list-literal keyword form
+          s = s.substring(0, start) + "array(" + content + ")" + s.substring(close + 1)
+          from = start
+        } else if (topLevelComma(content)) {
+          from = close + 1 // not a DuckDB subscript shape — leave as-is
+        } else {
+          val colon = topLevelColon(content)
+          val repl =
+            if (colon < 0) {
+              val c = content.trim
+              if (c == "0") s"try_element_at(slice($operand, 1, 0), 1)" // typed NULL
+              else s"try_element_at($operand, $c)"
+            } else {
+              val a = content.substring(0, colon).trim
+              val b = content.substring(colon + 1).trim
+              (a.isEmpty, b.isEmpty) match {
+                case (true, true)   => s"($operand)"
+                case (true, false)  => s"slice($operand, 1, $b)"
+                case (false, true)  =>
+                  // open-ended tail: length from size() (a huge literal
+                  // length overflows Spark's slice bounds arithmetic)
+                  s"slice($operand, $a, greatest(size($operand) - ($a) + 1, 0))"
+                case (false, false) => s"slice($operand, $a, ($b) - ($a) + 1)"
+              }
+            }
+          s = s.substring(0, start) + repl + s.substring(close + 1)
+          from = start
+        }
+      }
+    }
+    s
+  }
+
+  /** Start index of the postfix-primary ending at `pEnd`: a dotted
+    * identifier chain whose segments are names, `quoted` names, or
+    * balanced ()/[] groups (function calls, prior subscripts).
+    */
+  private def operandStart(s: String, pEnd: Int): Int = {
+    val mask = quoteMask(s)
+    var p = pEnd
+    var done = false
+    while (!done && p >= 0) {
+      s.charAt(p) match {
+        case c @ (')' | ']') =>
+          val open = if (c == ')') '(' else '['
+          var depth = 0
+          var matched = false
+          while (p >= 0 && !matched) {
+            val ch = s.charAt(p)
+            if (!mask(p)) {
+              if (ch == c) depth += 1
+              else if (ch == open) { depth -= 1; if (depth == 0) matched = true }
+            }
+            p -= 1
+          }
+          if (!matched) return pEnd // unbalanced — degenerate, single char
+        case '`' =>
+          p -= 1
+          while (p >= 0 && s.charAt(p) != '`') p -= 1
+          p -= 1
+        case c if isWordChar(c) =>
+          while (p >= 0 && isWordChar(s.charAt(p))) p -= 1
+        case _ => done = true
+      }
+      // continue through '.' chains and name-before-parens
+      if (!done) {
+        if (p >= 0 && s.charAt(p) == '.') p -= 1
+        else if (p >= 0 && isWordChar(s.charAt(p))) () // fn name precedes group
+        else done = true
+      }
+    }
+    p + 1
+  }
+
+  /** Index of a depth-0 ':' in bracket content; -1 if none. Tracks
+    * (), [] and {} (struct literals use `{'k': v}` colons).
+    */
+  private def topLevelColon(content: String): Int = {
+    val mask = quoteMask(content)
+    var depth = 0
+    var i = 0
+    while (i < content.length) {
+      if (!mask(i)) {
+        content.charAt(i) match {
+          case '(' | '[' | '{' => depth += 1
+          case ')' | ']' | '}' => depth -= 1
+          case ':' if depth == 0 => return i
+          case _ =>
+        }
+      }
+      i += 1
+    }
+    -1
+  }
+
+  private def topLevelComma(content: String): Boolean = {
+    val mask = quoteMask(content)
+    var depth = 0
+    var i = 0
+    while (i < content.length) {
+      if (!mask(i)) {
+        content.charAt(i) match {
+          case '(' | '[' | '{' => depth += 1
+          case ')' | ']' | '}' => depth -= 1
+          case ',' if depth == 0 => return true
+          case _ =>
+        }
+      }
+      i += 1
+    }
+    false
+  }
+
   private val ReadFn =
     """(?i)\b(read_parquet|read_csv_auto|read_csv|read_json_auto|read_json)\s*\(\s*'([^']+)'\s*\)""".r
   private val BarePath =
@@ -315,6 +476,6 @@ object Dialect {
 
   def rewrite(spark: SparkSession, sql: String,
       pathOk: String => Boolean = _ => true): String =
-    rewriteDistinctOn(rewriteQualify(rewriteExclude(
-      rewriteSources(spark, rewriteSummarize(spark, sql), pathOk))))
+    rewriteDistinctOn(rewriteQualify(rewriteExclude(rewriteBrackets(
+      rewriteSources(spark, rewriteSummarize(spark, sql), pathOk)))))
 }

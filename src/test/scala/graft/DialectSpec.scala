@@ -70,6 +70,32 @@ class DialectSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r2.body().split("n_name").length - 1 == 3)
   }
 
+  test("DuckDB bracket indexing is 1-based with NULL out-of-range") {
+    val r = post("SELECT a[1] AS first, a[4] AS missing, a[0] AS zero, a[-1] AS last" +
+      " FROM VALUES (array(10, 20, 30)) t(a)")
+    assert(r.statusCode() == 200)
+    assert(r.body() == "[{\"first\":10,\"missing\":null,\"zero\":null,\"last\":30}]")
+  }
+
+  test("DuckDB bracket slices are 1-based and end-inclusive") {
+    val r = post("SELECT a[2:3] AS mid, a[:2] AS head, a[3:] AS tail, a[:] AS whole" +
+      " FROM VALUES (array(1, 2, 3, 4)) t(a)")
+    assert(r.statusCode() == 200)
+    assert(r.body() == "[{\"mid\":[2,3],\"head\":[1,2],\"tail\":[3,4],\"whole\":[1,2,3,4]}]")
+  }
+
+  test("DuckDB list literals [..] and ARRAY[..] become array()") {
+    val r = post("SELECT [1, 2, 3][2] AS x, ARRAY['a', 'b'][1] AS y")
+    assert(r.statusCode() == 200)
+    assert(r.body() == "[{\"x\":2,\"y\":\"a\"}]")
+  }
+
+  test("brackets chain through subscripts and function results") {
+    val r = post("SELECT [[1, 2], [3, 4]][2][1] AS v, sequence(5, 9)[3] AS s")
+    assert(r.statusCode() == 200)
+    assert(r.body() == "[{\"v\":3,\"s\":7}]")
+  }
+
   test("read_parquet('path') maps to the native parquet table syntax") {
     val r = post(s"SELECT count(*) AS n FROM read_parquet('$sf/region.parquet')")
     assert(r.statusCode() == 200 && r.body() == "[{\"n\":5}]")

@@ -73,11 +73,33 @@ object MultimodalQueries extends QueryModule {
         ORDER BY doc_id ASC NULLS LAST""")),
 
     Q("m_resize_thumb",
-      "REAL image resize: 4×4 area-averaged thumbnail (floor-block boxes, no interpolation variance) over decoded PNGs; emits thumb shape + grand-mean/max. Rows-only: block boundaries are engine-specific enough that only our engine computes them.",
+      "REAL image resize: 4×4 area-averaged thumbnail (floor-block boxes, no interpolation variance) over decoded PNGs; thumb grand-mean/max oracle-checked — the floor-block partition x∈[⌊i·w/4⌋,⌊(i+1)·w/4⌋) is exactly i=(4x+3)//w, so block means are exact-integer ratios in both engines.",
       (s, dir) => graft.operators.MediaDecode.resizeThumbs(
         T(s, dir, "documents")
           .repartition(s.sparkContext.defaultParallelism)
           .select(col("doc_id"),
             graft.operators.MediaDecode.synthPngUdf(col("doc_id")).as("payload"))),
-      None))
+      Some("""WITH g AS (
+          SELECT doc_id,
+                 CAST(8 + doc_id % 9 AS INTEGER) AS w,
+                 CAST(8 + doc_id % 7 AS INTEGER) AS h
+          FROM documents),
+        px AS (
+          SELECT g.doc_id, g.w, g.h, xs.x, ys.y
+          FROM g,
+          LATERAL (SELECT unnest(generate_series(0, g.w - 1)) AS x) xs,
+          LATERAL (SELECT unnest(generate_series(0, g.h - 1)) AS y) ys),
+        blocks AS (
+          SELECT doc_id, (4 * x + 3) // w AS bi, (4 * y + 3) // h AS bj,
+            sum((doc_id * 7 + x + y) % 256
+              + (doc_id * 11 + 2 * x + 3 * y) % 256
+              + (doc_id * 13 + x + 2 * y) % 256) AS s,
+            count(*) * 3 AS n
+          FROM px GROUP BY doc_id, bi, bj),
+        bm AS (SELECT doc_id, CAST(s AS DOUBLE) / n AS m FROM blocks)
+        SELECT doc_id, 4 AS thumb_w, 4 AS thumb_h,
+          round(sum(m) / 16, 6) AS thumb_mean,
+          round(max(m), 6) AS thumb_max
+        FROM bm GROUP BY doc_id
+        ORDER BY doc_id ASC NULLS LAST""")))
 }

@@ -1,0 +1,61 @@
+package graft.tools
+
+import graft.{GraftSession, SparkEntry, T}
+import org.apache.spark.sql.SparkSession
+
+/** Empirical scaling proof: run the headline queries at two scale
+  * factors in ONE warmed session and report per-query seconds plus the
+  * sf-ratio. Near-linear ratios (≤ ~12× for 10× data) are the
+  * evidence that no operator hides a super-linear term — see SCALE.md.
+  *
+  * Usage: runMain graft.tools.ScaleBench <dirA> <dirB>
+  * (defaults: /root/testdata/sf0.1 target/sf1)
+  */
+object ScaleBench {
+
+  val headline: Vector[String] = Vector(
+    "q1_pricing_summary", "c_join_inner_5way", "c_join_asof", "d_cube",
+    "e_rank_family", "j_sessionization", "a_partitioned_glob_scan",
+    "h_string_fns", "n_dedup_exact_hash", "n_dedup_minhash_lsh",
+    "n_dedup_ngram_jaccard", "n_cosine_topk_bruteforce")
+
+  def main(args: Array[String]): Unit = {
+    val dirA = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val dirB = if (args.length > 1) args(1) else "target/sf1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    GraftSession.tune(spark)
+    spark.range(1000000L).selectExpr("sum(id)").collect()
+
+    def timeDir(dir: String): Map[String, Double] = {
+      T.all.foreach(t => T(spark, dir, t).queryExecution.toRdd.count())
+      val out = headline.map { name =>
+        val fn = SparkEntry.queries(name)
+        def once(): Double = {
+          val t0 = System.nanoTime()
+          fn(spark, dir).queryExecution.toRdd.count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        name -> math.min(once(), once())
+      }.toMap
+      graft.queries.DedupQueries.release(spark)
+      out
+    }
+    // interleave A,B,A,B and keep the per-dir min: both dirs see the
+    // same JIT warmth, so the ratio isolates the data-size term
+    def merge(x: Map[String, Double], y: Map[String, Double]) =
+      x.map { case (k, v) => k -> math.min(v, y(k)) }
+    val a1 = timeDir(dirA); val b1 = timeDir(dirB)
+    val a = merge(a1, timeDir(dirA)); val b = merge(b1, timeDir(dirB))
+    def f(v: Double) = f"$v%.2f"
+    println(f"""{"queries":[${headline.map(q =>
+      s"""{"q":"$q","a":${f(a(q))},"b":${f(b(q))},"ratio":${f(b(q) / a(q))}}""").mkString(",")}],"dirA":"$dirA","dirB":"$dirB"}""")
+    spark.stop()
+  }
+}

@@ -423,6 +423,122 @@ object Dialect {
     false
   }
 
+  /** Split on a separator at depth 0 w.r.t. (), [], {} and quotes. */
+  private def splitTopLevel(content: String, sep: Char): Seq[String] = {
+    val mask = quoteMask(content)
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var depth = 0
+    var last = 0
+    var i = 0
+    while (i < content.length) {
+      if (!mask(i)) {
+        content.charAt(i) match {
+          case '(' | '[' | '{' => depth += 1
+          case ')' | ']' | '}' => depth -= 1
+          case c if c == sep && depth == 0 =>
+            out += content.substring(last, i); last = i + 1
+          case _ =>
+        }
+      }
+      i += 1
+    }
+    out += content.substring(last)
+    out.toSeq
+  }
+
+  /** DuckDB struct/map literals, quote-aware:
+    *   `{'a': 1, 'b': x}`   → `named_struct('a', 1, 'b', x)`
+    *   `MAP {'k': v}`       → `map('k', v)`
+    * Braces whose content is not `key: value` pairs pass through.
+    */
+  private def rewriteBraces(sql: String): String = {
+    var s = sql
+    var from = 0
+    var guard = 0
+    while (guard < 10000) {
+      guard += 1
+      val mask = quoteMask(s)
+      var i = from
+      while (i < s.length && (mask(i) || s.charAt(i) != '{')) i += 1
+      if (i >= s.length) return s
+      var depth = 0; var j = i; var close = -1
+      while (j < s.length && close < 0) {
+        if (!mask(j)) {
+          if (s.charAt(j) == '{') depth += 1
+          else if (s.charAt(j) == '}') { depth -= 1; if (depth == 0) close = j }
+        }
+        j += 1
+      }
+      if (close < 0) return s
+      val content = s.substring(i + 1, close)
+      var p = i - 1
+      while (p >= 0 && s.charAt(p).isWhitespace) p -= 1
+      val mapKw = p >= 2 && s.substring(p - 2, p + 1).equalsIgnoreCase("MAP") &&
+        (p - 3 < 0 || !isWordChar(s.charAt(p - 3)))
+      val pairs = splitTopLevel(content, ',').map { part =>
+        val c = topLevelColon(part)
+        if (c < 0) None
+        else {
+          val rawKey = part.substring(0, c).trim
+          val value = part.substring(c + 1).trim
+          val key =
+            if (rawKey.startsWith("'")) Some(rawKey)
+            else if (rawKey.nonEmpty && rawKey.forall(isWordChar)) Some(s"'$rawKey'")
+            else None
+          key.map(k => s"$k, $value")
+        }
+      }
+      if (content.trim.isEmpty || pairs.exists(_.isEmpty)) {
+        from = close + 1 // not a struct/map literal shape — leave it
+      } else {
+        val args = pairs.flatten.mkString(", ")
+        if (mapKw) {
+          s = s.substring(0, p - 2) + "map(" + args + ")" + s.substring(close + 1)
+          from = p - 2
+        } else {
+          s = s.substring(0, i) + "named_struct(" + args + ")" + s.substring(close + 1)
+          from = i
+        }
+      }
+    }
+    s
+  }
+
+  private val UsingSamplePct =
+    """(?i)\bUSING\s+SAMPLE\s+(\d+(?:\.\d+)?)\s*(?:%|PERCENT\b)""".r
+  private val UsingSampleRows =
+    """(?i)\bUSING\s+SAMPLE\s+(\d+)(?:\s+ROWS\b)?""".r
+
+  /** `USING SAMPLE n%` → `TABLESAMPLE (n PERCENT)`; `USING SAMPLE n
+    * [ROWS]` → `TABLESAMPLE (n ROWS)` (both directly follow a table
+    * reference in DuckDB, the same position Spark's TABLESAMPLE takes).
+    */
+  private def rewriteSample(sql: String): String = {
+    // regexes only fire outside quotes: check match position in mask
+    def applyRe(s: String, re: scala.util.matching.Regex, fmt: List[String] => String): String = {
+      val mask = quoteMask(s)
+      re.replaceAllIn(s, m =>
+        if (mask(m.start)) java.util.regex.Matcher.quoteReplacement(m.matched)
+        else java.util.regex.Matcher.quoteReplacement(fmt(m.subgroups)))
+    }
+    val pct = applyRe(sql, UsingSamplePct, g => s"TABLESAMPLE (${g.head} PERCENT)")
+    applyRe(pct, UsingSampleRows, g => s"TABLESAMPLE (${g.head} ROWS)")
+  }
+
+  /** DuckDB's `//` integer-division operator → Spark's `div`. */
+  private def rewriteIntDiv(sql: String): String = {
+    val mask = quoteMask(sql)
+    val out = new StringBuilder
+    var i = 0
+    while (i < sql.length) {
+      if (!mask(i) && sql.charAt(i) == '/' && i + 1 < sql.length &&
+          !mask(i + 1) && sql.charAt(i + 1) == '/') {
+        out.append(" div "); i += 2
+      } else { out.append(sql.charAt(i)); i += 1 }
+    }
+    out.toString
+  }
+
   private val ReadFn =
     """(?i)\b(read_parquet|read_csv_auto|read_csv|read_json_auto|read_json)\s*\(\s*'([^']+)'\s*\)""".r
   private val BarePath =
@@ -476,6 +592,7 @@ object Dialect {
 
   def rewrite(spark: SparkSession, sql: String,
       pathOk: String => Boolean = _ => true): String =
-    rewriteDistinctOn(rewriteQualify(rewriteExclude(rewriteBrackets(
-      rewriteSources(spark, rewriteSummarize(spark, sql), pathOk)))))
+    rewriteDistinctOn(rewriteQualify(rewriteExclude(rewriteIntDiv(
+      rewriteSample(rewriteBrackets(rewriteBraces(
+        rewriteSources(spark, rewriteSummarize(spark, sql), pathOk))))))))
 }

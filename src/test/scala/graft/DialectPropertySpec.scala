@@ -15,13 +15,17 @@ class DialectPropertySpec extends AnyFunSuite {
   private def forSamples[A](gen: Gen[A], n: Int = 100)(check: A => Unit): Unit =
     (1 to n).foreach(_ => gen.sample.foreach(check))
 
-  test("rewrite is the identity on every bracket-free oracle SQL") {
+  test("rewrite is the identity on every dialect-surface-free oracle SQL") {
     // the oracle strings are the project's own corpus of real ANSI/DuckDB
-    // SQL; ones using DuckDB bracket indexing are legitimately rewritten
-    // (that IS the shim's job), every other one must pass untouched
-    SparkEntry.oracleSql.filterNot(_._2.contains("[")).foreach { case (name, sql) =>
-      assert(Dialect.rewrite(spark, sql) == sql, s"rewrite altered oracle of $name")
-    }
+    // SQL; ones using DuckDB bracket indexing, struct literals, or the
+    // // integer-division operator are legitimately rewritten (that IS
+    // the shim's job), every other one must pass untouched
+    SparkEntry.oracleSql
+      .filterNot { case (_, sql) =>
+        sql.contains("[") || sql.contains("{") || sql.contains("//") }
+      .foreach { case (name, sql) =>
+        assert(Dialect.rewrite(spark, sql) == sql, s"rewrite altered oracle of $name")
+      }
   }
 
   test("rewrite is idempotent over the ENTIRE oracle corpus") {

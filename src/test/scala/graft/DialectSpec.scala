@@ -96,6 +96,33 @@ class DialectSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.body() == "[{\"v\":3,\"s\":7}]")
   }
 
+  test("DuckDB struct and MAP literals become named_struct/map") {
+    val r = post("SELECT {'a': 1, 'b': 'x'}.a AS sa, MAP {'k': 41 + 1}['k'] AS mv")
+    assert(r.statusCode() == 200)
+    assert(r.body() == "[{\"sa\":1,\"mv\":42}]")
+    // nested: struct inside list inside struct
+    val r2 = post("SELECT {'xs': [{'y': 7}]}.xs[1].y AS v")
+    assert(r2.statusCode() == 200 && r2.body() == "[{\"v\":7}]")
+  }
+
+  test("USING SAMPLE maps to TABLESAMPLE") {
+    val r = post("SELECT count(*) AS n FROM nation USING SAMPLE 100 PERCENT")
+    assert(r.statusCode() == 200 && r.body() == "[{\"n\":25}]")
+    val rows = post("SELECT count(*) AS n FROM nation USING SAMPLE 3 ROWS")
+    assert(rows.statusCode() == 200 && rows.body() == "[{\"n\":3}]")
+  }
+
+  test("DuckDB // integer division maps to div") {
+    val r = post("SELECT 7 // 2 AS q, 'http://x/y' AS url")
+    assert(r.statusCode() == 200)
+    assert(r.body() == "[{\"q\":3,\"url\":\"http://x/y\"}]")
+  }
+
+  test("postgres-style :: casts parse natively (no rewrite needed)") {
+    val r = post("SELECT '42'::INT + 1 AS n")
+    assert(r.statusCode() == 200 && r.body() == "[{\"n\":43}]")
+  }
+
   test("read_parquet('path') maps to the native parquet table syntax") {
     val r = post(s"SELECT count(*) AS n FROM read_parquet('$sf/region.parquet')")
     assert(r.statusCode() == 200 && r.body() == "[{\"n\":5}]")

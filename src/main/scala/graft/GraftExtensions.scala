@@ -43,6 +43,16 @@ object GraftExtensions {
         require(args.length == 1, s"simhash64 expects 1 argument, got ${args.length}")
         SimHash64(args.head)
       }),
+    // NOT a plain alias: DuckDB's epoch_ms is overloaded by argument
+    // type — BIGINT ms → TIMESTAMP, TIMESTAMP → BIGINT ms. A plain
+    // alias onto unix_millis lost the first overload; this dispatches
+    // on the resolved child type like DuckDB's own overload resolution.
+    ("epoch_ms",
+      info("epoch_ms", "epoch_ms(x) - BIGINT ms->TIMESTAMP or TIMESTAMP->BIGINT ms (DuckDB's overloads)."),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, s"epoch_ms expects 1 argument, got ${args.length}")
+        graft.functions.EpochMsDispatch(args.head)
+      }),
     // NOT a plain alias: DuckDB's list_distinct also drops NULL
     // elements, Spark's array_distinct keeps one — compose the null
     // filter explicitly so the alias matches DuckDB bit-for-bit.
@@ -72,8 +82,7 @@ object GraftExtensions {
     "arg_max" -> "max_by",
     "arg_min" -> "min_by",
     "quantile_cont" -> "percentile",
-    "regexp_matches" -> "rlike",
-    "epoch_ms" -> "unix_millis")
+    "regexp_matches" -> "rlike")
 
   private def aliasRegistrations: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = {
     val builtin = org.apache.spark.sql.catalyst.analysis.FunctionRegistry.builtin

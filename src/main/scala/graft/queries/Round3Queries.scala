@@ -11,6 +11,36 @@ object Round3Queries extends QueryModule {
 
   override val queries: Seq[Q] = Seq(
 
+    Q("i_profile_portable",
+      "SUMMARIZE's engine-portable core: per-column count/min/max/exact-decimal avg over lineitem measures, one row per column — the cross-engine-checkable half of the profiling verb (i_summarize keeps Spark's native layout).",
+      (s, dir) => {
+        val li = T(s, dir, "lineitem")
+        def prof(name: String) = li.agg(
+            count(lit(1)).as("n_rows"),
+            min(col(name)).as("min_v"),
+            max(col(name)).as("max_v"),
+            graft.Exact.avgExact(col(name), 2, 6).as("avg_v"))
+          .select(lit(name).as("col"), col("n_rows"),
+            col("min_v"), col("max_v"), col("avg_v"))
+        Seq("l_discount", "l_extendedprice", "l_quantity")
+          .map(prof).reduce(_ union _)
+          .orderBy(col("col").asc_nulls_last)
+      },
+      Some("""SELECT col, n_rows, min_v, max_v, avg_v FROM (
+          SELECT 'l_quantity' AS col, count(*) AS n_rows,
+            min(l_quantity) AS min_v, max(l_quantity) AS max_v,
+            round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_v
+          FROM lineitem
+          UNION ALL
+          SELECT 'l_extendedprice', count(*), min(l_extendedprice), max(l_extendedprice),
+            round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6)
+          FROM lineitem
+          UNION ALL
+          SELECT 'l_discount', count(*), min(l_discount), max(l_discount),
+            round(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6)
+          FROM lineitem) t
+        ORDER BY col ASC NULLS LAST""")),
+
     Q("n_ann_ivf_portable",
       "Portable IVF ANN: embeddings quantized to integers (round(v*1000)) make per-label centroid sums EXACT BIGINTs in both engines, so coarse-cell scores dot/√Σc² are bit-identical doubles — argmax cell assignment and nprobe=4 probing cannot drift cross-engine. Exact-cosine rerank of probed candidates, top-5 per query. Same scale shape as n_ann_ivf: integer centroids collect to the driver (k×64 longs) and assignment is map-only.",
       (s, dir) => {

@@ -56,6 +56,15 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r.getLong(8) == 1000L)
   }
 
+  test("epoch_ms dispatches on argument type like DuckDB's overloads") {
+    GraftExtensions.injectInto(spark)
+    val r = spark.sql("""SELECT
+        epoch_ms(TIMESTAMP '1970-01-01 00:00:01') AS to_ms,
+        epoch_ms(1500) AS to_ts""").collect().head
+    assert(r.getLong(0) == 1000L)
+    assert(r.getTimestamp(1).getTime == 1500L)
+  }
+
   test("extensions class wires the registry at session build time") {
     import org.apache.spark.sql.SparkSession
     // force a genuinely new session — getOrCreate would hand back the

@@ -85,4 +85,20 @@ class ObjectStoresSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.columns.toSeq == Seq("k", "v"))
     assert(df.count() == 2)
   }
+
+  test("iceberg REST attach: conf shape is exact, absent jar fails loudly") {
+    import graft.sources.IcebergCatalog
+    val conf = IcebergCatalog.catalogConf(IcebergCatalog.Conf(
+      name = "lake", endpoint = "http://localhost:8181",
+      clientId = Some("u"), clientSecret = Some("s")))
+    assert(conf("spark.sql.catalog.lake") == "org.apache.iceberg.spark.SparkCatalog")
+    assert(conf("spark.sql.catalog.lake.type") == "rest")
+    assert(conf("spark.sql.catalog.lake.uri") == "http://localhost:8181")
+    assert(conf("spark.sql.catalog.lake.credential") == "u:s")
+    assert(!IcebergCatalog.icebergAvailable) // offline build ships no jar
+    val e = intercept[IllegalStateException] {
+      IcebergCatalog.attach(spark, IcebergCatalog.Conf("lake", "http://localhost:8181"))
+    }
+    assert(e.getMessage.contains("iceberg-spark-runtime"))
+  }
 }

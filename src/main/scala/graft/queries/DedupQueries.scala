@@ -44,6 +44,27 @@ object DedupQueries extends QueryModule {
   private def shingles(s: SparkSession, dir: String): DataFrame =
     shingleCache.computeIfAbsent((s, dir), _ => buildShingles(s, dir))
 
+  /** Exact 3-gram-Jaccard ≥ 0.5 near-dup pairs (id_a < id_b): the
+    * verified edge set shared by the pair query and the cluster
+    * (connected-components) query.
+    */
+  def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(s, dir)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val a = sh.as("a"); val b = sh.as("b")
+    val pairs = a.join(b,
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_sh", "na"), "id_a")
+      .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_sh", "nb"), "id_b")
+      .withColumn("jaccard",
+        round(col("inter") / (col("na") + col("nb") - col("inter")), 6))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
   private def buildShingles(s: SparkSession, dir: String): DataFrame =
     T(s, dir, "documents")
       // documents arrive as one small parquet split; spread the
@@ -96,23 +117,9 @@ object DedupQueries extends QueryModule {
 
     Q("n_dedup_ngram_jaccard",
       "Near-dup by exact 3-gram Jaccard ≥ 0.5: candidate pairs from a shingle equi-join (never O(n²)), then exact verify.",
-      (s, dir) => {
-        val sh = shingles(s, dir)
-        val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-        val a = sh.as("a"); val b = sh.as("b")
-        val pairs = a.join(b,
-            col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-          .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-          .agg(count(lit(1)).as("inter"))
-        pairs
-          .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_sh", "na"), "id_a")
-          .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_sh", "nb"), "id_b")
-          .withColumn("jaccard",
-            round(col("inter") / (col("na") + col("nb") - col("inter")), 6))
-          .filter(col("jaccard") >= 0.5)
-          .select(col("id_a"), col("id_b"), col("jaccard"))
-          .orderBy(col("id_a").asc_nulls_last, col("id_b").asc_nulls_last)
-      },
+      (s, dir) =>
+        jaccardPairs(s, dir)
+          .orderBy(col("id_a").asc_nulls_last, col("id_b").asc_nulls_last),
       Some("""WITH sh AS (
           SELECT DISTINCT doc_id, w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS sh
           FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) d,

@@ -41,6 +41,43 @@ object Round3Queries extends QueryModule {
           FROM lineitem) t
         ORDER BY col ASC NULLS LAST""")),
 
+    Q("n_dedup_clusters",
+      "Near-dup CLUSTERS: connected components (min-label propagation to fixpoint) over the verified Jaccard≥0.5 pair graph — each component's canonical survivor is its min doc_id. The production dedup step after pair verification; oracle = transitive closure via recursive CTE.",
+      (s, dir) => {
+        val pairs = DedupQueries.jaccardPairs(s, dir)
+          .select(col("id_a").as("u"), col("id_b").as("v"))
+        graft.operators.ConnectedComponents.labels(pairs)
+          .groupBy(col("label").as("cluster_id"))
+          .agg(count(lit(1)).as("n_members"), max(col("id")).as("max_member"))
+          .orderBy(col("cluster_id").asc_nulls_last)
+      },
+      Some("""WITH RECURSIVE sh AS (
+          SELECT DISTINCT doc_id, w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS sh
+          FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) d,
+               LATERAL (SELECT unnest(generate_series(0, len(w) - 3)) AS i) g),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        cpairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id),
+        jp AS (
+          SELECT id_a, id_b FROM cpairs
+          JOIN sizes sa ON sa.doc_id = id_a
+          JOIN sizes sb ON sb.doc_id = id_b
+          WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.5),
+        edges AS (
+          SELECT id_a AS u, id_b AS v FROM jp
+          UNION SELECT id_b, id_a FROM jp),
+        reach AS (
+          SELECT u, v FROM edges
+          UNION
+          SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+        labels AS (
+          SELECT u AS id, least(u, min(v)) AS label FROM reach GROUP BY u)
+        SELECT label AS cluster_id, count(*) AS n_members, max(id) AS max_member
+        FROM labels GROUP BY label
+        ORDER BY cluster_id ASC NULLS LAST""")),
+
     Q("n_ann_ivf_portable",
       "Portable IVF ANN: embeddings quantized to integers (round(v*1000)) make per-label centroid sums EXACT BIGINTs in both engines, so coarse-cell scores dot/√Σc² are bit-identical doubles — argmax cell assignment and nprobe=4 probing cannot drift cross-engine. Exact-cosine rerank of probed candidates, top-5 per query. Same scale shape as n_ann_ivf: integer centroids collect to the driver (k×64 longs) and assignment is map-only.",
       (s, dir) => {

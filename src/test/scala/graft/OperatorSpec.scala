@@ -136,6 +136,18 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("connected components: chains collapse to min-label clusters") {
+    import spark.implicits._
+    // component {1..5} as a CHAIN (tests multi-step propagation),
+    // component {10, 11}, singleton edges excluded by construction
+    val edges = Seq((2L, 1L), (2L, 3L), (4L, 3L), (4L, 5L), (10L, 11L))
+      .toDF("u", "v")
+    val labs = graft.operators.ConnectedComponents.labels(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L, 5L).forall(labs(_) == 1L))
+    assert(labs(10L) == 10L && labs(11L) == 10L)
+  }
+
   test("media resize: 4x4 area thumbnail means stay within channel range") {
     val thumbs = SparkEntry.queries("m_resize_thumb")(spark, sf).collect()
     assert(thumbs.nonEmpty)

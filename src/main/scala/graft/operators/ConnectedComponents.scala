@@ -22,29 +22,43 @@ object ConnectedComponents {
     * @return (id, label): label = min id of the component.
     */
   def labels(edgesIn: DataFrame): DataFrame = {
-    val edges = edgesIn.select(col("u"), col("v"))
-      .union(edgesIn.select(col("v").as("u"), col("u").as("v")))
+    // materialize the input ONCE before fanning out: the 4-way union
+    // below would otherwise re-run the (possibly expensive) upstream
+    // pair pipeline once per branch
+    val half = edgesIn.select(col("u"), col("v"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var lab = edges.select(col("u").as("id")).distinct()
-      .withColumn("label", col("id"))
+    half.count()
+    // both directions PLUS self-loops: one join+min per superstep then
+    // covers "own label vs neighbors' labels" without a second join
+    val edges = half
+      .union(half.select(col("v").as("u"), col("u").as("v")))
+      .union(half.select(col("u"), col("u").as("v")))
+      .union(half.select(col("v").as("u"), col("v")))
+      .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    var lab = edges.select(col("u").as("id"), col("u").as("label")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // labels only ever DECREASE, so Σlabel is a fixpoint witness: it
+    // strictly drops until convergence — one cheap aggregate per
+    // superstep instead of a compare join
+    def sumLabels(df: DataFrame): Long =
+      df.agg(sum(col("label"))).collect()(0).getLong(0)
+    var prevSum = sumLabels(lab)
     var iter = 0
-    var changed = 1L
-    while (changed > 0 && iter < 25) {
-      // per node: min label among neighbors
-      val nbrMin = edges.join(lab.withColumnRenamed("id", "v"), "v")
-        .groupBy(col("u").as("id")).agg(min(col("label")).as("nbr"))
-      val next = lab.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
+    var converged = false
+    while (!converged && iter < 25) {
+      val next = edges.join(lab.withColumnRenamed("id", "v"), "v")
+        .groupBy(col("u").as("id")).agg(min(col("label")).as("label"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      changed = lab.withColumnRenamed("label", "prev").join(next, "id")
-        .filter(col("label") =!= col("prev")).count()
+      val s = sumLabels(next)
+      converged = s == prevSum
+      prevSum = s
       lab.unpersist(blocking = false)
       lab = next
       iter += 1
     }
     edges.unpersist(blocking = false)
+    half.unpersist(blocking = false)
     lab
   }
 }

@@ -70,15 +70,19 @@ object GraftExtensions {
     * dialect shim (`server.Dialect` handles the syntax-level sugar).
     * Only same-semantics pairs are aliased; names whose DuckDB
     * behavior differs (string_split literal-vs-regex, len's
-    * type-dispatch, strftime's %-patterns, engine hash values) are
-    * deliberately NOT mapped — a silently-different result is worse
-    * than an unknown-function error.
+    * type-dispatch, strftime's %-patterns, list_prepend's reversed
+    * argument order, engine hash values) are deliberately NOT
+    * mapped — a silently-different result is worse than an
+    * unknown-function error.
     */
   private[graft] val duckAliases: Seq[(String, String)] = Seq(
     "list_transform" -> "transform",
     "list_filter" -> "filter",
     "list_sort" -> "array_sort",
     "list_contains" -> "array_contains",
+    "list_value" -> "array",
+    "list_append" -> "array_append",
+    "list_concat" -> "concat",
     "arg_max" -> "max_by",
     "arg_min" -> "min_by",
     "quantile_cont" -> "percentile",

@@ -504,6 +504,56 @@ object Dialect {
     s
   }
 
+  /** `struct_pack(a := 1, b := x)` → `named_struct('a', 1, 'b', x)` —
+    * DuckDB's named-argument struct constructor.
+    */
+  private def rewriteStructPack(sql: String): String = {
+    var s = sql
+    var guard = 0
+    while (guard < 1000) {
+      guard += 1
+      val at = {
+        val mask = quoteMask(s)
+        val upper = s.toUpperCase
+        var i = 0
+        var found = -1
+        while (i < s.length && found < 0) {
+          if (!mask(i) && upper.startsWith("STRUCT_PACK", i) &&
+              (i == 0 || !isWordChar(s.charAt(i - 1))) &&
+              (i + 11 < s.length && !isWordChar(s.charAt(i + 11))))
+            found = i
+          i += 1
+        }
+        found
+      }
+      if (at < 0) return s
+      val open = s.indexOf('(', at + 11)
+      if (open < 0 || s.substring(at + 11, open).trim.nonEmpty) return s
+      val mask = quoteMask(s)
+      var depth = 0; var j = open; var close = -1
+      while (j < s.length && close < 0) {
+        if (!mask(j)) {
+          if (s.charAt(j) == '(') depth += 1
+          else if (s.charAt(j) == ')') { depth -= 1; if (depth == 0) close = j }
+        }
+        j += 1
+      }
+      if (close < 0) return s
+      val args = splitTopLevel(s.substring(open + 1, close), ',').map { part =>
+        val i2 = part.indexOf(":=")
+        if (i2 < 0) None
+        else {
+          val key = part.substring(0, i2).trim
+          val value = part.substring(i2 + 2).trim
+          if (key.nonEmpty && key.forall(isWordChar)) Some(s"'$key', $value") else None
+        }
+      }
+      if (args.isEmpty || args.exists(_.isEmpty)) return s
+      s = s.substring(0, at) + "named_struct(" + args.flatten.mkString(", ") + ")" + s.substring(close + 1)
+    }
+    s
+  }
+
   private val UsingSamplePct =
     """(?i)\bUSING\s+SAMPLE\s+(\d+(?:\.\d+)?)\s*(?:%|PERCENT\b)""".r
   private val UsingSampleRows =
@@ -593,6 +643,6 @@ object Dialect {
   def rewrite(spark: SparkSession, sql: String,
       pathOk: String => Boolean = _ => true): String =
     rewriteDistinctOn(rewriteQualify(rewriteExclude(rewriteIntDiv(
-      rewriteSample(rewriteBrackets(rewriteBraces(
-        rewriteSources(spark, rewriteSummarize(spark, sql), pathOk))))))))
+      rewriteSample(rewriteStructPack(rewriteBrackets(rewriteBraces(
+        rewriteSources(spark, rewriteSummarize(spark, sql), pathOk)))))))))
 }

@@ -17,7 +17,7 @@ object ScaleBench {
     "q1_pricing_summary", "c_join_inner_5way", "c_join_asof", "d_cube",
     "e_rank_family", "j_sessionization", "a_partitioned_glob_scan",
     "h_string_fns", "n_dedup_exact_hash", "n_dedup_minhash_lsh",
-    "n_dedup_ngram_jaccard", "n_cosine_topk_bruteforce")
+    "n_dedup_ngram_jaccard", "n_cosine_topk_bruteforce", "n_dedup_clusters")
 
   def main(args: Array[String]): Unit = {
     val dirA = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

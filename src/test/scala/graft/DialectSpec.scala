@@ -105,6 +105,11 @@ class DialectSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r2.statusCode() == 200 && r2.body() == "[{\"v\":7}]")
   }
 
+  test("struct_pack named arguments become named_struct") {
+    val r = post("SELECT struct_pack(a := 1, b := struct_pack(c := 'x')).b.c AS v")
+    assert(r.statusCode() == 200 && r.body() == "[{\"v\":\"x\"}]")
+  }
+
   test("USING SAMPLE maps to TABLESAMPLE") {
     val r = post("SELECT count(*) AS n FROM nation USING SAMPLE 100 PERCENT")
     assert(r.statusCode() == 200 && r.body() == "[{\"n\":25}]")

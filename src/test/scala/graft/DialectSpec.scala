@@ -140,6 +140,16 @@ class DialectSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bare.statusCode() == 200 && bare.body() == "[{\"n\":2}]")
   }
 
+  test("metadata verbs round-trip: DESCRIBE, SHOW TABLES, EXPLAIN") {
+    val d = post("DESCRIBE nation")
+    assert(d.statusCode() == 200)
+    assert(d.body().contains("n_nationkey") && d.body().contains("n_name"))
+    val s = post("SHOW TABLES")
+    assert(s.statusCode() == 200 && s.body().contains("nation"))
+    val e = post("EXPLAIN SELECT count(*) FROM nation")
+    assert(e.statusCode() == 200 && e.body().contains("Physical Plan"))
+  }
+
   test("unaliased count(*) is named count_star() like the reference asserts") {
     val r = post("SELECT count(*) FROM VALUES (1), (2) t(a)")
     assert(r.statusCode() == 200 && r.body() == "[{\"count_star()\":2}]")

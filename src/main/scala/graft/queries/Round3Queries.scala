@@ -41,6 +41,68 @@ object Round3Queries extends QueryModule {
           FROM lineitem) t
         ORDER BY col ASC NULLS LAST""")),
 
+    Q("n_stratified_split",
+      "Per-label stratified train/val/test split: rank docs per lang by md5(text) (content-hash determinism — same rows land in the same split on any engine/cluster/partitioning), first 80% train / next 10% val / rest test; emits per-(lang, split) counts and id ranges.",
+      (s, dir) => {
+        val byHash = Window.partitionBy(col("lang"))
+          .orderBy(md5(col("text")).asc_nulls_last, col("doc_id").asc_nulls_last)
+        val perLang = Window.partitionBy(col("lang"))
+        T(s, dir, "documents")
+          .withColumn("rk", row_number().over(byHash))
+          .withColumn("cnt", count(lit(1)).over(perLang))
+          .withColumn("split",
+            when(col("rk") <= col("cnt") * 0.8, "train")
+              .when(col("rk") <= col("cnt") * 0.9, "val")
+              .otherwise("test"))
+          .groupBy(col("lang"), col("split"))
+          .agg(count(lit(1)).as("n_docs"),
+               min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+          .orderBy(col("lang").asc_nulls_last, col("split").asc_nulls_last)
+      },
+      Some("""SELECT lang, split, count(*) AS n_docs,
+          min(doc_id) AS min_id, max(doc_id) AS max_id
+        FROM (
+          SELECT lang, doc_id,
+            CASE WHEN rk <= cnt * 0.8 THEN 'train'
+                 WHEN rk <= cnt * 0.9 THEN 'val'
+                 ELSE 'test' END AS split
+          FROM (
+            SELECT lang, doc_id,
+              row_number() OVER (PARTITION BY lang
+                ORDER BY md5(text) ASC NULLS LAST, doc_id ASC NULLS LAST) AS rk,
+              count(*) OVER (PARTITION BY lang) AS cnt
+            FROM documents) r) t
+        GROUP BY lang, split
+        ORDER BY lang ASC NULLS LAST, split ASC NULLS LAST""")),
+
+    Q("n_text_normalize",
+      "Normalization pass before dedup/tokenization: lowercase, strip non-alphanumerics, collapse whitespace; per-lang doc counts, distinct-normalized counts (normalization-aware exact dedup), and exact mean token count.",
+      (s, dir) => {
+        val norm = trim(regexp_replace(
+          regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+        T(s, dir, "documents")
+          .select(col("lang"), norm.as("norm"))
+          .withColumn("n_tok",
+            size(expr("filter(split(norm, ' '), x -> x != '')")))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+               countDistinct(col("norm")).as("n_distinct_norm"),
+               round(sum(col("n_tok")).cast("double") / count(lit(1)), 6).as("avg_tokens"))
+          .orderBy(col("lang").asc_nulls_last)
+      },
+      Some("""SELECT lang, count(*) AS n_docs,
+          count(DISTINCT norm) AS n_distinct_norm,
+          round(CAST(sum(n_tok) AS DOUBLE) / count(*), 6) AS avg_tokens
+        FROM (
+          SELECT lang,
+            trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm,
+            len(list_filter(string_split(
+              trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' '),
+              x -> x != '')) AS n_tok
+          FROM documents) t
+        GROUP BY lang
+        ORDER BY lang ASC NULLS LAST""")),
+
     Q("n_dedup_clusters",
       "Near-dup CLUSTERS: connected components (min-label propagation to fixpoint) over the verified Jaccard≥0.5 pair graph — each component's canonical survivor is its min doc_id. The production dedup step after pair verification; oracle = transitive closure via recursive CTE.",
       (s, dir) => {

@@ -103,6 +103,55 @@ object Round3Queries extends QueryModule {
         GROUP BY lang
         ORDER BY lang ASC NULLS LAST""")),
 
+    Q("n_decontaminate",
+      "Benchmark decontamination: corpus docs sharing any 5-gram with the eval set (source='src0') are flagged; per-lang contaminated counts + worst overlap. The join shuffles 16-byte md5 digests of the grams, not gram text — at 100 TB that is the difference between shuffling digests and shuffling prose.",
+      (s, dir) => {
+        val docs = T(s, dir, "documents")
+          .repartition(s.sparkContext.defaultParallelism)
+        val grams = docs
+          .select(col("doc_id"), col("source"), col("lang"),
+            split(col("text"), " ").as("w"))
+          .select(col("doc_id"), col("source"), col("lang"), expr(
+            """CASE WHEN size(w) >= 5
+                 THEN transform(sequence(0, size(w) - 5),
+                        i -> md5(concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4])))
+                 ELSE array() END""").as("gs"))
+          .select(col("doc_id"), col("source"), col("lang"),
+            explode(array_distinct(col("gs"))).as("g"))
+        val bench = grams.filter(col("source") === "src0")
+          .select(col("g")).distinct()
+        val corpus = grams.filter(col("source") =!= "src0")
+        val hits = corpus.join(bench, "g")
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+        docs.filter(col("source") =!= "src0")
+          .select(col("doc_id"), col("lang"))
+          .join(hits, Seq("doc_id"), "left")
+          .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+               sum(when(col("n_shared") > 0, 1L).otherwise(0L)).as("n_contaminated"),
+               max(col("n_shared")).as("max_shared"))
+          .orderBy(col("lang").asc_nulls_last)
+      },
+      Some("""WITH g AS (
+          SELECT DISTINCT doc_id, source, lang,
+            md5(w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] || ' ' || w[i+5]) AS g
+          FROM (SELECT doc_id, source, lang, string_split(text, ' ') AS w FROM documents) d,
+               LATERAL (SELECT unnest(generate_series(0, len(w) - 5)) AS i) s),
+        bench AS (SELECT DISTINCT g FROM g WHERE source = 'src0'),
+        hits AS (
+          SELECT doc_id, count(*) AS n_shared
+          FROM g JOIN bench USING (g)
+          WHERE source <> 'src0'
+          GROUP BY doc_id)
+        SELECT d.lang, count(*) AS n_docs,
+          CAST(sum(CASE WHEN coalesce(h.n_shared, 0) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+          max(coalesce(h.n_shared, 0)) AS max_shared
+        FROM documents d LEFT JOIN hits h USING (doc_id)
+        WHERE d.source <> 'src0'
+        GROUP BY d.lang
+        ORDER BY d.lang ASC NULLS LAST""")),
+
     Q("n_dedup_clusters",
       "Near-dup CLUSTERS: connected components (min-label propagation to fixpoint) over the verified Jaccard≥0.5 pair graph — each component's canonical survivor is its min doc_id. The production dedup step after pair verification; oracle = transitive closure via recursive CTE.",
       (s, dir) => {

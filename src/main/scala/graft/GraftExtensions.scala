@@ -47,6 +47,15 @@ object GraftExtensions {
     // type — BIGINT ms → TIMESTAMP, TIMESTAMP → BIGINT ms. A plain
     // alias onto unix_millis lost the first overload; this dispatches
     // on the resolved child type like DuckDB's own overload resolution.
+    // the dialect shim's rendering of DuckDB's `//` operator: integer
+    // division on integral operands, plain division otherwise
+    // (IntDivDispatch doc has the verified semantics)
+    ("graft_intdiv",
+      info("graft_intdiv", "graft_intdiv(a, b) - DuckDB's // operator: integral div on integers, plain division otherwise."),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, s"graft_intdiv expects 2 arguments, got ${args.length}")
+        graft.functions.IntDivDispatch(args.head, args(1))
+      }),
     ("epoch_ms",
       info("epoch_ms", "epoch_ms(x) - BIGINT ms->TIMESTAMP or TIMESTAMP->BIGINT ms (DuckDB's overloads)."),
       (args: Seq[Expression]) => {
@@ -80,9 +89,11 @@ object GraftExtensions {
     "list_filter" -> "filter",
     "list_sort" -> "array_sort",
     "list_contains" -> "array_contains",
+    // list_append/list_concat deliberately NOT aliased: DuckDB skips
+    // NULL list inputs (list_append(NULL, 3) = [3]) where Spark's
+    // array_append/concat return NULL — the silent-divergence class
+    // this table's policy forbids
     "list_value" -> "array",
-    "list_append" -> "array_append",
-    "list_concat" -> "concat",
     "arg_max" -> "max_by",
     "arg_min" -> "min_by",
     "quantile_cont" -> "percentile",

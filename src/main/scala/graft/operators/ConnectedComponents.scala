@@ -18,6 +18,22 @@ import org.apache.spark.storage.StorageLevel
   */
 object ConnectedComponents {
 
+  // returned label frames stay persisted for their consumers; track
+  // them per session so release() can free the blocks after a bench/
+  // verify pass (same lifecycle discipline as DedupQueries.release)
+  private val retained =
+    new java.util.concurrent.ConcurrentHashMap[DataFrame, Unit]()
+
+  /** Unpersist every label frame handed out by [[labels]]. */
+  def release(): Unit = {
+    val it = retained.keySet().iterator()
+    while (it.hasNext) {
+      try it.next().unpersist(blocking = false)
+      catch { case _: Throwable => }
+      it.remove()
+    }
+  }
+
   /** @param edgesIn (u, v) pairs, one row per undirected edge.
     * @return (id, label): label = min id of the component.
     */
@@ -27,7 +43,12 @@ object ConnectedComponents {
     // pair pipeline once per branch
     val half = edgesIn.select(col("u"), col("v"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    half.count()
+    if (half.count() == 0L) {
+      // no edges → no clusters; short-circuit (the Σlabel witness
+      // below would read a NULL aggregate off an empty frame)
+      half.unpersist(blocking = false)
+      return half.select(col("u").as("id"), col("u").as("label"))
+    }
     // both directions PLUS self-loops: one join+min per superstep then
     // covers "own label vs neighbors' labels" without a second join
     val edges = half
@@ -46,7 +67,8 @@ object ConnectedComponents {
     var prevSum = sumLabels(lab)
     var iter = 0
     var converged = false
-    while (!converged && iter < 25) {
+    val MaxSupersteps = 50
+    while (!converged && iter < MaxSupersteps) {
       val next = edges.join(lab.withColumnRenamed("id", "v"), "v")
         .groupBy(col("u").as("id")).agg(min(col("label")).as("label"))
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -59,6 +81,14 @@ object ConnectedComponents {
     }
     edges.unpersist(blocking = false)
     half.unpersist(blocking = false)
+    // a silent partial merge would be wrong-but-plausible output; the
+    // cap exists only to bound pathological inputs, so overrunning it
+    // must fail loudly (project rule: an error beats silently-different)
+    if (!converged) throw new IllegalStateException(
+      s"connected components did not converge within $MaxSupersteps supersteps " +
+        "(component diameter exceeds the cap) — raise MaxSupersteps or " +
+        "pre-contract the graph")
+    retained.put(lab, ())
     lab
   }
 }

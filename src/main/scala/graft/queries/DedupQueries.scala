@@ -28,8 +28,30 @@ object DedupQueries extends QueryModule {
   private val shingleCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
-  /** Explicitly unpersist the shared shingle relation(s) of a session. */
+  // ad-hoc persisted relations from dedup-family queries (e.g. the
+  // decontamination gram table), freed together with the shingles
+  private val retained =
+    new java.util.concurrent.ConcurrentHashMap[DataFrame, Unit]()
+
+  /** Persist a dedup-family intermediate and register it for release. */
+  def retain(df: DataFrame): DataFrame = {
+    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    retained.put(p, ())
+    p
+  }
+
+  /** Explicitly unpersist the shared shingle relation(s) of a session
+    * plus downstream retained relations (cluster label frames,
+    * decontamination gram tables).
+    */
   def release(s: SparkSession): Unit = {
+    graft.operators.ConnectedComponents.release()
+    val rit = retained.keySet().iterator()
+    while (rit.hasNext) {
+      try rit.next().unpersist(blocking = false)
+      catch { case _: Throwable => }
+      rit.remove()
+    }
     val it = shingleCache.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
@@ -59,10 +81,12 @@ object DedupQueries extends QueryModule {
     pairs
       .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_sh", "na"), "id_a")
       .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_sh", "nb"), "id_b")
-      .withColumn("jaccard",
-        round(col("inter") / (col("na") + col("nb") - col("inter")), 6))
-      .filter(col("jaccard") >= 0.5)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+      // filter on the RAW ratio exactly like the oracle does — filtering
+      // on the rounded value would admit ratios in [0.4999995, 0.5)
+      // that the oracle rejects; rounding is display-only
+      .withColumn("raw", col("inter") / (col("na") + col("nb") - col("inter")))
+      .filter(col("raw") >= 0.5)
+      .select(col("id_a"), col("id_b"), round(col("raw"), 6).as("jaccard"))
   }
 
   private def buildShingles(s: SparkSession, dir: String): DataFrame =

@@ -108,7 +108,9 @@ object Round3Queries extends QueryModule {
       (s, dir) => {
         val docs = T(s, dir, "documents")
           .repartition(s.sparkContext.defaultParallelism)
-        val grams = docs
+        // persisted via retain(): the bench and corpus branches below
+        // would otherwise re-run the split+gram+md5+explode pass twice
+        val grams = DedupQueries.retain(docs
           .select(col("doc_id"), col("source"), col("lang"),
             split(col("text"), " ").as("w"))
           .select(col("doc_id"), col("source"), col("lang"), expr(
@@ -117,7 +119,7 @@ object Round3Queries extends QueryModule {
                         i -> md5(concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4])))
                  ELSE array() END""").as("gs"))
           .select(col("doc_id"), col("source"), col("lang"),
-            explode(array_distinct(col("gs"))).as("g"))
+            explode(array_distinct(col("gs"))).as("g")))
         val bench = grams.filter(col("source") === "src0")
           .select(col("g")).distinct()
         val corpus = grams.filter(col("source") =!= "src0")

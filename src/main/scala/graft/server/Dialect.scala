@@ -82,6 +82,20 @@ object Dialect {
     -1
   }
 
+  /** Any unquoted occurrence of a raw token (no word-boundary check) —
+    * lets callers (and specs) ask "does this SQL use dialect surface
+    * outside string literals?".
+    */
+  private[graft] def hasUnquoted(sql: String, tok: String): Boolean = {
+    val mask = quoteMask(sql)
+    var i = 0
+    while (i + tok.length <= sql.length) {
+      if (!mask(i) && sql.startsWith(tok, i)) return true
+      i += 1
+    }
+    false
+  }
+
   /** Any unquoted occurrence of a keyword at ANY paren depth (used to
     * detect window expressions nested inside a predicate).
     */
@@ -572,21 +586,117 @@ object Dialect {
         else java.util.regex.Matcher.quoteReplacement(fmt(m.subgroups)))
     }
     val pct = applyRe(sql, UsingSamplePct, g => s"TABLESAMPLE (${g.head} PERCENT)")
-    applyRe(pct, UsingSampleRows, g => s"TABLESAMPLE (${g.head} ROWS)")
+    relocateSample(applyRe(pct, UsingSampleRows, g => s"TABLESAMPLE (${g.head} ROWS)"))
   }
 
-  /** DuckDB's `//` integer-division operator → Spark's `div`. */
-  private def rewriteIntDiv(sql: String): String = {
+  /** DuckDB also accepts the sample clause at the END of the query
+    * (`FROM t WHERE c USING SAMPLE 5`), where it still binds to the
+    * FROM table (verified: the sample applies BEFORE the WHERE). Spark
+    * only parses TABLESAMPLE in table position, so a terminal clause
+    * is relocated to just before the first top-level WHERE/GROUP/
+    * HAVING/ORDER/LIMIT.
+    */
+  private def relocateSample(sql: String): String = {
+    val at = lastTopLevel(sql, "TABLESAMPLE")
+    if (at < 0) return sql
+    val open = sql.indexOf('(', at)
+    if (open < 0) return sql
     val mask = quoteMask(sql)
-    val out = new StringBuilder
-    var i = 0
-    while (i < sql.length) {
-      if (!mask(i) && sql.charAt(i) == '/' && i + 1 < sql.length &&
-          !mask(i + 1) && sql.charAt(i + 1) == '/') {
-        out.append(" div "); i += 2
-      } else { out.append(sql.charAt(i)); i += 1 }
+    var depth = 0; var j = open; var close = -1
+    while (j < sql.length && close < 0) {
+      if (!mask(j)) {
+        if (sql.charAt(j) == '(') depth += 1
+        else if (sql.charAt(j) == ')') { depth -= 1; if (depth == 0) close = j }
+      }
+      j += 1
     }
-    out.toString
+    if (close < 0 || sql.substring(close + 1).trim.nonEmpty) return sql // not terminal
+    val kwAt = Seq("WHERE", "GROUP", "HAVING", "ORDER", "LIMIT")
+      .map(k => firstTopLevel(sql, k)).filter(p => p >= 0 && p < at)
+      .sorted.headOption
+    kwAt match {
+      case Some(k) =>
+        val seg = sql.substring(at, close + 1)
+        sql.substring(0, k).trim + " " + seg + " " + sql.substring(k, at).trim
+      case None => sql
+    }
+  }
+
+  /** End index (exclusive) of the postfix-primary starting at `from`:
+    * optional unary sign, then a dotted chain of names/numbers,
+    * `quoted` names, or balanced () / [] groups.
+    */
+  private def operandEnd(s: String, from: Int): Int = {
+    val mask = quoteMask(s)
+    var p = from
+    while (p < s.length && s.charAt(p).isWhitespace) p += 1
+    if (p < s.length && (s.charAt(p) == '-' || s.charAt(p) == '+')) p += 1
+    while (p < s.length && s.charAt(p).isWhitespace) p += 1
+    var done = false
+    while (!done && p < s.length) {
+      s.charAt(p) match {
+        case c @ ('(' | '[') =>
+          val closeCh = if (c == '(') ')' else ']'
+          var depth = 0
+          var matched = false
+          while (p < s.length && !matched) {
+            val ch = s.charAt(p)
+            if (!mask(p)) {
+              if (ch == c) depth += 1
+              else if (ch == closeCh) { depth -= 1; if (depth == 0) matched = true }
+            }
+            p += 1
+          }
+          if (!matched) return from
+        case '`' =>
+          p += 1
+          while (p < s.length && s.charAt(p) != '`') p += 1
+          p += 1
+        case c if isWordChar(c) =>
+          while (p < s.length && isWordChar(s.charAt(p))) p += 1
+        case _ => done = true
+      }
+      if (!done) {
+        if (p < s.length && (s.charAt(p) == '.' ||
+            s.charAt(p) == '(' || s.charAt(p) == '[')) {
+          if (s.charAt(p) == '.') p += 1 // continue the dotted chain
+          // '(' / '[' loop again as postfix group
+        } else done = true
+      }
+    }
+    p
+  }
+
+  /** DuckDB's `//` operator → `graft_intdiv(a, b)` (a dispatching
+    * expression: integral division on integers, PLAIN division on any
+    * non-integral operand — DuckDB's verified behavior; a blanket
+    * `div` would silently floor `7.5 // 2`).
+    */
+  private def rewriteIntDiv(sql: String): String = {
+    var s = sql
+    var guard = 0
+    while (guard < 1000) {
+      guard += 1
+      val mask = quoteMask(s)
+      var i = 0
+      var at = -1
+      while (i + 1 < s.length && at < 0) {
+        if (!mask(i) && s.charAt(i) == '/' && !mask(i + 1) && s.charAt(i + 1) == '/')
+          at = i
+        i += 1
+      }
+      if (at < 0) return s
+      var p = at - 1
+      while (p >= 0 && s.charAt(p).isWhitespace) p -= 1
+      if (p < 0) return s
+      val start = operandStart(s, p)
+      val end = operandEnd(s, at + 2)
+      if (end <= at + 2) return s
+      val leftOp = s.substring(start, p + 1)
+      val rightOp = s.substring(at + 2, end).trim
+      s = s.substring(0, start) + s"graft_intdiv($leftOp, $rightOp)" + s.substring(end)
+    }
+    s
   }
 
   private val ReadFn =

@@ -85,6 +85,11 @@ final class QueryServer(
     allowedRoots.exists(d => under(norm, d))
   }
 
+  // the dialect shim emits graft functions (graft_intdiv, epoch_ms,
+  // cosine_sim, …) — every serving session must have them registered,
+  // not just the standalone main's (registration is idempotent)
+  graft.GraftExtensions.injectInto(spark)
+
   private val pool = new Semaphore(poolSize, true)
   private val exec = Executors.newCachedThreadPool()
   private val server = HttpServer.create(new InetSocketAddress(port), 0)

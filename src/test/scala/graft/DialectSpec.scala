@@ -115,12 +115,18 @@ class DialectSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.statusCode() == 200 && r.body() == "[{\"n\":25}]")
     val rows = post("SELECT count(*) AS n FROM nation USING SAMPLE 3 ROWS")
     assert(rows.statusCode() == 200 && rows.body() == "[{\"n\":3}]")
+    // DuckDB's end-of-query placement binds to the FROM table: the
+    // rewrite relocates the clause to table position
+    val term = post(
+      "SELECT count(*) AS n FROM nation WHERE n_regionkey >= 0 USING SAMPLE 100 PERCENT")
+    assert(term.statusCode() == 200 && term.body() == "[{\"n\":25}]")
   }
 
-  test("DuckDB // integer division maps to div") {
-    val r = post("SELECT 7 // 2 AS q, 'http://x/y' AS url")
+  test("DuckDB // dispatches: integral division on ints, plain on floats") {
+    val r = post("SELECT 7 // 2 AS q, -7 // 2 AS nq, 7.5 // 2 AS f, 'http://x/y' AS url")
     assert(r.statusCode() == 200)
-    assert(r.body() == "[{\"q\":3,\"url\":\"http://x/y\"}]")
+    // verified DuckDB behavior: -7//2 truncates to -3; 7.5//2 = 3.75
+    assert(r.body() == "[{\"q\":3,\"nq\":-3,\"f\":3.75,\"url\":\"http://x/y\"}]")
   }
 
   test("postgres-style :: casts parse natively (no rewrite needed)") {

@@ -146,6 +146,11 @@ class OperatorSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(Seq(1L, 2L, 3L, 4L, 5L).forall(labs(_) == 1L))
     assert(labs(10L) == 10L && labs(11L) == 10L)
+    // empty edge set (clean corpus, zero near-dup pairs) → zero
+    // clusters, no crash (Σlabel over an empty frame is NULL)
+    val none = graft.operators.ConnectedComponents.labels(
+      Seq.empty[(Long, Long)].toDF("u", "v"))
+    assert(none.count() == 0)
   }
 
   test("media resize: 4x4 area thumbnail means stay within channel range") {

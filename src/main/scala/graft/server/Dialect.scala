@@ -699,6 +699,17 @@ object Dialect {
     s
   }
 
+  /** The two PRAGMA metadata verbs DuckDB clients commonly issue. */
+  private def rewritePragma(sql: String): String = {
+    val ti = """(?i)^\s*PRAGMA\s+table_info\s*\(\s*'([A-Za-z_][A-Za-z0-9_.]*)'\s*\)\s*;?\s*$""".r
+    val st = """(?i)^\s*PRAGMA\s+show_tables\s*;?\s*$""".r
+    sql match {
+      case ti(table) => s"DESCRIBE $table"
+      case st() => "SHOW TABLES"
+      case _ => sql
+    }
+  }
+
   private val ReadFn =
     """(?i)\b(read_parquet|read_csv_auto|read_csv|read_json_auto|read_json)\s*\(\s*'([^']+)'\s*\)""".r
   private val BarePath =
@@ -754,5 +765,5 @@ object Dialect {
       pathOk: String => Boolean = _ => true): String =
     rewriteDistinctOn(rewriteQualify(rewriteExclude(rewriteIntDiv(
       rewriteSample(rewriteStructPack(rewriteBrackets(rewriteBraces(
-        rewriteSources(spark, rewriteSummarize(spark, sql), pathOk)))))))))
+        rewriteSources(spark, rewriteSummarize(spark, rewritePragma(sql)), pathOk)))))))))
 }

@@ -146,6 +146,13 @@ class DialectSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bare.statusCode() == 200 && bare.body() == "[{\"n\":2}]")
   }
 
+  test("PRAGMA table_info and show_tables map to DESCRIBE/SHOW TABLES") {
+    val t = post("PRAGMA table_info('nation')")
+    assert(t.statusCode() == 200 && t.body().contains("n_nationkey"))
+    val s = post("PRAGMA show_tables")
+    assert(s.statusCode() == 200 && s.body().contains("nation"))
+  }
+
   test("metadata verbs round-trip: DESCRIBE, SHOW TABLES, EXPLAIN") {
     val d = post("DESCRIBE nation")
     assert(d.statusCode() == 200)

@@ -41,6 +41,17 @@ object Round3Queries extends QueryModule {
           FROM lineitem) t
         ORDER BY col ASC NULLS LAST""")),
 
+    Q("i_unnest_outer",
+      "Row-preserving unnest: empty and NULL lists keep their parent row with a NULL element (LATERAL VIEW OUTER explode ≡ DuckDB LEFT JOIN LATERAL unnest).",
+      (s, dir) => s.sql(
+        """SELECT id, tok FROM
+             VALUES (1, array('a', 'b')), (2, array()), (3, CAST(NULL AS ARRAY<STRING>)) t(id, arr)
+           LATERAL VIEW OUTER explode(arr) AS tok
+           ORDER BY id ASC NULLS LAST, tok ASC NULLS LAST"""),
+      Some("""SELECT id, tok FROM (VALUES (1, ['a', 'b']), (2, []), (3, NULL)) t(id, arr)
+        LEFT JOIN LATERAL (SELECT unnest(arr) AS tok) u ON TRUE
+        ORDER BY id ASC NULLS LAST, tok ASC NULLS LAST""")),
+
     Q("n_stratified_split",
       "Per-label stratified train/val/test split: rank docs per lang by md5(text) (content-hash determinism — same rows land in the same split on any engine/cluster/partitioning), first 80% train / next 10% val / rest test; emits per-(lang, split) counts and id ranges.",
       (s, dir) => {

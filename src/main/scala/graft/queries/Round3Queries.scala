@@ -52,6 +52,54 @@ object Round3Queries extends QueryModule {
         LEFT JOIN LATERAL (SELECT unnest(arr) AS tok) u ON TRUE
         ORDER BY id ASC NULLS LAST, tok ASC NULLS LAST""")),
 
+    Q("i_gap_fill",
+      "Time-series gap filling: per-priority daily revenue over a January-1995 date spine, missing days forward-filled with the last observed value (last_value IGNORE NULLS over an ordered window).",
+      (s, dir) => {
+        T.views(s, dir, "orders")
+        s.sql("""WITH daily AS (
+            SELECT o_orderpriority AS grp, CAST(o_orderdate AS DATE) AS d,
+              round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+              AND o_orderdate < TIMESTAMP '1995-02-01'
+              AND o_totalprice > 150000
+            GROUP BY 1, 2),
+          spine AS (
+            SELECT g.grp, s.d
+            FROM (SELECT DISTINCT grp FROM daily) g
+            CROSS JOIN (SELECT explode(sequence(DATE '1995-01-01', DATE '1995-01-31')) AS d) s),
+          joined AS (
+            SELECT s.grp, s.d, daily.revenue
+            FROM spine s LEFT JOIN daily ON daily.grp = s.grp AND daily.d = s.d)
+          SELECT grp, d, revenue,
+            last_value(revenue) IGNORE NULLS OVER (
+              PARTITION BY grp ORDER BY d
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+          FROM joined
+          ORDER BY grp ASC NULLS LAST, d ASC NULLS LAST""")
+      },
+      Some("""WITH daily AS (
+          SELECT o_orderpriority AS grp, CAST(o_orderdate AS DATE) AS d,
+            round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue
+          FROM orders
+          WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+            AND o_orderdate < TIMESTAMP '1995-02-01'
+            AND o_totalprice > 150000
+          GROUP BY 1, 2),
+        spine AS (
+          SELECT g.grp, s.d
+          FROM (SELECT DISTINCT grp FROM daily) g
+          CROSS JOIN (SELECT unnest(generate_series(DATE '1995-01-01', DATE '1995-01-31', INTERVAL 1 DAY)) AS d) s),
+        joined AS (
+          SELECT s.grp, CAST(s.d AS DATE) AS d, daily.revenue
+          FROM spine s LEFT JOIN daily ON daily.grp = s.grp AND daily.d = s.d)
+        SELECT grp, d, revenue,
+          last_value(revenue IGNORE NULLS) OVER (
+            PARTITION BY grp ORDER BY d
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+        FROM joined
+        ORDER BY grp ASC NULLS LAST, d ASC NULLS LAST""")),
+
     Q("n_stratified_split",
       "Per-label stratified train/val/test split: rank docs per lang by md5(text) (content-hash determinism — same rows land in the same split on any engine/cluster/partitioning), first 80% train / next 10% val / rest test; emits per-(lang, split) counts and id ranges.",
       (s, dir) => {

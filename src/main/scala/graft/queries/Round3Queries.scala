@@ -52,6 +52,33 @@ object Round3Queries extends QueryModule {
         LEFT JOIN LATERAL (SELECT unnest(arr) AS tok) u ON TRUE
         ORDER BY id ASC NULLS LAST, tok ASC NULLS LAST""")),
 
+    Q("c_join_asof_tolerance",
+      "AS-OF join WITH a tolerance band: matches older than 1 hour are nulled out (kdb/QuestDB 'asof within' semantics) — the plain as-of pipeline plus a band post-filter, no extra shuffle.",
+      (s, dir) => {
+        val ev = T(s, dir, "events")
+        val clicks = ev.filter(col("event_type") === "click" && col("user_id") < 30)
+          .select(col("user_id"), col("event_id"), col("ts"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("value"))
+        val joined = graft.operators.AsOfJoin(
+          clicks, purchases, "user_id", "ts", "ts",
+          Map("value" -> "last_purchase_value", "ts" -> "last_purchase_ts"))
+        val within = col("last_purchase_ts") >= col("ts") - expr("INTERVAL 1 HOUR")
+        joined.select(col("user_id"), col("event_id"),
+            when(within, col("last_purchase_value")).as("recent_value"),
+            when(within, col("last_purchase_ts")).as("recent_ts"))
+          .orderBy(col("user_id").asc_nulls_last, col("event_id").asc_nulls_last)
+      },
+      Some("""SELECT c.user_id, c.event_id,
+          CASE WHEN p.ts >= c.ts - INTERVAL 1 HOUR THEN p.value END AS recent_value,
+          CASE WHEN p.ts >= c.ts - INTERVAL 1 HOUR THEN CAST(p.ts AS TIMESTAMP) END AS recent_ts
+        FROM (SELECT user_id, event_id, ts FROM events
+              WHERE event_type = 'click' AND user_id < 30) c
+        ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+              WHERE event_type = 'purchase') p
+          ON c.user_id = p.user_id AND c.ts >= p.ts
+        ORDER BY c.user_id ASC NULLS LAST, c.event_id ASC NULLS LAST""")),
+
     Q("i_gap_fill",
       "Time-series gap filling: per-priority daily revenue over a January-1995 date spine, missing days forward-filled with the last observed value (last_value IGNORE NULLS over an ordered window).",
       (s, dir) => {

@@ -1,0 +1,118 @@
+package graft.operators
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Batched audio decode / feature extraction over binary payload
+  * columns — the audio leg of the north-star multimodal plumbing
+  * (reference ingests "many formats" as opaque payloads,
+  * uquery-rs docs/docs/intro.md; the engine-side contract is the same
+  * as images: binary column in, fixed feature schema out).
+  *
+  * The decoder is REAL: payloads are RIFF/WAV containers encoded AND
+  * decoded in-JVM via `javax.sound.sampled` (ships with the JDK — PCM
+  * WAV needs no external codecs). Compressed codecs (mp3/ogg) stay out
+  * of scope in this container but would slot into the same partition-
+  * batched shape.
+  *
+  * Fixture note: test payloads are synthesized per-row from `doc_id`
+  * by [[synthWav]], a deterministic 16-bit PCM sample formula. WAV PCM
+  * is lossless, so decoding returns those exact samples — which makes
+  * the decoded sample-count/duration/amplitude features SQL-expressible
+  * and therefore ORACLE-CHECKABLE cross-engine (the DuckDB oracle
+  * reduces the same formula with generate_series, no audio library
+  * needed). All float features are non-negative (mean of |v|, RMS), so
+  * half-up and half-away-from-zero rounding agree across engines, and
+  * the underlying sums are exact int64s → identical division operands.
+  */
+object AudioDecode {
+
+  final case class AudioFeatures(
+      doc_id: Long,
+      n_samples: Int,
+      sample_rate: Int,
+      duration_ms: Double,
+      mean_abs: Double,
+      rms: Double,
+      peak: Long)
+
+  val SampleRate = 8000f
+
+  /** Deterministic 16-bit PCM samples for a doc id:
+    * n = 800 + id%401 samples, sample(i) = (31·id + 17·i) % 2048 − 1024
+    * — chosen so |v| ≤ 1024 (fits 16-bit) and all aggregate features
+    * are exactly reproducible in SQL.
+    */
+  def synthSamples(docId: Long): Array[Short] = {
+    val n = (800 + docId % 401).toInt
+    Array.tabulate(n)(i => (((docId * 31 + i.toLong * 17) % 2048) - 1024).toShort)
+  }
+
+  /** Real WAV encode via `javax.sound.sampled`: mono 16-bit signed PCM
+    * little-endian at 8 kHz, wrapped in a RIFF/WAVE container.
+    */
+  def synthWav(docId: Long): Array[Byte] = {
+    val samples = synthSamples(docId)
+    val pcm = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      pcm(2 * i) = (samples(i) & 0xff).toByte
+      pcm(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(SampleRate, 16, 1, true, false)
+    val ais = new AudioInputStream(
+      new ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+    val out = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  val synthWavUdf = udf(synthWav _)
+
+  /** Partition-batched REAL decode + feature extraction: parse the
+    * RIFF container via `AudioSystem`, pull the PCM frames, reduce to
+    * sample-accurate features. One pass per partition, constant memory
+    * per task, fixed output schema — the `mapInPandas`-equivalent batch
+    * shape in Scala. Input columns: (doc_id, payload: binary).
+    */
+  def extractFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (docId, payload) =>
+          val ais = AudioSystem.getAudioInputStream(
+            new ByteArrayInputStream(payload))
+          val fmt = ais.getFormat
+          require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+            !fmt.isBigEndian && fmt.getEncoding == AudioFormat.Encoding.PCM_SIGNED,
+            s"unsupported WAV layout: $fmt")
+          val bytes = ais.readAllBytes()
+          ais.close()
+          val n = bytes.length / 2
+          var sumAbs = 0L; var sumSq = 0L; var peak = 0L
+          var i = 0
+          while (i < n) {
+            val v = ((bytes(2 * i + 1).toInt << 8) | (bytes(2 * i) & 0xff))
+            val a = math.abs(v.toLong)
+            sumAbs += a
+            sumSq += v.toLong * v
+            if (a > peak) peak = a
+            i += 1
+          }
+          def r6(x: Double): Double = math.round(x * 1e6) / 1e6
+          AudioFeatures(docId, n, fmt.getSampleRate.toInt,
+            r6(n * 1000.0 / fmt.getSampleRate.toDouble),
+            r6(sumAbs.toDouble / n),
+            r6(math.sqrt(sumSq.toDouble / n)),
+            peak)
+        }
+      }
+      .toDF()
+      .orderBy(col("doc_id").asc_nulls_last)
+  }
+}

@@ -1,0 +1,268 @@
+package graft.queries
+
+import graft.{Q, QueryModule, T}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Training-data curation pipeline operators (round-3 additions to the
+  * north-star set): Gopher-style repetition quality gates, corpus-level
+  * chunk ("line") dedup, PII detection/redaction, URL canonicalization
+  * dedup, greedy sequence packing into context windows, temperature-
+  * balanced language sampling, and REAL in-JVM WAV audio decode.
+  *
+  * Scale notes (the 100 TB lens):
+  *   - repetition / PII / URL metrics are per-row codegen'd expressions
+  *     → embarrassingly parallel, no shuffle before the final group;
+  *   - corpus chunk dedup shuffles 16-byte md5 digests, never chunk
+  *     text, for the frequency join (same discipline as n_dedup_*);
+  *   - sequence packing computes the global running token count with a
+  *     TWO-LEVEL cumsum (per-bucket window + tiny bucket-offset
+  *     broadcast join) instead of a single-partition global window —
+  *     the shape that survives a 1000-executor cluster;
+  *   - audio decode is partition-batched `mapPartitions` with constant
+  *     memory per task (see [[graft.operators.AudioDecode]]).
+  */
+object PipelineQueries extends QueryModule {
+
+  override val queries: Seq[Q] = Seq(
+
+    Q("n_repetition_filter",
+      "Gopher-style repetition quality gate: per-doc top-word fraction + duplicate-bigram fraction, keep flag at (0.12, 0.05) thresholds — per-row expression metrics plus one digest-keyed count, no data movement beyond the doc-keyed join.",
+      (s, dir) => {
+        val d = T(s, dir, "documents").filter(col("doc_id") < 150)
+          .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        val topw = d.select(col("doc_id"), explode(col("ws")).as("w"))
+          .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+          .groupBy(col("doc_id")).agg(max(col("c")).as("top_cnt"))
+        val bg = d.select(col("doc_id"),
+          size(col("ws")).as("n_words"),
+          (size(col("ws")) - 1).as("n_bigrams"),
+          size(array_distinct(expr(
+            "transform(sequence(1, size(ws) - 1), i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))")))
+            .as("n_uniq_bigrams"))
+        bg.join(topw, "doc_id")
+          .select(col("doc_id"), col("n_words"),
+            round(col("top_cnt").cast("double") / col("n_words"), 6).as("top_word_frac"),
+            round(lit(1.0) - col("n_uniq_bigrams").cast("double") / col("n_bigrams"), 6).as("dup_bigram_frac"),
+            // gate on the ROUNDED metrics so the flag is always
+            // consistent with the surfaced columns (and cross-engine)
+            (round(col("top_cnt").cast("double") / col("n_words"), 6) <= 0.12 &&
+              round(lit(1.0) - col("n_uniq_bigrams").cast("double") / col("n_bigrams"), 6) <= 0.05).as("keep"))
+          .orderBy(col("doc_id").asc_nulls_last)
+      },
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents WHERE doc_id < 150),
+        w AS (SELECT doc_id, unnest(ws) AS w FROM d),
+        topw AS (SELECT doc_id, max(c) AS top_cnt
+                 FROM (SELECT doc_id, w, count(*) AS c FROM w GROUP BY doc_id, w) t GROUP BY doc_id),
+        bg AS (SELECT doc_id, CAST(len(ws) AS INTEGER) AS n_words,
+                 CAST(len(ws) - 1 AS INTEGER) AS n_bigrams,
+                 CAST(len(list_distinct(list_transform(generate_series(1, len(ws) - 1),
+                      i -> ws[i] || ' ' || ws[i + 1]))) AS INTEGER) AS n_uniq_bigrams
+               FROM d)
+        SELECT bg.doc_id, n_words,
+          round(CAST(top_cnt AS DOUBLE) / n_words, 6) AS top_word_frac,
+          round(1.0 - CAST(n_uniq_bigrams AS DOUBLE) / n_bigrams, 6) AS dup_bigram_frac,
+          (round(CAST(top_cnt AS DOUBLE) / n_words, 6) <= 0.12
+            AND round(1.0 - CAST(n_uniq_bigrams AS DOUBLE) / n_bigrams, 6) <= 0.05) AS keep
+        FROM bg JOIN topw ON bg.doc_id = topw.doc_id
+        ORDER BY bg.doc_id ASC NULLS LAST""")),
+
+    Q("n_line_dedup",
+      "C4-style corpus-level chunk dedup: split docs into 3-word chunks, count global frequency (shuffling 16-byte md5 digests, not text), drop chunks seen more than once corpus-wide, reassemble surviving text in order — reports docs that lost at least one chunk.",
+      (s, dir) => {
+        val d = T(s, dir, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        val ch = d.select(col("doc_id"), posexplode(expr(
+            "transform(sequence(0, cast(ceil(size(ws) / 3.0) as int) - 1), c -> array_join(slice(ws, c * 3 + 1, 3), ' '))")))
+          .toDF("doc_id", "cidx", "chunk")
+          .withColumn("dg", md5(col("chunk")))
+        val freq = ch.groupBy(col("dg")).agg(count(lit(1)).as("f"))
+        ch.join(freq, "dg")
+          .groupBy(col("doc_id")).agg(
+            count(lit(1)).cast("int").as("n_chunks"),
+            sum(when(col("f") === 1, 1).otherwise(0)).cast("int").as("n_kept"),
+            md5(array_join(expr(
+              "transform(array_sort(collect_list(CASE WHEN f = 1 THEN struct(cidx, chunk) END)), x -> x.chunk)"),
+              " ")).as("clean_digest"))
+          .filter(col("n_kept") < col("n_chunks"))
+          .orderBy(col("doc_id").asc_nulls_last)
+      },
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        ch AS (SELECT doc_id, c AS cidx,
+                 array_to_string(ws[c * 3 + 1:(c + 1) * 3], ' ') AS chunk
+               FROM d, LATERAL (SELECT unnest(generate_series(0, CAST(ceil(len(ws) / 3.0) AS INT) - 1)) AS c) g),
+        freq AS (SELECT chunk, count(*) AS f FROM ch GROUP BY chunk),
+        kept AS (SELECT ch.doc_id, ch.cidx, ch.chunk, freq.f
+                 FROM ch JOIN freq ON ch.chunk = freq.chunk)
+        SELECT doc_id, CAST(count(*) AS INTEGER) AS n_chunks,
+          CAST(count(*) FILTER (f = 1) AS INTEGER) AS n_kept,
+          md5(COALESCE(string_agg(CASE WHEN f = 1 THEN chunk END, ' ' ORDER BY cidx), '')) AS clean_digest
+        FROM kept GROUP BY doc_id
+        HAVING count(*) FILTER (f = 1) < count(*)
+        ORDER BY doc_id ASC NULLS LAST""")),
+
+    Q("n_pii_scrub",
+      "PII detection + redaction: regex email/phone/IPv4 counts and a chained-redaction digest over synthetic PII-bearing text — pure per-row codegen'd expressions, zero shuffle before the final sort.",
+      (s, dir) => {
+        val email = """[a-z0-9._]+@[a-z0-9.]+[a-z]"""
+        val phone = """\+1-555-[0-9]{4}"""
+        val ip = """[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"""
+        T(s, dir, "documents").filter(col("doc_id") < 200)
+          .select(col("doc_id"), concat(
+            col("text"), lit(" contact user"), col("doc_id").cast("string"),
+            lit("@mail.example.com or +1-555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+            lit(" from 10."), (col("doc_id") % 200).cast("string"),
+            lit(".0."), (col("doc_id") % 250).cast("string")).as("pii_text"))
+          .select(col("doc_id"),
+            regexp_count(col("pii_text"), lit(email)).cast("int").as("n_emails"),
+            regexp_count(col("pii_text"), lit(phone)).cast("int").as("n_phones"),
+            regexp_count(col("pii_text"), lit(ip)).cast("int").as("n_ips"),
+            md5(regexp_replace(regexp_replace(regexp_replace(col("pii_text"),
+              email, "<EMAIL>"), phone, "<PHONE>"), ip, "<IP>")).as("red_digest"))
+          .orderBy(col("doc_id").asc_nulls_last)
+      },
+      Some("""WITH p AS (SELECT doc_id,
+          text || ' contact user' || doc_id || '@mail.example.com or +1-555-' ||
+            lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' from 10.' ||
+            CAST(doc_id % 200 AS VARCHAR) || '.0.' || CAST(doc_id % 250 AS VARCHAR) AS pii_text
+          FROM documents WHERE doc_id < 200)
+        SELECT doc_id,
+          CAST(len(regexp_extract_all(pii_text, '[a-z0-9._]+@[a-z0-9.]+[a-z]')) AS INTEGER) AS n_emails,
+          CAST(len(regexp_extract_all(pii_text, '\+1-555-[0-9]{4}')) AS INTEGER) AS n_phones,
+          CAST(len(regexp_extract_all(pii_text, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS INTEGER) AS n_ips,
+          md5(regexp_replace(regexp_replace(regexp_replace(pii_text,
+            '[a-z0-9._]+@[a-z0-9.]+[a-z]', '<EMAIL>', 'g'),
+            '\+1-555-[0-9]{4}', '<PHONE>', 'g'),
+            '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g')) AS red_digest
+        FROM p ORDER BY doc_id ASC NULLS LAST""")),
+
+    Q("n_url_dedup",
+      "URL canonicalization dedup: lowercase, strip default port / fragment / utm_* params, then per-source raw-vs-normalized distinct counts — per-row normalization expressions + one aggregation.",
+      (s, dir) => {
+        val raw = concat(
+          lit("HTTP://WWW.Example.COM:80/"), col("source"),
+          lit("/page-"), (col("doc_id") % 8).cast("string"),
+          lit("?utm_source=feed&ref="), (col("doc_id") % 5).cast("string"),
+          lit("&utm_campaign=c"), (col("doc_id") % 3).cast("string"),
+          lit("&id="), (col("doc_id") % 12).cast("string"),
+          lit("#sec"), (col("doc_id") % 7).cast("string"))
+        T(s, dir, "documents")
+          .select(col("doc_id"), col("source"), raw.as("url"))
+          .withColumn("norm_url",
+            regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+              lower(col("url")),
+              "#.*$", ""), "utm_[a-z_]+=[^&#]*&?", ""), ":80/", "/"), "[?&]$", ""))
+          .groupBy(col("source")).agg(
+            count(lit(1)).as("n_urls"),
+            countDistinct(col("url")).as("n_raw_distinct"),
+            countDistinct(col("norm_url")).as("n_norm_distinct"),
+            round(lit(1.0) - countDistinct(col("norm_url")).cast("double") /
+              countDistinct(col("url")), 6).as("collapse_ratio"))
+          .orderBy(col("source").asc_nulls_last)
+      },
+      Some("""WITH u AS (SELECT doc_id, source,
+          'HTTP://WWW.Example.COM:80/' || source || '/page-' || CAST(doc_id % 8 AS VARCHAR) ||
+          '?utm_source=feed&ref=' || CAST(doc_id % 5 AS VARCHAR) || '&utm_campaign=c' ||
+          CAST(doc_id % 3 AS VARCHAR) || '&id=' || CAST(doc_id % 12 AS VARCHAR) || '#sec' ||
+          CAST(doc_id % 7 AS VARCHAR) AS url
+          FROM documents),
+        n AS (SELECT doc_id, source, url,
+          regexp_replace(regexp_replace(regexp_replace(regexp_replace(lower(url),
+            '#.*$', ''),
+            'utm_[a-z_]+=[^&#]*&?', '', 'g'),
+            ':80/', '/'),
+            '[?&]$', '') AS norm_url
+          FROM u)
+        SELECT source, CAST(count(*) AS BIGINT) AS n_urls,
+          CAST(count(DISTINCT url) AS BIGINT) AS n_raw_distinct,
+          CAST(count(DISTINCT norm_url) AS BIGINT) AS n_norm_distinct,
+          round(1.0 - CAST(count(DISTINCT norm_url) AS DOUBLE) / count(DISTINCT url), 6) AS collapse_ratio
+        FROM n GROUP BY source ORDER BY source ASC NULLS LAST""")),
+
+    Q("n_seq_packing",
+      "Greedy sequence packing into 2048-token context windows: global running token count via a TWO-LEVEL cumsum (per-bucket window + tiny bucket-offset broadcast join — no single-partition global window), window id = floor(tokens-before / capacity); per-window doc counts and fill ratios.",
+      (s, dir) => {
+        val cap = 2048L
+        val d = T(s, dir, "documents")
+          .select(col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("n_tokens"),
+            (col("doc_id") / 100).cast("long").as("bucket"))
+        // level 1: cumsum within each bucket — parallel across buckets
+        val wWin = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val local = d.withColumn("wcum", sum(col("n_tokens")).over(wWin))
+        // level 2: bucket totals → running offset (one row per bucket;
+        // tiny, so the single-partition window + broadcast join is fine)
+        val oWin = Window.orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val offsets = d.groupBy(col("bucket")).agg(sum(col("n_tokens")).as("btot"))
+          .withColumn("boff", sum(col("btot")).over(oWin) - col("btot"))
+          .select(col("bucket"), col("boff"))
+        local.join(broadcast(offsets), "bucket")
+          .withColumn("cum", col("boff") + col("wcum"))
+          .withColumn("bin_id", ((col("cum") - col("n_tokens")) / cap).cast("long"))
+          .groupBy(col("bin_id")).agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("sum_tokens"),
+            min(col("doc_id")).as("first_doc"),
+            max(col("doc_id")).as("last_doc"),
+            round(sum(col("n_tokens")).cast("double") / cap, 6).as("fill_ratio"))
+          .orderBy(col("bin_id").asc_nulls_last)
+      },
+      Some("""WITH d AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+        c AS (SELECT doc_id, n_tokens,
+                sum(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+              FROM d)
+        SELECT CAST((cum - n_tokens) // 2048 AS BIGINT) AS bin_id,
+          CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+          min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+          round(CAST(sum(n_tokens) AS DOUBLE) / 2048, 6) AS fill_ratio
+        FROM c GROUP BY bin_id ORDER BY bin_id ASC NULLS LAST""")),
+
+    Q("n_lang_sample",
+      "Temperature-balanced language sampling (alpha=0.5): per-language weight sqrt(count) rounded to an exact DECIMAL(18,6) before the cross-language sum, so both engines divide identical operands — shares and expected docs at a 10k budget.",
+      (s, dir) => {
+        val w = T(s, dir, "documents")
+          .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+          .select(col("lang"), col("n_docs"),
+            round(sqrt(col("n_docs").cast("double")), 6)
+              .cast(DecimalType(18, 6)).as("w6"))
+        val tot = w.agg(sum(col("w6")).as("wtot"))
+        w.crossJoin(broadcast(tot))
+          .select(col("lang"), col("n_docs"),
+            round(col("w6").cast("double") / col("wtot").cast("double"), 6).as("sample_share"),
+            round(col("w6").cast("double") / col("wtot").cast("double") * 10000, 0)
+              .cast("long").as("docs_at_10k"))
+          .orderBy(col("lang").asc_nulls_last)
+      },
+      Some("""WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang),
+        w AS (SELECT lang, n_docs, CAST(round(sqrt(CAST(n_docs AS DOUBLE)), 6) AS DECIMAL(18,6)) AS w6 FROM c)
+        SELECT lang, n_docs,
+          round(CAST(w6 AS DOUBLE) / CAST((SELECT sum(w6) FROM w) AS DOUBLE), 6) AS sample_share,
+          CAST(round(CAST(w6 AS DOUBLE) / CAST((SELECT sum(w6) FROM w) AS DOUBLE) * 10000, 0) AS BIGINT) AS docs_at_10k
+        FROM w ORDER BY lang ASC NULLS LAST""")),
+
+    Q("m_audio_features",
+      "REAL audio decode (javax.sound.sampled RIFF/WAV, 16-bit PCM) + sample-accurate features via batched partition passes; payloads are deterministic synthetic WAVs so the decoded features hash-match a sample-formula oracle.",
+      (s, dir) => graft.operators.AudioDecode.extractFeatures(
+        T(s, dir, "documents")
+          // single-split source: spread the encode/decode CPU across all
+          // cores before the per-row audio work (same shape as m_decode_*)
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(col("doc_id"),
+            graft.operators.AudioDecode.synthWavUdf(col("doc_id")).as("payload"))),
+      // the oracle decodes nothing: it reduces the same sample formula
+      // the synthesizer used (PCM WAV is lossless, so decode ≡ formula)
+      Some("""WITH g AS (SELECT doc_id, CAST(800 + doc_id % 401 AS INTEGER) AS n FROM documents),
+        s AS (SELECT g.doc_id, g.n, i.i FROM g, LATERAL (SELECT unnest(generate_series(0, g.n - 1)) AS i) i),
+        v AS (SELECT doc_id, n, CAST((doc_id * 31 + i * 17) % 2048 - 1024 AS DOUBLE) AS a FROM s)
+        SELECT doc_id, max(n) AS n_samples, 8000 AS sample_rate,
+          round(max(n) * 1000.0 / 8000.0, 6) AS duration_ms,
+          round(avg(abs(a)), 6) AS mean_abs,
+          round(sqrt(avg(a * a)), 6) AS rms,
+          CAST(max(abs(a)) AS BIGINT) AS peak
+        FROM v GROUP BY doc_id ORDER BY doc_id ASC NULLS LAST""")))
+}

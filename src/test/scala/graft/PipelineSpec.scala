@@ -1,0 +1,124 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data curation pipeline operators (PipelineQueries):
+  * repetition gate, corpus chunk dedup, PII scrub, URL dedup, sequence
+  * packing, language sampling, and the REAL WAV audio decoder.
+  */
+class PipelineSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("audio decode is REAL: javax.sound round-trips the synthetic WAVs") {
+    // byte-level: encode then decode one payload and compare samples
+    val wav = operators.AudioDecode.synthWav(5L)
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(wav))
+    val raw = ais.readAllBytes()
+    val decoded = Array.tabulate(raw.length / 2)(i =>
+      ((raw(2 * i + 1).toInt << 8) | (raw(2 * i) & 0xff)).toShort)
+    assert(decoded.sameElements(operators.AudioDecode.synthSamples(5L)))
+    // frame-level features from the distributed path match the formula
+    val feats = SparkEntry.queries("m_audio_features")(spark, sf).collect()
+    assert(feats.nonEmpty)
+    feats.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Int]("n_samples") == (800 + id % 401).toInt)
+      assert(r.getAs[Int]("sample_rate") == 8000)
+      assert(r.getAs[Long]("peak") <= 1024L)
+    }
+    // the decoder really parses bytes: garbage must not decode
+    intercept[Exception] {
+      javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(Array[Byte](9, 9, 9)))
+    }
+  }
+
+  test("repetition gate: keep flag is exactly the threshold predicate") {
+    val rows = SparkEntry.queries("n_repetition_filter")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // the gate is defined on the surfaced (rounded) metrics, so the
+      // flag must be recomputable from the output columns alone
+      val expected = r.getAs[Double]("top_word_frac") <= 0.12 &&
+        r.getAs[Double]("dup_bigram_frac") <= 0.05
+      assert(r.getAs[Boolean]("keep") == expected)
+    }
+  }
+
+  test("corpus chunk dedup: every reported doc lost at least one chunk") {
+    val rows = SparkEntry.queries("n_line_dedup")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Int]("n_kept") < r.getAs[Int]("n_chunks"))
+      assert(r.getAs[Int]("n_kept") >= 0)
+      assert(r.getAs[String]("clean_digest").length == 32)
+    }
+  }
+
+  test("PII scrub: counts found and the redaction removes every match") {
+    val rows = SparkEntry.queries("n_pii_scrub")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Int]("n_emails") >= 1)
+      assert(r.getAs[Int]("n_phones") >= 1)
+      assert(r.getAs[Int]("n_ips") >= 1)
+    }
+    // direct check that redaction is total on a sample string
+    val red = java.util.regex.Pattern
+      .compile("""[a-z0-9._]+@[a-z0-9.]+[a-z]""").matcher(
+        "quick fox contact user7@mail.example.com or +1-555-0007 from 10.7.0.7"
+          .replaceAll("""[a-z0-9._]+@[a-z0-9.]+[a-z]""", "<EMAIL>"))
+    assert(!red.find())
+  }
+
+  test("URL dedup: normalization only ever collapses") {
+    val rows = SparkEntry.queries("n_url_dedup")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_norm_distinct") <= r.getAs[Long]("n_raw_distinct"))
+      val cr = r.getAs[Double]("collapse_ratio")
+      assert(cr >= 0.0 && cr <= 1.0)
+    }
+    assert(rows.exists(_.getAs[Double]("collapse_ratio") > 0.0),
+      "fixture should produce at least one actual collapse")
+  }
+
+  test("sequence packing: two-level cumsum ≡ naive global window") {
+    val packed = SparkEntry.queries("n_seq_packing")(spark, sf).collect()
+    assert(packed.nonEmpty)
+    // naive single-window reference (fine at test scale, not at 100 TB)
+    val d = T(spark, sf, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("t"))
+    val g = Window.orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val naive = d.withColumn("cum", sum(col("t")).over(g))
+      .withColumn("bin_id", ((col("cum") - col("t")) / 2048L).cast("long"))
+      .groupBy("bin_id").agg(count(lit(1)).as("n_docs"), sum(col("t")).as("sum_tokens"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    packed.foreach { r =>
+      val (nd, st) = naive(r.getAs[Long]("bin_id"))
+      assert(r.getAs[Long]("n_docs") == nd && r.getAs[Long]("sum_tokens") == st)
+    }
+    // all docs are packed exactly once
+    assert(packed.map(_.getAs[Long]("n_docs")).sum == d.count())
+  }
+
+  test("language sampling: temperature shares form a distribution") {
+    val rows = SparkEntry.queries("n_lang_sample")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val shares = rows.map(_.getAs[Double]("sample_share"))
+    assert(math.abs(shares.sum - 1.0) < 1e-4)
+    // alpha=0.5 flattens: no language's share exceeds its raw frequency
+    // share unless it is a minority class
+    val total = rows.map(_.getAs[Long]("n_docs")).sum.toDouble
+    rows.foreach { r =>
+      val rawShare = r.getAs[Long]("n_docs") / total
+      val s = r.getAs[Double]("sample_share")
+      if (rawShare > 1.0 / rows.length) assert(s < rawShare)
+      else assert(s >= rawShare * 0.9)
+    }
+  }
+}

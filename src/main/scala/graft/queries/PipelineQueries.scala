@@ -245,6 +245,85 @@ object PipelineQueries extends QueryModule {
           CAST(round(CAST(w6 AS DOUBLE) / CAST((SELECT sum(w6) FROM w) AS DOUBLE) * 10000, 0) AS BIGINT) AS docs_at_10k
         FROM w ORDER BY lang ASC NULLS LAST""")),
 
+    Q("n_ngram_pmi",
+      "Collocation extraction: top bigrams by PMI-style lift ranked with INTEGER-EXACT cross-multiplication (c_ab·N vs c_a·c_b — no log, no float-order drift), support ≥ 20, deterministic text tiebreak.",
+      (s, dir) => {
+        val d = T(s, dir, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        val uni = d.select(explode(col("ws")).as("w"))
+          .groupBy(col("w")).agg(count(lit(1)).as("c"))
+        val nTot = uni.agg(sum(col("c")).as("n_uni"))
+        val bi = d.select(explode(expr(
+            "transform(sequence(1, size(ws) - 1), i -> struct(element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2))"))
+            .as("b"))
+          .select(col("b.w1"), col("b.w2"))
+          .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_ab"))
+          .filter(col("c_ab") >= 20)
+        bi.join(uni.select(col("w").as("w1"), col("c").as("c_a")), "w1")
+          .join(uni.select(col("w").as("w2"), col("c").as("c_b")), "w2")
+          .crossJoin(broadcast(nTot))
+          .select(col("w1"), col("w2"), col("c_ab"), col("c_a"), col("c_b"),
+            round(col("c_ab").cast("double") * col("n_uni") /
+              (col("c_a") * col("c_b")), 6).as("lift"))
+          .orderBy(col("lift").desc, col("w1").asc_nulls_last, col("w2").asc_nulls_last)
+          .limit(30)
+      },
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        uni AS (SELECT w, count(*) AS c FROM (SELECT unnest(ws) AS w FROM d) t GROUP BY w),
+        n AS (SELECT sum(c) AS n_uni FROM uni),
+        bi AS (SELECT w1, w2, count(*) AS c_ab FROM (
+                SELECT ws[i] AS w1, ws[i+1] AS w2
+                FROM d, LATERAL (SELECT unnest(generate_series(1, len(ws) - 1)) AS i) g) t
+               GROUP BY w1, w2
+               HAVING count(*) >= 20)
+        SELECT b.w1, b.w2, CAST(b.c_ab AS BIGINT) AS c_ab,
+          CAST(ua.c AS BIGINT) AS c_a, CAST(ub.c AS BIGINT) AS c_b,
+          round(CAST(b.c_ab AS DOUBLE) * (SELECT n_uni FROM n) / (ua.c * ub.c), 6) AS lift
+        FROM bi b JOIN uni ua ON b.w1 = ua.w JOIN uni ub ON b.w2 = ub.w
+        ORDER BY lift DESC, w1 ASC NULLS LAST, w2 ASC NULLS LAST LIMIT 30""")),
+
+    Q("n_embed_quantize",
+      "Embedding int8 quantization + reconstruction error: per-vector symmetric scale 127/max|v|, per-element error measured in INTEGER nano-units (round(err·1e9) as BIGINT) so squared-error sums are exact int64s in both engines — per-label mean SSE and max quantized magnitude.",
+      (s, dir) => {
+        T(s, dir, "embeddings")
+          .select(col("vec_id"), col("label"),
+            expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+          .withColumn("maxabs", expr("array_max(transform(v, x -> abs(x)))"))
+          // q ∈ [-127, 127]; err in nano-units keeps the fold integral
+          .withColumn("qv", expr(
+            "transform(v, x -> CAST(round(x * 127.0 / maxabs, 0) AS INT))"))
+          .withColumn("err9", expr(
+            "transform(sequence(1, size(v)), i -> CAST(round((element_at(v, i) - element_at(qv, i) * maxabs / 127.0) * 1e9, 0) AS BIGINT))"))
+          .withColumn("sse9", expr(
+            "aggregate(err9, CAST(0 AS BIGINT), (acc, x) -> acc + x * x)"))
+          .withColumn("qmax", expr(
+            "aggregate(qv, CAST(0 AS BIGINT), (acc, x) -> greatest(acc, abs(CAST(x AS BIGINT))))"))
+          .groupBy(col("label")).agg(
+            count(lit(1)).as("n_vecs"),
+            round(sum(col("sse9")).cast("double") / count(lit(1)) / 1e18, 12).as("avg_sse"),
+            max(col("qmax")).as("max_q"))
+          .orderBy(col("label").asc_nulls_last)
+      },
+      Some("""WITH q AS (
+          SELECT vec_id, label,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+        m AS (SELECT vec_id, label, v,
+            (SELECT max(abs(x)) FROM unnest(v) AS t(x)) AS maxabs FROM q),
+        e AS (SELECT vec_id, label, maxabs,
+            list_transform(v, x -> CAST(round(x * 127.0 / maxabs, 0) AS INTEGER)) AS qv,
+            list_transform(generate_series(1, len(v)), i ->
+              CAST(round((v[i] - CAST(round(v[i] * 127.0 / maxabs, 0) AS INTEGER) * maxabs / 127.0) * 1e9, 0) AS BIGINT)) AS err9
+          FROM m),
+        s AS (SELECT vec_id, label,
+            CAST(list_aggregate(list_transform(err9, x -> x * x), 'sum') AS BIGINT) AS sse9,
+            CAST(list_aggregate(list_transform(qv, x -> CAST(abs(x) AS BIGINT)), 'max') AS BIGINT) AS qmax
+          FROM e)
+        SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+          round(CAST(sum(sse9) AS DOUBLE) / count(*) / 1e18, 12) AS avg_sse,
+          max(qmax) AS max_q
+        FROM s GROUP BY label ORDER BY label ASC NULLS LAST""")),
+
     Q("m_audio_features",
       "REAL audio decode (javax.sound.sampled RIFF/WAV, 16-bit PCM) + sample-accurate features via batched partition passes; payloads are deterministic synthetic WAVs so the decoded features hash-match a sample-formula oracle.",
       (s, dir) => graft.operators.AudioDecode.extractFeatures(

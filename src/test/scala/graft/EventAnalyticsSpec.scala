@@ -43,6 +43,30 @@ class EventAnalyticsSpec extends AnyFunSuite {
       "rows must be ranked by lift descending")
   }
 
+  test("Misra-Gries sketch: undercount bound holds in the eviction regime") {
+    import spark.implicits._
+    // skewed stream: 'hot' 60×, 'warm' 25×, 10 distinct cold items 4× each
+    // — forces eviction at k=4 (12 distinct > k)
+    val items = Seq.fill(60)("hot") ++ Seq.fill(25)("warm") ++
+      (0 until 10).flatMap(i => Seq.fill(4)(s"cold$i"))
+    val n = items.length
+    val exact = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val k = 4
+    val hh = new operators.HeavyHitters(k, 12)
+    val est = spark.createDataset(items).repartition(3)
+      .select(hh.toColumn.name("top"))
+      .collect().head.toMap
+    // MG summaries UNDERCOUNT, with per-merge error ≤ n/(k+1); 3
+    // partitions + final merge → ≤ 2 compression levels of slack
+    val bound = 2L * n / (k + 1)
+    est.foreach { case (w, c) =>
+      assert(c <= exact(w), s"$w overestimated: $c > ${exact(w)}")
+      assert(exact(w) - c <= bound, s"$w undercount ${exact(w) - c} > $bound")
+    }
+    // the guaranteed-heavy item must survive sketching
+    assert(est.contains("hot"))
+  }
+
   test("quantization: int8 range respected and error is tiny but nonzero") {
     val rows = SparkEntry.queries("n_embed_quantize")(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -18,7 +18,7 @@ object SparkEntry {
     ScalarQueries, TableFnQueries, AdvancedQueries,
     TextQueries, DedupQueries, SimilarityQueries, MultimodalQueries,
     FileFormatQueries, ExtraQueries, ScaleQueries, Round2Queries,
-    Round3Queries, PipelineQueries, EventAnalyticsQueries)
+    Round3Queries, PipelineQueries, EventAnalyticsQueries, LayoutQueries)
 
   private lazy val allQueries: Seq[Q] = {
     val qs = modules.flatMap(_.queries)

@@ -1,0 +1,104 @@
+package graft.queries
+
+import graft.{Q, QueryModule, T}
+import org.apache.spark.sql.functions._
+
+/** Storage-layout and ingestion-maintenance operators a 100 TB
+  * deployment lives on: CDC upsert compaction (the batch MERGE
+  * pattern), Bloom-filter join pre-filtering (cut the fact-side
+  * shuffle before the exact join), and Z-order clustering statistics
+  * (space-filling-curve locality for file skipping).
+  */
+object LayoutQueries extends QueryModule {
+
+  override val queries: Seq[Q] = Seq(
+
+    Q("i_upsert_merge",
+      "CDC upsert compaction (batch MERGE): base snapshot + changelog with per-key last-write-wins (row_number over change sequence), full-outer-merged into the next snapshot — kept/updated/deleted states with exact-decimal totals. Key-partitioned joins throughout; nothing widens beyond the key space.",
+      (s, dir) => {
+        T.views(s, dir, "orders")
+        s.sql("""WITH base AS (SELECT o_orderkey AS k, o_totalprice AS price, o_orderstatus AS status FROM orders),
+          chg AS (
+            SELECT o_orderkey AS k, 'U' AS op, o_totalprice * 2 AS price, 1 AS seq
+            FROM orders WHERE o_orderkey % 7 = 0
+            UNION ALL
+            SELECT o_orderkey, 'D', NULL, 2 FROM orders WHERE o_orderkey % 11 = 0),
+          last AS (
+            SELECT k, op, price FROM (
+              SELECT k, op, price, row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn FROM chg) t
+            WHERE rn = 1),
+          merged AS (
+            SELECT COALESCE(b.k, l.k) AS k,
+              CASE WHEN l.k IS NULL THEN b.price WHEN l.op = 'U' THEN l.price END AS price,
+              CASE WHEN l.k IS NULL THEN 'kept' WHEN l.op = 'U' THEN 'updated' ELSE 'deleted' END AS state
+            FROM base b FULL OUTER JOIN last l ON b.k = l.k)
+          SELECT state, count(*) AS n,
+            round(CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_price
+          FROM merged GROUP BY state ORDER BY state ASC NULLS LAST""")
+      },
+      Some("""WITH base AS (SELECT o_orderkey AS k, o_totalprice AS price, o_orderstatus AS status FROM orders),
+        chg AS (
+          SELECT o_orderkey AS k, 'U' AS op, o_totalprice * 2 AS price, 1 AS seq
+          FROM orders WHERE o_orderkey % 7 = 0
+          UNION ALL
+          SELECT o_orderkey, 'D', NULL, 2 FROM orders WHERE o_orderkey % 11 = 0),
+        last AS (
+          SELECT k, op, price FROM (
+            SELECT k, op, price, row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn FROM chg) t
+          WHERE rn = 1),
+        merged AS (
+          SELECT COALESCE(b.k, l.k) AS k,
+            CASE WHEN l.k IS NULL THEN b.price WHEN l.op = 'U' THEN l.price END AS price,
+            CASE WHEN l.k IS NULL THEN 'kept' WHEN l.op = 'U' THEN 'updated' ELSE 'deleted' END AS state
+          FROM base b FULL OUTER JOIN last l ON b.k = l.k)
+        SELECT state, CAST(count(*) AS BIGINT) AS n,
+          round(CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_price
+        FROM merged GROUP BY state ORDER BY state ASC NULLS LAST""")),
+
+    Q("c_join_bloom_prefilter",
+      "Bloom-filter join pre-filter: build a ~2 KB Bloom filter over the filtered dim keys (bounded model-to-driver, like the IVF centroids), broadcast it, and drop non-matching fact rows MAP-SIDE before the exact semi-join — at 100 TB this is the difference between shuffling the whole fact table and shuffling ~the matching slice. The exact join scrubs Bloom false positives, so results are exact.",
+      (s, dir) => {
+        val dimKeys = T(s, dir, "customer")
+          .filter(col("c_acctbal") > 9000).select(col("c_custkey"))
+        val bf = dimKeys.stat.bloomFilter("c_custkey", 2000, 0.01)
+        val bc = s.sparkContext.broadcast(bf)
+        val might = udf((k: Long) => bc.value.mightContainLong(k))
+        T(s, dir, "orders")
+          .filter(might(col("o_custkey")))
+          .join(dimKeys, col("o_custkey") === col("c_custkey"), "left_semi")
+          .agg(count(lit(1)).as("n_orders"),
+            graft.Exact.sumExact(col("o_totalprice")).as("total"))
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_orders,
+        round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+        FROM orders WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)""")),
+
+    Q("i_zorder_layout",
+      "Z-order (Morton) clustering statistics: interleave the low 8 bits of two scan keys into a space-filling-curve value, bucket by its top bits — every bucket covers a tight 64×64 tile in (a,b) space, the locality property that makes file skipping work on BOTH columns at once.",
+      (s, dir) => {
+        T(s, dir, "lineitem")
+          .select((col("l_orderkey") % 256).cast("long").as("a"),
+            (col("l_partkey") % 256).cast("long").as("b"))
+          .withColumn("z", expr(
+            """aggregate(sequence(0, 7), CAST(0 AS BIGINT), (acc, i) ->
+                 acc + shiftright(a, i) % 2 * shiftleft(CAST(1 AS BIGINT), 2 * i)
+                     + shiftright(b, i) % 2 * shiftleft(CAST(1 AS BIGINT), 2 * i + 1))"""))
+          .groupBy((col("z") / 4096).cast("long").as("z_bucket"))
+          .agg(count(lit(1)).as("n"),
+            min(col("a")).as("min_a"), max(col("a")).as("max_a"),
+            min(col("b")).as("min_b"), max(col("b")).as("max_b"))
+          .orderBy(col("z_bucket").asc_nulls_last)
+      },
+      Some("""WITH d AS (SELECT CAST(l_orderkey % 256 AS BIGINT) AS a,
+          CAST(l_partkey % 256 AS BIGINT) AS b FROM lineitem),
+        zv AS (SELECT a, b,
+          list_aggregate(list_transform(generate_series(0, 7), i ->
+            ((a >> i) & 1) * CAST(pow(2, 2 * i) AS BIGINT) +
+            ((b >> i) & 1) * CAST(pow(2, 2 * i + 1) AS BIGINT)), 'sum') AS z
+          FROM d),
+        zb AS (SELECT CAST(z // 4096 AS BIGINT) AS z_bucket, a, b FROM zv)
+        SELECT z_bucket, CAST(count(*) AS BIGINT) AS n,
+          min(a) AS min_a, max(a) AS max_a,
+          min(b) AS min_b, max(b) AS max_b
+        FROM zb GROUP BY z_bucket ORDER BY z_bucket ASC NULLS LAST""")))
+}

@@ -37,28 +37,48 @@ object ConnectedComponents {
   /** @param edgesIn (u, v) pairs, one row per undirected edge.
     * @return (id, label): label = min id of the component.
     */
+  /** Persist unless this exact plan is already in the cache (a repeat
+    * call — e.g. a bench re-run — would otherwise trip the
+    * CacheManager's "already cached" WARN and double-book the blocks).
+    * Returns the frame plus whether WE own the persist.
+    */
+  private def cacheOnce(df: DataFrame): (DataFrame, Boolean) =
+    if (df.storageLevel != StorageLevel.NONE) (df, false)
+    else (df.persist(StorageLevel.MEMORY_AND_DISK), true)
+
   def labels(edgesIn: DataFrame): DataFrame = {
     // materialize the input ONCE before fanning out: the 4-way union
     // below would otherwise re-run the (possibly expensive) upstream
     // pair pipeline once per branch
-    val half = edgesIn.select(col("u"), col("v"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    if (half.count() == 0L) {
+    val (halfRaw, ownHalfRaw) = cacheOnce(edgesIn.select(col("u"), col("v")))
+    val nEdges = halfRaw.count()
+    // size-adaptive parallelism (the same runtime re-plan AQE applies
+    // to single queries, done here for the iteration): each superstep
+    // is a join+agg whose fixed scheduling cost dominates when the
+    // verified-pair graph is small — ~100k edges per partition keeps
+    // big graphs parallel without paying 32-task churn per superstep
+    // on a 25-edge one
+    val spark = edgesIn.sparkSession
+    val parts = math.max(1L, math.min(
+      spark.sparkContext.defaultParallelism.toLong, nEdges / 100000L + 1L)).toInt
+    val (half, ownHalf) = cacheOnce(halfRaw.repartition(parts))
+    half.count()
+    if (ownHalfRaw) halfRaw.unpersist(blocking = false)
+    if (nEdges == 0L) {
       // no edges → no clusters; short-circuit (the Σlabel witness
       // below would read a NULL aggregate off an empty frame)
-      half.unpersist(blocking = false)
+      if (ownHalf) half.unpersist(blocking = false)
       return half.select(col("u").as("id"), col("u").as("label"))
     }
     // both directions PLUS self-loops: one join+min per superstep then
     // covers "own label vs neighbors' labels" without a second join
-    val edges = half
+    val (edges, ownEdges) = cacheOnce(half
       .union(half.select(col("v").as("u"), col("u").as("v")))
       .union(half.select(col("u"), col("u").as("v")))
       .union(half.select(col("v").as("u"), col("v")))
-      .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    var lab = edges.select(col("u").as("id"), col("u").as("label")).distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .distinct())
+    var (lab, ownLab) = cacheOnce(
+      edges.select(col("u").as("id"), col("u").as("label")).distinct())
     // labels only ever DECREASE, so Σlabel is a fixpoint witness: it
     // strictly drops until convergence — one cheap aggregate per
     // superstep instead of a compare join
@@ -69,18 +89,19 @@ object ConnectedComponents {
     var converged = false
     val MaxSupersteps = 50
     while (!converged && iter < MaxSupersteps) {
-      val next = edges.join(lab.withColumnRenamed("id", "v"), "v")
-        .groupBy(col("u").as("id")).agg(min(col("label")).as("label"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      val (next, ownNext) = cacheOnce(
+        edges.join(lab.withColumnRenamed("id", "v"), "v")
+          .groupBy(col("u").as("id")).agg(min(col("label")).as("label")))
       val s = sumLabels(next)
       converged = s == prevSum
       prevSum = s
-      lab.unpersist(blocking = false)
+      if (ownLab) lab.unpersist(blocking = false)
       lab = next
+      ownLab = ownNext
       iter += 1
     }
-    edges.unpersist(blocking = false)
-    half.unpersist(blocking = false)
+    if (ownEdges) edges.unpersist(blocking = false)
+    if (ownHalf) half.unpersist(blocking = false)
     // a silent partial merge would be wrong-but-plausible output; the
     // cap exists only to bound pathological inputs, so overrunning it
     // must fail loudly (project rule: an error beats silently-different)
@@ -88,7 +109,7 @@ object ConnectedComponents {
       s"connected components did not converge within $MaxSupersteps supersteps " +
         "(component diameter exceeds the cap) — raise MaxSupersteps or " +
         "pre-contract the graph")
-    retained.put(lab, ())
+    if (ownLab) retained.put(lab, ())
     lab
   }
 }

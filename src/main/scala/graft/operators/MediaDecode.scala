@@ -24,6 +24,12 @@ import org.apache.spark.sql.functions._
   */
 object MediaDecode {
 
+  // ImageIO defaults to a DISK-backed stream cache whose temp-file
+  // creation serializes across threads — at 32 decode threads that
+  // contention dominates the actual pixel work. In-memory caching is
+  // strictly better for our byte-array payloads.
+  javax.imageio.ImageIO.setUseCache(false)
+
   final case class ImageFeatures(
       doc_id: Long,
       width: Int,

@@ -276,6 +276,42 @@ object Dialect {
     }
   }
 
+  /** DuckDB's simplified `PIVOT` statement →
+    * Spark's `SELECT * FROM … PIVOT (… FOR … IN (…))`.
+    *
+    * Covered form (the one DuckDB's docs lead with):
+    *   `PIVOT <table> ON <col> USING <agg>(<arg>) [GROUP BY <cols>]`
+    * Spark requires an explicit IN value list where DuckDB auto-detects
+    * the spreading values, so the rewrite enumerates
+    * `SELECT DISTINCT <col>` at rewrite time (ordered — deterministic
+    * column order, matching DuckDB's sorted pivot columns). Both
+    * engines then name generated columns by the value itself. Other
+    * PIVOT spellings pass through and fail loudly downstream (project
+    * rule: an error beats silently-different results).
+    */
+  private def rewritePivot(spark: SparkSession, sql: String): String = {
+    val m = ("""(?is)^\s*PIVOT\s+([A-Za-z_][A-Za-z0-9_.]*)\s+ON\s+([A-Za-z_][A-Za-z0-9_]*)""" +
+      """\s+USING\s+([A-Za-z_][A-Za-z0-9_]*)\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)""" +
+      """(?:\s+GROUP\s+BY\s+([A-Za-z0-9_,\s]+?))?\s*;?\s*$""").r
+    sql match {
+      case m(table, onCol, aggFn, aggArg, groupBy) =>
+        val vals = spark.table(table).select(onCol).distinct().na.drop()
+          .orderBy(onCol).collect().map(_.get(0))
+        val inList = vals.map {
+          case s: String => "'" + s.replace("'", "''") + "'"
+          case v => String.valueOf(v)
+        }.mkString(", ")
+        val src = Option(groupBy).map(_.trim).filter(_.nonEmpty) match {
+          // explicit GROUP BY → project exactly (groups, on, arg): Spark
+          // pivots group by all remaining columns
+          case Some(g) => s"(SELECT $g, $onCol, $aggArg FROM $table)"
+          case None => table
+        }
+        s"SELECT * FROM $src PIVOT ($aggFn($aggArg) FOR $onCol IN ($inList))"
+      case _ => sql
+    }
+  }
+
   /** DuckDB bracket syntax → Spark functions, quote-aware:
     *
     *   - postfix `expr[i]`    → `try_element_at(expr, i)` (1-based,
@@ -765,5 +801,7 @@ object Dialect {
       pathOk: String => Boolean = _ => true): String =
     rewriteDistinctOn(rewriteQualify(rewriteExclude(rewriteIntDiv(
       rewriteSample(rewriteStructPack(rewriteBrackets(rewriteBraces(
-        rewriteSources(spark, rewriteSummarize(spark, rewritePragma(sql)), pathOk)))))))))
+        rewriteSources(spark,
+          rewritePivot(spark, rewriteSummarize(spark, rewritePragma(sql))),
+          pathOk)))))))))
 }

@@ -118,4 +118,26 @@ object EventStreams {
     events
       .withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** Streaming heavy hitters: the Misra-Gries Aggregator
+    * ([[graft.operators.HeavyHitters]]) run as a SHARDED streaming
+    * aggregation — words hash into `shards` groups, each group keeps a
+    * bounded k-entry summary in streaming state, and shard summaries
+    * merge exactly at read-out (MG summaries are mergeable, and shards
+    * partition the vocabulary, so the union IS the global sketch).
+    * This is the unbounded-feed face of n_heavy_hitters: state is
+    * O(shards × k) forever, regardless of stream length.
+    */
+  def heavyHitterShards(spark: SparkSession, dir: String,
+      shards: Int = 16, k: Int = 64): Dataset[(Int, Seq[(String, Long)])] = {
+    import spark.implicits._
+    graft.GraftSession.tune(spark)
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val hh = new graft.operators.HeavyHitters(k, k)
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      .select(explode(split(col("text"), " ")).as("w")).as[String]
+      .groupByKey(w => math.floorMod(w.hashCode, shards))
+      .agg(hh.toColumn.name("summary"))
+  }
 }

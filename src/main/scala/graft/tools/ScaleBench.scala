@@ -17,7 +17,12 @@ object ScaleBench {
     "q1_pricing_summary", "c_join_inner_5way", "c_join_asof", "d_cube",
     "e_rank_family", "j_sessionization", "a_partitioned_glob_scan",
     "h_string_fns", "n_dedup_exact_hash", "n_dedup_minhash_lsh",
-    "n_dedup_ngram_jaccard", "n_cosine_topk_bruteforce", "n_dedup_clusters")
+    "n_dedup_ngram_jaccard", "n_cosine_topk_bruteforce", "n_dedup_clusters",
+    // continuation-session operators with data-proportional work
+    // (filtered/constant-output ops like n_pii_scrub are excluded)
+    "m_audio_features", "n_line_dedup", "n_seq_packing", "i_zorder_layout",
+    "n_heavy_hitters", "j_funnel", "i_upsert_merge", "n_embed_quantize",
+    "n_ngram_pmi")
 
   def main(args: Array[String]): Unit = {
     val dirA = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

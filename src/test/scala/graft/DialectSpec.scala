@@ -188,6 +188,21 @@ class DialectSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.body().contains("\"summary\":\"count\"") && r.body().contains("mean"))
   }
 
+  test("PIVOT statement auto-detects spreading values like DuckDB") {
+    // nation: 25 rows, 5 regions — pivot row count per region key
+    val r = post("PIVOT nation ON n_regionkey USING count(n_nationkey)")
+    assert(r.statusCode() == 200, r.body())
+    // one pivoted column per distinct region key, named by the value
+    assert(r.body().contains("\"0\":") && r.body().contains("\"4\":"), r.body())
+  }
+
+  test("PIVOT with GROUP BY projects the group keys") {
+    val r = post(
+      "PIVOT nation ON n_regionkey USING count(n_nationkey) GROUP BY n_name")
+    assert(r.statusCode() == 200, r.body())
+    assert(r.body().contains("\"n_name\""), r.body())
+  }
+
   test("EXCLUDE inside a string literal is untouched") {
     assert(Dialect.rewrite(spark, "SELECT '* EXCLUDE (x)' AS s") ==
       "SELECT '* EXCLUDE (x)' AS s")

@@ -25,6 +25,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("streaming heavy hitters: sharded MG summaries merge to exact batch counts") {
+    val q = EventStreams.heavyHitterShards(spark, sf)
+      .toDF("shard", "summary")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("hh_out")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    // shards partition the vocabulary and each shard stays under k
+    // entries, so flattening the summaries IS the exact global count
+    val streamed = spark.table("hh_out")
+      .select(explode(col("summary")).as("e"))
+      .select(col("e._1").as("w"), col("e._2").as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batch = T(spark, sf, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamed == batch)
+  }
+
   test("streaming dedup: duplicated stream collapses back to distinct events") {
     // duplicate every event by unioning the source with itself
     val doubled = EventStreams.source(spark, sf).union(EventStreams.source(spark, sf))

@@ -161,6 +161,42 @@ object EventAnalyticsQueries extends QueryModule {
           CAST(len(string_split(regexp_extract(url, '^[a-z]+://[^/]+([^?#]*)', 1), '/')) - 1 AS INTEGER) AS path_depth
         FROM u ORDER BY doc_id ASC NULLS LAST""")),
 
+    Q("j_anomaly_zscore",
+      "Time-series anomaly scoring: per-type daily counts z-scored against the trailing 7-day window — mean/variance from EXACT integer window sums (Σn, Σn², k), so both engines divide identical operands and the rounded z cannot drift.",
+      (s, dir) => {
+        val tw = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("event_type")).orderBy(col("d"))
+          .rowsBetween(-7, -1)
+        val daily = T(s, dir, "events")
+          .select(col("event_type"),
+            date_trunc("day", col("ts")).cast("date").as("d"))
+          .groupBy(col("event_type"), col("d"))
+          .agg(count(lit(1)).as("n"))
+        val mean = col("s").cast("double") / col("k")
+        val variance = col("ss").cast("double") / col("k") - mean * mean
+        daily
+          .withColumn("s", sum(col("n")).over(tw))
+          .withColumn("ss", sum(col("n") * col("n")).over(tw))
+          .withColumn("k", count(lit(1)).over(tw))
+          .filter(col("k") >= 7 && variance > 0)
+          .select(col("event_type"), col("d"), col("n"),
+            round((col("n") - mean) / sqrt(variance), 4).as("z"))
+          .orderBy(col("event_type").asc_nulls_last, col("d").asc_nulls_last)
+      },
+      Some("""WITH e AS (SELECT event_type, CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS d FROM events),
+        daily AS (SELECT event_type, d, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY 1, 2),
+        w AS (SELECT event_type, d, n,
+                CAST(sum(n) OVER tw AS BIGINT) AS s,
+                CAST(sum(n * n) OVER tw AS BIGINT) AS ss,
+                CAST(count(*) OVER tw AS BIGINT) AS k
+              FROM daily
+              WINDOW tw AS (PARTITION BY event_type ORDER BY d ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+        SELECT event_type, d, n,
+          round((n - CAST(s AS DOUBLE) / k) / sqrt(CAST(ss AS DOUBLE) / k - (CAST(s AS DOUBLE) / k) * (CAST(s AS DOUBLE) / k)), 4) AS z
+        FROM w WHERE k >= 7
+          AND CAST(ss AS DOUBLE) / k - (CAST(s AS DOUBLE) / k) * (CAST(s AS DOUBLE) / k) > 0
+        ORDER BY event_type ASC NULLS LAST, d ASC NULLS LAST""")),
+
     Q("n_heavy_hitters",
       "Heavy hitters via a mergeable Misra-Gries summary (typed Aggregator, k=64): per-partition bounded sketches, only summaries shuffle. k exceeds the fixture vocabulary so counts are exact — oracle is the plain GROUP BY top-10 (approximation regime spec'd at small k with MG bound assertions).",
       (s, dir) => {

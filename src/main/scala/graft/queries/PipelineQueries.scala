@@ -324,6 +324,42 @@ object PipelineQueries extends QueryModule {
           max(qmax) AS max_q
         FROM s GROUP BY label ORDER BY label ASC NULLS LAST""")),
 
+    Q("n_split_leakage",
+      "Cross-split leakage audit: near-dup (3-gram Jaccard ≥ 0.5) pairs that STRADDLE a content-hash train/test split — the eval-hygiene check that catches test-set contamination surviving naive dedup. Reuses the shared shingle relation and digest-keyed pair pipeline; the split map joins on doc keys only.",
+      (s, dir) => {
+        val split = T(s, dir, "documents")
+          .select(col("doc_id"),
+            when(md5(col("text")) < "8", "train").otherwise("test").as("split"))
+        val pairs = DedupQueries.jaccardPairs(s, dir)
+          .select(col("id_a"), col("id_b"))
+        pairs
+          .join(split.select(col("doc_id").as("id_a"), col("split").as("split_a")), "id_a")
+          .join(split.select(col("doc_id").as("id_b"), col("split").as("split_b")), "id_b")
+          .agg(
+            count(lit(1)).as("n_pairs"),
+            sum(when(col("split_a") =!= col("split_b"), 1L).otherwise(0L)).as("n_leaking"),
+            countDistinct(when(col("split_a") =!= col("split_b"), col("id_b"))).as("n_test_docs_contaminated"))
+      },
+      Some("""WITH sp AS (
+          SELECT doc_id, CASE WHEN md5(text) < '8' THEN 'train' ELSE 'test' END AS split
+          FROM documents),
+        sh AS (SELECT DISTINCT doc_id, w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS sh
+               FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) d,
+                    LATERAL (SELECT unnest(generate_series(0, len(w) - 3)) AS i) g),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        cp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+               FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+               GROUP BY 1, 2),
+        jp AS (SELECT id_a, id_b FROM cp
+               JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+               WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.5),
+        lk AS (SELECT jp.id_a, jp.id_b, pa.split AS split_a, pb.split AS split_b
+               FROM jp JOIN sp pa ON pa.doc_id = jp.id_a JOIN sp pb ON pb.doc_id = jp.id_b)
+        SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+          CAST(count(*) FILTER (split_a <> split_b) AS BIGINT) AS n_leaking,
+          CAST(count(DISTINCT CASE WHEN split_a <> split_b THEN id_b END) AS BIGINT) AS n_test_docs_contaminated
+        FROM lk""")),
+
     Q("m_audio_features",
       "REAL audio decode (javax.sound.sampled RIFF/WAV, 16-bit PCM) + sample-accurate features via batched partition passes; payloads are deterministic synthetic WAVs so the decoded features hash-match a sample-formula oracle.",
       (s, dir) => graft.operators.AudioDecode.extractFeatures(

@@ -67,6 +67,26 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(est.contains("hot"))
   }
 
+  test("split leakage audit: leaking pairs are a subset of all near-dup pairs") {
+    val r = SparkEntry.queries("n_split_leakage")(spark, sf).collect().head
+    val (pairs, leaking, docs) = (r.getAs[Long]("n_pairs"),
+      r.getAs[Long]("n_leaking"), r.getAs[Long]("n_test_docs_contaminated"))
+    assert(leaking <= pairs)
+    assert(docs <= leaking)
+    assert(pairs >= 0 && docs >= 0)
+  }
+
+  test("anomaly z-scores: trailing-window baseline excludes the scored day") {
+    val rows = SparkEntry.queries("j_anomaly_zscore")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val z = r.getAs[Double]("z")
+      assert(!z.isNaN && !z.isInfinite)
+      // uniform synthetic traffic: daily counts stay within a few sigma
+      assert(math.abs(z) < 10.0, s"implausible z=$z")
+    }
+  }
+
   test("quantization: int8 range respected and error is tiny but nonzero") {
     val rows = SparkEntry.queries("n_embed_quantize")(spark, sf).collect()
     assert(rows.nonEmpty)

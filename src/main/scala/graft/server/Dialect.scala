@@ -736,6 +736,49 @@ object Dialect {
   }
 
   /** The two PRAGMA metadata verbs DuckDB clients commonly issue. */
+  /** DuckDB's simplified `UNPIVOT` statement →
+    * Spark's `SELECT * FROM … UNPIVOT (v FOR n IN (cols))`.
+    * Covered form: `UNPIVOT <table> ON <c1, c2…> INTO NAME <n> VALUE <v>`.
+    * Other spellings pass through and fail loudly downstream.
+    */
+  private def rewriteUnpivot(sql: String): String = {
+    val m = ("""(?is)^\s*UNPIVOT\s+([A-Za-z_][A-Za-z0-9_.]*)\s+ON\s+([A-Za-z0-9_,\s]+?)""" +
+      """\s+INTO\s+NAME\s+([A-Za-z_][A-Za-z0-9_]*)\s+VALUE\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$""").r
+    sql match {
+      case m(table, cols, name, value) =>
+        s"SELECT * FROM $table UNPIVOT ($value FOR $name IN (${cols.trim}))"
+      case _ => sql
+    }
+  }
+
+  /** DuckDB's FROM-first syntax: a bare `FROM t [...]` statement (no
+    * leading SELECT) runs as `SELECT * FROM t [...]`, and the
+    * `FROM t SELECT list [...]` ordering moves the select list back in
+    * front. Keyword detection is quote- and paren-masked, so
+    * `FROM (SELECT …) t` — a subquery source with no outer select
+    * list — stays a bare-FROM statement.
+    */
+  private def rewriteFromFirst(sql: String): String = {
+    val head = """(?is)^\s*FROM\b""".r
+    if (head.findFirstIn(sql).isEmpty) return sql
+    val trimmed = sql.trim.stripSuffix(";")
+    val fromAt = firstTopLevel(trimmed, "FROM")
+    val selAt = firstTopLevel(trimmed, "SELECT")
+    if (selAt < 0)
+      return "SELECT * " + trimmed.substring(fromAt)
+    // FROM <src> SELECT <list> [tail]: split the list from trailing
+    // clauses at the first top-level clause keyword after SELECT
+    val src = trimmed.substring(fromAt + 4, selAt).trim
+    val rest = trimmed.substring(selAt + 6).trim
+    val cut = Seq("WHERE", "GROUP", "ORDER", "LIMIT", "HAVING", "QUALIFY")
+      .map(k => firstTopLevel(rest, k)).filter(_ >= 0).sorted.headOption
+    cut match {
+      case Some(c) =>
+        s"SELECT ${rest.substring(0, c).trim} FROM $src ${rest.substring(c).trim}"
+      case None => s"SELECT $rest FROM $src"
+    }
+  }
+
   private def rewritePragma(sql: String): String = {
     val ti = """(?i)^\s*PRAGMA\s+table_info\s*\(\s*'([A-Za-z_][A-Za-z0-9_.]*)'\s*\)\s*;?\s*$""".r
     val st = """(?i)^\s*PRAGMA\s+show_tables\s*;?\s*$""".r
@@ -802,6 +845,7 @@ object Dialect {
     rewriteDistinctOn(rewriteQualify(rewriteExclude(rewriteIntDiv(
       rewriteSample(rewriteStructPack(rewriteBrackets(rewriteBraces(
         rewriteSources(spark,
-          rewritePivot(spark, rewriteSummarize(spark, rewritePragma(sql))),
+          rewritePivot(spark, rewriteUnpivot(rewriteSummarize(spark,
+            rewritePragma(rewriteFromFirst(sql))))),
           pathOk)))))))))
 }

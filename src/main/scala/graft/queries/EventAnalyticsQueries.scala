@@ -161,6 +161,41 @@ object EventAnalyticsQueries extends QueryModule {
           CAST(len(string_split(regexp_extract(url, '^[a-z]+://[^/]+([^?#]*)', 1), '/')) - 1 AS INTEGER) AS path_depth
         FROM u ORDER BY doc_id ASC NULLS LAST""")),
 
+    Q("j_attribution",
+      "Last-touch revenue attribution: each purchase credits the user's most recent click's channel (JSON props → channel id), carried forward by last_value IGNORE NULLS over a deterministic (ts, event_id) order — purchases before any click fall to 'organic'. Exact-decimal revenue totals.",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        T(s, dir, "events")
+          .select(col("user_id"), col("event_type"), col("value"),
+            col("ts"), col("event_id"),
+            concat(lit("ch"),
+              (get_json_object(col("props"), "$.k").cast("int") % 3).cast("string"))
+              .as("channel"))
+          .withColumn("attr_channel",
+            last(when(col("event_type") === "click", col("channel")), ignoreNulls = true)
+              .over(w))
+          .filter(col("event_type") === "purchase")
+          .groupBy(coalesce(col("attr_channel"), lit("organic")).as("channel"))
+          .agg(count(lit(1)).as("n_purchases"),
+            graft.Exact.sumExact(col("value")).as("revenue"))
+          .orderBy(col("channel").asc_nulls_last)
+      },
+      Some("""WITH e AS (SELECT user_id, event_type, value, CAST(ts AS TIMESTAMP) AS ts, event_id,
+            'ch' || CAST(CAST(json_extract(props, '$.k') AS INTEGER) % 3 AS VARCHAR) AS channel
+          FROM events),
+        m AS (SELECT user_id, event_type, value, ts, event_id,
+                last_value(CASE WHEN event_type = 'click' THEN channel END IGNORE NULLS)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS attr_channel
+              FROM e)
+        SELECT COALESCE(attr_channel, 'organic') AS channel,
+          CAST(count(*) AS BIGINT) AS n_purchases,
+          round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue
+        FROM m WHERE event_type = 'purchase'
+        GROUP BY 1 ORDER BY channel ASC NULLS LAST""")),
+
     Q("j_anomaly_zscore",
       "Time-series anomaly scoring: per-type daily counts z-scored against the trailing 7-day window — mean/variance from EXACT integer window sums (Σn, Σn², k), so both engines divide identical operands and the rounded z cannot drift.",
       (s, dir) => {

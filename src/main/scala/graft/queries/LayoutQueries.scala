@@ -73,6 +73,28 @@ object LayoutQueries extends QueryModule {
         round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
         FROM orders WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)""")),
 
+    Q("d_equidepth_hist",
+      "Equi-depth histogram via the scalable two-pass pattern: pass 1 computes exact decile boundaries (sort-based percentile), pass 2 buckets every row MAP-SIDE against the broadcast 9-value boundary array — no global sort of the data, the shape that profiles 100 TB with one small aggregate plus one scan.",
+      (s, dir) => {
+        val b = T(s, dir, "lineitem").agg(expr(
+          "percentile(l_extendedprice, array(0.1D, 0.2D, 0.3D, 0.4D, 0.5D, 0.6D, 0.7D, 0.8D, 0.9D))")
+          .as("bounds"))
+        T(s, dir, "lineitem")
+          .select(col("l_extendedprice").as("x"))
+          .crossJoin(broadcast(b))
+          .withColumn("bucket", expr("CAST(size(filter(bounds, v -> x > v)) AS INT)"))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n"),
+            round(min(col("x")), 2).as("lo"), round(max(col("x")), 2).as("hi"))
+          .orderBy(col("bucket").asc_nulls_last)
+      },
+      Some("""WITH b AS (SELECT quantile_cont(l_extendedprice, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS bounds FROM lineitem),
+        r AS (SELECT l_extendedprice AS x, CAST(len(list_filter(b.bounds, v -> x > v)) AS INTEGER) AS bucket
+              FROM lineitem, b)
+        SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+          round(min(x), 2) AS lo, round(max(x), 2) AS hi
+        FROM r GROUP BY bucket ORDER BY bucket ASC NULLS LAST""")),
+
     Q("i_zorder_layout",
       "Z-order (Morton) clustering statistics: interleave the low 8 bits of two scan keys into a space-filling-curve value, bucket by its top bits — every bucket covers a tight 64×64 tile in (a,b) space, the locality property that makes file skipping work on BOTH columns at once.",
       (s, dir) => {

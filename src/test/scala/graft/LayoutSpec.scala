@@ -29,6 +29,31 @@ class LayoutSpec extends AnyFunSuite {
     assert(got.getAs[Long]("n_orders") == expect)
   }
 
+  test("equi-depth histogram: buckets are balanced and ordered") {
+    val rows = SparkEntry.queries("d_equidepth_hist")(spark, sf).collect()
+    assert(rows.length == 10)
+    val counts = rows.map(_.getAs[Long]("n"))
+    // equi-depth: no bucket deviates more than 2% from the mean
+    val mean = counts.sum.toDouble / counts.length
+    counts.foreach(c => assert(math.abs(c - mean) <= mean * 0.02 + 1))
+    // bucket value ranges must not overlap and must ascend
+    val ordered = rows.sortBy(_.getAs[Int]("bucket"))
+    ordered.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Double]("hi") <= b.getAs[Double]("lo"))
+      case _ =>
+    }
+  }
+
+  test("attribution: revenue is conserved across channels") {
+    val rows = SparkEntry.queries("j_attribution")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val attributed = rows.map(_.getAs[Long]("n_purchases")).sum
+    val purchases = T(spark, sf, "events")
+      .filter(org.apache.spark.sql.functions.col("event_type") === "purchase").count()
+    assert(attributed == purchases, "every purchase lands in exactly one channel")
+  }
+
   test("z-order: every bucket is a tight 64x64 tile in (a,b) space") {
     val rows = SparkEntry.queries("i_zorder_layout")(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -108,6 +108,92 @@ object MediaDecode {
       .orderBy(col("doc_id").asc_nulls_last)
   }
 
+  /** Deterministic per-frame RGB image for a (doc, frame) pair: the
+    * video-fixture analog of [[synthPng]] — all frames of a doc share
+    * dimensions, and every channel uses the same formula
+    * v = (7·id + 11·frame + x + y) % 256 so per-frame means are exactly
+    * reproducible in SQL.
+    */
+  def synthFramePng(docId: Long, frame: Int): Array[Byte] = {
+    val w = (8 + docId % 9).toInt
+    val h = (8 + docId % 7).toInt
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = ((docId * 7 + frame * 11 + x + y) % 256).toInt
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** A minimal multi-frame container ("video"): big-endian
+    * [int32 frameCount][int32 len, PNG bytes]× — length-prefixed real
+    * PNG frames, 4 + id%5 frames per doc.
+    */
+  def synthVideo(docId: Long): Array[Byte] = {
+    val nFrames = (4 + docId % 5).toInt
+    val frames = (0 until nFrames).map(f => synthFramePng(docId, f))
+    val buf = java.nio.ByteBuffer.allocate(4 + frames.map(_.length + 4).sum)
+    buf.putInt(nFrames)
+    frames.foreach { b => buf.putInt(b.length); buf.put(b) }
+    buf.array()
+  }
+
+  val synthVideoUdf = udf(synthVideo _)
+
+  final case class FrameFeatures(
+      doc_id: Long, frame_idx: Int, width: Int, height: Int, mean_px: Double)
+
+  /** Frame sampling: walk the container index, decode ONLY every
+    * `step`-th frame (the skipped frames' bytes are never parsed —
+    * exactly how a production sampler avoids paying full-video decode),
+    * and emit per-sampled-frame features. Partition-batched like the
+    * other decoders.
+    */
+  def sampleFrames(media: DataFrame, step: Int = 2): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (docId, payload) =>
+        val buf = java.nio.ByteBuffer.wrap(payload)
+        val nFrames = buf.getInt()
+        (0 until nFrames).flatMap { f =>
+          val len = buf.getInt()
+          if (f % step != 0) {
+            buf.position(buf.position() + len) // skip without decoding
+            None
+          } else {
+            val bytes = new Array[Byte](len)
+            buf.get(bytes)
+            val img = decodeImage(bytes)
+            val (w, h) = (img.getWidth, img.getHeight)
+            var s = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                s += img.getRGB(x, y) & 0xff // channels are identical
+                x += 1
+              }
+              y += 1
+            }
+            Some(FrameFeatures(docId, f, w, h,
+              math.round(s.toDouble / (w * h) * 1e6) / 1e6))
+          }
+        }
+      }
+      .toDF()
+      .orderBy(col("doc_id").asc_nulls_last, col("frame_idx").asc_nulls_last)
+  }
+
   /** Real resize: area-averaged thumbnail (tw×th) with floor-block
     * boxes — thumb pixel (i,j) averages source x∈[⌊i·w/tw⌋,⌊(i+1)·w/tw⌋).
     * Deterministic integer boxes (no interpolation engine variance);

@@ -72,6 +72,31 @@ object MultimodalQueries extends QueryModule {
         FROM px GROUP BY doc_id
         ORDER BY doc_id ASC NULLS LAST""")),
 
+    Q("m_frame_sample",
+      "REAL frame sampling over a multi-frame container: length-prefixed PNG frames, every 2nd frame decoded (skipped frames' bytes never parsed — the production sampler's cost model), per-sampled-frame means oracle-checked against the frame pixel formula.",
+      (s, dir) => graft.operators.MediaDecode.sampleFrames(
+        T(s, dir, "documents")
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(col("doc_id"),
+            graft.operators.MediaDecode.synthVideoUdf(col("doc_id")).as("payload"))),
+      Some("""WITH g AS (
+          SELECT doc_id, CAST(8 + doc_id % 9 AS INTEGER) AS w,
+                 CAST(8 + doc_id % 7 AS INTEGER) AS h,
+                 CAST(4 + doc_id % 5 AS INTEGER) AS nf
+          FROM documents),
+        fr AS (SELECT doc_id, w, h, f.fi FROM g,
+               LATERAL (SELECT unnest(generate_series(0, g.nf - 1)) AS fi) f
+               WHERE f.fi % 2 = 0),
+        px AS (
+          SELECT fr.doc_id, fr.fi, fr.w, fr.h, xs.x, ys.y
+          FROM fr,
+          LATERAL (SELECT unnest(generate_series(0, fr.w - 1)) AS x) xs,
+          LATERAL (SELECT unnest(generate_series(0, fr.h - 1)) AS y) ys)
+        SELECT doc_id, fi AS frame_idx, max(w) AS width, max(h) AS height,
+          round(CAST(sum((doc_id * 7 + fi * 11 + x + y) % 256) AS DOUBLE) / (max(w) * max(h)), 6) AS mean_px
+        FROM px GROUP BY doc_id, fi
+        ORDER BY doc_id ASC NULLS LAST, frame_idx ASC NULLS LAST""")),
+
     Q("m_resize_thumb",
       "REAL image resize: 4×4 area-averaged thumbnail (floor-block boxes, no interpolation variance) over decoded PNGs; thumb grand-mean/max oracle-checked — the floor-block partition x∈[⌊i·w/4⌋,⌊(i+1)·w/4⌋) is exactly i=(4x+3)//w, so block means are exact-integer ratios in both engines.",
       (s, dir) => graft.operators.MediaDecode.resizeThumbs(

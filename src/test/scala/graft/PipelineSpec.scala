@@ -36,6 +36,32 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("frame sampling decodes ONLY sampled frames (skipped bytes never parsed)") {
+    import spark.implicits._
+    import operators.MediaDecode
+    val video = MediaDecode.synthVideo(7L)
+    // locate frame 1 (skipped at step=2) and trash its PNG bytes,
+    // keeping the length prefix intact
+    val buf = java.nio.ByteBuffer.wrap(video)
+    buf.getInt() // frame count
+    val len0 = buf.getInt(); buf.position(buf.position() + len0)
+    val len1At = buf.position(); val len1 = buf.getInt()
+    val corrupted = video.clone()
+    java.util.Arrays.fill(corrupted, len1At + 4, len1At + 4 + len1, 0x5a.toByte)
+    val out = MediaDecode.sampleFrames(
+      Seq((7L, corrupted)).toDF("doc_id", "payload")).collect()
+    // sampler never touched the corrupted frame: evens decode fine
+    assert(out.map(_.getAs[Int]("frame_idx")).toSeq == Seq(0, 2, 4))
+    // but corrupting a SAMPLED frame fails loudly (it IS decoded)
+    val len0At = 4
+    val corrupted0 = video.clone()
+    java.util.Arrays.fill(corrupted0, len0At + 4, len0At + 4 + len0, 0x5a.toByte)
+    intercept[Exception] {
+      MediaDecode.sampleFrames(
+        Seq((7L, corrupted0)).toDF("doc_id", "payload")).collect()
+    }
+  }
+
   test("repetition gate: keep flag is exactly the threshold predicate") {
     val rows = SparkEntry.queries("n_repetition_filter")(spark, sf).collect()
     assert(rows.nonEmpty)

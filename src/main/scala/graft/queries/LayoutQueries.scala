@@ -73,6 +73,39 @@ object LayoutQueries extends QueryModule {
         round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
         FROM orders WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)""")),
 
+    Q("i_incremental_rollup",
+      "Incremental aggregation maintenance (materialized-view shape): daily PARTIAL aggregates (count/sum/min/max — all re-mergeable) roll up into monthly finals by merging partials, never re-scanning the base — at 100 TB this is the difference between touching a day and touching a history. Decimal sums keep the merge exact.",
+      (s, dir) => {
+        // pass 1: the daily partial table (what a scheduler materializes)
+        val part = T(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1995-03-01").cast("timestamp"))
+          .groupBy(col("o_orderpriority").as("pri"),
+            date_trunc("day", col("o_orderdate")).cast("date").as("d"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 2))).as("s"),
+            min(col("o_totalprice")).as("mn"), max(col("o_totalprice")).as("mx"))
+        // pass 2: merge partials into the monthly rollup (sum of sums,
+        // sum of counts, min of mins, max of maxes)
+        part.groupBy(col("pri"), date_trunc("month", col("d")).cast("date").as("m"))
+          .agg(sum(col("n")).as("n_orders"),
+            round(sum(col("s")).cast("double"), 2).as("total"),
+            min(col("mn")).as("lo"), max(col("mx")).as("hi"))
+          .orderBy(col("pri").asc_nulls_last, col("m").asc_nulls_last)
+      },
+      Some("""WITH part AS (
+          SELECT o_orderpriority AS pri, CAST(date_trunc('day', o_orderdate) AS DATE) AS d,
+            count(*) AS n, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS s,
+            min(o_totalprice) AS mn, max(o_totalprice) AS mx
+          FROM orders WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1995-03-01'
+          GROUP BY 1, 2)
+        SELECT pri, CAST(date_trunc('month', d) AS DATE) AS m,
+          CAST(sum(n) AS BIGINT) AS n_orders,
+          round(CAST(sum(s) AS DOUBLE), 2) AS total,
+          min(mn) AS lo, max(mx) AS hi
+        FROM part GROUP BY 1, 2
+        ORDER BY pri ASC NULLS LAST, m ASC NULLS LAST""")),
+
     Q("d_equidepth_hist",
       "Equi-depth histogram via the scalable two-pass pattern: pass 1 computes exact decile boundaries (sort-based percentile), pass 2 buckets every row MAP-SIDE against the broadcast 9-value boundary array — no global sort of the data, the shape that profiles 100 TB with one small aggregate plus one scan.",
       (s, dir) => {

@@ -324,6 +324,45 @@ object PipelineQueries extends QueryModule {
           max(qmax) AS max_q
         FROM s GROUP BY label ORDER BY label ASC NULLS LAST""")),
 
+    Q("i_group_sample",
+      "Deterministic per-group sampling: 5 docs per language by content-hash rank (md5 with a salt) — reproducible on any engine/cluster/partitioning, the production substitute for per-group reservoir sampling when audits must replay.",
+      (s, dir) => {
+        val w = Window.partitionBy(col("lang"))
+          .orderBy(md5(concat(col("text"), lit("salt42"))).asc_nulls_last,
+            col("doc_id").asc_nulls_last)
+        T(s, dir, "documents")
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 5)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"))
+          .orderBy(col("lang").asc_nulls_last)
+      },
+      Some("""WITH r AS (SELECT lang, doc_id, row_number() OVER (
+            PARTITION BY lang ORDER BY md5(text || 'salt42') ASC, doc_id ASC) AS rk
+          FROM documents)
+        SELECT lang, CAST(count(*) AS BIGINT) AS n, CAST(sum(doc_id) AS BIGINT) AS id_sum
+        FROM r WHERE rk <= 5 GROUP BY lang ORDER BY lang ASC NULLS LAST""")),
+
+    Q("n_quality_pctile",
+      "Percentile-normalized quality: percent_rank of per-doc token count within its language — the rank transform that makes quality thresholds comparable across languages; exact integer rank ratios, deterministic tiebreak.",
+      (s, dir) => {
+        val w = Window.partitionBy(col("lang"))
+          .orderBy(col("n_words").asc_nulls_last, col("doc_id").asc_nulls_last)
+        T(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            size(split(col("text"), " ")).as("n_words"))
+          .withColumn("pctl", round(percent_rank().over(w), 6))
+          .filter(col("doc_id") < 100)
+          .orderBy(col("doc_id").asc_nulls_last)
+      },
+      Some("""WITH q AS (SELECT doc_id, lang,
+            CAST(len(string_split(text, ' ')) AS INTEGER) AS n_words FROM documents),
+        p AS (SELECT doc_id, lang, n_words,
+            round(percent_rank() OVER (PARTITION BY lang ORDER BY n_words ASC, doc_id ASC), 6) AS pctl
+          FROM q)
+        SELECT doc_id, lang, n_words, pctl FROM p WHERE doc_id < 100
+        ORDER BY doc_id ASC NULLS LAST""")),
+
     Q("n_split_leakage",
       "Cross-split leakage audit: near-dup (3-gram Jaccard ≥ 0.5) pairs that STRADDLE a content-hash train/test split — the eval-hygiene check that catches test-set contamination surviving naive dedup. Reuses the shared shingle relation and digest-keyed pair pipeline; the split map joins on doc keys only.",
       (s, dir) => {

@@ -54,6 +54,29 @@ class LayoutSpec extends AnyFunSuite {
     assert(attributed == purchases, "every purchase lands in exactly one channel")
   }
 
+  test("incremental rollup: merged daily partials equal the direct aggregation") {
+    val merged = SparkEntry.queries("i_incremental_rollup")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    val direct = T(spark, sf, "orders")
+      .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1995-03-01").cast("timestamp"))
+      .groupBy(col("o_orderpriority").as("pri"),
+        date_trunc("month", col("o_orderdate")).cast("date").as("m"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")
+          .cast(org.apache.spark.sql.types.DecimalType(18, 2))).cast("double"), 2).as("total"),
+        min(col("o_totalprice")).as("lo"), max(col("o_totalprice")).as("hi"))
+      .collect().map(_.toSeq).toSet
+    assert(merged == direct, "partial-merge must be lossless for re-mergeable aggregates")
+  }
+
+  test("group sample: exactly 5 per group, stable across runs") {
+    val a = SparkEntry.queries("i_group_sample")(spark, sf).collect().map(_.toSeq)
+    val b = SparkEntry.queries("i_group_sample")(spark, sf).collect().map(_.toSeq)
+    assert(a.nonEmpty && a.sameElements(b))
+    a.foreach(r => assert(r(1) == 5L))
+  }
+
   test("z-order: every bucket is a tight 64x64 tile in (a,b) space") {
     val rows = SparkEntry.queries("i_zorder_layout")(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -128,6 +128,77 @@ object LayoutQueries extends QueryModule {
           round(min(x), 2) AS lo, round(max(x), 2) AS hi
         FROM r GROUP BY bucket ORDER BY bucket ASC NULLS LAST""")),
 
+    Q("c_join_range_binned",
+      "Range join WITHOUT a nested loop: each [lo,hi) band explodes into its overlapping fixed-width bins, the probe side maps to its single bin, and the match becomes a shuffle EQUI-join on bin + exact residual filter — the Databricks-style range-join optimization, hash-partitionable at any scale (the banded-BNLJ variant c_join_theta_range is the semantic twin).",
+      (s, dir) => {
+        val binW = 40.0
+        val bands = T(s, dir, "orders")
+          .filter(col("o_orderkey") % 199 === 0)
+          .select(col("o_orderkey").as("k"),
+            (col("o_totalprice") / 500).as("lo"),
+            (col("o_totalprice") / 500 + 40).as("hi"))
+          // explode each band into the bins it overlaps (width 40 band,
+          // width-40 bins → at most 2); a probe row lives in exactly ONE
+          // bin, so no post-join dedup is needed
+          .withColumn("bin", explode(expr(
+            s"sequence(CAST(floor(lo / $binW) AS BIGINT), CAST(floor(hi / $binW) AS BIGINT))")))
+        val probe = T(s, dir, "part")
+          .select(col("p_partkey"), col("p_retailprice"),
+            expr(s"CAST(floor(p_retailprice / $binW) AS BIGINT)").as("bin"))
+        probe.join(bands, "bin")
+          .filter(col("p_retailprice") >= col("lo") && col("p_retailprice") < col("hi"))
+          .agg(count(lit(1)).as("n_matches"),
+            countDistinct(col("k")).as("n_bands"),
+            graft.Exact.sumExact(col("p_retailprice")).as("price_sum"))
+      },
+      Some("""WITH bands AS (
+          SELECT o_orderkey AS k, o_totalprice / 500 AS lo, o_totalprice / 500 + 40 AS hi
+          FROM orders WHERE o_orderkey % 199 = 0),
+        j AS (
+          SELECT b.k, p.p_partkey, p.p_retailprice
+          FROM bands b JOIN part p ON p.p_retailprice >= b.lo AND p.p_retailprice < b.hi)
+        SELECT CAST(count(*) AS BIGINT) AS n_matches,
+          CAST(count(DISTINCT k) AS BIGINT) AS n_bands,
+          round(CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS price_sum
+        FROM j""")),
+
+    Q("j_ohlc_bars",
+      "OHLC time bars: open/high/low/close per (event type, day) — open/close picked by deterministic (ts, event_id) row_number, high/low plain min/max; the financial-bar aggregation shape.",
+      (s, dir) => {
+        val openW = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("event_type"), date_trunc("day", col("ts")))
+          .orderBy(col("ts").asc, col("event_id").asc)
+        val closeW = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("event_type"), date_trunc("day", col("ts")))
+          .orderBy(col("ts").desc, col("event_id").desc)
+        T(s, dir, "events")
+          .filter(col("event_type").isin("purchase", "click"))
+          .select(col("event_type"), col("value"), col("ts"), col("event_id"))
+          .withColumn("rn_open", row_number().over(openW))
+          .withColumn("rn_close", row_number().over(closeW))
+          .groupBy(col("event_type"), date_trunc("day", col("ts")).cast("date").as("d"))
+          .agg(
+            max(when(col("rn_open") === 1, col("value"))).as("open"),
+            round(max(col("value")), 2).as("high"),
+            round(min(col("value")), 2).as("low"),
+            max(when(col("rn_close") === 1, col("value"))).as("close"),
+            count(lit(1)).as("n_ticks"))
+          .orderBy(col("event_type").asc_nulls_last, col("d").asc_nulls_last)
+      },
+      Some("""WITH e AS (SELECT event_type, value, CAST(ts AS TIMESTAMP) AS ts, event_id FROM events
+               WHERE event_type IN ('purchase', 'click')),
+        r AS (SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d, value,
+                row_number() OVER (PARTITION BY event_type, date_trunc('day', ts) ORDER BY ts ASC, event_id ASC) AS rn_open,
+                row_number() OVER (PARTITION BY event_type, date_trunc('day', ts) ORDER BY ts DESC, event_id DESC) AS rn_close
+              FROM e)
+        SELECT event_type, d,
+          max(CASE WHEN rn_open = 1 THEN value END) AS open,
+          round(max(value), 2) AS high, round(min(value), 2) AS low,
+          max(CASE WHEN rn_close = 1 THEN value END) AS close,
+          CAST(count(*) AS BIGINT) AS n_ticks
+        FROM r GROUP BY event_type, d
+        ORDER BY event_type ASC NULLS LAST, d ASC NULLS LAST""")),
+
     Q("i_zorder_layout",
       "Z-order (Morton) clustering statistics: interleave the low 8 bits of two scan keys into a space-filling-curve value, bucket by its top bits — every bucket covers a tight 64×64 tile in (a,b) space, the locality property that makes file skipping work on BOTH columns at once.",
       (s, dir) => {

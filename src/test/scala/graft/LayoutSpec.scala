@@ -54,6 +54,29 @@ class LayoutSpec extends AnyFunSuite {
     assert(attributed == purchases, "every purchase lands in exactly one channel")
   }
 
+  test("binned range join ≡ direct nested-loop range join") {
+    val got = SparkEntry.queries("c_join_range_binned")(spark, sf).collect().head
+    val bands = T(spark, sf, "orders")
+      .filter(col("o_orderkey") % 199 === 0)
+      .select(col("o_orderkey").as("k"),
+        (col("o_totalprice") / 500).as("lo"), (col("o_totalprice") / 500 + 40).as("hi"))
+    val direct = T(spark, sf, "part")
+      .join(bands, col("p_retailprice") >= col("lo") && col("p_retailprice") < col("hi"))
+      .count()
+    assert(got.getAs[Long]("n_matches") == direct)
+  }
+
+  test("OHLC bars: high/low bound open and close") {
+    val rows = SparkEntry.queries("j_ohlc_bars")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (o, h, l, c) = (r.getAs[Double]("open"), r.getAs[Double]("high"),
+        r.getAs[Double]("low"), r.getAs[Double]("close"))
+      assert(h >= o - 0.005 && h >= c - 0.005 && l <= o + 0.005 && l <= c + 0.005)
+      assert(r.getAs[Long]("n_ticks") >= 1)
+    }
+  }
+
   test("incremental rollup: merged daily partials equal the direct aggregation") {
     val merged = SparkEntry.queries("i_incremental_rollup")(spark, sf)
       .collect().map(_.toSeq).toSet

@@ -161,6 +161,40 @@ object EventAnalyticsQueries extends QueryModule {
           CAST(len(string_split(regexp_extract(url, '^[a-z]+://[^/]+([^?#]*)', 1), '/')) - 1 AS INTEGER) AS path_depth
         FROM u ORDER BY doc_id ASC NULLS LAST""")),
 
+    Q("j_concurrency_sweep",
+      "Max concurrent sessions per day via the interval sweep: each view opens a 30-min session, start/end become +1/−1 deltas, a per-day ordered cumsum tracks the live count — ends sort before coincident starts (delta ASC) so back-to-back sessions never double-count. O(n log n) per day partition, no interval self-join.",
+      (s, dir) => {
+        val e = T(s, dir, "events")
+          .filter(col("event_type") === "view")
+          .select(col("user_id"), col("ts"), col("event_id"))
+        val pts = e.select(date_trunc("day", col("ts")).cast("date").as("d"),
+            col("ts").as("t"), lit(1).as("delta"), col("event_id"))
+          .unionAll(e.select(date_trunc("day", col("ts")).cast("date").as("d"),
+            (col("ts") + expr("INTERVAL 30 MINUTE")).as("t"),
+            lit(-1).as("delta"), col("event_id")))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("d"))
+          .orderBy(col("t").asc, col("delta").asc, col("event_id").asc)
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        pts.withColumn("live", sum(col("delta")).over(w))
+          .groupBy(col("d"))
+          .agg(max(col("live")).cast("long").as("max_concurrent"),
+            expr("count(1) div 2").as("n_sessions"))
+          .orderBy(col("d").asc_nulls_last)
+      },
+      Some("""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id FROM events WHERE event_type = 'view'),
+        pts AS (
+          SELECT CAST(date_trunc('day', ts) AS DATE) AS d, ts AS t, 1 AS delta, event_id FROM e
+          UNION ALL
+          SELECT CAST(date_trunc('day', ts) AS DATE) AS d, ts + INTERVAL 30 MINUTE AS t, -1 AS delta, event_id FROM e),
+        c AS (SELECT d, t, delta,
+                sum(delta) OVER (PARTITION BY d ORDER BY t ASC, delta ASC, event_id ASC
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS live
+              FROM pts)
+        SELECT d, CAST(max(live) AS BIGINT) AS max_concurrent,
+          CAST(count(*) // 2 AS BIGINT) AS n_sessions
+        FROM c GROUP BY d ORDER BY d ASC NULLS LAST""")),
+
     Q("j_attribution",
       "Last-touch revenue attribution: each purchase credits the user's most recent click's channel (JSON props → channel id), carried forward by last_value IGNORE NULLS over a deterministic (ts, event_id) order — purchases before any click fall to 'organic'. Exact-decimal revenue totals.",
       (s, dir) => {

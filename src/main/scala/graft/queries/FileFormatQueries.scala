@@ -103,5 +103,35 @@ object FileFormatQueries extends QueryModule {
         round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_price
         FROM orders WHERE o_orderstatus = 'O'
         GROUP BY o_orderpriority
-        ORDER BY o_orderpriority ASC NULLS LAST""")))
+        ORDER BY o_orderpriority ASC NULLS LAST""")),
+
+    Q("a_schema_evolution",
+      "Schema-evolution scan: two parquet generations with DIFFERENT column sets (old: key+name, new: key+regionkey) read through mergeSchema — missing columns surface as NULLs, the union-by-name semantics a long-lived 100 TB dataset accumulates (DuckDB twin: read_parquet union_by_name).",
+      (s, dir) => {
+        val base = ioDir(dir, "evolution")
+        val nation = T(s, dir, "nation")
+        nation.filter(col("n_nationkey") < 13)
+          .select(col("n_nationkey"), col("n_name"))
+          .write.mode("overwrite").parquet(s"$base/gen1")
+        nation.filter(col("n_nationkey") >= 13)
+          .select(col("n_nationkey"), col("n_regionkey"))
+          .write.mode("overwrite").parquet(s"$base/gen2")
+        s.read.option("mergeSchema", "true")
+          .parquet(s"$base/gen1", s"$base/gen2")
+          .agg(count(lit(1)).as("n_rows"),
+            count(col("n_name")).as("n_names"),
+            count(col("n_regionkey")).as("n_regions"),
+            sum(col("n_nationkey")).cast("long").as("key_sum"))
+      },
+      Some("""WITH m AS (
+          SELECT n_nationkey, n_name, CAST(NULL AS INTEGER) AS n_regionkey
+          FROM nation WHERE n_nationkey < 13
+          UNION ALL
+          SELECT n_nationkey, CAST(NULL AS VARCHAR), n_regionkey
+          FROM nation WHERE n_nationkey >= 13)
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+          CAST(count(n_name) AS BIGINT) AS n_names,
+          CAST(count(n_regionkey) AS BIGINT) AS n_regions,
+          CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+        FROM m""")))
 }

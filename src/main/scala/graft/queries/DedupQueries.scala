@@ -72,12 +72,110 @@ object DedupQueries extends QueryModule {
   private def shingles(s: SparkSession, dir: String): DataFrame =
     shingleCache.computeIfAbsent((s, dir), _ => buildShingles(s, dir))
 
+  /** Hot-bucket ceiling for the candidate-pair self-joins, read per
+    * query from `spark.graft.dedup.<knob>` (default 1000). A self-join
+    * key shared by m rows emits m²/2 pairs INSIDE ONE SHUFFLE
+    * PARTITION — at 100 TB a stop-phrase shingle or a degenerate LSH
+    * band (e.g. empty docs) turns that into a quadratic explosion no
+    * amount of parallelism can absorb, which is why production MinHash
+    * pipelines cap document frequency. Dropping over-cap buckets is
+    * also *more correct* for dedup: a shingle occurring in >1000 docs
+    * is a stop-phrase carrying no near-dup signal. The default is 40×
+    * the observed sf0.1 maximum (25), so every oracle-checked result
+    * is byte-identical; DedupSkewSpec exercises the capped path with a
+    * planted degenerate corpus.
+    */
+  private def maxBucket(s: SparkSession, knob: String): Int =
+    s.conf.get(s"spark.graft.dedup.$knob", "1000").toInt
+
+  /** Drop rows whose value of `keys` occurs more than `cap` times.
+    * One window count over the same hash partitioning the downstream
+    * self-join needs — the exchange is reused, so the cap costs a
+    * sort, not an extra shuffle.
+    */
+  private def capBuckets(df: DataFrame, cap: Int, keys: String*): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(keys.map(col): _*)
+    df.withColumn("__bsz", count(lit(1)).over(w))
+      .filter(col("__bsz") <= cap)
+      .drop("__bsz")
+  }
+
+  /** Shingles with stop-shingles (document frequency > cap) removed —
+    * the relation every candidate self-join must run on.
+    */
+  def cappedShingles(s: SparkSession, dir: String): DataFrame =
+    capBuckets(shingles(s, dir), maxBucket(s, "maxShingleDf"), "sh")
+
+  /** (doc_id, h0): each distinct shingle hashed once to 8 bytes — the
+    * shared input of the MinHash signature and the exact verify step.
+    */
+  def hashedShingles(s: SparkSession, dir: String): DataFrame =
+    shingles(s, dir).select(col("doc_id"), xxhash64(col("sh")).as("h0"))
+
+  /** MinHash+LSH candidate pairs (id_a < id_b), band buckets capped at
+    * `spark.graft.dedup.maxBandBucket`. A band bucket of size m emits
+    * m²/2 candidates in one task; degenerate buckets (near-empty docs
+    * sharing a trivial signature) are exactly the inputs exact dedup
+    * already catches, so dropping them loses no recall worth having.
+    */
+  def lshCandidates(s: SparkSession, dir: String): DataFrame = {
+    // 32 permutations: hash each shingle string ONCE, then derive
+    // the permutation family by remixing the 8-byte digest —
+    // 32× cheaper than re-hashing variable-length strings per seed
+    val sig = hashedShingles(s, dir).groupBy(col("doc_id")).agg(
+      array((0 until 32).map(i =>
+        min(xxhash64(col("h0"), lit(i)))): _*).as("sig"))
+    // 8 bands of 4 → band hash; equal band hash → candidate
+    val banded = capBuckets(
+      sig.select(col("doc_id"), posexplode(expr(
+        "transform(sequence(0, 7), b -> xxhash64(slice(sig, b * 4 + 1, 4)))"))
+        .as(Seq("band", "bandhash"))),
+      maxBucket(s, "maxBandBucket"), "band", "bandhash")
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") &&
+        col("x.bandhash") === col("y.bandhash") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .distinct()
+  }
+
+  /** SimHash chunk-bucket candidate pairs with Hamming distance, chunk
+    * buckets capped at `spark.graft.dedup.maxChunkBucket` (same
+    * quadratic-explosion argument as the LSH bands: a 16-bit chunk
+    * value shared by a boilerplate cluster is one shuffle key).
+    */
+  def simhashCandidates(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), expr("transform(w, x -> xxhash64(x))").as("hs"))
+    val sim = docs.select(col("doc_id"),
+      graft.functions.SimHash64(col("hs")).as("simhash"))
+    // band by 4×16-bit chunks: Hamming ≤ 3 guarantees one equal chunk
+    val chunks = capBuckets(
+      sim.select(col("doc_id"), col("simhash"),
+        posexplode(expr(
+          "transform(sequence(0, 3), c -> (simhash >> (c * 16)) & 65535)"))
+          .as(Seq("chunk", "chunkval"))),
+      maxBucket(s, "maxChunkBucket"), "chunk", "chunkval")
+    chunks.as("x").join(chunks.as("y"),
+        col("x.chunk") === col("y.chunk") &&
+        col("x.chunkval") === col("y.chunkval") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+        expr("bit_count(x.simhash ^ y.simhash)").as("hamming"))
+      .distinct()
+  }
+
   /** Exact 3-gram-Jaccard ≥ 0.5 near-dup pairs (id_a < id_b): the
     * verified edge set shared by the pair query and the cluster
     * (connected-components) query.
     */
   def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(s, dir)
+    // both candidate generation and the intersection/size counts run on
+    // the capped relation: the semantics are "Jaccard over informative
+    // shingles", consistently on both sides of the ratio
+    val sh = cappedShingles(s, dir)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val a = sh.as("a"); val b = sh.as("b")
     val pairs = a.join(b,
@@ -170,24 +268,8 @@ object DedupQueries extends QueryModule {
     Q("n_dedup_minhash_lsh",
       "MinHash (32 perms via seeded xxhash64) + LSH banding (8 bands × 4 rows): candidate pairs verified with exact Jaccard. Oracle-exempt (engine-native hash); MinhashSpec asserts recall against the exact pairs.",
       (s, dir) => {
-        val sh = shingles(s, dir)
-        // 32 permutations: hash each shingle string ONCE, then derive
-        // the permutation family by remixing the 8-byte digest —
-        // 32× cheaper than re-hashing variable-length strings per seed
-        val hashed = sh.select(col("doc_id"), xxhash64(col("sh")).as("h0"))
-        val sig = hashed.groupBy(col("doc_id")).agg(
-          array((0 until 32).map(i =>
-            min(xxhash64(col("h0"), lit(i)))): _*).as("sig"))
-        // 8 bands of 4 → band hash; equal band hash → candidate
-        val banded = sig.select(col("doc_id"), posexplode(expr(
-          "transform(sequence(0, 7), b -> xxhash64(slice(sig, b * 4 + 1, 4)))"))
-          .as(Seq("band", "bandhash")))
-        val cand = banded.as("x").join(banded.as("y"),
-            col("x.band") === col("y.band") &&
-            col("x.bandhash") === col("y.bandhash") &&
-            col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
-          .distinct()
+        val hashed = hashedShingles(s, dir)
+        val cand = lshCandidates(s, dir)
         // exact-verify candidates only (pair space is already pruned).
         // Intersections join on the 8-byte shingle hashes, not the
         // shingle strings — at 100 TB that is the difference between
@@ -212,27 +294,9 @@ object DedupQueries extends QueryModule {
 
     Q("n_dedup_simhash",
       "SimHash-64: per-word hashes vote on 64 bit positions; near-dups = pairs within Hamming distance ≤ 3 (bucketed by 16-bit chunks, never O(n²)). Oracle-exempt (engine-native hash).",
-      (s, dir) => {
-        val docs = T(s, dir, "documents")
-          .repartition(s.sparkContext.defaultParallelism)
-          .select(col("doc_id"), split(col("text"), " ").as("w"))
-          .select(col("doc_id"), expr("transform(w, x -> xxhash64(x))").as("hs"))
-        val sim = docs.select(col("doc_id"),
-          graft.functions.SimHash64(col("hs")).as("simhash"))
-        // band by 4×16-bit chunks: Hamming ≤ 3 guarantees one equal chunk
-        val chunks = sim.select(col("doc_id"), col("simhash"),
-          posexplode(expr(
-            "transform(sequence(0, 3), c -> (simhash >> (c * 16)) & 65535)"))
-            .as(Seq("chunk", "chunkval")))
-        chunks.as("x").join(chunks.as("y"),
-            col("x.chunk") === col("y.chunk") &&
-            col("x.chunkval") === col("y.chunkval") &&
-            col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
-            expr("bit_count(x.simhash ^ y.simhash)").as("hamming"))
-          .distinct()
+      (s, dir) =>
+        simhashCandidates(s, dir)
           .filter(col("hamming") <= 3)
-          .orderBy(col("id_a").asc_nulls_last, col("id_b").asc_nulls_last)
-      },
+          .orderBy(col("id_a").asc_nulls_last, col("id_b").asc_nulls_last),
       None))
 }

@@ -789,6 +789,198 @@ object Dialect {
     }
   }
 
+  // ---------------------------------------------------------------
+  // Runtime macros — DuckDB `CREATE MACRO` over the HTTP endpoint.
+  //
+  // Macros are the reference's only user-extension mechanism
+  // (docs/docs/advanced-tutorials/custom-database.md:8,28; table-macro
+  // test src/main.rs:413-450). DuckDB stores a macro as an unbound
+  // parse tree and substitutes arguments at bind time — parameters are
+  // UNTYPED, so Spark's `CREATE FUNCTION` (typed parameters, probed on
+  // 4.1) cannot carry them faithfully: `f(x) AS x+1` must work for
+  // ints, doubles and intervals alike. The shim therefore implements
+  // exactly DuckDB's model: bind-time template expansion. Bodies are
+  // stored raw and substituted into the query BEFORE the rest of the
+  // dialect pipeline, so a body full of DuckDB-isms (read_csv, [..]
+  // lists, //) is rewritten like any directly-posted SQL — and file
+  // paths inside macro bodies hit the sandbox check at USE time.
+  // ---------------------------------------------------------------
+
+  private[graft] final case class MacroDef(
+      params: Seq[(String, Option[String])], // name → optional default (`x := 10`)
+      body: String,
+      isTable: Boolean)
+
+  // per-session registries (the server serves all requests from one
+  // session, so macros persist for the server's life — the reference's
+  // attached-db lifetime); weak keys let test sessions be collected
+  private val macroRegistry = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, scala.collection.concurrent.TrieMap[String, MacroDef]]())
+
+  private def macrosFor(spark: SparkSession): scala.collection.concurrent.TrieMap[String, MacroDef] =
+    macroRegistry.synchronized {
+      var m = macroRegistry.get(spark)
+      if (m == null) { m = scala.collection.concurrent.TrieMap.empty; macroRegistry.put(spark, m) }
+      m
+    }
+
+  private val CreateMacroRe =
+    """(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMP(?:ORARY)?\s+)?MACRO(\s+TABLE)?\s+([A-Za-z_][A-Za-z0-9_]*)\s*\(""".r
+  private val DropMacroRe =
+    """(?is)^\s*DROP\s+MACRO(?:\s+TABLE)?(\s+IF\s+EXISTS)?\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$""".r
+
+  /** Handle `CREATE [OR REPLACE] [TEMP] MACRO [TABLE] f(params) AS
+    * [TABLE] body` / `DROP MACRO [TABLE] [IF EXISTS] f`. Returns the
+    * acknowledgment SQL (empty result set, like DuckDB's `[]`) when the
+    * statement is a macro verb, None otherwise. `MACRO TABLE` is the
+    * pre-1.x spelling the reference's tests/test.db was built with;
+    * `AS TABLE` is current DuckDB.
+    */
+  private def handleMacroVerb(spark: SparkSession, sql: String): Option[String] = {
+    DropMacroRe.findFirstMatchIn(sql).foreach { m =>
+      val existed = macrosFor(spark).remove(m.group(2).toLowerCase).isDefined
+      if (!existed && m.group(1) == null)
+        throw new IllegalArgumentException(s"macro ${m.group(2)} does not exist")
+      return Some("SELECT true AS ok WHERE false")
+    }
+    val m = CreateMacroRe.findFirstMatchIn(sql).getOrElse(return None)
+    val tableSpelling = m.group(1) != null
+    val name = m.group(2).toLowerCase
+    // parameter list: matching-paren extraction from the '(' the regex stopped at
+    val open = m.end - 1
+    val mask = quoteMask(sql)
+    var depth = 0; var j = open; var close = -1
+    while (j < sql.length && close < 0) {
+      if (!mask(j)) {
+        if (sql.charAt(j) == '(') depth += 1
+        else if (sql.charAt(j) == ')') { depth -= 1; if (depth == 0) close = j }
+      }
+      j += 1
+    }
+    if (close < 0) throw new IllegalArgumentException(s"unbalanced parameter list in CREATE MACRO $name")
+    val rawParams = sql.substring(open + 1, close).trim
+    val params: Seq[(String, Option[String])] =
+      if (rawParams.isEmpty) Nil
+      else splitTopLevel(rawParams, ',').map { p =>
+        val d = p.indexOf(":=")
+        if (d >= 0) (p.substring(0, d).trim.toLowerCase, Some(p.substring(d + 2).trim))
+        else (p.trim.toLowerCase, None)
+      }
+    if (params.exists(p => p._1.isEmpty || !p._1.forall(isWordChar)))
+      throw new IllegalArgumentException(s"invalid parameter list in CREATE MACRO $name")
+    // body: after the AS keyword following the parameter list
+    val afterParams = sql.substring(close + 1)
+    val asAt = firstTopLevel(afterParams, "AS")
+    if (asAt < 0) throw new IllegalArgumentException(s"CREATE MACRO $name: missing AS")
+    var body = afterParams.substring(asAt + 2).trim.stripSuffix(";").trim
+    var isTable = tableSpelling
+    val tableKw = """(?is)^TABLE\b""".r
+    if (tableKw.findFirstIn(body).isDefined) { isTable = true; body = body.substring(5).trim }
+    macrosFor(spark).put(name, MacroDef(params, body, isTable))
+    Some("SELECT true AS ok WHERE false")
+  }
+
+  /** Expand registered macro calls (scalar and table) by bind-time
+    * template substitution; iterates so macros may reference macros,
+    * with a depth guard against recursion (DuckDB likewise rejects
+    * recursive macros).
+    */
+  private def expandMacros(spark: SparkSession, sql0: String): String = {
+    val macros = macroRegistry.synchronized(Option(macroRegistry.get(spark))).getOrElse(return sql0)
+    if (macros.isEmpty) return sql0
+    var sql = sql0
+    var rounds = 0
+    var changed = true
+    while (changed) {
+      changed = false
+      rounds += 1
+      if (rounds > 10)
+        throw new IllegalArgumentException("macro expansion exceeded depth 10 (recursive macro?)")
+      val mask = quoteMask(sql)
+      val lower = sql.toLowerCase
+      var i = 0
+      while (i < sql.length && !changed) {
+        val hit = macros.keysIterator.find { name =>
+          !mask(i) && lower.startsWith(name, i) &&
+            (i == 0 || !isWordChar(sql.charAt(i - 1)) && sql.charAt(i - 1) != '.') &&
+            {
+              var k = i + name.length
+              // no word char directly after, then optional spaces then '('
+              (k >= sql.length || !isWordChar(sql.charAt(k))) && {
+                while (k < sql.length && sql.charAt(k).isWhitespace) k += 1
+                k < sql.length && sql.charAt(k) == '('
+              }
+            }
+        }
+        hit match {
+          case None => i += 1
+          case Some(name) =>
+            val mdef = macros(name)
+            var k = i + name.length
+            while (sql.charAt(k) != '(') k += 1
+            var depth = 0; var j = k; var close = -1
+            while (j < sql.length && close < 0) {
+              if (!mask(j)) {
+                if (sql.charAt(j) == '(') depth += 1
+                else if (sql.charAt(j) == ')') { depth -= 1; if (depth == 0) close = j }
+              }
+              j += 1
+            }
+            if (close < 0) { i += 1 } // unbalanced — leave for the parser to reject
+            else {
+              val rawArgs = sql.substring(k + 1, close).trim
+              val args = if (rawArgs.isEmpty) Nil else splitTopLevel(rawArgs, ',').map(_.trim)
+              if (args.length > mdef.params.length)
+                throw new IllegalArgumentException(
+                  s"macro $name expects at most ${mdef.params.length} arguments, got ${args.length}")
+              val bound: Seq[(String, String)] = mdef.params.zipWithIndex.map { case ((p, dflt), idx) =>
+                if (idx < args.length) p -> args(idx)
+                else p -> dflt.getOrElse(throw new IllegalArgumentException(
+                  s"macro $name: missing argument for parameter $p"))
+              }
+              // scalar and table macros both expand to a parenthesized
+              // body: `(expr)` in expression position, `(SELECT …)` as
+              // an unnamed derived table (DuckDB does NOT auto-alias
+              // table macros by name — verified against 1.5)
+              val expanded = s"(${substituteParams(mdef.body, bound)})"
+              sql = sql.substring(0, i) + expanded + sql.substring(close + 1)
+              changed = true
+            }
+        }
+      }
+    }
+    sql
+  }
+
+  /** Whole-word, quote-masked substitution of parameter names by their
+    * (parenthesized) argument expressions inside a macro body.
+    */
+  private def substituteParams(body: String, bound: Seq[(String, String)]): String = {
+    if (bound.isEmpty) return body
+    val byName = bound.toMap
+    val mask = quoteMask(body)
+    val lower = body.toLowerCase
+    val out = new StringBuilder
+    var i = 0
+    while (i < body.length) {
+      val hit = if (mask(i)) None
+        else byName.keysIterator.find { p =>
+          lower.startsWith(p, i) &&
+            (i == 0 || !isWordChar(body.charAt(i - 1)) && body.charAt(i - 1) != '.') &&
+            (i + p.length >= body.length || !isWordChar(body.charAt(i + p.length)))
+        }
+      hit match {
+        case Some(p) =>
+          // args are expressions: parenthesize so precedence survives
+          out.append("(").append(byName(p)).append(")")
+          i += p.length
+        case None =>
+          out.append(body.charAt(i)); i += 1
+      }
+    }
+    out.toString
+  }
+
   private val ReadFn =
     """(?i)\b(read_parquet|read_csv_auto|read_csv|read_json_auto|read_json)\s*\(\s*'([^']+)'\s*\)""".r
   private val BarePath =
@@ -842,10 +1034,15 @@ object Dialect {
 
   def rewrite(spark: SparkSession, sql: String,
       pathOk: String => Boolean = _ => true): String =
-    rewriteDistinctOn(rewriteQualify(rewriteExclude(rewriteIntDiv(
-      rewriteSample(rewriteStructPack(rewriteBrackets(rewriteBraces(
-        rewriteSources(spark,
-          rewritePivot(spark, rewriteUnpivot(rewriteSummarize(spark,
-            rewritePragma(rewriteFromFirst(sql))))),
-          pathOk)))))))))
+    // macro verbs short-circuit; macro CALLS expand right after the
+    // FROM-first normalization so the substituted bodies flow through
+    // every later rewrite (read_csv, brackets, //, …) and their file
+    // paths hit the sandbox check at use time
+    handleMacroVerb(spark, sql).getOrElse(
+      rewriteDistinctOn(rewriteQualify(rewriteExclude(rewriteIntDiv(
+        rewriteSample(rewriteStructPack(rewriteBrackets(rewriteBraces(
+          rewriteSources(spark,
+            rewritePivot(spark, rewriteUnpivot(rewriteSummarize(spark,
+              rewritePragma(expandMacros(spark, rewriteFromFirst(sql)))))),
+            pathOk))))))))))
 }

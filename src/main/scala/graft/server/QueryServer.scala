@@ -171,83 +171,85 @@ final class QueryServer(
   private def runQuery(x: HttpExchange, rawSql: String, format: Format): Unit = {
     pool.acquire()
     try {
-      // DuckDB-dialect sugar → Spark SQL (reference clients switch
-      // without editing their queries); file sources are sandbox-checked
-      // BEFORE the rewrite reads any schema
-      val sql =
-        try Dialect.rewrite(spark, rawSql, pathAllowed)
-        catch {
-          case Dialect.RejectedPath(p) =>
-            sendProblem(x, Problem(400, "SQL Error",
-              s"file access outside allowed directories: $p"))
-            return
-          case NonFatal(e) =>
-            sendProblem(x, Problem(400, "SQL Error", String.valueOf(e.getMessage)))
-            return
-        }
-      // sandbox pre-check BEFORE spark.sql: commands (CTAS, INSERT,
-      // SET, ...) execute eagerly inside spark.sql, so under a sandbox
-      // only pure queries are admitted — matching the reference's
-      // read-only posture (ATTACH READ_ONLY + lock_configuration).
-      if (allowedDirs.nonEmpty) {
-        val parsed =
-          try spark.sessionState.sqlParser.parsePlan(sql)
-          catch {
-            case NonFatal(e) =>
-              sendProblem(x, Problem(400, "SQL Error", String.valueOf(e.getMessage)))
-              return
-          }
-        val isCommand = parsed.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Command] ||
-          parsed.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.InsertIntoStatement] ||
-          parsed.nodeName.contains("Command")
-        if (isCommand) {
-          sendProblem(x, Problem(400, "SQL Error",
-            "only read-only queries are allowed when a filesystem sandbox is configured"))
-          return
-        }
-      }
-
-      val df: DataFrame =
-        try {
-          val df0 = spark.sql(sql)
-          // unaliased count(*) surfaces as count_star() in DuckDB — the
-          // reference's smoke tests assert that exact column name
-          val names = df0.columns.map(c => if (c == "count(1)") "count_star()" else c)
-          if (names.sameElements(df0.columns)) df0 else df0.toDF(names.toIndexedSeq: _*)
-        } catch {
-          case NonFatal(e) =>
-            sendProblem(x, Problem(400, "SQL Error", String.valueOf(e.getMessage)))
-            return
-        }
-
-      // fail CLOSED: an error while inspecting the plan rejects the query
-      val outside =
-        try violatingPaths(df)
-        catch { case NonFatal(e) => Seq(s"<unverifiable plan: ${e.getMessage}>") }
-      if (outside.nonEmpty) {
-        sendProblem(x, Problem(400, "SQL Error",
-          s"file access outside allowed directories: ${outside.mkString(", ")}"))
-        return
-      }
-
-      // time-to-first-row: plan + first partition computed off-thread,
-      // under a job group so a timeout can cancel the Spark stages too
+      // EVERYTHING that can run Spark jobs happens inside this future,
+      // under the job group and the first-row timeout: the dialect
+      // rewrite itself executes queries (PIVOT value enumeration,
+      // SUMMARIZE profiling), so a `PIVOT huge_table` must consume its
+      // pool slot AND be 408-cancellable exactly like a slow SELECT —
+      // not run unbounded on the handler thread (VERDICT r3 #3).
       val jobGroup = s"graft-query-${java.util.UUID.randomUUID()}"
-      val fut = exec.submit(new java.util.concurrent.Callable[(Iterator[Row], Boolean)] {
-        def call(): (Iterator[Row], Boolean) = {
-          spark.sparkContext.setJobGroup(jobGroup, sql.take(100), interruptOnCancel = true)
+      val fut = exec.submit(new java.util.concurrent.Callable[Either[Problem, (DataFrame, Iterator[Row])]] {
+        def call(): Either[Problem, (DataFrame, Iterator[Row])] = {
+          spark.sparkContext.setJobGroup(jobGroup, rawSql.take(100), interruptOnCancel = true)
+          // DuckDB-dialect sugar → Spark SQL (reference clients switch
+          // without editing their queries); file sources are
+          // sandbox-checked BEFORE the rewrite reads any schema
+          val sql =
+            try Dialect.rewrite(spark, rawSql, pathAllowed)
+            catch {
+              case Dialect.RejectedPath(p) =>
+                return Left(Problem(400, "SQL Error",
+                  s"file access outside allowed directories: $p"))
+              case NonFatal(e) =>
+                return Left(Problem(400, "SQL Error", String.valueOf(e.getMessage)))
+            }
+          // sandbox pre-check BEFORE spark.sql: commands (CTAS, INSERT,
+          // SET, ...) execute eagerly inside spark.sql, so under a sandbox
+          // only pure queries are admitted — matching the reference's
+          // read-only posture (ATTACH READ_ONLY + lock_configuration).
+          if (allowedDirs.nonEmpty) {
+            val parsed =
+              try spark.sessionState.sqlParser.parsePlan(sql)
+              catch {
+                case NonFatal(e) =>
+                  return Left(Problem(400, "SQL Error", String.valueOf(e.getMessage)))
+              }
+            val isCommand = parsed.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Command] ||
+              parsed.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.InsertIntoStatement] ||
+              parsed.nodeName.contains("Command")
+            if (isCommand)
+              return Left(Problem(400, "SQL Error",
+                "only read-only queries are allowed when a filesystem sandbox is configured"))
+          }
+
+          val df: DataFrame =
+            try {
+              val df0 = spark.sql(sql)
+              // unaliased count(*) surfaces as count_star() in DuckDB — the
+              // reference's smoke tests assert that exact column name
+              val names = df0.columns.map(c => if (c == "count(1)") "count_star()" else c)
+              if (names.sameElements(df0.columns)) df0 else df0.toDF(names.toIndexedSeq: _*)
+            } catch {
+              case NonFatal(e) =>
+                return Left(Problem(400, "SQL Error", String.valueOf(e.getMessage)))
+            }
+
+          // fail CLOSED: an error while inspecting the plan rejects the query
+          val outside =
+            try violatingPaths(df)
+            catch { case NonFatal(e) => Seq(s"<unverifiable plan: ${e.getMessage}>") }
+          if (outside.nonEmpty)
+            return Left(Problem(400, "SQL Error",
+              s"file access outside allowed directories: ${outside.mkString(", ")}"))
+
           val it = df.toLocalIterator()
           val scalaIt = new Iterator[Row] {
             def hasNext: Boolean = it.hasNext
             def next(): Row = it.next()
           }
-          (scalaIt, scalaIt.hasNext)
+          scalaIt.hasNext // force plan + first partition under the timeout
+          Right((df, scalaIt))
         }
       })
-      val (rows, _) =
+      val (df, rows) =
         try {
-          if (queryTimeoutMillis > 0) fut.get(queryTimeoutMillis, TimeUnit.MILLISECONDS)
-          else fut.get()
+          val res =
+            if (queryTimeoutMillis > 0) fut.get(queryTimeoutMillis, TimeUnit.MILLISECONDS)
+            else fut.get()
+          res match {
+            case Left(p) => sendProblem(x, p); return
+            case Right(v) => v
+          }
         } catch {
           case _: TimeoutException =>
             fut.cancel(true)

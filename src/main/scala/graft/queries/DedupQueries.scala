@@ -16,14 +16,20 @@ import org.apache.spark.sql.functions._
   */
 object DedupQueries extends QueryModule {
 
-  /** Distinct 3-gram word shingles per doc: (doc_id, shingle).
+  /** Distinct DF-capped 3-gram word shingles per doc: (doc_id, shingle).
     * Persisted and memoized per (session, dir): every consumer
     * self-joins or multi-references this relation, and recomputing the
-    * split+explode shuffle per reference dominated the bench. The memo
-    * means exactly one persist call (no "already cached" WARN from the
-    * CacheManager); callers that finish with dedup work release the
-    * blocks explicitly via [[release]] instead of waiting for the
-    * ContextCleaner.
+    * split+explode shuffle (and the DF-cap window) per reference
+    * dominated the bench. Caching the CAPPED relation also makes the
+    * cap a one-time cost instead of one window per reference, and it
+    * guarantees every dedup pipeline — jaccard pairs, MinHash
+    * signatures, the LSH exact-verify — computes Jaccard over the SAME
+    * shingle set (round-4 advice: verify on uncapped shingles while
+    * pairing on capped ones silently mixes two Jaccard definitions).
+    * The memo means exactly one persist call (no "already cached" WARN
+    * from the CacheManager); callers that finish with dedup work
+    * release the blocks explicitly via [[release]] instead of waiting
+    * for the ContextCleaner.
     */
   private val shingleCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
@@ -69,8 +75,6 @@ object DedupQueries extends QueryModule {
     }
   }
 
-  private def shingles(s: SparkSession, dir: String): DataFrame =
-    shingleCache.computeIfAbsent((s, dir), _ => buildShingles(s, dir))
 
   /** Hot-bucket ceiling for the candidate-pair self-joins, read per
     * query from `spark.graft.dedup.<knob>` (default 1000). A self-join
@@ -88,10 +92,11 @@ object DedupQueries extends QueryModule {
   private def maxBucket(s: SparkSession, knob: String): Int =
     s.conf.get(s"spark.graft.dedup.$knob", "1000").toInt
 
-  /** Drop rows whose value of `keys` occurs more than `cap` times.
-    * One window count over the same hash partitioning the downstream
-    * self-join needs — the exchange is reused, so the cap costs a
-    * sort, not an extra shuffle.
+  /** Drop rows whose value of `keys` occurs more than `cap` times —
+    * one window count over a hash partitioning on `keys`. For the
+    * shingle relation this runs ONCE per (session, dir) and the capped
+    * result is what gets persisted; for the band/chunk buckets it runs
+    * inline on the same keys the self-join shuffles on.
     */
   private def capBuckets(df: DataFrame, cap: Int, keys: String*): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy(keys.map(col): _*)
@@ -101,16 +106,21 @@ object DedupQueries extends QueryModule {
   }
 
   /** Shingles with stop-shingles (document frequency > cap) removed —
-    * the relation every candidate self-join must run on.
+    * the relation every candidate self-join AND every exact-verify
+    * must run on, so all dedup queries share one Jaccard definition.
     */
   def cappedShingles(s: SparkSession, dir: String): DataFrame =
-    capBuckets(shingles(s, dir), maxBucket(s, "maxShingleDf"), "sh")
+    shingleCache.computeIfAbsent((s, dir), _ =>
+      capBuckets(buildShingles(s, dir), maxBucket(s, "maxShingleDf"), "sh")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
-  /** (doc_id, h0): each distinct shingle hashed once to 8 bytes — the
-    * shared input of the MinHash signature and the exact verify step.
+  /** (doc_id, h0): each distinct capped shingle hashed once to 8
+    * bytes — the shared input of the MinHash signature and the exact
+    * verify step. Derived from [[cappedShingles]] so MinHash and the
+    * jaccard-pair query agree on what a document's shingle set IS.
     */
   def hashedShingles(s: SparkSession, dir: String): DataFrame =
-    shingles(s, dir).select(col("doc_id"), xxhash64(col("sh")).as("h0"))
+    cappedShingles(s, dir).select(col("doc_id"), xxhash64(col("sh")).as("h0"))
 
   /** MinHash+LSH candidate pairs (id_a < id_b), band buckets capped at
     * `spark.graft.dedup.maxBandBucket`. A band bucket of size m emits
@@ -212,7 +222,6 @@ object DedupQueries extends QueryModule {
       // (doc_id, sh) is then globally unique with no distinct-shuffle
       // of half a million strings
       .select(col("doc_id"), explode(array_distinct(col("shs"))).as("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   override val queries: Seq[Q] = Seq(
     Q("n_dedup_exact",
@@ -244,14 +253,19 @@ object DedupQueries extends QueryModule {
         ORDER BY keep_id ASC NULLS LAST""")),
 
     Q("n_dedup_ngram_jaccard",
-      "Near-dup by exact 3-gram Jaccard ≥ 0.5: candidate pairs from a shingle equi-join (never O(n²)), then exact verify.",
+      "Near-dup by 3-gram Jaccard ≥ 0.5 over DF-capped shingles (stop-shingles with document frequency > 1000 carry no near-dup signal and are dropped on BOTH sides): candidate pairs from a shingle equi-join (never O(n²)), then exact verify.",
       (s, dir) =>
         jaccardPairs(s, dir)
           .orderBy(col("id_a").asc_nulls_last, col("id_b").asc_nulls_last),
-      Some("""WITH sh AS (
+      // the oracle applies the SAME default DF ≤ 1000 cap (sh0 → sh), so
+      // query and oracle compute one function at every scale, not just
+      // at scales below the cap (round-4 advice)
+      Some("""WITH sh0 AS (
           SELECT DISTINCT doc_id, w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS sh
           FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) d,
                LATERAL (SELECT unnest(generate_series(0, len(w) - 3)) AS i) g),
+        sh AS (SELECT * FROM sh0 WHERE sh IN
+                 (SELECT sh FROM sh0 GROUP BY sh HAVING count(*) <= 1000)),
         sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
         pairs AS (
           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
@@ -266,7 +280,7 @@ object DedupQueries extends QueryModule {
         ORDER BY id_a ASC NULLS LAST, id_b ASC NULLS LAST""")),
 
     Q("n_dedup_minhash_lsh",
-      "MinHash (32 perms via seeded xxhash64) + LSH banding (8 bands × 4 rows): candidate pairs verified with exact Jaccard. Oracle-exempt (engine-native hash); MinhashSpec asserts recall against the exact pairs.",
+      "MinHash (32 perms via seeded xxhash64) + LSH banding (8 bands × 4 rows): candidate pairs verified with exact Jaccard over the SAME DF-capped shingle relation n_dedup_ngram_jaccard uses (one Jaccard definition everywhere). Oracle-exempt (engine-native hash); MinhashSpec asserts recall against the exact pairs.",
       (s, dir) => {
         val hashed = hashedShingles(s, dir)
         val cand = lshCandidates(s, dir)

@@ -876,14 +876,59 @@ object Dialect {
     var isTable = tableSpelling
     val tableKw = """(?is)^TABLE\b""".r
     if (tableKw.findFirstIn(body).isDefined) { isTable = true; body = body.substring(5).trim }
+    // normalize DuckDB FROM-first bodies at registration (round-4
+    // advice: expansion happens AFTER the query-level rewriteFromFirst,
+    // so `AS TABLE FROM t SELECT x` would otherwise be substituted
+    // un-normalized and fail to parse even though the same statement
+    // works posted directly)
+    body = rewriteFromFirst(body)
     macrosFor(spark).put(name, MacroDef(params, body, isTable))
     Some("SELECT true AS ok WHERE false")
+  }
+
+  private val NamedArgRe = """(?s)^([A-Za-z_][A-Za-z0-9_]*)\s*:=\s*(.+)$""".r
+
+  /** Bind a call's argument texts to parameter names: positional args
+    * first, then DuckDB named arguments (`fill := '_'`), then declared
+    * defaults. Unknown names, duplicates, positional-after-named and
+    * missing parameters all fail loudly, as DuckDB does.
+    */
+  private def bindArgs(name: String, mdef: MacroDef, args: Seq[String]): Seq[(String, String)] = {
+    val positional = args.takeWhile(a => !NamedArgRe.pattern.matcher(a).matches())
+    val named: Seq[(String, String)] = args.drop(positional.length).map {
+      case NamedArgRe(n, v) => n.toLowerCase -> v.trim
+      case other => throw new IllegalArgumentException(
+        s"macro $name: positional argument after named arguments: $other")
+    }
+    named.foreach { case (n, _) =>
+      if (!mdef.params.exists(_._1 == n))
+        throw new IllegalArgumentException(s"macro $name has no parameter named $n")
+    }
+    if (named.map(_._1).distinct.length != named.length)
+      throw new IllegalArgumentException(s"macro $name: duplicate named argument")
+    if (positional.length > mdef.params.length)
+      throw new IllegalArgumentException(
+        s"macro $name expects at most ${mdef.params.length} arguments, got ${args.length}")
+    val namedMap = named.toMap
+    mdef.params.zipWithIndex.map { case ((p, dflt), idx) =>
+      if (idx < positional.length) {
+        if (namedMap.contains(p)) throw new IllegalArgumentException(
+          s"macro $name: parameter $p bound both positionally and by name")
+        p -> positional(idx)
+      } else p -> namedMap.getOrElse(p, dflt.getOrElse(throw new IllegalArgumentException(
+        s"macro $name: missing argument for parameter $p")))
+    }
   }
 
   /** Expand registered macro calls (scalar and table) by bind-time
     * template substitution; iterates so macros may reference macros,
     * with a depth guard against recursion (DuckDB likewise rejects
-    * recursive macros).
+    * recursive macros). Each round expands EVERY top-level call site
+    * in one left-to-right pass — the guard counts nesting depth, so a
+    * flat query with dozens of independent macro calls is fine and
+    * only a genuinely recursive / 10-deep-nested macro trips it
+    * (round-4 advice: the old per-call-site counter rejected
+    * `SELECT add2(1,2), … ×10` as "recursive").
     */
   private def expandMacros(spark: SparkSession, sql0: String): String = {
     val macros = macroRegistry.synchronized(Option(macroRegistry.get(spark))).getOrElse(return sql0)
@@ -898,8 +943,9 @@ object Dialect {
         throw new IllegalArgumentException("macro expansion exceeded depth 10 (recursive macro?)")
       val mask = quoteMask(sql)
       val lower = sql.toLowerCase
+      val out = new StringBuilder
       var i = 0
-      while (i < sql.length && !changed) {
+      while (i < sql.length) {
         val hit = macros.keysIterator.find { name =>
           !mask(i) && lower.startsWith(name, i) &&
             (i == 0 || !isWordChar(sql.charAt(i - 1)) && sql.charAt(i - 1) != '.') &&
@@ -913,7 +959,7 @@ object Dialect {
             }
         }
         hit match {
-          case None => i += 1
+          case None => out.append(sql.charAt(i)); i += 1
           case Some(name) =>
             val mdef = macros(name)
             var k = i + name.length
@@ -926,28 +972,25 @@ object Dialect {
               }
               j += 1
             }
-            if (close < 0) { i += 1 } // unbalanced — leave for the parser to reject
+            if (close < 0) { out.append(sql.charAt(i)); i += 1 } // unbalanced — leave for the parser
             else {
               val rawArgs = sql.substring(k + 1, close).trim
               val args = if (rawArgs.isEmpty) Nil else splitTopLevel(rawArgs, ',').map(_.trim)
-              if (args.length > mdef.params.length)
-                throw new IllegalArgumentException(
-                  s"macro $name expects at most ${mdef.params.length} arguments, got ${args.length}")
-              val bound: Seq[(String, String)] = mdef.params.zipWithIndex.map { case ((p, dflt), idx) =>
-                if (idx < args.length) p -> args(idx)
-                else p -> dflt.getOrElse(throw new IllegalArgumentException(
-                  s"macro $name: missing argument for parameter $p"))
-              }
+              val bound = bindArgs(name, mdef, args)
               // scalar and table macros both expand to a parenthesized
               // body: `(expr)` in expression position, `(SELECT …)` as
               // an unnamed derived table (DuckDB does NOT auto-alias
-              // table macros by name — verified against 1.5)
-              val expanded = s"(${substituteParams(mdef.body, bound)})"
-              sql = sql.substring(0, i) + expanded + sql.substring(close + 1)
+              // table macros by name — verified against 1.5). Nested
+              // macro calls inside the body or the arguments are NOT
+              // re-scanned this round — the next round picks them up,
+              // which is what makes `rounds` a true nesting depth.
+              out.append("(").append(substituteParams(mdef.body, bound)).append(")")
+              i = close + 1
               changed = true
             }
         }
       }
+      sql = out.toString
     }
     sql
   }

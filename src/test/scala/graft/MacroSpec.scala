@@ -99,6 +99,44 @@ class MacroSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(post("drop macro if exists dbl").statusCode() == 200)
   }
 
+  test("many flat macro calls in one query do NOT trip the recursion guard") {
+    // round-4 advice: the depth guard used to count call-site
+    // expansions, so ~10 independent calls were rejected as "recursive"
+    assert(post("create macro inc1(x) as x + 1").statusCode() == 200)
+    val calls = (1 to 15).map(i => s"inc1($i) AS c$i").mkString(", ")
+    val r = post(s"SELECT $calls")
+    assert(r.statusCode() == 200)
+    val body = new String(r.body(), "UTF-8")
+    assert(body.contains("\"c1\":2") && body.contains("\"c15\":16"))
+    post("drop macro inc1")
+  }
+
+  test("named arguments bind by name, mix with positional, and reject unknowns") {
+    assert(post("create macro padded(s, fill := '_', n := 5) as rpad(s, n, fill)")
+      .statusCode() == 200)
+    // named binding skips over `fill` to set `n`
+    assert(new String(post("SELECT padded('ab', n := 4) AS p").body(), "UTF-8")
+      == "[{\"p\":\"ab__\"}]")
+    // named args may come in any order after positionals
+    assert(new String(post("SELECT padded('ab', n := 4, fill := '*') AS p").body(), "UTF-8")
+      == "[{\"p\":\"ab**\"}]")
+    assert(post("SELECT padded('ab', bogus := 1) AS p").statusCode() == 400)
+    assert(post("SELECT padded('ab', n := 3, n := 4) AS p").statusCode() == 400)
+    assert(post("SELECT padded(n := 3, 'ab') AS p").statusCode() == 400) // positional after named
+    assert(post("SELECT padded('ab', s := 'cd') AS p").statusCode() == 400) // bound twice
+    post("drop macro padded")
+  }
+
+  test("FROM-first macro bodies are normalized at registration") {
+    // DuckDB: CREATE MACRO t() AS TABLE FROM src SELECT col — the body
+    // must be rewritten to SELECT-first before substitution
+    assert(post("create macro ff() as table from fastpiv select g").statusCode() == 200)
+    val r = post("SELECT * FROM ff() ORDER BY g")
+    assert(r.statusCode() == 200)
+    assert(new String(r.body(), "UTF-8") == "[{\"g\":\"a\"},{\"g\":\"b\"}]")
+    post("drop macro ff")
+  }
+
   test("recursive macro fails loudly instead of looping") {
     assert(post("create macro loop_a() as loop_b()").statusCode() == 200)
     assert(post("create macro loop_b() as loop_a()").statusCode() == 200)

@@ -312,6 +312,61 @@ object Dialect {
     }
   }
 
+  /** First depth-0, unmasked, word-bounded occurrence of keyword `kw`
+    * (case-insensitive), tracking (), [] and {} — the bracket-content
+    * variant of [[firstTopLevel]] (which only tracks parens).
+    */
+  private def topLevelKeyword(content: String, kw: String): Int = {
+    val mask = quoteMask(content)
+    val upper = content.toUpperCase
+    var depth = 0
+    var i = 0
+    while (i < content.length) {
+      if (!mask(i)) {
+        content.charAt(i) match {
+          case '(' | '[' | '{' => depth += 1
+          case ')' | ']' | '}' => depth -= 1
+          case _ =>
+            if (depth == 0 && upper.startsWith(kw, i) &&
+                (i == 0 || !isWordChar(content.charAt(i - 1))) &&
+                (i + kw.length >= content.length || !isWordChar(content.charAt(i + kw.length))))
+              return i
+        }
+      }
+      i += 1
+    }
+    -1
+  }
+
+  /** DuckDB list comprehension `[expr FOR v IN list (IF cond)?]` →
+    * `transform(list, v -> expr)`, with the IF clause becoming an
+    * inner `filter(list, v -> cond)`. Returns None when the bracket
+    * content isn't comprehension-shaped (plain list literal).
+    * Nested comprehensions come out as bracket content of the result
+    * and are rewritten by the enclosing loop's re-scan.
+    */
+  private def comprehensionToTransform(content: String): Option[String] = {
+    val forAt = topLevelKeyword(content, "FOR")
+    if (forAt < 0) return None
+    val expr = content.substring(0, forAt).trim
+    val rest = content.substring(forAt + 3)
+    val inAt = topLevelKeyword(rest, "IN")
+    if (inAt < 0) return None
+    val v = rest.substring(0, inAt).trim
+    if (expr.isEmpty || v.isEmpty || !v.forall(isWordChar) || v.charAt(0).isDigit)
+      return None
+    val tail = rest.substring(inAt + 2)
+    val ifAt = topLevelKeyword(tail, "IF")
+    val (lst, cond) =
+      if (ifAt < 0) (tail.trim, None)
+      else (tail.substring(0, ifAt).trim, Some(tail.substring(ifAt + 2).trim))
+    if (lst.isEmpty || cond.exists(_.isEmpty)) return None
+    Some(cond match {
+      case Some(c) => s"transform(filter($lst, $v -> $c), $v -> $expr)"
+      case None => s"transform($lst, $v -> $expr)"
+    })
+  }
+
   /** DuckDB bracket syntax → Spark functions, quote-aware:
     *
     *   - postfix `expr[i]`    → `try_element_at(expr, i)` (1-based,
@@ -321,6 +376,8 @@ object Dialect {
     *   - `expr[a:b]`          → `slice(expr, a, b-a+1)` (1-based,
     *     end-inclusive); `[:b]`, `[a:]`, `[:]` handled
     *   - non-postfix `[x, y]` and `ARRAY[x, y]` → `array(x, y)`
+    *   - `[expr FOR v IN xs IF cond]` list comprehensions →
+    *     `transform(filter(xs, v -> cond), v -> expr)`
     *   - `CAST(x AS T[])` type suffixes are left untouched
     *
     * Known divergence (documented, fails loudly or rarely): DuckDB
@@ -351,8 +408,13 @@ object Dialect {
       while (p >= 0 && s.charAt(p).isWhitespace) p -= 1
       val postfix = p >= 0 &&
         (isWordChar(s.charAt(p)) || s.charAt(p) == ')' || s.charAt(p) == ']' || s.charAt(p) == '`')
-      if (!postfix) {
-        s = s.substring(0, i) + "array(" + content + ")" + s.substring(close + 1)
+      // a comprehension-shaped bracket is NEVER a subscript (the
+      // postfix heuristic sees `SELECT [x for …]` as "subscript of the
+      // word SELECT" because the content has no top-level comma)
+      val comp = comprehensionToTransform(content)
+      if (!postfix || comp.isDefined) {
+        val repl = comp.getOrElse("array(" + content + ")")
+        s = s.substring(0, i) + repl + s.substring(close + 1)
         from = i // literal content may itself contain brackets
       } else if (content.trim.isEmpty) {
         from = close + 1 // `INTEGER[]` type suffix, not a subscript
@@ -779,6 +841,126 @@ object Dialect {
     }
   }
 
+  /** `COLUMNS(…)` call sites in `text`: (start, open-paren, close-paren). */
+  private def columnsCalls(text: String): Seq[(Int, Int, Int)] = {
+    val mask = quoteMask(text)
+    val lower = text.toLowerCase
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int)]
+    var i = 0
+    while (i < text.length) {
+      var advanced = false
+      if (!mask(i) && lower.startsWith("columns", i) &&
+          (i == 0 || !isWordChar(text.charAt(i - 1)) && text.charAt(i - 1) != '.') &&
+          (i + 7 >= text.length || !isWordChar(text.charAt(i + 7)))) {
+        var k = i + 7
+        while (k < text.length && text.charAt(k).isWhitespace) k += 1
+        if (k < text.length && text.charAt(k) == '(') {
+          var depth = 0; var j = k; var close = -1
+          while (j < text.length && close < 0) {
+            if (!mask(j)) {
+              if (text.charAt(j) == '(') depth += 1
+              else if (text.charAt(j) == ')') { depth -= 1; if (depth == 0) close = j }
+            }
+            j += 1
+          }
+          if (close >= 0) { out += ((i, k, close)); i = close + 1; advanced = true }
+        }
+      }
+      if (!advanced) i += 1
+    }
+    out.toSeq
+  }
+
+  /** Column names matched by a COLUMNS() argument: `*`,
+    * `* EXCLUDE (…)`, `'regex'` (partial match — DuckDB's RE2 search
+    * semantics) or a lambda `v -> predicate` evaluated per column NAME
+    * through a one-row-per-name VALUES relation (plain SQL, no
+    * name-predicate interpreter to maintain).
+    */
+  private def columnsMatch(spark: SparkSession, arg: String, cols: Seq[String]): Seq[String] = {
+    val a = arg.trim
+    val excl = """(?is)^\*\s+EXCLUDE\s*\((.*)\)$""".r
+    a match {
+      case "*" => cols
+      case excl(list) =>
+        val drop = splitTopLevel(list, ',')
+          .map(_.trim.stripPrefix("\"").stripSuffix("\"").toLowerCase).toSet
+        cols.filterNot(c => drop.contains(c.toLowerCase))
+      case _ if a.startsWith("'") && a.endsWith("'") && a.length >= 2 =>
+        val re = java.util.regex.Pattern.compile(
+          a.substring(1, a.length - 1).replace("''", "'"))
+        cols.filter(c => re.matcher(c).find())
+      case _ if a.contains("->") =>
+        val arrow = a.indexOf("->")
+        val v = a.substring(0, arrow).trim
+        val body = a.substring(arrow + 2).trim
+        if (v.isEmpty || !v.forall(isWordChar))
+          throw new IllegalArgumentException(
+            s"COLUMNS lambda parameter must be a bare identifier, got: $v")
+        val values = cols.zipWithIndex
+          .map { case (c, i) => s"($i, '${c.replace("'", "''")}')" }.mkString(", ")
+        spark.sql(
+          s"""SELECT `$v` FROM (VALUES $values) AS __columns_names(__i, `$v`)
+             |WHERE $body ORDER BY __i""".stripMargin)
+          .collect().map(_.getString(0)).toSeq
+      case other =>
+        throw new IllegalArgumentException(s"unsupported COLUMNS() argument: $other")
+    }
+  }
+
+  /** DuckDB `COLUMNS(…)` star-expressions in the TOP-LEVEL select
+    * list — `COLUMNS(*)`, `COLUMNS(* EXCLUDE (…))`, `COLUMNS('regex')`
+    * and the lambda form `COLUMNS(c -> predicate)`. Spark has no
+    * star-expression macro, so the shim expands the match at rewrite
+    * time: the FROM segment's schema comes from a LIMIT-0 analysis
+    * pass (no execution — and the rewrite already runs inside the
+    * pooled/timed admission path), then each select item containing
+    * COLUMNS is replicated once per matched column with the call
+    * replaced by the quoted column name — DuckDB's expression
+    * expansion, so `min(COLUMNS(*))` becomes one `min` per column.
+    * Several COLUMNS in one item must share one argument and expand in
+    * lockstep (as DuckDB requires). Occurrences the shim can't resolve
+    * (no FROM, subquery-nested, unsupported argument shapes) pass
+    * through and fail loudly downstream.
+    */
+  private def rewriteColumns(spark: SparkSession, sql: String): String = {
+    if (!containsUnquoted(sql, "COLUMNS")) return sql
+    val sel = firstTopLevel(sql, "SELECT")
+    val fromAt = firstTopLevel(sql, "FROM")
+    if (sel < 0 || fromAt < sel) return sql
+    val selList = sql.substring(sel + 6, fromAt)
+    if (columnsCalls(selList).isEmpty) return sql
+    val fromSeg = sql.substring(fromAt + 4)
+    val cutAt = Seq("WHERE", "GROUP", "HAVING", "QUALIFY", "WINDOW",
+        "ORDER", "LIMIT", "OFFSET")
+      .map(k => firstTopLevel(fromSeg, k)).filter(_ >= 0).sorted.headOption
+    val fromSrc = cutAt.map(fromSeg.substring(0, _)).getOrElse(fromSeg)
+      .trim.stripSuffix(";")
+    val allCols =
+      try spark.sql(s"SELECT * FROM $fromSrc LIMIT 0").schema.fieldNames.toSeq
+      catch { case scala.util.control.NonFatal(_) => return sql } // let the original fail loudly
+    val expanded = splitTopLevel(selList, ',').flatMap { item =>
+      val occ = columnsCalls(item)
+      if (occ.isEmpty) Seq(item.trim)
+      else {
+        val args = occ.map { case (_, open, close) => item.substring(open + 1, close).trim }
+        if (args.distinct.length != 1)
+          throw new IllegalArgumentException(
+            "multiple COLUMNS() with different arguments in one expression")
+        val names = columnsMatch(spark, args.head, allCols)
+        if (names.isEmpty)
+          throw new IllegalArgumentException(
+            s"COLUMNS(${args.head}) matched no columns")
+        names.map { n =>
+          occ.sortBy(-_._1).foldLeft(item) { case (acc, (st, _, cl)) =>
+            acc.substring(0, st) + s"`$n`" + acc.substring(cl + 1)
+          }.trim
+        }
+      }
+    }
+    sql.substring(0, sel + 6) + " " + expanded.mkString(", ") + " " + sql.substring(fromAt)
+  }
+
   private def rewritePragma(sql: String): String = {
     val ti = """(?i)^\s*PRAGMA\s+table_info\s*\(\s*'([A-Za-z_][A-Za-z0-9_.]*)'\s*\)\s*;?\s*$""".r
     val st = """(?i)^\s*PRAGMA\s+show_tables\s*;?\s*$""".r
@@ -1084,8 +1266,8 @@ object Dialect {
     handleMacroVerb(spark, sql).getOrElse(
       rewriteDistinctOn(rewriteQualify(rewriteExclude(rewriteIntDiv(
         rewriteSample(rewriteStructPack(rewriteBrackets(rewriteBraces(
-          rewriteSources(spark,
+          rewriteColumns(spark, rewriteSources(spark,
             rewritePivot(spark, rewriteUnpivot(rewriteSummarize(spark,
               rewritePragma(expandMacros(spark, rewriteFromFirst(sql)))))),
-            pathOk))))))))))
+            pathOk)))))))))))
 }

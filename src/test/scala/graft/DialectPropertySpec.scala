@@ -73,4 +73,76 @@ class DialectPropertySpec extends AnyFunSuite {
     val sql = "SELECT 'use QUALIFY wisely' AS tip FROM t"
     assert(Dialect.rewrite(spark, sql) == sql)
   }
+
+  // ----- macro expander adversarial properties (round-5 brief #5) -----
+  // dedicated session: the macro registry is session-scoped, so these
+  // registrations can never leak into other suites
+  private lazy val msess = GraftSession.tune(TestSpark.spark.newSession())
+  private def rw(q: String): String = Dialect.rewrite(msess, q)
+  private def eval1(q: String): Any = msess.sql(rw(q)).head().get(0)
+
+  test("macro names that prefix other identifiers never expand") {
+    rw("create or replace macro add1(x) as x + 1")
+    // longer identifier sharing the prefix — untouched
+    assert(rw("SELECT add1x FROM t") == "SELECT add1x FROM t")
+    // dotted qualification — untouched (it's a column, not a call)
+    assert(rw("SELECT t.add1 FROM t") == "SELECT t.add1 FROM t")
+    // name without a call's parens — untouched
+    assert(rw("SELECT add1 FROM t") == "SELECT add1 FROM t")
+    // whitespace between name and parens is still a call (SQL allows it)
+    assert(eval1("SELECT add1 (2) AS v") == 3)
+  }
+
+  test("call-shaped text inside quoted strings never expands") {
+    rw("create or replace macro add1(x) as x + 1")
+    assert(rw("SELECT 'add1(5)' AS s") == "SELECT 'add1(5)' AS s")
+    assert(rw("SELECT \"add1\" FROM t") == "SELECT \"add1\" FROM t")
+    // a macro BODY that returns call-shaped text: the literal must
+    // survive the next expansion round unexpanded
+    rw("create or replace macro selfdesc() as 'add1(9)'")
+    assert(eval1("SELECT selfdesc() AS s") == "add1(9)")
+  }
+
+  test("parameters shadowing column names bind to the argument, not the column") {
+    rw("create or replace macro shout(word) as upper(word)")
+    // the VALUES relation also has a column named `word`: the macro
+    // parameter must capture the call argument, and an unrelated column
+    // mentioned in the body must stay a live column reference
+    assert(eval1("SELECT shout(other) AS u FROM VALUES ('hi', 'zz') t(word, other)") == "ZZ")
+    rw("create or replace macro tagit(x) as concat(x, tag)")
+    assert(eval1("SELECT tagit(word) AS t2 FROM VALUES ('abc', '!') t(word, tag)") == "abc!")
+  }
+
+  test("nested macro calls in arguments expand outside-in without depth blowup") {
+    rw("create or replace macro add1(x) as x + 1")
+    rw("create or replace macro add2(a, b) as a + b")
+    assert(eval1("SELECT add1(add1(add1(0))) AS v") == 3)
+    assert(eval1("SELECT add2(add1(1), add2(1, 2)) AS v") == 5)
+    // 9-deep nesting stays under the depth-10 guard; 11-deep trips it
+    val deep9 = (1 to 9).foldLeft("0")((acc, _) => s"add1($acc)")
+    assert(eval1(s"SELECT $deep9 AS v") == 9)
+    val deep11 = (1 to 11).foldLeft("0")((acc, _) => s"add1($acc)")
+    intercept[IllegalArgumentException] { rw(s"SELECT $deep11 AS v") }
+  }
+
+  private val litPair: Gen[(Int, Int)] =
+    for { a <- Gen.choose(-99, 99); b <- Gen.choose(-99, 99) } yield (a, b)
+
+  test("property: randomized int arguments always bind positionally and by name") {
+    rw("create or replace macro maxsum(p, q := 7) as greatest(p, q) + least(p, q)")
+    forSamples(litPair, 20) { case (a, b) =>
+      assert(eval1(s"SELECT maxsum($a, $b) AS v") == a + b)
+      assert(eval1(s"SELECT maxsum($a, q := $b) AS v") == a + b)
+      assert(eval1(s"SELECT maxsum($a) AS v") == a + 7)
+    }
+  }
+
+  test("property: macro expansion is idempotent once no calls remain") {
+    rw("create or replace macro add1(x) as x + 1")
+    forSamples(litPair, 20) { case (a, b) =>
+      val q = s"SELECT add1($a) + add1($b) AS v, 'add1($a)' AS s"
+      val once = rw(q)
+      assert(rw(once) == once, s"not idempotent: $q -> $once")
+    }
+  }
 }

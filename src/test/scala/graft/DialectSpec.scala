@@ -228,6 +228,46 @@ class DialectSpec extends AnyFunSuite with BeforeAndAfterAll {
       "SELECT '* EXCLUDE (x)' AS s")
   }
 
+  test("list comprehension maps to transform(), IF clause to filter()") {
+    val r = post("SELECT [x + 1 for x in [1, 2, 3]] AS a")
+    assert(r.statusCode() == 200 && r.body() == "[{\"a\":[2,3,4]}]")
+    val f = post("SELECT [x * 10 for x in [1, 2, 3, 4] if x % 2 = 0] AS a")
+    assert(f.statusCode() == 200 && f.body() == "[{\"a\":[20,40]}]")
+    // nested comprehension: inner rewritten on the enclosing re-scan
+    val n = post("SELECT [[y * 2 for y in x] for x in [[1], [2, 3]]] AS a")
+    assert(n.statusCode() == 200 && n.body() == "[{\"a\":[[2],[4,6]]}]")
+    // comprehension over a column, with subscripts still working
+    val c = post("SELECT [upper(s) for s in split(csv, ',')][1] AS first " +
+      "FROM VALUES ('a,b,c') t(csv)")
+    assert(c.statusCode() == 200 && c.body() == "[{\"first\":\"A\"}]")
+  }
+
+  test("COLUMNS(*) and COLUMNS(* EXCLUDE …) expand with expression wrapping") {
+    val r = post("SELECT COLUMNS(*) FROM VALUES (1, 2) t(a, b) ORDER BY a")
+    assert(r.statusCode() == 200 && r.body() == "[{\"a\":1,\"b\":2}]")
+    val m = post("SELECT min(COLUMNS(*)) FROM VALUES (1, 10), (2, 20) t(a, b)")
+    assert(m.statusCode() == 200 && m.body() == "[{\"min(a)\":1,\"min(b)\":10}]")
+    val e = post("SELECT max(COLUMNS(* EXCLUDE (b))) FROM VALUES (1, 10), (2, 20) t(a, b)")
+    assert(e.statusCode() == 200 && e.body() == "[{\"max(a)\":2}]")
+  }
+
+  test("COLUMNS('regex') and the lambda form pick columns by name") {
+    val r = post("SELECT COLUMNS('n_(name|regionkey)') FROM nation " +
+      "WHERE n_nationkey = 0")
+    assert(r.statusCode() == 200)
+    assert(r.body().contains("\"n_name\"") && r.body().contains("\"n_regionkey\""))
+    assert(!r.body().contains("n_comment"))
+    val l = post("SELECT count(COLUMNS(c -> c LIKE '%key')) FROM nation")
+    assert(l.statusCode() == 200)
+    assert(l.body().contains("count(n_nationkey)") && l.body().contains("count(n_regionkey)"))
+    // lockstep expansion: same argument twice in one item
+    val z = post("SELECT COLUMNS('f_.*') - COLUMNS('f_.*') AS d " +
+      "FROM VALUES (1.5) t(f_x)")
+    assert(z.statusCode() == 200 && z.body() == "[{\"d\":0.0}]")
+    // unmatched regex fails loudly, not silently-empty
+    assert(post("SELECT COLUMNS('zz_nope') FROM nation").statusCode() == 400)
+  }
+
   test("sandboxed server rejects dot-dot traversal in dialect file sources") {
     val allowed = new java.io.File("/tmp/graft_sandbox2/data")
     allowed.mkdirs()

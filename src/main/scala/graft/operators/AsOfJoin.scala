@@ -35,6 +35,12 @@ object AsOfJoin {
     * @param leftTime    event-time column on `left`
     * @param rightTime   event-time column on `right`
     * @param rightValues right columns to carry (renamed as given)
+    * @param forward     false (default): greatest rightTime <= leftTime
+    *                    (DuckDB `ON l.t >= r.t`); true: SMALLEST
+    *                    rightTime >= leftTime (DuckDB `ON l.t <= r.t`) —
+    *                    the mirror image: the window scans time
+    *                    descending and carry-ins flow from LATER
+    *                    buckets, everything else identical
     */
   def apply(
       left: DataFrame,
@@ -42,7 +48,8 @@ object AsOfJoin {
       key: String,
       leftTime: String,
       rightTime: String,
-      rightValues: Map[String, String]): DataFrame = {
+      rightValues: Map[String, String],
+      forward: Boolean = false): DataFrame = {
     val leftCols = left.columns.toSeq
     val valueAliases = rightValues.values.toSeq
     val buckets =
@@ -85,9 +92,11 @@ object AsOfJoin {
 
     // level 1: running last within each (key, bucket) — the hot key is
     // split across up to `buckets` tasks. Right rows (side=0) sort
-    // before left rows at equal time → inclusive (>=) match, as DuckDB.
+    // before left rows at equal time → inclusive match, as DuckDB;
+    // forward mode just scans time in the opposite direction.
+    val tOrd = if (forward) col("__t").desc_nulls_last else col("__t").asc_nulls_last
     val w = Window.partitionBy(col("__k"), col("__b"))
-      .orderBy(col("__t").asc_nulls_last, col("__side").asc_nulls_last)
+      .orderBy(tOrd, col("__side").asc_nulls_last)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = valueAliases.foldLeft(bucketed) { (df, a) =>
       df.withColumn(s"__loc_$a", last(col(s"__v_$a"), ignoreNulls = true).over(w))
@@ -100,13 +109,15 @@ object AsOfJoin {
     // turns closings into the carry-in from all strictly earlier
     // buckets. Earlier bucket ⇒ strictly earlier time, so inclusive
     // semantics are untouched.
+    val closeAgg = if (forward) "min_by" else "max_by"
     val closeCols = valueAliases.map { a =>
-      expr(s"max_by(`__v_$a`, `__t`) FILTER (WHERE `__v_$a` IS NOT NULL)")
+      expr(s"$closeAgg(`__v_$a`, `__t`) FILTER (WHERE `__v_$a` IS NOT NULL)")
         .as(s"__close_$a")
     }
     val closings = bucketed.groupBy(col("__k"), col("__b"))
       .agg(closeCols.head, closeCols.tail: _*)
-    val cw = Window.partitionBy(col("__k")).orderBy(col("__b").asc_nulls_first)
+    val bOrd = if (forward) col("__b").desc_nulls_first else col("__b").asc_nulls_first
+    val cw = Window.partitionBy(col("__k")).orderBy(bOrd)
       .rowsBetween(Window.unboundedPreceding, -1)
     val carries = valueAliases.foldLeft(closings) { (df, a) =>
       df.withColumn(s"__carry_$a", last(col(s"__close_$a"), ignoreNulls = true).over(cw))

@@ -43,6 +43,30 @@ object AdvancedQueries extends QueryModule {
           ON c.user_id = p.user_id AND c.ts >= p.ts
         ORDER BY c.user_id ASC NULLS LAST, c.event_id ASC NULLS LAST""")),
 
+    Q("c_join_asof_forward",
+      "FORWARD AS-OF join: each click joined to the user's NEXT purchase at-or-after it (the mirror of c_join_asof — DuckDB ASOF with c.ts <= p.ts as oracle; same time-bucket salting, scan direction reversed).",
+      (s, dir) => {
+        val ev = T(s, dir, "events")
+        val clicks = ev.filter(col("event_type") === "click" && col("user_id") < 30)
+          .select(col("user_id"), col("event_id"), col("ts"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("value"))
+        AsOfJoin(clicks, purchases, "user_id", "ts", "ts",
+            Map("value" -> "next_purchase_value", "ts" -> "next_purchase_ts"),
+            forward = true)
+          .select(col("user_id"), col("event_id"),
+            col("next_purchase_value"), col("next_purchase_ts"))
+          .orderBy(col("user_id").asc_nulls_last, col("event_id").asc_nulls_last)
+      },
+      Some("""SELECT c.user_id, c.event_id, p.value AS next_purchase_value,
+          CAST(p.ts AS TIMESTAMP) AS next_purchase_ts
+        FROM (SELECT user_id, event_id, ts FROM events
+              WHERE event_type = 'click' AND user_id < 30) c
+        ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+              WHERE event_type = 'purchase') p
+          ON c.user_id = p.user_id AND c.ts <= p.ts
+        ORDER BY c.user_id ASC NULLS LAST, c.event_id ASC NULLS LAST""")),
+
     Q("c_join_positional",
       "POSITIONAL JOIN: zip two sorted relations by row order via distributed zipWithIndex (no single-partition row_number).",
       (s, dir) => {

@@ -961,6 +961,93 @@ object Dialect {
     sql.substring(0, sel + 6) + " " + expanded.mkString(", ") + " " + sql.substring(fromAt)
   }
 
+  /** `(content, remainder)` of a leading parenthesized group (after
+    * optional whitespace); None when `s` doesn't start with one.
+    */
+  private def parenGroup(s: String): Option[(String, String)] = {
+    var i = 0
+    while (i < s.length && s.charAt(i).isWhitespace) i += 1
+    if (i >= s.length || s.charAt(i) != '(') return None
+    val mask = quoteMask(s)
+    var depth = 0; var j = i; var close = -1
+    while (j < s.length && close < 0) {
+      if (!mask(j)) {
+        if (s.charAt(j) == '(') depth += 1
+        else if (s.charAt(j) == ')') { depth -= 1; if (depth == 0) close = j }
+      }
+      j += 1
+    }
+    if (close < 0) None
+    else Some((s.substring(i + 1, close), s.substring(close + 1)))
+  }
+
+  /** DuckDB `* [EXCLUDE (…)] REPLACE (expr AS col, …)` star-modifier
+    * in the top-level select list. Spark understands `* EXCEPT` but
+    * has no REPLACE, so the shim expands the star against the FROM
+    * segment's schema (same LIMIT-0 analysis probe as COLUMNS) with
+    * the replaced columns swapped IN PLACE — column order and names
+    * exactly as DuckDB produces them. Replacing a column that doesn't
+    * exist is a loud error (DuckDB: Binder Error), not a no-op.
+    * Qualified stars (`t.* REPLACE`) and nested positions pass
+    * through and fail loudly downstream.
+    */
+  private def rewriteReplace(spark: SparkSession, sql: String): String = {
+    if (!containsUnquoted(sql, "REPLACE")) return sql
+    val sel = firstTopLevel(sql, "SELECT")
+    val fromAt = firstTopLevel(sql, "FROM")
+    if (sel < 0 || fromAt < sel) return sql
+    val selList = sql.substring(sel + 6, fromAt)
+    val items = splitTopLevel(selList, ',').map(_.trim)
+    val idx = items.indexWhere(it =>
+      it.startsWith("*") && containsUnquoted(it, "REPLACE"))
+    if (idx < 0) return sql
+    val item = items(idx)
+    var rest = item.substring(1).trim
+    var excluded = Set.empty[String]
+    if (rest.toUpperCase.startsWith("EXCLUDE")) {
+      val g = parenGroup(rest.substring(7)).getOrElse(return sql)
+      excluded = splitTopLevel(g._1, ',')
+        .map(_.trim.stripPrefix("\"").stripSuffix("\"").toLowerCase).toSet
+      rest = g._2.trim
+    }
+    if (!rest.toUpperCase.startsWith("REPLACE")) return sql
+    val g = parenGroup(rest.substring(7)).getOrElse(return sql)
+    if (g._2.trim.nonEmpty) return sql // trailing text after REPLACE (…) — not the modifier shape
+    val replacements: Seq[(String, String)] = splitTopLevel(g._1, ',').map { r =>
+      val asAt = lastTopLevel(r, "AS")
+      if (asAt < 0)
+        throw new IllegalArgumentException(s"REPLACE entry must be `expr AS col`: ${r.trim}")
+      val expr = r.substring(0, asAt).trim
+      val name = r.substring(asAt + 2).trim
+        .stripPrefix("\"").stripSuffix("\"").stripPrefix("`").stripSuffix("`")
+      name.toLowerCase -> expr
+    }
+    val fromSeg = sql.substring(fromAt + 4)
+    val cutAt = Seq("WHERE", "GROUP", "HAVING", "QUALIFY", "WINDOW",
+        "ORDER", "LIMIT", "OFFSET")
+      .map(k => firstTopLevel(fromSeg, k)).filter(_ >= 0).sorted.headOption
+    val fromSrc = cutAt.map(fromSeg.substring(0, _)).getOrElse(fromSeg)
+      .trim.stripSuffix(";")
+    val allCols =
+      try spark.sql(s"SELECT * FROM $fromSrc LIMIT 0").schema.fieldNames.toSeq
+      catch { case scala.util.control.NonFatal(_) => return sql }
+    val known = allCols.map(_.toLowerCase).toSet
+    replacements.collectFirst { case (n, _) if !known(n) => n }.foreach { n =>
+      throw new IllegalArgumentException(s"REPLACE names a column that does not exist: $n")
+    }
+    val replMap = replacements.toMap
+    val expandedStar = allCols
+      .filterNot(c => excluded(c.toLowerCase))
+      .map { c =>
+        replMap.get(c.toLowerCase) match {
+          case Some(e) => s"($e) AS `$c`"
+          case None => s"`$c`"
+        }
+      }
+    val newItems = items.updated(idx, expandedStar.mkString(", "))
+    sql.substring(0, sel + 6) + " " + newItems.mkString(", ") + " " + sql.substring(fromAt)
+  }
+
   private def rewritePragma(sql: String): String = {
     val ti = """(?i)^\s*PRAGMA\s+table_info\s*\(\s*'([A-Za-z_][A-Za-z0-9_.]*)'\s*\)\s*;?\s*$""".r
     val st = """(?i)^\s*PRAGMA\s+show_tables\s*;?\s*$""".r
@@ -1266,8 +1353,8 @@ object Dialect {
     handleMacroVerb(spark, sql).getOrElse(
       rewriteDistinctOn(rewriteQualify(rewriteExclude(rewriteIntDiv(
         rewriteSample(rewriteStructPack(rewriteBrackets(rewriteBraces(
-          rewriteColumns(spark, rewriteSources(spark,
+          rewriteReplace(spark, rewriteColumns(spark, rewriteSources(spark,
             rewritePivot(spark, rewriteUnpivot(rewriteSummarize(spark,
               rewritePragma(expandMacros(spark, rewriteFromFirst(sql)))))),
-            pathOk)))))))))))
+            pathOk))))))))))))
 }

@@ -268,6 +268,22 @@ class DialectSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(post("SELECT COLUMNS('zz_nope') FROM nation").statusCode() == 400)
   }
 
+  test("star REPLACE swaps expressions in place, composing with EXCLUDE") {
+    val r = post("SELECT * REPLACE (b * 10 AS b) FROM VALUES (1, 2, 3) t(a, b, c)")
+    assert(r.statusCode() == 200 && r.body() == "[{\"a\":1,\"b\":20,\"c\":3}]")
+    // EXCLUDE then REPLACE, DuckDB's modifier order; order of survivors kept
+    val e = post("SELECT * EXCLUDE (a) REPLACE (c + 1 AS c) FROM VALUES (1, 2, 3) t(a, b, c)")
+    assert(e.statusCode() == 200 && e.body() == "[{\"b\":2,\"c\":4}]")
+    // expr containing AS at nested depth (CAST) still binds the right name
+    val k = post("SELECT * REPLACE (CAST(a AS STRING) AS a) FROM VALUES (7, 8) t(a, b)")
+    assert(k.statusCode() == 200 && k.body() == "[{\"a\":\"7\",\"b\":8}]")
+    // replacing a nonexistent column is a loud binder error, as DuckDB
+    assert(post("SELECT * REPLACE (1 AS nope) FROM VALUES (1) t(a)").statusCode() == 400)
+    // REPLACE as a plain function name is untouched
+    val f = post("SELECT REPLACE('aXa', 'X', 'b') AS s")
+    assert(f.statusCode() == 200 && f.body() == "[{\"s\":\"aba\"}]")
+  }
+
   test("sandboxed server rejects dot-dot traversal in dialect file sources") {
     val allowed = new java.io.File("/tmp/graft_sandbox2/data")
     allowed.mkdirs()

@@ -25,6 +25,22 @@ class OperatorSpec extends AnyFunSuite {
       Row(3L, 5L, "d", null)))
   }
 
+  test("AsOfJoin forward matches nearest at-or-after row per key") {
+    val left = Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 15L, "c"), (3L, 99L, "d"))
+      .toDF("k", "t", "tag")
+    val right = Seq((1L, 10L, 100.0), (1L, 18L, 200.0), (2L, 5L, 300.0))
+      .toDF("k", "t", "v")
+    val got = AsOfJoin(left, right, "k", "t", "t", Map("v" -> "next_v"), forward = true)
+      .orderBy("k", "t").collect().toSeq
+    // (1,10) matches the equal-ts right row (inclusive); (1,20) has
+    // nothing after it; (2,15)'s only right row is BEFORE it
+    assert(got == Seq(
+      Row(1L, 10L, "a", 100.0),
+      Row(1L, 20L, "b", null),
+      Row(2L, 15L, "c", null),
+      Row(3L, 99L, "d", null)))
+  }
+
   test("AsOfJoin: null timestamps match nothing on either side") {
     val left = Seq((1L, Some(10L), "a"), (1L, None, "b"))
       .toDF("k", "t", "tag")

@@ -1082,21 +1082,34 @@ object Dialect {
 
   // per-session registries (the server serves all requests from one
   // session, so macros persist for the server's life — the reference's
-  // attached-db lifetime); weak keys let test sessions be collected
+  // attached-db lifetime); weak keys let test sessions be collected.
+  // A name maps to its OVERLOAD SET (DuckDB: one CREATE MACRO may
+  // declare several signatures `f(a) AS …, (a, b) AS …`, resolved by
+  // argument count at bind time).
   private val macroRegistry = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[SparkSession, scala.collection.concurrent.TrieMap[String, MacroDef]]())
+    new java.util.WeakHashMap[SparkSession, scala.collection.concurrent.TrieMap[String, Seq[MacroDef]]]())
 
-  private def macrosFor(spark: SparkSession): scala.collection.concurrent.TrieMap[String, MacroDef] =
+  private def macrosFor(spark: SparkSession): scala.collection.concurrent.TrieMap[String, Seq[MacroDef]] =
     macroRegistry.synchronized {
       var m = macroRegistry.get(spark)
       if (m == null) { m = scala.collection.concurrent.TrieMap.empty; macroRegistry.put(spark, m) }
       m
     }
 
+  // macro names may be schema-qualified; only DuckDB's default schema
+  // `main` exists here (no binary .db attach — COVERAGE.md omissions),
+  // so `main.f` resolves to `f` and any other schema fails loudly
+  private def resolveMacroName(raw: String): String = {
+    val parts = raw.split('.')
+    if (parts.length == 1) raw.toLowerCase
+    else if (parts.length == 2 && parts(0).equalsIgnoreCase("main")) parts(1).toLowerCase
+    else throw new IllegalArgumentException(s"unknown schema in macro name: $raw")
+  }
+
   private val CreateMacroRe =
-    """(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMP(?:ORARY)?\s+)?MACRO(\s+TABLE)?\s+([A-Za-z_][A-Za-z0-9_]*)\s*\(""".r
+    """(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMP(?:ORARY)?\s+)?MACRO(\s+TABLE)?\s+([A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)?)\s*\(""".r
   private val DropMacroRe =
-    """(?is)^\s*DROP\s+MACRO(?:\s+TABLE)?(\s+IF\s+EXISTS)?\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$""".r
+    """(?is)^\s*DROP\s+MACRO(?:\s+TABLE)?(\s+IF\s+EXISTS)?\s+([A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)?)\s*;?\s*$""".r
 
   /** Handle `CREATE [OR REPLACE] [TEMP] MACRO [TABLE] f(params) AS
     * [TABLE] body` / `DROP MACRO [TABLE] [IF EXISTS] f`. Returns the
@@ -1105,53 +1118,101 @@ object Dialect {
     * pre-1.x spelling the reference's tests/test.db was built with;
     * `AS TABLE` is current DuckDB.
     */
+  /** Parse a parameter-list text into (name → default) pairs; None
+    * when any entry isn't `identifier [:= default]` (used both to
+    * parse real signatures and to PROBE whether text after a comma
+    * starts another overload signature).
+    */
+  private def parseParamList(group: String): Option[Seq[(String, Option[String])]] = {
+    val raw = group.trim
+    val params: Seq[(String, Option[String])] =
+      if (raw.isEmpty) Nil
+      else splitTopLevel(raw, ',').map { p =>
+        val d = p.indexOf(":=")
+        if (d >= 0) (p.substring(0, d).trim.toLowerCase, Some(p.substring(d + 2).trim))
+        else (p.trim.toLowerCase, None)
+      }
+    if (params.exists(p => p._1.isEmpty || !p._1.forall(isWordChar))) None
+    else Some(params)
+  }
+
+  /** One macro body: strip TABLE spelling + trailing ';', normalize
+    * DuckDB FROM-first form at registration (round-4 advice: expansion
+    * happens AFTER the query-level rewriteFromFirst, so an
+    * un-normalized `AS TABLE FROM t SELECT x` body would fail to parse
+    * when substituted).
+    */
+  private def finishBody(raw: String, tableSpelling: Boolean): MacroDef = {
+    var body = raw.trim.stripSuffix(";").trim
+    var isTable = tableSpelling
+    if ("""(?is)^TABLE\b""".r.findFirstIn(body).isDefined) {
+      isTable = true; body = body.substring(5).trim
+    }
+    MacroDef(Nil, rewriteFromFirst(body), isTable) // params filled by caller
+  }
+
   private def handleMacroVerb(spark: SparkSession, sql: String): Option[String] = {
     DropMacroRe.findFirstMatchIn(sql).foreach { m =>
-      val existed = macrosFor(spark).remove(m.group(2).toLowerCase).isDefined
+      val existed = macrosFor(spark).remove(resolveMacroName(m.group(2))).isDefined
       if (!existed && m.group(1) == null)
         throw new IllegalArgumentException(s"macro ${m.group(2)} does not exist")
       return Some("SELECT true AS ok WHERE false")
     }
     val m = CreateMacroRe.findFirstMatchIn(sql).getOrElse(return None)
     val tableSpelling = m.group(1) != null
-    val name = m.group(2).toLowerCase
-    // parameter list: matching-paren extraction from the '(' the regex stopped at
-    val open = m.end - 1
-    val mask = quoteMask(sql)
-    var depth = 0; var j = open; var close = -1
-    while (j < sql.length && close < 0) {
-      if (!mask(j)) {
-        if (sql.charAt(j) == '(') depth += 1
-        else if (sql.charAt(j) == ')') { depth -= 1; if (depth == 0) close = j }
+    val name = resolveMacroName(m.group(2))
+    // signatures: `(params) AS body [, (params) AS body …]` — DuckDB's
+    // overload-set form; bodies may themselves contain top-level commas
+    // (table macros with a select list), so a comma only ends a body
+    // when what follows PARSES as `(param-list) AS`
+    val defs = scala.collection.mutable.ArrayBuffer.empty[MacroDef]
+    var cursor = m.end - 1 // at the '(' opening the current signature
+    var done = false
+    while (!done) {
+      val g = parenGroup(sql.substring(cursor)).getOrElse(
+        throw new IllegalArgumentException(s"unbalanced parameter list in CREATE MACRO $name"))
+      val params = parseParamList(g._1).getOrElse(
+        throw new IllegalArgumentException(s"invalid parameter list in CREATE MACRO $name"))
+      val afterParams = g._2
+      val asAt = firstTopLevel(afterParams, "AS")
+      if (asAt < 0) throw new IllegalArgumentException(s"CREATE MACRO $name: missing AS")
+      val bodyAll = afterParams.substring(asAt + 2)
+      // find a top-level comma that begins the next signature
+      val bmask = quoteMask(bodyAll)
+      var depth = 0; var i = 0; var bodyEnd = -1
+      while (i < bodyAll.length && bodyEnd < 0) {
+        if (!bmask(i)) {
+          bodyAll.charAt(i) match {
+            case '(' | '[' | '{' => depth += 1
+            case ')' | ']' | '}' => depth -= 1
+            case ',' if depth == 0 =>
+              val probe = parenGroup(bodyAll.substring(i + 1))
+              if (probe.exists { case (grp, rest) =>
+                    parseParamList(grp).isDefined &&
+                      firstTopLevel(rest, "AS") >= 0 &&
+                      rest.substring(0, firstTopLevel(rest, "AS")).trim.isEmpty })
+                bodyEnd = i
+            case _ =>
+          }
+        }
+        i += 1
       }
-      j += 1
+      val (bodyText, nextCursor) =
+        if (bodyEnd < 0) (bodyAll, -1)
+        else {
+          // absolute index of the '(' after the comma
+          val afterComma = bodyAll.substring(bodyEnd + 1)
+          val parenOffset = afterComma.indexWhere(!_.isWhitespace)
+          val absBase = sql.length - bodyAll.length
+          (bodyAll.substring(0, bodyEnd), absBase + bodyEnd + 1 + parenOffset)
+        }
+      defs += finishBody(bodyText, tableSpelling).copy(params = params)
+      if (nextCursor < 0) done = true else cursor = nextCursor
     }
-    if (close < 0) throw new IllegalArgumentException(s"unbalanced parameter list in CREATE MACRO $name")
-    val rawParams = sql.substring(open + 1, close).trim
-    val params: Seq[(String, Option[String])] =
-      if (rawParams.isEmpty) Nil
-      else splitTopLevel(rawParams, ',').map { p =>
-        val d = p.indexOf(":=")
-        if (d >= 0) (p.substring(0, d).trim.toLowerCase, Some(p.substring(d + 2).trim))
-        else (p.trim.toLowerCase, None)
-      }
-    if (params.exists(p => p._1.isEmpty || !p._1.forall(isWordChar)))
-      throw new IllegalArgumentException(s"invalid parameter list in CREATE MACRO $name")
-    // body: after the AS keyword following the parameter list
-    val afterParams = sql.substring(close + 1)
-    val asAt = firstTopLevel(afterParams, "AS")
-    if (asAt < 0) throw new IllegalArgumentException(s"CREATE MACRO $name: missing AS")
-    var body = afterParams.substring(asAt + 2).trim.stripSuffix(";").trim
-    var isTable = tableSpelling
-    val tableKw = """(?is)^TABLE\b""".r
-    if (tableKw.findFirstIn(body).isDefined) { isTable = true; body = body.substring(5).trim }
-    // normalize DuckDB FROM-first bodies at registration (round-4
-    // advice: expansion happens AFTER the query-level rewriteFromFirst,
-    // so `AS TABLE FROM t SELECT x` would otherwise be substituted
-    // un-normalized and fail to parse even though the same statement
-    // works posted directly)
-    body = rewriteFromFirst(body)
-    macrosFor(spark).put(name, MacroDef(params, body, isTable))
+    if (defs.map(_.params.length).distinct.length != defs.length)
+      throw new IllegalArgumentException(
+        s"CREATE MACRO $name: duplicate overload arity")
+    macrosFor(spark).put(name, defs.toSeq)
     Some("SELECT true AS ok WHERE false")
   }
 
@@ -1214,10 +1275,19 @@ object Dialect {
       val lower = sql.toLowerCase
       val out = new StringBuilder
       var i = 0
+      // `main.f(…)` is a valid spelling of `f(…)` (DuckDB's default
+      // schema); any other qualifier means member access, not a macro
+      def qualifiedStart(pos: Int): Int =
+        if (pos >= 5 && lower.startsWith("main.", pos - 5) &&
+            (pos - 5 == 0 ||
+              !isWordChar(sql.charAt(pos - 6)) && sql.charAt(pos - 6) != '.'))
+          pos - 5
+        else pos
       while (i < sql.length) {
         val hit = macros.keysIterator.find { name =>
           !mask(i) && lower.startsWith(name, i) &&
-            (i == 0 || !isWordChar(sql.charAt(i - 1)) && sql.charAt(i - 1) != '.') &&
+            (i == 0 || !isWordChar(sql.charAt(i - 1)) &&
+              (sql.charAt(i - 1) != '.' || qualifiedStart(i) != i)) &&
             {
               var k = i + name.length
               // no word char directly after, then optional spaces then '('
@@ -1230,7 +1300,7 @@ object Dialect {
         hit match {
           case None => out.append(sql.charAt(i)); i += 1
           case Some(name) =>
-            val mdef = macros(name)
+            val defs = macros(name)
             var k = i + name.length
             while (sql.charAt(k) != '(') k += 1
             var depth = 0; var j = k; var close = -1
@@ -1245,7 +1315,18 @@ object Dialect {
             else {
               val rawArgs = sql.substring(k + 1, close).trim
               val args = if (rawArgs.isEmpty) Nil else splitTopLevel(rawArgs, ',').map(_.trim)
-              val bound = bindArgs(name, mdef, args)
+              // overload resolution by binding: first signature (in
+              // declaration order) whose parameters the args bind to
+              val errors = scala.collection.mutable.ArrayBuffer.empty[String]
+              val resolved = defs.iterator.flatMap { d =>
+                try Iterator.single((d, bindArgs(name, d, args)))
+                catch { case e: IllegalArgumentException => errors += e.getMessage; Iterator.empty }
+              }.nextOption().getOrElse(throw new IllegalArgumentException(
+                errors.mkString("; ")))
+              // a `main.` qualifier was already copied to `out` while
+              // scanning — drop it so the whole call site is replaced
+              val spanStart = qualifiedStart(i)
+              if (spanStart < i) out.setLength(out.length - (i - spanStart))
               // scalar and table macros both expand to a parenthesized
               // body: `(expr)` in expression position, `(SELECT …)` as
               // an unnamed derived table (DuckDB does NOT auto-alias
@@ -1253,7 +1334,7 @@ object Dialect {
               // macro calls inside the body or the arguments are NOT
               // re-scanned this round — the next round picks them up,
               // which is what makes `rounds` a true nesting depth.
-              out.append("(").append(substituteParams(mdef.body, bound)).append(")")
+              out.append("(").append(substituteParams(resolved._1.body, resolved._2)).append(")")
               i = close + 1
               changed = true
             }

@@ -137,6 +137,35 @@ class MacroSpec extends AnyFunSuite with BeforeAndAfterAll {
     post("drop macro ff")
   }
 
+  test("overload sets: one CREATE MACRO with several signatures resolves by arity") {
+    val c = post("create macro ovl(a) as a * 2, (a, b) as a + b, (a, b, c) as a + b + c")
+    assert(c.statusCode() == 200)
+    assert(new String(post("SELECT ovl(5) AS v").body(), "UTF-8") == "[{\"v\":10}]")
+    assert(new String(post("SELECT ovl(5, 6) AS v").body(), "UTF-8") == "[{\"v\":11}]")
+    assert(new String(post("SELECT ovl(1, 2, 3) AS v").body(), "UTF-8") == "[{\"v\":6}]")
+    assert(post("SELECT ovl(1, 2, 3, 4) AS v").statusCode() == 400) // no 4-ary overload
+    // duplicate arity in one overload set is rejected at CREATE
+    assert(post("create macro dup(a) as a, (b) as b").statusCode() == 400)
+    // a table-macro body's top-level commas do NOT split the overload set
+    val t = post("create macro tsel() as table select 1 AS a, 2 AS b")
+    assert(t.statusCode() == 200)
+    assert(new String(post("SELECT * FROM tsel()").body(), "UTF-8") == "[{\"a\":1,\"b\":2}]")
+    post("drop macro ovl"); post("drop macro tsel")
+  }
+
+  test("schema-qualified macro names: main.f registers, calls and drops") {
+    assert(post("create macro main.sq(x) as x + 100").statusCode() == 200)
+    assert(new String(post("SELECT sq(1) AS v").body(), "UTF-8") == "[{\"v\":101}]")
+    assert(new String(post("SELECT main.sq(1) AS v").body(), "UTF-8") == "[{\"v\":101}]")
+    // non-main schema fails loudly (no binary .db attach → only main exists)
+    assert(post("create macro other.f(x) as x").statusCode() == 400)
+    // t.sq stays member access — never expanded as a macro
+    val r = post("SELECT t.sq FROM VALUES (7) t(sq)")
+    assert(r.statusCode() == 200 && new String(r.body(), "UTF-8") == "[{\"sq\":7}]")
+    assert(post("drop macro main.sq").statusCode() == 200)
+    assert(post("SELECT sq(1) AS v").statusCode() == 400)
+  }
+
   test("recursive macro fails loudly instead of looping") {
     assert(post("create macro loop_a() as loop_b()").statusCode() == 200)
     assert(post("create macro loop_b() as loop_a()").statusCode() == 200)

@@ -76,19 +76,32 @@ object AsOfJoin {
 
     val union = taggedLeft.unionByName(taggedRight)
 
-    // Equi-width time buckets over the observed range. Any (tmin, width)
-    // is CORRECT — rows outside clamp into the edge buckets and the
-    // t → bucket map stays monotone — the observed range just gives the
-    // best balance. One scalar job; at 100 TB swap for a sampled range.
-    val range = union.agg(
-      min(col("__t").cast("double")), max(col("__t").cast("double"))).head()
-    val (tmin, tmax) =
-      (if (range.isNullAt(0)) 0.0 else range.getDouble(0),
-       if (range.isNullAt(1)) 0.0 else range.getDouble(1))
-    val width = math.max((tmax - tmin) / buckets, 1e-9)
-    val bucketed = union.withColumn("__b",
-      least(greatest(floor((col("__t").cast("double") - lit(tmin)) / lit(width)),
-        lit(0L)), lit(buckets - 1L)))
+    // Equi-width time buckets. Any (tmin, width) is CORRECT — rows
+    // outside clamp into the edge buckets and the t → bucket map stays
+    // monotone — the observed range just gives the best balance.
+    // `spark.graft.asof.bucketWidth` (seconds) skips the range job
+    // entirely (bucket = floor(t / width), unclamped) — the right
+    // setting at 100 TB, where an extra scan of both inputs just to
+    // learn min/max is real money; buckets=1 also skips it (classic
+    // unsalted window: the constant bucket folds out of the partition
+    // spec). Default: one scalar min/max job over the union.
+    val widthConf =
+      left.sparkSession.conf.get("spark.graft.asof.bucketWidth", "").trim
+    val bucketCol =
+      if (widthConf.nonEmpty)
+        floor(col("__t").cast("double") / lit(widthConf.toDouble))
+      else if (buckets <= 1) lit(0L)
+      else {
+        val range = union.agg(
+          min(col("__t").cast("double")), max(col("__t").cast("double"))).head()
+        val (tmin, tmax) =
+          (if (range.isNullAt(0)) 0.0 else range.getDouble(0),
+           if (range.isNullAt(1)) 0.0 else range.getDouble(1))
+        val width = math.max((tmax - tmin) / buckets, 1e-9)
+        least(greatest(floor((col("__t").cast("double") - lit(tmin)) / lit(width)),
+          lit(0L)), lit(buckets - 1L))
+      }
+    val bucketed = union.withColumn("__b", bucketCol)
 
     // level 1: running last within each (key, bucket) — the hot key is
     // split across up to `buckets` tasks. Right rows (side=0) sort

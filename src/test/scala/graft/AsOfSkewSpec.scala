@@ -128,6 +128,18 @@ class AsOfSkewSpec extends AnyFunSuite {
     }
   }
 
+  test("fixed bucketWidth (the no-range-job 100 TB path) is result-identical") {
+    val (left, right) = corpus()
+    val auto = AsOfJoin(left, right, "k", "t", "t", Map("v" -> "last_v"))
+    val fixed =
+      try {
+        // 31250 ≈ the auto width for this corpus; any width is correct
+        spark.conf.set("spark.graft.asof.bucketWidth", "31250")
+        AsOfJoin(left, right, "k", "t", "t", Map("v" -> "last_v"))
+      } finally spark.conf.unset("spark.graft.asof.bucketWidth")
+    assert(fixed.exceptAll(auto).isEmpty && auto.exceptAll(fixed).isEmpty)
+  }
+
   test("salted result is identical to the single-bucket (unsalted) reference") {
     val (left, right) = corpus()
     val salted = AsOfJoin(left, right, "k", "t", "t", Map("v" -> "last_v"))

@@ -1048,6 +1048,156 @@ object Dialect {
     sql.substring(0, sel + 6) + " " + newItems.mkString(", ") + " " + sql.substring(fromAt)
   }
 
+  /** All depth-0, unmasked, word-bounded occurrences of `kw`. */
+  private def allTopLevelKeyword(content: String, kw: String): Seq[Int] = {
+    val mask = quoteMask(content)
+    val upper = content.toUpperCase
+    val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var depth = 0
+    var i = 0
+    while (i < content.length) {
+      if (!mask(i)) {
+        content.charAt(i) match {
+          case '(' | '[' | '{' => depth += 1
+          case ')' | ']' | '}' => depth -= 1
+          case _ =>
+            if (depth == 0 && upper.startsWith(kw, i) &&
+                (i == 0 || !isWordChar(content.charAt(i - 1))) &&
+                (i + kw.length >= content.length || !isWordChar(content.charAt(i + kw.length))))
+              out += i
+        }
+      }
+      i += 1
+    }
+    out.toSeq
+  }
+
+  /** DuckDB `ASOF [LEFT|INNER] JOIN` SQL over HTTP — the reference's
+    * docs lead with this spelling, and Spark has no ASOF join. Covered
+    * shape (the documented one): `<left> ASOF [LEFT] JOIN <right>
+    * [AS] alias ON <equi-conds> AND <one inequality on the times>`.
+    *
+    * Realization: the VALIDITY-INTERVAL rewrite. Each right row is
+    * valid from its own time until the key's next right row
+    * (`LEAD(t) OVER (PARTITION BY keys ORDER BY t)` — `LAG` for the
+    * forward directions), so the as-of collapses to an ordinary
+    * equi-join with a half-open interval residual: at most one right
+    * row matches each left row, arbitrary select lists (incl. alias.*)
+    * keep working, and Spark plans the equi key as a normal
+    * shuffle/broadcast join instead of anything quadratic. A top-level
+    * bare `*` select list becomes `* EXCEPT (__vf, __vu)` so the
+    * synthesized interval columns never leak into results. Shapes the
+    * shim can't classify (no alias, unqualified columns, zero or
+    * several inequalities, USING) pass through and fail loudly.
+    */
+  private def rewriteAsOf(sql: String): String = {
+    val asofAt = firstTopLevel(sql, "ASOF")
+    if (asofAt < 0) return sql
+    val afterAsof = sql.substring(asofAt + 4)
+    val jm = """(?is)^\s*(LEFT\s+|INNER\s+)?JOIN\b""".r.findFirstMatchIn(afterAsof).getOrElse(return sql)
+    val joinType =
+      if (jm.group(1) != null && jm.group(1).trim.equalsIgnoreCase("LEFT")) "LEFT" else "INNER"
+    val bStart = asofAt + 4 + jm.end
+    val rest = sql.substring(bStart)
+    val onAt = firstTopLevel(rest, "ON")
+    if (onAt < 0) return sql
+    val bText = rest.substring(0, onAt).trim
+    // right-side base + alias (references in ON/select list use the alias)
+    val bare = """^[A-Za-z_][A-Za-z0-9_.]*$""".r
+    val aliased = """(?is)^(.*?)(?:\s+AS)?\s+([A-Za-z_][A-Za-z0-9_]*)\s*$""".r
+    val (bBase, bAlias) = bText match {
+      case bare() => (bText, bText.split('.').last)
+      case aliased(base, al)
+          if !Seq("select", "from", "where", "on", "join").contains(al.toLowerCase) =>
+        (base.trim, al)
+      case _ => return sql
+    }
+    // ON segment up to the next top-level clause / further join
+    val condSeg = rest.substring(onAt + 2)
+    val cutAt = Seq("WHERE", "GROUP", "HAVING", "QUALIFY", "WINDOW", "ORDER",
+        "LIMIT", "OFFSET", "UNION", "INTERSECT", "EXCEPT",
+        "JOIN", "LEFT", "RIGHT", "FULL", "INNER", "CROSS", "ASOF")
+      .map(k => firstTopLevel(condSeg, k)).filter(_ >= 0).sorted.headOption
+    val cond = cutAt.map(condSeg.substring(0, _)).getOrElse(condSeg)
+    val tail = cutAt.map(condSeg.substring(_)).getOrElse("")
+    // split conjuncts on top-level AND
+    val andAts = allTopLevelKeyword(cond, "AND")
+    val bounds = (-3 +: andAts) :+ cond.length
+    val conjuncts = bounds.sliding(2).map { case Seq(a, b) => cond.substring(a + 3, b).trim }.toSeq
+    def refsB(side: String): Boolean = {
+      val lower = side.toLowerCase
+      val at = lower.indexOf(bAlias.toLowerCase + ".")
+      at >= 0 && (at == 0 || !isWordChar(side.charAt(at - 1)))
+    }
+    // classify: exactly one inequality conjunct, the rest equi keys
+    def topCompareOp(c: String): Option[(Int, String)] = {
+      val mask = quoteMask(c)
+      var depth = 0
+      var i = 0
+      while (i < c.length) {
+        if (!mask(i)) {
+          c.charAt(i) match {
+            case '(' | '[' => depth += 1
+            case ')' | ']' => depth -= 1
+            case ch @ ('<' | '>') if depth == 0 =>
+              val op = if (i + 1 < c.length && c.charAt(i + 1) == '=') s"$ch=" else s"$ch"
+              if (!(ch == '<' && i + 1 < c.length && c.charAt(i + 1) == '>')) // skip <>
+                return Some((i, op))
+            case _ =>
+          }
+        }
+        i += 1
+      }
+      None
+    }
+    val classified = conjuncts.map(c => (c, topCompareOp(c)))
+    val ineqs = classified.filter(_._2.isDefined)
+    if (ineqs.length != 1) return sql
+    val equis = classified.filter(_._2.isEmpty).map(_._1)
+    if (equis.isEmpty || !equis.forall(e => containsUnquoted(e, "="))) return sql
+    val (ineq, Some((opAt, op))) = ineqs.head: @unchecked
+    val (s1, s2) = (ineq.substring(0, opAt).trim, ineq.substring(opAt + op.length).trim)
+    // normalize to  <leftTime> OP <rightTime>
+    val (lt, rt, normOp) =
+      if (refsB(s2) && !refsB(s1)) (s1, s2, op)
+      else if (refsB(s1) && !refsB(s2))
+        (s2, s1, op match { case ">" => "<"; case "<" => ">"; case ">=" => "<="; case _ => ">=" })
+      else return sql
+    // right-side partition keys = the B side of each equality
+    val rkeys = equis.map { e =>
+      val eq = e.indexOf('=')
+      val (a, b) = (e.substring(0, eq).trim, e.substring(eq + 1).trim)
+      if (refsB(a) && !refsB(b)) a
+      else if (refsB(b) && !refsB(a)) b
+      else return sql
+    }
+    val backward = normOp == ">=" || normOp == ">"
+    val (winFn, vfCond) =
+      if (backward)
+        ("LEAD", normOp match {
+          case ">=" => s"$lt >= $bAlias.__vf AND ($bAlias.__vu IS NULL OR $lt < $bAlias.__vu)"
+          case _    => s"$lt > $bAlias.__vf AND ($bAlias.__vu IS NULL OR $lt <= $bAlias.__vu)"
+        })
+      else
+        ("LAG", normOp match {
+          case "<=" => s"$lt <= $bAlias.__vf AND ($bAlias.__vu IS NULL OR $lt > $bAlias.__vu)"
+          case _    => s"$lt < $bAlias.__vf AND ($bAlias.__vu IS NULL OR $lt >= $bAlias.__vu)"
+        })
+    val newB =
+      s"""(SELECT $bAlias.*, $rt AS __vf,
+         |  $winFn($rt) OVER (PARTITION BY ${rkeys.mkString(", ")} ORDER BY $rt) AS __vu
+         |  FROM $bBase $bAlias) $bAlias""".stripMargin
+    val newCond = (equis :+ s"($vfCond)").mkString(" AND ")
+    var out = sql.substring(0, asofAt) + joinType + " JOIN " + newB +
+      " ON " + newCond + " " + tail
+    // keep the synthesized columns out of a bare `SELECT *`
+    val sel = firstTopLevel(out, "SELECT")
+    val fromAt = firstTopLevel(out, "FROM")
+    if (sel >= 0 && fromAt > sel && out.substring(sel + 6, fromAt).trim == "*")
+      out = out.substring(0, sel + 6) + " * EXCEPT (__vf, __vu) " + out.substring(fromAt)
+    rewriteAsOf(out) // a second ASOF join, if any
+  }
+
   private def rewritePragma(sql: String): String = {
     val ti = """(?i)^\s*PRAGMA\s+table_info\s*\(\s*'([A-Za-z_][A-Za-z0-9_.]*)'\s*\)\s*;?\s*$""".r
     val st = """(?i)^\s*PRAGMA\s+show_tables\s*;?\s*$""".r
@@ -1434,8 +1584,8 @@ object Dialect {
     handleMacroVerb(spark, sql).getOrElse(
       rewriteDistinctOn(rewriteQualify(rewriteExclude(rewriteIntDiv(
         rewriteSample(rewriteStructPack(rewriteBrackets(rewriteBraces(
-          rewriteReplace(spark, rewriteColumns(spark, rewriteSources(spark,
+          rewriteReplace(spark, rewriteColumns(spark, rewriteAsOf(rewriteSources(spark,
             rewritePivot(spark, rewriteUnpivot(rewriteSummarize(spark,
               rewritePragma(expandMacros(spark, rewriteFromFirst(sql)))))),
-            pathOk))))))))))))
+            pathOk)))))))))))))
 }

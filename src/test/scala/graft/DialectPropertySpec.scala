@@ -17,14 +17,14 @@ class DialectPropertySpec extends AnyFunSuite {
 
   test("rewrite is the identity on every dialect-surface-free oracle SQL") {
     // the oracle strings are the project's own corpus of real ANSI/DuckDB
-    // SQL; ones using DuckDB bracket indexing, struct literals, := or the
-    // // integer-division operator OUTSIDE string literals are
-    // legitimately rewritten (that IS the shim's job), every other one —
-    // including ones with those tokens inside quoted literals — must
-    // pass untouched (quote-mask regression coverage)
+    // SQL; ones using DuckDB bracket indexing, struct literals, :=, the
+    // // integer-division operator or ASOF joins OUTSIDE string literals
+    // are legitimately rewritten (that IS the shim's job), every other
+    // one — including ones with those tokens inside quoted literals —
+    // must pass untouched (quote-mask regression coverage)
     SparkEntry.oracleSql
       .filterNot { case (_, sql) =>
-        Seq("[", "{", "//", ":=").exists(Dialect.hasUnquoted(sql, _)) }
+        Seq("[", "{", "//", ":=", "ASOF").exists(Dialect.hasUnquoted(sql, _)) }
       .foreach { case (name, sql) =>
         assert(Dialect.rewrite(spark, sql) == sql, s"rewrite altered oracle of $name")
       }

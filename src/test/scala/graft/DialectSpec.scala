@@ -1,6 +1,7 @@
 package graft
 
 import graft.server.{Dialect, QueryServer}
+import org.apache.spark.sql.functions.col
 import java.net.URI
 import java.net.http.{HttpClient, HttpRequest, HttpResponse}
 import org.scalatest.BeforeAndAfterAll
@@ -282,6 +283,73 @@ class DialectSpec extends AnyFunSuite with BeforeAndAfterAll {
     // REPLACE as a plain function name is untouched
     val f = post("SELECT REPLACE('aXa', 'X', 'b') AS s")
     assert(f.statusCode() == 200 && f.body() == "[{\"s\":\"aba\"}]")
+  }
+
+  test("DuckDB ASOF JOIN SQL runs over HTTP via the validity-interval rewrite") {
+    T.views(spark, sf, "events")
+    // the EXACT oracle text of c_join_asof (DuckDB-native ASOF SQL a
+    // reference user would post), minus the DuckDB-only ns-cast
+    val r = post("""SELECT c.user_id, c.event_id, p.value AS last_purchase_value
+      FROM (SELECT user_id, event_id, ts FROM events
+            WHERE event_type = 'click' AND user_id < 30) c
+      ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+            WHERE event_type = 'purchase') p
+        ON c.user_id = p.user_id AND c.ts >= p.ts
+      ORDER BY c.user_id ASC NULLS LAST, c.event_id ASC NULLS LAST""")
+    assert(r.statusCode() == 200, r.body())
+    // ground truth: the salted AsOfJoin operator on the same inputs
+    val ev = T(spark, sf, "events")
+    val clicks = ev.filter(col("event_type") === "click" && col("user_id") < 30)
+      .select(col("user_id"), col("event_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("value"))
+    val expect = graft.operators.AsOfJoin(clicks, purchases, "user_id", "ts", "ts",
+        Map("value" -> "last_purchase_value"))
+      .select(col("user_id"), col("event_id"), col("last_purchase_value"))
+      .collect()
+      .map(x => (x.getLong(0), x.getLong(1),
+        Option(x.get(2)).map(v => math.round(v.asInstanceOf[Double] * 1e6))))
+      .toSet
+    val got = r.body()
+    val entry = """\{"user_id":(\d+),"event_id":(\d+),"last_purchase_value":(null|[-0-9.E]+)\}""".r
+    val gotSet = entry.findAllMatchIn(got).map { m =>
+      (m.group(1).toLong, m.group(2).toLong,
+        Option(m.group(3)).filter(_ != "null").map(v => math.round(v.toDouble * 1e6)))
+    }.toSet
+    assert(gotSet.nonEmpty && gotSet == expect,
+      s"asof-over-http mismatch: ${gotSet.size} vs ${expect.size}")
+    // INNER variant drops unmatched clicks instead of nulling them
+    val inner = post("""SELECT count(*) AS n
+      FROM (SELECT user_id, event_id, ts FROM events
+            WHERE event_type = 'click' AND user_id < 30) c
+      ASOF JOIN (SELECT user_id, ts, value FROM events
+            WHERE event_type = 'purchase') p
+        ON c.user_id = p.user_id AND c.ts >= p.ts""")
+    assert(inner.statusCode() == 200)
+    val nInner = """"n":(\d+)""".r.findFirstMatchIn(
+      inner.body()).get.group(1).toLong
+    assert(nInner == expect.count(_._3.isDefined))
+  }
+
+  test("ASOF JOIN forward direction and bare SELECT * stay clean") {
+    T.views(spark, sf, "events")
+    // forward: c.ts <= p.ts — next purchase at-or-after each click
+    val fwd = post("""SELECT c.event_id, p.value AS next_value
+      FROM (SELECT user_id, event_id, ts FROM events
+            WHERE event_type = 'click' AND user_id < 5) c
+      ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+            WHERE event_type = 'purchase') p
+        ON c.user_id = p.user_id AND c.ts <= p.ts
+      ORDER BY c.event_id ASC NULLS LAST""")
+    assert(fwd.statusCode() == 200, fwd.body().take(200))
+    // SELECT * must not leak the synthesized __vf/__vu interval columns
+    val star = post("""SELECT * FROM (SELECT 1 AS k, 10 AS t) a
+      ASOF LEFT JOIN (SELECT 1 AS k, 5 AS t2, 'x' AS v) b
+        ON a.k = b.k AND a.t >= b.t2""")
+    assert(star.statusCode() == 200)
+    val body = star.body()
+    assert(!body.contains("__vf") && !body.contains("__vu"), body)
+    assert(body.contains("\"v\":\"x\""))
   }
 
   test("sandboxed server rejects dot-dot traversal in dialect file sources") {

@@ -306,6 +306,59 @@ object DedupQueries extends QueryModule {
       },
       None),
 
+    Q("n_dedup_incremental",
+      "Incremental ingestion dedup: a NEW batch (doc_id % 10 = 0) screened against the EXISTING corpus only — batch×corpus candidate pairs from the shared DF-capped shingle relation, exact Jaccard ≥ 0.5, then an ingest/drop verdict per new doc. The at-scale shape: the corpus side reuses the persisted shingle relation, corpus×corpus pairs are never generated, and the batch side is small.",
+      (s, dir) => {
+        val sh = cappedShingles(s, dir)
+        val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+        val pairs = sh.filter(col("doc_id") % 10 === 0).as("a")
+          .join(sh.filter(col("doc_id") % 10 =!= 0).as("b"), col("a.sh") === col("b.sh"))
+          .groupBy(col("a.doc_id").as("new_id"), col("b.doc_id").as("corpus_id"))
+          .agg(count(lit(1)).as("inter"))
+        val scored = pairs
+          .join(sizes.withColumnRenamed("doc_id", "new_id").withColumnRenamed("n_sh", "na"), "new_id")
+          .join(sizes.withColumnRenamed("doc_id", "corpus_id").withColumnRenamed("n_sh", "nb"), "corpus_id")
+          .withColumn("raw", col("inter") / (col("na") + col("nb") - col("inter")))
+          .filter(col("raw") >= 0.5)
+          .groupBy(col("new_id"))
+          .agg(count(lit(1)).as("nm"), max(col("raw")).as("best_raw"))
+        T(s, dir, "documents").filter(col("doc_id") % 10 === 0)
+          .select(col("doc_id").as("new_id"))
+          .join(scored, Seq("new_id"), "left")
+          .select(col("new_id"),
+            coalesce(col("nm"), lit(0L)).as("n_matches"),
+            round(coalesce(col("best_raw"), lit(0.0)), 6).as("best_jaccard"),
+            when(col("nm").isNotNull, lit("drop")).otherwise(lit("ingest")).as("verdict"))
+          .orderBy(col("new_id").asc_nulls_last)
+      },
+      Some("""WITH sh0 AS (
+          SELECT DISTINCT doc_id, w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS sh
+          FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) d,
+               LATERAL (SELECT unnest(generate_series(0, len(w) - 3)) AS i) g),
+        sh AS (SELECT * FROM sh0 WHERE sh IN
+                 (SELECT sh FROM sh0 GROUP BY sh HAVING count(*) <= 1000)),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        pairs AS (
+          SELECT a.doc_id AS new_id, b.doc_id AS corpus_id, count(*) AS inter
+          FROM sh a JOIN sh b ON a.sh = b.sh
+          WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+          GROUP BY a.doc_id, b.doc_id),
+        scored AS (
+          SELECT new_id, CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) AS raw
+          FROM pairs
+          JOIN sizes sa ON sa.doc_id = new_id
+          JOIN sizes sb ON sb.doc_id = corpus_id
+          WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.5),
+        agg AS (SELECT new_id, count(*) AS nm, max(raw) AS best_raw
+                FROM scored GROUP BY new_id)
+        SELECT d.doc_id AS new_id,
+          CAST(coalesce(nm, 0) AS BIGINT) AS n_matches,
+          round(coalesce(best_raw, 0), 6) AS best_jaccard,
+          CASE WHEN nm IS NOT NULL THEN 'drop' ELSE 'ingest' END AS verdict
+        FROM documents d LEFT JOIN agg ON agg.new_id = d.doc_id
+        WHERE d.doc_id % 10 = 0
+        ORDER BY new_id ASC NULLS LAST""")),
+
     Q("n_dedup_simhash",
       "SimHash-64: per-word hashes vote on 64 bit positions; near-dups = pairs within Hamming distance ≤ 3 (bucketed by 16-bit chunks, never O(n²)). Oracle-exempt (engine-native hash).",
       (s, dir) =>

@@ -108,6 +108,46 @@ object EventStreams {
         col("purchase_id"), col("value"))
   }
 
+  final case class AsOfState(lastUs: Long, value: Double)
+  final case class EnrichedClick(user_id: Long, event_id: Long,
+      last_purchase_value: Option[Double])
+
+  /** Streaming AS-OF enrichment — the unbounded-feed face of
+    * [[graft.operators.AsOfJoin]]: every click is emitted with the
+    * same user's most recent purchase value at-or-before it. State is
+    * ONE (timestamp, value) pair per user — O(keys) forever,
+    * regardless of stream length — because an as-of probe only ever
+    * needs the latest reference row, never a buffer. Within a
+    * micro-batch events are sorted by (time, purchase-before-click,
+    * id), reproducing the batch operator's inclusive >= tie order;
+    * across micro-batches the state carries the running latest.
+    * StreamingSpec proves ≡ batch AsOfJoin on the full replay.
+    */
+  def asOfEnrich(spark: SparkSession, events: DataFrame): Dataset[EnrichedClick] = {
+    import spark.implicits._
+    def usOf(e: Event): Long =
+      Math.floorDiv(e.ts.getTime, 1000L) * 1000000L + e.ts.getNanos / 1000L
+    events.filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AsOfState, EnrichedClick](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[AsOfState]) =>
+          val sorted = rows.toSeq.sortBy(e =>
+            (usOf(e), if (e.event_type == "purchase") 0 else 1, e.event_id))
+          var st = state.getOption.orNull
+          val out = scala.collection.mutable.ArrayBuffer[EnrichedClick]()
+          sorted.foreach { e =>
+            if (e.event_type == "purchase") st = AsOfState(usOf(e), e.value)
+            else out += EnrichedClick(userId, e.event_id, Option(st).map(_.value))
+          }
+          if (st != null) state.update(st)
+          out.iterator
+      }
+  }
+
   /** Streaming exact dedup: drop duplicate event_ids within a
     * watermark window — the streaming face of the n_dedup_exact
     * north-star (state is bounded by the watermark horizon, which is

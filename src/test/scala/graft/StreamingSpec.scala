@@ -58,6 +58,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == distinctIds, s"streamed=$streamed distinct=$distinctIds")
   }
 
+  test("streaming as-of enrichment equals the batch AsOfJoin") {
+    val q = EventStreams.asOfEnrich(spark, EventStreams.source(spark, sf))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("asof_out")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("asof_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double]))).toSet
+    val ev = T(spark, sf, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("value"))
+    val batch = graft.operators.AsOfJoin(clicks, purchases, "user_id", "ts", "ts",
+        Map("value" -> "last_purchase_value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(3)).map(_.asInstanceOf[Double]))).toSet
+    assert(streamed.nonEmpty && streamed == batch,
+      s"streamed=${streamed.size} batch=${batch.size}")
+  }
+
   test("stream-stream interval join equals the batch interval join") {
     val q = EventStreams.clickPurchaseJoin(EventStreams.source(spark, sf))
       .writeStream.outputMode("append")

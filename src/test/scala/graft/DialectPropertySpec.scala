@@ -44,7 +44,12 @@ class DialectPropertySpec extends AnyFunSuite {
       "SELECT * EXCLUDE (b) FROM VALUES (1, 2) t(a, b)",
       """SELECT a, row_number() OVER (ORDER BY a) AS rn FROM t QUALIFY rn = 1 ORDER BY a LIMIT 3""",
       "SELECT DISTINCT ON (k) k, v FROM t ORDER BY k, v",
-      "SELECT count(*) FROM t")
+      "SELECT count(*) FROM t",
+      // round-5 surfaces: each rewrite consumes its own trigger form
+      "SELECT [x + 1 for x in [1, 2, 3]] AS a",
+      "SELECT * REPLACE (b * 10 AS b) FROM VALUES (1, 2) t(a, b)",
+      "SELECT min(COLUMNS(*)) FROM VALUES (1, 10) t(a, b)",
+      """SELECT c.id, p.v FROM c ASOF LEFT JOIN p ON c.k = p.k AND c.t >= p.t ORDER BY c.id""")
     examples.foreach { sql =>
       val once = Dialect.rewrite(spark, sql)
       assert(Dialect.rewrite(spark, once) == once, s"not idempotent: $sql")

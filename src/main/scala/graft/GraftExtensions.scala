@@ -62,6 +62,24 @@ object GraftExtensions {
         require(args.length == 1, s"epoch_ms expects 1 argument, got ${args.length}")
         graft.functions.EpochMsDispatch(args.head)
       }),
+    // DuckDB strftime/strptime speak C/Python %-directives while Spark
+    // speaks JDK DateTimeFormatter patterns — a plain alias would
+    // silently misread every format string, so the format literal is
+    // TRANSLATED at registration (bind) time and unsupported
+    // directives fail loudly. Rendering/parsing then runs through the
+    // codegen'd builtins (date_format / to_timestamp).
+    ("strftime",
+      info("strftime", "strftime(ts, '%Y-%m-%d') - DuckDB C-style timestamp formatting."),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, s"strftime expects 2 arguments, got ${args.length}")
+        builtinBuilder("date_format")(Seq(args.head, translatedFormat("strftime", args(1))))
+      }),
+    ("strptime",
+      info("strptime", "strptime(s, '%Y-%m-%d') - DuckDB C-style timestamp parsing."),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, s"strptime expects 2 arguments, got ${args.length}")
+        builtinBuilder("to_timestamp")(Seq(args.head, translatedFormat("strptime", args(1))))
+      }),
     // NOT a plain alias: DuckDB's list_distinct also drops NULL
     // elements, Spark's array_distinct keeps one — compose the null
     // filter explicitly so the alias matches DuckDB bit-for-bit.
@@ -74,15 +92,98 @@ object GraftExtensions {
         ArrayDistinct(ArrayFilter(args.head, LambdaFunction(IsNotNull(v), Seq(v))))
       }))
 
+  private def builtinBuilder(name: String): Seq[Expression] => Expression =
+    org.apache.spark.sql.catalyst.analysis.FunctionRegistry.builtin
+      .lookupFunctionBuilder(FunctionIdentifier(name))
+      .getOrElse(throw new IllegalStateException(s"builtin $name not found"))
+
+  /** The format argument as a translated JDK-pattern literal. DuckDB
+    * usage is overwhelmingly a string literal; non-foldable formats
+    * fail loudly rather than risking a per-row mistranslation.
+    */
+  private def translatedFormat(fn: String, e: Expression): Expression = {
+    require(e.foldable, s"$fn: the format argument must be a string literal")
+    val raw = e.eval(null) match {
+      case null => throw new IllegalArgumentException(s"$fn: format is NULL")
+      case u => u.toString
+    }
+    org.apache.spark.sql.catalyst.expressions.Literal(
+      org.apache.spark.unsafe.types.UTF8String.fromString(cFormatToJava(fn, raw)),
+      org.apache.spark.sql.types.StringType)
+  }
+
+  /** C/Python strftime directives → JDK DateTimeFormatter patterns.
+    * Literal runs are single-quoted so pattern letters in plain text
+    * can't activate; `%-d`-style no-pad variants map to the single
+    * letter; directives whose semantics Spark can't reproduce exactly
+    * (locale week numbers, %U/%W/%w, timezone names) throw — an
+    * unknown-directive error beats a silently shifted date.
+    */
+  private[graft] def cFormatToJava(fn: String, fmt: String): String = {
+    val sb = new StringBuilder
+    val lit = new StringBuilder
+    def flush(): Unit = if (lit.nonEmpty) {
+      sb.append("'").append(lit.toString.replace("'", "''")).append("'")
+      lit.clear()
+    }
+    var i = 0
+    while (i < fmt.length) {
+      val c = fmt.charAt(i)
+      if (c == '%' && i + 1 < fmt.length) {
+        var j = i + 1
+        val dash = fmt.charAt(j) == '-'
+        if (dash && j + 1 < fmt.length) j += 1
+        val d = fmt.charAt(j)
+        d match {
+          case '%' => lit.append('%')
+          case 'n' => lit.append('\n')
+          case 't' => lit.append('\t')
+          case _ =>
+            val mapped = (d, dash) match {
+              case ('a', _) => "EEE"
+              case ('A', _) => "EEEE"
+              case ('b', _) | ('h', _) => "MMM"
+              case ('B', _) => "MMMM"
+              case ('d', false) => "dd"
+              case ('d', true) | ('e', _) => "d"
+              case ('f', _) => "SSSSSS" // microseconds
+              case ('g', _) => "SSS"    // DuckDB: milliseconds
+              case ('H', false) => "HH"
+              case ('H', true) => "H"
+              case ('I', false) => "hh"
+              case ('I', true) => "h"
+              case ('j', _) => "DDD"
+              case ('m', false) => "MM"
+              case ('m', true) => "M"
+              case ('M', false) => "mm"
+              case ('M', true) => "m"
+              case ('p', _) => "a"
+              case ('S', false) => "ss"
+              case ('S', true) => "s"
+              case ('y', _) => "yy"
+              case ('Y', _) => "yyyy"
+              case (other, _) => throw new IllegalArgumentException(
+                s"$fn: unsupported directive %$other (supported: %a %A %b %B %d %e %f %g %H %I %j %m %M %p %S %y %Y %% %n %t and %- no-pad variants)")
+            }
+            flush(); sb.append(mapped)
+        }
+        i = j + 1
+      } else { lit.append(c); i += 1 }
+    }
+    flush()
+    sb.toString
+  }
+
   /** DuckDB function-name aliases onto Spark builtins with matching
     * semantics AND argument order — the function-level face of the
     * dialect shim (`server.Dialect` handles the syntax-level sugar).
     * Only same-semantics pairs are aliased; names whose DuckDB
     * behavior differs (string_split literal-vs-regex, len's
-    * type-dispatch, strftime's %-patterns, list_prepend's reversed
-    * argument order, engine hash values) are deliberately NOT
-    * mapped — a silently-different result is worse than an
-    * unknown-function error.
+    * type-dispatch, list_prepend's reversed argument order, engine
+    * hash values) are deliberately NOT mapped — a silently-different
+    * result is worse than an unknown-function error. (strftime /
+    * strptime are handled above as real registrations with %-pattern
+    * translation, not aliases.)
     */
   private[graft] val duckAliases: Seq[(String, String)] = Seq(
     "list_transform" -> "transform",

@@ -253,6 +253,27 @@ object ScalarQueries extends QueryModule {
         FROM events WHERE event_id < 1000
         ORDER BY event_id ASC NULLS LAST""")),
 
+    Q("h_strftime_fns",
+      "DuckDB C-style strftime/strptime (%-directives) against DuckDB's native implementations: the GraftExtensions registration translates the format literal to a JDK pattern at bind time and renders/parses through the codegen'd builtins.",
+      (s, dir) => {
+        graft.GraftExtensions.injectInto(s)
+        T.views(s, dir, "orders")
+        s.sql("""SELECT o_orderkey,
+            strftime(o_orderdate, '%Y-%m-%d') AS iso,
+            strftime(o_orderdate, '%-d %B %Y') AS pretty,
+            strftime(o_orderdate, '%a %j') AS dow_doy,
+            strptime(strftime(o_orderdate, '%d/%m/%Y %H:%M:%S'), '%d/%m/%Y %H:%M:%S') AS round_trip
+          FROM orders WHERE o_orderkey < 200
+          ORDER BY o_orderkey ASC NULLS LAST""")
+      },
+      Some("""SELECT o_orderkey,
+          strftime(o_orderdate, '%Y-%m-%d') AS iso,
+          strftime(o_orderdate, '%-d %B %Y') AS pretty,
+          strftime(o_orderdate, '%a %j') AS dow_doy,
+          strptime(strftime(o_orderdate, '%d/%m/%Y %H:%M:%S'), '%d/%m/%Y %H:%M:%S') AS round_trip
+        FROM orders WHERE o_orderkey < 200
+        ORDER BY o_orderkey ASC NULLS LAST""")),
+
     Q("h_conditional_hash_fns",
       "Conditional + digest family: if/ifnull/nullif, md5, sha2-256 (cross-engine-stable digests; xxhash64/hash are engine-specific, used on non-oracle paths).",
       (s, dir) =>

@@ -70,6 +70,27 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r.getTimestamp(1).getTime == 1500L)
   }
 
+  test("strftime/strptime translate C-style formats to real render/parse") {
+    GraftExtensions.injectInto(spark)
+    val r = spark.sql(
+      "SELECT strftime(TIMESTAMP '2024-03-07 09:05:00', '%Y-%m-%d %H:%M:%S') AS a, " +
+      "strftime(TIMESTAMP '2024-03-07 09:05:00', '%-d %B %Y, %I %p') AS b, " +
+      "strftime(TIMESTAMP '2024-03-07 09:05:00', '100%% %a') AS c").head()
+    assert(r.getString(0) == "2024-03-07 09:05:00")
+    assert(r.getString(1) == "7 March 2024, 09 AM")
+    assert(r.getString(2) == "100% Thu")
+    val p = spark.sql(
+      "SELECT strptime('07/03/2024 17:30', '%d/%m/%Y %H:%M') AS ts").head()
+    assert(p.getTimestamp(0).toString == "2024-03-07 17:30:00.0")
+    // unsupported directives and non-literal formats fail loudly
+    intercept[Exception] {
+      spark.sql("SELECT strftime(now(), '%U') AS x").collect()
+    }
+    intercept[Exception] {
+      spark.sql("SELECT strftime(now(), concat('%Y', x)) FROM VALUES ('%m') t(x)").collect()
+    }
+  }
+
   test("extensions class wires the registry at session build time") {
     import org.apache.spark.sql.SparkSession
     // force a genuinely new session — getOrCreate would hand back the

@@ -175,5 +175,29 @@ object TextQueries extends QueryModule {
                      (a, b) -> a * 16 + b) % 2147483647)),
             (acc, h) -> (acc * 31 + h) % 2147483647) AS rolling_fp
         FROM documents WHERE doc_id < 300
-        ORDER BY doc_id ASC NULLS LAST""")))
+        ORDER BY doc_id ASC NULLS LAST""")),
+
+    Q("n_bpe_pair_stats",
+      "Tokenizer-training primitive — the first BPE merge step: top-50 adjacent character pairs by corpus frequency. Word frequencies aggregate FIRST (the relation drops to the vocabulary, not the corpus), then each DISTINCT word explodes its character bigrams weighted by frequency — at 100 TB the corpus is scanned once and all pair work happens on the vocab-bounded side.",
+      (s, dir) =>
+        T(s, dir, "documents")
+          .select(explode(split(col("text"), " ")).as("w"))
+          .filter(length(col("w")) >= 2)
+          .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+          .select(explode(expr(
+            "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+            .as("pair"), col("freq"))
+          .groupBy(col("pair")).agg(sum(col("freq")).as("n"))
+          .orderBy(col("n").desc, col("pair").asc_nulls_last)
+          .limit(50),
+      Some("""WITH words AS (
+          SELECT w, count(*) AS freq
+          FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+          WHERE len(w) >= 2 GROUP BY w),
+        pairs AS (
+          SELECT substring(w, i, 2) AS pair, freq
+          FROM words, LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i) g)
+        SELECT pair, CAST(sum(freq) AS BIGINT) AS n
+        FROM pairs GROUP BY pair
+        ORDER BY n DESC, pair ASC LIMIT 50""")))
 }

@@ -1201,11 +1201,52 @@ object Dialect {
   private def rewritePragma(sql: String): String = {
     val ti = """(?i)^\s*PRAGMA\s+table_info\s*\(\s*'([A-Za-z_][A-Za-z0-9_.]*)'\s*\)\s*;?\s*$""".r
     val st = """(?i)^\s*PRAGMA\s+show_tables\s*;?\s*$""".r
+    val sat = """(?i)^\s*SHOW\s+ALL\s+TABLES\s*;?\s*$""".r
     sql match {
       case ti(table) => s"DESCRIBE $table"
       case st() => "SHOW TABLES"
+      case sat() => "SHOW TABLES"
       case _ => sql
     }
+  }
+
+  /** DuckDB `UNION [ALL] BY NAME` — columns match by NAME, either
+    * side's missing columns fill with NULL (DuckDB semantics; Spark
+    * SQL has no BY NAME spelling). Both branches' schemas come from a
+    * LIMIT-0 analysis probe; output columns are the left branch's
+    * order followed by right-only names, and each branch is wrapped
+    * into a SELECT projecting exactly that list. A trailing top-level
+    * ORDER BY / LIMIT / OFFSET on the right branch belongs to the
+    * whole union (DuckDB binds it there) and is hoisted out.
+    */
+  private def rewriteUnionByName(spark: SparkSession, sql: String): String = {
+    if (!containsUnquoted(sql, "UNION")) return sql
+    val un = """(?is)\bUNION\s+(ALL\s+)?BY\s+NAME\b""".r
+    val m = un.findFirstMatchIn(sql).getOrElse(return sql)
+    // only the single top-level union form is covered; nested/chained
+    // BY NAME unions pass through and fail loudly
+    if (firstTopLevel(sql, "UNION") != m.start) return sql
+    val all = m.group(1) != null
+    val left = sql.substring(0, m.start).trim
+    var right = sql.substring(m.end).trim.stripSuffix(";")
+    // hoist a trailing top-level ORDER BY / LIMIT / OFFSET
+    val tailAt = Seq("ORDER", "LIMIT", "OFFSET")
+      .map(k => firstTopLevel(right, k)).filter(_ >= 0).sorted.headOption
+    val tail = tailAt.map(right.substring(_)).getOrElse("")
+    right = tailAt.map(right.substring(0, _)).getOrElse(right).trim
+    val (lCols, rCols) =
+      try (spark.sql(s"SELECT * FROM ($left) __ubn_l LIMIT 0").schema.fieldNames.toSeq,
+           spark.sql(s"SELECT * FROM ($right) __ubn_r LIMIT 0").schema.fieldNames.toSeq)
+      catch { case scala.util.control.NonFatal(_) => return sql }
+    val lSet = lCols.map(_.toLowerCase).toSet
+    val outCols = lCols ++ rCols.filterNot(c => lSet(c.toLowerCase))
+    def proj(have: Seq[String]): String = {
+      val hset = have.map(_.toLowerCase).toSet
+      outCols.map(c => if (hset(c.toLowerCase)) s"`$c`" else s"NULL AS `$c`").mkString(", ")
+    }
+    val op = if (all) "UNION ALL" else "UNION"
+    (s"SELECT ${proj(lCols)} FROM ($left) __ubn_l $op " +
+      s"SELECT ${proj(rCols)} FROM ($right) __ubn_r $tail").trim
   }
 
   // ---------------------------------------------------------------
@@ -1584,8 +1625,8 @@ object Dialect {
     handleMacroVerb(spark, sql).getOrElse(
       rewriteDistinctOn(rewriteQualify(rewriteExclude(rewriteIntDiv(
         rewriteSample(rewriteStructPack(rewriteBrackets(rewriteBraces(
-          rewriteReplace(spark, rewriteColumns(spark, rewriteAsOf(rewriteSources(spark,
+          rewriteUnionByName(spark, rewriteReplace(spark, rewriteColumns(spark, rewriteAsOf(rewriteSources(spark,
             rewritePivot(spark, rewriteUnpivot(rewriteSummarize(spark,
               rewritePragma(expandMacros(spark, rewriteFromFirst(sql)))))),
-            pathOk)))))))))))))
+            pathOk))))))))))))))
 }

@@ -352,6 +352,21 @@ class DialectSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(body.contains("\"v\":\"x\""))
   }
 
+  test("UNION BY NAME matches columns by name and NULL-fills the gaps") {
+    val r = post("SELECT 1 AS a, 2 AS b UNION ALL BY NAME SELECT 20 AS b, 10 AS a")
+    assert(r.statusCode() == 200)
+    assert(r.body() == "[{\"a\":1,\"b\":2},{\"a\":10,\"b\":20}]")
+    // DuckDB NULL-fills columns missing on one side
+    val f = post("SELECT 1 AS a UNION ALL BY NAME SELECT 5 AS b ORDER BY a NULLS LAST")
+    assert(f.statusCode() == 200)
+    assert(f.body() == "[{\"a\":1,\"b\":null},{\"a\":null,\"b\":5}]")
+    // plain distinct UNION BY NAME dedups after alignment
+    val d = post("SELECT 1 AS a, 2 AS b UNION BY NAME SELECT 2 AS b, 1 AS a")
+    assert(d.statusCode() == 200 && d.body() == "[{\"a\":1,\"b\":2}]")
+    // SHOW ALL TABLES is DuckDB for SHOW TABLES
+    assert(post("SHOW ALL TABLES").statusCode() == 200)
+  }
+
   test("sandboxed server rejects dot-dot traversal in dialect file sources") {
     val allowed = new java.io.File("/tmp/graft_sandbox2/data")
     allowed.mkdirs()

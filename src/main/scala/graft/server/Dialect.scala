@@ -291,16 +291,21 @@ object Dialect {
     */
   private def rewritePivot(spark: SparkSession, sql: String): String = {
     val m = ("""(?is)^\s*PIVOT\s+([A-Za-z_][A-Za-z0-9_.]*)\s+ON\s+([A-Za-z_][A-Za-z0-9_]*)""" +
+      """(?:\s+IN\s*\(([^)]*)\))?""" +
       """\s+USING\s+([A-Za-z_][A-Za-z0-9_]*)\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)""" +
       """(?:\s+GROUP\s+BY\s+([A-Za-z0-9_,\s]+?))?\s*;?\s*$""").r
     sql match {
-      case m(table, onCol, aggFn, aggArg, groupBy) =>
-        val vals = spark.table(table).select(onCol).distinct().na.drop()
-          .orderBy(onCol).collect().map(_.get(0))
-        val inList = vals.map {
-          case s: String => "'" + s.replace("'", "''") + "'"
-          case v => String.valueOf(v)
-        }.mkString(", ")
+      case m(table, onCol, explicitIn, aggFn, aggArg, groupBy) =>
+        // an explicit `ON c IN (v1, v2)` list skips value enumeration
+        // entirely (DuckDB's spelling for a fixed spreading list)
+        val inList = Option(explicitIn).map(_.trim).filter(_.nonEmpty).getOrElse {
+          val vals = spark.table(table).select(onCol).distinct().na.drop()
+            .orderBy(onCol).collect().map(_.get(0))
+          vals.map {
+            case s: String => "'" + s.replace("'", "''") + "'"
+            case v => String.valueOf(v)
+          }.mkString(", ")
+        }
         val src = Option(groupBy).map(_.trim).filter(_.nonEmpty) match {
           // explicit GROUP BY → project exactly (groups, on, arg): Spark
           // pivots group by all remaining columns
@@ -1198,6 +1203,44 @@ object Dialect {
     rewriteAsOf(out) // a second ASOF join, if any
   }
 
+  /** `expr [NOT] SIMILAR TO '<regex>'` → `expr [NOT] RLIKE
+    * '^(?:<regex>)$'`. DuckDB's SIMILAR TO is regex-based (RE2, not
+    * SQL-standard wildcards) and matches the ENTIRE string, hence the
+    * anchors; a preceding NOT keeps working because Spark parses
+    * `NOT RLIKE` natively. Only literal patterns rewrite — a computed
+    * pattern can't be anchored safely at rewrite time and fails loudly.
+    */
+  private def rewriteSimilarTo(sql: String): String = {
+    if (!containsUnquoted(sql, "SIMILAR")) return sql
+    val mask = quoteMask(sql)
+    val upper = sql.toUpperCase
+    val out = new StringBuilder
+    var i = 0
+    while (i < sql.length) {
+      var matched = false
+      if (!mask(i) && upper.startsWith("SIMILAR", i) &&
+          (i == 0 || !isWordChar(sql.charAt(i - 1)))) {
+        var k = i + 7
+        while (k < sql.length && sql.charAt(k).isWhitespace) k += 1
+        if (upper.startsWith("TO", k) &&
+            (k + 2 >= sql.length || !isWordChar(sql.charAt(k + 2)))) {
+          var p = k + 2
+          while (p < sql.length && sql.charAt(p).isWhitespace) p += 1
+          if (p < sql.length && sql.charAt(p) == '\'') {
+            var q = p + 1
+            while (q < sql.length && mask(q)) q += 1
+            val inner = sql.substring(p + 1, q - 1)
+            out.append("RLIKE '^(?:").append(inner).append(")$'")
+            i = q
+            matched = true
+          }
+        }
+      }
+      if (!matched) { out.append(sql.charAt(i)); i += 1 }
+    }
+    out.toString
+  }
+
   private def rewritePragma(sql: String): String = {
     val ti = """(?i)^\s*PRAGMA\s+table_info\s*\(\s*'([A-Za-z_][A-Za-z0-9_.]*)'\s*\)\s*;?\s*$""".r
     val st = """(?i)^\s*PRAGMA\s+show_tables\s*;?\s*$""".r
@@ -1623,10 +1666,10 @@ object Dialect {
     // every later rewrite (read_csv, brackets, //, …) and their file
     // paths hit the sandbox check at use time
     handleMacroVerb(spark, sql).getOrElse(
-      rewriteDistinctOn(rewriteQualify(rewriteExclude(rewriteIntDiv(
+      rewriteDistinctOn(rewriteQualify(rewriteExclude(rewriteSimilarTo(rewriteIntDiv(
         rewriteSample(rewriteStructPack(rewriteBrackets(rewriteBraces(
           rewriteUnionByName(spark, rewriteReplace(spark, rewriteColumns(spark, rewriteAsOf(rewriteSources(spark,
             rewritePivot(spark, rewriteUnpivot(rewriteSummarize(spark,
               rewritePragma(expandMacros(spark, rewriteFromFirst(sql)))))),
-            pathOk))))))))))))))
+            pathOk)))))))))))))))
 }

@@ -24,7 +24,8 @@ class DialectPropertySpec extends AnyFunSuite {
     // must pass untouched (quote-mask regression coverage)
     SparkEntry.oracleSql
       .filterNot { case (_, sql) =>
-        Seq("[", "{", "//", ":=", "ASOF").exists(Dialect.hasUnquoted(sql, _)) }
+        Seq("[", "{", "//", ":=", "ASOF", "BY NAME", "SIMILAR")
+          .exists(Dialect.hasUnquoted(sql, _)) }
       .foreach { case (name, sql) =>
         assert(Dialect.rewrite(spark, sql) == sql, s"rewrite altered oracle of $name")
       }

@@ -367,6 +367,23 @@ class DialectSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(post("SHOW ALL TABLES").statusCode() == 200)
   }
 
+  test("SIMILAR TO anchors the whole string as RLIKE; PIVOT takes explicit IN") {
+    val r = post("SELECT 'abc' SIMILAR TO 'a.*' AS m1, 'abc' SIMILAR TO 'b.*' AS m2, " +
+      "'xabc' SIMILAR TO 'a.*' AS m3, 'abc' NOT SIMILAR TO 'a.*' AS n1")
+    assert(r.statusCode() == 200)
+    // whole-string semantics: 'xabc' does NOT match 'a.*'
+    assert(r.body() == "[{\"m1\":true,\"m2\":false,\"m3\":false,\"n1\":false}]")
+    // a SIMILAR-TO-shaped phrase inside a string literal is untouched
+    val lit = post("SELECT 'is SIMILAR TO ''x''' AS s")
+    assert(lit.statusCode() == 200 && lit.body().contains("SIMILAR TO"))
+    // PIVOT with an explicit IN list pivots only the named values
+    spark.sql("SELECT * FROM VALUES ('a', 1), ('b', 2) AS t(g, v)")
+      .createOrReplaceTempView("fastpiv2")
+    val p = post("PIVOT fastpiv2 ON g IN ('a') USING sum(v)")
+    assert(p.statusCode() == 200, p.body())
+    assert(p.body().contains("\"a\":1") && !p.body().contains("\"b\""))
+  }
+
   test("sandboxed server rejects dot-dot traversal in dialect file sources") {
     val allowed = new java.io.File("/tmp/graft_sandbox2/data")
     allowed.mkdirs()

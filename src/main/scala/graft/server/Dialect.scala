@@ -1608,6 +1608,22 @@ object Dialect {
     out.toString
   }
 
+  /** DuckDB's `FROM generate_series(a, b[, step])` table function —
+    * INCLUSIVE bounds, column named `generate_series` — becomes an
+    * exploded `sequence()` derived table (Spark's own `range()` TVF
+    * already parses natively and shares DuckDB's exclusive-end
+    * semantics, so only generate_series needs the shim). Works with
+    * trailing `AS t(x)` aliases because the replacement is a plain
+    * derived table. Arguments with nested parens are left untouched
+    * and fail loudly.
+    */
+  private val GenSeries =
+    """(?is)\b(FROM|JOIN)\s+generate_series\s*\(([^()]*)\)""".r
+  private def rewriteGenerateSeries(sql: String): String =
+    GenSeries.replaceAllIn(sql, m =>
+      java.util.regex.Matcher.quoteReplacement(
+        s"${m.group(1)} (SELECT explode(sequence(${m.group(2)})) AS generate_series)"))
+
   private val ReadFn =
     """(?i)\b(read_parquet|read_csv_auto|read_csv|read_json_auto|read_json)\s*\(\s*'([^']+)'\s*\)""".r
   private val BarePath =
@@ -1668,8 +1684,8 @@ object Dialect {
     handleMacroVerb(spark, sql).getOrElse(
       rewriteDistinctOn(rewriteQualify(rewriteExclude(rewriteSimilarTo(rewriteIntDiv(
         rewriteSample(rewriteStructPack(rewriteBrackets(rewriteBraces(
-          rewriteUnionByName(spark, rewriteReplace(spark, rewriteColumns(spark, rewriteAsOf(rewriteSources(spark,
+          rewriteUnionByName(spark, rewriteReplace(spark, rewriteColumns(spark, rewriteAsOf(rewriteGenerateSeries(rewriteSources(spark,
             rewritePivot(spark, rewriteUnpivot(rewriteSummarize(spark,
               rewritePragma(expandMacros(spark, rewriteFromFirst(sql)))))),
-            pathOk)))))))))))))))
+            pathOk))))))))))))))))
 }

@@ -384,6 +384,30 @@ class DialectSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.body().contains("\"a\":1") && !p.body().contains("\"b\""))
   }
 
+  test("FROM generate_series is a table function with inclusive bounds") {
+    val r = post("SELECT * FROM generate_series(2, 5) ORDER BY generate_series")
+    assert(r.statusCode() == 200)
+    assert(r.body() == "[{\"generate_series\":2},{\"generate_series\":3}," +
+      "{\"generate_series\":4},{\"generate_series\":5}]")
+    val s = post("SELECT x * 10 AS v FROM generate_series(1, 5, 2) AS t(x) ORDER BY v")
+    assert(s.statusCode() == 200 && s.body() == "[{\"v\":10},{\"v\":30},{\"v\":50}]")
+    // Spark's range() TVF parses natively with the same exclusive end as DuckDB
+    val n = post("SELECT count(*) AS n FROM range(1, 5)")
+    assert(n.statusCode() == 200 && n.body() == "[{\"n\":4}]")
+  }
+
+  test("rewritten ASOF SQL plans as an equi-join, not a nested loop") {
+    T.views(spark, sf, "events")
+    val rewritten = Dialect.rewrite(spark, """SELECT c.event_id, p.value
+      FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click') c
+      ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+        ON c.user_id = p.user_id AND c.ts >= p.ts""")
+    val plan = spark.sql(rewritten).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(400))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(400))
+    assert(plan.contains("Join") || plan.contains("join"), plan.take(400))
+  }
+
   test("sandboxed server rejects dot-dot traversal in dialect file sources") {
     val allowed = new java.io.File("/tmp/graft_sandbox2/data")
     allowed.mkdirs()

@@ -62,6 +62,70 @@ object GraftExtensions {
         require(args.length == 1, s"epoch_ms expects 1 argument, got ${args.length}")
         graft.functions.EpochMsDispatch(args.head)
       }),
+    // DuckDB's epoch family (verified against DuckDB 1.x): epoch →
+    // DOUBLE seconds with fractional µs, epoch_us/epoch_ns → BIGINT.
+    // Spark's unix_* split these by unit and don't accept DATE, so
+    // each casts through TIMESTAMP first.
+    ("epoch",
+      info("epoch", "epoch(ts) - DOUBLE seconds since epoch (fractional microseconds, DuckDB semantics)."),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, s"epoch expects 1 argument, got ${args.length}")
+        import org.apache.spark.sql.catalyst.expressions.{Cast, Divide, Literal, UnixMicros}
+        Divide(Cast(UnixMicros(Cast(args.head, org.apache.spark.sql.types.TimestampType)),
+          org.apache.spark.sql.types.DoubleType), Literal(1e6))
+      }),
+    ("epoch_us",
+      info("epoch_us", "epoch_us(ts) - BIGINT microseconds since epoch."),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, s"epoch_us expects 1 argument, got ${args.length}")
+        import org.apache.spark.sql.catalyst.expressions.{Cast, UnixMicros}
+        UnixMicros(Cast(args.head, org.apache.spark.sql.types.TimestampType))
+      }),
+    ("epoch_ns",
+      info("epoch_ns", "epoch_ns(ts) - BIGINT nanoseconds since epoch (µs-precision input × 1000)."),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, s"epoch_ns expects 1 argument, got ${args.length}")
+        import org.apache.spark.sql.catalyst.expressions.{Cast, Literal, Multiply, UnixMicros}
+        Multiply(UnixMicros(Cast(args.head, org.apache.spark.sql.types.TimestampType)),
+          Literal(1000L))
+      }),
+    // DuckDB's len dispatches on argument type: chars for strings,
+    // cardinality for lists (the divergence that kept `len` out of the
+    // plain-alias table until now)
+    ("len",
+      info("len", "len(x) - characters of a string or cardinality of a list (DuckDB's type dispatch)."),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, s"len expects 1 argument, got ${args.length}")
+        graft.functions.LenDispatch(args.head)
+      }),
+    // DuckDB's list_append/list_prepend/list_concat treat a NULL list
+    // as empty (verified: list_append(NULL, 3) = [3], list_prepend(1,
+    // NULL) = [1], list_concat([1], NULL) = [1]) — and list_prepend
+    // takes (element, list), the REVERSE of Spark's array_prepend.
+    // Only a both-NULL list_concat stays NULL.
+    ("list_append",
+      info("list_append", "list_append(list, e) - append with DuckDB's NULL-list-as-empty semantics."),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, s"list_append expects 2 arguments, got ${args.length}")
+        builtinBuilder("array_append")(Seq(coalesceEmptyArray(args.head), args(1)))
+      }),
+    ("list_prepend",
+      info("list_prepend", "list_prepend(e, list) - DuckDB argument order; NULL list treated as empty."),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, s"list_prepend expects 2 arguments, got ${args.length}")
+        builtinBuilder("array_prepend")(Seq(coalesceEmptyArray(args(1)), args.head))
+      }),
+    ("list_concat",
+      info("list_concat", "list_concat(a, b) - concat skipping NULL sides; NULL only when both are NULL."),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, s"list_concat expects 2 arguments, got ${args.length}")
+        import org.apache.spark.sql.catalyst.expressions.{And, IsNull, Literal}
+        builtinBuilder("if")(Seq(
+          And(IsNull(args.head), IsNull(args(1))),
+          Literal.create(null, org.apache.spark.sql.types.NullType),
+          builtinBuilder("concat")(Seq(
+            coalesceEmptyArray(args.head), coalesceEmptyArray(args(1))))))
+      }),
     // DuckDB strftime/strptime speak C/Python %-directives while Spark
     // speaks JDK DateTimeFormatter patterns — a plain alias would
     // silently misread every format string, so the format literal is
@@ -91,6 +155,14 @@ object GraftExtensions {
         val v = UnresolvedNamedLambdaVariable(Seq("__ld_x"))
         ArrayDistinct(ArrayFilter(args.head, LambdaFunction(IsNotNull(v), Seq(v))))
       }))
+
+  /** `coalesce(list, array())` — renders DuckDB's NULL-list-as-empty
+    * convention; the analyzer's type coercion widens the empty
+    * array<null> literal to the list's element type.
+    */
+  private def coalesceEmptyArray(e: Expression): Expression =
+    builtinBuilder("coalesce")(Seq(e,
+      org.apache.spark.sql.catalyst.expressions.CreateArray(Nil)))
 
   private def builtinBuilder(name: String): Seq[Expression] => Expression =
     org.apache.spark.sql.catalyst.analysis.FunctionRegistry.builtin
@@ -178,12 +250,13 @@ object GraftExtensions {
     * semantics AND argument order — the function-level face of the
     * dialect shim (`server.Dialect` handles the syntax-level sugar).
     * Only same-semantics pairs are aliased; names whose DuckDB
-    * behavior differs (string_split literal-vs-regex, len's
-    * type-dispatch, list_prepend's reversed argument order, engine
-    * hash values) are deliberately NOT mapped — a silently-different
-    * result is worse than an unknown-function error. (strftime /
-    * strptime are handled above as real registrations with %-pattern
-    * translation, not aliases.)
+    * behavior differs (string_split literal-vs-regex, engine hash
+    * values) are deliberately NOT mapped — a silently-different
+    * result is worse than an unknown-function error. (strftime/
+    * strptime, len, epoch*, and the list_append/prepend/concat family
+    * are handled above as real registrations reproducing DuckDB's
+    * type dispatch, argument order and NULL conventions — not plain
+    * aliases.)
     */
   private[graft] val duckAliases: Seq[(String, String)] = Seq(
     "list_transform" -> "transform",

@@ -49,11 +49,13 @@ class ExtensionsSpec extends AnyFunSuite {
     val ld = spark.sql(
       "SELECT list_distinct(array(1, NULL, 1, 2, NULL)) AS ld").collect().head
     assert(ld.getSeq[Int](0) == Seq(1, 2))
-    // list_append/list_concat are deliberately NOT aliased (DuckDB
-    // skips NULL list inputs; Spark returns NULL — silent divergence)
-    val lv = spark.sql("SELECT list_value(1, 2) AS a").collect().head
+    // list_append/list_concat are real registrations with DuckDB's
+    // NULL-list-as-empty semantics (see the dedicated test below),
+    // not plain aliases — the basic shape works here too
+    val lv = spark.sql(
+      "SELECT list_value(1, 2) AS a, list_append(array(1), 2) AS b").collect().head
     assert(lv.getSeq[Int](0) == Seq(1, 2))
-    intercept[Exception] { spark.sql("SELECT list_append(array(1), 2)").collect() }
+    assert(lv.getSeq[Int](1) == Seq(1, 2))
     assert(r.getBoolean(4))
     assert(r.getString(5) == "b")
     assert(r.getDouble(6) == 2.0)
@@ -89,6 +91,35 @@ class ExtensionsSpec extends AnyFunSuite {
     intercept[Exception] {
       spark.sql("SELECT strftime(now(), concat('%Y', x)) FROM VALUES ('%m') t(x)").collect()
     }
+  }
+
+  test("epoch family, len dispatch, and DuckDB list NULL conventions") {
+    GraftExtensions.injectInto(spark)
+    val e = spark.sql(
+      "SELECT epoch(TIMESTAMP '2021-08-03 11:59:44.123456') AS s, " +
+      "epoch_us(TIMESTAMP '2021-08-03 11:59:44.123456') AS us, " +
+      "epoch_ns(TIMESTAMP '2021-08-03 11:59:44.123456') AS ns").head()
+    assert(e.getDouble(0) == 1627991984.123456)   // DuckDB-verified
+    assert(e.getLong(1) == 1627991984123456L)
+    assert(e.getLong(2) == 1627991984123456000L)
+    val l = spark.sql(
+      "SELECT len('hello') AS a, len(array(1, 2, 3)) AS b").head()
+    assert(l.getInt(0) == 5 && l.getInt(1) == 3)
+    val rows = spark.sql(
+      "SELECT list_append(CAST(NULL AS ARRAY<INT>), 3) AS a, " +
+      "list_append(array(1), CAST(NULL AS INT)) AS b, " +
+      "list_prepend(1, array(2, 3)) AS c, " +
+      "list_prepend(1, CAST(NULL AS ARRAY<INT>)) AS d, " +
+      "list_concat(array(1), CAST(NULL AS ARRAY<INT>)) AS e, " +
+      "list_concat(CAST(NULL AS ARRAY<INT>), CAST(NULL AS ARRAY<INT>)) AS f, " +
+      "list_concat(array(1), array(2)) AS g").head()
+    assert(rows.getSeq[Any](0) == Seq(3))          // DuckDB: [3]
+    assert(rows.getSeq[Any](1) == Seq(1, null))    // DuckDB: [1, NULL]
+    assert(rows.getSeq[Any](2) == Seq(1, 2, 3))
+    assert(rows.getSeq[Any](3) == Seq(1))          // DuckDB: [1]
+    assert(rows.getSeq[Any](4) == Seq(1))          // DuckDB: [1]
+    assert(rows.isNullAt(5))                       // DuckDB: NULL
+    assert(rows.getSeq[Any](6) == Seq(1, 2))
   }
 
   test("extensions class wires the registry at session build time") {

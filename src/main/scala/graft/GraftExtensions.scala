@@ -126,6 +126,16 @@ object GraftExtensions {
           builtinBuilder("concat")(Seq(
             coalesceEmptyArray(args.head), coalesceEmptyArray(args(1))))))
       }),
+    // DuckDB string_split treats the separator as a LITERAL (Spark's
+    // split is regex), splits per character on an empty separator, and
+    // returns [''] for an empty input (verified against DuckDB 1.x) —
+    // composed here from StringSplitSQL (Spark's literal-delimiter
+    // kernel) plus the two edge fixes. A NON-literal separator that is
+    // empty at runtime is the one uncovered edge (returns the whole
+    // string unsplit); DuckDB usage is overwhelmingly literal.
+    ("string_split", stringSplitInfo("string_split"), stringSplitBuilder("string_split")),
+    ("str_split", stringSplitInfo("str_split"), stringSplitBuilder("str_split")),
+    ("string_to_array", stringSplitInfo("string_to_array"), stringSplitBuilder("string_to_array")),
     // DuckDB strftime/strptime speak C/Python %-directives while Spark
     // speaks JDK DateTimeFormatter patterns — a plain alias would
     // silently misread every format string, so the format literal is
@@ -155,6 +165,29 @@ object GraftExtensions {
         val v = UnresolvedNamedLambdaVariable(Seq("__ld_x"))
         ArrayDistinct(ArrayFilter(args.head, LambdaFunction(IsNotNull(v), Seq(v))))
       }))
+
+  private def strLit(s: String): Expression =
+    org.apache.spark.sql.catalyst.expressions.Literal(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s),
+      org.apache.spark.sql.types.StringType)
+
+  private def stringSplitInfo(name: String): ExpressionInfo =
+    info(name, s"$name(s, sep) - split on a LITERAL separator (DuckDB semantics; '' splits per character).")
+
+  private def stringSplitBuilder(name: String): Seq[Expression] => Expression =
+    (args: Seq[Expression]) => {
+      require(args.length == 2, s"$name expects 2 arguments, got ${args.length}")
+      import org.apache.spark.sql.catalyst.expressions.{CreateArray, EqualTo, If, StringSplitSQL}
+      val emptyLiteralSep = args(1).foldable && {
+        val v = args(1).eval(null); v != null && v.toString.isEmpty
+      }
+      if (emptyLiteralSep)
+        builtinBuilder("split")(Seq(args.head, strLit(""))) // per-char, like DuckDB
+      else
+        If(EqualTo(args.head, strLit("")),
+          CreateArray(Seq(strLit(""))), // DuckDB: string_split('', sep) = ['']
+          StringSplitSQL(args.head, args(1)))
+    }
 
   /** `coalesce(list, array())` — renders DuckDB's NULL-list-as-empty
     * convention; the analyzer's type coercion widens the empty

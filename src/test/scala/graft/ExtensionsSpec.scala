@@ -122,6 +122,22 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(rows.getSeq[Any](6) == Seq(1, 2))
   }
 
+  test("string_split is literal-separator with DuckDB's edge behavior") {
+    GraftExtensions.injectInto(spark)
+    val r = spark.sql(
+      "SELECT string_split('a,,b', ',') AS a, string_split('a.b', '.') AS b, " +
+      "string_split('abc', 'x') AS c, string_split('ab', '') AS d, " +
+      "string_split('', ',') AS e, str_split('x-y', '-') AS f, " +
+      "string_to_array('1;2', ';') AS g").head()
+    assert(r.getSeq[String](0) == Seq("a", "", "b"))
+    assert(r.getSeq[String](1) == Seq("a", "b")) // '.' is literal, not regex
+    assert(r.getSeq[String](2) == Seq("abc"))
+    assert(r.getSeq[String](3) == Seq("a", "b")) // '' splits per character
+    assert(r.getSeq[String](4) == Seq(""))       // DuckDB: [''] on empty input
+    assert(r.getSeq[String](5) == Seq("x", "y"))
+    assert(r.getSeq[String](6) == Seq("1", "2"))
+  }
+
   test("extensions class wires the registry at session build time") {
     import org.apache.spark.sql.SparkSession
     // force a genuinely new session — getOrCreate would hand back the

@@ -126,6 +126,39 @@ object GraftExtensions {
           builtinBuilder("concat")(Seq(
             coalesceEmptyArray(args.head), coalesceEmptyArray(args(1))))))
       }),
+    // DuckDB list_aggregate + the list_sum/avg/min/max shorthands:
+    // NULL elements skipped, empty/all-NULL lists → NULL (count → 0),
+    // dispatched on the resolved element type (ListAggregateDispatch)
+    ("list_aggregate",
+      info("list_aggregate", "list_aggregate(list, 'fn') - reduce a list with min/max/count/sum/avg (DuckDB NULL semantics)."),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, s"list_aggregate expects 2 arguments, got ${args.length}")
+        graft.functions.ListAggregateDispatch(args.head, args(1))
+      }),
+    ("list_sum",
+      info("list_sum", "list_sum(list) - sum of non-NULL elements; NULL when none."),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, s"list_sum expects 1 argument, got ${args.length}")
+        graft.functions.ListAggregateDispatch(args.head, strLit("sum"))
+      }),
+    ("list_avg",
+      info("list_avg", "list_avg(list) - mean of non-NULL elements; NULL when none."),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, s"list_avg expects 1 argument, got ${args.length}")
+        graft.functions.ListAggregateDispatch(args.head, strLit("avg"))
+      }),
+    ("list_min",
+      info("list_min", "list_min(list) - minimum non-NULL element."),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, s"list_min expects 1 argument, got ${args.length}")
+        graft.functions.ListAggregateDispatch(args.head, strLit("min"))
+      }),
+    ("list_max",
+      info("list_max", "list_max(list) - maximum non-NULL element."),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, s"list_max expects 1 argument, got ${args.length}")
+        graft.functions.ListAggregateDispatch(args.head, strLit("max"))
+      }),
     // DuckDB string_split treats the separator as a LITERAL (Spark's
     // split is regex), splits per character on an empty separator, and
     // returns [''] for an empty input (verified against DuckDB 1.x) —

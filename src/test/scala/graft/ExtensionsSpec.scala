@@ -138,6 +138,35 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r.getSeq[String](6) == Seq("1", "2"))
   }
 
+  test("list_aggregate family reduces with DuckDB NULL semantics") {
+    GraftExtensions.injectInto(spark)
+    val r = spark.sql(
+      "SELECT list_aggregate(array(1, 2, 3), 'sum') AS a, " +
+      "list_aggregate(array(1, NULL, 3), 'sum') AS b, " +
+      "list_aggregate(CAST(array() AS ARRAY<INT>), 'sum') AS c, " +
+      "list_aggregate(array(1.5, 2.5), 'avg') AS d, " +
+      "list_sum(array(1, NULL)) AS e, " +
+      "list_sum(CAST(NULL AS ARRAY<INT>)) AS f, " +
+      "list_min(array(3, 1)) AS g, list_max(array(3, 1)) AS h, " +
+      "list_aggregate(array(1, NULL), 'count') AS i, " +
+      "list_aggregate(CAST(array() AS ARRAY<INT>), 'count') AS j, " +
+      "list_avg(array(1, NULL, 2)) AS k").head()
+    assert(r.getLong(0) == 6L)        // DuckDB: 6
+    assert(r.getLong(1) == 4L)        // NULLs skipped
+    assert(r.isNullAt(2))             // empty -> NULL
+    assert(r.getDouble(3) == 2.0)
+    assert(r.getLong(4) == 1L)
+    assert(r.isNullAt(5))             // NULL list -> NULL
+    assert(r.getInt(6) == 1 && r.getInt(7) == 3)
+    assert(r.getInt(8) == 1)          // count skips NULL
+    assert(r.getInt(9) == 0)          // count of [] -> 0
+    assert(r.getDouble(10) == 1.5)
+    // unsupported reducer names fail loudly
+    intercept[Exception] {
+      spark.sql("SELECT list_aggregate(array(1), 'median')").collect()
+    }
+  }
+
   test("extensions class wires the registry at session build time") {
     import org.apache.spark.sql.SparkSession
     // force a genuinely new session — getOrCreate would hand back the

@@ -359,6 +359,49 @@ object DedupQueries extends QueryModule {
         WHERE d.doc_id % 10 = 0
         ORDER BY new_id ASC NULLS LAST""")),
 
+    Q("n_source_overlap",
+      "Cross-source contamination matrix: near-dup pairs (3-gram Jaccard ≥ 0.5) counted per (source_a, source_b) cell — the dataset-curation diagnostic for which corpora duplicate each other. Reuses the verified pair pipeline; only doc_id→source lookups join on top.",
+      (s, dir) => {
+        val src = T(s, dir, "documents").select(col("doc_id"), col("source"))
+        jaccardPairs(s, dir)
+          .join(src.withColumnRenamed("doc_id", "id_a").withColumnRenamed("source", "source_a"), "id_a")
+          .join(src.withColumnRenamed("doc_id", "id_b").withColumnRenamed("source", "source_b"), "id_b")
+          .groupBy(
+            least(col("source_a"), col("source_b")).as("src_1"),
+            greatest(col("source_a"), col("source_b")).as("src_2"))
+          .agg(count(lit(1)).as("n_pairs"),
+            // exact-decimal mean: immune to partial-sum order drift
+            graft.Exact.avgExact(col("jaccard"), 6, 6).as("mean_jaccard"))
+          .orderBy(col("src_1").asc_nulls_last, col("src_2").asc_nulls_last)
+      },
+      Some("""WITH sh0 AS (
+          SELECT DISTINCT doc_id, w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS sh
+          FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) d,
+               LATERAL (SELECT unnest(generate_series(0, len(w) - 3)) AS i) g),
+        sh AS (SELECT * FROM sh0 WHERE sh IN
+                 (SELECT sh FROM sh0 GROUP BY sh HAVING count(*) <= 1000)),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id),
+        scored AS (
+          SELECT id_a, id_b,
+            round(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
+          FROM pairs
+          JOIN sizes sa ON sa.doc_id = id_a
+          JOIN sizes sb ON sb.doc_id = id_b
+          WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.5)
+        SELECT least(da.source, db.source) AS src_1,
+          greatest(da.source, db.source) AS src_2,
+          CAST(count(*) AS BIGINT) AS n_pairs,
+          round(CAST(sum(CAST(jaccard AS DECIMAL(24,6))) AS DOUBLE) / count(*), 6) AS mean_jaccard
+        FROM scored
+        JOIN documents da ON da.doc_id = id_a
+        JOIN documents db ON db.doc_id = id_b
+        GROUP BY 1, 2
+        ORDER BY src_1 ASC NULLS LAST, src_2 ASC NULLS LAST""")),
+
     Q("n_dedup_simhash",
       "SimHash-64: per-word hashes vote on 64 bit positions; near-dups = pairs within Hamming distance ≤ 3 (bucketed by 16-bit chunks, never O(n²)). Oracle-exempt (engine-native hash).",
       (s, dir) =>

@@ -408,5 +408,63 @@ object DedupQueries extends QueryModule {
         simhashCandidates(s, dir)
           .filter(col("hamming") <= 3)
           .orderBy(col("id_a").asc_nulls_last, col("id_b").asc_nulls_last),
-      None))
+      None),
+
+    Q("n_dup_ngram_coverage",
+      "Duplicate-5-gram coverage (the exact-substring-dedup diagnostic from the public train-data dedup literature): per language, the share of token positions covered by a 5-gram occurring in ≥2 documents, plus how many docs are mostly-duplicated (coverage ≥ 0.5). Gram identity shuffles as an 8-byte hash, never gram text; coverage union is an integer count of exploded positions — int sums and ONE division, so both engines divide identical operands.",
+      (s, dir) => {
+        val w = T(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), split(col("text"), " ").as("w"))
+          .filter(size(col("w")) >= 5)
+        // one row per gram START position: (doc_id, i, g) — row-local,
+        // codegen'd; only the 8-byte xxhash64 of the gram leaves the row
+        val grams = w.select(col("doc_id"),
+          posexplode(expr(
+            """transform(sequence(0, size(w) - 5),
+                 i -> xxhash64(concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4])))"""))
+            .as(Seq("i", "g")))
+        // corpus-duplicated grams: present in ≥2 DISTINCT docs (a gram
+        // repeated only inside one doc is repetition, not duplication)
+        val dup = grams.select(col("g"), col("doc_id")).distinct()
+          .groupBy(col("g")).agg(count(lit(1)).as("df"))
+          .filter(col("df") >= 2).select(col("g"))
+        // start i covers tokens [i, i+4]; union of covered positions =
+        // count DISTINCT exploded ints — ×5 integer rows, doc-keyed agg
+        val covered = grams.join(dup, "g")
+          .select(col("doc_id"), explode(expr("sequence(i, i + 4)")).as("p"))
+          .groupBy(col("doc_id")).agg(countDistinct(col("p")).as("covered"))
+        w.select(col("doc_id"), col("lang"), size(col("w")).cast("long").as("n_tok"))
+          .join(covered, Seq("doc_id"), "left")
+          .withColumn("covered", coalesce(col("covered"), lit(0L)))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tok")).as("n_tokens"),
+            round(sum(col("covered")).cast("double") / sum(col("n_tok")), 6)
+              .as("dup_token_share"),
+            sum(when(col("covered") * 2 >= col("n_tok"), 1L).otherwise(0L))
+              .as("n_mostly_dup"))
+          .orderBy(col("lang").asc_nulls_last)
+      },
+      Some("""WITH w AS (
+          SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+        d AS (SELECT doc_id, lang, len(w) AS n_tok FROM w WHERE len(w) >= 5),
+        g AS (
+          SELECT doc_id, i,
+            w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] || ' ' || w[i+5] AS g
+          FROM w, LATERAL (SELECT unnest(generate_series(0, len(w) - 5)) AS i) s
+          WHERE len(w) >= 5),
+        dup AS (SELECT g FROM (SELECT DISTINCT g, doc_id FROM g) t
+                GROUP BY g HAVING count(*) >= 2),
+        cov AS (
+          SELECT doc_id, count(DISTINCT p) AS covered
+          FROM (SELECT doc_id, i FROM g WHERE g IN (SELECT g FROM dup)) h,
+               LATERAL (SELECT unnest(generate_series(i, i + 4)) AS p) u
+          GROUP BY doc_id)
+        SELECT lang, count(*) AS n_docs,
+          CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+          round(CAST(sum(coalesce(covered, 0)) AS DOUBLE) / sum(n_tok), 6) AS dup_token_share,
+          CAST(sum(CASE WHEN coalesce(covered, 0) * 2 >= n_tok THEN 1 ELSE 0 END) AS BIGINT) AS n_mostly_dup
+        FROM d LEFT JOIN cov USING (doc_id)
+        GROUP BY lang
+        ORDER BY lang ASC NULLS LAST""")))
 }

@@ -56,6 +56,24 @@ object GraftExtensions {
         require(args.length == 2, s"graft_intdiv expects 2 arguments, got ${args.length}")
         graft.functions.IntDivDispatch(args.head, args(1))
       }),
+    ("graft_slice",
+      info("graft_slice", "graft_slice(x, a, b) - DuckDB bracket slice x[a:b]: 1-based end-inclusive, negative-from-end, on strings and lists."),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, s"graft_slice expects 3 arguments, got ${args.length}")
+        graft.functions.SliceDispatch(args.head, args(1), args(2))
+      }),
+    ("graft_at",
+      info("graft_at", "graft_at(x, i) - DuckDB bracket access x[i] on strings, lists and maps."),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, s"graft_at expects 2 arguments, got ${args.length}")
+        graft.functions.AtDispatch(args.head, args(1))
+      }),
+    ("list_slice",
+      info("list_slice", "list_slice(l, a, b) - DuckDB list slice (1-based, end-inclusive, negative-from-end)."),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, s"list_slice expects 3 arguments, got ${args.length}")
+        graft.functions.SliceDispatch(args.head, args(1), args(2))
+      }),
     ("epoch_ms",
       info("epoch_ms", "epoch_ms(x) - BIGINT ms->TIMESTAMP or TIMESTAMP->BIGINT ms (DuckDB's overloads)."),
       (args: Seq[Expression]) => {

@@ -411,8 +411,10 @@ object Dialect {
       val content = s.substring(i + 1, close)
       var p = i - 1
       while (p >= 0 && s.charAt(p).isWhitespace) p -= 1
+      // a string literal is a subscriptable primary too: 'abcdef'[2:4]
       val postfix = p >= 0 &&
-        (isWordChar(s.charAt(p)) || s.charAt(p) == ')' || s.charAt(p) == ']' || s.charAt(p) == '`')
+        (isWordChar(s.charAt(p)) || s.charAt(p) == ')' || s.charAt(p) == ']' ||
+          s.charAt(p) == '`' || s.charAt(p) == '\'')
       // a comprehension-shaped bracket is NEVER a subscript (the
       // postfix heuristic sees `SELECT [x for …]` as "subscript of the
       // word SELECT" because the content has no top-level comma)
@@ -430,26 +432,31 @@ object Dialect {
           // DuckDB's explicit list-literal keyword form
           s = s.substring(0, start) + "array(" + content + ")" + s.substring(close + 1)
           from = start
+        } else if (literalAfterKeyword(operand)) {
+          // `SELECT [1]`, `WHEN [..] THEN` — a bracket after a bare SQL
+          // keyword is a list literal, not a subscript of the keyword
+          s = s.substring(0, i) + "array(" + content + ")" + s.substring(close + 1)
+          from = i
         } else if (topLevelComma(content)) {
           from = close + 1 // not a DuckDB subscript shape — leave as-is
         } else {
           val colon = topLevelColon(content)
           val repl =
             if (colon < 0) {
-              val c = content.trim
-              if (c == "0") s"try_element_at(slice($operand, 1, 0), 1)" // typed NULL
-              else s"try_element_at($operand, $c)"
+              // graft_at dispatches on operand type (string chars,
+              // list 1-based with the [0] → NULL edge, map lookup)
+              s"graft_at($operand, ${content.trim})"
             } else {
+              // graft_slice carries DuckDB's full slice semantics
+              // (end-inclusive, negative-from-end, clamping) for both
+              // strings and lists; missing bounds are 1 and -1
               val a = content.substring(0, colon).trim
               val b = content.substring(colon + 1).trim
               (a.isEmpty, b.isEmpty) match {
                 case (true, true)   => s"($operand)"
-                case (true, false)  => s"slice($operand, 1, $b)"
-                case (false, true)  =>
-                  // open-ended tail: length from size() (a huge literal
-                  // length overflows Spark's slice bounds arithmetic)
-                  s"slice($operand, $a, greatest(size($operand) - ($a) + 1, 0))"
-                case (false, false) => s"slice($operand, $a, ($b) - ($a) + 1)"
+                case (true, false)  => s"graft_slice($operand, 1, $b)"
+                case (false, true)  => s"graft_slice($operand, $a, -1)"
+                case (false, false) => s"graft_slice($operand, $a, $b)"
               }
             }
           s = s.substring(0, start) + repl + s.substring(close + 1)
@@ -460,9 +467,26 @@ object Dialect {
     s
   }
 
+  /** Bare SQL keywords a `[...]` can directly follow — there the
+    * bracket is a list literal, never a subscript of the keyword.
+    * CASE's END is deliberately absent: `(CASE … END)[i]` subscripts
+    * the case result.
+    */
+  private val bracketKeywords: Set[String] = Set(
+    "SELECT", "WHERE", "FROM", "AND", "OR", "NOT", "THEN", "ELSE", "WHEN",
+    "CASE", "ON", "BY", "AS", "IN", "IS", "ALL", "ANY", "SOME", "DISTINCT",
+    "UNION", "EXCEPT", "INTERSECT", "HAVING", "LIMIT", "OFFSET", "VALUES",
+    "SET", "RETURN", "RETURNS", "BETWEEN", "LIKE", "ILIKE", "GLOB", "JOIN",
+    "USING", "OVER", "ORDER", "GROUP", "ASC", "DESC", "NULLS", "FIRST",
+    "LAST")
+
+  private def literalAfterKeyword(operand: String): Boolean =
+    bracketKeywords.contains(operand.toUpperCase(java.util.Locale.ROOT))
+
   /** Start index of the postfix-primary ending at `pEnd`: a dotted
-    * identifier chain whose segments are names, `quoted` names, or
-    * balanced ()/[] groups (function calls, prior subscripts).
+    * identifier chain whose segments are names, `quoted` names,
+    * 'string' literals, or balanced ()/[] groups (function calls,
+    * prior subscripts).
     */
   private def operandStart(s: String, pEnd: Int): Int = {
     val mask = quoteMask(s)
@@ -470,6 +494,11 @@ object Dialect {
     var done = false
     while (!done && p >= 0) {
       s.charAt(p) match {
+        case '\'' if mask(p) =>
+          // a 'string' literal primary: consume the masked run; nothing
+          // subscript-able chains before a literal
+          while (p >= 0 && mask(p)) p -= 1
+          return p + 1
         case c @ (')' | ']') =>
           val open = if (c == ')') '(' else '['
           var depth = 0
@@ -1315,8 +1344,12 @@ object Dialect {
       isTable: Boolean)
 
   // per-session registries (the server serves all requests from one
-  // session, so macros persist for the server's life — the reference's
-  // attached-db lifetime); weak keys let test sessions be collected.
+  // session, so macros persist for the server's life). This lifetime
+  // MATCHES the reference exactly: it attaches its .db READ_ONLY
+  // (src/cli/options.rs:185), so a runtime CREATE MACRO there lands in
+  // DuckDB's in-memory default catalog and is equally lost on restart —
+  // durable macros go in the init script on both engines.
+  // Weak keys let test sessions be collected.
   // A name maps to its OVERLOAD SET (DuckDB: one CREATE MACRO may
   // declare several signatures `f(a) AS …, (a, b) AS …`, resolved by
   // argument count at bind time).

@@ -425,6 +425,21 @@ class DialectSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally sandboxed.stop()
   }
 
+  test("bracket slices carry DuckDB semantics on strings and lists") {
+    // verified against DuckDB 1.5: 1-based, end-inclusive, negative
+    // from the end, 0 treated as 1, clamped, inverted → empty
+    val r = post("""SELECT 'abcdef'[2:4] AS a, 'abcdef'[-3:-1] AS b,
+      'abcdef'[:-2] AS c, 'abcdef'[4:2] AS d, 'abc'[-1] AS e,
+      [1,2,3,4][-3:-1] AS f, [1,2,3,4][1:-1] AS g, [1,2][0] AS h""")
+    assert(r.statusCode() == 200)
+    assert(r.body() == """[{"a":"bcd","b":"def","c":"abcde","d":"","e":"c","f":[2,3,4],"g":[1,2,3,4],"h":null}]""")
+  }
+
+  test("a bracket after a bare keyword is a list literal, and || concats lists") {
+    val r = post("SELECT [1] || [2] AS l")
+    assert(r.statusCode() == 200 && r.body() == """[{"l":[1,2]}]""")
+  }
+
   test("sandboxed server rejects dialect file sources outside allowed dirs") {
     val sandboxed = new QueryServer(spark, 0, allowedDirs = Seq("/nonexistent"))
     sandboxed.start()

@@ -212,10 +212,183 @@ object GraftExtensions {
       info("list_distinct", "list_distinct(arr) - distinct non-NULL elements (DuckDB semantics)."),
       (args: Seq[Expression]) => {
         require(args.length == 1, s"list_distinct expects 1 argument, got ${args.length}")
-        import org.apache.spark.sql.catalyst.expressions.{ArrayDistinct, ArrayFilter, IsNotNull, LambdaFunction, UnresolvedNamedLambdaVariable}
-        val v = UnresolvedNamedLambdaVariable(Seq("__ld_x"))
-        ArrayDistinct(ArrayFilter(args.head, LambdaFunction(IsNotNull(v), Seq(v))))
+        distinctNonNull(args.head)
+      }),
+    // DuckDB list_unique COUNTS distinct non-NULL elements (verified:
+    // list_unique([1,1,NULL,2,NULL]) = 2) — it is not a dedup'd list
+    ("list_unique",
+      info("list_unique", "list_unique(arr) - COUNT of distinct non-NULL elements (DuckDB semantics)."),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, s"list_unique expects 1 argument, got ${args.length}")
+        builtinBuilder("cardinality")(Seq(distinctNonNull(args.head)))
+      }),
+    // descending sort with NULLs last, like DuckDB's (sort_array desc
+    // places NULLs last; array_sort covers the ascending alias)
+    ("list_reverse_sort",
+      info("list_reverse_sort", "list_reverse_sort(arr) - descending sort, NULLs last (DuckDB semantics)."),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, s"list_reverse_sort expects 1 argument, got ${args.length}")
+        builtinBuilder("sort_array")(Seq(args.head,
+          org.apache.spark.sql.catalyst.expressions.Literal(false)))
+      }),
+    // DuckDB quantile_disc: the element at index ceil(p·n) of the
+    // sorted non-NULL values (verified: p=0 → first, p=1 → last, works
+    // on any orderable type). Composed from builtins — the group is
+    // collected to an array, which is the shim-layer trade-off; the
+    // library's own quantile queries use percentile/approx instead.
+    ("quantile_disc",
+      info("quantile_disc", "quantile_disc(x, p) - exact discrete quantile (DuckDB semantics)."),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, s"quantile_disc expects 2 arguments, got ${args.length}")
+        import org.apache.spark.sql.catalyst.expressions.{Cast, Multiply}
+        // sort_array, not array_sort: the higher-order builder asserts
+        // resolved args at bind time; NULL placement is moot because
+        // collect_list already skips NULLs (as DuckDB's quantile does).
+        // The index derives from count(x) — a second, independent
+        // aggregate — because re-referencing the collect_list subtree
+        // trips aggregate planning.
+        // pre-built aggregate functions must be wrapped explicitly —
+        // the analyzer only wraps the ones it resolves itself
+        def agg(name: String, in: Expression): Expression =
+          builtinBuilder(name)(Seq(in)) match {
+            case f: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateFunction =>
+              f.toAggregateExpression()
+            case e => e
+          }
+        val sorted = builtinBuilder("sort_array")(Seq(
+          agg("collect_list", args.head),
+          org.apache.spark.sql.catalyst.expressions.Literal(true)))
+        val n = agg("count", args.head)
+        val idx = builtinBuilder("greatest")(Seq(
+          org.apache.spark.sql.catalyst.expressions.Literal(1),
+          Cast(builtinBuilder("ceil")(Seq(Multiply(
+            Cast(args(1), org.apache.spark.sql.types.DoubleType),
+            Cast(n, org.apache.spark.sql.types.DoubleType)))),
+            org.apache.spark.sql.types.IntegerType)))
+        builtinBuilder("try_element_at")(Seq(sorted, idx))
+      }),
+    // DuckDB's float-accumulator aggregates: fsum/favg force DOUBLE
+    // accumulation (Kahan in DuckDB; same value modulo fp order)
+    ("fsum",
+      info("fsum", "fsum(x) - sum with DOUBLE accumulation (DuckDB's Kahan-summed sumkahan)."),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, s"fsum expects 1 argument, got ${args.length}")
+        builtinBuilder("sum")(Seq(org.apache.spark.sql.catalyst.expressions.Cast(
+          args.head, org.apache.spark.sql.types.DoubleType)))
+      }),
+    ("favg",
+      info("favg", "favg(x) - mean with DOUBLE accumulation."),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, s"favg expects 1 argument, got ${args.length}")
+        builtinBuilder("avg")(Seq(org.apache.spark.sql.catalyst.expressions.Cast(
+          args.head, org.apache.spark.sql.types.DoubleType)))
+      }),
+    ("sumkahan",
+      info("sumkahan", "sumkahan(x) - sum with DOUBLE accumulation."),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, s"sumkahan expects 1 argument, got ${args.length}")
+        builtinBuilder("sum")(Seq(org.apache.spark.sql.catalyst.expressions.Cast(
+          args.head, org.apache.spark.sql.types.DoubleType)))
+      }),
+    // DuckDB format() speaks fmt's {}-placeholders, Spark's
+    // format_string speaks printf — translate the (literal) template
+    // at bind time; {}, {N}, {:spec} and {N:spec} are covered,
+    // exotic fill/align specs fail loudly
+    ("format",
+      info("format", "format('{}-{}', args...) - DuckDB fmt-style formatting (translated to printf)."),
+      (args: Seq[Expression]) => {
+        require(args.nonEmpty, "format expects at least the template argument")
+        // decimals/floats → double so java's %f accepts them (Spark
+        // parses 3.14 literals as DECIMAL, which format_string rejects)
+        builtinBuilder("format_string")(
+          fmtTemplateToPrintf(args.head) +: args.tail.map(graft.functions.FmtArgCast))
+      }),
+    // DuckDB regexp_extract/extract_all default to group 0 (the whole
+    // match); Spark's default is group 1 — re-register with the
+    // DuckDB default, explicit group indexes pass through
+    ("regexp_extract",
+      info("regexp_extract", "regexp_extract(s, re[, group]) - group defaults to 0 (DuckDB semantics)."),
+      (args: Seq[Expression]) => {
+        val withIdx = if (args.length == 2)
+          args :+ org.apache.spark.sql.catalyst.expressions.Literal(0) else args
+        builtinBuilder("regexp_extract")(withIdx)
+      }),
+    ("regexp_extract_all",
+      info("regexp_extract_all", "regexp_extract_all(s, re[, group]) - group defaults to 0 (DuckDB semantics)."),
+      (args: Seq[Expression]) => {
+        val withIdx = if (args.length == 2)
+          args :+ org.apache.spark.sql.catalyst.expressions.Literal(0) else args
+        builtinBuilder("regexp_extract_all")(withIdx)
+      }),
+    // 1-arg trunc is DuckDB's numeric truncation toward zero; the
+    // 2-arg date form stays Spark's builtin
+    ("trunc",
+      info("trunc", "trunc(x) - numeric truncation toward zero; trunc(date, fmt) stays Spark's."),
+      (args: Seq[Expression]) => {
+        if (args.length == 1) graft.functions.TruncDispatch(args.head)
+        else builtinBuilder("trunc")(args)
       }))
+
+  /** `array_distinct(filter(arr, x -> x IS NOT NULL))` — DuckDB's
+    * notion of a list's distinct elements (NULLs dropped).
+    */
+  private def distinctNonNull(arr: Expression): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{ArrayDistinct, ArrayFilter, IsNotNull, LambdaFunction, UnresolvedNamedLambdaVariable}
+    val v = UnresolvedNamedLambdaVariable(Seq("__ld_x"))
+    ArrayDistinct(ArrayFilter(arr, LambdaFunction(IsNotNull(v), Seq(v))))
+  }
+
+  /** DuckDB/fmt `{}` template literal → printf template literal.
+    * `{}` → `%s` (auto-indexed), `{2}` → `%3$s`, `{:.2f}` → `%.2f`,
+    * `{1:5d}` → `%2$5d`; `{{`/`}}` escape braces. Width/precision/
+    * d-f-s-x-o-e-g types map 1:1; fill/align/sign specs fail loudly.
+    */
+  private[graft] def fmtTemplateToPrintf(e: Expression): Expression = {
+    require(e.foldable, "format: the template must be a string literal")
+    val raw = e.eval(null) match {
+      case null => throw new IllegalArgumentException("format: template is NULL")
+      case u => u.toString
+    }
+    val out = new StringBuilder
+    var i = 0
+    while (i < raw.length) {
+      val c = raw.charAt(i)
+      if (c == '{' && i + 1 < raw.length && raw.charAt(i + 1) == '{') { out.append('{'); i += 2 }
+      else if (c == '}' && i + 1 < raw.length && raw.charAt(i + 1) == '}') { out.append('}'); i += 2 }
+      else if (c == '%') { out.append("%%"); i += 1 }
+      else if (c == '{') {
+        val close = raw.indexOf('}', i)
+        require(close >= 0, s"format: unbalanced '{' in template: $raw")
+        val body = raw.substring(i + 1, close)
+        val (idxPart, specPart) = body.indexOf(':') match {
+          case -1 => (body, "")
+          case k  => (body.substring(0, k), body.substring(k + 1))
+        }
+        val pos =
+          if (idxPart.isEmpty) ""
+          else {
+            require(idxPart.forall(_.isDigit), s"format: unsupported placeholder {$body}")
+            s"${idxPart.toInt + 1}$$"
+          }
+        val conv =
+          if (specPart.isEmpty) "s"
+          else {
+            // [width][.precision][type] — anything fancier fails loudly
+            val m = "^(\\d*)(\\.\\d+)?([dfsxoeg]?)$".r
+            specPart match {
+              case m(w, p, t) =>
+                val ty = if (t.isEmpty) "s" else t
+                s"$w${Option(p).getOrElse("")}$ty"
+              case _ => throw new IllegalArgumentException(
+                s"format: unsupported format spec {$body} (width/.precision/dfsxoeg only)")
+            }
+          }
+        out.append('%').append(pos).append(conv)
+        i = close + 1
+      } else { out.append(c); i += 1 }
+    }
+    strLit(out.toString)
+  }
 
   private def strLit(s: String): Expression =
     org.apache.spark.sql.catalyst.expressions.Literal(
@@ -355,7 +528,28 @@ object GraftExtensions {
     "arg_max" -> "max_by",
     "arg_min" -> "min_by",
     "quantile_cont" -> "percentile",
-    "regexp_matches" -> "rlike")
+    "regexp_matches" -> "rlike",
+    // round-5 long-tail batch, each verified same-semantics vs DuckDB
+    // 1.5: list_position (1-based, 0 when absent, NULL on NULL list =
+    // array_position exactly), array_length/size (NULL-in-NULL-out),
+    // strpos/instr (1-based, 0 absent), prefix/suffix booleans,
+    // regexp_split_to_array (both regex-based), today/current_date,
+    // gen_random_uuid()/uuid(), unnest in the select list = explode
+    // (DuckDB's expression-wrapped unnest stays unsupported — loud)
+    "list_position" -> "array_position",
+    "list_indexof" -> "array_position",
+    "array_length" -> "size",
+    "strpos" -> "instr",
+    "starts_with" -> "startswith",
+    "prefix" -> "startswith",
+    "ends_with" -> "endswith",
+    "suffix" -> "endswith",
+    "regexp_split_to_array" -> "split",
+    "today" -> "current_date",
+    "get_current_timestamp" -> "now",
+    "gen_random_uuid" -> "uuid",
+    "uuidv4" -> "uuid",
+    "unnest" -> "explode")
 
   private def aliasRegistrations: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = {
     val builtin = org.apache.spark.sql.catalyst.analysis.FunctionRegistry.builtin
@@ -369,12 +563,36 @@ object GraftExtensions {
   private[graft] def allRegistrations: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] =
     registrations ++ aliasRegistrations
 
+  /** DuckDB's `product(x)` aggregate: multiplies non-NULL doubles,
+    * NULL when no values (verified). A typed Aggregator — there is no
+    * builtin product, and exp(sum(ln)) breaks on zeros/negatives.
+    */
+  private object ProductAgg extends org.apache.spark.sql.expressions.Aggregator[java.lang.Double, (Double, Boolean), java.lang.Double] {
+    override def zero: (Double, Boolean) = (1.0, false)
+    override def reduce(b: (Double, Boolean), a: java.lang.Double): (Double, Boolean) =
+      if (a == null) b else (b._1 * a, true)
+    override def merge(x: (Double, Boolean), y: (Double, Boolean)): (Double, Boolean) =
+      (x._1 * y._1, x._2 || y._2)
+    override def finish(r: (Double, Boolean)): java.lang.Double =
+      if (r._2) r._1 else null
+    override def bufferEncoder: org.apache.spark.sql.Encoder[(Double, Boolean)] =
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaDouble, org.apache.spark.sql.Encoders.scalaBoolean)
+    override def outputEncoder: org.apache.spark.sql.Encoder[java.lang.Double] =
+      org.apache.spark.sql.Encoders.DOUBLE
+  }
+
   /** Programmatic registration for an already-built session (the
     * extensions config only applies at session construction).
+    * `product` is a typed-Aggregator UDAF, so it registers here (the
+    * config-based extensions path carries Expression builders only).
     */
-  def injectInto(spark: SparkSession): Unit =
+  def injectInto(spark: SparkSession): Unit = {
     allRegistrations.foreach { case (name, inf, builder) =>
       spark.sessionState.functionRegistry
         .registerFunction(FunctionIdentifier(name), inf, builder)
     }
+    spark.udf.register("product",
+      org.apache.spark.sql.functions.udaf(ProductAgg, org.apache.spark.sql.Encoders.DOUBLE))
+  }
 }

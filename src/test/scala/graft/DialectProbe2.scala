@@ -1,55 +1,36 @@
 package graft
-import graft.server.Dialect
 object DialectProbe2 {
   def main(args: Array[String]): Unit = {
     val spark = TestSpark.spark
     GraftExtensions.injectInto(spark)
+    T.views(spark, TestSpark.sf, "nation")
     val cases = Seq(
-      "SELECT 'abcdef'[2:4] AS s"      -> "bcd",
-      "SELECT 'abcdef'[0:3] AS s"      -> "abc",
-      "SELECT 'abcdef'[4:2] AS s"      -> "",
-      "SELECT 'abcdef'[-3:-1] AS s"    -> "def",
-      "SELECT 'abcdef'[-3:6] AS s"     -> "def",
-      "SELECT 'abcdef'[2:100] AS s"    -> "bcdef",
-      "SELECT 'abcdef'[-100:2] AS s"   -> "ab",
-      "SELECT 'abcdef'[2:] AS s"       -> "bcdef",
-      "SELECT 'abcdef'[:-2] AS s"      -> "abcde",
-      "SELECT 'abc'[2] AS s"           -> "b",
-      "SELECT 'abc'[0] AS s"           -> "",
-      "SELECT 'abc'[-1] AS s"          -> "c",
-      "SELECT 'abc'[5] AS s"           -> "",
-      "SELECT [1,2,3,4][0:3] AS x"     -> "[1,2,3]",
-      "SELECT [1,2,3,4][4:2] AS x"     -> "[]",
-      "SELECT [1,2,3,4][-3:-1] AS x"   -> "[2,3,4]",
-      "SELECT [1,2,3,4][2:100] AS x"   -> "[2,3,4]",
-      "SELECT [1,2,3,4][1:-1] AS x"    -> "[1,2,3,4]",
-      "SELECT [1,2][0] AS x"           -> "null",
-      "SELECT [1,2][-1] AS x"          -> "2",
-      "SELECT [1,2][5] AS x"           -> "null",
-      "SELECT list_slice([1,2,3,4], 2, 3) AS x" -> "[2,3]",
-      "SELECT list_slice([1,2,3,4], -2, -1) AS x" -> "[3,4]",
-      "SELECT list_slice([1,2,3], NULL, 2) AS x" -> "null",
-      "SELECT [1] || [2] AS x"         -> "[1,2]",
-      "SELECT map {'k':1}['k'] AS x"   -> "1",
-      "SELECT CAST(NULL AS STRING)[2:3] AS s" -> "null"
+      "SELECT quantile_disc(n_regionkey, 0.5) AS q FROM nation",
+      "SELECT quantile_disc(x, 0.0) AS q FROM VALUES (1),(2),(3) t(x)",
+      "SELECT quantile_disc(x, 1.0) AS q FROM VALUES (1),(2),(3) t(x)",
+      "SELECT quantile_disc(x, 0.5) AS q FROM VALUES ('b'),('a'),('c') t(x)",
+      "SELECT product(x) AS p FROM VALUES (1.5),(2.0),(CAST(NULL AS DOUBLE)) t(x)",
+      "SELECT product(x) AS p FROM (SELECT CAST(1 AS DOUBLE) AS x WHERE false) t",
+      "SELECT list_reverse_sort(array(1,3,NULL,2)) AS l",
+      "SELECT list_unique(array(1,1,NULL,2,NULL)) AS n",
+      "SELECT format('{}-{}', 7, 'x') AS s",
+      "SELECT format('{0}-{1}-{0}', 'a', 'b') AS s",
+      "SELECT format('{:.2f}', 3.14159) AS s",
+      "SELECT format('{:5d}|', 42) AS s",
+      "SELECT regexp_extract('a1b2', '[0-9]') AS s",
+      "SELECT trunc(1.9) AS t, trunc(-1.9) AS u, trunc(1.9D) AS v"
     )
-    var bad = 0
-    cases.foreach { case (sql, want) =>
+    cases.foreach { sql =>
       try {
-        val out = Dialect.rewrite(spark, sql)
-        val row = spark.sql(out).collect()(0)
-        val got = if (row.isNullAt(0)) "null" else row.get(0) match {
-          case a: scala.collection.Seq[_] => a.mkString("[", ",", "]")
-          case x => x.toString
-        }
-        if (got == want) println(s"OK    $sql => $got")
-        else { bad += 1; println(s"BAD   $sql => $got (want $want)\n      rewritten: $out") }
+        val row = spark.sql(sql).collect()(0)
+        val got = (0 until row.length).map(i => if (row.isNullAt(i)) "null" else row.get(i) match {
+          case a: scala.collection.Seq[_] => a.map(x => if (x == null) "null" else x).mkString("[", ",", "]")
+          case x => x.toString }).mkString(", ")
+        println(s"OK    $sql => $got")
       } catch { case e: Throwable =>
-        bad += 1
-        println(s"ERR   $sql -> ${Option(e.getMessage).getOrElse("?").linesIterator.take(1).mkString.take(160)}")
+        println(s"ERR   $sql -> ${Option(e.getMessage).getOrElse("?").linesIterator.take(1).mkString.take(140)}")
       }
     }
-    println(s"\n${cases.size - bad}/${cases.size} ok")
     spark.stop()
   }
 }

@@ -440,6 +440,24 @@ class DialectSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.statusCode() == 200 && r.body() == """[{"l":[1,2]}]""")
   }
 
+  test("round-5 function long-tail matches DuckDB-verified values") {
+    val r = post("""SELECT list_unique([1,1,NULL,2,NULL]) AS a,
+      list_reverse_sort([1,3,2]) AS b, list_position([7,8,9], 5) AS c,
+      strpos('hello', 'll') AS d, format('{}-{:.2f}', 7, 3.14159) AS e,
+      regexp_extract('a1b2', '[0-9]') AS f, trunc(-1.9) AS g,
+      starts_with('abc', 'ab') AS h, array_length([1,2,NULL]) AS i""")
+    assert(r.statusCode() == 200)
+    assert(r.body() == """[{"a":2,"b":[3,2,1],"c":0,"d":3,"e":"7-3.14","f":"1","g":-1,"h":true,"i":3}]""")
+  }
+
+  test("quantile_disc and product aggregate with DuckDB semantics") {
+    val r = post("""SELECT quantile_disc(n_regionkey, 0.5) AS q,
+      product(CAST(n_regionkey + 1 AS DOUBLE)) FILTER (WHERE n_regionkey < 1) AS p
+      FROM nation""")
+    assert(r.statusCode() == 200)
+    assert(r.body() == """[{"q":2,"p":1.0}]""")
+  }
+
   test("sandboxed server rejects dialect file sources outside allowed dirs") {
     val sandboxed = new QueryServer(spark, 0, allowedDirs = Seq("/nonexistent"))
     sandboxed.start()

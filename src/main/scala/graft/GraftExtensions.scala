@@ -320,6 +320,21 @@ object GraftExtensions {
           args :+ org.apache.spark.sql.catalyst.expressions.Literal(0) else args
         builtinBuilder("regexp_extract_all")(withIdx)
       }),
+    // DuckDB date_diff counts unit BOUNDARIES crossed, not elapsed
+    // units — a 3-arg call with a (DuckDB-style) quoted unit literal
+    // gets the boundary composition; 2-arg datediff and Spark's
+    // unquoted-unit date_diff delegate to the builtins
+    // Spark's parser special-cases date_diff/datediff and rejects a
+    // quoted unit before any registry lookup — the dialect shim
+    // renames the quoted-unit spelling to graft_date_diff textually
+    ("graft_date_diff", dateDiffInfo("graft_date_diff"), dateDiffBuilder("graft_date_diff")),
+    ("time_bucket",
+      info("time_bucket", "time_bucket(width, ts[, origin]) - fixed-width buckets aligned to DuckDB's 2000-01-03 / 2000-01-01 origins."),
+      (args: Seq[Expression]) => {
+        require(args.length == 2 || args.length == 3,
+          s"time_bucket expects 2 or 3 arguments, got ${args.length}")
+        graft.functions.TimeBucket(args.head, args(1), args.drop(2).headOption)
+      }),
     // 1-arg trunc is DuckDB's numeric truncation toward zero; the
     // 2-arg date form stays Spark's builtin
     ("trunc",
@@ -394,6 +409,19 @@ object GraftExtensions {
     org.apache.spark.sql.catalyst.expressions.Literal(
       org.apache.spark.unsafe.types.UTF8String.fromString(s),
       org.apache.spark.sql.types.StringType)
+
+  private def dateDiffInfo(name: String): ExpressionInfo =
+    info(name, s"$name('unit', start, end) - DuckDB boundary-crossing date difference (BIGINT).")
+
+  private def dateDiffBuilder(name: String): Seq[Expression] => Expression =
+    (args: Seq[Expression]) => {
+      val quotedUnit = args.length == 3 && args.head.foldable &&
+        args.head.dataType.isInstanceOf[org.apache.spark.sql.types.StringType] &&
+        args.head.eval(null) != null
+      if (quotedUnit)
+        graft.functions.BoundaryDateDiff(args.head.eval(null).toString, args(1), args(2))
+      else builtinBuilder("datediff")(args)
+    }
 
   private def stringSplitInfo(name: String): ExpressionInfo =
     info(name, s"$name(s, sep) - split on a LITERAL separator (DuckDB semantics; '' splits per character).")

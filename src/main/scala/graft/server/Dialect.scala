@@ -831,6 +831,29 @@ object Dialect {
     s
   }
 
+  /** DuckDB's `date_diff('unit', a, b)` (quoted unit) → a graft
+    * function name. Spark's PARSER special-cases date_diff/datediff
+    * and rejects string-literal units before any registry lookup, so
+    * the quoted-unit spelling must be renamed textually; the graft
+    * registration carries DuckDB's boundary-crossing semantics.
+    * Unquoted-unit and 2-arg spellings pass through untouched.
+    */
+  private def rewriteDateDiff(sql: String): String = {
+    val re = """(?i)\b(date_diff|datediff)\s*\(\s*'""".r
+    val mask = quoteMask(sql)
+    val sb = new StringBuilder
+    var last = 0
+    re.findAllMatchIn(sql).foreach { m =>
+      if (!mask(m.start) && m.start >= last) {
+        sb.append(sql.substring(last, m.start))
+        sb.append("graft_date_diff")
+        sb.append(sql.substring(m.start + m.group(1).length, m.end))
+        last = m.end
+      }
+    }
+    if (last == 0) sql else { sb.append(sql.substring(last)); sb.toString }
+  }
+
   /** The two PRAGMA metadata verbs DuckDB clients commonly issue. */
   /** DuckDB's simplified `UNPIVOT` statement →
     * Spark's `SELECT * FROM … UNPIVOT (v FOR n IN (cols))`.
@@ -1715,10 +1738,10 @@ object Dialect {
     // every later rewrite (read_csv, brackets, //, …) and their file
     // paths hit the sandbox check at use time
     handleMacroVerb(spark, sql).getOrElse(
-      rewriteDistinctOn(rewriteQualify(rewriteExclude(rewriteSimilarTo(rewriteIntDiv(
+      rewriteDistinctOn(rewriteQualify(rewriteExclude(rewriteSimilarTo(rewriteDateDiff(rewriteIntDiv(
         rewriteSample(rewriteStructPack(rewriteBrackets(rewriteBraces(
           rewriteUnionByName(spark, rewriteReplace(spark, rewriteColumns(spark, rewriteAsOf(rewriteGenerateSeries(rewriteSources(spark,
             rewritePivot(spark, rewriteUnpivot(rewriteSummarize(spark,
               rewritePragma(expandMacros(spark, rewriteFromFirst(sql)))))),
-            pathOk))))))))))))))))
+            pathOk)))))))))))))))))
 }

@@ -3,34 +3,33 @@ object DialectProbe2 {
   def main(args: Array[String]): Unit = {
     val spark = TestSpark.spark
     GraftExtensions.injectInto(spark)
-    T.views(spark, TestSpark.sf, "nation")
     val cases = Seq(
-      "SELECT quantile_disc(n_regionkey, 0.5) AS q FROM nation",
-      "SELECT quantile_disc(x, 0.0) AS q FROM VALUES (1),(2),(3) t(x)",
-      "SELECT quantile_disc(x, 1.0) AS q FROM VALUES (1),(2),(3) t(x)",
-      "SELECT quantile_disc(x, 0.5) AS q FROM VALUES ('b'),('a'),('c') t(x)",
-      "SELECT product(x) AS p FROM VALUES (1.5),(2.0),(CAST(NULL AS DOUBLE)) t(x)",
-      "SELECT product(x) AS p FROM (SELECT CAST(1 AS DOUBLE) AS x WHERE false) t",
-      "SELECT list_reverse_sort(array(1,3,NULL,2)) AS l",
-      "SELECT list_unique(array(1,1,NULL,2,NULL)) AS n",
-      "SELECT format('{}-{}', 7, 'x') AS s",
-      "SELECT format('{0}-{1}-{0}', 'a', 'b') AS s",
-      "SELECT format('{:.2f}', 3.14159) AS s",
-      "SELECT format('{:5d}|', 42) AS s",
-      "SELECT regexp_extract('a1b2', '[0-9]') AS s",
-      "SELECT trunc(1.9) AS t, trunc(-1.9) AS u, trunc(1.9D) AS v"
+      "SELECT date_diff('day', DATE '2024-01-01', DATE '2024-01-08') AS x" -> "7",
+      "SELECT date_diff('day', DATE '2024-01-08', DATE '2024-01-01') AS x" -> "-7",
+      "SELECT datediff('month', DATE '2024-01-31', DATE '2024-03-01') AS x" -> "2",
+      "SELECT date_diff('year', DATE '2023-12-31', DATE '2024-01-01') AS x" -> "1",
+      "SELECT date_diff('quarter', DATE '2024-03-31', DATE '2024-04-01') AS x" -> "1",
+      "SELECT date_diff('week', DATE '2024-01-07', DATE '2024-01-08') AS x" -> "1",
+      "SELECT date_diff('hour', TIMESTAMP '2024-01-01 10:59:59', TIMESTAMP '2024-01-01 11:00:01') AS x" -> "1",
+      "SELECT date_diff('minute', TIMESTAMP '2024-01-01 00:00:59', TIMESTAMP '2024-01-01 00:01:01') AS x" -> "1",
+      "SELECT date_diff('ms', TIMESTAMP '2024-01-01 00:00:00.0015', TIMESTAMP '2024-01-01 00:00:00.0034') AS x" -> "2",
+      "SELECT date_diff('microseconds', TIMESTAMP '2024-01-01 10:00:00', TIMESTAMP '2024-01-01 10:00:01') AS x" -> "1000000",
+      "SELECT date_diff('day', TIMESTAMP '2024-01-01 23:59:59', TIMESTAMP '2024-01-02 00:00:01') AS x" -> "1",
+      "SELECT datediff(DATE '2024-01-08', DATE '2024-01-01') AS x" -> "7"
     )
-    cases.foreach { sql =>
+    var bad = 0
+    cases.foreach { case (sql, want) =>
       try {
-        val row = spark.sql(sql).collect()(0)
-        val got = (0 until row.length).map(i => if (row.isNullAt(i)) "null" else row.get(i) match {
-          case a: scala.collection.Seq[_] => a.map(x => if (x == null) "null" else x).mkString("[", ",", "]")
-          case x => x.toString }).mkString(", ")
-        println(s"OK    $sql => $got")
+        val out = graft.server.Dialect.rewrite(spark, sql)
+        val row = spark.sql(out).collect()(0)
+        val got = if (row.isNullAt(0)) "null" else row.get(0).toString
+        if (got == want) println(s"OK    $sql => $got")
+        else { bad += 1; println(s"BAD   $sql => $got (want $want)") }
       } catch { case e: Throwable =>
-        println(s"ERR   $sql -> ${Option(e.getMessage).getOrElse("?").linesIterator.take(1).mkString.take(140)}")
+        bad += 1; println(s"ERR   $sql -> ${Option(e.getMessage).getOrElse("?").replace('\n','|').take(160)}")
       }
     }
+    println(s"\n${cases.size - bad}/${cases.size} ok")
     spark.stop()
   }
 }

@@ -24,7 +24,8 @@ class DialectPropertySpec extends AnyFunSuite {
     // must pass untouched (quote-mask regression coverage)
     SparkEntry.oracleSql
       .filterNot { case (_, sql) =>
-        Seq("[", "{", "//", ":=", "ASOF", "BY NAME", "SIMILAR")
+        Seq("[", "{", "//", ":=", "ASOF", "BY NAME", "SIMILAR",
+            "date_diff('", "datediff('")
           .exists(Dialect.hasUnquoted(sql, _)) }
       .foreach { case (name, sql) =>
         assert(Dialect.rewrite(spark, sql) == sql, s"rewrite altered oracle of $name")

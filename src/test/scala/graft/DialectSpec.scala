@@ -458,6 +458,20 @@ class DialectSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.body() == """[{"q":2,"p":1.0}]""")
   }
 
+  test("date_diff counts boundary crossings and time_bucket uses DuckDB origins") {
+    // DuckDB-verified: month Jan31->Mar01 = 2 (Spark's elapsed-month
+    // semantics would say 1); hour 10:59:59->11:00:01 = 1; week
+    // buckets align to Monday 2000-01-03, month buckets to 2000-01-01
+    val r = post("""SELECT
+      date_diff('month', DATE '2024-01-31', DATE '2024-03-01') AS a,
+      date_diff('hour', TIMESTAMP '2024-01-01 10:59:59', TIMESTAMP '2024-01-01 11:00:01') AS b,
+      CAST(time_bucket(INTERVAL 1 WEEK, DATE '2024-03-03') AS STRING) AS c,
+      CAST(time_bucket(INTERVAL 2 MONTH, DATE '2024-04-05') AS STRING) AS d,
+      CAST(time_bucket(INTERVAL '15' MINUTE, TIMESTAMP '2024-03-05 10:42:17') AS STRING) AS e""")
+    assert(r.statusCode() == 200)
+    assert(r.body() == """[{"a":2,"b":1,"c":"2024-02-26","d":"2024-03-01","e":"2024-03-05 10:30:00"}]""")
+  }
+
   test("sandboxed server rejects dialect file sources outside allowed dirs") {
     val sandboxed = new QueryServer(spark, 0, allowedDirs = Seq("/nonexistent"))
     sandboxed.start()

@@ -335,6 +335,16 @@ object GraftExtensions {
           s"time_bucket expects 2 or 3 arguments, got ${args.length}")
         graft.functions.TimeBucket(args.head, args(1), args.drop(2).headOption)
       }),
+    // DuckDB's JSON extraction, variant-backed so quoting is faithful:
+    // json_extract / `->` keep JSON form ('"x"'), json_extract_string /
+    // `->>` / json_value unquote scalars. Paths: '$.a[0]' as-is,
+    // '/a/b' pointers, bare keys, integer indexes. Malformed JSON
+    // yields NULL (try_parse_json) rather than an error.
+    ("graft_json_extract", jsonExtractInfo("graft_json_extract"), jsonExtractBuilder(asText = false)),
+    ("json_extract", jsonExtractInfo("json_extract"), jsonExtractBuilder(asText = false)),
+    ("graft_json_extract_string", jsonExtractInfo("graft_json_extract_string"), jsonExtractBuilder(asText = true)),
+    ("json_extract_string", jsonExtractInfo("json_extract_string"), jsonExtractBuilder(asText = true)),
+    ("json_value", jsonExtractInfo("json_value"), jsonExtractBuilder(asText = true)),
     // 1-arg trunc is DuckDB's numeric truncation toward zero; the
     // 2-arg date form stays Spark's builtin
     ("trunc",
@@ -409,6 +419,42 @@ object GraftExtensions {
     org.apache.spark.sql.catalyst.expressions.Literal(
       org.apache.spark.unsafe.types.UTF8String.fromString(s),
       org.apache.spark.sql.types.StringType)
+
+  private def jsonExtractInfo(name: String): ExpressionInfo =
+    info(name, s"$name(json, path) - DuckDB JSON extraction ('$$.a', '/a/b', key or index paths).")
+
+  /** DuckDB path spellings → Spark variant paths, at bind time (the
+    * path argument is a literal in all DuckDB usage; non-literals fail
+    * loudly rather than risking per-row mistranslation).
+    */
+  private def jsonPathLiteral(e: Expression): Expression = {
+    require(e.foldable, "json path must be a literal")
+    val v = e.eval(null)
+    require(v != null, "json path is NULL")
+    val path = e.dataType match {
+      case t if t.isInstanceOf[org.apache.spark.sql.types.StringType] =>
+        val s = v.toString
+        if (s.startsWith("$")) s
+        else if (s.startsWith("/"))
+          "$" + s.split('/').filter(_.nonEmpty).map { seg =>
+            if (seg.forall(_.isDigit)) s"[$seg]" else s".$seg"
+          }.mkString
+        else "$." + s
+      case _ => s"$$[$v]" // integer index (DuckDB: 0-based, like variant)
+    }
+    strLit(path)
+  }
+
+  private def jsonExtractBuilder(asText: Boolean): Seq[Expression] => Expression =
+    (args: Seq[Expression]) => {
+      require(args.length == 2, s"json extraction expects 2 arguments, got ${args.length}")
+      val parsed = builtinBuilder("try_parse_json")(Seq(args.head))
+      val path = jsonPathLiteral(args(1))
+      if (asText)
+        builtinBuilder("variant_get")(Seq(parsed, path, strLit("string")))
+      else
+        builtinBuilder("to_json")(Seq(builtinBuilder("variant_get")(Seq(parsed, path))))
+    }
 
   private def dateDiffInfo(name: String): ExpressionInfo =
     info(name, s"$name('unit', start, end) - DuckDB boundary-crossing date difference (BIGINT).")

@@ -854,6 +854,85 @@ object Dialect {
     if (last == 0) sql else { sb.append(sql.substring(last)); sb.toString }
   }
 
+  /** DuckDB's JSON sugar: `x::JSON` casts vanish (JSON values travel
+    * as strings; extraction parses at use), and the `->` / `->>`
+    * operators become graft_json_extract / graft_json_extract_string
+    * calls (variant-backed, quoting-faithful).
+    *
+    * `->` is also DuckDB's lambda arrow — an arrow whose LEFT operand
+    * is a bare identifier directly after `(` or `,` is a lambda
+    * parameter and is left alone, as is any arrow whose right operand
+    * is not a 'key' / integer literal. The ambiguous leftovers (a
+    * json arrow on a bare column as the first argument of a call)
+    * fail loudly at parse rather than risking a silent mis-rewrite —
+    * parenthesizing the left side opts back in: `(j) ->> 'k'`.
+    */
+  private def rewriteJsonOps(sql: String): String = {
+    // strip ::JSON (quote-masked)
+    val castRe = """(?i)::\s*JSON\b""".r
+    val m0 = quoteMask(sql)
+    var s = {
+      val sb = new StringBuilder
+      var last = 0
+      castRe.findAllMatchIn(sql).foreach { m =>
+        if (!m0(m.start) && m.start >= last) {
+          sb.append(sql.substring(last, m.start)); last = m.end
+        }
+      }
+      if (last == 0) sql else { sb.append(sql.substring(last)); sb.toString }
+    }
+    var searchFrom = 0
+    var guard = 0
+    while (guard < 1000) {
+      guard += 1
+      val mask = quoteMask(s)
+      var i = searchFrom
+      var at = -1
+      var arrowLen = 0
+      while (i + 1 < s.length && at < 0) {
+        if (!mask(i) && s.charAt(i) == '-' && s.charAt(i + 1) == '>') {
+          at = i
+          arrowLen = if (i + 2 < s.length && s.charAt(i + 2) == '>') 3 else 2
+        }
+        i += 1
+      }
+      if (at < 0) return s
+      // right operand: a 'key' or integer literal, else not a json arrow
+      var r = at + arrowLen
+      while (r < s.length && s.charAt(r).isWhitespace) r += 1
+      val rightEnd =
+        if (r < s.length && s.charAt(r) == '\'') {
+          var e = r + 1
+          while (e < s.length && mask(e)) e += 1
+          e
+        } else if (r < s.length && s.charAt(r).isDigit) {
+          var e = r
+          while (e < s.length && s.charAt(e).isDigit) e += 1
+          e
+        } else -1
+      if (rightEnd < 0) { searchFrom = at + arrowLen; }
+      else {
+        var p = at - 1
+        while (p >= 0 && s.charAt(p).isWhitespace) p -= 1
+        if (p < 0) return s
+        val start = operandStart(s, p)
+        val leftOp = s.substring(start, p + 1)
+        val bareIdent = leftOp.nonEmpty && leftOp.forall(isWordChar)
+        var q = start - 1
+        while (q >= 0 && s.charAt(q).isWhitespace) q -= 1
+        val lambdaParam = bareIdent && q >= 0 && (s.charAt(q) == '(' || s.charAt(q) == ',')
+        if (lambdaParam) { searchFrom = at + arrowLen }
+        else {
+          val right = s.substring(r, rightEnd)
+          val fn = if (arrowLen == 3) "graft_json_extract_string" else "graft_json_extract"
+          s = s.substring(0, start) + s"$fn($leftOp, $right)" + s.substring(rightEnd)
+          searchFrom = start
+        }
+      }
+    }
+    s
+  }
+
   /** The two PRAGMA metadata verbs DuckDB clients commonly issue. */
   /** DuckDB's simplified `UNPIVOT` statement →
     * Spark's `SELECT * FROM … UNPIVOT (v FOR n IN (cols))`.
@@ -1738,10 +1817,10 @@ object Dialect {
     // every later rewrite (read_csv, brackets, //, …) and their file
     // paths hit the sandbox check at use time
     handleMacroVerb(spark, sql).getOrElse(
-      rewriteDistinctOn(rewriteQualify(rewriteExclude(rewriteSimilarTo(rewriteDateDiff(rewriteIntDiv(
+      rewriteDistinctOn(rewriteQualify(rewriteExclude(rewriteSimilarTo(rewriteJsonOps(rewriteDateDiff(rewriteIntDiv(
         rewriteSample(rewriteStructPack(rewriteBrackets(rewriteBraces(
           rewriteUnionByName(spark, rewriteReplace(spark, rewriteColumns(spark, rewriteAsOf(rewriteGenerateSeries(rewriteSources(spark,
             rewritePivot(spark, rewriteUnpivot(rewriteSummarize(spark,
               rewritePragma(expandMacros(spark, rewriteFromFirst(sql)))))),
-            pathOk)))))))))))))))))
+            pathOk))))))))))))))))))
 }

@@ -4,29 +4,34 @@ object DialectProbe2 {
     val spark = TestSpark.spark
     GraftExtensions.injectInto(spark)
     val cases = Seq(
-      "SELECT date_diff('day', DATE '2024-01-01', DATE '2024-01-08') AS x" -> "7",
-      "SELECT date_diff('day', DATE '2024-01-08', DATE '2024-01-01') AS x" -> "-7",
-      "SELECT datediff('month', DATE '2024-01-31', DATE '2024-03-01') AS x" -> "2",
-      "SELECT date_diff('year', DATE '2023-12-31', DATE '2024-01-01') AS x" -> "1",
-      "SELECT date_diff('quarter', DATE '2024-03-31', DATE '2024-04-01') AS x" -> "1",
-      "SELECT date_diff('week', DATE '2024-01-07', DATE '2024-01-08') AS x" -> "1",
-      "SELECT date_diff('hour', TIMESTAMP '2024-01-01 10:59:59', TIMESTAMP '2024-01-01 11:00:01') AS x" -> "1",
-      "SELECT date_diff('minute', TIMESTAMP '2024-01-01 00:00:59', TIMESTAMP '2024-01-01 00:01:01') AS x" -> "1",
-      "SELECT date_diff('ms', TIMESTAMP '2024-01-01 00:00:00.0015', TIMESTAMP '2024-01-01 00:00:00.0034') AS x" -> "2",
-      "SELECT date_diff('microseconds', TIMESTAMP '2024-01-01 10:00:00', TIMESTAMP '2024-01-01 10:00:01') AS x" -> "1000000",
-      "SELECT date_diff('day', TIMESTAMP '2024-01-01 23:59:59', TIMESTAMP '2024-01-02 00:00:01') AS x" -> "1",
-      "SELECT datediff(DATE '2024-01-08', DATE '2024-01-01') AS x" -> "7"
+      """SELECT '{"a": {"b": 2}}'::JSON -> 'a' AS j""" -> """{"b":2}""",
+      """SELECT '{"a": "x"}' -> 'a' AS j""" -> "\"x\"",
+      """SELECT '{"a": "x"}' ->> 'a' AS v""" -> "x",
+      """SELECT '{"a": 1}' ->> 'a' AS v""" -> "1",
+      """SELECT '[5,6]'::JSON -> 1 AS v""" -> "6",
+      """SELECT '[5,6]' -> 0 AS v""" -> "5",
+      """SELECT '{"a":[1,2]}' -> 'a' -> 1 AS v""" -> "2",
+      """SELECT json_extract('{"a": "x"}', '$.a') AS v""" -> "\"x\"",
+      """SELECT json_extract('{"a": "x"}', 'a') AS v""" -> "\"x\"",
+      """SELECT json_extract('{"a": 1}', '/a') AS v""" -> "1",
+      """SELECT json_extract_string('{"a": "x"}', 'a') AS v""" -> "x",
+      """SELECT json_value('{"a": 7}', '$.a') AS v""" -> "7",
+      """SELECT '{"a": 1}' ->> 'b' AS v""" -> "null",
+      """SELECT list_transform([1,2], x -> x * 2) AS l""" -> "[2,4]",
+      """SELECT list_filter([1,2,3], x -> x > 1) AS l""" -> "[2,3]"
     )
     var bad = 0
     cases.foreach { case (sql, want) =>
       try {
         val out = graft.server.Dialect.rewrite(spark, sql)
         val row = spark.sql(out).collect()(0)
-        val got = if (row.isNullAt(0)) "null" else row.get(0).toString
+        val got = if (row.isNullAt(0)) "null" else row.get(0) match {
+          case a: scala.collection.Seq[_] => a.mkString("[", ",", "]")
+          case x => x.toString }
         if (got == want) println(s"OK    $sql => $got")
-        else { bad += 1; println(s"BAD   $sql => $got (want $want)") }
+        else { bad += 1; println(s"BAD   $sql => $got (want $want)\n      rewritten: $out") }
       } catch { case e: Throwable =>
-        bad += 1; println(s"ERR   $sql -> ${Option(e.getMessage).getOrElse("?").replace('\n','|').take(160)}")
+        bad += 1; println(s"ERR   $sql -> ${Option(e.getMessage).getOrElse("?").replace('\n','|').take(200)}")
       }
     }
     println(s"\n${cases.size - bad}/${cases.size} ok")

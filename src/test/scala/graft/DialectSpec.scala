@@ -472,6 +472,17 @@ class DialectSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.body() == """[{"a":2,"b":1,"c":"2024-02-26","d":"2024-03-01","e":"2024-03-05 10:30:00"}]""")
   }
 
+  test("JSON arrows and ::JSON casts carry DuckDB quoting semantics") {
+    // -> keeps JSON form ('"x"'), ->> unquotes; 0-based indexes;
+    // lambda arrows (x -> expr) are left alone
+    val r = post("""SELECT '{"a": "x"}' -> 'a' AS j, '{"a": "x"}' ->> 'a' AS v,
+      '[5,6]'::JSON -> 1 AS i, '{"a":[1,2]}' -> 'a' -> 1 AS c,
+      json_extract('{"a": 1}', '/a') AS p,
+      list_transform([1,2], x -> x * 2) AS l""")
+    assert(r.statusCode() == 200)
+    assert(r.body() == """[{"j":"\"x\"","v":"x","i":"6","c":"2","p":"1","l":[2,4]}]""")
+  }
+
   test("sandboxed server rejects dialect file sources outside allowed dirs") {
     val sandboxed = new QueryServer(spark, 0, allowedDirs = Seq("/nonexistent"))
     sandboxed.start()

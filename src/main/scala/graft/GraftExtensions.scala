@@ -623,7 +623,10 @@ object GraftExtensions {
     "get_current_timestamp" -> "now",
     "gen_random_uuid" -> "uuid",
     "uuidv4" -> "uuid",
-    "unnest" -> "explode")
+    "unnest" -> "explode",
+    // DuckDB's list(x) aggregate (NULL-keeping there, NULL-skipping
+    // here — the same pre-existing divergence as the array_agg alias)
+    "list" -> "collect_list")
 
   private def aliasRegistrations: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = {
     val builtin = org.apache.spark.sql.catalyst.analysis.FunctionRegistry.builtin

@@ -933,6 +933,197 @@ object Dialect {
     s
   }
 
+  /** DuckDB's in-aggregate ORDER BY — `string_agg(x[, sep] ORDER BY
+    * k)`, `array_agg(x ORDER BY k)`, `list(x ORDER BY k)` — which
+    * Spark's parser rejects. string_agg maps onto Spark 4's
+    * `listagg … WITHIN GROUP`; array_agg/list sort the collected
+    * array (sort_array when ordering by the collected expression
+    * itself, a struct-sort + project otherwise; DESC reverses).
+    * Multi-key or NULLS-qualified specs are left alone → loud parse
+    * error, never a silently unsorted result.
+    */
+  private val AggOrderRe = """(?i)\b(string_agg|array_agg|list)\s*\(""".r
+
+  private def rewriteAggOrder(sql: String): String = {
+    var s = sql
+    var from = 0
+    var guard = 0
+    while (guard < 200) {
+      guard += 1
+      val mask = quoteMask(s)
+      val mOpt = AggOrderRe.findAllMatchIn(s).find(m => m.start >= from && !mask(m.start))
+      if (mOpt.isEmpty) return s
+      val m = mOpt.get
+      val open = m.end - 1
+      var depth = 0
+      var j = open
+      var close = -1
+      while (j < s.length && close < 0) {
+        if (!mask(j)) s.charAt(j) match {
+          case '(' => depth += 1
+          case ')' => depth -= 1; if (depth == 0) close = j
+          case _ =>
+        }
+        j += 1
+      }
+      if (close < 0) return s
+      val content = s.substring(open + 1, close)
+      val ob = firstTopLevel(content, "ORDER BY")
+      if (ob < 0) { from = m.end }
+      else aggOrderReplacement(m.group(1).toLowerCase(java.util.Locale.ROOT),
+          content.substring(0, ob).trim,
+          content.substring(ob + "ORDER BY".length).trim) match {
+        case Some(repl) =>
+          s = s.substring(0, m.start) + repl + s.substring(close + 1)
+          from = m.start
+        case None => from = m.end // unsupported spec — fails loudly downstream
+      }
+    }
+    s
+  }
+
+  private def aggOrderReplacement(fn: String, argsPart: String, spec: String): Option[String] = {
+    if (fn == "string_agg") {
+      val args = splitTopLevel(argsPart, ',').map(_.trim)
+      if (args.isEmpty || args.length > 2) return None
+      val sep = if (args.length == 2) args(1) else "','" // DuckDB's default
+      Some(s"listagg(${args.head}, $sep) WITHIN GROUP (ORDER BY $spec)")
+    } else {
+      val keys = splitTopLevel(spec, ',').map(_.trim)
+      if (keys.length != 1 || keys.head.toUpperCase.contains("NULLS")) return None
+      var key = keys.head
+      var desc = false
+      val up = key.toUpperCase
+      if (up.endsWith(" DESC")) { desc = true; key = key.dropRight(5).trim }
+      else if (up.endsWith(" ASC")) key = key.dropRight(4).trim
+      val x = argsPart.trim
+      val distinct = x.toUpperCase.startsWith("DISTINCT ")
+      val bare = if (distinct) x.substring(9).trim else x
+      if (splitTopLevel(bare, ',').length != 1) return None
+      if (bare == key)
+        Some(s"sort_array(array_agg($x), ${!desc})")
+      else if (distinct) None // DISTINCT + foreign sort key — unsupported
+      else {
+        val base = s"transform(array_sort(array_agg(named_struct('k', $key, 'v', $x))), __o -> __o.v)"
+        Some(if (desc) s"reverse($base)" else base)
+      }
+    }
+  }
+
+  /** Postgres-style regex/like operators DuckDB supports: `~` is
+    * regexp_full_match (anchored, verified: 'Abc' ~ '^A' is FALSE),
+    * `!~` its negation, `~~`/`!~~` are LIKE/NOT LIKE. Pattern must be
+    * a string literal for the anchored forms (the overwhelming usage);
+    * otherwise the operator is left → loud parse error.
+    */
+  private def rewriteTildeOps(sql: String): String = {
+    val mask = quoteMask(sql)
+    val out = new StringBuilder
+    var i = 0
+    while (i < sql.length) {
+      var matched = false
+      if (!mask(i) && sql.charAt(i) == '~' || (!mask(i) && sql.charAt(i) == '!' &&
+          i + 1 < sql.length && sql.charAt(i + 1) == '~')) {
+        val neg = sql.charAt(i) == '!'
+        var k = i + (if (neg) 1 else 0) // first '~'
+        var tildes = 0
+        while (k < sql.length && sql.charAt(k) == '~') { tildes += 1; k += 1 }
+        // binary only: an operand must end just before
+        var p = i - 1
+        while (p >= 0 && sql.charAt(p).isWhitespace) p -= 1
+        val binary = p >= 0 && (isWordChar(sql.charAt(p)) || sql.charAt(p) == ')' ||
+          sql.charAt(p) == ']' || sql.charAt(p) == '`' || sql.charAt(p) == '\'')
+        if (binary && tildes == 2) {
+          out.append(if (neg) " NOT LIKE " else " LIKE ")
+          i = k
+          matched = true
+        } else if (binary && tildes == 1) {
+          // anchored regex — needs the literal pattern to wrap
+          var r = k
+          while (r < sql.length && sql.charAt(r).isWhitespace) r += 1
+          if (r < sql.length && sql.charAt(r) == '\'') {
+            var q = r + 1
+            while (q < sql.length && mask(q)) q += 1
+            val inner = sql.substring(r + 1, q - 1)
+            out.append(if (neg) " NOT RLIKE " else " RLIKE ")
+              .append("'^(?:").append(inner).append(")$'")
+            i = q
+            matched = true
+          }
+        }
+      }
+      if (!matched) { out.append(sql.charAt(i)); i += 1 }
+    }
+    out.toString
+  }
+
+  /** DuckDB's quantified comparison over a LIST — `x = ANY(list)`,
+    * `x > ALL(list)` — becomes exists/forall with the comparison in a
+    * lambda (same three-valued NULL logic). Subquery forms (inner
+    * starting with SELECT/VALUES/…) are untouched.
+    */
+  private val QuantifiedRe = """(?i)\b(ANY|ALL|SOME)\s*\(""".r
+
+  private def rewriteQuantified(sql: String): String = {
+    var s = sql
+    var from = 0
+    var guard = 0
+    while (guard < 200) {
+      guard += 1
+      val mask = quoteMask(s)
+      val mOpt = QuantifiedRe.findAllMatchIn(s).find(m => m.start >= from && !mask(m.start))
+      if (mOpt.isEmpty) return s
+      val m = mOpt.get
+      val open = m.end - 1
+      var depth = 0
+      var j = open
+      var close = -1
+      while (j < s.length && close < 0) {
+        if (!mask(j)) s.charAt(j) match {
+          case '(' => depth += 1
+          case ')' => depth -= 1; if (depth == 0) close = j
+          case _ =>
+        }
+        j += 1
+      }
+      if (close < 0) return s
+      val inner = s.substring(open + 1, close).trim
+      val innerUp = inner.toUpperCase(java.util.Locale.ROOT)
+      val subquery = Seq("SELECT", "FROM", "WITH", "VALUES", "TABLE")
+        .exists(k => innerUp.startsWith(k))
+      // the comparison operator directly before ANY/ALL
+      var p = m.start - 1
+      while (p >= 0 && s.charAt(p).isWhitespace) p -= 1
+      var opEnd = p
+      while (p >= 0 && "<>=!".indexOf(s.charAt(p)) >= 0) p -= 1
+      val op = if (opEnd > p) s.substring(p + 1, opEnd + 1) else ""
+      val validOp = Set("=", "==", "!=", "<>", "<", "<=", ">", ">=").contains(op)
+      if (subquery || !validOp) { from = m.end }
+      else {
+        while (p >= 0 && s.charAt(p).isWhitespace) p -= 1
+        if (p < 0) return s
+        val start = operandStart(s, p)
+        val leftOp = s.substring(start, p + 1)
+        val fn = if (m.group(1).equalsIgnoreCase("ALL")) "forall" else "exists"
+        s = s.substring(0, start) +
+          s"$fn($inner, __q -> ($leftOp) $op __q)" + s.substring(close + 1)
+        from = start
+      }
+    }
+    s
+  }
+
+  /** DuckDB accepts `OFFSET n LIMIT m` in either order; Spark wants
+    * LIMIT first.
+    */
+  private def rewriteOffsetLimit(sql: String): String = {
+    val re = """(?i)\bOFFSET\s+(\d+)\s+LIMIT\s+(\d+)""".r
+    val mask = quoteMask(sql)
+    re.replaceAllIn(sql, m =>
+      if (mask(m.start)) java.util.regex.Matcher.quoteReplacement(m.matched)
+      else s"LIMIT ${m.group(2)} OFFSET ${m.group(1)}")
+  }
+
   /** The two PRAGMA metadata verbs DuckDB clients commonly issue. */
   /** DuckDB's simplified `UNPIVOT` statement →
     * Spark's `SELECT * FROM … UNPIVOT (v FOR n IN (cols))`.
@@ -1817,10 +2008,10 @@ object Dialect {
     // every later rewrite (read_csv, brackets, //, …) and their file
     // paths hit the sandbox check at use time
     handleMacroVerb(spark, sql).getOrElse(
-      rewriteDistinctOn(rewriteQualify(rewriteExclude(rewriteSimilarTo(rewriteJsonOps(rewriteDateDiff(rewriteIntDiv(
+      rewriteDistinctOn(rewriteQualify(rewriteExclude(rewriteOffsetLimit(rewriteTildeOps(rewriteQuantified(rewriteAggOrder(rewriteSimilarTo(rewriteJsonOps(rewriteDateDiff(rewriteIntDiv(
         rewriteSample(rewriteStructPack(rewriteBrackets(rewriteBraces(
           rewriteUnionByName(spark, rewriteReplace(spark, rewriteColumns(spark, rewriteAsOf(rewriteGenerateSeries(rewriteSources(spark,
             rewritePivot(spark, rewriteUnpivot(rewriteSummarize(spark,
               rewritePragma(expandMacros(spark, rewriteFromFirst(sql)))))),
-            pathOk))))))))))))))))))
+            pathOk))))))))))))))))))))))
 }

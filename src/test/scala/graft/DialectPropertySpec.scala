@@ -25,7 +25,8 @@ class DialectPropertySpec extends AnyFunSuite {
     SparkEntry.oracleSql
       .filterNot { case (_, sql) =>
         Seq("[", "{", "//", ":=", "ASOF", "BY NAME", "SIMILAR",
-            "date_diff('", "datediff('")
+            "date_diff('", "datediff('", "string_agg", "array_agg",
+            "list(", "->", "::JSON")
           .exists(Dialect.hasUnquoted(sql, _)) }
       .foreach { case (name, sql) =>
         assert(Dialect.rewrite(spark, sql) == sql, s"rewrite altered oracle of $name")

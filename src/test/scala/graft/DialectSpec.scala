@@ -483,6 +483,21 @@ class DialectSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.body() == """[{"j":"\"x\"","v":"x","i":"6","c":"2","p":"1","l":[2,4]}]""")
   }
 
+  test("in-aggregate ORDER BY, tilde operators, ANY-over-list, OFFSET-LIMIT order") {
+    val r = post("""SELECT string_agg(n_name, '|' ORDER BY n_name DESC) AS s
+      FROM nation WHERE n_regionkey = 0""")
+    assert(r.statusCode() == 200 && r.body().contains("\"s\":\""))
+    val r2 = post("""SELECT array_agg(n_name ORDER BY n_nationkey DESC) AS l
+      FROM nation WHERE n_regionkey = 0""")
+    assert(r2.statusCode() == 200)
+    val r3 = post("""SELECT 'Abc' ~ 'A.*' AS a, 'Abc' ~ '^A' AS b,
+      'Abc' ~~ 'A%' AS c, 2 = ANY([1, 2]) AS d, 3 > ALL([1, 2]) AS e""")
+    assert(r3.statusCode() == 200)
+    assert(r3.body() == """[{"a":true,"b":false,"c":true,"d":true,"e":true}]""")
+    val r4 = post("SELECT n_name FROM nation ORDER BY n_name OFFSET 2 LIMIT 2")
+    assert(r4.statusCode() == 200 && r4.body().split("\\},\\{").length == 2)
+  }
+
   test("sandboxed server rejects dialect file sources outside allowed dirs") {
     val sandboxed = new QueryServer(spark, 0, allowedDirs = Seq("/nonexistent"))
     sandboxed.start()

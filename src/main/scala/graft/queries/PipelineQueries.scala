@@ -425,5 +425,33 @@ object PipelineQueries extends QueryModule {
           round(avg(abs(a)), 6) AS mean_abs,
           round(sqrt(avg(a * a)), 6) AS rms,
           CAST(max(abs(a)) AS BIGINT) AS peak
-        FROM v GROUP BY doc_id ORDER BY doc_id ASC NULLS LAST""")))
+        FROM v GROUP BY doc_id ORDER BY doc_id ASC NULLS LAST""")),
+
+    Q("n_chunk_overlap",
+      "Sliding-window chunking (64-token windows, stride 48) — the context-window prep step of a training pipeline — with per-language chunk-level dedup pressure (distinct chunk digests vs total chunks). Window generation is row-local sequence+slice inside codegen; only 16-byte md5 digests leave the row, so at 100 TB the distinct-count shuffles digests, never chunk text.",
+      (s, dir) => {
+        val chunks = T(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), split(col("text"), " ").as("w"))
+          .select(col("doc_id"), col("lang"),
+            explode(expr(
+              """transform(sequence(0, size(w) - 1, 48),
+                   s -> md5(concat_ws(' ', slice(w, s + 1, least(64, size(w) - s)))))"""))
+              .as("digest"))
+        chunks.groupBy(col("lang"))
+          .agg(countDistinct(col("doc_id")).as("n_docs"),
+            count(lit(1)).as("n_chunks"),
+            countDistinct(col("digest")).as("n_distinct_chunks"))
+          .withColumn("dup_chunk_ratio",
+            round((col("n_chunks") - col("n_distinct_chunks")).cast("double") / col("n_chunks"), 6))
+          .orderBy(col("lang").asc_nulls_last)
+      },
+      Some("""WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+        c AS (SELECT doc_id, lang,
+            md5(array_to_string(w[s + 1:least(s + 64, len(w))], ' ')) AS digest
+          FROM w, LATERAL (SELECT unnest(generate_series(0, len(w) - 1, 48)) AS s) g)
+        SELECT lang, count(DISTINCT doc_id) AS n_docs,
+          count(*) AS n_chunks,
+          count(DISTINCT digest) AS n_distinct_chunks,
+          round(CAST(count(*) - count(DISTINCT digest) AS DOUBLE) / count(*), 6) AS dup_chunk_ratio
+        FROM c GROUP BY lang ORDER BY lang ASC NULLS LAST""")))
 }

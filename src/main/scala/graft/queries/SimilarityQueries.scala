@@ -146,5 +146,66 @@ object SimilarityQueries extends QueryModule {
           round(sum(a.c * b.c) / (sqrt(sum(a.c * a.c)) * sqrt(sum(b.c * b.c))), 6) AS centroid_cos
         FROM dims a JOIN dims b ON a.dim = b.dim AND a.label < b.label
         GROUP BY a.label, b.label
-        ORDER BY la ASC NULLS LAST, lb ASC NULLS LAST""")))
+        ORDER BY la ASC NULLS LAST, lb ASC NULLS LAST""")),
+
+    Q("n_dedup_semantic",
+      "SemDeDup-style clustered embedding dedup (cf. the public semantic-dedup literature): vectors are assigned map-only to the nearest of k=8 broadcast centroid cells, near-dup pairs (cosine ≥ 0.3) are generated ONLY within a cell, and the greedy keep-lowest-id rule drops the rest. The cell assignment is the scale path — k grows with corpus size, so the per-cell quadratic stays bounded where a global (or even label-blocked) pair join would not. The deterministic low-id centroid seed stands in for an offline k-means model: same broadcast + argmax assignment shape, oracle-checkable.",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = T(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+        val cents = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").cast("int").as("cell"), col("embedding").as("cvec"))
+        val w = Window.partitionBy(col("vec_id"))
+          .orderBy(col("simr").desc, col("cell").asc)
+        // persisted: the a-side, b-side and per-cell count all read it —
+        // without the cache the broadcast-assign stage runs three times
+        val assigned = DedupQueries.retain(e.crossJoin(broadcast(cents))
+          .withColumn("simr", round(cosine("embedding", "cvec"), 6))
+          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("cell"), col("vec_id"), col("embedding")))
+        val a = assigned.select(col("cell"), col("vec_id").as("id_a"), col("embedding").as("va"))
+        val b = assigned.select(col("cell"), col("vec_id").as("id_b"), col("embedding").as("vb"))
+        val pairs = a.join(b, Seq("cell")).filter(col("id_a") < col("id_b"))
+          .filter(round(cosine("va", "vb"), 6) >= 0.3)
+          .select(col("cell"), col("id_a"), col("id_b"))
+        val pairCnt = pairs.groupBy(col("cell")).agg(count(lit(1)).as("n_pairs"))
+        val dropCnt = pairs.select(col("cell"), col("id_b")).distinct()
+          .groupBy(col("cell")).agg(count(lit(1)).as("n_dropped"))
+        assigned.groupBy(col("cell")).agg(count(lit(1)).as("n_vecs"))
+          .join(pairCnt, Seq("cell"), "left")
+          .join(dropCnt, Seq("cell"), "left")
+          .select(col("cell"), col("n_vecs"),
+            coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+            coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+            (col("n_vecs") - coalesce(col("n_dropped"), lit(0L))).as("n_kept"))
+          .orderBy(col("cell").asc_nulls_last)
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        c AS (SELECT CAST(vec_id AS INTEGER) AS cell, embedding AS cvec FROM e WHERE vec_id < 8),
+        sim AS (SELECT e.vec_id, c.cell, e.embedding,
+            round(list_sum(list_transform(list_zip(e.embedding, c.cvec),
+                p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+              / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+               * sqrt(list_sum(list_transform(c.cvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS simr
+          FROM e CROSS JOIN c),
+        assigned AS (SELECT vec_id, cell, embedding FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY simr DESC, cell ASC) AS rn
+            FROM sim) t
+          WHERE rn = 1),
+        pairs AS (SELECT a.cell, a.vec_id AS id_a, b.vec_id AS id_b
+          FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
+          WHERE round(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+              / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+               * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) >= 0.3),
+        v AS (SELECT cell, count(*) AS n_vecs FROM assigned GROUP BY cell),
+        p AS (SELECT cell, count(*) AS n_pairs FROM pairs GROUP BY cell),
+        d AS (SELECT cell, count(*) AS n_dropped FROM
+                (SELECT DISTINCT cell, id_b FROM pairs) t GROUP BY cell)
+        SELECT v.cell, v.n_vecs,
+          CAST(coalesce(p.n_pairs, 0) AS BIGINT) AS n_pairs,
+          CAST(coalesce(d.n_dropped, 0) AS BIGINT) AS n_dropped,
+          CAST(v.n_vecs - coalesce(d.n_dropped, 0) AS BIGINT) AS n_kept
+        FROM v LEFT JOIN p ON v.cell = p.cell LEFT JOIN d ON v.cell = d.cell
+        ORDER BY v.cell ASC NULLS LAST""")))
 }

@@ -453,5 +453,30 @@ object PipelineQueries extends QueryModule {
           count(*) AS n_chunks,
           count(DISTINCT digest) AS n_distinct_chunks,
           round(CAST(count(*) - count(DISTINCT digest) AS DOUBLE) / count(*), 6) AS dup_chunk_ratio
-        FROM c GROUP BY lang ORDER BY lang ASC NULLS LAST""")))
+        FROM c GROUP BY lang ORDER BY lang ASC NULLS LAST""")),
+
+    Q("n_shard_assign",
+      "Deterministic training-shard assignment: each doc lands in one of 8 output shards by content hash (first 8 md5 hex digits — same shard on any engine, cluster size, or partitioning), with per-shard doc/token/byte totals to prove write balance. This is the writer-side layout op: at 100 TB the assignment is a map-only expression and the only shuffle is the 8-group rollup, so shard files stream out with no global sort.",
+      (s, dir) =>
+        T(s, dir, "documents")
+          .select(
+            pmod(expr("CAST(conv(substr(md5(text), 1, 8), 16, 10) AS BIGINT)"), lit(8L)).as("shard"),
+            size(split(col("text"), " ")).as("n_toks"), col("n_chars"))
+          .groupBy(col("shard"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_toks")).as("n_tokens"),
+            sum(col("n_chars")).as("n_bytes"),
+            round(avg(col("n_toks")), 6).as("avg_doc_tokens"))
+          .orderBy(col("shard").asc_nulls_last),
+      Some("""WITH d AS (SELECT
+            list_reduce(list_transform(range(1, 9),
+              i -> CAST(strpos('0123456789abcdef', substr(md5(text), i, 1)) - 1 AS BIGINT)),
+              (a, b) -> a * 16 + b) % 8 AS shard,
+            len(string_split(text, ' ')) AS n_toks, n_chars
+          FROM documents)
+        SELECT shard, count(*) AS n_docs,
+          CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+          CAST(sum(n_chars) AS BIGINT) AS n_bytes,
+          round(avg(n_toks), 6) AS avg_doc_tokens
+        FROM d GROUP BY shard ORDER BY shard ASC NULLS LAST""")))
 }

@@ -199,5 +199,36 @@ object TextQueries extends QueryModule {
           FROM words, LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i) g)
         SELECT pair, CAST(sum(freq) AS BIGINT) AS n
         FROM pairs GROUP BY pair
-        ORDER BY n DESC, pair ASC LIMIT 50""")))
+        ORDER BY n DESC, pair ASC LIMIT 50""")),
+
+    Q("n_oov_rate",
+      "Tokenizer vocabulary coverage: the top-500 corpus words (deterministic count-then-word tie-break) form the vocabulary, then each language reports its token count and out-of-vocabulary rate — the go/no-go check before freezing a tokenizer on a multilingual corpus. The vocab is top-K small so it BROADCASTS; the corpus side is one explode + two partial-aggregated shuffles (word counts, language rollup) — no all-pairs anything, linear to 100 TB.",
+      (s, dir) => {
+        val toks = T(s, dir, "documents")
+          .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+          .filter(length(col("w")) > 0)
+        val vocab = toks.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("w").asc).limit(500)
+          .select(col("w"), lit(1).as("in_vocab"))
+        toks.join(broadcast(vocab), Seq("w"), "left")
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+          .withColumn("oov_rate",
+            round(col("n_oov").cast("double") / col("n_tokens"), 6))
+          .orderBy(col("lang").asc_nulls_last)
+      },
+      Some("""WITH toks AS (
+          SELECT lang, w FROM (
+            SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents) t
+          WHERE len(w) > 0),
+        vocab AS (
+          SELECT w FROM (
+            SELECT w, count(*) AS cnt FROM toks GROUP BY w
+            ORDER BY cnt DESC, w ASC LIMIT 500) v)
+        SELECT lang, count(*) AS n_tokens,
+          CAST(sum(CASE WHEN vocab.w IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+          round(CAST(sum(CASE WHEN vocab.w IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS oov_rate
+        FROM toks LEFT JOIN vocab ON toks.w = vocab.w
+        GROUP BY lang ORDER BY lang ASC NULLS LAST""")))
 }

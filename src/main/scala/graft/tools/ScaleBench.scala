@@ -22,7 +22,10 @@ object ScaleBench {
     // (filtered/constant-output ops like n_pii_scrub are excluded)
     "m_audio_features", "n_line_dedup", "n_seq_packing", "i_zorder_layout",
     "n_heavy_hitters", "j_funnel", "i_upsert_merge", "n_embed_quantize",
-    "n_ngram_pmi")
+    "n_ngram_pmi",
+    // round-5 additions: chunking explodes rows, semantic dedup pairs
+    // within cells, OOV joins the token stream, sharding is map+rollup
+    "n_chunk_overlap", "n_dedup_semantic", "n_oov_rate", "n_shard_assign")
 
   def main(args: Array[String]): Unit = {
     val dirA = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

@@ -478,5 +478,40 @@ object PipelineQueries extends QueryModule {
           CAST(sum(n_toks) AS BIGINT) AS n_tokens,
           CAST(sum(n_chars) AS BIGINT) AS n_bytes,
           round(avg(n_toks), 6) AS avg_doc_tokens
-        FROM d GROUP BY shard ORDER BY shard ASC NULLS LAST""")))
+        FROM d GROUP BY shard ORDER BY shard ASC NULLS LAST""")),
+
+    Q("n_mixture_weights",
+      "Data-mixture rebalancing: per-source token shares and the resample weight that moves the mixture to a uniform target, capped at 3x to bound repetition of small sources (the up-/down-sampling plan step of a training run). Weights divide exact int64 token totals (T / (k * tokens_s)) so both engines divide identical operands; the source rollup is one partial-aggregated shuffle over ~unit-count groups, and the totals relation is one tiny broadcast — linear at 100 TB.",
+      (s, dir) => {
+        val src = T(s, dir, "documents")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+        val tot = src.agg(sum(col("n_tokens")).as("tok_total"),
+          count(lit(1)).as("n_sources"))
+        src.crossJoin(broadcast(tot))
+          .select(col("source"), col("n_docs"), col("n_tokens"),
+            round(col("n_tokens").cast("double") / col("tok_total").cast("double"), 6)
+              .as("token_share"),
+            round(least(
+              col("tok_total").cast("double") / (col("n_sources") * col("n_tokens")).cast("double"),
+              lit(3.0)), 6).as("resample_weight"))
+          .withColumn("tokens_after",
+            round(col("n_tokens").cast("double") * col("resample_weight"), 0).cast("long"))
+          .orderBy(col("source").asc_nulls_last)
+      },
+      Some("""WITH src AS (
+          SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+          FROM documents GROUP BY source),
+        tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tok_total,
+            CAST(count(*) AS BIGINT) AS n_sources FROM src),
+        w AS (SELECT source, n_docs, n_tokens,
+            round(CAST(n_tokens AS DOUBLE) / CAST(tok_total AS DOUBLE), 6) AS token_share,
+            round(least(CAST(tok_total AS DOUBLE) / CAST(n_sources * n_tokens AS DOUBLE), 3.0), 6)
+              AS resample_weight
+          FROM src CROSS JOIN tot)
+        SELECT source, n_docs, n_tokens, token_share, resample_weight,
+          CAST(round(CAST(n_tokens AS DOUBLE) * resample_weight, 0) AS BIGINT) AS tokens_after
+        FROM w ORDER BY source ASC NULLS LAST""")))
 }

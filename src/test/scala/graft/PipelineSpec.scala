@@ -147,4 +147,30 @@ class PipelineSpec extends AnyFunSuite {
       else assert(s >= rawShare * 0.9)
     }
   }
+
+  test("shard assignment is partitioning-invariant and balanced") {
+    // the layout claim: shard ids derive from content only, so the same
+    // docs land in the same shards no matter how the input is split
+    val base = SparkEntry.queries("n_shard_assign")(spark, sf).collect()
+      .map(r => r.getAs[Long]("shard") -> (r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"))).toMap
+    val docs = T(spark, sf, "documents")
+    Seq(1, 7).foreach { np =>
+      val re = docs.repartition(np)
+      re.createOrReplaceTempView("shard_probe")
+      val again = spark.sql(
+        """SELECT pmod(CAST(conv(substr(md5(text), 1, 8), 16, 10) AS BIGINT), 8) AS shard,
+                  count(*) AS n_docs, CAST(sum(size(split(text, ' '))) AS BIGINT) AS n_tokens
+           FROM shard_probe GROUP BY shard""").collect()
+        .map(r => r.getAs[Long]("shard") -> (r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"))).toMap
+      assert(again == base, s"shard histogram changed under repartition($np)")
+    }
+    // balance: 8 content-hash shards of a uniform corpus stay within 3x
+    val counts = base.values.map(_._1)
+    assert(counts.max <= 3 * math.max(1L, counts.min))
+    // mixture weights: shares sum to 1, weights respect the 3x cap
+    val mix = SparkEntry.queries("n_mixture_weights")(spark, sf).collect()
+    assert(mix.nonEmpty)
+    assert(math.abs(mix.map(_.getAs[Double]("token_share")).sum - 1.0) < 1e-4)
+    mix.foreach(r => assert(r.getAs[Double]("resample_weight") <= 3.0))
+  }
 }

@@ -279,6 +279,48 @@ object DedupQueries extends QueryModule {
         WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.5
         ORDER BY id_a ASC NULLS LAST, id_b ASC NULLS LAST""")),
 
+    Q("n_dedup_containment",
+      "Containment near-dup (|A∩B| / min(|A|,|B|) ≥ 0.8 over the SAME DF-capped shingle relation): catches doc-CONTAINS-doc partial duplication — a quote, a boilerplate wrapper, a page embedding another — which symmetric Jaccard misses whenever the sizes differ a lot. Same bucketed equi-join candidate generation (never O(n²)), flags whether symmetric Jaccard ≥ 0.5 would also have caught the pair.",
+      (s, dir) => {
+        val sh = cappedShingles(s, dir)
+        val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+        val a = sh.as("a"); val b = sh.as("b")
+        a.join(b, col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+          .agg(count(lit(1)).as("inter"))
+          .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_sh", "na"), "id_a")
+          .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_sh", "nb"), "id_b")
+          // raw-ratio filter, display-only rounding (same discipline as
+          // jaccardPairs: a rounded filter would disagree with the oracle
+          // on ratios just under the threshold)
+          .withColumn("rawc", col("inter") / least(col("na"), col("nb")))
+          .filter(col("rawc") >= 0.8)
+          .select(col("id_a"), col("id_b"),
+            round(col("rawc"), 6).as("containment"),
+            (col("inter") / (col("na") + col("nb") - col("inter")) >= 0.5)
+              .as("jaccard_would_catch"))
+          .orderBy(col("id_a").asc_nulls_last, col("id_b").asc_nulls_last)
+      },
+      Some("""WITH sh0 AS (
+          SELECT DISTINCT doc_id, w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS sh
+          FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) d,
+               LATERAL (SELECT unnest(generate_series(0, len(w) - 3)) AS i) g),
+        sh AS (SELECT * FROM sh0 WHERE sh IN
+                 (SELECT sh FROM sh0 GROUP BY sh HAVING count(*) <= 1000)),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id)
+        SELECT id_a, id_b,
+          round(CAST(inter AS DOUBLE) / least(sa.n_sh, sb.n_sh), 6) AS containment,
+          CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.5 AS jaccard_would_catch
+        FROM pairs
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE CAST(inter AS DOUBLE) / least(sa.n_sh, sb.n_sh) >= 0.8
+        ORDER BY id_a ASC NULLS LAST, id_b ASC NULLS LAST""")),
+
     Q("n_dedup_minhash_lsh",
       "MinHash (32 perms via seeded xxhash64) + LSH banding (8 bands × 4 rows): candidate pairs verified with exact Jaccard over the SAME DF-capped shingle relation n_dedup_ngram_jaccard uses (one Jaccard definition everywhere). Oracle-exempt (engine-native hash); MinhashSpec asserts recall against the exact pairs.",
       (s, dir) => {

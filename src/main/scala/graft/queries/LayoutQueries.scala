@@ -107,15 +107,27 @@ object LayoutQueries extends QueryModule {
         ORDER BY pri ASC NULLS LAST, m ASC NULLS LAST""")),
 
     Q("d_equidepth_hist",
-      "Equi-depth histogram via the scalable two-pass pattern: pass 1 computes exact decile boundaries (sort-based percentile), pass 2 buckets every row MAP-SIDE against the broadcast 9-value boundary array — no global sort of the data, the shape that profiles 100 TB with one small aggregate plus one scan.",
+      "Equi-depth histogram via the scalable two-pass pattern: pass 1 computes exact decile boundaries from a RANGE-PARTITIONED distributed sort + per-partition order-statistic lookup (every partition sorts in parallel; only the 18 needed order stats come back — Spark's single-reduce exact `percentile` would merge a value→count map of every distinct value on one thread, an OOM at 100 TB on a high-cardinality column), pass 2 buckets every row MAP-SIDE against the 9-value boundary literal — no global sort of the data reaches the output.",
       (s, dir) => {
-        val b = T(s, dir, "lineitem").agg(expr(
-          "percentile(l_extendedprice, array(0.1D, 0.2D, 0.3D, 0.4D, 0.5D, 0.6D, 0.7D, 0.8D, 0.9D))")
-          .as("bounds"))
-        T(s, dir, "lineitem")
-          .select(col("l_extendedprice").as("x"))
-          .crossJoin(broadcast(b))
-          .withColumn("bucket", expr("CAST(size(filter(bounds, v -> x > v)) AS INT)"))
+        // pass 1: exact quantile_cont deciles, distributed. h = p*(n-1);
+        // bound = v[floor(h)] + (v[ceil(h)] - v[floor(h)]) * frac — the
+        // same interpolation (and float-op order) DuckDB uses.
+        val xs = T(s, dir, "lineitem")
+          .select(col("l_extendedprice").cast("double").as("x"))
+        val n = xs.count()
+        val hs = (1 to 9).map(d => d / 10.0 * (n - 1))
+        val needed = hs.flatMap(h => Seq(math.floor(h).toLong, math.ceil(h).toLong)).toSet
+        val stats: Map[Long, Double] = xs.orderBy(col("x").asc)
+          .rdd.map(_.getDouble(0)).zipWithIndex()
+          .filter { case (_, i) => needed.contains(i) }
+          .map { case (v, i) => (i, v) }
+          .collectAsMap().toMap
+        val bounds = hs.map { h =>
+          val (lo, hi) = (stats(math.floor(h).toLong), stats(math.ceil(h).toLong))
+          lo + (hi - lo) * (h - math.floor(h))
+        }
+        xs.withColumn("bucket",
+            expr(s"CAST(size(filter(array(${bounds.map(b => s"${b}D").mkString(",")}), v -> x > v)) AS INT)"))
           .groupBy(col("bucket"))
           .agg(count(lit(1)).as("n"),
             round(min(col("x")), 2).as("lo"), round(max(col("x")), 2).as("hi"))

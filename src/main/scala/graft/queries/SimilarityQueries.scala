@@ -153,7 +153,11 @@ object SimilarityQueries extends QueryModule {
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
         val e = T(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
-        val cents = e.filter(col("vec_id") < 8)
+        // k is the scale knob: per-cell pair work is ~(n/k)² so k grows
+        // with the corpus (k ≈ √n keeps it flat); the oracle mirrors the
+        // default, same convention as the spark.graft.dedup.* caps
+        val k = s.conf.get("spark.graft.semantic.k", "8").toInt
+        val cents = e.filter(col("vec_id") < k)
           .select(col("vec_id").cast("int").as("cell"), col("embedding").as("cvec"))
         val w = Window.partitionBy(col("vec_id"))
           .orderBy(col("simr").desc, col("cell").asc)

@@ -238,6 +238,14 @@ object GraftExtensions {
     // library's own quantile queries use percentile/approx instead.
     ("quantile_disc",
       info("quantile_disc", "quantile_disc(x, p) - exact discrete quantile (DuckDB semantics)."),
+      quantileDiscBuilder),
+    // bare `quantile` is DuckDB's alias of quantile_disc (verified:
+    // quantile(x, 0.5) over [1,2] = 1, the discrete lower value)
+    ("quantile",
+      info("quantile", "quantile(x, p) - DuckDB alias of quantile_disc."),
+      quantileDiscBuilder))
+
+  private def quantileDiscBuilder: Seq[Expression] => Expression =
       (args: Seq[Expression]) => {
         require(args.length == 2, s"quantile_disc expects 2 arguments, got ${args.length}")
         import org.apache.spark.sql.catalyst.expressions.{Cast, Multiply}
@@ -266,7 +274,12 @@ object GraftExtensions {
             Cast(n, org.apache.spark.sql.types.DoubleType)))),
             org.apache.spark.sql.types.IntegerType)))
         builtinBuilder("try_element_at")(Seq(sorted, idx))
-      }),
+      }
+
+  /** Continuation of the registration table (split around the shared
+    * quantile builder above purely for source organization).
+    */
+  private[graft] val registrations2: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     // DuckDB's float-accumulator aggregates: fsum/favg force DOUBLE
     // accumulation (Kahan in DuckDB; same value modulo fp order)
     ("fsum",
@@ -353,6 +366,238 @@ object GraftExtensions {
         if (args.length == 1) graft.functions.TruncDispatch(args.head)
         else builtinBuilder("trunc")(args)
       }))
+
+  /** Round-5 second long-tail batch. Every entry's semantics were
+    * verified against DuckDB 1.5 before registration (edge cases in
+    * the per-entry comments); anything NOT matching exactly stays
+    * unregistered so it fails loudly instead of silently diverging.
+    */
+  private[graft] val registrations3: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = {
+    import org.apache.spark.sql.catalyst.expressions.{Abs, Add, BitwiseXor, Cast, CaseWhen, Ceil, Divide, EqualTo, GreaterThan, If, LessThan, LessThanOrEqual, Literal, Multiply, Not, Or, Pmod, Remainder, Signum, Subtract, IsNaN, Length}
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue
+    import org.apache.spark.sql.types._
+    def two(name: String, args: Seq[Expression]): Unit =
+      require(args.length == 2, s"$name expects 2 arguments, got ${args.length}")
+    def one(name: String, args: Seq[Expression]): Unit =
+      require(args.length == 1, s"$name expects 1 argument, got ${args.length}")
+    def D(e: Expression) = Cast(e, DoubleType)
+    def raise(msg: String): Expression =
+      builtinBuilder("raise_error")(Seq(Literal(msg)))
+    // range/generate_series in the SELECT list return a BIGINT list in
+    // DuckDB. range is end-EXCLUSIVE, generate_series INCLUSIVE; step 0
+    // or a step pointing away from the stop yields [] (verified:
+    // range(0) = [], range(1,5,0) = [], generate_series(2,2,5) = [2],
+    // range(2,2,1) = []); 1-arg forms start at 0.
+    def series(fname: String, exclusive: Boolean)(args: Seq[Expression]): Expression = {
+      require(args.nonEmpty && args.length <= 3,
+        s"$fname expects 1-3 arguments, got ${args.length}")
+      def L(x: Long) = Literal(x)
+      def C(e: Expression) = Cast(e, LongType)
+      val (a, b, s) = args.length match {
+        case 1 => (L(0L), C(args(0)), L(1L))
+        case 2 => (C(args(0)), C(args(1)), L(1L))
+        case _ => (C(args(0)), C(args(1)), C(args(2)))
+      }
+      val dir = Multiply(Subtract(b, a), s)
+      val empty = Literal.create(Array.empty[Long], ArrayType(LongType))
+      val stop =
+        if (exclusive) Subtract(b, If(GreaterThan(s, L(0L)), L(1L), L(-1L))) else b
+      val isEmpty = Or(EqualTo(s, L(0L)),
+        if (exclusive) LessThanOrEqual(dir, L(0L)) else LessThan(dir, L(0L)))
+      CaseWhen(Seq((isEmpty, empty)),
+        Some(builtinBuilder("sequence")(Seq(a, stop, s))))
+    }
+    Seq(
+    ("xor",
+      info("xor", "xor(a, b) - bitwise xor (DuckDB: integers only; booleans fail loudly there too)."),
+      (args: Seq[Expression]) => { two("xor", args); BitwiseXor(args(0), args(1)) }),
+    ("add",
+      info("add", "add(a, b) - the + operator as a function."),
+      (args: Seq[Expression]) => { two("add", args); Add(args(0), args(1)) }),
+    ("subtract",
+      info("subtract", "subtract(a, b) - the - operator as a function."),
+      (args: Seq[Expression]) => { two("subtract", args); Subtract(args(0), args(1)) }),
+    ("multiply",
+      info("multiply", "multiply(a, b) - the * operator as a function."),
+      (args: Seq[Expression]) => { two("multiply", args); Multiply(args(0), args(1)) }),
+    ("divide",
+      info("divide", "divide(a, b) - integer division on integral operands (verified divide(-7,2) = -3), plain division otherwise."),
+      (args: Seq[Expression]) => { two("divide", args); graft.functions.DivideDispatch(args(0), args(1)) }),
+    // fdiv/fmod are DuckDB's FLOORED division/modulo as DOUBLE
+    // (verified fdiv(7,2) = 3.0; fmod(-7.5,2) = 0.5, fmod(7.5,-2) =
+    // -0.5, fmod(-7,-2) = -1 — exactly Spark's pmod on doubles)
+    ("fdiv",
+      info("fdiv", "fdiv(a, b) - floored division as DOUBLE (DuckDB semantics)."),
+      (args: Seq[Expression]) => { two("fdiv", args)
+        D(builtinBuilder("floor")(Seq(Divide(D(args(0)), D(args(1)))))) }),
+    ("fmod",
+      info("fmod", "fmod(a, b) - floored modulo as DOUBLE (DuckDB semantics: a - b*floor(a/b); pmod differs on negative divisors)."),
+      (args: Seq[Expression]) => { two("fmod", args)
+        val (a, b) = (D(args(0)), D(args(1)))
+        Subtract(a, Multiply(b, D(builtinBuilder("floor")(Seq(Divide(a, b)))))) }),
+    // even: round away from zero to the next even integer, DOUBLE
+    // (verified even(2.5) = 4, even(-2.5) = -4, even(2.0) = 2,
+    // even(0) = 0): sign(x) * (c + c%2) with c = ceil(|x|)
+    ("even",
+      info("even", "even(x) - round away from zero to the next even integer (DuckDB semantics)."),
+      (args: Seq[Expression]) => { one("even", args)
+        val xd = D(args.head)
+        val c = D(Ceil(Abs(xd)))
+        Multiply(Signum(xd), Add(c, Remainder(c, Literal(2.0)))) }),
+    ("isinf",
+      info("isinf", "isinf(x) - true when x is +/-Infinity."),
+      (args: Seq[Expression]) => { one("isinf", args)
+        val xd = D(args.head)
+        Or(EqualTo(xd, Literal(Double.PositiveInfinity)),
+          EqualTo(xd, Literal(Double.NegativeInfinity))) }),
+    ("isfinite",
+      info("isfinite", "isfinite(x) - true when x is neither NaN nor infinite."),
+      (args: Seq[Expression]) => { one("isfinite", args)
+        val xd = D(args.head)
+        And2(Not(IsNaN(xd)), Not(Or(EqualTo(xd, Literal(Double.PositiveInfinity)),
+          EqualTo(xd, Literal(Double.NegativeInfinity))))) }),
+    ("nextafter",
+      info("nextafter", "nextafter(a, b) - next representable double after a toward b."),
+      (args: Seq[Expression]) => { two("nextafter", args)
+        org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+          classOf[java.lang.Math], DoubleType, "nextAfter",
+          Seq(D(args(0)), D(args(1))), Seq(DoubleType, DoubleType),
+          returnNullable = false) }),
+    // unicode: codepoint of the FIRST character, -1 for '' (verified
+    // unicode('€x') = 8364, unicode('') = -1); Spark's ascii already
+    // returns full codepoints, so only the empty case needs the branch
+    ("unicode",
+      info("unicode", "unicode(s) - codepoint of the first character, -1 for empty (DuckDB semantics)."),
+      (args: Seq[Expression]) => { one("unicode", args)
+        CaseWhen(Seq((EqualTo(Length(args.head), Literal(0)), Literal(-1))),
+          Some(builtinBuilder("ascii")(args))) }),
+    ("to_base",
+      info("to_base", "to_base(n, base[, min_len]) - n rendered in base (uppercase, like DuckDB); negative n errors."),
+      (args: Seq[Expression]) => {
+        require(args.length == 2 || args.length == 3,
+          s"to_base expects 2 or 3 arguments, got ${args.length}")
+        val conv = builtinBuilder("conv")(
+          Seq(Cast(Cast(args(0), LongType), StringType), Literal(10), Cast(args(1), IntegerType)))
+        val padded = if (args.length == 3)
+          builtinBuilder("lpad")(Seq(conv, Cast(args(2), IntegerType), Literal("0")))
+        else conv
+        CaseWhen(Seq((LessThan(Cast(args(0), LongType), Literal(0L)),
+          raise("to_base: number must be greater than or equal to 0"))), Some(padded)) }),
+    // julian day as DOUBLE: epoch days + 2440588 (verified
+    // julian(DATE '1970-01-01') = 2440588.0; timestamps add the
+    // day-fraction: julian(2024-03-05 12:00) = 2460375.5)
+    ("julian",
+      info("julian", "julian(d) - Julian day number as DOUBLE (DuckDB semantics)."),
+      (args: Seq[Expression]) => { one("julian", args)
+        Add(Divide(D(builtinBuilder("unix_micros")(
+            Seq(Cast(args.head, TimestampType)))), Literal(86400e6)),
+          Literal(2440588.0)) }),
+    ("constant_or_null",
+      info("constant_or_null", "constant_or_null(x, cond...) - x, or NULL when any cond is NULL (DuckDB semantics)."),
+      (args: Seq[Expression]) => {
+        require(args.length >= 2, s"constant_or_null expects >= 2 arguments, got ${args.length}")
+        val allSet = args.tail.map(a =>
+          org.apache.spark.sql.catalyst.expressions.IsNotNull(a): Expression)
+          .reduce((x, y) => And2(x, y))
+        CaseWhen(Seq((allSet, args.head)), None) }),
+    ("struct_extract",
+      info("struct_extract", "struct_extract(s, 'name') - field access as a function."),
+      (args: Seq[Expression]) => { two("struct_extract", args)
+        UnresolvedExtractValue(args(0), args(1)) }),
+    // hamming errors on unequal lengths, like DuckDB ("Strings must be
+    // of equal length"); distance counts differing positions (BIGINT)
+    ("hamming",
+      info("hamming", "hamming(a, b) - positional differences; errors when lengths differ (DuckDB semantics)."),
+      (args: Seq[Expression]) => { two("hamming", args)
+        import org.apache.spark.sql.catalyst.expressions.{ArrayFilter, LambdaFunction, UnresolvedNamedLambdaVariable}
+        val x = UnresolvedNamedLambdaVariable(Seq("__hx"))
+        val y = UnresolvedNamedLambdaVariable(Seq("__hy"))
+        def chars(e: Expression) = builtinBuilder("split")(Seq(e, Literal("")))
+        val diffs = builtinBuilder("zip_with")(Seq(chars(args(0)), chars(args(1)),
+          LambdaFunction(Not(EqualTo(x, y)), Seq(x, y))))
+        val v = UnresolvedNamedLambdaVariable(Seq("__hv"))
+        val cnt = Cast(builtinBuilder("size")(
+          Seq(ArrayFilter(diffs, LambdaFunction(v, Seq(v))))), LongType)
+        CaseWhen(Seq((Not(EqualTo(Length(args(0)), Length(args(1)))),
+          raise("hamming: strings must be of equal length"))), Some(cnt)) }),
+    // DuckDB day numbering: dayofweek Sunday=0..Saturday=6 (Spark's is
+    // 1-based); isodow Monday=1..Sunday=7 (= Spark weekday + 1)
+    ("dayofweek",
+      info("dayofweek", "dayofweek(d) - Sunday=0..Saturday=6 (DuckDB numbering)."),
+      (args: Seq[Expression]) => { one("dayofweek", args)
+        Subtract(builtinBuilder("dayofweek")(args), Literal(1)) }),
+    ("isodow",
+      info("isodow", "isodow(d) - ISO day of week, Monday=1..Sunday=7."),
+      (args: Seq[Expression]) => { one("isodow", args)
+        Add(builtinBuilder("weekday")(args), Literal(1)) }),
+    // yearweek: ISO week-year * 100 + ISO week (verified
+    // yearweek(2023-01-01) = 202252, yearweek(2024-12-30) = 202501);
+    // the ISO year is the year of that week's Thursday
+    ("yearweek",
+      info("yearweek", "yearweek(d) - ISO year*100 + ISO week (DuckDB semantics)."),
+      (args: Seq[Expression]) => { one("yearweek", args)
+        val isodow = Add(builtinBuilder("weekday")(Seq(args.head)), Literal(1))
+        val thursday = builtinBuilder("date_add")(
+          Seq(Cast(args.head, DateType), Subtract(Literal(4), isodow)))
+        Add(Multiply(builtinBuilder("year")(Seq(thursday)), Literal(100)),
+          builtinBuilder("weekofyear")(Seq(args.head))) }),
+    // timezone(tz, naive_ts) interprets the naive timestamp IN tz and
+    // returns the instant (verified 10:00 America/New_York → 15:00
+    // UTC) — exactly to_utc_timestamp with swapped arguments
+    ("timezone",
+      info("timezone", "timezone(tz, ts) - interpret naive ts in tz (DuckDB AT TIME ZONE semantics)."),
+      (args: Seq[Expression]) => { two("timezone", args)
+        builtinBuilder("to_utc_timestamp")(Seq(args(1), args(0))) }),
+    // entropy: Shannon entropy (log2) of the value distribution,
+    // NULLs skipped, all-NULL group → 0.0 (verified entropy(['a','a',
+    // NULL,'b']) = 0.918..., entropy([NULL]) = 0.0). Composed as
+    // log2(n) − Σ c·log2(c)/n with the run counts c from ONE pass of
+    // the aggregate HOF over the sorted collected values (stringified
+    // for type-generic equality) — same independent-aggregate trick as
+    // quantile_disc (count + collect_list, never the same subtree twice)
+    ("entropy",
+      info("entropy", "entropy(x) - Shannon entropy, log base 2 (DuckDB semantics)."),
+      (args: Seq[Expression]) => { one("entropy", args)
+        import org.apache.spark.sql.catalyst.expressions.{EqualNullSafe, LambdaFunction, UnresolvedNamedLambdaVariable}
+        def agg(name: String, in: Expression): Expression =
+          builtinBuilder(name)(Seq(in)) match {
+            case f: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateFunction =>
+              f.toAggregateExpression()
+            case e => e
+          }
+        def field(st: Expression, f: String) = UnresolvedExtractValue(st, Literal(f))
+        def st3(p: Expression, c: Expression, a: Expression) =
+          builtinBuilder("named_struct")(Seq(
+            Literal("p"), p, Literal("c"), c, Literal("a"), a))
+        def term(c: Expression): Expression =
+          CaseWhen(Seq((EqualTo(c, Literal(0L)), Literal(0.0))),
+            Some(Multiply(D(c), builtinBuilder("log2")(Seq(D(c))))))
+        val n = agg("count", args.head)
+        val arr = builtinBuilder("sort_array")(Seq(
+          agg("collect_list", Cast(args.head, StringType)), Literal(true)))
+        val acc = UnresolvedNamedLambdaVariable(Seq("__e_acc"))
+        val v = UnresolvedNamedLambdaVariable(Seq("__e_v"))
+        val seed = st3(Literal.create(null, StringType), Literal(0L), Literal(0.0))
+        val step = LambdaFunction(
+          CaseWhen(Seq((EqualNullSafe(v, field(acc, "p")),
+            st3(field(acc, "p"), Add(field(acc, "c"), Literal(1L)), field(acc, "a")))),
+            Some(st3(v, Literal(1L), Add(field(acc, "a"), term(field(acc, "c")))))),
+          Seq(acc, v))
+        val fin = LambdaFunction(Add(field(acc, "a"), term(field(acc, "c"))), Seq(acc))
+        val sum = builtinBuilder("aggregate")(Seq(arr, seed, step, fin))
+        CaseWhen(Seq((EqualTo(n, Literal(0L)), Literal(0.0))),
+          Some(Subtract(builtinBuilder("log2")(Seq(D(n))), Divide(sum, D(n))))) }),
+    ("range",
+      info("range", "range([start,] stop[, step]) - end-EXCLUSIVE BIGINT list (DuckDB semantics)."),
+      (args: Seq[Expression]) => series("range", exclusive = true)(args)),
+    ("generate_series",
+      info("generate_series", "generate_series([start,] stop[, step]) - end-INCLUSIVE BIGINT list (DuckDB semantics)."),
+      (args: Seq[Expression]) => series("generate_series", exclusive = false)(args)))
+  }
+
+  /** And with Spark's three-valued NULL logic (plain catalyst And). */
+  private def And2(a: Expression, b: Expression): Expression =
+    org.apache.spark.sql.catalyst.expressions.And(a, b)
 
   /** `array_distinct(filter(arr, x -> x IS NOT NULL))` — DuckDB's
     * notion of a list's distinct elements (NULLs dropped).
@@ -626,7 +871,15 @@ object GraftExtensions {
     "unnest" -> "explode",
     // DuckDB's list(x) aggregate (NULL-keeping there, NULL-skipping
     // here — the same pre-existing divergence as the array_agg alias)
-    "list" -> "collect_list")
+    "list" -> "collect_list",
+    // round-5 second batch: editdist3 is DuckDB's levenshtein alias;
+    // week = ISO week on both engines (verified week(2024-12-30) = 1 =
+    // Spark weekofyear); to_hex/from_hex are both uppercase-hex/binary
+    // exactly like Spark's hex/unhex (verified to_hex(255) = 'FF')
+    "editdist3" -> "levenshtein",
+    "week" -> "weekofyear",
+    "to_hex" -> "hex",
+    "from_hex" -> "unhex")
 
   private def aliasRegistrations: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = {
     val builtin = org.apache.spark.sql.catalyst.analysis.FunctionRegistry.builtin
@@ -638,7 +891,7 @@ object GraftExtensions {
   }
 
   private[graft] def allRegistrations: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] =
-    registrations ++ aliasRegistrations
+    registrations ++ registrations2 ++ registrations3 ++ aliasRegistrations
 
   /** DuckDB's `product(x)` aggregate: multiplies non-NULL doubles,
     * NULL when no values (verified). A typed Aggregator — there is no
@@ -671,5 +924,88 @@ object GraftExtensions {
     }
     spark.udf.register("product",
       org.apache.spark.sql.functions.udaf(ProductAgg, org.apache.spark.sql.Encoders.DOUBLE))
+    // String-distance / normalization functions with no Spark builtin
+    // equivalent — shim-layer scalar UDFs (not used by any library hot
+    // path; the library's own fuzzy-dedup uses the codegen'd kernels).
+    // Each verified against DuckDB 1.5:
+    //   jaro_similarity('martha','marhta') = 0.944..., winkler 0.961...
+    //   damerau_levenshtein('abc','acb') = 1; strip_accents('éà')='ea'
+    def nd(f: (String, String) => Double): (String, String) => java.lang.Double =
+      (a, b) => if (a == null || b == null) null else java.lang.Double.valueOf(f(a, b))
+    def nl(f: (String, String) => Long): (String, String) => java.lang.Long =
+      (a, b) => if (a == null || b == null) null else java.lang.Long.valueOf(f(a, b))
+    spark.udf.register("jaro_similarity", nd(StringDistances.jaro))
+    spark.udf.register("jaro_winkler_similarity", nd(StringDistances.jaroWinkler))
+    spark.udf.register("damerau_levenshtein", nl(StringDistances.damerauLevenshtein))
+    spark.udf.register("nfc_normalize", (s: String) =>
+      if (s == null) null
+      else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+    spark.udf.register("strip_accents", (s: String) =>
+      if (s == null) null
+      else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFD)
+        .replaceAll("\\p{M}", ""))
+  }
+
+  /** Textbook Jaro / Jaro-Winkler / Damerau-Levenshtein (the full
+    * unrestricted-transposition variant DuckDB exposes is OSA there —
+    * verified damerau_levenshtein('ca','abc') below settles which).
+    */
+  private[graft] object StringDistances {
+    def jaro(a: String, b: String): Double = {
+      if (a.isEmpty && b.isEmpty) return 1.0
+      if (a.isEmpty || b.isEmpty) return 0.0
+      val window = math.max(0, math.max(a.length, b.length) / 2 - 1)
+      val aM = new Array[Boolean](a.length)
+      val bM = new Array[Boolean](b.length)
+      var m = 0
+      for (i <- a.indices) {
+        val lo = math.max(0, i - window); val hi = math.min(b.length - 1, i + window)
+        var j = lo
+        var hit = false
+        while (j <= hi && !hit) {
+          if (!bM(j) && a.charAt(i) == b.charAt(j)) { aM(i) = true; bM(j) = true; m += 1; hit = true }
+          j += 1
+        }
+      }
+      if (m == 0) return 0.0
+      var t = 0; var k = 0
+      for (i <- a.indices if aM(i)) {
+        while (!bM(k)) k += 1
+        if (a.charAt(i) != b.charAt(k)) t += 1
+        k += 1
+      }
+      (m.toDouble / a.length + m.toDouble / b.length + (m - t / 2.0) / m) / 3.0
+    }
+    def jaroWinkler(a: String, b: String): Double = {
+      val j = jaro(a, b)
+      var l = 0
+      while (l < math.min(4, math.min(a.length, b.length)) && a.charAt(l) == b.charAt(l)) l += 1
+      j + l * 0.1 * (1.0 - j)
+    }
+    // FULL Damerau-Levenshtein (Lowrance-Wagner), not the restricted
+    // OSA variant: verified DuckDB damerau_levenshtein('ca','abc') = 2
+    // (OSA would say 3)
+    def damerauLevenshtein(a: String, b: String): Long = {
+      val (n, m) = (a.length, b.length)
+      val inf = n + m
+      val d = Array.ofDim[Int](n + 2, m + 2)
+      d(0)(0) = inf
+      for (i <- 0 to n) { d(i + 1)(0) = inf; d(i + 1)(1) = i }
+      for (j <- 0 to m) { d(0)(j + 1) = inf; d(1)(j + 1) = j }
+      val da = scala.collection.mutable.Map.empty[Char, Int]
+      for (i <- 1 to n) {
+        var db = 0
+        for (j <- 1 to m) {
+          val k = da.getOrElse(b.charAt(j - 1), 0)
+          val l = db
+          val cost = if (a.charAt(i - 1) == b.charAt(j - 1)) { db = j; 0 } else 1
+          d(i + 1)(j + 1) = math.min(
+            math.min(d(i)(j) + cost, d(i + 1)(j) + 1),
+            math.min(d(i)(j + 1) + 1, d(k)(l) + (i - k - 1) + 1 + (j - l - 1)))
+        }
+        da(a.charAt(i - 1)) = i
+      }
+      d(n + 1)(m + 1).toLong
+    }
   }
 }

@@ -49,3 +49,32 @@ case class FmtArgCast(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): FmtArgCast =
     copy(child = newChild)
 }
+
+/** DuckDB's `divide(a, b)`: integer division (truncating toward zero,
+  * like DuckDB's `//` on integers — verified divide(-7, 2) = -3) when
+  * BOTH operands are integral, plain division otherwise (verified
+  * divide(7.5, 2.0) = 3.75). Type-dispatched after analysis, same
+  * pattern as [[TruncDispatch]].
+  */
+case class DivideDispatch(left: Expression, right: Expression)
+    extends BinaryExpression with RuntimeReplaceable {
+
+  private def integral(t: DataType): Boolean = t match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
+  }
+
+  // built post-analysis: coercion won't run, so feed IntegralDivide
+  // the LongType operands it expects (result is BIGINT; DuckDB keeps
+  // the narrower int type — value-identical)
+  override lazy val replacement: Expression =
+    if (integral(left.dataType) && integral(right.dataType))
+      IntegralDivide(Cast(left, LongType), Cast(right, LongType))
+    else Divide(Cast(left, DoubleType), Cast(right, DoubleType))
+
+  override def prettyName: String = "divide"
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DivideDispatch =
+    copy(left = newLeft, right = newRight)
+}

@@ -942,7 +942,7 @@ object Dialect {
     * Multi-key or NULLS-qualified specs are left alone → loud parse
     * error, never a silently unsorted result.
     */
-  private val AggOrderRe = """(?i)\b(string_agg|array_agg|list)\s*\(""".r
+  private val AggOrderRe = """(?i)\b(string_agg|array_agg|list|first|last|arbitrary)\s*\(""".r
 
   private def rewriteAggOrder(sql: String): String = {
     var s = sql
@@ -988,6 +988,21 @@ object Dialect {
       if (args.isEmpty || args.length > 2) return None
       val sep = if (args.length == 2) args(1) else "','" // DuckDB's default
       Some(s"listagg(${args.head}, $sep) WITHIN GROUP (ORDER BY $spec)")
+    } else if (fn == "first" || fn == "last" || fn == "arbitrary") {
+      // first(x ORDER BY k) is the x of the minimum k = min_by(x, k)
+      // (verified: first/arbitrary pick the first sorted row, last the
+      // final one; DESC flips). Multi-key / NULLS specs stay loud.
+      val keys = splitTopLevel(spec, ',').map(_.trim)
+      if (keys.length != 1 || keys.head.toUpperCase.contains("NULLS")) return None
+      var key = keys.head
+      var desc = false
+      val up = key.toUpperCase
+      if (up.endsWith(" DESC")) { desc = true; key = key.dropRight(5).trim }
+      else if (up.endsWith(" ASC")) key = key.dropRight(4).trim
+      val x = argsPart.trim
+      if (x.toUpperCase.startsWith("DISTINCT ") || splitTopLevel(x, ',').length != 1) return None
+      val wantMin = (fn != "last") ^ desc
+      Some(s"${if (wantMin) "min_by" else "max_by"}($x, $key)")
     } else {
       val keys = splitTopLevel(spec, ',').map(_.trim)
       if (keys.length != 1 || keys.head.toUpperCase.contains("NULLS")) return None

@@ -498,6 +498,62 @@ class DialectSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r4.statusCode() == 200 && r4.body().split("\\},\\{").length == 2)
   }
 
+  test("round-5 function batch returns DuckDB-verified values") {
+    // every expected value below was produced by DuckDB 1.5 itself
+    def one(sql: String, expect: String): Unit = {
+      val r = post(sql)
+      assert(r.statusCode() == 200, s"$sql -> ${r.body()}")
+      assert(r.body() == expect, s"$sql -> ${r.body()} (wanted $expect)")
+    }
+    one("SELECT divide(7, 2) AS a, divide(-7, 2) AS b, divide(7.5, 2.0) AS c",
+      """[{"a":3,"b":-3,"c":3.75}]""")
+    one("SELECT fdiv(7, 2) AS a, fmod(-7.5, 2.0) AS b, fmod(7.5, -2.0) AS c, xor(5, 3) AS d",
+      """[{"a":3.0,"b":0.5,"c":-0.5,"d":6}]""")
+    one("SELECT even(2.5) AS a, even(-2.5) AS b, even(2.0) AS c",
+      """[{"a":4.0,"b":-4.0,"c":2.0}]""")
+    one("SELECT unicode('€x') AS a, unicode('') AS b",
+      """[{"a":8364,"b":-1}]""")
+    one("SELECT to_base(255, 16) AS a, to_base(10, 2, 8) AS b",
+      """[{"a":"FF","b":"00001010"}]""")
+    one("SELECT julian(DATE '1970-01-01') AS a, julian(TIMESTAMP '2024-03-05 12:00:00') AS b",
+      """[{"a":2440588.0,"b":2460375.5}]""")
+    one("SELECT dayofweek(DATE '2024-03-03') AS a, isodow(DATE '2024-03-03') AS b, " +
+      "week(DATE '2024-12-30') AS c, yearweek(DATE '2024-12-30') AS d, yearweek(DATE '2023-01-01') AS e",
+      """[{"a":0,"b":7,"c":1,"d":202501,"e":202252}]""")
+    one("SELECT hamming('abc', 'abd') AS a, editdist3('kitten', 'sitting') AS b",
+      """[{"a":1,"b":3}]""")
+    assert(post("SELECT hamming('ab', 'abc') AS x").statusCode() >= 400) // unequal lengths error, like DuckDB
+    one("SELECT round(jaro_similarity('martha', 'marhta'), 6) AS a, " +
+      "round(jaro_winkler_similarity('martha', 'marhta'), 6) AS b, " +
+      "damerau_levenshtein('ca', 'abc') AS c", // full DL: 2 (OSA would say 3)
+      """[{"a":0.944444,"b":0.961111,"c":2}]""")
+    one("SELECT strip_accents('éà') AS a, nfc_normalize('é') = 'é' AS b",
+      """[{"a":"ea","b":true}]""")
+    one("SELECT range(3) AS a, range(0) AS b, range(5, 2, -1) AS c, range(1, 5, 0) AS d",
+      """[{"a":[0,1,2],"b":[],"c":[5,4,3],"d":[]}]""")
+    one("SELECT generate_series(3) AS a, generate_series(5, 1, -2) AS b, generate_series(2, 2, 5) AS c",
+      """[{"a":[0,1,2,3],"b":[5,3,1],"c":[2]}]""")
+    one("SELECT round(entropy(x), 6) AS e FROM (VALUES ('a'),('a'),(NULL),('b')) t(x)",
+      """[{"e":0.918296}]""")
+    one("SELECT entropy(x) AS e FROM (VALUES (CAST(NULL AS INT))) t(x)",
+      """[{"e":0.0}]""")
+    one("SELECT struct_extract({'a': 1, 'b': 2}, 'b') AS v",
+      """[{"v":2}]""")
+    one("SELECT constant_or_null(5, NULL) AS a, constant_or_null(5, 1) AS b",
+      """[{"a":null,"b":5}]""")
+    one("SELECT quantile(x, 0.5) AS m FROM (VALUES (1.0),(2.0)) t(x)",
+      """[{"m":1.0}]""")
+    one("SELECT first(x ORDER BY y) AS a, last(x ORDER BY y) AS b, first(x ORDER BY y DESC) AS c " +
+      "FROM (VALUES ('a', 2), ('b', 1), ('c', 3)) t(x, y)",
+      """[{"a":"b","b":"c","c":"c"}]""")
+    one("SELECT timezone('America/New_York', TIMESTAMP '2024-03-05 10:00:00') AS t",
+      """[{"t":"2024-03-05 15:00:00"}]""")
+    one("SELECT isnan('nan'::DOUBLE) AS a, isinf('inf'::DOUBLE) AS b, isfinite(1.0) AS c",
+      """[{"a":true,"b":true,"c":true}]""")
+    one("SELECT to_hex(255) AS a, nextafter(1.0, 2.0) AS b",
+      """[{"a":"FF","b":1.0000000000000002}]""")
+  }
+
   test("sandboxed server rejects dialect file sources outside allowed dirs") {
     val sandboxed = new QueryServer(spark, 0, allowedDirs = Seq("/nonexistent"))
     sandboxed.start()

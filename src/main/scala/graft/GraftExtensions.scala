@@ -587,6 +587,68 @@ object GraftExtensions {
         val sum = builtinBuilder("aggregate")(Seq(arr, seed, step, fin))
         CaseWhen(Seq((EqualTo(n, Literal(0L)), Literal(0.0))),
           Some(Subtract(builtinBuilder("log2")(Seq(D(n))), Divide(sum, D(n))))) }),
+    // signbit is plain x < 0 in DuckDB (verified signbit(-0.0) = false
+    // there — it does NOT inspect the IEEE sign bit of negative zero)
+    ("signbit",
+      info("signbit", "signbit(x) - x < 0 (DuckDB semantics; -0.0 is false)."),
+      (args: Seq[Expression]) => { one("signbit", args)
+        LessThan(D(args.head), Literal(0.0)) }),
+    // mad: median absolute deviation as DOUBLE (verified mad([1,2,4])
+    // = 1.0, mad([1.0,2.0]) = 0.5 — quantile_cont interpolation).
+    // Composed from THREE independent aggregates (count + two sorted
+    // collect_lists — each referenced exactly once, because repeated
+    // references to a non-deterministic aggregate break planning):
+    // median = mean of the 1-2 middle elements via a slice fold, then
+    // the same over the sorted absolute deviations.
+    ("mad",
+      info("mad", "mad(x) - median absolute deviation (DuckDB semantics)."),
+      (args: Seq[Expression]) => { one("mad", args)
+        import org.apache.spark.sql.catalyst.expressions.{Floor, LambdaFunction, UnresolvedNamedLambdaVariable}
+        def agg(name: String, in: Expression): Expression =
+          builtinBuilder(name)(Seq(in)) match {
+            case f: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateFunction =>
+              f.toAggregateExpression()
+            case e => e
+          }
+        def field(st: Expression, f: String) = UnresolvedExtractValue(st, Literal(f))
+        val n = agg("count", args.head)
+        val lo = Cast(Add(Floor(Divide(D(Subtract(n, Literal(1L))), Literal(2.0))), Literal(1L)), IntegerType)
+        val len = Cast(Subtract(Literal(2L), Remainder(n, Literal(2L))), IntegerType) // 1 if n odd, 2 if even
+        def meanOfMiddle(sortedArr: Expression): Expression = {
+          val a = UnresolvedNamedLambdaVariable(Seq("__m_a"))
+          val v = UnresolvedNamedLambdaVariable(Seq("__m_v"))
+          val seed = builtinBuilder("named_struct")(Seq(
+            Literal("s"), Literal(0.0), Literal("c"), Literal(0L)))
+          val step = LambdaFunction(builtinBuilder("named_struct")(Seq(
+            Literal("s"), Add(field(a, "s"), v),
+            Literal("c"), Add(field(a, "c"), Literal(1L)))), Seq(a, v))
+          val fin = LambdaFunction(Divide(field(a, "s"), D(field(a, "c"))), Seq(a))
+          builtinBuilder("aggregate")(Seq(
+            builtinBuilder("slice")(Seq(sortedArr, lo, len)), seed, step, fin))
+        }
+        def sortedList: Expression = builtinBuilder("sort_array")(Seq(
+          agg("collect_list", D(args.head)), Literal(true)))
+        val med = meanOfMiddle(sortedList)
+        val dv = UnresolvedNamedLambdaVariable(Seq("__m_d"))
+        val devs = builtinBuilder("sort_array")(Seq(
+          builtinBuilder("transform")(Seq(agg("collect_list", D(args.head)),
+            LambdaFunction(Abs(Subtract(dv, med)), Seq(dv)))), Literal(true)))
+        meanOfMiddle(devs) }),
+    // struct_insert arrives as graft_struct_insert(s, 'k1', v1, ...)
+    // via the dialect's := rewrite; UpdateFields appends/overwrites
+    // fields exactly like DuckDB's struct_insert
+    ("graft_struct_insert",
+      info("graft_struct_insert", "struct_insert(s, k := v, ...) - add fields to a struct."),
+      (args: Seq[Expression]) => {
+        require(args.length >= 3 && args.length % 2 == 1,
+          s"struct_insert expects a struct plus name/value pairs, got ${args.length} args")
+        args.drop(1).grouped(2).foldLeft(args.head) { case (acc, Seq(k, v)) =>
+          val name = k match {
+            case Literal(s, StringType) if s != null => s.toString
+            case _ => throw new IllegalArgumentException("struct_insert: field names must be identifiers")
+          }
+          org.apache.spark.sql.catalyst.expressions.UpdateFields(acc, name, v)
+        } }),
     ("range",
       info("range", "range([start,] stop[, step]) - end-EXCLUSIVE BIGINT list (DuckDB semantics)."),
       (args: Seq[Expression]) => series("range", exclusive = true)(args)),
@@ -944,6 +1006,14 @@ object GraftExtensions {
       if (s == null) null
       else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFD)
         .replaceAll("\\p{M}", ""))
+    // gamma/lgamma via commons-math3 (ships with Spark — verified
+    // gamma(5) = 24, lgamma(5) = 3.178..., gamma(0.5) = sqrt(pi))
+    def nd1(f: Double => Double): java.lang.Double => java.lang.Double =
+      x => if (x == null) null else java.lang.Double.valueOf(f(x.doubleValue()))
+    spark.udf.register("gamma",
+      nd1(org.apache.commons.math3.special.Gamma.gamma))
+    spark.udf.register("lgamma",
+      nd1(org.apache.commons.math3.special.Gamma.logGamma))
   }
 
   /** Textbook Jaro / Jaro-Winkler / Damerau-Levenshtein (the full

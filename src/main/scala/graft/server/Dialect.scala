@@ -651,9 +651,14 @@ object Dialect {
   }
 
   /** `struct_pack(a := 1, b := x)` → `named_struct('a', 1, 'b', x)` —
-    * DuckDB's named-argument struct constructor.
+    * DuckDB's named-argument struct constructor — and
+    * `struct_insert(s, b := 2)` → `graft_struct_insert(s, 'b', 2)`
+    * (the UpdateFields builder in GraftExtensions).
     */
-  private def rewriteStructPack(sql: String): String = {
+  private def rewriteStructPack(sql: String): String =
+    rewriteNamedArgFn(rewriteNamedArgFn(sql, "STRUCT_PACK", 0), "STRUCT_INSERT", 1)
+
+  private def rewriteNamedArgFn(sql: String, fname: String, positional: Int): String = {
     var s = sql
     var guard = 0
     while (guard < 1000) {
@@ -664,17 +669,17 @@ object Dialect {
         var i = 0
         var found = -1
         while (i < s.length && found < 0) {
-          if (!mask(i) && upper.startsWith("STRUCT_PACK", i) &&
+          if (!mask(i) && upper.startsWith(fname, i) &&
               (i == 0 || !isWordChar(s.charAt(i - 1))) &&
-              (i + 11 < s.length && !isWordChar(s.charAt(i + 11))))
+              (i + fname.length < s.length && !isWordChar(s.charAt(i + fname.length))))
             found = i
           i += 1
         }
         found
       }
       if (at < 0) return s
-      val open = s.indexOf('(', at + 11)
-      if (open < 0 || s.substring(at + 11, open).trim.nonEmpty) return s
+      val open = s.indexOf('(', at + fname.length)
+      if (open < 0 || s.substring(at + fname.length, open).trim.nonEmpty) return s
       val mask = quoteMask(s)
       var depth = 0; var j = open; var close = -1
       while (j < s.length && close < 0) {
@@ -685,17 +690,23 @@ object Dialect {
         j += 1
       }
       if (close < 0) return s
-      val args = splitTopLevel(s.substring(open + 1, close), ',').map { part =>
-        val i2 = part.indexOf(":=")
-        if (i2 < 0) None
+      val parts = splitTopLevel(s.substring(open + 1, close), ',')
+      if (parts.length <= positional) return s
+      val args = parts.zipWithIndex.map { case (part, idx) =>
+        if (idx < positional) Some(part.trim) // leading positional args pass through
         else {
-          val key = part.substring(0, i2).trim
-          val value = part.substring(i2 + 2).trim
-          if (key.nonEmpty && key.forall(isWordChar)) Some(s"'$key', $value") else None
+          val i2 = part.indexOf(":=")
+          if (i2 < 0) None
+          else {
+            val key = part.substring(0, i2).trim
+            val value = part.substring(i2 + 2).trim
+            if (key.nonEmpty && key.forall(isWordChar)) Some(s"'$key', $value") else None
+          }
         }
       }
-      if (args.isEmpty || args.exists(_.isEmpty)) return s
-      s = s.substring(0, at) + "named_struct(" + args.flatten.mkString(", ") + ")" + s.substring(close + 1)
+      if (args.length == positional || args.exists(_.isEmpty)) return s
+      val target = if (fname == "STRUCT_PACK") "named_struct" else "graft_struct_insert"
+      s = s.substring(0, at) + target + "(" + args.flatten.mkString(", ") + ")" + s.substring(close + 1)
     }
     s
   }

@@ -552,6 +552,16 @@ class DialectSpec extends AnyFunSuite with BeforeAndAfterAll {
       """[{"a":true,"b":true,"c":true}]""")
     one("SELECT to_hex(255) AS a, nextafter(1.0, 2.0) AS b",
       """[{"a":"FF","b":1.0000000000000002}]""")
+    one("SELECT signbit(-1.0) AS a, signbit(-0.0) AS b", // DuckDB: -0.0 is false
+      """[{"a":true,"b":false}]""")
+    one("SELECT gamma(5) AS a, round(lgamma(5), 6) AS b",
+      """[{"a":24.0,"b":3.178054}]""")
+    one("SELECT mad(x) AS a FROM (VALUES (1.0),(2.0),(10.0)) t(x)",
+      """[{"a":1.0}]""")
+    one("SELECT mad(x) AS a FROM (VALUES (1.0),(2.0)) t(x)", // even count interpolates
+      """[{"a":0.5}]""")
+    one("SELECT struct_insert({'a': 1}, b := 2, c := 'x') AS s",
+      """[{"s":{"a":1,"b":2,"c":"x"}}]""")
   }
 
   test("sandboxed server rejects dialect file sources outside allowed dirs") {

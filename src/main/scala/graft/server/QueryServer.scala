@@ -85,6 +85,122 @@ final class QueryServer(
     allowedRoots.exists(d => under(norm, d))
   }
 
+  /** DuckDB's `COPY (query|table) TO 'path' [(options)]` — the file
+    * export verb (reference clients reach it through libduckdb; a
+    * READ_ONLY database attach does not stop filesystem COPY there,
+    * and allowed_directories admits writes inside the sandbox the
+    * same way it admits reads). FORMAT parquet/csv/json (default by
+    * extension, else csv — DuckDB's default), HEADER, DELIMITER, and
+    * PER_THREAD_OUTPUT. Without PER_THREAD_OUTPUT the DuckDB-faithful
+    * SINGLE FILE is produced (coalesced write + move — inherently
+    * serial, exactly like DuckDB's own default); with it, Spark writes
+    * the per-task DIRECTORY in parallel — DuckDB's own spelling for
+    * the scale path, and the right one at 100 TB. Returns DuckDB's
+    * 1-row BIGINT `Count` result.
+    */
+  private val CopyRe =
+    """(?is)^\s*COPY\s+(\(.+\)|[A-Za-z_][A-Za-z0-9_.]*)\s+TO\s+'([^']+)'\s*(?:\(\s*(.*?)\s*\))?\s*;?\s*$""".r
+
+  private def handleCopy(src: String, outPath: String, optStr: String)
+      : Either[Problem, (DataFrame, Iterator[Row])] = {
+    if (allowedDirs.nonEmpty && !pathAllowed(outPath))
+      return Left(Problem(400, "SQL Error",
+        s"file access outside allowed directories: $outPath"))
+    var fmt: Option[String] = None
+    var header = false
+    var delim = ","
+    var perThread = false
+    for (o <- optStr.split(",").map(_.trim).filter(_.nonEmpty)) {
+      val parts = o.split("\\s+", 2)
+      val v = if (parts.length > 1) parts(1).trim.stripPrefix("'").stripSuffix("'") else ""
+      parts(0).toUpperCase match {
+        case "FORMAT" => fmt = Some(v.toLowerCase)
+        case "HEADER" => header = v.isEmpty || v.equalsIgnoreCase("true") || v == "1"
+        case "DELIMITER" | "DELIM" | "SEP" => delim = v
+        case "PER_THREAD_OUTPUT" => perThread = v.isEmpty || v.equalsIgnoreCase("true")
+        case "COMPRESSION" => () // codec choice never changes values
+        case other => return Left(Problem(400, "SQL Error",
+          s"COPY option not supported: $other")) // loud, never silent
+      }
+    }
+    val format = fmt.getOrElse {
+      val p = outPath.toLowerCase
+      if (p.endsWith(".parquet")) "parquet"
+      else if (p.endsWith(".json") || p.endsWith(".ndjson") || p.endsWith(".jsonl")) "json"
+      else "csv"
+    }
+    if (!Set("parquet", "csv", "json").contains(format))
+      return Left(Problem(400, "SQL Error", s"COPY format not supported: $format"))
+    val trimmed = src.trim
+    val inner =
+      if (trimmed.startsWith("(")) trimmed.drop(1).dropRight(1)
+      else s"SELECT * FROM $trimmed"
+    val df =
+      try spark.sql(Dialect.rewrite(spark, inner, pathAllowed))
+      catch {
+        case Dialect.RejectedPath(p) =>
+          return Left(Problem(400, "SQL Error",
+            s"file access outside allowed directories: $p"))
+        case NonFatal(e) =>
+          return Left(Problem(400, "SQL Error", String.valueOf(e.getMessage)))
+      }
+    val outside =
+      try violatingPaths(df)
+      catch { case NonFatal(e) => Seq(s"<unverifiable plan: ${e.getMessage}>") }
+    if (outside.nonEmpty)
+      return Left(Problem(400, "SQL Error",
+        s"file access outside allowed directories: ${outside.mkString(", ")}"))
+    val cached = df.persist()
+    try {
+      val n = cached.count()
+      def write(d: DataFrame, path: String): Unit = {
+        val w = d.write.mode("overwrite")
+        format match {
+          case "parquet" => w.parquet(path)
+          case "json" => w.json(path)
+          case _ => w.option("header", header).option("sep", delim).csv(path)
+        }
+      }
+      if (perThread) write(cached, outPath)
+      else {
+        // DuckDB's default single-file contract: coalesced write into a
+        // scratch dir, then move the lone part file to the target
+        val tmp = java.nio.file.Files.createTempDirectory("graft_copy")
+        try {
+          val stage = tmp.resolve("out").toString
+          write(cached.coalesce(1), stage)
+          val part = java.nio.file.Files.list(java.nio.file.Paths.get(stage))
+            .filter(p => p.getFileName.toString.startsWith("part-"))
+            .findFirst().orElseThrow(() => new IllegalStateException("COPY produced no part file"))
+          val target = java.nio.file.Paths.get(outPath)
+          if (target.getParent != null) java.nio.file.Files.createDirectories(target.getParent)
+          java.nio.file.Files.move(part, target,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        } finally {
+          try {
+            java.nio.file.Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
+              .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+          } catch { case NonFatal(_) => () }
+        }
+      }
+      val out = spark.createDataFrame(
+        java.util.Collections.singletonList(org.apache.spark.sql.Row(n)),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("Count",
+            org.apache.spark.sql.types.LongType, nullable = false))))
+      val it = out.toLocalIterator()
+      Right((out, new Iterator[Row] {
+        def hasNext: Boolean = it.hasNext
+        def next(): Row = it.next()
+      }))
+    } catch {
+      case NonFatal(e) =>
+        Left(Problem(400, "SQL Error", s"COPY failed: ${String.valueOf(e.getMessage)}"))
+    } finally {
+      cached.unpersist(blocking = false); ()
+    }
+  }
+
   // the dialect shim emits graft functions (graft_intdiv, epoch_ms,
   // cosine_sim, …) — every serving session must have them registered,
   // not just the standalone main's (registration is idempotent)
@@ -184,6 +300,14 @@ final class QueryServer(
           // DuckDB-dialect sugar → Spark SQL (reference clients switch
           // without editing their queries); file sources are
           // sandbox-checked BEFORE the rewrite reads any schema
+          // COPY ... TO is handled BEFORE the generic rewrite: Spark has
+          // no COPY statement, and the write path needs its own sandbox
+          // check (handleCopy returns the DuckDB-shaped Count result)
+          rawSql match {
+            case CopyRe(src, outPath, opts) =>
+              return handleCopy(src, outPath, Option(opts).getOrElse(""))
+            case _ => ()
+          }
           val sql =
             try Dialect.rewrite(spark, rawSql, pathAllowed)
             catch {

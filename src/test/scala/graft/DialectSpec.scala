@@ -564,6 +564,43 @@ class DialectSpec extends AnyFunSuite with BeforeAndAfterAll {
       """[{"s":{"a":1,"b":2,"c":"x"}}]""")
   }
 
+  test("COPY TO exports single files, parallel directories, and honors the sandbox") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_copy_spec")
+    // csv with header: DuckDB-exact bytes and the 1-row Count result
+    val csvOut = dir.resolve("two.csv")
+    val r1 = post(s"COPY (SELECT 1 AS a UNION ALL SELECT 2) TO '$csvOut' (FORMAT csv, HEADER)")
+    assert(r1.statusCode() == 200 && r1.body() == """[{"Count":2}]""")
+    assert(java.nio.file.Files.readString(csvOut) == "a\n1\n2\n")
+    // parquet by extension, single FILE (not a directory), readable back
+    val pqOut = dir.resolve("nations.parquet")
+    val r2 = post(s"COPY nation TO '$pqOut'")
+    assert(r2.statusCode() == 200 && r2.body() == """[{"Count":25}]""")
+    assert(java.nio.file.Files.isRegularFile(pqOut))
+    assert(spark.read.parquet(pqOut.toString).count() == 25)
+    // PER_THREAD_OUTPUT: DuckDB's parallel spelling → a directory of parts
+    val dirOut = dir.resolve("nations_dir")
+    val r3 = post(s"COPY nation TO '$dirOut' (FORMAT parquet, PER_THREAD_OUTPUT true)")
+    assert(r3.statusCode() == 200 && r3.body() == """[{"Count":25}]""")
+    assert(java.nio.file.Files.isDirectory(dirOut))
+    assert(spark.read.parquet(dirOut.toString).count() == 25)
+    // unsupported options stay loud
+    assert(post(s"COPY nation TO '$csvOut' (PARTITION_BY (a))").statusCode() == 400)
+    // sandbox: writes outside allowed dirs are rejected, inside succeed
+    val sandboxed = new QueryServer(spark, 0, allowedDirs = Seq(dir.toString))
+    sandboxed.start()
+    try {
+      def postTo(port: Int, sql: String) = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://localhost:$port/"))
+          .header("Accept", "application/json").header("Content-Type", "text/plain")
+          .POST(HttpRequest.BodyPublishers.ofString(sql)).build(),
+        HttpResponse.BodyHandlers.ofString())
+      val bad = postTo(sandboxed.boundPort, "COPY (SELECT 1 AS a) TO '/tmp/escape_copy.csv'")
+      assert(bad.statusCode() == 400 && bad.body().contains("outside allowed directories"))
+      val ok = postTo(sandboxed.boundPort, s"COPY (SELECT 1 AS a) TO '${dir.resolve("in.csv")}' (FORMAT csv, HEADER)")
+      assert(ok.statusCode() == 200 && ok.body() == """[{"Count":1}]""")
+    } finally sandboxed.stop()
+  }
+
   test("sandboxed server rejects dialect file sources outside allowed dirs") {
     val sandboxed = new QueryServer(spark, 0, allowedDirs = Seq("/nonexistent"))
     sandboxed.start()

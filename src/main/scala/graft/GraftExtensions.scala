@@ -941,7 +941,9 @@ object GraftExtensions {
     "editdist3" -> "levenshtein",
     "week" -> "weekofyear",
     "to_hex" -> "hex",
-    "from_hex" -> "unhex")
+    "from_hex" -> "unhex",
+    // DuckDB's row(1, 'x') anonymous-struct constructor
+    "row" -> "struct")
 
   private def aliasRegistrations: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = {
     val builtin = org.apache.spark.sql.catalyst.analysis.FunctionRegistry.builtin

@@ -1977,42 +1977,73 @@ object Dialect {
         s"${m.group(1)} (SELECT explode(sequence(${m.group(2)})) AS generate_series)"))
 
   private val ReadFn =
-    """(?i)\b(read_parquet|read_csv_auto|read_csv|read_json_auto|read_json)\s*\(\s*'([^']+)'\s*\)""".r
+    """(?i)\b(read_parquet|parquet_scan|read_csv_auto|read_csv|read_json_auto|read_json)\s*\(\s*'([^']+)'\s*((?:,[^()]*)?)\)""".r
   private val BarePath =
     """(?i)\b(FROM|JOIN)\s+'([^']+\.(?:parquet|csv|tsv|json|jsonl|ndjson))'""".r
 
   /** Replace DuckDB file-reader calls and bare quoted paths with Spark
     * sources. CSV/JSON go through temp views so DuckDB's automatic
     * header/type inference semantics apply; parquet maps to the native
-    * `parquet.` table syntax. pathOk is consulted BEFORE any read.
+    * `parquet.` table syntax. read_csv's common named options
+    * (`header = true`, `delim = ';'`, `quote`, `skip`, `all_varchar`)
+    * translate to the Spark reader; unknown options throw — a loud 400
+    * beats silently ignoring an option that changes the data.
+    * pathOk is consulted BEFORE any read.
     */
   private def rewriteSources(spark: SparkSession, sql: String,
       pathOk: String => Boolean): String = {
-    def viewFor(kind: String, path: String): String = {
+    def viewFor(kind: String, path: String, opts: String): String = {
       if (!pathOk(path)) throw RejectedPath(path)
-      // full md5 of (kind, path): a 32-bit hashCode collision would silently
-      // alias two different files under one view name
+      // full md5 of (kind, path, opts): a 32-bit hashCode collision would
+      // silently alias two different files under one view name
       val name = "graft_src_" + java.security.MessageDigest.getInstance("MD5")
-        .digest(s"$kind:$path".getBytes("UTF-8"))
+        .digest(s"$kind:$path:$opts".getBytes("UTF-8"))
         .map(b => f"${b & 0xff}%02x").mkString
       if (!spark.catalog.tableExists(name)) {
         val df = kind match {
-          case "csv" => spark.read.option("header", "true").option("inferSchema", "true").csv(path)
-          case _ => spark.read.json(path)
+          case "csv" =>
+            var r = spark.read.option("header", "true").option("inferSchema", "true")
+            splitTopLevel(opts, ',').map(_.trim).filter(_.nonEmpty).foreach { o =>
+              val eq = o.indexOf('=')
+              val (k, v) =
+                if (eq < 0) (o.trim.toLowerCase, "true")
+                else (o.substring(0, eq).trim.toLowerCase,
+                  o.substring(eq + 1).trim.stripPrefix("'").stripSuffix("'"))
+              k match {
+                case "header" => r = r.option("header", v)
+                case "delim" | "sep" | "delimiter" => r = r.option("sep", v)
+                case "quote" => r = r.option("quote", v)
+                case "skip" => throw new IllegalArgumentException(
+                  "read_csv skip option not supported (Spark's CSV reader has no row-skip)")
+                case "all_varchar" =>
+                  if (v.equalsIgnoreCase("true") || v == "1") r = r.option("inferSchema", "false")
+                case "auto_detect" => () // Spark inference is already on
+                case other => throw new IllegalArgumentException(
+                  s"read_csv option not supported: $other")
+              }
+            }
+            r.csv(path)
+          case _ =>
+            if (opts.trim.nonEmpty) throw new IllegalArgumentException(
+              s"read_json options not supported: $opts")
+            spark.read.json(path)
         }
         df.createOrReplaceTempView(name)
       }
       name
     }
-    def sub(kindRaw: String, path: String): String = kindRaw.toLowerCase match {
-      case "read_parquet" =>
+    def sub(kindRaw: String, path: String, opts: String): String = kindRaw.toLowerCase match {
+      case "read_parquet" | "parquet_scan" =>
         if (!pathOk(path)) throw RejectedPath(path)
+        if (opts.trim.nonEmpty) throw new IllegalArgumentException(
+          s"read_parquet options not supported: $opts")
         s"parquet.`$path`"
-      case k if k.startsWith("read_csv") => viewFor("csv", path)
-      case _ => viewFor("json", path)
+      case k if k.startsWith("read_csv") => viewFor("csv", path, opts)
+      case _ => viewFor("json", path, opts)
     }
     val step1 = ReadFn.replaceAllIn(sql, m =>
-      java.util.regex.Matcher.quoteReplacement(sub(m.group(1), m.group(2))))
+      java.util.regex.Matcher.quoteReplacement(
+        sub(m.group(1), m.group(2), Option(m.group(3)).getOrElse("").stripPrefix(","))))
     BarePath.replaceAllIn(step1, { m =>
       val (kw, path) = (m.group(1), m.group(2))
       val ext = path.substring(path.lastIndexOf('.') + 1).toLowerCase
@@ -2020,12 +2051,76 @@ object Dialect {
         case "parquet" =>
           if (!pathOk(path)) throw RejectedPath(path)
           s"parquet.`$path`"
-        case "csv" | "tsv" => viewFor("csv", path)
-        case _ => viewFor("json", path)
+        case "csv" | "tsv" => viewFor("csv", path, "")
+        case _ => viewFor("json", path, "")
       }
       java.util.regex.Matcher.quoteReplacement(s"$kw $src")
     })
   }
+
+  /** DuckDB type-name aliases in cast positions ONLY (`x::TYPE` and
+    * the trailing `AS TYPE` of CAST/TRY_CAST) — never bare words, so a
+    * column named `text` is untouched. Unsigned types map to the next
+    * WIDER signed type (UBIGINT → DECIMAL(20,0)) so the full value
+    * range survives; TIMESTAMPTZ maps to TIMESTAMP (sessions run UTC).
+    */
+  private val TypeAliasMap: Map[String, String] = Map(
+    "INT1" -> "TINYINT", "INT2" -> "SMALLINT", "INT4" -> "INT",
+    "INT8" -> "BIGINT", "SIGNED" -> "BIGINT", "LOGICAL" -> "BOOLEAN",
+    "FLOAT4" -> "FLOAT", "FLOAT8" -> "DOUBLE",
+    "UTINYINT" -> "SMALLINT", "USMALLINT" -> "INT", "UINTEGER" -> "BIGINT",
+    "UBIGINT" -> "DECIMAL(20,0)", "HUGEINT" -> "DECIMAL(38,0)",
+    "UHUGEINT" -> "DECIMAL(38,0)",
+    "TEXT" -> "STRING", "BPCHAR" -> "STRING", "VARCHAR" -> "STRING",
+    "TIMESTAMPTZ" -> "TIMESTAMP", "TIMESTAMP_S" -> "TIMESTAMP",
+    "TIMESTAMP_MS" -> "TIMESTAMP", "TIMESTAMP_NS" -> "TIMESTAMP")
+
+  private val TypeAliasNames = TypeAliasMap.keys.mkString("|")
+  private val ColonTypeRe = ("""(?i)::\s*(""" + TypeAliasNames + """)\b(?!\s*\()""").r
+  private val CastTypeRe = ("""(?i)\bAS\s+(""" + TypeAliasNames + """)\s*\)""").r
+
+  private def rewriteTypeAliases(sql: String): String = {
+    val mask = quoteMask(sql)
+    val s1 = ColonTypeRe.replaceAllIn(sql, m =>
+      if (mask(m.start)) java.util.regex.Matcher.quoteReplacement(m.matched)
+      else "::" + TypeAliasMap(m.group(1).toUpperCase))
+    // `AS TYPE)` only INSIDE a CAST/TRY_CAST argument list: find each
+    // CAST(, scan to its close, rewrite within that span
+    val castRe = """(?i)\b(?:try_)?cast\s*\(""".r
+    val mask1 = quoteMask(s1)
+    val spans = castRe.findAllMatchIn(s1).filterNot(m => mask1(m.start)).flatMap { m =>
+      var depth = 0; var j = m.end - 1; var close = -1
+      while (j < s1.length && close < 0) {
+        if (!mask1(j)) s1.charAt(j) match {
+          case '(' => depth += 1
+          case ')' => depth -= 1; if (depth == 0) close = j
+          case _ => ()
+        }
+        j += 1
+      }
+      if (close < 0) None else Some((m.start, close))
+    }.toList
+    if (spans.isEmpty) return s1
+    var out = s1
+    spans.sortBy(-_._1).foreach { case (start, close) =>
+      val seg = out.substring(start, close + 1)
+      val segRewritten = CastTypeRe.replaceAllIn(seg, mm =>
+        java.util.regex.Matcher.quoteReplacement(
+          "AS " + TypeAliasMap(mm.group(1).toUpperCase) + ")"))
+      out = out.substring(0, start) + segRewritten + out.substring(close + 1)
+    }
+    out
+  }
+
+  /** DuckDB accepts the extract field as a string literal:
+    * `extract('year' FROM d)` → `extract(YEAR FROM d)`.
+    */
+  private val ExtractQuotedRe =
+    """(?i)\b(extract\s*\(\s*)'([A-Za-z_]+)'(\s+FROM\b)""".r
+  private def rewriteExtractQuoted(sql: String): String =
+    ExtractQuotedRe.replaceAllIn(sql, m =>
+      java.util.regex.Matcher.quoteReplacement(
+        m.group(1) + m.group(2).toUpperCase + m.group(3)))
 
   def rewrite(spark: SparkSession, sql: String,
       pathOk: String => Boolean = _ => true): String =
@@ -2036,8 +2131,9 @@ object Dialect {
     handleMacroVerb(spark, sql).getOrElse(
       rewriteDistinctOn(rewriteQualify(rewriteExclude(rewriteOffsetLimit(rewriteTildeOps(rewriteQuantified(rewriteAggOrder(rewriteSimilarTo(rewriteJsonOps(rewriteDateDiff(rewriteIntDiv(
         rewriteSample(rewriteStructPack(rewriteBrackets(rewriteBraces(
+          rewriteTypeAliases(rewriteExtractQuoted(
           rewriteUnionByName(spark, rewriteReplace(spark, rewriteColumns(spark, rewriteAsOf(rewriteGenerateSeries(rewriteSources(spark,
             rewritePivot(spark, rewriteUnpivot(rewriteSummarize(spark,
               rewritePragma(expandMacros(spark, rewriteFromFirst(sql)))))),
-            pathOk))))))))))))))))))))))
+            pathOk))))))))))))))))))))))))
 }

@@ -562,6 +562,33 @@ class DialectSpec extends AnyFunSuite with BeforeAndAfterAll {
       """[{"a":0.5}]""")
     one("SELECT struct_insert({'a': 1}, b := 2, c := 'x') AS s",
       """[{"s":{"a":1,"b":2,"c":"x"}}]""")
+    // type aliases rewrite ONLY in cast positions; unsigned types widen
+    one("SELECT 1::INT1 AS a, 2::INT4 AS b, 3::INT8 AS c, 1.5::FLOAT8 AS d, " +
+      "CAST(255 AS UBIGINT) AS e, 'x'::TEXT AS f",
+      """[{"a":1,"b":2,"c":3,"d":1.5,"e":255,"f":"x"}]""")
+    one("SELECT t.text AS text FROM (SELECT 'hi' AS text) t", // a column NAMED text is untouched
+      """[{"text":"hi"}]""")
+    one("SELECT extract('year' FROM DATE '2024-03-05') AS y",
+      """[{"y":2024}]""")
+    one("SELECT row(1, 'x') AS r",
+      """[{"r":{"col1":1,"col2":"x"}}]""")
+  }
+
+  test("read_csv named options translate to the Spark reader") {
+    val d = java.nio.file.Files.createTempDirectory("graft_readopts")
+    val semi = d.resolve("semi.csv")
+    java.nio.file.Files.writeString(semi, "a;b\n1;x\n2;y\n")
+    val r1 = post(s"SELECT * FROM read_csv('$semi', delim = ';', header = true) ORDER BY a")
+    assert(r1.statusCode() == 200)
+    assert(r1.body() == """[{"a":1,"b":"x"},{"a":2,"b":"y"}]""")
+    // all_varchar disables inference → numbers arrive as strings
+    val r2 = post(s"SELECT * FROM read_csv('$semi', delim = ';', all_varchar = true) ORDER BY a")
+    assert(r2.statusCode() == 200 && r2.body().contains("\"a\":\"1\""))
+    // unsupported option is LOUD, never silently ignored
+    assert(post(s"SELECT * FROM read_csv('$semi', skip = 1)").statusCode() == 400)
+    // parquet_scan is read_parquet
+    val r3 = post("SELECT count(*) AS n FROM parquet_scan('/root/testdata/sf0.001/nation.parquet')")
+    assert(r3.statusCode() == 200 && r3.body() == """[{"n":25}]""")
   }
 
   test("COPY TO exports single files, parallel directories, and honors the sandbox") {

@@ -463,12 +463,18 @@ object GraftExtensions {
           classOf[java.lang.Math], DoubleType, "nextAfter",
           Seq(D(args(0)), D(args(1))), Seq(DoubleType, DoubleType),
           returnNullable = false) }),
-    // unicode: codepoint of the FIRST character, -1 for '' (verified
-    // unicode('€x') = 8364, unicode('') = -1); Spark's ascii already
-    // returns full codepoints, so only the empty case needs the branch
+    // unicode/ord: codepoint of the FIRST character, -1 for ''
+    // (verified unicode('€x') = 8364, unicode('') = -1, ord same);
+    // Spark's ascii already returns full codepoints, so only the
+    // empty case needs the branch
     ("unicode",
       info("unicode", "unicode(s) - codepoint of the first character, -1 for empty (DuckDB semantics)."),
       (args: Seq[Expression]) => { one("unicode", args)
+        CaseWhen(Seq((EqualTo(Length(args.head), Literal(0)), Literal(-1))),
+          Some(builtinBuilder("ascii")(args))) }),
+    ("ord",
+      info("ord", "ord(s) - DuckDB alias of unicode()."),
+      (args: Seq[Expression]) => { one("ord", args)
         CaseWhen(Seq((EqualTo(Length(args.head), Literal(0)), Literal(-1))),
           Some(builtinBuilder("ascii")(args))) }),
     ("to_base",
@@ -504,22 +510,15 @@ object GraftExtensions {
       info("struct_extract", "struct_extract(s, 'name') - field access as a function."),
       (args: Seq[Expression]) => { two("struct_extract", args)
         UnresolvedExtractValue(args(0), args(1)) }),
-    // hamming errors on unequal lengths, like DuckDB ("Strings must be
-    // of equal length"); distance counts differing positions (BIGINT)
+    // hamming/mismatches error on unequal lengths, like DuckDB
+    // ("Strings must be of equal length"); distance counts differing
+    // positions (BIGINT)
     ("hamming",
       info("hamming", "hamming(a, b) - positional differences; errors when lengths differ (DuckDB semantics)."),
-      (args: Seq[Expression]) => { two("hamming", args)
-        import org.apache.spark.sql.catalyst.expressions.{ArrayFilter, LambdaFunction, UnresolvedNamedLambdaVariable}
-        val x = UnresolvedNamedLambdaVariable(Seq("__hx"))
-        val y = UnresolvedNamedLambdaVariable(Seq("__hy"))
-        def chars(e: Expression) = builtinBuilder("split")(Seq(e, Literal("")))
-        val diffs = builtinBuilder("zip_with")(Seq(chars(args(0)), chars(args(1)),
-          LambdaFunction(Not(EqualTo(x, y)), Seq(x, y))))
-        val v = UnresolvedNamedLambdaVariable(Seq("__hv"))
-        val cnt = Cast(builtinBuilder("size")(
-          Seq(ArrayFilter(diffs, LambdaFunction(v, Seq(v))))), LongType)
-        CaseWhen(Seq((Not(EqualTo(Length(args(0)), Length(args(1)))),
-          raise("hamming: strings must be of equal length"))), Some(cnt)) }),
+      (args: Seq[Expression]) => hammingExpr("hamming", args)),
+    ("mismatches",
+      info("mismatches", "mismatches(a, b) - DuckDB alias of hamming()."),
+      (args: Seq[Expression]) => hammingExpr("mismatches", args)),
     // DuckDB day numbering: dayofweek Sunday=0..Saturday=6 (Spark's is
     // 1-based); isodow Monday=1..Sunday=7 (= Spark weekday + 1)
     ("dayofweek",
@@ -654,12 +653,103 @@ object GraftExtensions {
       (args: Seq[Expression]) => series("range", exclusive = true)(args)),
     ("generate_series",
       info("generate_series", "generate_series([start,] stop[, step]) - end-INCLUSIVE BIGINT list (DuckDB semantics)."),
-      (args: Seq[Expression]) => series("generate_series", exclusive = false)(args)))
+      (args: Seq[Expression]) => series("generate_series", exclusive = false)(args))) ++ {
+    // big-date parts (verified: decade(1999) = 199 = floor(year/10);
+    // century(2000) = 20, century(2001) = 21 = floor((y-1)/100)+1;
+    // millennium(2024) = 3; era = 1 for CE)
+    def yearOf(e: Expression) = builtinBuilder("year")(Seq(e))
+    def divPart(name: String, div: Int, shifted: Boolean) =
+      (name,
+        info(name, s"$name(d) - DuckDB's $name date part."),
+        (args: Seq[Expression]) => { one(name, args)
+          if (shifted)
+            Add(Cast(builtinBuilder("floor")(Seq(Divide(
+              D(Subtract(yearOf(args.head), Literal(1))), Literal(div.toDouble)))), LongType),
+              Literal(1L))
+          else
+            Cast(builtinBuilder("floor")(Seq(Divide(
+              D(yearOf(args.head)), Literal(div.toDouble)))), LongType)
+        }: Expression)
+    // to_* interval constructors (verified to_years(2) = INTERVAL 2
+    // YEAR, to_days(30) = INTERVAL 30 days): make_interval slots are
+    // (years, months, weeks, days, hours, mins, secs)
+    def toInterval(name: String, slot: Int) =
+      (name,
+        info(name, s"$name(n) - INTERVAL constructor (DuckDB semantics)."),
+        (args: Seq[Expression]) => { one(name, args)
+          val slots = Seq.tabulate(7)(i =>
+            if (i == slot) Cast(args.head, IntegerType): Expression else Literal(0))
+          builtinBuilder("make_interval")(slots)
+        }: Expression)
+    Seq(
+      divPart("decade", 10, shifted = false),
+      divPart("century", 100, shifted = true),
+      divPart("millennium", 1000, shifted = true),
+      ("era",
+        info("era", "era(d) - 1 for CE dates (DuckDB semantics)."),
+        (args: Seq[Expression]) => { one("era", args)
+          CaseWhen(Seq((LessThanOrEqual(yearOf(args.head), Literal(0)), Literal(0))),
+            Some(Literal(1))): Expression }),
+      toInterval("to_years", 0), toInterval("to_months", 1),
+      toInterval("to_weeks", 2), toInterval("to_days", 3),
+      toInterval("to_hours", 4), toInterval("to_minutes", 5),
+      toInterval("to_seconds", 6),
+      // path parsing (verified: parse_filename('/a/b/c.txt') = 'c.txt',
+      // parse_filename(p, true) strips the LAST extension ('a.tar.gz' →
+      // 'a.tar'); parse_dirname is the TOPMOST component ('/' absolute,
+      // 'a' relative, '' bare file); parse_dirpath drops the last
+      // component ('' when there is no '/')
+      ("parse_filename",
+        info("parse_filename", "parse_filename(p[, trim_ext]) - last path component (DuckDB semantics)."),
+        (args: Seq[Expression]) => {
+          require(args.length == 1 || args.length == 2,
+            s"parse_filename expects 1-2 arguments, got ${args.length}")
+          val fname = builtinBuilder("element_at")(
+            Seq(builtinBuilder("split")(Seq(args.head, Literal("/"))), Literal(-1)))
+          if (args.length == 1) fname
+          else CaseWhen(Seq((Cast(args(1), BooleanType),
+            builtinBuilder("regexp_replace")(Seq(fname, Literal("\\.[^.]*$"), Literal(""))))),
+            Some(fname)): Expression }),
+      ("parse_dirname",
+        info("parse_dirname", "parse_dirname(p) - topmost path component (DuckDB semantics)."),
+        (args: Seq[Expression]) => { one("parse_dirname", args)
+          val first = builtinBuilder("element_at")(
+            Seq(builtinBuilder("split")(Seq(args.head, Literal("/"))), Literal(1)))
+          CaseWhen(Seq(
+            (builtinBuilder("startswith")(Seq(args.head, Literal("/"))), Literal("/")),
+            (Not(builtinBuilder("contains")(Seq(args.head, Literal("/")))), Literal(""))),
+            Some(first)): Expression }),
+      ("parse_dirpath",
+        info("parse_dirpath", "parse_dirpath(p) - path minus the last component (DuckDB semantics)."),
+        (args: Seq[Expression]) => { one("parse_dirpath", args)
+          CaseWhen(Seq((Not(builtinBuilder("contains")(Seq(args.head, Literal("/")))),
+            Literal(""))),
+            Some(builtinBuilder("regexp_replace")(
+              Seq(args.head, Literal("/[^/]*$"), Literal(""))))): Expression }))
+    }
   }
 
   /** And with Spark's three-valued NULL logic (plain catalyst And). */
   private def And2(a: Expression, b: Expression): Expression =
     org.apache.spark.sql.catalyst.expressions.And(a, b)
+
+  /** Shared body of hamming()/mismatches(). */
+  private def hammingExpr(fname: String, args: Seq[Expression]): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{ArrayFilter, CaseWhen, Cast, EqualTo, LambdaFunction, Length, Literal, Not, UnresolvedNamedLambdaVariable}
+    import org.apache.spark.sql.types.LongType
+    require(args.length == 2, s"$fname expects 2 arguments, got ${args.length}")
+    val x = UnresolvedNamedLambdaVariable(Seq("__hx"))
+    val y = UnresolvedNamedLambdaVariable(Seq("__hy"))
+    def chars(e: Expression) = builtinBuilder("split")(Seq(e, Literal("")))
+    val diffs = builtinBuilder("zip_with")(Seq(chars(args(0)), chars(args(1)),
+      LambdaFunction(Not(EqualTo(x, y)), Seq(x, y))))
+    val v = UnresolvedNamedLambdaVariable(Seq("__hv"))
+    val cnt = Cast(builtinBuilder("size")(
+      Seq(ArrayFilter(diffs, LambdaFunction(v, Seq(v))))), LongType)
+    CaseWhen(Seq((Not(EqualTo(Length(args(0)), Length(args(1)))),
+      builtinBuilder("raise_error")(Seq(Literal(s"$fname: strings must be of equal length"))))),
+      Some(cnt))
+  }
 
   /** `array_distinct(filter(arr, x -> x IS NOT NULL))` — DuckDB's
     * notion of a list's distinct elements (NULLs dropped).
@@ -943,7 +1033,9 @@ object GraftExtensions {
     "to_hex" -> "hex",
     "from_hex" -> "unhex",
     // DuckDB's row(1, 'x') anonymous-struct constructor
-    "row" -> "struct")
+    "row" -> "struct",
+    // Spark's split is already regex-based — identical semantics
+    "string_split_regex" -> "split")
 
   private def aliasRegistrations: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = {
     val builtin = org.apache.spark.sql.catalyst.analysis.FunctionRegistry.builtin
@@ -1016,6 +1108,37 @@ object GraftExtensions {
       nd1(org.apache.commons.math3.special.Gamma.gamma))
     spark.udf.register("lgamma",
       nd1(org.apache.commons.math3.special.Gamma.logGamma))
+    // gcd/lcm over int64 (verified gcd(-12,18) = 6, gcd(0,0) = 0,
+    // lcm(0,5) = 0 — DuckDB takes absolute values)
+    def gcdL(a: Long, b: Long): Long = {
+      var (x, y) = (math.abs(a), math.abs(b))
+      while (y != 0) { val t = x % y; x = y; y = t }
+      x
+    }
+    def nl2(f: (Long, Long) => Long): (java.lang.Long, java.lang.Long) => java.lang.Long =
+      (a, b) => if (a == null || b == null) null else java.lang.Long.valueOf(f(a, b))
+    spark.udf.register("gcd", nl2(gcdL))
+    spark.udf.register("greatest_common_divisor", nl2(gcdL))
+    def lcmL(a: Long, b: Long): Long =
+      if (a == 0 || b == 0) 0L else math.abs(a / gcdL(a, b) * b)
+    spark.udf.register("lcm", nl2(lcmL))
+    spark.udf.register("least_common_multiple", nl2(lcmL))
+    // format_bytes: binary units with TRUNCATED tenths (verified
+    // 1234567 → '1.1 MiB' where round-half would give 1.2, 1887436 →
+    // '1.7 MiB', 1023 → '1023 bytes')
+    spark.udf.register("format_bytes", (n: java.lang.Long) =>
+      if (n == null) null
+      else {
+        val b = n.longValue()
+        if (b < 1024L) s"$b bytes"
+        else {
+          val units = Seq("KiB", "MiB", "GiB", "TiB", "PiB", "EiB")
+          var unit = 1024L; var i = 0
+          while (i < units.length - 1 && b >= unit * 1024L) { unit *= 1024L; i += 1 }
+          val t = (BigInt(b) * 10 / BigInt(unit)).toLong // truncated tenths
+          s"${t / 10}.${t % 10} ${units(i)}"
+        }
+      })
   }
 
   /** Textbook Jaro / Jaro-Winkler / Damerau-Levenshtein (the full

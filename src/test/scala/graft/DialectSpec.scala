@@ -572,6 +572,27 @@ class DialectSpec extends AnyFunSuite with BeforeAndAfterAll {
       """[{"y":2024}]""")
     one("SELECT row(1, 'x') AS r",
       """[{"r":{"col1":1,"col2":"x"}}]""")
+    // third batch — each expectation is DuckDB 1.5's own output
+    one("SELECT gcd(-12, 18) AS a, gcd(0, 0) AS b, lcm(4, 6) AS c, lcm(0, 5) AS d, " +
+      "least_common_multiple(4, 6) AS e",
+      """[{"a":6,"b":0,"c":12,"d":0,"e":12}]""")
+    one("SELECT format_bytes(1234567) AS a, format_bytes(1887436) AS b, " + // truncated tenths
+      "format_bytes(1023) AS c, format_bytes(1024) AS d, format_bytes(0) AS e",
+      """[{"a":"1.1 MiB","b":"1.7 MiB","c":"1023 bytes","d":"1.0 KiB","e":"0 bytes"}]""")
+    one("SELECT parse_filename('/a/b/c.txt') AS a, parse_filename('a.tar.gz', true) AS b, " +
+      "parse_dirname('/a/b/c.txt') AS c, parse_dirname('a/b/c.txt') AS d, " +
+      "parse_dirname('rel.txt') AS e, parse_dirpath('/a/b/c.txt') AS f, parse_dirpath('rel.txt') AS g",
+      """[{"a":"c.txt","b":"a.tar","c":"/","d":"a","e":"","f":"/a/b","g":""}]""")
+    one("SELECT decade(DATE '1999-03-05') AS a, century(DATE '2000-01-01') AS b, " +
+      "century(DATE '2001-01-01') AS c, millennium(DATE '2024-01-01') AS d, era(DATE '2024-01-01') AS e",
+      """[{"a":199,"b":20,"c":21,"d":3,"e":1}]""")
+    one("SELECT CAST(DATE '2024-01-01' + to_days(3) AS DATE) AS d, " +
+      "CAST(TIMESTAMP '2024-01-01 00:00:00' + to_hours(2) AS TIMESTAMP) AS t",
+      """[{"d":"2024-01-04","t":"2024-01-01 02:00:00"}]""")
+    one("SELECT ord('€a') AS a, ord('') AS b, mismatches('abc', 'axc') AS c",
+      """[{"a":8364,"b":-1,"c":1}]""")
+    one("SELECT string_split_regex('a1b2c', '[0-9]') AS l",
+      """[{"l":["a","b","c"]}]""")
   }
 
   test("read_csv named options translate to the Spark reader") {

@@ -974,6 +974,79 @@ object GraftExtensions {
     sb.toString
   }
 
+  /** Round-6 batch: the last probe-3 loud omissions implementable
+    * with fidelity — bar / age / md5_number_lower. (bitstring and
+    * txid_current are UDF-registered in injectInto; md5_number stays
+    * omitted: DuckDB's 128-bit little-endian HUGEINT overflows our
+    * DECIMAL(38,0) mapping for most digests, and a silently truncated
+    * high half is worse than an unknown-function error.)
+    */
+  private[graft] val registrations4: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = {
+    import org.apache.spark.sql.catalyst.expressions.{Add, Cast, CaseWhen, Divide, GreaterThanOrEqual, LessThanOrEqual, Literal, Multiply, Subtract}
+    import org.apache.spark.sql.types._
+    def D(e: Expression) = Cast(e, DoubleType)
+    Seq(
+      // DuckDB bar(x, min, max[, width=80]): fraction clamped to
+      // [0,1], rendered at EIGHTH-block resolution — the bar is
+      // floor(frac*width*8) eighths = full blocks '█' plus one
+      // partial block from ▏▎▍▌▋▊▉ (verified: bar(5,0,10,10) =
+      // '█████'; bar(3,0,16,4) = '▊', i.e. 0.75 chars = 6 eighths).
+      ("bar",
+        info("bar", "bar(x, min, max[, width]) - unicode bar chart cell (DuckDB semantics, width default 80)."),
+        (args: Seq[Expression]) => {
+          require(args.length == 3 || args.length == 4,
+            s"bar expects 3-4 arguments, got ${args.length}")
+          val x = D(args(0)); val mn = D(args(1)); val mx = D(args(2))
+          val w = if (args.length == 4) D(args(3)) else Literal(80.0)
+          val frac = CaseWhen(Seq(
+            (LessThanOrEqual(x, mn), Literal(0.0)),
+            (GreaterThanOrEqual(x, mx), Literal(1.0))),
+            Some(Divide(Subtract(x, mn), Subtract(mx, mn))))
+          val eighths = Cast(builtinBuilder("floor")(
+            Seq(Multiply(Multiply(frac, w), Literal(8.0)))), IntegerType)
+          // eighths/8 is exact in double for the clamped range, so the
+          // toward-zero int cast is a true integer division here
+          val full = Cast(Divide(D(eighths), Literal(8.0)), IntegerType)
+          val part = Subtract(eighths, Multiply(full, Literal(8)))
+          val partial = builtinBuilder("element_at")(Seq(
+            builtinBuilder("array")(Seq(Literal(""), Literal("▏"), Literal("▎"),
+              Literal("▍"), Literal("▌"), Literal("▋"), Literal("▊"),
+              Literal("▉"))),
+            Add(part, Literal(1))))
+          builtinBuilder("concat")(Seq(
+            builtinBuilder("repeat")(Seq(Literal("█"), full)), partial))
+        }),
+      // age: the symbolic field-wise difference, NOT a flat delta —
+      // graft.functions.AgeInterval has the borrow rules; the 1-arg
+      // form is vs today's midnight (DuckDB/Postgres semantics)
+      ("age",
+        info("age", "age(end[, start]) - symbolic calendar interval difference (DuckDB/Postgres semantics; 1-arg is vs today's midnight)."),
+        (args: Seq[Expression]) => {
+          require(args.length == 1 || args.length == 2,
+            s"age expects 1-2 arguments, got ${args.length}")
+          def ts(e: Expression) = Cast(e, TimestampType)
+          if (args.length == 2) graft.functions.AgeInterval(ts(args(0)), ts(args(1)))
+          else graft.functions.AgeInterval(
+            ts(builtinBuilder("current_date")(Nil)), ts(args(0)))
+        }),
+      // md5_number_lower: DuckDB loads the FIRST 8 digest bytes as a
+      // little-endian unsigned 64-bit integer (verified:
+      // md5_number_lower('abc') = 12704604231530709392). Byte-reversed
+      // hex through conv(_,16,10) — conv is unsigned-64 exactly like
+      // the Load<uint64_t>; UBIGINT maps to DECIMAL(20,0) per the
+      // type-alias table.
+      ("md5_number_lower",
+        info("md5_number_lower", "md5_number_lower(s) - lower 64 bits of the MD5 digest, little-endian (DuckDB's UBIGINT as DECIMAL(20,0))."),
+        (args: Seq[Expression]) => {
+          require(args.length == 1, s"md5_number_lower expects 1 argument, got ${args.length}")
+          val h = builtinBuilder("md5")(Seq(Cast(args.head, StringType)))
+          val leHex = builtinBuilder("concat")(
+            (0 until 8).reverse.map(i =>
+              builtinBuilder("substring")(Seq(h, Literal(i * 2 + 1), Literal(2))): Expression))
+          Cast(builtinBuilder("conv")(Seq(leHex, Literal(16), Literal(10))), DecimalType(20, 0))
+        }))
+  }
+
   /** DuckDB function-name aliases onto Spark builtins with matching
     * semantics AND argument order — the function-level face of the
     * dialect shim (`server.Dialect` handles the syntax-level sugar).
@@ -1047,7 +1120,9 @@ object GraftExtensions {
   }
 
   private[graft] def allRegistrations: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] =
-    registrations ++ registrations2 ++ registrations3 ++ aliasRegistrations
+    registrations ++ registrations2 ++ registrations3 ++ registrations4 ++ aliasRegistrations
+
+  private val txidCounter = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** DuckDB's `product(x)` aggregate: multiplies non-NULL doubles,
     * NULL when no values (verified). A typed Aggregator — there is no
@@ -1139,6 +1214,32 @@ object GraftExtensions {
           s"${t / 10}.${t % 10} ${units(i)}"
         }
       })
+    // bitstring: DuckDB's BIT constructor, zero-padded on the left.
+    // Our column type is VARCHAR (Spark has no BIT); the rendered
+    // value is character-identical to DuckDB's bitstring display —
+    // the type divergence is documented in COVERAGE.md. Both DuckDB
+    // errors reproduce: non-0/1 characters, and a target length
+    // shorter than the input (verified: bitstring('0101', 8) =
+    // '00000101'; bitstring('0101', 3) errors).
+    spark.udf.register("bitstring", (s: String, len: java.lang.Integer) =>
+      if (s == null || len == null) null
+      else {
+        if (!s.forall(c => c == '0' || c == '1'))
+          throw new IllegalArgumentException(
+            s"bitstring: invalid character in bit string: '$s'")
+        if (len.intValue() < s.length)
+          throw new IllegalArgumentException(
+            "bitstring: length must be equal to or larger than the length of the bit string")
+        ("0" * (len.intValue() - s.length)) + s
+      })
+    // txid_current: transaction ids have no Spark meaning — a
+    // session-monotonic counter reproduces the one USEFUL property
+    // (strictly increasing across calls) without inventing fake
+    // transactional semantics. Nondeterministic so Catalyst never
+    // collapses two calls into one.
+    spark.udf.register("txid_current",
+      org.apache.spark.sql.functions.udf(() => txidCounter.incrementAndGet())
+        .asNondeterministic())
   }
 
   /** Textbook Jaro / Jaro-Winkler / Damerau-Levenshtein (the full

@@ -1589,6 +1589,120 @@ object Dialect {
     out.toString
   }
 
+  /** DuckDB allows DESCRIBE of a subquery (`DESCRIBE SELECT ...`) and
+    * DESCRIBE as a relation (`SELECT * FROM (DESCRIBE t)`). Spark
+    * spells the first `DESCRIBE QUERY ...`; the second has no Spark
+    * spelling, so the parenthesized DESCRIBE is materialized into a
+    * temp view at rewrite time (the output is a handful of schema
+    * rows — col_name/data_type/comment, Spark's describe columns,
+    * the same column-name policy as the existing table form).
+    */
+  private val describeViewN = new java.util.concurrent.atomic.AtomicLong(0L)
+  private def rewriteDescribe(spark: SparkSession, sql: String): String = {
+    var out = sql
+    val top = """(?is)^(\s*)DESCRIBE\s+(.*)$""".r
+    out match {
+      case top(ws, body0) =>
+        val body = body0.trim
+        val isQuery =
+          """(?is)^\(?\s*(SELECT|WITH|VALUES|FROM)\b""".r.findFirstIn(body).isDefined
+        if (isQuery) {
+          val norm =
+            if (body.toUpperCase.startsWith("FROM")) rewriteFromFirst(body) else body
+          out = s"${ws}DESCRIBE QUERY $norm"
+        }
+      case _ => ()
+    }
+    if (!containsUnquoted(out, "DESCRIBE")) return out
+    val rel = """(?is)\(\s*DESCRIBE\s+([A-Za-z_][A-Za-z0-9_.]*)\s*\)""".r
+    val mask = quoteMask(out)
+    rel.replaceAllIn(out, m =>
+      if (mask(m.start)) java.util.regex.Matcher.quoteReplacement(m.matched)
+      else {
+        val v = s"__graft_describe_${describeViewN.incrementAndGet()}"
+        spark.sql(s"DESCRIBE ${m.group(1)}").createOrReplaceTempView(v)
+        v
+      })
+  }
+
+  /** DuckDB `a POSITIONAL JOIN b` — zip two relations by row order.
+    * Row order is not a Spark SQL concept, so the two FROM-clause
+    * relations are materialized, zipped by operators.PositionalJoin
+    * (distributed zipWithIndex — NOT the single-partition
+    * `row_number() OVER ()` trap), registered as a temp view sorted
+    * by position (SQL-surface fidelity: DuckDB streams the zip in
+    * order; the operator API stays the no-sort scale path), and the
+    * join span is replaced by the view name. Covers the
+    * `FROM <rel> POSITIONAL JOIN <rel>` form — bare tables, aliased
+    * subqueries, chains; each operand is whatever SQL parses inside
+    * `SELECT * FROM <operand>`. Any other placement (operand crossing
+    * an enclosing paren, comma-join prefix ambiguity) is left for
+    * Spark to reject loudly rather than guessed at.
+    */
+  private val posJoinViewN = new java.util.concurrent.atomic.AtomicLong(0L)
+  private def rewritePositionalJoin(spark: SparkSession, sql: String): String = {
+    if (!containsUnquoted(sql, "POSITIONAL")) return sql
+    val m = """(?is)\bPOSITIONAL\s+JOIN\b""".r.findFirstMatchIn(sql).getOrElse(return sql)
+    val mask = quoteMask(sql)
+    if (mask(m.start)) return sql
+    // left bound: the governing FROM at the same paren depth
+    var i = m.start - 1; var depth = 0; var fromEnd = -1
+    while (i >= 0 && fromEnd < 0) {
+      if (!mask(i)) sql.charAt(i) match {
+        case ')' => depth += 1
+        case '(' => depth -= 1; if (depth < 0) return sql
+        case c if depth == 0 && (c == 'm' || c == 'M') && i >= 3 &&
+            sql.substring(i - 3, i + 1).equalsIgnoreCase("from") &&
+            (i - 3 == 0 || !isWordChar(sql.charAt(i - 4))) &&
+            !isWordChar(sql.charAt(i + 1)) =>
+          fromEnd = i + 1
+        case _ => ()
+      }
+      i -= 1
+    }
+    if (fromEnd < 0) return sql
+    val leftSeg = sql.substring(fromEnd, m.start)
+    val maskL = quoteMask(leftSeg)
+    var dl = 0
+    for (k <- 0 until leftSeg.length) { // comma-join prefix: bail loud
+      if (!maskL(k)) leftSeg.charAt(k) match {
+        case '(' => dl += 1
+        case ')' => dl -= 1
+        case ',' if dl == 0 => return sql
+        case _ => ()
+      }
+    }
+    val leftRel = leftSeg.trim
+    // right bound: next top-level clause keyword, another join, a ')'
+    // closing an enclosing scope, a comma, a semicolon, or the end
+    val rest = sql.substring(m.end)
+    val maskR = quoteMask(rest)
+    var j = 0; var d2 = 0; var punctCut = -1
+    while (j < rest.length && punctCut < 0) {
+      if (!maskR(j)) rest.charAt(j) match {
+        case '(' => d2 += 1
+        case ')' => d2 -= 1; if (d2 < 0) punctCut = j
+        case ',' | ';' if d2 == 0 => punctCut = j
+        case _ => ()
+      }
+      j += 1
+    }
+    val kwCut = Seq("WHERE", "GROUP", "HAVING", "QUALIFY", "WINDOW", "ORDER",
+        "LIMIT", "OFFSET", "UNION", "INTERSECT", "EXCEPT",
+        "JOIN", "LEFT", "RIGHT", "FULL", "INNER", "CROSS", "ASOF", "POSITIONAL")
+      .map(k => firstTopLevel(rest, k)).filter(_ >= 0)
+    val cutAt = (kwCut ++ Some(punctCut).filter(_ >= 0)).sorted.headOption
+    val rightRel = cutAt.map(rest.substring(0, _)).getOrElse(rest).trim
+    val tail = cutAt.map(rest.substring(_)).getOrElse("")
+    if (leftRel.isEmpty || rightRel.isEmpty) return sql
+    val l = spark.sql(s"SELECT * FROM $leftRel")
+    val r = spark.sql(s"SELECT * FROM $rightRel")
+    val v = s"__graft_posjoin_${posJoinViewN.incrementAndGet()}"
+    graft.operators.PositionalJoin(l, r).orderBy("pos").drop("pos")
+      .createOrReplaceTempView(v)
+    rewritePositionalJoin(spark, sql.substring(0, fromEnd) + s" $v $tail")
+  }
+
   private def rewritePragma(sql: String): String = {
     val ti = """(?i)^\s*PRAGMA\s+table_info\s*\(\s*'([A-Za-z_][A-Za-z0-9_.]*)'\s*\)\s*;?\s*$""".r
     val st = """(?i)^\s*PRAGMA\s+show_tables\s*;?\s*$""".r
@@ -2129,11 +2243,12 @@ object Dialect {
     // every later rewrite (read_csv, brackets, //, …) and their file
     // paths hit the sandbox check at use time
     handleMacroVerb(spark, sql).getOrElse(
+      rewritePositionalJoin(spark,
       rewriteDistinctOn(rewriteQualify(rewriteExclude(rewriteOffsetLimit(rewriteTildeOps(rewriteQuantified(rewriteAggOrder(rewriteSimilarTo(rewriteJsonOps(rewriteDateDiff(rewriteIntDiv(
         rewriteSample(rewriteStructPack(rewriteBrackets(rewriteBraces(
           rewriteTypeAliases(rewriteExtractQuoted(
           rewriteUnionByName(spark, rewriteReplace(spark, rewriteColumns(spark, rewriteAsOf(rewriteGenerateSeries(rewriteSources(spark,
             rewritePivot(spark, rewriteUnpivot(rewriteSummarize(spark,
-              rewritePragma(expandMacros(spark, rewriteFromFirst(sql)))))),
-            pathOk))))))))))))))))))))))))
+              rewritePragma(rewriteDescribe(spark, expandMacros(spark, rewriteFromFirst(sql))))))),
+            pathOk)))))))))))))))))))))))))
 }

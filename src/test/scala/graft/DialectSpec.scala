@@ -595,6 +595,60 @@ class DialectSpec extends AnyFunSuite with BeforeAndAfterAll {
       """[{"l":["a","b","c"]}]""")
   }
 
+  test("round-6 batch: bar, age, md5_number_lower, bitstring, txid, DESCRIBE, POSITIONAL JOIN") {
+    def one(sql: String, expect: String): Unit = {
+      val r = post(sql)
+      assert(r.statusCode() == 200, s"$sql -> ${r.body()}")
+      assert(r.body() == expect, s"$sql -> ${r.body()} (wanted $expect)")
+    }
+    // bar: eighth-block resolution, clamped (verified vs DuckDB 1.5:
+    // bar(5,0,10,10) = 5 full blocks; 3/16 of width 4 = 0.75 chars =
+    // 6 eighths = '▊'; out-of-range clamps to empty / full)
+    one("SELECT bar(5, 0, 10, 10) AS s, bar(3, 0, 16, 4) AS p, " +
+      "bar(-1, 0, 10, 10) AS z, bar(99, 0, 10, 4) AS f",
+      """[{"s":"█████","p":"▊","z":"","f":"████"}]""")
+    // age: symbolic field-wise difference with Postgres borrow rules
+    // (DuckDB verified: 4 years 2 months 4 days; exact negation when
+    // swapped; day-borrow takes the START month's length). Rendering
+    // is Spark's CalendarInterval (always-plural units); the VALUE is
+    // the interval DuckDB computes.
+    val age = spark.sql(graft.server.Dialect.rewrite(spark,
+      "SELECT age(TIMESTAMP '2024-03-05 00:00:00', TIMESTAMP '2020-01-01 00:00:00') AS a, " +
+        "age(TIMESTAMP '2020-01-01 00:00:00', TIMESTAMP '2024-03-05 00:00:00') AS b, " +
+        "age(TIMESTAMP '2024-03-10 02:00:00', TIMESTAMP '2024-01-20 03:30:00') AS c")).first()
+    assert(age.get(0).toString == "4 years 2 months 4 days")
+    assert(age.get(1).toString == "-4 years -2 months -4 days")
+    assert(age.get(2).toString == "1 months 20 days 22 hours 30 minutes")
+    // 1-arg age is vs today's midnight — just prove it resolves and is
+    // a zero interval for today's own midnight
+    assert(spark.sql(graft.server.Dialect.rewrite(spark,
+      "SELECT age(CAST(current_date() AS TIMESTAMP)) AS a")).first().get(0).toString == "0 seconds")
+    // md5_number_lower: first 8 digest bytes as little-endian uint64
+    // (DuckDB verified values)
+    one("SELECT md5_number_lower('abc') AS h, md5_number_lower('') AS e",
+      """[{"h":12704604231530709392,"e":338333539836370388}]""")
+    // bitstring pads left; both DuckDB error cases reproduce
+    one("SELECT bitstring('0101', 8) AS b", """[{"b":"00000101"}]""")
+    assert(post("SELECT bitstring('0102', 8) AS b").statusCode() >= 400)
+    assert(post("SELECT bitstring('0101', 3) AS b").statusCode() >= 400)
+    // txid_current: strictly increasing across calls
+    val tx = spark.sql("SELECT txid_current() AS a, txid_current() AS b").first()
+    assert(tx.getLong(0) < tx.getLong(1))
+    // DESCRIBE of a subquery and DESCRIBE as a relation
+    val d1 = post("DESCRIBE SELECT 1 AS x, 'a' AS y")
+    assert(d1.statusCode() == 200 && d1.body().contains("\"col_name\":\"x\"") &&
+      d1.body().contains("\"col_name\":\"y\""), d1.body())
+    val d2 = post("SELECT col_name FROM (DESCRIBE nation) ORDER BY col_name LIMIT 1")
+    assert(d2.statusCode() == 200 && d2.body() == """[{"col_name":"n_name"}]""", d2.body())
+    // POSITIONAL JOIN: zip by row order, shorter side padded with NULL
+    one("SELECT * FROM (VALUES (1), (2), (3)) t(x) POSITIONAL JOIN (VALUES ('a'), ('b')) s(y)",
+      """[{"x":1,"y":"a"},{"x":2,"y":"b"},{"x":3,"y":null}]""")
+    // chained positional joins zip left-to-right
+    one("SELECT * FROM (VALUES (1), (2)) t(x) POSITIONAL JOIN (VALUES (10), (20)) s(y) " +
+      "POSITIONAL JOIN (VALUES (100), (200)) u(z) WHERE x > 1",
+      """[{"x":2,"y":20,"z":200}]""")
+  }
+
   test("read_csv named options translate to the Spark reader") {
     val d = java.nio.file.Files.createTempDirectory("graft_readopts")
     val semi = d.resolve("semi.csv")

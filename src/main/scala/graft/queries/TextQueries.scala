@@ -230,5 +230,36 @@ object TextQueries extends QueryModule {
           CAST(sum(CASE WHEN vocab.w IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
           round(CAST(sum(CASE WHEN vocab.w IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS oov_rate
         FROM toks LEFT JOIN vocab ON toks.w = vocab.w
-        GROUP BY lang ORDER BY lang ASC NULLS LAST""")))
+        GROUP BY lang ORDER BY lang ASC NULLS LAST""")),
+
+    Q("n_quality_unigram_lm",
+      "Unigram language-model quality score (the CCNet/KenLM-style perplexity-proxy filter, reduced to its SQL-expressible core): train token frequencies on the WHOLE corpus, then score each document by bits-per-token = -(1/n)*sum(log2 p(w)) = log2(total) - avg(log2 cnt_w). Common-word prose scores low, gibberish and rare-token soup score high — the standard pre-training filter signal. Scale shape: the model is a token-keyed aggregate (NOT broadcast — vocab at 100 TB is huge), the scoring pass re-shuffles tokens once on the SAME key so the model join is co-partitioned, then one doc-keyed aggregate; everything partial-aggregates, nothing is quadratic.",
+      (s, dir) => {
+        val toks = T(s, dir, "documents")
+          .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
+          .filter(length(col("w")) > 0)
+        val model = toks.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+        val total = toks.agg(count(lit(1)).as("total"))
+        toks.join(model, Seq("w"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tokens"), sum(log2(col("cnt"))).as("sumlog"))
+          .crossJoin(broadcast(total))
+          .filter(col("doc_id") < 300)
+          .select(col("doc_id"), col("n_tokens"),
+            round(log2(col("total")) - col("sumlog") / col("n_tokens"), 6)
+              .as("bits_per_token"))
+          .orderBy(col("doc_id").asc_nulls_last)
+      },
+      Some("""WITH toks AS (
+          SELECT doc_id, w FROM (
+            SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents) t
+          WHERE len(w) > 0),
+        model AS (SELECT w, count(*) AS cnt FROM toks GROUP BY w),
+        tot AS (SELECT count(*) AS total FROM toks)
+        SELECT doc_id, n_tokens,
+          round(log2(total) - sumlog / n_tokens, 6) AS bits_per_token
+        FROM (SELECT doc_id, count(*) AS n_tokens, sum(log2(cnt)) AS sumlog
+              FROM toks JOIN model USING (w) GROUP BY doc_id) d, tot
+        WHERE doc_id < 300
+        ORDER BY doc_id ASC NULLS LAST""")))
 }

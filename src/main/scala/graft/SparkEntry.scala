@@ -18,7 +18,8 @@ object SparkEntry {
     ScalarQueries, TableFnQueries, AdvancedQueries,
     TextQueries, DedupQueries, SimilarityQueries, MultimodalQueries,
     FileFormatQueries, ExtraQueries, ScaleQueries, Round2Queries,
-    Round3Queries, PipelineQueries, EventAnalyticsQueries, LayoutQueries)
+    Round3Queries, PipelineQueries, EventAnalyticsQueries, LayoutQueries,
+    Round6Queries)
 
   private lazy val allQueries: Seq[Q] = {
     val qs = modules.flatMap(_.queries)

@@ -58,6 +58,10 @@ object DedupQueries extends QueryModule {
     */
   def release(s: SparkSession): Unit = {
     graft.operators.ConnectedComponents.release()
+    val pit = pairsCache.keySet().iterator()
+    while (pit.hasNext) { if (pit.next()._1 eq s) pit.remove() }
+    val lit2 = labelsCache.keySet().iterator()
+    while (lit2.hasNext) { if (lit2.next()._1 eq s) lit2.remove() }
     val rit = retained.keySet().iterator()
     while (rit.hasNext) {
       try rit.next().unpersist(blocking = false)
@@ -178,10 +182,32 @@ object DedupQueries extends QueryModule {
   }
 
   /** Exact 3-gram-Jaccard ≥ 0.5 near-dup pairs (id_a < id_b): the
-    * verified edge set shared by the pair query and the cluster
-    * (connected-components) query.
+    * verified edge set shared by the pair query, the cluster
+    * (connected-components) query, and quality-aware survivorship.
+    * Memoized per (session, dir) with the same lifecycle as the
+    * shingle relation: a production pipeline materializes the verified
+    * pair graph ONCE and feeds every downstream consumer from it —
+    * recomputing the candidate self-join per consumer would multiply
+    * the most expensive shuffle in the whole dedup family.
     */
-  def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
+  private val pairsCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  def jaccardPairs(s: SparkSession, dir: String): DataFrame =
+    pairsCache.computeIfAbsent((s, dir), _ => retain(jaccardPairsUncached(s, dir)))
+
+  /** Min-label cluster assignment over [[jaccardPairs]] — memoized for
+    * the same reason: the CC fixpoint is a multi-superstep iteration,
+    * and both the cluster report and keep-best survivorship consume
+    * the SAME label frame.
+    */
+  private val labelsCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  def clusterLabels(s: SparkSession, dir: String): DataFrame =
+    labelsCache.computeIfAbsent((s, dir), _ =>
+      graft.operators.ConnectedComponents.labels(
+        jaccardPairs(s, dir).select(col("id_a").as("u"), col("id_b").as("v"))))
+
+  private def jaccardPairsUncached(s: SparkSession, dir: String): DataFrame = {
     // both candidate generation and the intersection/size counts run on
     // the capped relation: the semantics are "Jaccard over informative
     // shingles", consistently on both sides of the ratio

@@ -243,9 +243,7 @@ object Round3Queries extends QueryModule {
     Q("n_dedup_clusters",
       "Near-dup CLUSTERS: connected components (min-label propagation to fixpoint) over the verified Jaccard≥0.5 pair graph — each component's canonical survivor is its min doc_id. The production dedup step after pair verification; oracle = transitive closure via recursive CTE.",
       (s, dir) => {
-        val pairs = DedupQueries.jaccardPairs(s, dir)
-          .select(col("id_a").as("u"), col("id_b").as("v"))
-        graft.operators.ConnectedComponents.labels(pairs)
+        DedupQueries.clusterLabels(s, dir)
           .groupBy(col("label").as("cluster_id"))
           .agg(count(lit(1)).as("n_members"), max(col("id")).as("max_member"))
           .orderBy(col("cluster_id").asc_nulls_last)

@@ -192,8 +192,24 @@ object DedupQueries extends QueryModule {
     */
   private val pairsCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  /** (id_a, id_b, inter, na, nb) for every candidate pair sharing at
+    * least one capped shingle — the SINGLE most expensive shuffle in
+    * the dedup family, memoized because symmetric Jaccard (≥ 0.5),
+    * asymmetric containment (≥ 0.8), and everything downstream of
+    * them are just different ratio filters over this one relation.
+    */
+  def pairIntersections(s: SparkSession, dir: String): DataFrame =
+    pairsCache.computeIfAbsent((s, dir), _ => retain(pairIntersectionsUncached(s, dir)))
+
   def jaccardPairs(s: SparkSession, dir: String): DataFrame =
-    pairsCache.computeIfAbsent((s, dir), _ => retain(jaccardPairsUncached(s, dir)))
+    pairIntersections(s, dir)
+      // filter on the RAW ratio exactly like the oracle does — filtering
+      // on the rounded value would admit ratios in [0.4999995, 0.5)
+      // that the oracle rejects; rounding is display-only
+      .withColumn("raw", col("inter") / (col("na") + col("nb") - col("inter")))
+      .filter(col("raw") >= 0.5)
+      .select(col("id_a"), col("id_b"), round(col("raw"), 6).as("jaccard"))
 
   /** Min-label cluster assignment over [[jaccardPairs]] — memoized for
     * the same reason: the CC fixpoint is a multi-superstep iteration,
@@ -207,26 +223,19 @@ object DedupQueries extends QueryModule {
       graft.operators.ConnectedComponents.labels(
         jaccardPairs(s, dir).select(col("id_a").as("u"), col("id_b").as("v"))))
 
-  private def jaccardPairsUncached(s: SparkSession, dir: String): DataFrame = {
+  private def pairIntersectionsUncached(s: SparkSession, dir: String): DataFrame = {
     // both candidate generation and the intersection/size counts run on
-    // the capped relation: the semantics are "Jaccard over informative
-    // shingles", consistently on both sides of the ratio
+    // the capped relation: the semantics are "overlap over informative
+    // shingles", consistently on both sides of every ratio
     val sh = cappedShingles(s, dir)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val a = sh.as("a"); val b = sh.as("b")
-    val pairs = a.join(b,
+    a.join(b,
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .agg(count(lit(1)).as("inter"))
-    pairs
       .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_sh", "na"), "id_a")
       .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_sh", "nb"), "id_b")
-      // filter on the RAW ratio exactly like the oracle does — filtering
-      // on the rounded value would admit ratios in [0.4999995, 0.5)
-      // that the oracle rejects; rounding is display-only
-      .withColumn("raw", col("inter") / (col("na") + col("nb") - col("inter")))
-      .filter(col("raw") >= 0.5)
-      .select(col("id_a"), col("id_b"), round(col("raw"), 6).as("jaccard"))
   }
 
   private def buildShingles(s: SparkSession, dir: String): DataFrame =
@@ -308,14 +317,9 @@ object DedupQueries extends QueryModule {
     Q("n_dedup_containment",
       "Containment near-dup (|A∩B| / min(|A|,|B|) ≥ 0.8 over the SAME DF-capped shingle relation): catches doc-CONTAINS-doc partial duplication — a quote, a boilerplate wrapper, a page embedding another — which symmetric Jaccard misses whenever the sizes differ a lot. Same bucketed equi-join candidate generation (never O(n²)), flags whether symmetric Jaccard ≥ 0.5 would also have caught the pair.",
       (s, dir) => {
-        val sh = cappedShingles(s, dir)
-        val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-        val a = sh.as("a"); val b = sh.as("b")
-        a.join(b, col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-          .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-          .agg(count(lit(1)).as("inter"))
-          .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_sh", "na"), "id_a")
-          .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_sh", "nb"), "id_b")
+        // the shared memoized intersection relation — containment is
+        // just a different ratio filter over the same self-join
+        pairIntersections(s, dir)
           // raw-ratio filter, display-only rounding (same discipline as
           // jaccardPairs: a rounded filter would disagree with the oracle
           // on ratios just under the threshold)

@@ -57,7 +57,12 @@ class DialectPropertySpec extends AnyFunSuite {
       "SELECT [x + 1 for x in [1, 2, 3]] AS a",
       "SELECT * REPLACE (b * 10 AS b) FROM VALUES (1, 2) t(a, b)",
       "SELECT min(COLUMNS(*)) FROM VALUES (1, 10) t(a, b)",
-      """SELECT c.id, p.v FROM c ASOF LEFT JOIN p ON c.k = p.k AND c.t >= p.t ORDER BY c.id""")
+      """SELECT c.id, p.v FROM c ASOF LEFT JOIN p ON c.k = p.k AND c.t >= p.t ORDER BY c.id""",
+      // round-6 surfaces: DESCRIBE QUERY output must not re-trigger,
+      // and a consumed POSITIONAL JOIN leaves only a view name behind
+      "DESCRIBE SELECT 1 AS x",
+      "SELECT * FROM (VALUES (1)) t(x) POSITIONAL JOIN (VALUES (2)) s(y)",
+      "SELECT bar(5, 0, 10, 10) AS s, age(TIMESTAMP '2024-03-05 00:00:00') AS a")
     examples.foreach { sql =>
       val once = Dialect.rewrite(spark, sql)
       assert(Dialect.rewrite(spark, once) == once, s"not idempotent: $sql")

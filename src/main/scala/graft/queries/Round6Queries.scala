@@ -61,5 +61,54 @@ object Round6Queries extends QueryModule {
           b.kept_chars, b.n_members
         FROM members m JOIN best b ON m.label = b.label AND m.n_chars = b.kept_chars
         GROUP BY m.label, b.kept_chars, b.n_members
-        ORDER BY cluster_id ASC NULLS LAST""")))
+        ORDER BY cluster_id ASC NULLS LAST""")),
+
+    Q("n_dsir_importance",
+      "DSIR-style importance weights (Data Selection via Importance Resampling, public method: per-doc log-likelihood ratio between a TARGET domain LM and the RAW corpus LM, here in unigram form): target = source 'src0', raw = every other source, add-one smoothing over the joint vocabulary; each doc scores mean_w[log2 p_target(w) - log2 p_raw(w)] — positive means 'looks like the target domain', the resampling key for domain-matched pretraining mixes. Cross-engine exactness: every log2 operand is an exact integer-valued double (counts and totals, never pre-divided ratios), so both engines sum identical IEEE values. Scale shape: two token-keyed count aggregates (the two LMs) joined back on the SAME token key (co-partitioned, never broadcast), one doc-keyed mean, scalar totals via one-row broadcast — all linear, nothing collected.",
+      (s, dir) => {
+        val toks = T(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            explode(split(lower(col("text")), " ")).as("w"))
+          .filter(length(col("w")) > 0)
+        val isT = col("source") === "src0"
+        val counts = toks.groupBy(col("w")).agg(
+          sum(when(isT, 1L).otherwise(0L)).as("ct"),
+          sum(when(isT, 0L).otherwise(1L)).as("cr"))
+        val totals = counts.agg(
+          sum(col("ct")).as("nt"), sum(col("cr")).as("nr"),
+          count(lit(1)).as("v"))
+        toks.join(counts, Seq("w"))
+          .groupBy(col("doc_id"), col("source"))
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(log2(col("ct") + 1) - log2(col("cr") + 1)).as("sumdiff"))
+          .crossJoin(broadcast(totals))
+          .filter(col("doc_id") < 300)
+          .select(col("doc_id"), (col("source") === "src0").as("is_target"),
+            col("n_tokens"),
+            round((col("sumdiff") / col("n_tokens"))
+              - log2(col("nt") + col("v")) + log2(col("nr") + col("v")), 6)
+              .as("mean_importance"))
+          .orderBy(col("doc_id").asc_nulls_last)
+      },
+      Some("""WITH toks AS (
+          SELECT doc_id, source, w FROM (
+            SELECT doc_id, source, unnest(string_split(lower(text), ' ')) AS w
+            FROM documents) t
+          WHERE len(w) > 0),
+        counts AS (
+          SELECT w,
+            sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS ct,
+            sum(CASE WHEN source = 'src0' THEN 0 ELSE 1 END) AS cr
+          FROM toks GROUP BY w),
+        totals AS (
+          SELECT sum(ct) AS nt, sum(cr) AS nr, count(*) AS v FROM counts)
+        SELECT doc_id, (source = 'src0') AS is_target, n_tokens,
+          round(sumdiff / n_tokens - log2(nt + v) + log2(nr + v), 6)
+            AS mean_importance
+        FROM (SELECT doc_id, source, count(*) AS n_tokens,
+                sum(log2(ct + 1) - log2(cr + 1)) AS sumdiff
+              FROM toks JOIN counts USING (w)
+              GROUP BY doc_id, source) d, totals
+        WHERE doc_id < 300
+        ORDER BY doc_id ASC NULLS LAST""")))
 }

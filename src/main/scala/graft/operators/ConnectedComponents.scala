@@ -89,15 +89,24 @@ object ConnectedComponents {
     var converged = false
     val MaxSupersteps = 50
     while (!converged && iter < MaxSupersteps) {
-      val (next, ownNext) = cacheOnce(
-        edges.join(lab.withColumnRenamed("id", "v"), "v")
-          .groupBy(col("u").as("id")).agg(min(col("label")).as("label")))
+      // localCheckpoint (eager): materialize AND truncate lineage.
+      // Without it the label plan nests one join level per superstep —
+      // analysis cost grows quadratically with iteration count and any
+      // downstream consumer of the returned frame drags the whole
+      // unrolled fixpoint history through the optimizer (a driver-
+      // memory risk at high component diameters; the same reason
+      // GraphFrames CC checkpoints periodically). The label frame is
+      // tiny (one row per graph node), so the checkpoint job is the
+      // same work the convergence aggregate was already forcing.
+      val next = edges.join(lab.withColumnRenamed("id", "v"), "v")
+        .groupBy(col("u").as("id")).agg(min(col("label")).as("label"))
+        .localCheckpoint(true)
       val s = sumLabels(next)
       converged = s == prevSum
       prevSum = s
       if (ownLab) lab.unpersist(blocking = false)
       lab = next
-      ownLab = ownNext
+      ownLab = true // checkpointed frames carry their own storage
       iter += 1
     }
     if (ownEdges) edges.unpersist(blocking = false)

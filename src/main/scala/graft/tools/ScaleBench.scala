@@ -25,7 +25,12 @@ object ScaleBench {
     "n_ngram_pmi",
     // round-5 additions: chunking explodes rows, semantic dedup pairs
     // within cells, OOV joins the token stream, sharding is map+rollup
-    "n_chunk_overlap", "n_dedup_semantic", "n_oov_rate", "n_shard_assign")
+    "n_chunk_overlap", "n_dedup_semantic", "n_oov_rate", "n_shard_assign",
+    // round-6 additions: LM scoring (token-keyed model joins), DSIR
+    // importance (two LMs + co-partitioned rejoin), keep-best and
+    // containment over the memoized pair-intersection relation
+    "n_quality_unigram_lm", "n_dsir_importance",
+    "n_dedup_keep_best", "n_dedup_containment")
 
   def main(args: Array[String]): Unit = {
     val dirA = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

@@ -110,5 +110,63 @@ object Round6Queries extends QueryModule {
               FROM toks JOIN counts USING (w)
               GROUP BY doc_id, source) d, totals
         WHERE doc_id < 300
-        ORDER BY doc_id ASC NULLS LAST""")))
+        ORDER BY doc_id ASC NULLS LAST""")),
+
+    Q("n_e2e_prep_pipeline",
+      "End-to-end preprocessing capstone as ONE DAG: normalize (lower + whitespace collapse) -> quality gate (>=100 chars, >=20 tokens) -> exact dedup on normalized text (keep min id) -> 64/48 sliding-window chunking, reporting per-language funnel counts (in -> quality -> unique -> chunks/tokens). This is the query a user runs nightly; expressing it as one DataFrame DAG means Catalyst fuses normalize+gate into the scan projection, the dedup aggregate partial-aggregates map-side, and chunk accounting is arithmetic on token counts (no chunk text is ever materialized, let alone shuffled). Every stage count is an exact integer, so the funnel hashes identically cross-engine.",
+      (s, dir) => {
+        val gated = T(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            trim(regexp_replace(lower(col("text")), "\\s+", " ")).as("t"))
+          .withColumn("n_toks", size(split(col("t"), " ")))
+          .withColumn("q", length(col("t")) >= 100 && col("n_toks") >= 20)
+        val kept = gated.filter(col("q"))
+          .groupBy(col("lang"), col("t"))
+          .agg(min(col("doc_id")).as("keep_id"),
+            count(lit(1)).as("n_copies"), max(col("n_toks")).as("n_toks"))
+        val inStats = gated.groupBy(col("lang")).agg(
+          count(lit(1)).as("docs_in"),
+          sum(when(col("q"), 1L).otherwise(0L)).as("docs_quality"))
+        val dedupStats = kept.groupBy(col("lang")).agg(
+          count(lit(1)).as("docs_unique"),
+          sum(col("n_copies") - 1).as("docs_dropped_dup"),
+          sum(col("n_toks")).as("tokens_kept"))
+        val chunkStats = kept
+          .select(col("lang"), explode(expr(
+            "transform(sequence(0, n_toks - 1, 48), x -> least(64, n_toks - x))"))
+            .as("chunk_len"))
+          .groupBy(col("lang")).agg(
+            count(lit(1)).as("n_chunks"), sum(col("chunk_len")).as("chunk_tokens"))
+        inStats.join(dedupStats, Seq("lang")).join(chunkStats, Seq("lang"))
+          .orderBy(col("lang").asc_nulls_last)
+      },
+      Some("""WITH g AS (
+          SELECT doc_id, lang, t, CAST(len(string_split(t, ' ')) AS INT) AS n_toks,
+            (len(t) >= 100 AND len(string_split(t, ' ')) >= 20) AS q
+          FROM (SELECT doc_id, lang,
+                  trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+                FROM documents) n),
+        kept AS (
+          SELECT lang, t, min(doc_id) AS keep_id, count(*) AS n_copies,
+            max(n_toks) AS n_toks
+          FROM g WHERE q GROUP BY lang, t),
+        instats AS (
+          SELECT lang, count(*) AS docs_in,
+            CAST(sum(CASE WHEN q THEN 1 ELSE 0 END) AS BIGINT) AS docs_quality
+          FROM g GROUP BY lang),
+        dstats AS (
+          SELECT lang, count(*) AS docs_unique,
+            CAST(sum(n_copies - 1) AS BIGINT) AS docs_dropped_dup,
+            CAST(sum(n_toks) AS BIGINT) AS tokens_kept
+          FROM kept GROUP BY lang),
+        cstats AS (
+          SELECT lang, count(*) AS n_chunks,
+            CAST(sum(chunk_len) AS BIGINT) AS chunk_tokens
+          FROM (SELECT lang, least(64, n_toks - x) AS chunk_len
+                FROM kept, LATERAL (SELECT unnest(generate_series(0, n_toks - 1, 48)) AS x) s)
+          GROUP BY lang)
+        SELECT lang, docs_in, docs_quality, docs_unique, docs_dropped_dup,
+          tokens_kept, n_chunks, chunk_tokens
+        FROM instats JOIN dstats USING (lang) JOIN cstats USING (lang)
+        ORDER BY lang ASC NULLS LAST""")))
 }

@@ -91,4 +91,29 @@ class DedupSkewSpec extends AnyFunSuite {
     // identical docs → identical simhash → Hamming 0 everywhere
     assert(cand.filter(col("hamming") =!= 0).count() == 0L)
   }
+
+  test("pair-graph memoization: one materialization per session, rebuild after release") {
+    val s = freshSession()
+    val dir = TestSpark.sf
+    // the memo hands back the SAME frame object — consumers share one
+    // materialization instead of re-running the candidate self-join
+    val p1 = DedupQueries.pairIntersections(s, dir)
+    val p2 = DedupQueries.pairIntersections(s, dir)
+    assert(p1 eq p2)
+    val l1 = DedupQueries.clusterLabels(s, dir)
+    assert(l1 eq DedupQueries.clusterLabels(s, dir))
+    val before = DedupQueries.jaccardPairs(s, dir)
+      .orderBy(col("id_a"), col("id_b")).collect().toSeq
+    assert(before.nonEmpty)
+    // release drops the memo AND the cached blocks; a fresh call must
+    // rebuild a new frame with identical content (lifecycle safety:
+    // release can never leave a consumer reading a stale/unpersisted
+    // memoized plan)
+    DedupQueries.release(s)
+    val p3 = DedupQueries.pairIntersections(s, dir)
+    assert(!(p1 eq p3))
+    val after = DedupQueries.jaccardPairs(s, dir)
+      .orderBy(col("id_a"), col("id_b")).collect().toSeq
+    assert(before == after)
+  }
 }

@@ -1047,6 +1047,240 @@ object GraftExtensions {
         }))
   }
 
+  /** Round-6 second batch (probe5 closures): the list/vector/JSON/
+    * regex/date function tier a migrating user reaches next. Every
+    * entry reproduces DuckDB's documented semantics; corner notes per
+    * entry. (json_structure and bitstring_agg stay loud omissions:
+    * the first renders DuckDB's type-template vocabulary, the second
+    * needs a BIT accumulator — both would be invented behavior.)
+    */
+  private[graft] val registrations5: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = {
+    import org.apache.spark.sql.catalyst.expressions.{Add, ArrayContains, ArrayFilter, ArrayForAll, Cast, CaseWhen, Coalesce, CreateArray, CreateNamedStruct, ElementAt, Exp, Expression => Expr, IsNotNull, IsNull, LambdaFunction, Literal, Multiply, Or, RLike, Size, Slice, SortArray, Sqrt, Subtract, UnresolvedNamedLambdaVariable}
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue
+    import org.apache.spark.sql.types._
+    def one(n: String, a: Seq[Expression]): Unit =
+      require(a.length == 1, s"$n expects 1 argument, got ${a.length}")
+    def two(n: String, a: Seq[Expression]): Unit =
+      require(a.length == 2, s"$n expects 2 arguments, got ${a.length}")
+    def lv(n: String) = UnresolvedNamedLambdaVariable(Seq(n))
+    def agg(e: Expression): Expression = e match {
+      case f: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateFunction =>
+        f.toAggregateExpression()
+      case other => other
+    }
+    // Σ over zip_with — the double-precision fold shared by the
+    // array_* vector functions (operands cast to DOUBLE first)
+    def fold2(a: Expression, b: Expression)(f: (Expression, Expression) => Expression): Expression = {
+      val x = lv("__f2x"); val y = lv("__f2y")
+      val acc = lv("__f2a"); val v = lv("__f2v")
+      builtinBuilder("aggregate")(Seq(
+        builtinBuilder("zip_with")(Seq(a, b,
+          LambdaFunction(f(Cast(x, DoubleType), Cast(y, DoubleType)), Seq(x, y)))),
+        Literal(0.0),
+        LambdaFunction(Add(acc, v), Seq(acc, v))))
+    }
+    def dot(a: Expression, b: Expression): Expression =
+      fold2(a, b)(Multiply(_, _))
+    Seq(
+      // DuckDB list_reduce has NO seed: the first element seeds the
+      // fold (list_reduce([1,2,3], f) = f(f(1,2),3); empty list
+      // errors — ANSI element_at reproduces that loudly)
+      ("list_reduce",
+        info("list_reduce", "list_reduce(l, (a, b) -> ...) - fold seeded by the FIRST element (DuckDB semantics; empty list errors)."),
+        (args: Seq[Expression]) => { two("list_reduce", args)
+          val l = args.head
+          builtinBuilder("aggregate")(Seq(
+            Slice(l, Literal(2), Subtract(Size(l), Literal(1))),
+            ElementAt(l, Literal(1)), args(1)))
+        }),
+      // list_zip pads the shorter list with NULL and names the struct
+      // fields list_1/list_2 exactly like DuckDB
+      ("list_zip",
+        info("list_zip", "list_zip(a, b) - element-wise zip into {list_1, list_2} structs (NULL-padded)."),
+        (args: Seq[Expression]) => { two("list_zip", args)
+          val x = lv("__lzx"); val y = lv("__lzy")
+          builtinBuilder("zip_with")(Seq(args(0), args(1),
+            LambdaFunction(CreateNamedStruct(Seq(
+              Literal("list_1"), x, Literal("list_2"), y)), Seq(x, y))))
+        }),
+      // first non-NULL element (get() is 0-based and NULL-safe, so an
+      // all-NULL or empty list yields NULL like DuckDB)
+      ("list_any_value",
+        info("list_any_value", "list_any_value(l) - first non-NULL element."),
+        (args: Seq[Expression]) => { one("list_any_value", args)
+          val v = lv("__lav")
+          builtinBuilder("get")(Seq(
+            ArrayFilter(args.head, LambdaFunction(IsNotNull(v), Seq(v))),
+            Literal(0)))
+        }),
+      // list_count counts NON-NULL elements (it is list_aggregate's
+      // 'count'), BIGINT like DuckDB
+      ("list_count",
+        info("list_count", "list_count(l) - number of non-NULL elements (BIGINT)."),
+        (args: Seq[Expression]) => { one("list_count", args)
+          val v = lv("__lcv")
+          Cast(Size(ArrayFilter(args.head,
+            LambdaFunction(IsNotNull(v), Seq(v)))), LongType)
+        }),
+      // NULL list in → NULL out; NULL ELEMENTS are ignored (DuckDB:
+      // list_has_any([1], [NULL]) = false) — arrays_overlap alone
+      // returns NULL there, hence the coalesce under a null-input guard
+      ("list_has_any",
+        info("list_has_any", "list_has_any(a, b) - true when the lists share a non-NULL element."),
+        (args: Seq[Expression]) => { two("list_has_any", args)
+          CaseWhen(Seq((Or(IsNull(args(0)), IsNull(args(1))),
+            Literal.create(null, BooleanType))),
+            Some(Coalesce(Seq(
+              builtinBuilder("arrays_overlap")(Seq(args(0), args(1))),
+              Literal(false)))))
+        }),
+      ("list_has_all",
+        info("list_has_all", "list_has_all(a, b) - true when every non-NULL element of b is in a (empty b -> true)."),
+        (args: Seq[Expression]) => { two("list_has_all", args)
+          val v = lv("__lhv"); val w = lv("__lhw")
+          ArrayForAll(
+            ArrayFilter(args(1), LambdaFunction(IsNotNull(v), Seq(v))),
+            LambdaFunction(Coalesce(Seq(
+              ArrayContains(args(0), w), Literal(false))), Seq(w)))
+        }),
+      ("array_inner_product",
+        info("array_inner_product", "array_inner_product(a, b) - dot product as DOUBLE."),
+        (args: Seq[Expression]) => { two("array_inner_product", args)
+          dot(args(0), args(1)) }),
+      ("list_inner_product",
+        info("list_inner_product", "list_inner_product(a, b) - dot product as DOUBLE."),
+        (args: Seq[Expression]) => { two("list_inner_product", args)
+          dot(args(0), args(1)) }),
+      ("array_distance",
+        info("array_distance", "array_distance(a, b) - Euclidean distance as DOUBLE."),
+        (args: Seq[Expression]) => { two("array_distance", args)
+          Sqrt(fold2(args(0), args(1))((x, y) =>
+            Multiply(Subtract(x, y), Subtract(x, y)))) }),
+      ("list_distance",
+        info("list_distance", "list_distance(a, b) - Euclidean distance as DOUBLE."),
+        (args: Seq[Expression]) => { two("list_distance", args)
+          Sqrt(fold2(args(0), args(1))((x, y) =>
+            Multiply(Subtract(x, y), Subtract(x, y)))) }),
+      ("array_cosine_similarity",
+        info("array_cosine_similarity", "array_cosine_similarity(a, b) - cosine similarity as DOUBLE."),
+        (args: Seq[Expression]) => { two("array_cosine_similarity", args)
+          org.apache.spark.sql.catalyst.expressions.Divide(
+            dot(args(0), args(1)),
+            Multiply(Sqrt(dot(args(0), args(0))), Sqrt(dot(args(1), args(1)))))
+        }),
+      ("list_cosine_similarity",
+        info("list_cosine_similarity", "list_cosine_similarity(a, b) - cosine similarity as DOUBLE."),
+        (args: Seq[Expression]) => { two("list_cosine_similarity", args)
+          org.apache.spark.sql.catalyst.expressions.Divide(
+            dot(args(0), args(1)),
+            Multiply(Sqrt(dot(args(0), args(0))), Sqrt(dot(args(1), args(1)))))
+        }),
+      // grade_up: 1-based indices that would sort the list ascending
+      // (verified list_grade_up([30,10,20]) = [2,3,1]); sort the
+      // (value, index) structs — fieldwise struct ordering makes index
+      // the deterministic tie-break, exactly DuckDB's stable sort
+      ("list_grade_up",
+        info("list_grade_up", "list_grade_up(l) - 1-based indices that sort l ascending."),
+        (args: Seq[Expression]) => { one("list_grade_up", args)
+          val l = args.head
+          val v = lv("__lgv"); val i = lv("__lgi"); val st = lv("__lgs")
+          val zipped = builtinBuilder("zip_with")(Seq(l,
+            builtinBuilder("sequence")(Seq(Literal(1), Size(l))),
+            LambdaFunction(CreateNamedStruct(Seq(
+              Literal("v"), v, Literal("i"), i)), Seq(v, i))))
+          val graded = builtinBuilder("transform")(Seq(
+            SortArray(zipped, Literal(true)),
+            LambdaFunction(UnresolvedExtractValue(st, Literal("i")), Seq(st))))
+          // sequence(1, 0) is DESCENDING in Spark, so the empty list
+          // must short-circuit (DuckDB: grade_up([]) = [])
+          CaseWhen(Seq((org.apache.spark.sql.catalyst.expressions.EqualTo(
+            Size(l), Literal(0)),
+            Cast(CreateArray(Nil), ArrayType(IntegerType)))), Some(graded))
+        }),
+      ("map_contains",
+        info("map_contains", "map_contains(m, k) - true when the map has the key."),
+        (args: Seq[Expression]) => { two("map_contains", args)
+          builtinBuilder("map_contains_key")(args) }),
+      // JSON construction: keys must be literals (DuckDB allows
+      // runtime keys; non-foldable keys fail loudly here)
+      ("json_object",
+        info("json_object", "json_object(k1, v1, ...) - JSON object from key/value pairs."),
+        (args: Seq[Expression]) => {
+          require(args.length % 2 == 0, s"json_object expects key/value pairs, got ${args.length} arguments")
+          builtinBuilder("to_json")(Seq(CreateNamedStruct(args)))
+        }),
+      ("json_array",
+        info("json_array", "json_array(v1, ...) - JSON array (elements must share a type here; DuckDB also allows mixed)."),
+        (args: Seq[Expression]) =>
+          builtinBuilder("to_json")(Seq(CreateArray(args))) ),
+      ("json_valid",
+        info("json_valid", "json_valid(s) - true when s parses as JSON."),
+        (args: Seq[Expression]) => { one("json_valid", args)
+          IsNotNull(builtinBuilder("get_json_object")(Seq(args.head, Literal("$")))) }),
+      ("regexp_full_match",
+        info("regexp_full_match", "regexp_full_match(s, re) - whole-string regex match."),
+        (args: Seq[Expression]) => { two("regexp_full_match", args)
+          RLike(args(0), org.apache.spark.sql.catalyst.expressions.Concat(Seq(
+            Literal("^(?:"), args(1), Literal(")$"))))
+        }),
+      ("sha256",
+        info("sha256", "sha256(s) - SHA-256 hex digest."),
+        (args: Seq[Expression]) => { one("sha256", args)
+          builtinBuilder("sha2")(Seq(args.head, Literal(256))) }),
+      // geometric mean via exp(avg(ln)) — DuckDB's geomean; zero or
+      // negative inputs produce the same NaN/-Inf family there
+      ("geomean",
+        info("geomean", "geomean(x) - geometric mean as DOUBLE."),
+        (args: Seq[Expression]) => { one("geomean", args)
+          Exp(agg(builtinBuilder("avg")(Seq(
+            builtinBuilder("ln")(Seq(Cast(args.head, DoubleType))))))) }),
+      ("geometric_mean",
+        info("geometric_mean", "geometric_mean(x) - geometric mean as DOUBLE."),
+        (args: Seq[Expression]) => { one("geometric_mean", args)
+          Exp(agg(builtinBuilder("avg")(Seq(
+            builtinBuilder("ln")(Seq(Cast(args.head, DoubleType))))))) }),
+      // DuckDB's list form: date_part(['year','month'], d) returns a
+      // struct keyed by the requested parts; scalar form delegates
+      ("date_part",
+        info("date_part", "date_part(part | [parts], x) - scalar part, or a struct of parts for the list form (DuckDB semantics)."),
+        (args: Seq[Expression]) => { two("date_part", args)
+          args.head match {
+            case CreateArray(parts, _) if parts.nonEmpty && parts.forall(_.foldable) =>
+              CreateNamedStruct(parts.flatMap { p =>
+                val name = String.valueOf(p.eval(null))
+                Seq(Literal(name),
+                  builtinBuilder("date_part")(Seq(Literal(name), args(1))): Expr)
+              })
+            case _ => builtinBuilder("date_part")(args)
+          }
+        }),
+      ("repeat",
+        info("repeat", "repeat(s|l, n) - string repeat, or list concatenation repeat (DuckDB's overload)."),
+        (args: Seq[Expression]) => { two("repeat", args)
+          graft.functions.RepeatDispatch(args(0), args(1)) }),
+      ("datetrunc",
+        info("datetrunc", "datetrunc(part, x) - date_trunc preserving the input's DATE/TIMESTAMP type."),
+        (args: Seq[Expression]) => { two("datetrunc", args)
+          graft.functions.DateTruncDispatch(args(0), args(1)) }),
+      ("datesub",
+        info("datesub", "datesub(part, start, end) - COMPLETE part units between start and end (DuckDB semantics; date_diff counts crossings)."),
+        (args: Seq[Expression]) => {
+          require(args.length == 3, s"datesub expects 3 arguments, got ${args.length}")
+          graft.functions.DateSubParts(args(0),
+            Cast(args(1), TimestampType), Cast(args(2), TimestampType))
+        }),
+      // 3-arg form is DuckDB's datesub alias; the 2-arg form stays
+      // Spark's own date_sub(date, days)
+      ("date_sub",
+        info("date_sub", "date_sub(part, start, end) - DuckDB datesub; date_sub(date, n) stays Spark's."),
+        (args: Seq[Expression]) => {
+          if (args.length == 3)
+            graft.functions.DateSubParts(args(0),
+              Cast(args(1), TimestampType), Cast(args(2), TimestampType))
+          else builtinBuilder("date_sub")(args)
+        }))
+  }
+
   /** DuckDB function-name aliases onto Spark builtins with matching
     * semantics AND argument order — the function-level face of the
     * dialect shim (`server.Dialect` handles the syntax-level sugar).
@@ -1108,7 +1342,15 @@ object GraftExtensions {
     // DuckDB's row(1, 'x') anonymous-struct constructor
     "row" -> "struct",
     // Spark's split is already regex-based — identical semantics
-    "string_split_regex" -> "split")
+    "string_split_regex" -> "split",
+    // round-6 probe5 closures (verified same-semantics):
+    // reverse works on arrays in Spark exactly like list_reverse;
+    // json_object_keys = json_keys (array of top-level keys);
+    // listagg = group_concat/listagg (comma default handled by Spark);
+    // flatten/map_keys/map_values/map_entries already share names
+    "list_reverse" -> "reverse",
+    "json_keys" -> "json_object_keys",
+    "group_concat" -> "listagg")
 
   private def aliasRegistrations: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = {
     val builtin = org.apache.spark.sql.catalyst.analysis.FunctionRegistry.builtin
@@ -1120,7 +1362,8 @@ object GraftExtensions {
   }
 
   private[graft] def allRegistrations: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] =
-    registrations ++ registrations2 ++ registrations3 ++ registrations4 ++ aliasRegistrations
+    registrations ++ registrations2 ++ registrations3 ++ registrations4 ++
+      registrations5 ++ aliasRegistrations
 
   private val txidCounter = new java.util.concurrent.atomic.AtomicLong(0L)
 
@@ -1240,6 +1483,40 @@ object GraftExtensions {
     spark.udf.register("txid_current",
       org.apache.spark.sql.functions.udf(() => txidCounter.incrementAndGet())
         .asNondeterministic())
+    // regexp_escape: backslash-escape every regex metacharacter
+    // (verified regexp_escape('a.b') = 'a\.b')
+    spark.udf.register("regexp_escape", (s: String) =>
+      if (s == null) null
+      else s.replaceAll("""[.^$\\*+?()\[\]{}|]""", """\\$0"""))
+    // substring_grapheme: 1-based, length in GRAPHEME CLUSTERS —
+    // java.text.BreakIterator gives the same cluster boundaries
+    // DuckDB's utf8proc does for combining sequences
+    spark.udf.register("substring_grapheme",
+      (s: String, start: java.lang.Integer, len: java.lang.Integer) =>
+        if (s == null || start == null || len == null) null
+        else {
+          val it = java.text.BreakIterator.getCharacterInstance
+          it.setText(s)
+          val bounds = scala.collection.mutable.ArrayBuffer(it.first())
+          var b = it.next()
+          while (b != java.text.BreakIterator.DONE) { bounds += b; b = it.next() }
+          val n = bounds.length - 1 // grapheme count
+          val from = math.max(0, start.intValue() - 1)
+          val until = math.min(n, from + math.max(0, len.intValue()))
+          if (from >= until) "" else s.substring(bounds(from), bounds(until))
+        })
+    // current_setting: the introspection settings a client actually
+    // reads, SNAPSHOTTED at registration (the UDF runs on executors
+    // where the session is unreachable); unknown keys fail loudly.
+    // Values render as text — DuckDB types them per setting.
+    val settingsSnapshot: Map[String, String] =
+      Map("threads" -> spark.sparkContext.defaultParallelism.toString,
+        "memory_limit" -> spark.conf.getOption("spark.driver.memory").getOrElse("unset")) ++
+        spark.conf.getAll
+    spark.udf.register("current_setting", (k: String) =>
+      if (k == null) null
+      else settingsSnapshot.getOrElse(k,
+        throw new IllegalArgumentException(s"current_setting: unknown setting '$k'")))
   }
 
   /** Textbook Jaro / Jaro-Winkler / Damerau-Levenshtein (the full

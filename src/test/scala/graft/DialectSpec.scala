@@ -649,6 +649,63 @@ class DialectSpec extends AnyFunSuite with BeforeAndAfterAll {
       """[{"x":2,"y":20,"z":200}]""")
   }
 
+  test("round-6 probe5 batch returns DuckDB-verified values") {
+    def one(sql: String, expect: String): Unit = {
+      val r = post(sql)
+      assert(r.statusCode() == 200, s"$sql -> ${r.body()}")
+      assert(r.body() == expect, s"$sql -> ${r.body()} (wanted $expect)")
+    }
+    one("SELECT list_reduce([1, 2, 3], (a, b) -> a + b) AS r", """[{"r":6}]""")
+    assert(post("SELECT list_reduce(list_filter([1], x -> false), (a, b) -> a + b) AS r").statusCode() >= 400) // empty errors, like DuckDB
+    one("SELECT list_zip([1, 2], ['a', 'b']) AS z",
+      """[{"z":[{"list_1":1,"list_2":"a"},{"list_1":2,"list_2":"b"}]}]""")
+    one("SELECT list_zip([1, 2, 3], ['a']) AS z", // shorter side NULL-pads
+      """[{"z":[{"list_1":1,"list_2":"a"},{"list_1":2,"list_2":null},{"list_1":3,"list_2":null}]}]""")
+    one("SELECT list_any_value([NULL, 2, 3]) AS a, list_count([1, NULL, 3]) AS c",
+      """[{"a":2,"c":2}]""")
+    one("SELECT list_has_any([1, 2], [2, 9]) AS a, list_has_any([1], [CAST(NULL AS INT)]) AS b, " +
+      "list_has_all([1, 2, 3], [1, 2]) AS c, list_has_all([1], list_filter([1], x -> false)) AS d",
+      """[{"a":true,"b":false,"c":true,"d":true}]""")
+    one("SELECT array_inner_product([1.0, 2.0], [3.0, 4.0]) AS p, " +
+      "array_distance([0.0, 0.0], [3.0, 4.0]) AS d, " +
+      "array_cosine_similarity([1.0, 0.0], [1.0, 0.0]) AS s",
+      """[{"p":11.0,"d":5.0,"s":1.0}]""")
+    one("SELECT list_grade_up([30, 10, 20]) AS g", """[{"g":[2,3,1]}]""")
+    one("SELECT list_grade_up(list_filter([1], x -> false)) AS g", """[{"g":[]}]""")
+    one("SELECT list_reverse([1, 2, 3]) AS r", """[{"r":[3,2,1]}]""")
+    one("SELECT repeat([1, 2], 2) AS l, repeat('ab', 2) AS s",
+      """[{"l":[1,2,1,2],"s":"abab"}]""")
+    one("SELECT map_contains(MAP {'a': 1}, 'a') AS y, map_contains(MAP {'a': 1}, 'z') AS n",
+      """[{"y":true,"n":false}]""")
+    one("SELECT json_object('a', 1, 'b', 'x') AS j, json_array(1, 2, 3) AS l",
+      """[{"j":"{\"a\":1,\"b\":\"x\"}","l":"[1,2,3]"}]""")
+    one("SELECT json_valid('{\"a\": 1}') AS y, json_valid('nope{') AS n",
+      """[{"y":true,"n":false}]""")
+    one("SELECT json_keys('{\"a\": 1, \"b\": 2}') AS k", """[{"k":["a","b"]}]""")
+    one("SELECT regexp_full_match('abc', '[a-z]+') AS y, regexp_full_match('abc', '[a-z]') AS n",
+      """[{"y":true,"n":false}]""")
+    one("SELECT regexp_escape('a.b(c)') AS e", """[{"e":"a\\.b\\(c\\)"}]""")
+    one("SELECT sha256('abc') AS s",
+      """[{"s":"ba7816bf8f01cfea414140de5dae2223b00361a396177a9cb410ff61f20015ad"}]""")
+    one("SELECT group_concat(x, '|') AS s FROM (VALUES ('a')) t(x)", """[{"s":"a"}]""")
+    one("SELECT substring_grapheme('héllo', 2, 3) AS s", """[{"s":"éll"}]""")
+    one("SELECT geomean(x) AS g FROM (VALUES (2.0), (8.0)) t(x)", """[{"g":4.0}]""")
+    one("SELECT datetrunc('month', DATE '2024-03-15') AS d, " + // DATE in -> DATE out
+      "datetrunc('hour', TIMESTAMP '2024-03-05 10:37:22') AS t",
+      """[{"d":"2024-03-01","t":"2024-03-05 10:00:00"}]""")
+    one("SELECT datesub('day', DATE '2024-01-01', DATE '2024-03-05') AS d, " +
+      "datesub('month', TIMESTAMP '2024-01-15 10:00:00', TIMESTAMP '2024-03-15 09:00:00') AS m, " +
+      "datesub('year', TIMESTAMP '2020-01-01 00:00:00', TIMESTAMP '2024-03-05 00:00:00') AS y",
+      """[{"d":64,"m":1,"y":4}]""")
+    one("SELECT date_part(['year', 'month'], DATE '2024-03-05') AS p",
+      """[{"p":{"year":2024,"month":3}}]""")
+    val cs = post("SELECT current_setting('threads') AS t")
+    assert(cs.statusCode() == 200 && cs.body().matches("""\[\{"t":"\d+"\}\]"""), cs.body())
+    // deliberate loud omissions stay loud
+    assert(post("SELECT json_structure('{\"a\": 1}') AS s").statusCode() >= 400)
+    assert(post("SELECT bitstring_agg(n_nationkey) AS b FROM nation").statusCode() >= 400)
+  }
+
   test("read_csv named options translate to the Spark reader") {
     val d = java.nio.file.Files.createTempDirectory("graft_readopts")
     val semi = d.resolve("semi.csv")

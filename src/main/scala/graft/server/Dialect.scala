@@ -1042,6 +1042,156 @@ object Dialect {
     * a string literal for the anchored forms (the overwhelming usage);
     * otherwise the operator is left → loud parse error.
     */
+  /** DuckDB's `^` (and `**`) is POWER while Spark's `^` is bitwise
+    * XOR — the nastiest silent-divergence operator in the dialect
+    * (2 ^ 3 = 8.0 there, 1 here). Both spellings rewrite to
+    * power(a, b), left-associative like Postgres/DuckDB; DuckDB's
+    * bitwise xor stays reachable as the registered xor() function.
+    * Operands are primary expressions (literals, identifier chains,
+    * calls, parenthesized exprs, brackets, a leading unary sign on
+    * the right side); a `^` whose operands the scanner cannot bound
+    * is left alone — every realistic spelling is covered, and `**`
+    * inside comments is excluded by the binary-context check.
+    */
+  private def rewritePower(sql: String): String = {
+    if (sql.indexOf('^') < 0 && !sql.contains("**")) return sql
+    val mask = quoteMask(sql)
+
+    def matchOpenLeft(close: Int): Int = {
+      val cl = sql.charAt(close); val op = if (cl == ')') '(' else '['
+      var depth = 0; var q = close
+      while (q >= 0) {
+        if (!mask(q)) {
+          if (sql.charAt(q) == cl) depth += 1
+          else if (sql.charAt(q) == op) { depth -= 1; if (depth == 0) return q }
+        }
+        q -= 1
+      }
+      -1
+    }
+    def matchCloseRight(open: Int): Int = {
+      val op = sql.charAt(open); val cl = if (op == '(') ')' else ']'
+      var depth = 0; var q = open
+      while (q < sql.length) {
+        if (!mask(q)) {
+          if (sql.charAt(q) == op) depth += 1
+          else if (sql.charAt(q) == cl) { depth -= 1; if (depth == 0) return q }
+        }
+        q += 1
+      }
+      -1
+    }
+    def wordish(c: Char): Boolean = isWordChar(c) || c == '.'
+
+    // start index of the primary ending just before `before`; -1 if unbounded
+    def leftStart(before: Int): Int = {
+      var p = before - 1
+      while (p >= 0 && sql.charAt(p).isWhitespace) p -= 1
+      if (p < 0) return -1
+      var start = -1
+      var done = false
+      while (!done) {
+        done = true
+        sql.charAt(p) match {
+          case ')' | ']' =>
+            val o = matchOpenLeft(p)
+            if (o < 0) return -1
+            start = o
+            var q = o - 1
+            while (q >= 0 && wordish(sql.charAt(q))) q -= 1
+            if (q < o - 1) start = q + 1
+            p = start - 1
+          case '\'' | '"' | '`' if mask(p) => // closing quote
+            var q = p
+            while (q >= 0 && mask(q)) q -= 1
+            start = q + 1
+            p = q
+          case c if wordish(c) =>
+            var q = p
+            while (q >= 0 && wordish(sql.charAt(q))) q -= 1
+            start = q + 1
+            p = q
+          case _ => return if (start >= 0) start else -1
+        }
+        // chained primary: `a.b(c)[1]` — keep consuming through '.'
+        if (p >= 0 && sql.charAt(p) == '.') { p -= 1; done = false }
+      }
+      start
+    }
+
+    // end index (exclusive) of the primary starting at/after `after`
+    def rightEnd(after: Int): Int = {
+      var p = after
+      while (p < sql.length && sql.charAt(p).isWhitespace) p += 1
+      if (p < sql.length && (sql.charAt(p) == '-' || sql.charAt(p) == '+')) p += 1
+      if (p >= sql.length) return -1
+      var end = -1
+      sql.charAt(p) match {
+        case '\'' | '"' | '`' =>
+          var q = p + 1
+          while (q < sql.length && mask(q)) q += 1
+          end = q
+        case '(' | '[' =>
+          val c = matchCloseRight(p)
+          if (c < 0) return -1
+          end = c + 1
+        case c if wordish(c) =>
+          var q = p
+          while (q < sql.length && wordish(sql.charAt(q))) q += 1
+          end = q
+        case _ => return -1
+      }
+      // trailing chains: call args, subscripts, field access
+      var more = true
+      while (more && end < sql.length) {
+        more = false
+        sql.charAt(end) match {
+          case '(' | '[' =>
+            val c = matchCloseRight(end)
+            if (c < 0) return end
+            end = c + 1; more = true
+          case '.' if end + 1 < sql.length && isWordChar(sql.charAt(end + 1)) =>
+            var q = end + 1
+            while (q < sql.length && wordish(sql.charAt(q))) q += 1
+            end = q; more = true
+          case _ => ()
+        }
+      }
+      end
+    }
+
+    var i = 0
+    while (i < sql.length) {
+      if (!mask(i)) {
+        val isCaret = sql.charAt(i) == '^'
+        val isStar2 = !isCaret && sql.charAt(i) == '*' && i + 1 < sql.length &&
+          sql.charAt(i + 1) == '*' && (i == 0 || sql.charAt(i - 1) != '*') &&
+          (i + 2 >= sql.length || sql.charAt(i + 2) != '*')
+        if (isCaret || isStar2) {
+          val opLen = if (isCaret) 1 else 2
+          // binary context only (excludes '/* ... **/' comment tails)
+          var p = i - 1
+          while (p >= 0 && sql.charAt(p).isWhitespace) p -= 1
+          val binary = p >= 0 && (isWordChar(sql.charAt(p)) || sql.charAt(p) == ')' ||
+            sql.charAt(p) == ']' || sql.charAt(p) == '\'' || sql.charAt(p) == '"' ||
+            sql.charAt(p) == '`')
+          if (binary) {
+            val ls = leftStart(i)
+            val re = rightEnd(i + opLen)
+            if (ls >= 0 && re > 0) {
+              val l = sql.substring(ls, i).trim
+              val r = sql.substring(i + opLen, re).trim
+              return rewritePower(
+                sql.substring(0, ls) + s"power($l, $r)" + sql.substring(re))
+            }
+          }
+        }
+      }
+      i += 1
+    }
+    sql
+  }
+
   private def rewriteTildeOps(sql: String): String = {
     val mask = quoteMask(sql)
     val out = new StringBuilder
@@ -2244,11 +2394,11 @@ object Dialect {
     // paths hit the sandbox check at use time
     handleMacroVerb(spark, sql).getOrElse(
       rewritePositionalJoin(spark,
-      rewriteDistinctOn(rewriteQualify(rewriteExclude(rewriteOffsetLimit(rewriteTildeOps(rewriteQuantified(rewriteAggOrder(rewriteSimilarTo(rewriteJsonOps(rewriteDateDiff(rewriteIntDiv(
+      rewriteDistinctOn(rewriteQualify(rewriteExclude(rewriteOffsetLimit(rewritePower(rewriteTildeOps(rewriteQuantified(rewriteAggOrder(rewriteSimilarTo(rewriteJsonOps(rewriteDateDiff(rewriteIntDiv(
         rewriteSample(rewriteStructPack(rewriteBrackets(rewriteBraces(
           rewriteTypeAliases(rewriteExtractQuoted(
           rewriteUnionByName(spark, rewriteReplace(spark, rewriteColumns(spark, rewriteAsOf(rewriteGenerateSeries(rewriteSources(spark,
             rewritePivot(spark, rewriteUnpivot(rewriteSummarize(spark,
               rewritePragma(rewriteDescribe(spark, expandMacros(spark, rewriteFromFirst(sql))))))),
-            pathOk)))))))))))))))))))))))))
+            pathOk))))))))))))))))))))))))))
 }

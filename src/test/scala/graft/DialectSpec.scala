@@ -704,6 +704,17 @@ class DialectSpec extends AnyFunSuite with BeforeAndAfterAll {
     // deliberate loud omissions stay loud
     assert(post("SELECT json_structure('{\"a\": 1}') AS s").statusCode() >= 400)
     assert(post("SELECT bitstring_agg(n_nationkey) AS b FROM nation").statusCode() >= 400)
+    // ^ is POWER in DuckDB (Spark's ^ is XOR — the nastiest silent
+    // divergence in the dialect); ** is its alias. Left-associative,
+    // chains through calls/brackets/unary minus; DuckDB's 2 ^ 3 = 8.0
+    one("SELECT 2 ^ 3 AS a, 2 ** 3 AS b, 2 ^ 3 ^ 2 AS c",
+      """[{"a":8.0,"b":8.0,"c":64.0}]""")
+    one("SELECT (1 + 1) ^ 2 AS a, abs(-2) ^ 2 AS b, 2 ^ -1 AS c, x ^ 2 AS d " +
+      "FROM (VALUES (3)) t(x)",
+      """[{"a":4.0,"b":4.0,"c":0.5,"d":9.0}]""")
+    one("SELECT 2 * 3 ^ 2 AS tight", """[{"tight":18.0}]""") // ^ binds tighter than *
+    one("SELECT '^caret inside string' AS s, 'a^b' ~~ 'a^b' AS l",
+      """[{"s":"^caret inside string","l":true}]""")
   }
 
   test("read_csv named options translate to the Spark reader") {

@@ -1192,6 +1192,50 @@ object Dialect {
     sql
   }
 
+  /** DuckDB glob pattern → anchored Java regex ( * → .* , ? → . ,
+    * [abc]/[!abc] classes; everything else literal). Emitted with
+    * doubled backslashes so Spark's escape-processing string parser
+    * yields the single-backslash regex.
+    */
+  private def globRegex(pat: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < pat.length) {
+      pat.charAt(i) match {
+        case '*' => sb.append(".*")
+        case '?' => sb.append('.')
+        case '[' =>
+          sb.append('[')
+          i += 1
+          if (i < pat.length && pat.charAt(i) == '!') { sb.append('^'); i += 1 }
+          while (i < pat.length && pat.charAt(i) != ']') { sb.append(pat.charAt(i)); i += 1 }
+          sb.append(']')
+        case c if "\\.^$+(){}|".indexOf(c) >= 0 => sb.append("\\\\").append(c)
+        case c => sb.append(c)
+      }
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** `x GLOB 'pat'` / `x NOT GLOB 'pat'` (DuckDB globbing) → anchored
+    * RLIKE. Literal patterns only — a non-literal right side stays,
+    * and Spark rejects the GLOB keyword loudly.
+    */
+  private def rewriteGlob(sql: String): String = {
+    if (!containsUnquoted(sql, "GLOB")) return sql
+    val mask = quoteMask(sql)
+    val mOpt = """(?i)\b(NOT\s+)?GLOB\s*""".r.findAllMatchIn(sql)
+      .find(mm => !mask(mm.start) && mm.end < sql.length && sql.charAt(mm.end) == '\'')
+    val m = mOpt.getOrElse(return sql)
+    var q = m.end + 1
+    while (q < sql.length && mask(q)) q += 1
+    val inner = sql.substring(m.end + 1, q - 1)
+    val rep = (if (m.group(1) != null) "NOT RLIKE " else "RLIKE ") +
+      "'^(?:" + globRegex(inner) + ")$'"
+    rewriteGlob(sql.substring(0, m.start) + rep + sql.substring(q))
+  }
+
   private def rewriteTildeOps(sql: String): String = {
     val mask = quoteMask(sql)
     val out = new StringBuilder
@@ -1213,14 +1257,15 @@ object Dialect {
           out.append(if (neg) " NOT LIKE " else " LIKE ")
           i = k
           matched = true
-        } else if (binary && tildes == 1) {
-          // anchored regex — needs the literal pattern to wrap
+        } else if (binary && (tildes == 1 || tildes == 3)) {
+          // ~ anchored regex, ~~~ glob — both need the literal pattern
           var r = k
           while (r < sql.length && sql.charAt(r).isWhitespace) r += 1
           if (r < sql.length && sql.charAt(r) == '\'') {
             var q = r + 1
             while (q < sql.length && mask(q)) q += 1
-            val inner = sql.substring(r + 1, q - 1)
+            val inner0 = sql.substring(r + 1, q - 1)
+            val inner = if (tildes == 3) globRegex(inner0) else inner0
             out.append(if (neg) " NOT RLIKE " else " RLIKE ")
               .append("'^(?:").append(inner).append(")$'")
             i = q
@@ -2394,11 +2439,11 @@ object Dialect {
     // paths hit the sandbox check at use time
     handleMacroVerb(spark, sql).getOrElse(
       rewritePositionalJoin(spark,
-      rewriteDistinctOn(rewriteQualify(rewriteExclude(rewriteOffsetLimit(rewritePower(rewriteTildeOps(rewriteQuantified(rewriteAggOrder(rewriteSimilarTo(rewriteJsonOps(rewriteDateDiff(rewriteIntDiv(
+      rewriteDistinctOn(rewriteQualify(rewriteExclude(rewriteOffsetLimit(rewritePower(rewriteGlob(rewriteTildeOps(rewriteQuantified(rewriteAggOrder(rewriteSimilarTo(rewriteJsonOps(rewriteDateDiff(rewriteIntDiv(
         rewriteSample(rewriteStructPack(rewriteBrackets(rewriteBraces(
           rewriteTypeAliases(rewriteExtractQuoted(
           rewriteUnionByName(spark, rewriteReplace(spark, rewriteColumns(spark, rewriteAsOf(rewriteGenerateSeries(rewriteSources(spark,
             rewritePivot(spark, rewriteUnpivot(rewriteSummarize(spark,
               rewritePragma(rewriteDescribe(spark, expandMacros(spark, rewriteFromFirst(sql))))))),
-            pathOk))))))))))))))))))))))))))
+            pathOk)))))))))))))))))))))))))))
 }

@@ -715,6 +715,14 @@ class DialectSpec extends AnyFunSuite with BeforeAndAfterAll {
     one("SELECT 2 * 3 ^ 2 AS tight", """[{"tight":18.0}]""") // ^ binds tighter than *
     one("SELECT '^caret inside string' AS s, 'a^b' ~~ 'a^b' AS l",
       """[{"s":"^caret inside string","l":true}]""")
+    // GLOB keyword and the ~~~ operator translate glob patterns to
+    // anchored regex (DuckDB: * ? [abc] [!abc]; '.' is literal)
+    one("SELECT 'main.rs' GLOB '*.rs' AS a, 'main.rs' GLOB '*.go' AS b, " +
+      "'a.txt' NOT GLOB '?.txt' AS n, 'file1' GLOB 'file[0-9]' AS c, " +
+      "'fileX' GLOB 'file[!0-9]' AS d, 'axb' GLOB 'a?b' AS e",
+      """[{"a":true,"b":false,"n":false,"c":true,"d":true,"e":true}]""")
+    one("SELECT 'main.rs' ~~~ '*.rs' AS a, 'main.rs' !~~~ '*.go' AS b",
+      """[{"a":true,"b":true}]""")
   }
 
   test("read_csv named options translate to the Spark reader") {

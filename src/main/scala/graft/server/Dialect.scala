@@ -1902,10 +1902,23 @@ object Dialect {
     val ti = """(?i)^\s*PRAGMA\s+table_info\s*\(\s*'([A-Za-z_][A-Za-z0-9_.]*)'\s*\)\s*;?\s*$""".r
     val st = """(?i)^\s*PRAGMA\s+show_tables\s*;?\s*$""".r
     val sat = """(?i)^\s*SHOW\s+ALL\s+TABLES\s*;?\s*$""".r
+    // DuckDB `SHOW t` describes the table; SHOW TABLES/DATABASES etc.
+    // stay Spark verbs (the exclusion list keeps every Spark SHOW form)
+    val sh = """(?i)^\s*SHOW\s+([A-Za-z_][A-Za-z0-9_.]*)\s*;?\s*$""".r
+    val showKeywords = Set("tables", "databases", "schemas", "views",
+      "functions", "catalogs", "columns", "partitions", "tblproperties",
+      "create", "current", "namespaces")
+    // DuckDB EXPLAIN ANALYZE profiles the run; Spark has no ANALYZE
+    // mode, so the plan renders WITHOUT timings (visible difference,
+    // never silently-different data — COVERAGE.md documents it)
+    val ea = """(?is)^(\s*)EXPLAIN\s+ANALYZE\s+(.*)$""".r
     sql match {
       case ti(table) => s"DESCRIBE $table"
       case st() => "SHOW TABLES"
       case sat() => "SHOW TABLES"
+      case ea(ws, rest) => s"${ws}EXPLAIN $rest"
+      case sh(ident) if !showKeywords.contains(ident.toLowerCase) =>
+        s"DESCRIBE $ident"
       case _ => sql
     }
   }

@@ -723,6 +723,14 @@ class DialectSpec extends AnyFunSuite with BeforeAndAfterAll {
       """[{"a":true,"b":false,"n":false,"c":true,"d":true,"e":true}]""")
     one("SELECT 'main.rs' ~~~ '*.rs' AS a, 'main.rs' !~~~ '*.go' AS b",
       """[{"a":true,"b":true}]""")
+    // SHOW <table> is DuckDB's DESCRIBE shorthand; Spark SHOW verbs stay
+    val sh = post("SHOW nation")
+    assert(sh.statusCode() == 200 && sh.body().contains("n_nationkey"), sh.body())
+    val st = post("SHOW TABLES")
+    assert(st.statusCode() == 200 && st.body().contains("nation"))
+    // EXPLAIN ANALYZE renders the plan (without DuckDB's timings)
+    val ea = post("EXPLAIN ANALYZE SELECT count(*) FROM nation")
+    assert(ea.statusCode() == 200 && ea.body().contains("Physical Plan"), ea.body())
   }
 
   test("read_csv named options translate to the Spark reader") {

@@ -137,7 +137,16 @@ object Round6Queries extends QueryModule {
             .as("chunk_len"))
           .groupBy(col("lang")).agg(
             count(lit(1)).as("n_chunks"), sum(col("chunk_len")).as("chunk_tokens"))
-        inStats.join(dedupStats, Seq("lang")).join(chunkStats, Seq("lang"))
+        // LEFT joins: a language whose docs ALL fail the gate still
+        // reports its funnel row (zeros), it does not vanish
+        inStats.join(dedupStats, Seq("lang"), "left")
+          .join(chunkStats, Seq("lang"), "left")
+          .select(col("lang"), col("docs_in"), col("docs_quality"),
+            coalesce(col("docs_unique"), lit(0L)).as("docs_unique"),
+            coalesce(col("docs_dropped_dup"), lit(0L)).as("docs_dropped_dup"),
+            coalesce(col("tokens_kept"), lit(0L)).as("tokens_kept"),
+            coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+            coalesce(col("chunk_tokens"), lit(0L)).as("chunk_tokens"))
           .orderBy(col("lang").asc_nulls_last)
       },
       Some("""WITH g AS (
@@ -165,8 +174,12 @@ object Round6Queries extends QueryModule {
           FROM (SELECT lang, least(64, n_toks - x) AS chunk_len
                 FROM kept, LATERAL (SELECT unnest(generate_series(0, n_toks - 1, 48)) AS x) s)
           GROUP BY lang)
-        SELECT lang, docs_in, docs_quality, docs_unique, docs_dropped_dup,
-          tokens_kept, n_chunks, chunk_tokens
-        FROM instats JOIN dstats USING (lang) JOIN cstats USING (lang)
+        SELECT lang, docs_in, docs_quality,
+          COALESCE(docs_unique, 0) AS docs_unique,
+          COALESCE(docs_dropped_dup, 0) AS docs_dropped_dup,
+          COALESCE(tokens_kept, 0) AS tokens_kept,
+          COALESCE(n_chunks, 0) AS n_chunks,
+          COALESCE(chunk_tokens, 0) AS chunk_tokens
+        FROM instats LEFT JOIN dstats USING (lang) LEFT JOIN cstats USING (lang)
         ORDER BY lang ASC NULLS LAST""")))
 }

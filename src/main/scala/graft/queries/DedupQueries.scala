@@ -139,12 +139,17 @@ object DedupQueries extends QueryModule {
     val sig = hashedShingles(s, dir).groupBy(col("doc_id")).agg(
       array((0 until 32).map(i =>
         min(xxhash64(col("h0"), lit(i)))): _*).as("sig"))
-    // 8 bands of 4 → band hash; equal band hash → candidate
-    val banded = capBuckets(
+    // 8 bands of 4 → band hash; equal band hash → candidate. The
+    // banded relation is RETAINED (tiny: 8 rows/doc) because the
+    // self-join below references it twice — uncached, the whole
+    // signature aggregation runs once per side (measured: 2.2 s of
+    // the 3.4 s candidate phase at sf0.1 was the duplicated
+    // signature pass; the cache collapses it to one)
+    val banded = retain(capBuckets(
       sig.select(col("doc_id"), posexplode(expr(
         "transform(sequence(0, 7), b -> xxhash64(slice(sig, b * 4 + 1, 4)))"))
         .as(Seq("band", "bandhash"))),
-      maxBucket(s, "maxBandBucket"), "band", "bandhash")
+      maxBucket(s, "maxBandBucket"), "band", "bandhash"))
     banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") &&
         col("x.bandhash") === col("y.bandhash") &&
@@ -166,12 +171,14 @@ object DedupQueries extends QueryModule {
     val sim = docs.select(col("doc_id"),
       graft.functions.SimHash64(col("hs")).as("simhash"))
     // band by 4×16-bit chunks: Hamming ≤ 3 guarantees one equal chunk
-    val chunks = capBuckets(
+    // retained for the same both-sides-of-the-self-join reason as the
+    // LSH banded relation (4 rows/doc)
+    val chunks = retain(capBuckets(
       sim.select(col("doc_id"), col("simhash"),
         posexplode(expr(
           "transform(sequence(0, 3), c -> (simhash >> (c * 16)) & 65535)"))
           .as(Seq("chunk", "chunkval"))),
-      maxBucket(s, "maxChunkBucket"), "chunk", "chunkval")
+      maxBucket(s, "maxChunkBucket"), "chunk", "chunkval"))
     chunks.as("x").join(chunks.as("y"),
         col("x.chunk") === col("y.chunk") &&
         col("x.chunkval") === col("y.chunkval") &&

@@ -386,18 +386,21 @@ object DedupQueries extends QueryModule {
       None),
 
     Q("n_dedup_incremental",
-      "Incremental ingestion dedup: a NEW batch (doc_id % 10 = 0) screened against the EXISTING corpus only — batch×corpus candidate pairs from the shared DF-capped shingle relation, exact Jaccard ≥ 0.5, then an ingest/drop verdict per new doc. The at-scale shape: the corpus side reuses the persisted shingle relation, corpus×corpus pairs are never generated, and the batch side is small.",
+      "Incremental ingestion dedup: a NEW batch (doc_id % 10 = 0) screened against the EXISTING corpus only — batch×corpus pairs come from the MEMOIZED pair-intersection relation (filter: exactly one side in the batch), exact Jaccard ≥ 0.5, then an ingest/drop verdict per new doc. The at-scale shape: the candidate shuffle is shared with the whole dedup family, corpus×corpus verdicts are never computed, and the screen itself is a filter + one small aggregate.",
       (s, dir) => {
-        val sh = cappedShingles(s, dir)
-        val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-        val pairs = sh.filter(col("doc_id") % 10 === 0).as("a")
-          .join(sh.filter(col("doc_id") % 10 =!= 0).as("b"), col("a.sh") === col("b.sh"))
-          .groupBy(col("a.doc_id").as("new_id"), col("b.doc_id").as("corpus_id"))
-          .agg(count(lit(1)).as("inter"))
-        val scored = pairs
-          .join(sizes.withColumnRenamed("doc_id", "new_id").withColumnRenamed("n_sh", "na"), "new_id")
-          .join(sizes.withColumnRenamed("doc_id", "corpus_id").withColumnRenamed("n_sh", "nb"), "corpus_id")
-          .withColumn("raw", col("inter") / (col("na") + col("nb") - col("inter")))
+        // batch×corpus pairs are a FILTERED VIEW of the memoized
+        // pair-intersection relation (exactly one side in the batch;
+        // both orientations, since pairIntersections holds id_a<id_b)
+        // — the candidate shuffle is shared with the whole dedup
+        // family instead of re-run per ingestion screen
+        val inter = pairIntersections(s, dir)
+        val aBatch = col("id_a") % 10 === 0
+        val bBatch = col("id_b") % 10 === 0
+        val scored = inter
+          .filter(aBatch =!= bBatch)
+          .select(
+            when(aBatch, col("id_a")).otherwise(col("id_b")).as("new_id"),
+            (col("inter") / (col("na") + col("nb") - col("inter"))).as("raw"))
           .filter(col("raw") >= 0.5)
           .groupBy(col("new_id"))
           .agg(count(lit(1)).as("nm"), max(col("raw")).as("best_raw"))

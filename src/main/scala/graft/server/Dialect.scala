@@ -262,16 +262,24 @@ object Dialect {
     */
   private def rewriteSummarize(spark: SparkSession, sql: String): String = {
     val m = """(?i)^\s*SUMMARIZE\s+([A-Za-z_][A-Za-z0-9_.]*)\s*;?\s*$""".r
+    // DuckDB also SUMMARIZEs a query: `SUMMARIZE SELECT ...`
+    val mq = """(?is)^\s*SUMMARIZE\s+((?:\()?\s*(?:SELECT|WITH|VALUES|FROM)\b.*?)\s*;?\s*$""".r
+    def viewOf(key: String, df: => org.apache.spark.sql.DataFrame): String = {
+      // full md5 of the source text — same recipe as rewriteSources'
+      // viewFor: 32-bit hashCode collisions ("Aa"/"BB") would race two
+      // concurrent SUMMARIZEs onto one view name
+      val name = "graft_summarize_" + java.security.MessageDigest.getInstance("MD5")
+        .digest(key.getBytes("UTF-8"))
+        .map(b => f"${b & 0xff}%02x").mkString
+      df.summary().createOrReplaceTempView(name)
+      name
+    }
     sql match {
       case m(table) =>
-        // full md5 of the table name — same recipe as rewriteSources'
-        // viewFor: 32-bit hashCode collisions ("Aa"/"BB") would race two
-        // concurrent SUMMARIZEs onto one view name
-        val name = "graft_summarize_" + java.security.MessageDigest.getInstance("MD5")
-          .digest(table.getBytes("UTF-8"))
-          .map(b => f"${b & 0xff}%02x").mkString
-        spark.table(table).summary().createOrReplaceTempView(name)
-        s"SELECT * FROM $name"
+        s"SELECT * FROM ${viewOf(table, spark.table(table))}"
+      case mq(q) =>
+        val body = if (q.toUpperCase.startsWith("FROM")) rewriteFromFirst(q) else q
+        s"SELECT * FROM ${viewOf(body, spark.sql(body))}"
       case _ => sql
     }
   }
@@ -1795,7 +1803,9 @@ object Dialect {
   private val describeViewN = new java.util.concurrent.atomic.AtomicLong(0L)
   private def rewriteDescribe(spark: SparkSession, sql: String): String = {
     var out = sql
-    val top = """(?is)^(\s*)DESCRIBE\s+(.*)$""".r
+    // DESC is DuckDB's DESCRIBE abbreviation; only the subquery form
+    // needs rewriting (plain `DESC t` is already Spark syntax)
+    val top = """(?is)^(\s*)DESC(?:RIBE)?\s+(.*)$""".r
     out match {
       case top(ws, body0) =>
         val body = body0.trim

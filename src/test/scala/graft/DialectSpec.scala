@@ -731,6 +731,12 @@ class DialectSpec extends AnyFunSuite with BeforeAndAfterAll {
     // EXPLAIN ANALYZE renders the plan (without DuckDB's timings)
     val ea = post("EXPLAIN ANALYZE SELECT count(*) FROM nation")
     assert(ea.statusCode() == 200 && ea.body().contains("Physical Plan"), ea.body())
+    // DESC abbreviation on subqueries; SUMMARIZE over a query
+    val dq = post("DESC SELECT 1 AS z")
+    assert(dq.statusCode() == 200 && dq.body().contains("\"col_name\":\"z\""), dq.body())
+    val sq = post("SUMMARIZE SELECT n_nationkey FROM nation WHERE n_nationkey < 5")
+    assert(sq.statusCode() == 200 && sq.body().contains("\"summary\":\"count\"") &&
+      sq.body().contains("\"n_nationkey\":\"5\""), sq.body())
   }
 
   test("read_csv named options translate to the Spark reader") {

@@ -499,12 +499,15 @@ object DedupQueries extends QueryModule {
           .select(col("doc_id"), col("lang"), split(col("text"), " ").as("w"))
           .filter(size(col("w")) >= 5)
         // one row per gram START position: (doc_id, i, g) — row-local,
-        // codegen'd; only the 8-byte xxhash64 of the gram leaves the row
-        val grams = w.select(col("doc_id"),
+        // codegen'd; only the 8-byte xxhash64 of the gram leaves the
+        // row. RETAINED: both the duplicated-gram detection and the
+        // coverage join read it, and uncached the corpus-wide gram
+        // explode runs once per consumer.
+        val grams = retain(w.select(col("doc_id"),
           posexplode(expr(
             """transform(sequence(0, size(w) - 5),
                  i -> xxhash64(concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4])))"""))
-            .as(Seq("i", "g")))
+            .as(Seq("i", "g"))))
         // corpus-duplicated grams: present in ≥2 DISTINCT docs (a gram
         // repeated only inside one doc is repetition, not duplication)
         val dup = grams.select(col("g"), col("doc_id")).distinct()

@@ -74,10 +74,13 @@ object PipelineQueries extends QueryModule {
       (s, dir) => {
         val d = T(s, dir, "documents")
           .select(col("doc_id"), split(col("text"), " ").as("ws"))
-        val ch = d.select(col("doc_id"), posexplode(expr(
+        // retained: the frequency count AND the survivor join both
+        // read the chunk relation — uncached the explode+md5 pass
+        // runs once per consumer (same fix as the dedup self-joins)
+        val ch = DedupQueries.retain(d.select(col("doc_id"), posexplode(expr(
             "transform(sequence(0, cast(ceil(size(ws) / 3.0) as int) - 1), c -> array_join(slice(ws, c * 3 + 1, 3), ' '))")))
           .toDF("doc_id", "cidx", "chunk")
-          .withColumn("dg", md5(col("chunk")))
+          .withColumn("dg", md5(col("chunk"))))
         val freq = ch.groupBy(col("dg")).agg(count(lit(1)).as("f"))
         ch.join(freq, "dg")
           .groupBy(col("doc_id")).agg(

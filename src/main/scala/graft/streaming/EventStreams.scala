@@ -180,4 +180,32 @@ object EventStreams {
       .groupByKey(w => math.floorMod(w.hashCode, shards))
       .agg(hh.toColumn.name("summary"))
   }
+
+  /** Streaming ingestion filter — the unbounded-feed face of the
+    * n_e2e_prep_pipeline front half: documents arrive as a stream,
+    * normalize (lower + whitespace collapse), pass the quality gate
+    * (>=100 chars, >=20 tokens), and drop exact duplicates on the
+    * normalized content digest within a processing-time watermark.
+    * State is bounded by the watermark horizon — the property that
+    * keeps dedup-on-arrival feasible on an unbounded ingest feed;
+    * the batch near-dup screen (n_dedup_incremental) handles the
+    * fuzzy tier downstream.
+    */
+  def docSource(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+  }
+
+  def ingestFilter(docs: DataFrame): DataFrame = {
+    docs
+      .select(col("doc_id"), col("lang"),
+        trim(regexp_replace(lower(col("text")), "\\s+", " ")).as("t"))
+      .filter(length(col("t")) >= 100 && size(split(col("t"), " ")) >= 20)
+      .withColumn("ingest_ts", current_timestamp())
+      .withColumn("digest", md5(col("t")))
+      .withWatermark("ingest_ts", "1 hour")
+      .dropDuplicatesWithinWatermark("digest")
+      .select(col("doc_id"), col("lang"), col("digest"))
+  }
 }

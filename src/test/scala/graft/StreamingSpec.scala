@@ -58,6 +58,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == distinctIds, s"streamed=$streamed distinct=$distinctIds")
   }
 
+  test("streaming ingestion filter: quality gate + dedup-on-arrival equals batch") {
+    import org.apache.spark.sql.functions._
+    // double the feed: every surviving digest must still appear ONCE
+    val doubled = EventStreams.ingestFilter(
+      EventStreams.docSource(spark, sf).union(EventStreams.docSource(spark, sf)))
+    val q = doubled
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ingest_out")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("ingest_out").select("digest").distinct().count()
+    val streamedRows = spark.table("ingest_out").count()
+    val batch = T(spark, sf, "documents")
+      .select(trim(regexp_replace(lower(col("text")), "\\s+", " ")).as("t"))
+      .filter(length(col("t")) >= 100 && size(split(col("t"), " ")) >= 20)
+      .select(md5(col("t"))).distinct().count()
+    assert(streamed == batch, s"streamed=$streamed batch=$batch")
+    assert(streamedRows == streamed, s"rows=$streamedRows distinct=$streamed (dups survived)")
+  }
+
   test("streaming as-of enrichment equals the batch AsOfJoin") {
     val q = EventStreams.asOfEnrich(spark, EventStreams.source(spark, sf))
       .writeStream.outputMode("append")

@@ -55,12 +55,22 @@ object T {
     if (relCache.size >= MaxEntries) relCache.clear()
     relCache.computeIfAbsent((spark, dir, name), { _ =>
       val df = spark.read.parquet(s"$dir/$name.parquet")
-      // events.ts is parquet TIMESTAMP(NANOS) which Spark has no native
-      // type for; GraftSession sets nanosAsLong and we floor to µs here —
-      // the same truncation DuckDB applies casting timestamp_ns→timestamp.
-      if (name == "events")
-        df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
+      // events.ts has shipped as parquet TIMESTAMP(NANOS) — read as long
+      // under nanosAsLong — and as TIMESTAMP(µs) without UTC adjustment,
+      // which Spark reads as TIMESTAMP_NTZ. Downstream operators use
+      // unix_micros/instant arithmetic, so both shapes are normalized to
+      // session-local TimestampType (session tz is UTC everywhere, so the
+      // NTZ→LTZ cast is value-identical and matches what the nanos path
+      // always produced; DuckDB oracle parity is unchanged).
+      if (name == "events") df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          // floor ns→µs: the same truncation DuckDB applies ns→timestamp
+          df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000")))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          df.withColumn("ts", org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+        case _ => df
+      }
       else df
     })
   }

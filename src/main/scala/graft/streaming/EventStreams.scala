@@ -28,12 +28,20 @@ object EventStreams {
     * (streaming scans cannot infer).
     */
   def source(spark: SparkSession, dir: String): DataFrame = {
-    graft.GraftSession.tune(spark) // nanosAsLong: ts arrives as long ns
+    graft.GraftSession.tune(spark)
     val raw = spark.read.parquet(s"$dir/events.parquet")
-    spark.readStream.schema(raw.schema)
+    val stream = spark.readStream.schema(raw.schema)
       .option("pathGlobFilter", "events.parquet") // basePath must be a dir
       .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // Same dual-shape ts normalization as graft.T: long ns (nanosAsLong)
+    // → floor to µs; TIMESTAMP_NTZ → session-local timestamp (UTC session).
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        stream.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => stream
+    }
   }
 
   /** Tumbling 1-hour windowed counts with a 1-hour watermark —

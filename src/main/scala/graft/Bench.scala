@@ -33,7 +33,15 @@ object Bench {
     // fixture table so no measured query is charged session bring-up or
     // cold I/O (fixed costs, not operator costs).
     spark.range(1000000L).selectExpr("sum(id)").collect()
-    T.all.foreach(t => T(spark, sfDir, t).queryExecution.toRdd.count())
+    // Per-table try: a single unloadable table (e.g. a driver-side schema
+    // change) must cost only its own queries, never the whole bench run —
+    // round 7 lost ALL timing data to one analysis error raised here.
+    T.all.foreach { t =>
+      try T(spark, sfDir, t).queryExecution.toRdd.count()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] warmup $t FAILED: ${e.getMessage}")
+      }
+    }
 
     // Materialize through queryExecution.toRdd so Catalyst cannot prune
     // projections/sorts away under a bare count() — the timed work is

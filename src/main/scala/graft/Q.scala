@@ -55,24 +55,34 @@ object T {
     if (relCache.size >= MaxEntries) relCache.clear()
     relCache.computeIfAbsent((spark, dir, name), { _ =>
       val df = spark.read.parquet(s"$dir/$name.parquet")
-      // events.ts has shipped as parquet TIMESTAMP(NANOS) — read as long
-      // under nanosAsLong — and as TIMESTAMP(µs) without UTC adjustment,
-      // which Spark reads as TIMESTAMP_NTZ. Downstream operators use
-      // unix_micros/instant arithmetic, so both shapes are normalized to
-      // session-local TimestampType (session tz is UTC everywhere, so the
-      // NTZ→LTZ cast is value-identical and matches what the nanos path
-      // always produced; DuckDB oracle parity is unchanged).
-      if (name == "events") df.schema("ts").dataType match {
-        case org.apache.spark.sql.types.LongType =>
-          // floor ns→µs: the same truncation DuckDB applies ns→timestamp
-          df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-            org.apache.spark.sql.functions.expr("ts div 1000")))
-        case org.apache.spark.sql.types.TimestampNTZType =>
-          df.withColumn("ts", org.apache.spark.sql.functions.col("ts").cast("timestamp"))
-        case _ => df
-      }
-      else df
+      if (name == "events") normalizeEventTs(df) else df
     })
+  }
+
+  /** Normalize the events.ts column to session-local TimestampType.
+    *
+    * The driver-generated events table has shipped in two parquet
+    * shapes: TIMESTAMP(NANOS) — which Spark reads as long under
+    * `nanosAsLong` (no native ns type) — and TIMESTAMP(µs) without the
+    * UTC-adjusted flag, which Spark reads as TIMESTAMP_NTZ. Downstream
+    * operators use unix_micros/instant arithmetic, so both shapes
+    * normalize to TimestampType: long ns gets the floor-to-µs division
+    * (the same truncation DuckDB applies casting timestamp_ns →
+    * timestamp), NTZ gets a cast that is value-identical under the UTC
+    * session timezone every entry point sets. Already-LTZ columns pass
+    * through. Round 7 lesson: an unconditional conversion here fails
+    * analysis when the shape flips, taking down every events query AND
+    * the bench warm-up — shape-dispatch, never assume.
+    */
+  private[graft] def normalizeEventTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
   }
 
   /** Register tables as temp views for spark.sql entry points (the

@@ -33,15 +33,8 @@ object EventStreams {
     val stream = spark.readStream.schema(raw.schema)
       .option("pathGlobFilter", "events.parquet") // basePath must be a dir
       .parquet(dir)
-    // Same dual-shape ts normalization as graft.T: long ns (nanosAsLong)
-    // → floor to µs; TIMESTAMP_NTZ → session-local timestamp (UTC session).
-    raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case org.apache.spark.sql.types.TimestampNTZType =>
-        stream.withColumn("ts", col("ts").cast("timestamp"))
-      case _ => stream
-    }
+    // Same dual-shape ts normalization as the batch loader (graft.T).
+    graft.T.normalizeEventTs(stream)
   }
 
   /** Tumbling 1-hour windowed counts with a 1-hour watermark —

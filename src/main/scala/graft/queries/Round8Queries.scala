@@ -1,0 +1,176 @@
+package graft.queries
+
+import graft.{Q, QueryModule, T}
+import org.apache.spark.sql.expressions.{Aggregator, Window}
+import org.apache.spark.sql.functions._
+
+/** Round-8 additions to the LLM-data-pipeline surface.
+  *
+  *   - n_dup_span_extract: the REMEDIATION output of exact-substring
+  *     dedup (the public train-data dedup literature's "remove long
+  *     duplicated substrings" step): per document, the maximal spans
+  *     covered by corpus-duplicated 5-grams, merged gaps-and-islands
+  *     style. n_dup_ngram_coverage reports how much is duplicated;
+  *     this reports exactly WHERE, as cuttable [start, end] token
+  *     ranges.
+  *   - n_embed_covariance: cross-dimension covariance of the embedding
+  *     space (representation-collapse / redundant-dimension
+  *     diagnostic), computed the 100 TB way — a mergeable partial
+  *     outer-product aggregate (one d²-double state per partition,
+  *     map-side combined) instead of an n·d² explode-and-shuffle.
+  */
+object Round8Queries extends QueryModule {
+
+  /** Buffer for CovAgg: row count, per-dim sums, flattened d×d sum of
+    * outer products. ~(d² + d) doubles ≈ 33 KB at d = 64 — small enough
+    * to map-side combine and shuffle one per partition.
+    */
+  final case class CovBuf(n: Long, sums: Array[Double], prods: Array[Double])
+
+  /** Population covariance matrix over Array[Float] vectors as a typed
+    * Aggregator (SURVEY §2.2 K surface; same shape as GeoMean in
+    * ExtraQueries). finish() returns the flattened d×d matrix
+    * cov(i,j) = Σxy/n − (Σx/n)(Σy/n).
+    */
+  final case class CovAgg(d: Int)
+      extends Aggregator[Array[Float], CovBuf, Array[Double]] {
+    override def zero: CovBuf = CovBuf(0L, new Array[Double](d), new Array[Double](d * d))
+    override def reduce(b: CovBuf, v: Array[Float]): CovBuf = {
+      if (v == null || v.length != d) b
+      else {
+        var i = 0
+        while (i < d) {
+          val xi = v(i).toDouble
+          b.sums(i) += xi
+          var j = 0
+          val row = i * d
+          while (j < d) { b.prods(row + j) += xi * v(j); j += 1 }
+          i += 1
+        }
+        CovBuf(b.n + 1, b.sums, b.prods)
+      }
+    }
+    override def merge(a: CovBuf, b: CovBuf): CovBuf = {
+      var i = 0
+      while (i < d) { a.sums(i) += b.sums(i); i += 1 }
+      var k = 0
+      while (k < d * d) { a.prods(k) += b.prods(k); k += 1 }
+      CovBuf(a.n + b.n, a.sums, a.prods)
+    }
+    override def finish(b: CovBuf): Array[Double] = {
+      val out = new Array[Double](d * d)
+      if (b.n > 0) {
+        val n = b.n.toDouble
+        var i = 0
+        while (i < d) {
+          var j = 0
+          while (j < d) {
+            out(i * d + j) = b.prods(i * d + j) / n - (b.sums(i) / n) * (b.sums(j) / n)
+            j += 1
+          }
+          i += 1
+        }
+      }
+      out
+    }
+    override def bufferEncoder = org.apache.spark.sql.Encoders.product[CovBuf]
+    override def outputEncoder =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
+  }
+
+  override val queries: Seq[Q] = Seq(
+    Q("n_dup_span_extract",
+      "Exact-substring-dedup remediation: per document, the MAXIMAL token spans covered by corpus-duplicated 5-grams (a gram counts as duplicated when ≥2 distinct docs contain it), merged gaps-and-islands style into cuttable [span_start, span_end] ranges. Scale shape: gram identity shuffles as an 8-byte xxhash64, never text; duplicated-position lists are linear in corpus size (each position appears once); the island merge is a doc-keyed window — no self-join, nothing quadratic.",
+      (s, dir) => {
+        val w = T(s, dir, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("w"))
+          .filter(size(col("w")) >= 5)
+        val grams = w.select(col("doc_id"),
+          posexplode(expr(
+            """transform(sequence(0, size(w) - 5),
+                 i -> xxhash64(concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4])))"""))
+            .as(Seq("i", "g")))
+        val dup = grams.select(col("g"), col("doc_id")).distinct()
+          .groupBy(col("g")).agg(count(lit(1)).as("df"))
+          .filter(col("df") >= 2).select(col("g"))
+        // one row per duplicated gram START (doc_id, i); i is unique per
+        // doc, so the window below never ties
+        val pos = grams.join(dup, "g").select(col("doc_id"), col("i"))
+        val before = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val upTo = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        // a gram at i covers [i, i+4]; a new island starts when this
+        // start lies past every previously-seen end
+        val isl = pos
+          .withColumn("prev_end", max(col("i") + lit(4)).over(before))
+          .withColumn("brk",
+            when(col("prev_end").isNull || col("i") > col("prev_end"), 1).otherwise(0))
+          .withColumn("island", sum(col("brk")).over(upTo))
+        isl.groupBy(col("doc_id"), col("island"))
+          .agg(min(col("i")).cast("long").as("span_start"),
+            (max(col("i")) + lit(4)).cast("long").as("span_end"),
+            count(lit(1)).as("n_grams"))
+          .select(col("doc_id"), col("span_start"), col("span_end"),
+            (col("span_end") - col("span_start") + lit(1)).as("span_tokens"),
+            col("n_grams"))
+          .orderBy(col("doc_id").asc_nulls_last, col("span_start").asc_nulls_last)
+      },
+      Some("""WITH w AS (
+          SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        g AS (
+          SELECT doc_id, i,
+            w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] || ' ' || w[i+5] AS g
+          FROM w, LATERAL (SELECT unnest(generate_series(0, len(w) - 5)) AS i) s
+          WHERE len(w) >= 5),
+        dup AS (SELECT g FROM (SELECT DISTINCT g, doc_id FROM g) t
+                GROUP BY g HAVING count(*) >= 2),
+        p AS (SELECT doc_id, i FROM g WHERE g IN (SELECT g FROM dup)),
+        b AS (
+          SELECT doc_id, i,
+            CASE WHEN max(i + 4) OVER (PARTITION BY doc_id ORDER BY i
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                  OR i > max(i + 4) OVER (PARTITION BY doc_id ORDER BY i
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 THEN 1 ELSE 0 END AS brk
+          FROM p),
+        isl AS (
+          SELECT doc_id, i, sum(brk) OVER (PARTITION BY doc_id ORDER BY i
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+          FROM b)
+        SELECT doc_id, CAST(min(i) AS BIGINT) AS span_start,
+          CAST(max(i) + 4 AS BIGINT) AS span_end,
+          CAST(max(i) + 4 - min(i) + 1 AS BIGINT) AS span_tokens,
+          count(*) AS n_grams
+        FROM isl GROUP BY doc_id, island
+        ORDER BY doc_id ASC NULLS LAST, span_start ASC NULLS LAST""")),
+
+    Q("n_embed_covariance",
+      "Embedding-space covariance diagnostic: the 20 most-correlated dimension pairs by |population covariance| (redundant/collapsed-dimension detector for learned representations). Computed as ONE mergeable aggregate — a d²-double partial outer-product state per partition, map-side combined, so the shuffle carries kilobytes regardless of row count; the oracle's n·d² unnest self-join is the semantics, not the scale path.",
+      (s, dir) => {
+        import s.implicits._
+        val emb = T(s, dir, "embeddings")
+        val d = emb.select(size(col("embedding"))).as[Int].head()
+        val cov = udaf(CovAgg(d))
+        emb.select(cov(col("embedding")).as("m"))
+          .select(posexplode(col("m")).as(Seq("k", "v")))
+          .select((col("k") / lit(d)).cast("int").as("ii"),
+            (col("k") % lit(d)).cast("int").as("jj"), col("v"))
+          .filter(col("ii") < col("jj"))
+          .select(col("ii").cast("long").as("i"), col("jj").cast("long").as("j"),
+            round(col("v"), 6).as("cov"))
+          .orderBy(abs(col("cov")).desc, col("i").asc_nulls_last, col("j").asc_nulls_last)
+          .limit(20)
+      },
+      Some("""WITH x AS (
+          SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+            CAST(unnest(embedding) AS DOUBLE) AS val
+          FROM embeddings)
+        SELECT CAST(a.i AS BIGINT) AS i, CAST(b.i AS BIGINT) AS j,
+          round(covar_pop(a.val, b.val), 6) AS cov
+        FROM x a JOIN x b USING (vec_id)
+        WHERE a.i < b.i
+        GROUP BY a.i, b.i
+        ORDER BY abs(round(covar_pop(a.val, b.val), 6)) DESC, i ASC, j ASC
+        LIMIT 20""")))
+}

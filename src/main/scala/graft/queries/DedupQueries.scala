@@ -126,6 +126,38 @@ object DedupQueries extends QueryModule {
   def hashedShingles(s: SparkSession, dir: String): DataFrame =
     cappedShingles(s, dir).select(col("doc_id"), xxhash64(col("sh")).as("h0"))
 
+  /** One row per 5-gram START position: (doc_id, i, g) with g the
+    * 8-byte xxhash64 of the gram — row-local, codegen'd; only the
+    * digest leaves the row. RETAINED (plan-idempotent): the coverage
+    * diagnostic reads it twice (duplicate detection + coverage join)
+    * and the span extractor (Round8Queries) reads the same relation,
+    * so within a session the corpus-wide gram explode runs once for
+    * all consumers.
+    */
+  def gramPositions(s: SparkSession, dir: String): DataFrame =
+    retain(T(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 5)
+      .select(col("doc_id"),
+        posexplode(expr(
+          """transform(sequence(0, size(w) - 5),
+               i -> xxhash64(concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4])))"""))
+          .as(Seq("i", "g"))))
+
+  /** (doc_id, i) of gram starts whose gram is CORPUS-duplicated —
+    * present in ≥2 DISTINCT docs (a gram repeated only inside one doc
+    * is repetition, not duplication). Shared definition between the
+    * coverage diagnostic and the span extractor so both report the
+    * same duplication set.
+    */
+  def dupGramStarts(s: SparkSession, dir: String): DataFrame = {
+    val grams = gramPositions(s, dir)
+    val dup = grams.select(col("g"), col("doc_id")).distinct()
+      .groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2).select(col("g"))
+    grams.join(dup, "g").select(col("doc_id"), col("i"))
+  }
+
   /** MinHash+LSH candidate pairs (id_a < id_b), band buckets capped at
     * `spark.graft.dedup.maxBandBucket`. A band bucket of size m emits
     * m²/2 candidates in one task; degenerate buckets (near-empty docs
@@ -498,24 +530,9 @@ object DedupQueries extends QueryModule {
         val w = T(s, dir, "documents")
           .select(col("doc_id"), col("lang"), split(col("text"), " ").as("w"))
           .filter(size(col("w")) >= 5)
-        // one row per gram START position: (doc_id, i, g) — row-local,
-        // codegen'd; only the 8-byte xxhash64 of the gram leaves the
-        // row. RETAINED: both the duplicated-gram detection and the
-        // coverage join read it, and uncached the corpus-wide gram
-        // explode runs once per consumer.
-        val grams = retain(w.select(col("doc_id"),
-          posexplode(expr(
-            """transform(sequence(0, size(w) - 5),
-                 i -> xxhash64(concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4])))"""))
-            .as(Seq("i", "g"))))
-        // corpus-duplicated grams: present in ≥2 DISTINCT docs (a gram
-        // repeated only inside one doc is repetition, not duplication)
-        val dup = grams.select(col("g"), col("doc_id")).distinct()
-          .groupBy(col("g")).agg(count(lit(1)).as("df"))
-          .filter(col("df") >= 2).select(col("g"))
         // start i covers tokens [i, i+4]; union of covered positions =
         // count DISTINCT exploded ints — ×5 integer rows, doc-keyed agg
-        val covered = grams.join(dup, "g")
+        val covered = dupGramStarts(s, dir)
           .select(col("doc_id"), explode(expr("sequence(i, i + 4)")).as("p"))
           .groupBy(col("doc_id")).agg(countDistinct(col("p")).as("covered"))
         w.select(col("doc_id"), col("lang"), size(col("w")).cast("long").as("n_tok"))

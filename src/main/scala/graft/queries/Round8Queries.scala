@@ -82,20 +82,11 @@ object Round8Queries extends QueryModule {
     Q("n_dup_span_extract",
       "Exact-substring-dedup remediation: per document, the MAXIMAL token spans covered by corpus-duplicated 5-grams (a gram counts as duplicated when ≥2 distinct docs contain it), merged gaps-and-islands style into cuttable [span_start, span_end] ranges. Scale shape: gram identity shuffles as an 8-byte xxhash64, never text; duplicated-position lists are linear in corpus size (each position appears once); the island merge is a doc-keyed window — no self-join, nothing quadratic.",
       (s, dir) => {
-        val w = T(s, dir, "documents")
-          .select(col("doc_id"), split(col("text"), " ").as("w"))
-          .filter(size(col("w")) >= 5)
-        val grams = w.select(col("doc_id"),
-          posexplode(expr(
-            """transform(sequence(0, size(w) - 5),
-                 i -> xxhash64(concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4])))"""))
-            .as(Seq("i", "g")))
-        val dup = grams.select(col("g"), col("doc_id")).distinct()
-          .groupBy(col("g")).agg(count(lit(1)).as("df"))
-          .filter(col("df") >= 2).select(col("g"))
-        // one row per duplicated gram START (doc_id, i); i is unique per
-        // doc, so the window below never ties
-        val pos = grams.join(dup, "g").select(col("doc_id"), col("i"))
+        // shared with n_dup_ngram_coverage: same retained gram relation,
+        // same ≥2-distinct-docs duplication set (one gram explode per
+        // session for both). i is unique per doc, so the window below
+        // never ties.
+        val pos = DedupQueries.dupGramStarts(s, dir)
         val before = Window.partitionBy(col("doc_id")).orderBy(col("i"))
           .rowsBetween(Window.unboundedPreceding, -1)
         val upTo = Window.partitionBy(col("doc_id")).orderBy(col("i"))

@@ -16,10 +16,10 @@ class Round8Spec extends AnyFunSuite {
     // repeats across docs.
     val shared = (1 to 8).map(i => s"dup$i").mkString(" ")
     val docs = Seq(
-      (1L, s"a1 b1 c1 $shared x1 y1"),
-      (2L, s"a2 b2 c2 $shared x2 y2"),
-      (3L, "a3 b3 c3 d3 e3 f3 g3 h3 i3 j3 k3 l3 m3")
-    ).toDF("doc_id", "text")
+      (1L, s"a1 b1 c1 $shared x1 y1", "en"),
+      (2L, s"a2 b2 c2 $shared x2 y2", "en"),
+      (3L, "a3 b3 c3 d3 e3 f3 g3 h3 i3 j3 k3 l3 m3", "en")
+    ).toDF("doc_id", "text", "lang")
     val dir = java.nio.file.Files.createTempDirectory("spans").toString
     docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val out = Round8Queries.queries.find(_.name == "n_dup_span_extract").get

@@ -144,18 +144,18 @@ object DedupQueries extends QueryModule {
                i -> xxhash64(concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4])))"""))
           .as(Seq("i", "g"))))
 
-  /** (doc_id, i) of gram starts whose gram is CORPUS-duplicated —
+  /** (doc_id, i, g) of gram starts whose gram is CORPUS-duplicated —
     * present in ≥2 DISTINCT docs (a gram repeated only inside one doc
     * is repetition, not duplication). Shared definition between the
-    * coverage diagnostic and the span extractor so both report the
-    * same duplication set.
+    * coverage diagnostic, the span extractor and the span-cut rewrite
+    * so all report the same duplication set.
     */
   def dupGramStarts(s: SparkSession, dir: String): DataFrame = {
     val grams = gramPositions(s, dir)
     val dup = grams.select(col("g"), col("doc_id")).distinct()
       .groupBy(col("g")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2).select(col("g"))
-    grams.join(dup, "g").select(col("doc_id"), col("i"))
+    grams.join(dup, "g").select(col("doc_id"), col("i"), col("g"))
   }
 
   /** MinHash+LSH candidate pairs (id_a < id_b), band buckets capped at

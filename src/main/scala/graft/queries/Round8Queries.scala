@@ -136,6 +136,106 @@ object Round8Queries extends QueryModule {
         FROM isl GROUP BY doc_id, island
         ORDER BY doc_id ASC NULLS LAST, span_start ASC NULLS LAST""")),
 
+    Q("n_dup_span_apply",
+      "Exact-substring-dedup APPLY step: rewrite the corpus with duplicated spans cut. Policy: an island (maximal duplicated span, as in n_dup_span_extract) is kept only in the doc that OWNS its first gram — owner = min doc_id over all docs containing that gram — so exactly one copy of every duplicated run survives corpus-wide (whole-doc duplicates collapse to the owner, subsuming exact dedup). Output: per-doc before/after token counts, spans cut, and the md5 of the cleaned text. Scale shape: ownership is one gram-keyed aggregate, position cuts are linear, reassembly is a doc-keyed sort — no self-join, text never shuffles (only 8-byte gram ids and int positions).",
+      (s, dir) => {
+        val pos = DedupQueries.dupGramStarts(s, dir)
+        val before = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val upTo = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val isl = pos
+          .withColumn("prev_end", max(col("i") + lit(4)).over(before))
+          .withColumn("brk",
+            when(col("prev_end").isNull || col("i") > col("prev_end"), 1).otherwise(0))
+          .withColumn("island", sum(col("brk")).over(upTo))
+        // per island: extent + the FIRST gram's id (i unique per doc →
+        // min_by is deterministic)
+        val spans = isl.groupBy(col("doc_id"), col("island"))
+          .agg(min(col("i")).as("s"), (max(col("i")) + lit(4)).as("e"),
+            min_by(col("g"), col("i")).as("g_first"))
+        // gram ownership: the lowest doc_id containing the gram keeps it
+        val owners = pos.groupBy(col("g"))
+          .agg(min(col("doc_id")).as("owner"))
+        val cut = spans.join(owners, spans("g_first") === owners("g"))
+          .filter(col("owner") =!= col("doc_id"))
+          .select(col("doc_id"), col("s"), col("e"))
+        val cutPos = cut.select(col("doc_id"),
+          explode(expr("sequence(s, e)")).as("p"))
+        val cutStats = cut.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_spans_cut"))
+        val toks = T(s, dir, "documents")
+          .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("p", "tok")))
+        val cleaned = toks.join(cutPos, Seq("doc_id", "p"), "left_anti")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tok_after"),
+            md5(array_join(expr(
+              "transform(array_sort(collect_list(struct(p, tok))), x -> x.tok)"),
+              " ")).as("cleaned_md5"))
+        T(s, dir, "documents")
+          .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tok_before"))
+          .join(cleaned, Seq("doc_id"), "left")
+          .join(cutStats, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_tok_before"),
+            coalesce(col("n_tok_after"), lit(0L)).as("n_tok_after"),
+            coalesce(col("n_spans_cut"), lit(0L)).as("n_spans_cut"),
+            coalesce(col("cleaned_md5"), md5(lit(""))).as("cleaned_md5"))
+          .orderBy(col("doc_id").asc_nulls_last)
+      },
+      Some("""WITH w AS (
+          SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        g AS (
+          SELECT doc_id, i,
+            w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] || ' ' || w[i+5] AS g
+          FROM w, LATERAL (SELECT unnest(generate_series(0, len(w) - 5)) AS i) s
+          WHERE len(w) >= 5),
+        dup AS (SELECT g FROM (SELECT DISTINCT g, doc_id FROM g) t
+                GROUP BY g HAVING count(*) >= 2),
+        p AS (SELECT doc_id, i, g FROM g WHERE g IN (SELECT g FROM dup)),
+        b AS (
+          SELECT doc_id, i, g,
+            CASE WHEN max(i + 4) OVER (PARTITION BY doc_id ORDER BY i
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                  OR i > max(i + 4) OVER (PARTITION BY doc_id ORDER BY i
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 THEN 1 ELSE 0 END AS brk
+          FROM p),
+        isl AS (
+          SELECT doc_id, i, g, sum(brk) OVER (PARTITION BY doc_id ORDER BY i
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+          FROM b),
+        spans AS (
+          SELECT doc_id, island, min(i) AS s, max(i) + 4 AS e,
+            arg_min(g, i) AS g_first
+          FROM isl GROUP BY doc_id, island),
+        owners AS (SELECT g, min(doc_id) AS owner FROM p GROUP BY g),
+        cut AS (
+          SELECT spans.doc_id, s, e FROM spans
+          JOIN owners ON spans.g_first = owners.g
+          WHERE owner <> spans.doc_id),
+        cutpos AS (
+          SELECT doc_id, unnest(generate_series(s, e)) AS p FROM cut),
+        cutstats AS (
+          SELECT doc_id, count(*) AS n_spans_cut FROM cut GROUP BY doc_id),
+        toks AS (
+          SELECT doc_id, generate_subscripts(w, 1) - 1 AS p, unnest(w) AS tok
+          FROM w),
+        cleaned AS (
+          SELECT doc_id, count(*) AS n_tok_after,
+            md5(string_agg(tok, ' ' ORDER BY p)) AS cleaned_md5
+          FROM toks t
+          WHERE NOT EXISTS (
+            SELECT 1 FROM cutpos c WHERE c.doc_id = t.doc_id AND c.p = t.p)
+          GROUP BY doc_id)
+        SELECT d.doc_id, CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tok_before,
+          CAST(coalesce(cl.n_tok_after, 0) AS BIGINT) AS n_tok_after,
+          CAST(coalesce(cs.n_spans_cut, 0) AS BIGINT) AS n_spans_cut,
+          coalesce(cl.cleaned_md5, md5('')) AS cleaned_md5
+        FROM documents d
+        LEFT JOIN cleaned cl ON d.doc_id = cl.doc_id
+        LEFT JOIN cutstats cs ON d.doc_id = cs.doc_id
+        ORDER BY d.doc_id ASC NULLS LAST""")),
+
     Q("n_embed_covariance",
       "Embedding-space covariance diagnostic: the 20 most-correlated dimension pairs by |population covariance| (redundant/collapsed-dimension detector for learned representations). Computed as ONE mergeable aggregate — a d²-double partial outer-product state per partition, map-side combined, so the shuffle carries kilobytes regardless of row count; the oracle's n·d² unnest self-join is the semantics, not the scale path.",
       (s, dir) => {

@@ -31,6 +31,39 @@ class Round8Spec extends AnyFunSuite {
     assert(out == Seq((1L, 3L, 10L, 8L, 4L), (2L, 3L, 10L, 8L, 4L)))
   }
 
+  test("span apply keeps the owner's copy and cuts every other occurrence") {
+    val shared = (1 to 8).map(i => s"dup$i").mkString(" ")
+    val whole = (1 to 6).map(i => s"eq$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"a1 b1 c1 $shared x1 y1", "en"), // owner of the shared run
+      (2L, s"a2 b2 c2 $shared x2 y2", "en"), // loses tokens 3..10
+      (3L, "a3 b3 c3 d3 e3 f3 g3 h3 i3 j3 k3 l3 m3", "en"), // untouched
+      (4L, whole, "en"), // owner of the whole-doc duplicate
+      (5L, whole, "en")  // fully cut: subsumes exact dedup
+    ).toDF("doc_id", "text", "lang")
+    val dir = java.nio.file.Files.createTempDirectory("spanapply").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Round8Queries.queries.find(_.name == "n_dup_span_apply").get
+      .fn(spark, dir)
+      .select("doc_id", "n_tok_before", "n_tok_after", "n_spans_cut")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, 13L, 13L, 0L), // owner: nothing cut
+      (2L, 13L, 5L, 1L),  // 8 shared tokens cut as ONE span
+      (3L, 13L, 13L, 0L),
+      (4L, 6L, 6L, 0L),
+      (5L, 6L, 0L, 1L)    // byte-identical doc fully removed
+    ))
+    // the cleaned text of the owner is byte-identical to the original
+    val digests = Round8Queries.queries.find(_.name == "n_dup_span_apply").get
+      .fn(spark, dir).select("doc_id", "cleaned_md5")
+      .as[(Long, String)].collect().toMap
+    val originals = docs.select(col("doc_id"), md5(col("text")))
+      .as[(Long, String)].collect().toMap
+    assert(digests(1L) == originals(1L) && digests(4L) == originals(4L))
+    assert(digests(5L) != originals(5L))
+  }
+
   test("covariance aggregator matches the closed form on a tiny known set") {
     val d = 3
     val vecs = Seq(

@@ -30,7 +30,10 @@ object ScaleBench {
     // importance (two LMs + co-partitioned rejoin), keep-best and
     // containment over the memoized pair-intersection relation
     "n_quality_unigram_lm", "n_dsir_importance",
-    "n_dedup_keep_best", "n_dedup_containment")
+    "n_dedup_keep_best", "n_dedup_containment",
+    // round-8 additions: span extract/apply are linear in duplicated
+    // positions; covariance is a constant-state single aggregate
+    "n_dup_span_extract", "n_dup_span_apply", "n_embed_covariance")
 
   def main(args: Array[String]): Unit = {
     val dirA = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

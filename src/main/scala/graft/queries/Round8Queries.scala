@@ -137,7 +137,7 @@ object Round8Queries extends QueryModule {
         ORDER BY doc_id ASC NULLS LAST, span_start ASC NULLS LAST""")),
 
     Q("n_dup_span_apply",
-      "Exact-substring-dedup APPLY step: rewrite the corpus with duplicated spans cut. Policy: an island (maximal duplicated span, as in n_dup_span_extract) is kept only in the doc that OWNS its first gram — owner = min doc_id over all docs containing that gram — so exactly one copy of every duplicated run survives corpus-wide (whole-doc duplicates collapse to the owner, subsuming exact dedup). Output: per-doc before/after token counts, spans cut, and the md5 of the cleaned text. Scale shape: ownership is one gram-keyed aggregate, position cuts are linear, reassembly is a doc-keyed sort — no self-join, text never shuffles (only 8-byte gram ids and int positions).",
+      "Exact-substring-dedup APPLY step: rewrite the corpus with duplicated spans cut. Policy: an island (maximal duplicated span, as in n_dup_span_extract) is kept only in the doc that OWNS its first gram — owner = min doc_id over all docs containing that gram — so exactly one copy of every duplicated run survives corpus-wide (whole-doc duplicates collapse to the owner, subsuming exact dedup). Output: per-doc before/after token counts, spans cut, and the md5 of the cleaned text. Scale shape: ownership is one gram-keyed aggregate, position cuts are linear, and token surgery touches ONLY docs that lose a span (untouched docs — the large majority — are digested row-locally); no self-join, text never shuffles (only 8-byte gram ids and int positions).",
       (s, dir) => {
         val pos = DedupQueries.dupGramStarts(s, dir)
         val before = Window.partitionBy(col("doc_id")).orderBy(col("i"))
@@ -157,22 +157,36 @@ object Round8Queries extends QueryModule {
         // gram ownership: the lowest doc_id containing the gram keeps it
         val owners = pos.groupBy(col("g"))
           .agg(min(col("doc_id")).as("owner"))
-        val cut = spans.join(owners, spans("g_first") === owners("g"))
-          .filter(col("owner") =!= col("doc_id"))
-          .select(col("doc_id"), col("s"), col("e"))
+        // small (docs-with-cuts × spans) relation, read by three
+        // consumers below — retained so the window pipeline above runs
+        // once; released with the dedup-family relations
+        val cut = DedupQueries.retain(
+          spans.join(owners, spans("g_first") === owners("g"))
+            .filter(col("owner") =!= col("doc_id"))
+            .select(col("doc_id"), col("s"), col("e")))
         val cutPos = cut.select(col("doc_id"),
           explode(expr("sequence(s, e)")).as("p"))
         val cutStats = cut.groupBy(col("doc_id"))
           .agg(count(lit(1)).as("n_spans_cut"))
-        val toks = T(s, dir, "documents")
+        val docs = T(s, dir, "documents").select(col("doc_id"), col("text"))
+        val cutDocs = cut.select(col("doc_id")).distinct()
+        // token surgery only for docs that actually lose a span (the
+        // small minority); everything else is a row-local re-join —
+        // same output, no corpus-wide token explode
+        val surgery = docs.join(cutDocs, Seq("doc_id"), "left_semi")
           .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("p", "tok")))
-        val cleaned = toks.join(cutPos, Seq("doc_id", "p"), "left_anti")
+          .join(cutPos, Seq("doc_id", "p"), "left_anti")
           .groupBy(col("doc_id"))
           .agg(count(lit(1)).as("n_tok_after"),
             md5(array_join(expr(
               "transform(array_sort(collect_list(struct(p, tok))), x -> x.tok)"),
               " ")).as("cleaned_md5"))
-        T(s, dir, "documents")
+        val untouched = docs.join(cutDocs, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("n_tok_after"),
+            md5(array_join(split(col("text"), " "), " ")).as("cleaned_md5"))
+        val cleaned = surgery.unionByName(untouched)
+        docs
           .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tok_before"))
           .join(cleaned, Seq("doc_id"), "left")
           .join(cutStats, Seq("doc_id"), "left")

@@ -250,6 +250,29 @@ object Round8Queries extends QueryModule {
         LEFT JOIN cutstats cs ON d.doc_id = cs.doc_id
         ORDER BY d.doc_id ASC NULLS LAST""")),
 
+    Q("n_priority_sample",
+      "Weighted sampling without replacement via priority sampling (the Duffield–Thorup scheme the sketching literature uses for weighted subset selection): each doc gets priority w/u with u a seeded hash-uniform, top-k by priority is a replayable weighted sample — heavier docs proportionally more likely, yet fully deterministic across engines, clusters and reruns (no RNG state). Cross-engine exactness: u's mantissa is the first 13 hex digits of a seeded md5 (52 bits — exactly representable), so both engines perform the SAME two IEEE ops on the SAME operands and the priorities are bit-identical. Scale shape: map-only scoring + TakeOrderedAndProject top-k; no shuffle beyond the k-row merge.",
+      (s, dir) => {
+        T(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+          .withColumn("m",
+            conv(substring(md5(concat(lit("graft-ps-42:"), col("doc_id").cast("string"))), 1, 13),
+              16, 10).cast("long"))
+          .withColumn("priority",
+            round(col("n_chars").cast("double") * lit(4503599627370496.0)
+              / (col("m") + lit(1)).cast("double"), 4))
+          .orderBy(col("priority").desc_nulls_last, col("doc_id").asc_nulls_last)
+          .limit(20)
+          .select(col("doc_id"), col("lang"),
+            col("n_chars").cast("long").as("weight"), col("priority"))
+      },
+      Some("""SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS weight,
+          round(CAST(n_chars AS DOUBLE) * 4503599627370496.0
+            / (CAST(concat('0x', substr(md5('graft-ps-42:' || CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) + 1), 4) AS priority
+        FROM documents
+        ORDER BY priority DESC NULLS LAST, doc_id ASC NULLS LAST
+        LIMIT 20""")),
+
     Q("n_embed_covariance",
       "Embedding-space covariance diagnostic: the 20 most-correlated dimension pairs by |population covariance| (redundant/collapsed-dimension detector for learned representations). Computed as ONE mergeable aggregate — a d²-double partial outer-product state per partition, map-side combined, so the shuffle carries kilobytes regardless of row count; the oracle's n·d² unnest self-join is the semantics, not the scale path.",
       (s, dir) => {

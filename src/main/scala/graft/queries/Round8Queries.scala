@@ -273,6 +273,46 @@ object Round8Queries extends QueryModule {
         ORDER BY priority DESC NULLS LAST, doc_id ASC NULLS LAST
         LIMIT 20""")),
 
+    Q("n_pad_efficiency",
+      "Length-bucketed batching efficiency: docs bucketed by token count (width-64 bands — the map-only stand-in for exact length-sorted batching), per bucket the padding overhead of batching to the bucket max vs padding everything to the corpus max (the no-bucketing baseline). The integer token sums are exact in both engines, so waste shares divide identical operands. Scale shape: bucket id is row-local arithmetic, per-bucket aggregates partial-combine, the corpus max is a one-row broadcast — no window, no sort.",
+      (s, dir) => {
+        val toks = T(s, dir, "documents")
+          .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tok"))
+        val globalMax = toks.agg(max(col("n_tok")).as("gmax"))
+        val buckets = toks
+          .withColumn("bucket", expr("n_tok div 64"))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tok")).as("real_tokens"),
+            max(col("n_tok")).as("bucket_max"))
+        buckets.crossJoin(broadcast(globalMax))
+          .select(col("bucket"), col("n_docs"), col("real_tokens"),
+            (col("n_docs") * col("bucket_max")).as("bucket_padded"),
+            round(lit(1.0) - col("real_tokens").cast("double")
+              / (col("n_docs") * col("bucket_max")).cast("double"), 6)
+              .as("bucket_waste"),
+            (col("n_docs") * col("gmax")).as("global_padded"),
+            round(lit(1.0) - col("real_tokens").cast("double")
+              / (col("n_docs") * col("gmax")).cast("double"), 6)
+              .as("global_waste"))
+          .orderBy(col("bucket").asc_nulls_last)
+      },
+      Some("""WITH t AS (
+          SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+          FROM documents),
+        g AS (SELECT max(n_tok) AS gmax FROM t),
+        b AS (
+          SELECT n_tok // 64 AS bucket, count(*) AS n_docs,
+            CAST(sum(n_tok) AS BIGINT) AS real_tokens, max(n_tok) AS bucket_max
+          FROM t GROUP BY 1)
+        SELECT bucket, n_docs, real_tokens,
+          CAST(n_docs * bucket_max AS BIGINT) AS bucket_padded,
+          round(1.0 - CAST(real_tokens AS DOUBLE) / (n_docs * bucket_max), 6) AS bucket_waste,
+          CAST(n_docs * gmax AS BIGINT) AS global_padded,
+          round(1.0 - CAST(real_tokens AS DOUBLE) / (n_docs * gmax), 6) AS global_waste
+        FROM b, g
+        ORDER BY bucket ASC NULLS LAST""")),
+
     Q("n_embed_covariance",
       "Embedding-space covariance diagnostic: the 20 most-correlated dimension pairs by |population covariance| (redundant/collapsed-dimension detector for learned representations). Computed as ONE mergeable aggregate — a d²-double partial outer-product state per partition, map-side combined, so the shuffle carries kilobytes regardless of row count; the oracle's n·d² unnest self-join is the semantics, not the scale path.",
       (s, dir) => {

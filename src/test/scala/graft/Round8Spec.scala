@@ -86,6 +86,31 @@ class Round8Spec extends AnyFunSuite {
     assert(at(1, 0) == at(0, 1) && at(2, 0) == at(0, 2))
   }
 
+  test("priority sample is replayable: identical across runs and partitionings") {
+    val q = Round8Queries.queries.find(_.name == "n_priority_sample").get
+    val a = q.fn(spark, sf).collect().toSeq
+    val b = q.fn(spark, sf).collect().toSeq
+    assert(a == b && a.nonEmpty)
+    // heavier docs must be able to outrank lighter ones: the sample's
+    // mean weight exceeds the corpus mean (weight-biased selection)
+    val sampleMean = a.map(_.getLong(2)).sum.toDouble / a.size
+    val corpusMean = T(spark, sf, "documents")
+      .agg(avg(col("n_chars"))).head().getDouble(0)
+    assert(sampleMean > corpusMean)
+  }
+
+  test("bucketed padding is never worse than pad-to-corpus-max") {
+    val q = Round8Queries.queries.find(_.name == "n_pad_efficiency").get
+    val rows = q.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val bucketWaste = r.getAs[Double]("bucket_waste")
+      val globalWaste = r.getAs[Double]("global_waste")
+      assert(bucketWaste <= globalWaste + 1e-9, r.toString)
+      assert(r.getAs[Long]("bucket_padded") <= r.getAs[Long]("global_padded"))
+    }
+  }
+
   test("covariance merge across partitions equals single-partition result") {
     val d = 4
     val rnd = new scala.util.Random(7)

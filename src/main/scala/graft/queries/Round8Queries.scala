@@ -78,6 +78,17 @@ object Round8Queries extends QueryModule {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
   }
 
+  /** Seeded priority w/u for priority sampling: u's mantissa is the
+    * first 13 hex digits of md5("graft-ps-42:"+doc_id) — 52 bits,
+    * exactly double-representable, so any engine computes the same two
+    * IEEE ops on the same operands. Shared by n_priority_sample and the
+    * streaming shard variant so stream ≡ batch bit-for-bit.
+    */
+  def priorityExpr: org.apache.spark.sql.Column =
+    round(col("n_chars").cast("double") * lit(4503599627370496.0)
+      / (conv(substring(md5(concat(lit("graft-ps-42:"), col("doc_id").cast("string"))), 1, 13),
+          16, 10).cast("long") + lit(1)).cast("double"), 4)
+
   override val queries: Seq[Q] = Seq(
     Q("n_dup_span_extract",
       "Exact-substring-dedup remediation: per document, the MAXIMAL token spans covered by corpus-duplicated 5-grams (a gram counts as duplicated when ≥2 distinct docs contain it), merged gaps-and-islands style into cuttable [span_start, span_end] ranges. Scale shape: gram identity shuffles as an 8-byte xxhash64, never text; duplicated-position lists are linear in corpus size (each position appears once); the island merge is a doc-keyed window — no self-join, nothing quadratic.",
@@ -255,12 +266,7 @@ object Round8Queries extends QueryModule {
       (s, dir) => {
         T(s, dir, "documents")
           .select(col("doc_id"), col("lang"), col("n_chars"))
-          .withColumn("m",
-            conv(substring(md5(concat(lit("graft-ps-42:"), col("doc_id").cast("string"))), 1, 13),
-              16, 10).cast("long"))
-          .withColumn("priority",
-            round(col("n_chars").cast("double") * lit(4503599627370496.0)
-              / (col("m") + lit(1)).cast("double"), 4))
+          .withColumn("priority", priorityExpr)
           .orderBy(col("priority").desc_nulls_last, col("doc_id").asc_nulls_last)
           .limit(20)
           .select(col("doc_id"), col("lang"),

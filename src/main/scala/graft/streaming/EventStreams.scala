@@ -182,6 +182,29 @@ object EventStreams {
       .agg(hh.toColumn.name("summary"))
   }
 
+  /** Streaming weighted top-k — the unbounded-feed face of
+    * n_priority_sample: documents arrive as a stream, each gets the
+    * SAME seeded priority w/u (Round8Queries.priorityExpr), and
+    * per-shard [[graft.operators.TopKByScore]] summaries maintain at
+    * most shards×k entries of state. Exact, not approximate: a global
+    * top-k member is always in its shard's top-k, so flattening shard
+    * summaries and re-selecting k reproduces the batch sample
+    * bit-for-bit (StreamingSpec proves it).
+    */
+  def prioritySampleShards(spark: SparkSession, dir: String,
+      shards: Int = 8, k: Int = 20): Dataset[(Long, Seq[(Double, Long)])] = {
+    import spark.implicits._
+    graft.GraftSession.tune(spark)
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val topk = graft.operators.TopKByScore(k)
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      .select(col("doc_id"), graft.queries.Round8Queries.priorityExpr.as("priority"))
+      .select(col("priority"), col("doc_id")).as[(Double, Long)]
+      .groupByKey { case (_, id) => math.floorMod(id, shards.toLong) }
+      .agg(topk.toColumn.name("summary"))
+  }
+
   /** Streaming ingestion filter — the unbounded-feed face of the
     * n_e2e_prep_pipeline front half: documents arrive as a stream,
     * normalize (lower + whitespace collapse), pass the quality gate

@@ -45,6 +45,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("streaming priority sample: shard top-k summaries reproduce the batch sample") {
+    val q = EventStreams.prioritySampleShards(spark, sf)
+      .toDF("shard", "summary")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("ps_out")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    // flatten shard summaries and re-select global top-20 by
+    // (priority desc, doc_id asc) — exact because a global top-k
+    // member is always in its shard's top-k
+    val streamed = spark.table("ps_out")
+      .select(explode(col("summary")).as("e"))
+      .select(col("e._2").as("doc_id"), col("e._1").as("priority"))
+      .orderBy(col("priority").desc, col("doc_id").asc)
+      .limit(20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val batch = SparkEntry.queries("n_priority_sample")(spark, sf)
+      .select("doc_id", "priority")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(streamed == batch)
+  }
+
   test("streaming dedup: duplicated stream collapses back to distinct events") {
     // duplicate every event by unioning the source with itself
     val doubled = EventStreams.source(spark, sf).union(EventStreams.source(spark, sf))

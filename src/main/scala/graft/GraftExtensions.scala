@@ -1281,6 +1281,188 @@ object GraftExtensions {
         }))
   }
 
+  /** Round-8 probe6 batch: list ordering/selection sugar, top-n
+    * aggregate forms, temporal series/arithmetic dispatch, and the
+    * reversed strftime argument order. Semantics pinned against DuckDB
+    * (see DialectProbe6 / DialectSpec "probe6 batch").
+    */
+  private[graft] val registrations6: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = {
+    import org.apache.spark.sql.catalyst.expressions.{Add, Cast, CaseWhen, Expression => Expr, GreaterThanOrEqual, LambdaFunction, Literal, Not, Size, SortArray, Subtract, UnresolvedNamedLambdaVariable}
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue
+    import org.apache.spark.sql.types._
+    def lv(n: String) = UnresolvedNamedLambdaVariable(Seq(n))
+    def aggE(e: Expression): Expression = e match {
+      case f: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateFunction =>
+        f.toAggregateExpression()
+      case other => other
+    }
+    def collected(x: Expression) = aggE(builtinBuilder("collect_list")(Seq(x)))
+    def strLit(e: Expression, fn: String): String = e match {
+      case Literal(s, StringType) if s != null => s.toString.trim.toUpperCase
+      case _ => throw new IllegalArgumentException(s"$fn: ordering arguments must be string literals")
+    }
+    def isIntervalish(e: Expression): Boolean =
+      try e.dataType match {
+        case _: DayTimeIntervalType | _: YearMonthIntervalType => true
+        case org.apache.spark.sql.types.CalendarIntervalType => true
+        case _ => false
+      } catch { case _: Throwable => false }
+    // temporal series: Spark sequence handles date/timestamp + interval
+    // steps natively and inclusively; DuckDB's range is end-EXCLUSIVE,
+    // so the stop value (present only when the step lands exactly) is
+    // filtered back out
+    def temporalSeries(exclusive: Boolean)(args: Seq[Expression]): Expression = {
+      val seq = builtinBuilder("sequence")(args)
+      if (!exclusive) seq
+      else {
+        val x = lv("__ts_x")
+        builtinBuilder("filter")(Seq(seq,
+          LambdaFunction(Not(org.apache.spark.sql.catalyst.expressions.EqualTo(x, args(1))), Seq(x))))
+      }
+    }
+    def topN(fn: String, desc: Boolean)(args: Seq[Expression]): Expression =
+      if (args.length != 2) builtinBuilder(fn)(args)
+      else {
+        // min(x, n)/max(x, n): LIST of the n smallest/largest non-NULL
+        // values (DuckDB). n must be a literal; sort asc then slice,
+        // reversed for max.
+        val sorted = SortArray(collected(args(0)), Literal(!desc))
+        builtinBuilder("slice")(Seq(sorted, Literal(1), args(1)))
+      }
+    def argTopN(fn: String, target: String, desc: Boolean)(args: Seq[Expression]): Expression =
+      if (args.length != 3) builtinBuilder(target)(args)
+      else {
+        // arg_min(x, val, n)/arg_max: LIST of x for the n smallest/
+        // largest val; (val, x) struct sort keeps ties deterministic
+        val st = lv("__atn_s")
+        val pairs = collected(org.apache.spark.sql.catalyst.expressions.CreateNamedStruct(
+          Seq(Literal("v"), args(1), Literal("x"), args(0))))
+        val sorted = SortArray(pairs, Literal(!desc))
+        val sliced = builtinBuilder("slice")(Seq(sorted, Literal(1), args(2)))
+        builtinBuilder("transform")(Seq(sliced,
+          LambdaFunction(UnresolvedExtractValue(st, Literal("x")), Seq(st))))
+      }
+    Seq(
+      // full list_sort arity (the plain alias covered 1-arg only).
+      // DuckDB's default null order is NULLS LAST in BOTH directions
+      // (verified [1,3,NULL] asc / [3,1,NULL] desc).
+      ("list_sort",
+        info("list_sort", "list_sort(l[, 'ASC'|'DESC'[, 'NULLS FIRST'|'NULLS LAST']]) - DuckDB list sort."),
+        (args: Seq[Expression]) => {
+          require(args.nonEmpty && args.length <= 3,
+            s"list_sort expects 1-3 arguments, got ${args.length}")
+          if (args.length == 1) builtinBuilder("array_sort")(args)
+          else {
+            val dir = strLit(args(1), "list_sort")
+            val nulls = if (args.length == 3) strLit(args(2), "list_sort") else "NULLS LAST"
+            (dir, nulls) match {
+              case ("ASC", "NULLS LAST")   => builtinBuilder("array_sort")(Seq(args.head))
+              case ("ASC", "NULLS FIRST")  => SortArray(args.head, Literal(true))
+              case ("DESC", "NULLS LAST")  => SortArray(args.head, Literal(false))
+              case ("DESC", "NULLS FIRST") =>
+                builtinBuilder("reverse")(Seq(builtinBuilder("array_sort")(Seq(args.head))))
+              case other => throw new IllegalArgumentException(
+                s"list_sort: unsupported ordering $other")
+            }
+          }
+        }),
+      ("list_reverse_sort",
+        info("list_reverse_sort", "list_reverse_sort(l) - descending sort, NULLS LAST (DuckDB)."),
+        (args: Seq[Expression]) => {
+          require(args.length == 1, s"list_reverse_sort expects 1 argument, got ${args.length}")
+          SortArray(args.head, Literal(false))
+        }),
+      ("array_slice",
+        info("array_slice", "array_slice(l, a, b) - alias of list_slice (1-based, end-inclusive)."),
+        (args: Seq[Expression]) =>
+          registrations.find(_._1 == "list_slice").get._3(args)),
+      ("list_select",
+        info("list_select", "list_select(l, idxs) - elements at the 1-based indices; out-of-range -> NULL (DuckDB)."),
+        (args: Seq[Expression]) => {
+          require(args.length == 2, s"list_select expects 2 arguments, got ${args.length}")
+          val i = lv("__lsel_i")
+          builtinBuilder("transform")(Seq(args(1),
+            LambdaFunction(builtinBuilder("get")(Seq(args(0),
+              Cast(Subtract(i, Literal(1)), IntegerType))), Seq(i))))
+        }),
+      ("list_where",
+        info("list_where", "list_where(l, mask) - elements whose mask entry is true (DuckDB)."),
+        (args: Seq[Expression]) => {
+          require(args.length == 2, s"list_where expects 2 arguments, got ${args.length}")
+          val x = lv("__lw_x"); val m = lv("__lw_m"); val st = lv("__lw_s")
+          val zipped = builtinBuilder("zip_with")(Seq(args(0), args(1),
+            LambdaFunction(org.apache.spark.sql.catalyst.expressions.CreateNamedStruct(
+              Seq(Literal("x"), x, Literal("m"), m)), Seq(x, m))))
+          val kept = builtinBuilder("filter")(Seq(zipped,
+            LambdaFunction(UnresolvedExtractValue(st, Literal("m")), Seq(st))))
+          builtinBuilder("transform")(Seq(kept,
+            LambdaFunction(UnresolvedExtractValue(st, Literal("x")), Seq(st))))
+        }),
+      ("list_resize",
+        info("list_resize", "list_resize(l, n[, fill]) - truncate or pad to n (default fill NULL, DuckDB)."),
+        (args: Seq[Expression]) => {
+          require(args.length == 2 || args.length == 3,
+            s"list_resize expects 2-3 arguments, got ${args.length}")
+          val l = args(0); val n = args(1)
+          val fill = if (args.length == 3) args(2) else Literal(null, NullType)
+          val truncated = builtinBuilder("slice")(Seq(l, Literal(1), n))
+          val padded = builtinBuilder("concat")(Seq(l,
+            builtinBuilder("array_repeat")(Seq(fill, Subtract(Cast(n, IntegerType), Size(l))))))
+          CaseWhen(Seq((GreaterThanOrEqual(Size(l), Cast(n, IntegerType)), truncated)), Some(padded))
+        }),
+      // top-n aggregate forms; 1-/2-arg forms fall through to builtins
+      ("min", info("min", "min(x[, n]) - minimum, or LIST of the n smallest (DuckDB)."),
+        (args: Seq[Expression]) => topN("min", desc = false)(args)),
+      ("max", info("max", "max(x[, n]) - maximum, or LIST of the n largest (DuckDB)."),
+        (args: Seq[Expression]) => topN("max", desc = true)(args)),
+      ("arg_min", info("arg_min", "arg_min(x, val[, n]) - x at the minimum val, or LIST for the n smallest."),
+        (args: Seq[Expression]) => argTopN("arg_min", "min_by", desc = false)(args)),
+      ("arg_max", info("arg_max", "arg_max(x, val[, n]) - x at the maximum val, or LIST for the n largest."),
+        (args: Seq[Expression]) => argTopN("arg_max", "max_by", desc = true)(args)),
+      ("min_by", info("min_by", "min_by(x, val[, n]) - DuckDB alias surface of arg_min."),
+        (args: Seq[Expression]) => argTopN("min_by", "min_by", desc = false)(args)),
+      ("max_by", info("max_by", "max_by(x, val[, n]) - DuckDB alias surface of arg_max."),
+        (args: Seq[Expression]) => argTopN("max_by", "max_by", desc = true)(args)),
+      // date_add(date, INTERVAL) is DuckDB's form; (date, int) stays
+      // Spark's. Output follows Spark's +: date stays DATE for
+      // day-granularity intervals where DuckDB promotes to TIMESTAMP —
+      // value-equivalent, type divergence documented.
+      ("date_add",
+        info("date_add", "date_add(d, INTERVAL) - DuckDB interval add; date_add(d, n) stays Spark's."),
+        (args: Seq[Expression]) => {
+          if (args.length == 2 && isIntervalish(args(1))) Add(args(0), args(1))
+          else builtinBuilder("date_add")(args)
+        }),
+      // strftime accepts both argument orders in DuckDB; a %-bearing
+      // string literal in position 1 is the format
+      ("strftime",
+        info("strftime", "strftime(ts, fmt) or strftime(fmt, ts) - DuckDB C-style formatting."),
+        (args: Seq[Expression]) => {
+          require(args.length == 2, s"strftime expects 2 arguments, got ${args.length}")
+          val (ts, fmt) = args.head match {
+            case Literal(s, StringType) if s != null && s.toString.contains("%") => (args(1), args.head)
+            case _ => (args.head, args(1))
+          }
+          builtinBuilder("date_format")(Seq(ts, translatedFormat("strftime", fmt)))
+        }),
+      // temporal generate_series/range: Spark sequence natively walks
+      // date/timestamp with interval steps (inclusive); DuckDB's range
+      // is end-exclusive so the stop value is filtered back out.
+      // Numeric forms fall through to the registrations3 builders.
+      ("generate_series",
+        info("generate_series", "generate_series(a, b[, step]) - inclusive series; temporal or BIGINT."),
+        (args: Seq[Expression]) => {
+          if (args.length == 3 && isIntervalish(args(2))) temporalSeries(exclusive = false)(args)
+          else registrations3.find(_._1 == "generate_series").get._3(args)
+        }),
+      ("range",
+        info("range", "range(a, b[, step]) - end-exclusive series; temporal or BIGINT."),
+        (args: Seq[Expression]) => {
+          if (args.length == 3 && isIntervalish(args(2))) temporalSeries(exclusive = true)(args)
+          else registrations3.find(_._1 == "range").get._3(args)
+        }))
+  }
+
   /** DuckDB function-name aliases onto Spark builtins with matching
     * semantics AND argument order — the function-level face of the
     * dialect shim (`server.Dialect` handles the syntax-level sugar).
@@ -1350,7 +1532,10 @@ object GraftExtensions {
     // flatten/map_keys/map_values/map_entries already share names
     "list_reverse" -> "reverse",
     "json_keys" -> "json_object_keys",
-    "group_concat" -> "listagg")
+    "group_concat" -> "listagg",
+    // round-8 probe6: array_has is DuckDB's third list_contains
+    // spelling (same NULL semantics as array_contains, verified)
+    "array_has" -> "array_contains")
 
   private def aliasRegistrations: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = {
     val builtin = org.apache.spark.sql.catalyst.analysis.FunctionRegistry.builtin
@@ -1361,9 +1546,12 @@ object GraftExtensions {
     }
   }
 
+  // registrations6 AFTER the aliases: its full-arity list_sort /
+  // arg_min / arg_max / min / max builders must override the plain
+  // alias entries (later registration wins in the registry).
   private[graft] def allRegistrations: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] =
     registrations ++ registrations2 ++ registrations3 ++ registrations4 ++
-      registrations5 ++ aliasRegistrations
+      registrations5 ++ aliasRegistrations ++ registrations6
 
   private val txidCounter = new java.util.concurrent.atomic.AtomicLong(0L)
 

@@ -1061,6 +1061,66 @@ object Dialect {
     * is left alone — every realistic spelling is covered, and `**`
     * inside comments is excluded by the binary-context check.
     */
+  /** DuckDB's postfix `!` factorial and prefix `@` abs operators.
+    * `n!` (not `!=`/`!~`) rewrites to factorial(n) for a bounded left
+    * primary — a number, identifier chain, or parenthesized/bracketed
+    * expression; `@expr` rewrites to abs for `@(...)` and `@ident`
+    * (not `@>` containment). Anything the scanner cannot bound is left
+    * alone → loud parse error, never a silent mis-read.
+    */
+  private def rewriteFactorialAbs(sql: String): String = {
+    if (sql.indexOf('!') < 0 && sql.indexOf('@') < 0) return sql
+    val mask = quoteMask(sql)
+    var out = sql
+    // right-to-left so earlier indices stay valid after replacement
+    var i = sql.length - 1
+    val edits = scala.collection.mutable.ListBuffer.empty[(Int, Int, String)]
+    while (i >= 0) {
+      val c = sql.charAt(i)
+      if (!mask(i) && c == '!' &&
+          (i + 1 >= sql.length || (sql.charAt(i + 1) != '=' && sql.charAt(i + 1) != '~')) &&
+          (i == 0 || (sql.charAt(i - 1) != '!' && sql.charAt(i - 1) != '<' && sql.charAt(i - 1) != '>'))) {
+        var p = i - 1
+        while (p >= 0 && sql.charAt(p).isWhitespace) p -= 1
+        if (p >= 0) {
+          val start =
+            if (sql.charAt(p) == ')' || sql.charAt(p) == ']') {
+              val open = if (sql.charAt(p) == ')') '(' else '['
+              var depth = 0; var q = p; var s = -1
+              while (q >= 0 && s < 0) {
+                if (!mask(q)) {
+                  if (sql.charAt(q) == sql.charAt(p)) depth += 1
+                  else if (sql.charAt(q) == open) { depth -= 1; if (depth == 0) s = q }
+                }
+                q -= 1
+              }
+              s
+            } else if (isWordChar(sql.charAt(p))) {
+              var q = p
+              while (q >= 0 && (isWordChar(sql.charAt(q)) || sql.charAt(q) == '.')) q -= 1
+              q + 1
+            } else -1
+          if (start >= 0)
+            edits += ((start, i + 1, s"factorial(${sql.substring(start, p + 1)})"))
+        }
+      } else if (!mask(i) && c == '@' &&
+          i + 1 < sql.length && sql.charAt(i + 1) != '>' &&
+          (i == 0 || sql.charAt(i - 1) != '<')) {
+        if (sql.charAt(i + 1) == '(') {
+          edits += ((i, i + 1, "abs"))
+        } else if (isWordChar(sql.charAt(i + 1))) {
+          var q = i + 1
+          while (q < sql.length && (isWordChar(sql.charAt(q)) || sql.charAt(q) == '.')) q += 1
+          edits += ((i, q, s"abs(${sql.substring(i + 1, q)})"))
+        }
+      }
+      i -= 1
+    }
+    // edits were collected right-to-left: apply in that order
+    edits.foreach { case (s, e, repl) => out = out.substring(0, s) + repl + out.substring(e) }
+    out
+  }
+
   private def rewritePower(sql: String): String = {
     if (sql.indexOf('^') < 0 && !sql.contains("**")) return sql
     val mask = quoteMask(sql)
@@ -2462,11 +2522,11 @@ object Dialect {
     // paths hit the sandbox check at use time
     handleMacroVerb(spark, sql).getOrElse(
       rewritePositionalJoin(spark,
-      rewriteDistinctOn(rewriteQualify(rewriteExclude(rewriteOffsetLimit(rewritePower(rewriteGlob(rewriteTildeOps(rewriteQuantified(rewriteAggOrder(rewriteSimilarTo(rewriteJsonOps(rewriteDateDiff(rewriteIntDiv(
+      rewriteDistinctOn(rewriteQualify(rewriteExclude(rewriteOffsetLimit(rewriteFactorialAbs(rewritePower(rewriteGlob(rewriteTildeOps(rewriteQuantified(rewriteAggOrder(rewriteSimilarTo(rewriteJsonOps(rewriteDateDiff(rewriteIntDiv(
         rewriteSample(rewriteStructPack(rewriteBrackets(rewriteBraces(
           rewriteTypeAliases(rewriteExtractQuoted(
           rewriteUnionByName(spark, rewriteReplace(spark, rewriteColumns(spark, rewriteAsOf(rewriteGenerateSeries(rewriteSources(spark,
             rewritePivot(spark, rewriteUnpivot(rewriteSummarize(spark,
               rewritePragma(rewriteDescribe(spark, expandMacros(spark, rewriteFromFirst(sql))))))),
-            pathOk)))))))))))))))))))))))))))
+            pathOk))))))))))))))))))))))))))))
 }

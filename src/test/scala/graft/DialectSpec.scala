@@ -739,6 +739,59 @@ class DialectSpec extends AnyFunSuite with BeforeAndAfterAll {
       sq.body().contains("\"n_nationkey\":\"5\""), sq.body())
   }
 
+  test("round-8 probe6 batch returns DuckDB-verified values") {
+    def one(sql: String, expect: String): Unit = {
+      val r = post(sql)
+      assert(r.statusCode() == 200, s"$sql -> ${r.body()}")
+      assert(r.body() == expect, s"$sql -> ${r.body()} (wanted $expect)")
+    }
+    // list_sort arity/ordering matrix: DuckDB default is NULLS LAST in
+    // BOTH directions (verified on DuckDB)
+    one("SELECT list_sort([3, 1, NULL]) AS s", """[{"s":[1,3,null]}]""")
+    one("SELECT list_sort([3, 1, NULL], 'DESC') AS s", """[{"s":[3,1,null]}]""")
+    one("SELECT list_sort([3, 1, NULL], 'ASC', 'NULLS FIRST') AS s", """[{"s":[null,1,3]}]""")
+    one("SELECT list_sort([3, 1, NULL], 'DESC', 'NULLS FIRST') AS s", """[{"s":[null,3,1]}]""")
+    one("SELECT list_reverse_sort([3, 1, NULL]) AS s", """[{"s":[3,1,null]}]""")
+    one("SELECT array_slice([1, 2, 3, 4], 2, 3) AS s", """[{"s":[2,3]}]""")
+    // out-of-range select -> NULL element (verified)
+    one("SELECT list_select([10, 20, 30], [3, 1, 4]) AS s", """[{"s":[30,10,null]}]""")
+    one("SELECT list_where([10, 20, 30], [true, false, true]) AS w", """[{"w":[10,30]}]""")
+    one("SELECT list_resize([1, 2], 4, 0) AS r, list_resize([1, 2, 3], 2) AS t",
+      """[{"r":[1,2,0,0],"t":[1,2]}]""")
+    // postfix factorial / prefix abs operators; != and strings untouched
+    one("SELECT 5! AS f", """[{"f":120}]""")
+    one("SELECT factorial(20) AS f", """[{"f":2432902008176640000}]""")
+    one("SELECT @(-7) AS a, @(3-10) AS b", """[{"a":7,"b":7}]""")
+    one("SELECT n_nationkey FROM nation WHERE n_nationkey != 1 AND n_nationkey < 3 ORDER BY 1",
+      """[{"n_nationkey":0},{"n_nationkey":2}]""")
+    one("SELECT 'a!b@c' AS s", """[{"s":"a!b@c"}]""")
+    // top-n aggregate forms (DuckDB 1.5 min/max/arg_min/arg_max(…, n))
+    one("SELECT min(n_nationkey, 2) AS l FROM nation", """[{"l":[0,1]}]""")
+    one("SELECT max(n_nationkey, 2) AS l FROM nation WHERE n_nationkey < 5",
+      """[{"l":[4,3]}]""")
+    one("SELECT arg_min(n_name, n_nationkey, 2) AS l FROM nation",
+      """[{"l":["NATION_0","NATION_1"]}]""")
+    one("SELECT arg_max(n_name, n_nationkey, 1) AS l FROM nation WHERE n_nationkey < 3",
+      """[{"l":["NATION_2"]}]""")
+    // 1-/2-arg forms still hit the plain builtins
+    one("SELECT min(n_nationkey) AS a, max(n_nationkey) AS b FROM nation WHERE n_nationkey < 3",
+      """[{"a":0,"b":2}]""")
+    one("SELECT arg_min(n_name, n_nationkey) AS a FROM nation", """[{"a":"NATION_0"}]""")
+    // temporal arithmetic + series (DuckDB range is end-exclusive)
+    one("SELECT CAST(date_add(TIMESTAMP '2024-01-01 01:00:00', INTERVAL 90 MINUTE) AS STRING) AS t",
+      """[{"t":"2024-01-01 02:30:00"}]""")
+    one("SELECT date_add(DATE '2024-01-01', 5) AS d", """[{"d":"2024-01-06"}]""")
+    one("SELECT transform(generate_series(DATE '2024-01-01', DATE '2024-01-04', INTERVAL 1 DAY), x -> CAST(x AS STRING)) AS g",
+      """[{"g":["2024-01-01","2024-01-02","2024-01-03","2024-01-04"]}]""")
+    one("SELECT transform(range(TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-02', INTERVAL 12 HOUR), x -> CAST(x AS STRING)) AS g",
+      """[{"g":["2024-01-01 00:00:00","2024-01-01 12:00:00"]}]""")
+    // strftime accepts both argument orders
+    one("SELECT strftime('%Y/%m/%d', TIMESTAMP '2024-03-05 10:30:00') AS s",
+      """[{"s":"2024/03/05"}]""")
+    one("SELECT strftime(TIMESTAMP '2024-03-05 10:30:00', '%Y/%m/%d') AS s",
+      """[{"s":"2024/03/05"}]""")
+  }
+
   test("read_csv named options translate to the Spark reader") {
     val d = java.nio.file.Files.createTempDirectory("graft_readopts")
     val semi = d.resolve("semi.csv")

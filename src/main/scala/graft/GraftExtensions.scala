@@ -1460,6 +1460,43 @@ object GraftExtensions {
         (args: Seq[Expression]) => {
           if (args.length == 3 && isIntervalish(args(2))) temporalSeries(exclusive = true)(args)
           else registrations3.find(_._1 == "range").get._3(args)
+        }),
+      // bitstring_agg (closes the other probe5 omission): bit p-lo set
+      // for each aggregated value, rendered left-to-right over
+      // [lo, hi]. Rendering is character-identical to DuckDB's BIT
+      // display; the TYPE is VARCHAR here (same documented divergence
+      // as the scalar bitstring). 1-arg form ranges over the actual
+      // min/max (what DuckDB's column stats resolve to on a full
+      // scan); out-of-range values in the 3-arg form fail loudly like
+      // DuckDB's Out of Range Error.
+      ("bitstring_agg",
+        info("bitstring_agg", "bitstring_agg(x[, lo, hi]) - '0'/'1' bitstring with a bit per aggregated value."),
+        (args: Seq[Expression]) => {
+          require(args.length == 1 || args.length == 3,
+            s"bitstring_agg expects 1 or 3 arguments, got ${args.length}")
+          val x = args.head
+          val (lo, hi) =
+            if (args.length == 3) (Cast(args(1), LongType), Cast(args(2), LongType))
+            else (aggE(builtinBuilder("min")(Seq(x))), aggE(builtinBuilder("max")(Seq(x))))
+          val seen = aggE(builtinBuilder("collect_set")(Seq(Cast(x, LongType))))
+          val p = lv("__bsa_p")
+          val rendered = builtinBuilder("array_join")(Seq(
+            builtinBuilder("transform")(Seq(
+              builtinBuilder("sequence")(Seq(lo, hi)),
+              LambdaFunction(CaseWhen(Seq((
+                org.apache.spark.sql.catalyst.expressions.ArrayContains(seen, p),
+                Literal("1"))), Some(Literal("0"))), Seq(p)))),
+            Literal("")))
+          if (args.length == 3) {
+            val outOfRange = org.apache.spark.sql.catalyst.expressions.Or(
+              org.apache.spark.sql.catalyst.expressions.LessThan(
+                aggE(builtinBuilder("min")(Seq(Cast(x, LongType)))), lo),
+              org.apache.spark.sql.catalyst.expressions.GreaterThan(
+                aggE(builtinBuilder("max")(Seq(Cast(x, LongType)))), hi))
+            CaseWhen(Seq((outOfRange,
+              builtinBuilder("raise_error")(Seq(Literal(
+                "bitstring_agg: value is out of range"))))), Some(rendered))
+          } else rendered
         }))
   }
 
@@ -1596,6 +1633,16 @@ object GraftExtensions {
       (a, b) => if (a == null || b == null) null else java.lang.Double.valueOf(f(a, b))
     def nl(f: (String, String) => Long): (String, String) => java.lang.Long =
       (a, b) => if (a == null || b == null) null else java.lang.Long.valueOf(f(a, b))
+    // json_structure: DuckDB's type-template rendering (closes the
+    // last probe5 omission). Semantics pinned against DuckDB:
+    // non-negative ints -> "UBIGINT", negative -> "BIGINT", floats ->
+    // "DOUBLE", strings "VARCHAR", bools "BOOLEAN", null "NULL";
+    // arrays unify elementwise (NULL yields to anything, the numeric
+    // ladder UBIGINT<BIGINT<DOUBLE widens, objects merge keys,
+    // incompatibles collapse to "JSON", [] -> ["NULL"]); malformed
+    // input fails loudly like DuckDB's Invalid Input Error.
+    spark.udf.register("json_structure", (s: String) =>
+      if (s == null) null else graft.functions.JsonStructure.render(s))
     spark.udf.register("jaro_similarity", nd(StringDistances.jaro))
     spark.udf.register("jaro_winkler_similarity", nd(StringDistances.jaroWinkler))
     spark.udf.register("damerau_levenshtein", nl(StringDistances.damerauLevenshtein))

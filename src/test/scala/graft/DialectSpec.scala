@@ -701,9 +701,11 @@ class DialectSpec extends AnyFunSuite with BeforeAndAfterAll {
       """[{"p":{"year":2024,"month":3}}]""")
     val cs = post("SELECT current_setting('threads') AS t")
     assert(cs.statusCode() == 200 && cs.body().matches("""\[\{"t":"\d+"\}\]"""), cs.body())
-    // deliberate loud omissions stay loud
-    assert(post("SELECT json_structure('{\"a\": 1}') AS s").statusCode() >= 400)
-    assert(post("SELECT bitstring_agg(n_nationkey) AS b FROM nation").statusCode() >= 400)
+    // the probe5-era omissions were closed in round 8 (probe6 batch
+    // pins their full semantics; the basic forms assert here)
+    one("SELECT json_structure('{\"a\": 1}') AS s", """[{"s":"{\"a\":\"UBIGINT\"}"}]""")
+    val bsa = post("SELECT bitstring_agg(n_nationkey) AS b FROM nation")
+    assert(bsa.statusCode() == 200 && bsa.body() == """[{"b":"1111111111111111111111111"}]""", bsa.body())
     // ^ is POWER in DuckDB (Spark's ^ is XOR — the nastiest silent
     // divergence in the dialect); ** is its alias. Left-associative,
     // chains through calls/brackets/unary minus; DuckDB's 2 ^ 3 = 8.0
@@ -790,6 +792,27 @@ class DialectSpec extends AnyFunSuite with BeforeAndAfterAll {
       """[{"s":"2024/03/05"}]""")
     one("SELECT strftime(TIMESTAMP '2024-03-05 10:30:00', '%Y/%m/%d') AS s",
       """[{"s":"2024/03/05"}]""")
+    // json_structure: DuckDB's type-template vocabulary (formerly a
+    // documented omission; every value pinned against DuckDB)
+    one("""SELECT json_structure('{"a":1.5,"b":"x","c":true,"d":null}') AS s""",
+      """[{"s":"{\"a\":\"DOUBLE\",\"b\":\"VARCHAR\",\"c\":\"BOOLEAN\",\"d\":\"NULL\"}"}]""")
+    one("""SELECT json_structure('[{"a":1},{"b":-2}]') AS s""",
+      """[{"s":"[{\"a\":\"UBIGINT\",\"b\":\"BIGINT\"}]"}]""")
+    one("""SELECT json_structure('[1, 2.5]') AS a, json_structure('[1,"x"]') AS b,
+           json_structure('[]') AS c, json_structure('-3') AS d""",
+      """[{"a":"[\"DOUBLE\"]","b":"[\"JSON\"]","c":"[\"NULL\"]","d":"\"BIGINT\""}]""")
+    assert(post("SELECT json_structure('not json') AS s").statusCode() >= 400) // loud, like DuckDB
+    // bitstring_agg (formerly a documented omission): rendering is
+    // DuckDB's BIT display; type is VARCHAR (same divergence policy
+    // as the scalar bitstring)
+    one("SELECT bitstring_agg(x, 1, 6) AS b FROM (VALUES (1), (3), (5)) t(x)",
+      """[{"b":"101010"}]""")
+    one("SELECT bitstring_agg(x, 0, 4) AS b FROM (VALUES (2), (4)) t(x)",
+      """[{"b":"00101"}]""")
+    one("SELECT bitstring_agg(x) AS b FROM (VALUES (1), (3), (5)) t(x)",
+      """[{"b":"10101"}]""")
+    assert(post("SELECT bitstring_agg(x, 2, 4) AS b FROM (VALUES (1), (3)) t(x)")
+      .statusCode() >= 400) // out of range -> loud, like DuckDB
   }
 
   test("read_csv named options translate to the Spark reader") {

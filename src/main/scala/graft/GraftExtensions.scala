@@ -1500,6 +1500,189 @@ object GraftExtensions {
         }))
   }
 
+  /** Round-8 probe7 batch: binary/encoding helpers, bitstring bit
+    * access, histogram, map_extract, regex flag forms, LIKE escapes,
+    * and misc sugar. Semantics pinned against DuckDB (DialectProbe7 /
+    * DialectSpec "probe7 batch").
+    */
+  private[graft] val registrations7: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = {
+    import org.apache.spark.sql.catalyst.expressions.{Add, Cast, CreateArray, CreateNamedStruct, Expression => Expr, If, ILike, LambdaFunction, Like, Literal, Size, Substring, UnresolvedNamedLambdaVariable}
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.types._
+    def lv(n: String) = UnresolvedNamedLambdaVariable(Seq(n))
+    def aggE(e: Expression): Expression = e match {
+      case f: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateFunction =>
+        f.toAggregateExpression()
+      case other => other
+    }
+    def litStr(e: Expression, fn: String): String = e match {
+      case Literal(s, StringType) if s != null => s.toString
+      case _ => throw new IllegalArgumentException(s"$fn: argument must be a string literal")
+    }
+    def escChar(e: Expression, fn: String): Char = {
+      val s = litStr(e, fn)
+      require(s.length == 1, s"$fn: the escape must be a single character")
+      s.head
+    }
+    // inline-flag regex composition: 'i'/'s'/'m'/'p' prepend a (?...)
+    // group; the pattern may be a runtime expression
+    def flagged(pattern: Expression, flags: String): Expression = {
+      val inline = flags.filter("ismp".contains(_))
+      if (inline.isEmpty) pattern
+      else builtinBuilder("concat")(Seq(Literal(s"(?$inline)"), pattern))
+    }
+    Seq(
+      // encode/decode: DuckDB's 1-arg VARCHAR<->BLOB forms; the 2-arg
+      // charset forms stay Spark's
+      ("encode",
+        info("encode", "encode(s) - VARCHAR to BLOB (utf8); encode(s, charset) stays Spark's."),
+        (args: Seq[Expression]) =>
+          if (args.length == 1) Cast(args.head, BinaryType)
+          else builtinBuilder("encode")(args)),
+      ("decode",
+        info("decode", "decode(b) - BLOB to VARCHAR; decode(b, charset) stays Spark's."),
+        (args: Seq[Expression]) =>
+          if (args.length == 1) Cast(args.head, StringType)
+          else builtinBuilder("decode")(args)),
+      // bit access over the VARCHAR-rendered bitstring (same type
+      // policy as bitstring/bitstring_agg): 0-based from the left
+      ("get_bit",
+        info("get_bit", "get_bit(bits, i) - the 0-based i-th bit of a bitstring."),
+        (args: Seq[Expression]) => {
+          require(args.length == 2, s"get_bit expects 2 arguments, got ${args.length}")
+          Cast(Substring(args(0), Add(Cast(args(1), IntegerType), Literal(1)), Literal(1)),
+            IntegerType)
+        }),
+      ("set_bit",
+        info("set_bit", "set_bit(bits, i, v) - bitstring with the 0-based i-th bit set to v."),
+        (args: Seq[Expression]) => {
+          require(args.length == 3, s"set_bit expects 3 arguments, got ${args.length}")
+          val i = Cast(args(1), IntegerType)
+          builtinBuilder("concat")(Seq(
+            Substring(args(0), Literal(1), i),
+            Cast(args(2), StringType),
+            Substring(args(0), Add(i, Literal(2)), Literal(Int.MaxValue))))
+        }),
+      // histogram(x): MAP of value -> count, keys ascending (DuckDB).
+      // Composed from collect_list — the per-key counting is O(k·n) on
+      // the collected array, which is fine for the shim layer (the
+      // library's own profiling ops use real aggregates).
+      ("histogram",
+        info("histogram", "histogram(x) - MAP of value -> count, keys ascending (DuckDB)."),
+        (args: Seq[Expression]) => {
+          require(args.length == 1, s"histogram expects 1 argument, got ${args.length}")
+          val all = aggE(builtinBuilder("collect_list")(Seq(args.head)))
+          val k = lv("__hg_k"); val e = lv("__hg_e")
+          val keys = builtinBuilder("array_sort")(Seq(
+            builtinBuilder("array_distinct")(Seq(all))))
+          builtinBuilder("map_from_entries")(Seq(
+            builtinBuilder("transform")(Seq(keys,
+              LambdaFunction(CreateNamedStruct(Seq(
+                Literal("key"), k,
+                Literal("value"), Cast(Size(builtinBuilder("filter")(Seq(all,
+                  LambdaFunction(org.apache.spark.sql.catalyst.expressions.EqualTo(e, k), Seq(e))))),
+                  LongType))), Seq(k)))))) }),
+      // map_extract returns a LIST: [value] or [] when absent (DuckDB)
+      ("map_extract",
+        info("map_extract", "map_extract(m, k) - [value] when the key exists, else [] (DuckDB)."),
+        (args: Seq[Expression]) => {
+          require(args.length == 2, s"map_extract expects 2 arguments, got ${args.length}")
+          builtinBuilder("slice")(Seq(
+            CreateArray(Seq(builtinBuilder("try_element_at")(args))),
+            Literal(1),
+            If(builtinBuilder("map_contains_key")(args), Literal(1), Literal(0))))
+        }),
+      // regex flag forms. NOTE: DuckDB's 3-arg regexp_replace replaces
+      // the FIRST match and needs 'g' for global; Spark's builtin is
+      // global-only, so the 4-arg form requires 'g' (loud otherwise —
+      // never a silent first-vs-all divergence) and folds i/s/m into
+      // an inline group.
+      ("regexp_replace",
+        info("regexp_replace", "regexp_replace(s, pat, rep[, 'g[ism]']) - global replace with inline flags."),
+        (args: Seq[Expression]) => {
+          if (args.length != 4) builtinBuilder("regexp_replace")(args)
+          else {
+            val flags = litStr(args(3), "regexp_replace").toLowerCase
+            require(flags.contains("g"),
+              "regexp_replace: only global ('g') replacement is supported here — Spark replaces all matches")
+            builtinBuilder("regexp_replace")(Seq(args(0), flagged(args(1), flags), args(2)))
+          }
+        }),
+      ("regexp_matches",
+        info("regexp_matches", "regexp_matches(s, pat[, flags]) - partial-match test with inline flags."),
+        (args: Seq[Expression]) => {
+          require(args.length == 2 || args.length == 3,
+            s"regexp_matches expects 2-3 arguments, got ${args.length}")
+          val pat = if (args.length == 3)
+            flagged(args(1), litStr(args(2), "regexp_matches").toLowerCase) else args(1)
+          org.apache.spark.sql.catalyst.expressions.RLike(args(0), pat)
+        }),
+      // regexp_extract with a name list returns a STRUCT of the groups
+      ("regexp_extract",
+        info("regexp_extract", "regexp_extract(s, pat[, group | [names]]) - group text, or a named-group STRUCT."),
+        (args: Seq[Expression]) => args match {
+          case Seq(s, p, CreateArray(names, _)) =>
+            val fields = names.zipWithIndex.flatMap { case (n, i) =>
+              Seq(Literal(litStr(n, "regexp_extract")),
+                builtinBuilder("regexp_extract")(Seq(s, p, Literal(i + 1))))
+            }
+            CreateNamedStruct(fields)
+          case other =>
+            // delegate to the registrations2 builder: DuckDB's group
+            // default is 0 (whole match), not Spark's 1
+            registrations2.find(_._1 == "regexp_extract").get._3(other)
+        }),
+      ("like_escape",
+        info("like_escape", "like_escape(s, pat, esc) - LIKE with a custom escape character."),
+        (args: Seq[Expression]) => {
+          require(args.length == 3, s"like_escape expects 3 arguments, got ${args.length}")
+          Like(args(0), args(1), escChar(args(2), "like_escape"))
+        }),
+      ("ilike_escape",
+        info("ilike_escape", "ilike_escape(s, pat, esc) - case-insensitive LIKE with a custom escape."),
+        (args: Seq[Expression]) => {
+          require(args.length == 3, s"ilike_escape expects 3 arguments, got ${args.length}")
+          ILike(args(0), args(1), escChar(args(2), "ilike_escape"))
+        }),
+      // printf: format_string, with DECIMAL arguments cast to double
+      // (a bare 3.14 literal parses as DECIMAL and %f rejects it)
+      ("printf",
+        info("printf", "printf(fmt, ...) - C-style formatting (DuckDB)."),
+        (args: Seq[Expression]) => {
+          require(args.nonEmpty, "printf expects at least the format")
+          builtinBuilder("format_string")(args.head +: args.tail.map { a =>
+            try a.dataType match {
+              case _: DecimalType => Cast(a, DoubleType)
+              case _ => a
+            } catch { case _: Throwable => a }
+          })
+        }),
+      ("alias",
+        info("alias", "alias(expr) - the expression's name as text (DuckDB)."),
+        (args: Seq[Expression]) => {
+          require(args.length == 1, s"alias expects 1 argument, got ${args.length}")
+          Literal(args.head match {
+            case a: UnresolvedAttribute => a.nameParts.last
+            case a: org.apache.spark.sql.catalyst.expressions.Attribute => a.name
+            case e => try e.sql catch { case _: Throwable => e.toString }
+          })
+        }),
+      ("generate_subscripts",
+        info("generate_subscripts", "generate_subscripts(l, 1) - one row per 1-based index."),
+        (args: Seq[Expression]) => {
+          require(args.length == 2, s"generate_subscripts expects 2 arguments, got ${args.length}")
+          require(args(1) match { case Literal(v, _) => String.valueOf(v) == "1"; case _ => false },
+            "generate_subscripts: only dimension 1 is supported (lists are 1-dimensional)")
+          // UnresolvedFunction: sequence's registry builder asserts
+          // RESOLVED args at build time, and the list argument may
+          // still be an unresolved array(...) here
+          org.apache.spark.sql.catalyst.analysis.UnresolvedFunction(
+            Seq("explode"), Seq(org.apache.spark.sql.catalyst.analysis.UnresolvedFunction(
+              Seq("sequence"), Seq(Literal(1), Size(args.head)), isDistinct = false)),
+            isDistinct = false)
+        }))
+  }
+
   /** DuckDB function-name aliases onto Spark builtins with matching
     * semantics AND argument order — the function-level face of the
     * dialect shim (`server.Dialect` handles the syntax-level sugar).
@@ -1570,9 +1753,14 @@ object GraftExtensions {
     "list_reverse" -> "reverse",
     "json_keys" -> "json_object_keys",
     "group_concat" -> "listagg",
-    // round-8 probe6: array_has is DuckDB's third list_contains
-    // spelling (same NULL semantics as array_contains, verified)
-    "array_has" -> "array_contains")
+    // round-8 probe6/7: array_has is DuckDB's third list_contains
+    // spelling; list_apply = list_transform; to/from_base64 and
+    // array_to_string map onto Spark's identical builtins (verified)
+    "array_has" -> "array_contains",
+    "list_apply" -> "transform",
+    "to_base64" -> "base64",
+    "from_base64" -> "unbase64",
+    "array_to_string" -> "array_join")
 
   private def aliasRegistrations: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = {
     val builtin = org.apache.spark.sql.catalyst.analysis.FunctionRegistry.builtin
@@ -1588,7 +1776,7 @@ object GraftExtensions {
   // alias entries (later registration wins in the registry).
   private[graft] def allRegistrations: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] =
     registrations ++ registrations2 ++ registrations3 ++ registrations4 ++
-      registrations5 ++ aliasRegistrations ++ registrations6
+      registrations5 ++ aliasRegistrations ++ registrations6 ++ registrations7
 
   private val txidCounter = new java.util.concurrent.atomic.AtomicLong(0L)
 
@@ -1690,6 +1878,23 @@ object GraftExtensions {
           while (i < units.length - 1 && b >= unit * 1024L) { unit *= 1024L; i += 1 }
           val t = (BigInt(b) * 10 / BigInt(unit)).toLong // truncated tenths
           s"${t / 10}.${t % 10} ${units(i)}"
+        }
+      })
+    // formatReadableDecimalSize: the DECIMAL-unit sibling (verified
+    // 999 → '999 bytes', 1500 → '1.5 kB', 123456789 → '123.4 MB' —
+    // lowercase 'k', truncated tenths like format_bytes)
+    spark.udf.register("formatReadableDecimalSize", (n: java.lang.Long) =>
+      if (n == null) null
+      else {
+        val b = n.longValue()
+        if (b > -1000L && b < 1000L) s"$b bytes"
+        else {
+          val neg = b < 0; val abs = math.abs(b)
+          val units = Seq("kB", "MB", "GB", "TB", "PB", "EB")
+          var unit = 1000L; var i = 0
+          while (i < units.length - 1 && abs >= unit * 1000L) { unit *= 1000L; i += 1 }
+          val t = (BigInt(abs) * 10 / BigInt(unit)).toLong
+          s"${if (neg) "-" else ""}${t / 10}.${t % 10} ${units(i)}"
         }
       })
     // bitstring: DuckDB's BIT constructor, zero-padded on the left.

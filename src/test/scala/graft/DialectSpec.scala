@@ -815,6 +815,46 @@ class DialectSpec extends AnyFunSuite with BeforeAndAfterAll {
       .statusCode() >= 400) // out of range -> loud, like DuckDB
   }
 
+  test("round-8 probe7 batch returns DuckDB-verified values") {
+    def one(sql: String, expect: String): Unit = {
+      val r = post(sql)
+      assert(r.statusCode() == 200, s"$sql -> ${r.body()}")
+      assert(r.body() == expect, s"$sql -> ${r.body()} (wanted $expect)")
+    }
+    one("SELECT list_apply([1, 2], x -> x * 2) AS a", """[{"a":[2,4]}]""")
+    one("SELECT to_base64(encode('abc')) AS b", """[{"b":"YWJj"}]""")
+    one("SELECT decode(from_base64('YWJj')) AS d", """[{"d":"abc"}]""")
+    one("SELECT formatReadableDecimalSize(999) AS a, formatReadableDecimalSize(1500) AS b, " +
+      "formatReadableDecimalSize(123456789) AS c",
+      """[{"a":"999 bytes","b":"1.5 kB","c":"123.4 MB"}]""")
+    // bit access over the VARCHAR bitstring rendering (verified
+    // get_bit(bitstring('0110',4),1)=1; set_bit('0110',0,1)='1110')
+    one("SELECT get_bit(bitstring('0110', 4), 1) AS g", """[{"g":1}]""")
+    one("SELECT set_bit(bitstring('0110', 4), 0, 1) AS s", """[{"s":"1110"}]""")
+    // histogram: MAP value -> count, keys ascending
+    one("SELECT histogram(x) AS h FROM (VALUES (1), (1), (2)) t(x)",
+      """[{"h":{"1":2,"2":1}}]""")
+    // map_extract returns [value] / []
+    one("SELECT map_extract(MAP {'a': 1}, 'a') AS x, map_extract(MAP {'a': 1}, 'z') AS y",
+      """[{"x":[1],"y":[]}]""")
+    // regex flags: 'g' required for replace (loud otherwise), inline i
+    one("SELECT regexp_replace('aAa', 'a', 'x', 'gi') AS r, regexp_replace('aAa', 'a', 'x', 'g') AS s",
+      """[{"r":"xxx","s":"xAx"}]""")
+    assert(post("SELECT regexp_replace('aAa', 'a', 'x', 'i') AS r").statusCode() >= 400)
+    one("SELECT regexp_matches('ABC', 'abc', 'i') AS m, regexp_matches('ABC', 'abc') AS n",
+      """[{"m":true,"n":false}]""")
+    one("SELECT regexp_extract('a1b2', '([a-z])([0-9])', ['l', 'n']) AS g",
+      """[{"g":{"l":"a","n":"1"}}]""")
+    // LIKE escapes ('$' escapes '%': 'a%c' matches the literal pattern)
+    one("SELECT like_escape('a%c', 'a$%c', '$') AS a, like_escape('abc', 'a$%c', '$') AS b, " +
+      "ilike_escape('A%C', 'a$%c', '$') AS c",
+      """[{"a":true,"b":false,"c":true}]""")
+    one("SELECT printf('%5.2f', 3.14159) AS p", """[{"p":" 3.14"}]""")
+    one("SELECT alias(n_nationkey) AS a FROM nation LIMIT 1", """[{"a":"n_nationkey"}]""")
+    one("SELECT generate_subscripts([10, 20, 30], 1) AS g",
+      """[{"g":1},{"g":2},{"g":3}]""")
+  }
+
   test("read_csv named options translate to the Spark reader") {
     val d = java.nio.file.Files.createTempDirectory("graft_readopts")
     val semi = d.resolve("semi.csv")

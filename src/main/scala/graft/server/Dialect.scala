@@ -2129,6 +2129,213 @@ object Dialect {
     MacroDef(Nil, rewriteFromFirst(body), isTable) // params filled by caller
   }
 
+  // ---------------------------------------------------------------
+  // Session DDL/DML verbs: CREATE [OR REPLACE] [TEMP] TABLE (AS and
+  // typed), CREATE [OR REPLACE] VIEW, INSERT, DELETE, UPDATE, DROP.
+  // The reference's embedded DuckDB accepts all of these against its
+  // in-memory default database; the Spark-first realization is
+  // session temp views — CTAS/mutations MATERIALIZE via
+  // localCheckpoint (distributed block storage, matching DuckDB's
+  // materialized tables), views stay lazy plans (matching DuckDB
+  // views). Lifetime is the server process, exactly like DuckDB's
+  // :memory: catalog. Result shapes mirror DuckDB: mutating verbs
+  // return one `Count` row; schema/view/drop verbs return empty.
+  // Mutations rewrite the whole table (O(table) per statement) — the
+  // session-DDL surface is for interactive use, not a write path;
+  // documented in COVERAGE.md.
+  // ---------------------------------------------------------------
+
+  private val CreateTableAsRe =
+    """(?is)^\s*CREATE\s+(OR\s+REPLACE\s+)?(?:TEMP(?:ORARY)?\s+)?TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+AS\s+(.*)$""".r
+  private val CreateTableTypedRe =
+    """(?is)^\s*CREATE\s+(OR\s+REPLACE\s+)?(?:TEMP(?:ORARY)?\s+)?TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s*\((.*)\)\s*;?\s*$""".r
+  private val CreateViewRe =
+    """(?is)^\s*CREATE\s+(OR\s+REPLACE\s+)?(?:TEMP(?:ORARY)?\s+)?VIEW\s+([A-Za-z_][A-Za-z0-9_]*)\s+AS\s+(.*)$""".r
+  private val InsertRe =
+    """(?is)^\s*INSERT\s+INTO\s+([A-Za-z_][A-Za-z0-9_]*)\s*(\([^)]*\))?\s*(VALUES\b.*|SELECT\b.*|WITH\b.*|FROM\b.*)$""".r
+  private val DeleteRe =
+    """(?is)^\s*DELETE\s+FROM\s+([A-Za-z_][A-Za-z0-9_]*)(?:\s+WHERE\s+(.*?))?\s*;?\s*$""".r
+  private val UpdateRe =
+    """(?is)^\s*UPDATE\s+([A-Za-z_][A-Za-z0-9_]*)\s+SET\s+(.*?)(?:\s+WHERE\s+(.*?))?\s*;?\s*$""".r
+  private val DropTableRe =
+    """(?is)^\s*DROP\s+(?:TABLE|VIEW)(\s+IF\s+EXISTS)?\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$""".r
+
+  private val EmptyAck = "SELECT CAST(NULL AS BIGINT) AS Count WHERE false"
+  private def countAck(n: Long) = s"SELECT CAST($n AS BIGINT) AS Count"
+
+  /** DuckDB DDL type spellings → Spark DDL (the CAST-position alias
+    * rewrite covers expressions; DDL column lists need their own map).
+    * Constraints are refused loudly — silently ignoring NOT NULL or a
+    * PRIMARY KEY would diverge invisibly.
+    */
+  private def ddlSchema(colDefs: String): String = {
+    splitTopLevel(colDefs).map { cd =>
+      val t = cd.trim
+      require("""(?i).*\b(PRIMARY|UNIQUE|CHECK|REFERENCES|NOT\s+NULL|DEFAULT)\b.*""".r
+        .findFirstIn(t).isEmpty,
+        s"column constraints are not supported in session tables: $t")
+      val parts = t.split("\\s+", 2)
+      require(parts.length == 2, s"invalid column definition: $t")
+      val sparkType = parts(1).trim.toUpperCase match {
+        case "VARCHAR" | "TEXT" | "BPCHAR" | "STRING" => "STRING"
+        case "INTEGER" | "INT" | "INT4" | "SIGNED" => "INT"
+        case "BIGINT" | "INT8" | "LONG" => "BIGINT"
+        case "SMALLINT" | "INT2" => "SMALLINT"
+        case "TINYINT" | "INT1" => "TINYINT"
+        case "DOUBLE" | "FLOAT8" => "DOUBLE"
+        case "REAL" | "FLOAT" | "FLOAT4" => "FLOAT"
+        case "BOOLEAN" | "BOOL" => "BOOLEAN"
+        case "DATE" => "DATE"
+        case "TIMESTAMP" | "DATETIME" => "TIMESTAMP"
+        case other if other.startsWith("DECIMAL") || other.startsWith("NUMERIC") =>
+          other.replace("NUMERIC", "DECIMAL")
+        case other => throw new IllegalArgumentException(
+          s"unsupported column type in session table: $other")
+      }
+      s"${parts(0)} $sparkType"
+    }.mkString(", ")
+  }
+
+  /** Split a column-definition list on top-level commas. */
+  private def splitTopLevel(s: String): Seq[String] = {
+    val mask = quoteMask(s)
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var depth = 0; var start = 0; var i = 0
+    while (i < s.length) {
+      if (!mask(i)) s.charAt(i) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case ',' if depth == 0 => out += s.substring(start, i); start = i + 1
+        case _ =>
+      }
+      i += 1
+    }
+    out += s.substring(start)
+    out.toSeq
+  }
+
+  private def sessionTable(spark: SparkSession, name: String): org.apache.spark.sql.DataFrame = {
+    require(spark.catalog.tableExists(name),
+      s"table or view $name does not exist")
+    spark.table(name)
+  }
+
+  private def materializeAs(spark: SparkSession, name: String,
+      df: org.apache.spark.sql.DataFrame): Long = {
+    val mat = df.localCheckpoint(true)
+    mat.createOrReplaceTempView(name)
+    mat.count()
+  }
+
+  private def handleDdlVerb(spark: SparkSession, sql: String,
+      pathOk: String => Boolean, readOnly: Boolean): Option[String] = {
+    def sub(q: String): org.apache.spark.sql.DataFrame =
+      spark.sql(rewrite(spark, q, pathOk))
+    // sandboxed servers keep the reference's read-only posture: the
+    // session-DDL surface is refused outright, never partially
+    def reject(): Nothing = throw new IllegalArgumentException(
+      "only read-only queries are allowed when a filesystem sandbox is configured")
+    if (readOnly && (CreateTableAsRe.findFirstIn(sql).isDefined ||
+        CreateTableTypedRe.findFirstIn(sql).isDefined ||
+        CreateViewRe.findFirstIn(sql).isDefined ||
+        InsertRe.findFirstIn(sql).isDefined ||
+        DeleteRe.findFirstIn(sql).isDefined ||
+        UpdateRe.findFirstIn(sql).isDefined ||
+        DropTableRe.findFirstIn(sql).isDefined)) reject()
+    sql match {
+      case CreateTableAsRe(orReplace, name, query) =>
+        if (orReplace == null)
+          require(!spark.catalog.tableExists(name), s"table $name already exists")
+        Some(countAck(materializeAs(spark, name, sub(query))))
+      case CreateTableTypedRe(orReplace, name, colDefs) =>
+        if (orReplace == null)
+          require(!spark.catalog.tableExists(name), s"table $name already exists")
+        val schema = org.apache.spark.sql.types.StructType.fromDDL(ddlSchema(colDefs))
+        spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+          .createOrReplaceTempView(name)
+        Some(EmptyAck)
+      case CreateViewRe(orReplace, name, query) =>
+        if (orReplace == null)
+          require(!spark.catalog.tableExists(name), s"view $name already exists")
+        // register through SQL DDL, not createOrReplaceTempView: the
+        // DataFrame path freezes the ANALYZED plan, while a DuckDB
+        // view re-binds its base tables at query time — Spark's
+        // CREATE TEMP VIEW re-analyzes per query, matching that
+        spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW $name AS ${rewrite(spark, query, pathOk)}")
+        Some(EmptyAck)
+      case InsertRe(name, colList, src) =>
+        val target = sessionTable(spark, name)
+        val srcSql = if (src.trim.toUpperCase.startsWith("VALUES"))
+          s"SELECT * FROM ($src)" else src
+        var incoming = sub(srcSql)
+        if (colList != null) {
+          // named-column form: listed columns from the source, the
+          // rest NULL
+          val named = colList.stripPrefix("(").stripSuffix(")")
+            .split(",").map(_.trim).toSeq
+          require(named.size == incoming.columns.length,
+            s"INSERT column list has ${named.size} names but the source has ${incoming.columns.length} columns")
+          val renamed = incoming.toDF(named: _*)
+          incoming = renamed.select(target.schema.fields.map { f =>
+            if (named.contains(f.name))
+              org.apache.spark.sql.functions.col(f.name).cast(f.dataType).as(f.name)
+            else org.apache.spark.sql.functions.lit(null).cast(f.dataType).as(f.name)
+          }.toSeq: _*)
+        } else {
+          require(incoming.columns.length == target.schema.fields.length,
+            s"INSERT has ${incoming.columns.length} columns but $name has ${target.schema.fields.length}")
+          // positional, cast to the target types like DuckDB
+          incoming = incoming.select(incoming.columns.zip(target.schema.fields).map {
+            case (c, f) => org.apache.spark.sql.functions.col(c).cast(f.dataType).as(f.name)
+          }.toSeq: _*)
+        }
+        val n = incoming.count()
+        materializeAs(spark, name, target.unionByName(incoming))
+        Some(countAck(n))
+      case DeleteRe(name, where) =>
+        val target = sessionTable(spark, name)
+        if (where == null) {
+          val n = target.count()
+          materializeAs(spark, name, target.limit(0))
+          Some(countAck(n))
+        } else {
+          val total = target.count()
+          // keep rows where the predicate is NOT true (NULL keeps)
+          val kept = sub(s"SELECT * FROM $name WHERE NOT coalesce(($where), false)")
+          val remaining = materializeAs(spark, name, kept)
+          Some(countAck(total - remaining))
+        }
+      case UpdateRe(name, setList, where) =>
+        val target = sessionTable(spark, name)
+        val assigns = splitTopLevel(setList).map { a =>
+          val eq = a.indexOf('=')
+          require(eq > 0, s"invalid SET assignment: $a")
+          a.substring(0, eq).trim -> a.substring(eq + 1).trim
+        }.toMap
+        val unknown = assigns.keySet.diff(target.columns.toSet)
+        require(unknown.isEmpty, s"UPDATE: unknown column(s): ${unknown.mkString(", ")}")
+        val cond = if (where == null) "true" else s"coalesce(($where), false)"
+        val projected = target.columns.map { c =>
+          assigns.get(c) match {
+            case Some(e) => s"CASE WHEN $cond THEN CAST(($e) AS ${
+              target.schema(c).dataType.sql}) ELSE $c END AS $c"
+            case None => c
+          }
+        }
+        val n = sub(s"SELECT count(*) AS n FROM $name WHERE $cond").head().getLong(0)
+        materializeAs(spark, name,
+          sub(s"SELECT ${projected.mkString(", ")} FROM $name"))
+        Some(countAck(n))
+      case DropTableRe(ifExists, name) =>
+        val dropped = spark.catalog.dropTempView(name)
+        if (!dropped && ifExists == null)
+          throw new IllegalArgumentException(s"table or view $name does not exist")
+        Some(EmptyAck)
+      case _ => None
+    }
+  }
+
   private def handleMacroVerb(spark: SparkSession, sql: String): Option[String] = {
     DropMacroRe.findFirstMatchIn(sql).foreach { m =>
       val existed = macrosFor(spark).remove(resolveMacroName(m.group(2))).isDefined
@@ -2515,12 +2722,14 @@ object Dialect {
         m.group(1) + m.group(2).toUpperCase + m.group(3)))
 
   def rewrite(spark: SparkSession, sql: String,
-      pathOk: String => Boolean = _ => true): String =
+      pathOk: String => Boolean = _ => true,
+      readOnly: Boolean = false): String =
     // macro verbs short-circuit; macro CALLS expand right after the
     // FROM-first normalization so the substituted bodies flow through
     // every later rewrite (read_csv, brackets, //, …) and their file
     // paths hit the sandbox check at use time
-    handleMacroVerb(spark, sql).getOrElse(
+    handleMacroVerb(spark, sql).orElse(
+      handleDdlVerb(spark, sql, pathOk, readOnly)).getOrElse(
       rewritePositionalJoin(spark,
       rewriteDistinctOn(rewriteQualify(rewriteExclude(rewriteOffsetLimit(rewriteFactorialAbs(rewritePower(rewriteGlob(rewriteTildeOps(rewriteQuantified(rewriteAggOrder(rewriteSimilarTo(rewriteJsonOps(rewriteDateDiff(rewriteIntDiv(
         rewriteSample(rewriteStructPack(rewriteBrackets(rewriteBraces(

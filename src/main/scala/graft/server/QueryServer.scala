@@ -309,7 +309,8 @@ final class QueryServer(
             case _ => ()
           }
           val sql =
-            try Dialect.rewrite(spark, rawSql, pathAllowed)
+            try Dialect.rewrite(spark, rawSql, pathAllowed,
+              readOnly = allowedDirs.nonEmpty)
             catch {
               case Dialect.RejectedPath(p) =>
                 return Left(Problem(400, "SQL Error",

@@ -80,6 +80,35 @@ class DialectPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("factorial/abs operators: != and <> and quoted ! / @ never rewrite; real forms do") {
+    val ident = Gen.oneOf("a", "x1", "tbl.col", "n_nationkey")
+    val noRewrite = for {
+      l <- ident; r <- ident
+      op <- Gen.oneOf("!=", "<>") // !~~ forms legitimately rewrite (tilde ops)
+    } yield s"SELECT 1 FROM t WHERE $l $op $r"
+    forSamples(noRewrite) { sql =>
+      assert(Dialect.rewrite(spark, sql) == sql, sql)
+    }
+    val quoted = for {
+      s <- Gen.oneOf("a!b", "x@y.z", "wow!", "@handle", "5!", "@(7)")
+    } yield s"SELECT '$s' AS v"
+    forSamples(quoted) { sql =>
+      assert(Dialect.rewrite(spark, sql) == sql, sql)
+    }
+    // real postfix/prefix forms rewrite, and the output is idempotent
+    val real = for {
+      n <- Gen.chooseNum(0, 12)
+      id <- ident
+      form <- Gen.oneOf(s"SELECT $n! AS f", s"SELECT @($id) AS a",
+        s"SELECT @$id AS a", s"SELECT ($n + 1)! AS f")
+    } yield form
+    forSamples(real) { sql =>
+      val once = Dialect.rewrite(spark, sql)
+      assert(once.contains("factorial(") || once.contains("abs("), s"$sql -> $once")
+      assert(Dialect.rewrite(spark, once) == once, s"not idempotent: $once")
+    }
+  }
+
   test("splitStatements: piece count tracks unquoted semicolons") {
     val stmt = Gen.oneOf("SELECT 1", "SELECT 'a;b'", "SELECT \"c;d\" FROM t")
     forSamples(Gen.nonEmptyListOf(stmt)) { stmts =>

@@ -54,6 +54,17 @@ object Bench {
       }
       (System.nanoTime() - t0) / 1e9
     }
+    // Load context (round-8 verdict #1): BENCH_r08 ran 40% over the
+    // builder's same-session figures with no code change — box load was
+    // the suspected cause but the artifact carried no evidence. Record
+    // the 1-minute load average at start AND end of the timed section so
+    // a contended run is self-identifying in the JSON line itself.
+    def loadavg: Double =
+      java.lang.management.ManagementFactory
+        .getOperatingSystemMXBean.getSystemLoadAverage
+    val loadStart = loadavg
+    val tsStart = java.time.Instant.now().toString
+
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     // Pass 1 doubles as JIT warm-up for the query shapes.
     val first = ordered.map { case (n, f) => (n, f, once(n, f)) }
@@ -66,6 +77,7 @@ object Bench {
       n -> (if (t1 > 0.3) math.min(t1, once(n, f)) else t1)
     }
     graft.queries.DedupQueries.release(spark)
+    val loadEnd = loadavg
 
     def fmt(v: Double): String = f"$v%.3f"
     def jsonMap(m: Iterable[(String, Double)]): String =
@@ -78,7 +90,9 @@ object Bench {
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("target/bench_full.json"),
       s"""{"total":${fmt(total)},"queries":${jsonMap(results)},""" +
-        s""""first_hit":${jsonMap(first.map(t => t._1 -> t._3))},"sf":"$sfDir"}""")
+        s""""first_hit":${jsonMap(first.map(t => t._1 -> t._3))},""" +
+        s""""loadavg_start":${fmt(loadStart)},"loadavg_end":${fmt(loadEnd)},""" +
+        s""""ts":"$tsStart","sf":"$sfDir"}""")
     catch { case _: Throwable => }
     val headline = Vector(
       "q1_pricing_summary", "c_join_inner_5way", "c_join_asof", "d_cube",
@@ -87,7 +101,7 @@ object Bench {
       "n_dedup_ngram_jaccard", "n_cosine_topk_bruteforce")
     val rmap = results.toMap
     val qs = jsonMap(headline.flatMap(k => rmap.get(k).map(k -> _)))
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"loadavg_start":${fmt(loadStart)},"loadavg_end":${fmt(loadEnd)},"ts":"$tsStart","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -19,7 +19,12 @@ import graft.functions.{CosineSimilarity, SimHash64}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
-    GraftExtensions.allRegistrations.foreach { case (name, info, builder) =>
+    // Same keep-last dedupe as injectInto: one injected entry per name,
+    // so session construction never logs replacement WARNs either.
+    val lastWins = scala.collection.mutable.LinkedHashMap
+      .empty[String, (ExpressionInfo, Seq[Expression] => Expression)]
+    GraftExtensions.allRegistrations.foreach { case (n, i, b) => lastWins(n) = (i, b) }
+    lastWins.foreach { case (name, (info, builder)) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
   }
@@ -1804,10 +1809,33 @@ object GraftExtensions {
     * `product` is a typed-Aggregator UDAF, so it registers here (the
     * config-based extensions path carries Expression builders only).
     */
+  // One registration per session (round-8 verdict #2): the SQL-declared
+  // inventory queries call injectInto on every invocation, so a bench
+  // min-of-2 re-run used to re-register the full dialect surface into
+  // the same session registry — the 14 `replaced a previously
+  // registered function` WARNs in the BENCH_r08 tail. Weak keys: a
+  // served-and-dropped newSession() must not be pinned by the guard.
+  private val injectedSessions =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+
   def injectInto(spark: SparkSession): Unit = {
-    allRegistrations.foreach { case (name, inf, builder) =>
-      spark.sessionState.functionRegistry
-        .registerFunction(FunctionIdentifier(name), inf, builder)
+    if (injectedSessions.put(spark, java.lang.Boolean.TRUE) != null) return
+    val reg = spark.sessionState.functionRegistry
+    // Later registration wins (registrations6's full-arity list_sort /
+    // arg_min / min / max override the plain alias entries) — enforce
+    // it by deduping keep-LAST before touching the registry, then drop
+    // any existing entry (an earlier ours, or a shadowed Spark builtin
+    // clone) so registerFunction never logs a replacement WARN: the
+    // round-5 invariant is a warn-free bench tail, where any warn is
+    // signal.
+    val lastWins = scala.collection.mutable.LinkedHashMap
+      .empty[String, (ExpressionInfo, Seq[Expression] => Expression)]
+    allRegistrations.foreach { case (n, i, b) => lastWins(n) = (i, b) }
+    lastWins.foreach { case (name, (inf, builder)) =>
+      val id = FunctionIdentifier(name)
+      reg.dropFunction(id)
+      reg.registerFunction(id, inf, builder)
     }
     spark.udf.register("product",
       org.apache.spark.sql.functions.udaf(ProductAgg, org.apache.spark.sql.Encoders.DOUBLE))

@@ -13,11 +13,18 @@ import org.scalatest.funsuite.AnyFunSuite
   * is a regression signal instead of known noise. This spec runs the
   * FULL query inventory with a log4j appender attached and fails on
   * the first unpartitioned window, naming the query that planned it.
+  *
+  * Round-8 verdict #2 extended the invariant: the inventory re-invokes
+  * GraftExtensions.injectInto on one session (every SQL-declared query
+  * calls it), which used to re-register the full dialect surface and
+  * emit `replaced a previously registered function` WARNs in the bench
+  * tail. Registration is now once-per-session and drop-before-register,
+  * so this audit also fails on ANY function-replacement warn.
   */
 class WarnAuditSpec extends AnyFunSuite {
   import TestSpark._
 
-  test("no query plans an unpartitioned (single-task) window") {
+  test("no query plans an unpartitioned (single-task) window, no function-replacement warns") {
     // force session creation FIRST: Spark's Logging.initializeLogging
     // replaces a default log4j2 configuration with its own on first
     // use, which would silently drop an appender attached earlier
@@ -28,9 +35,13 @@ class WarnAuditSpec extends AnyFunSuite {
       new AbstractAppender("graft-warn-audit", null, null, true,
           Array.empty[org.apache.logging.log4j.core.config.Property]) {
         override def append(e: LogEvent): Unit =
-          if (e.getLevel.isMoreSpecificThan(Level.WARN) &&
-              e.getMessage.getFormattedMessage.contains("No Partition Defined"))
-            hits.synchronized { hits += current }
+          if (e.getLevel.isMoreSpecificThan(Level.WARN)) {
+            val msg = e.getMessage.getFormattedMessage
+            if (msg.contains("No Partition Defined"))
+              hits.synchronized { hits += current }
+            else if (msg.contains("replaced a previously registered function"))
+              hits.synchronized { hits += s"$current[fn-replace]" }
+          }
       }
     appender.start()
     val ctx = LogManager.getContext(false).asInstanceOf[LoggerContext]
@@ -38,6 +49,11 @@ class WarnAuditSpec extends AnyFunSuite {
     cfg.getRootLogger.addAppender(appender, Level.WARN, null)
     ctx.updateLoggers()
     try {
+      // explicit double-injection probe: both calls must be silent
+      // (first is drop-before-register, second is a per-session no-op)
+      current = "injectInto-twice"
+      GraftExtensions.injectInto(spark)
+      GraftExtensions.injectInto(spark)
       SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
         current = name
         fn(spark, sf).collect()

@@ -104,4 +104,53 @@ class DdlSpec extends AnyFunSuite with BeforeAndAfterAll {
     ok("DROP TABLE IF EXISTS ddl_t3", "[]")
     ok("DROP TABLE IF EXISTS ddl_mat", "[]")
   }
+
+  test("named-column INSERT validates names case-insensitively, unknown/duplicate are loud") {
+    ok("CREATE OR REPLACE TABLE ddl_nc (a INTEGER, b VARCHAR)", "[]")
+    // case-insensitive resolution, like DuckDB identifiers
+    ok("INSERT INTO ddl_nc (B, A) VALUES ('x', 1)", """[{"Count":1}]""")
+    ok("SELECT a, b FROM ddl_nc", """[{"a":1,"b":"x"}]""")
+    // unknown column: DuckDB binder error, never a silent all-NULL row
+    assert(post("INSERT INTO ddl_nc (bogus) VALUES (9)").statusCode() >= 400)
+    assert(post("INSERT INTO ddl_nc (a, zz) VALUES (1, 2)").statusCode() >= 400)
+    assert(post("INSERT INTO ddl_nc (a, A) VALUES (1, 2)").statusCode() >= 400)
+    ok("SELECT count(*) AS n FROM ddl_nc", """[{"n":1}]""") // nothing leaked in
+    ok("DROP TABLE ddl_nc", "[]")
+  }
+
+  test("replaced materializations release their blocks (no storage accumulation)") {
+    def persistedBlocks(): Int =
+      spark.sparkContext.getPersistentRDDs.size
+    ok("CREATE OR REPLACE TABLE ddl_acc AS SELECT 0 AS v", """[{"Count":1}]""")
+    val after1 = persistedBlocks()
+    // a hot mutation loop: each INSERT/UPDATE re-materializes the
+    // table; the replaced checkpoint must be unpersisted immediately,
+    // not left to driver GC (round-8 verdict #4)
+    (1 to 10).foreach { i =>
+      ok(s"INSERT INTO ddl_acc VALUES ($i)", """[{"Count":1}]""")
+      ok(s"UPDATE ddl_acc SET v = v WHERE v = $i", """[{"Count":1}]""")
+    }
+    val afterN = persistedBlocks()
+    assert(afterN <= after1,
+      s"storage accumulated across mutations: $after1 -> $afterN persistent RDDs")
+    ok("DROP TABLE ddl_acc", "[]")
+    assert(persistedBlocks() < after1, "DROP did not release the materialization")
+  }
+
+  test("concurrent mutations on one table serialize (no lost updates)") {
+    ok("CREATE OR REPLACE TABLE ddl_cc (v INTEGER)", "[]")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    try {
+      val futures = (1 to 12).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Int] {
+          override def call(): Int = post(s"INSERT INTO ddl_cc VALUES ($i)").statusCode()
+        })
+      }
+      assert(futures.map(_.get()).forall(_ == 200))
+    } finally pool.shutdown()
+    // without the per-session DDL lock, concurrent read-modify-write
+    // materializations silently drop rows (round-9 advice)
+    ok("SELECT count(*) AS n FROM ddl_cc", """[{"n":12}]""")
+    ok("DROP TABLE ddl_cc", "[]")
+  }
 }

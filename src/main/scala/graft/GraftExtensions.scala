@@ -61,6 +61,16 @@ object GraftExtensions {
         require(args.length == 2, s"graft_intdiv expects 2 arguments, got ${args.length}")
         graft.functions.IntDivDispatch(args.head, args(1))
       }),
+    // overrides Spark's builtin factorial: Spark silently NULLs outside
+    // [0,20] and accepts any integral width, DuckDB binds INTEGER only,
+    // returns 1 for negatives, HUGEINT above 20 — FactorialDispatch has
+    // the verified rule-by-rule mapping (loud where BIGINT can't hold it)
+    ("factorial",
+      info("factorial", "factorial(n) - DuckDB semantics: INTEGER input only, n<0 -> 1, loud error where the result exceeds BIGINT."),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, s"factorial expects 1 argument, got ${args.length}")
+        graft.functions.FactorialDispatch(args.head)
+      }),
     ("graft_slice",
       info("graft_slice", "graft_slice(x, a, b) - DuckDB bracket slice x[a:b]: 1-based end-inclusive, negative-from-end, on strings and lists."),
       (args: Seq[Expression]) => {

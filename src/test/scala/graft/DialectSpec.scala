@@ -763,6 +763,17 @@ class DialectSpec extends AnyFunSuite with BeforeAndAfterAll {
     // postfix factorial / prefix abs operators; != and strings untouched
     one("SELECT 5! AS f", """[{"f":120}]""")
     one("SELECT factorial(20) AS f", """[{"f":2432902008176640000}]""")
+    // FactorialDispatch edge semantics, each verified against DuckDB 1.5:
+    // negatives -> 1 (not NULL); `^` binds tighter than postfix `!`
+    // (DuckDB parses 2^3! as (2^3)! -> binder error on DOUBLE, and our
+    // dispatch refuses non-INTEGER input the same way); n>20 is loud
+    // (DuckDB yields HUGEINT there — Spark has no 128-bit int, so the
+    // documented divergence is an error instead of a silent NULL)
+    one("SELECT (-5)! AS f", """[{"f":1}]""")
+    one("SELECT 2^(3!) AS p", """[{"p":64.0}]""")
+    assert(post("SELECT 2^3! AS x").statusCode() >= 400)  // (2^3)! -> DOUBLE operand, loud
+    assert(post("SELECT 21! AS x").statusCode() >= 400)   // exceeds BIGINT, loud
+    assert(post("SELECT factorial(CAST(3 AS BIGINT)) AS x").statusCode() >= 400)
     one("SELECT @(-7) AS a, @(3-10) AS b", """[{"a":7,"b":7}]""")
     one("SELECT n_nationkey FROM nation WHERE n_nationkey != 1 AND n_nationkey < 3 ORDER BY 1",
       """[{"n_nationkey":0},{"n_nationkey":2}]""")

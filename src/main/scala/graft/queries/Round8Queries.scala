@@ -24,6 +24,13 @@ object Round8Queries extends QueryModule {
   /** Buffer for CovAgg: row count, per-dim sums, flattened d×d sum of
     * outer products. ~(d² + d) doubles ≈ 33 KB at d = 64 — small enough
     * to map-side combine and shuffle one per partition.
+    *
+    * Applicability bound (round-8 verdict #3): the d² state is fine to
+    * d ≈ 512–1024 (2–8 MB per partition buffer and shuffle record); at
+    * modern embedding widths (d = 4096 → ~134 MB) switch to the
+    * block-partitioned layout SCALE.md documents — explode vectors
+    * into (i, x_i) dimension rows and aggregate per (i, j) block, the
+    * same shape n_label_centroids uses.
     */
   final case class CovBuf(n: Long, sums: Array[Double], prods: Array[Double])
 
@@ -36,7 +43,12 @@ object Round8Queries extends QueryModule {
       extends Aggregator[Array[Float], CovBuf, Array[Double]] {
     override def zero: CovBuf = CovBuf(0L, new Array[Double](d), new Array[Double](d * d))
     override def reduce(b: CovBuf, v: Array[Float]): CovBuf = {
-      if (v == null || v.length != d) b
+      // fail-loudly policy (round-8 verdict #4): a silently skipped
+      // null/mis-sized vector would shrink the denominator without a
+      // trace — a malformed-embedding corpus must surface, not bias
+      if (v == null || v.length != d)
+        throw new IllegalArgumentException(
+          s"covariance: malformed embedding (${if (v == null) "null" else s"length ${v.length}"}, expected $d)")
       else {
         var i = 0
         while (i < d) {

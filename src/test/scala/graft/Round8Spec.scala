@@ -122,4 +122,19 @@ class Round8Spec extends AnyFunSuite {
       .select(cov(col("v")).as("m")).as[Array[Double]].head()
     one.zip(many).foreach { case (a, b) => assert(math.abs(a - b) < 1e-9) }
   }
+
+  test("covariance fails loudly on a planted malformed vector, never silently skips") {
+    val cov = udaf(Round8Queries.CovAgg(3))
+    // a wrong-length vector would silently shrink the denominator if
+    // skipped — the repo-wide policy is fail-loudly (round-8 verdict #4)
+    val short = Seq(Array(1.0f, 2.0f, 3.0f), Array(1.0f)).toDF("v")
+    val eShort = intercept[Exception] {
+      short.select(cov(col("v"))).collect()
+    }
+    assert(eShort.getMessage != null)
+    val withNull = Seq(Some(Array(1.0f, 2.0f, 3.0f)), None).toDF("v")
+    intercept[Exception] {
+      withNull.select(cov(col("v"))).collect()
+    }
+  }
 }

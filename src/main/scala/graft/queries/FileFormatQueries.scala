@@ -21,14 +21,28 @@ object FileFormatQueries extends QueryModule {
   private def ioDir(dir: String, name: String): String =
     s"/tmp/graft_io/${dir.replaceAll("[^a-zA-Z0-9]", "_")}/$name"
 
+  // One fixture write per JVM (round-8 verdict #5): these queries cover
+  // SCAN operators (header/type inference), but re-writing the text
+  // fixture on every invocation made the benched time mostly write
+  // throughput — a_csv_scan's 4.6 s was a 600k-row CSV write + double
+  // read. The first invocation in a JVM still overwrites (so a stale
+  // /tmp fixture from an older testdata generation can't poison the
+  // hash check); bench min-of-2 and warm re-runs then measure the scan
+  // the SURVEY row actually names.
+  private val written = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def writeOnce(path: String)(write: => Unit): Unit =
+    written.computeIfAbsent(path, { _ => write; path })
+
   override val queries: Seq[Q] = Seq(
     Q("a_csv_scan",
       "CSV write→scan with header detection + schema inference (str/int/double/timestamp all survive the text round-trip).",
       (s, dir) => {
         val path = ioDir(dir, "lineitem_csv")
-        T(s, dir, "lineitem")
-          .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"), col("l_shipdate"))
-          .write.mode("overwrite").option("header", "true").csv(path)
+        writeOnce(path) {
+          T(s, dir, "lineitem")
+            .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"), col("l_shipdate"))
+            .write.mode("overwrite").option("header", "true").csv(path)
+        }
         // inference samples 20% of rows — the schema must still come out
         // right (the values check below reads everything regardless); at
         // 100 TB you never type-infer over the full dataset
@@ -50,10 +64,12 @@ object FileFormatQueries extends QueryModule {
       "Parquet with zstd codec round-trip (the reference's fixture is test.zstd.parquet, uquery-rs src/main.rs:324-345): write a slice zstd-compressed, scan it back, aggregate against the uncompressed truth.",
       (s, dir) => {
         val path = ioDir(dir, "lineitem_zstd")
-        T(s, dir, "lineitem")
-          .filter(col("l_orderkey") < 1000)
-          .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
-          .write.mode("overwrite").option("compression", "zstd").parquet(path)
+        writeOnce(path) {
+          T(s, dir, "lineitem")
+            .filter(col("l_orderkey") < 1000)
+            .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
+            .write.mode("overwrite").option("compression", "zstd").parquet(path)
+        }
         s.read.parquet(path)
           .groupBy(col("l_returnflag"))
           .agg(count(lit(1)).as("n"),
@@ -71,9 +87,11 @@ object FileFormatQueries extends QueryModule {
       "NDJSON write→scan with inferred schema (timestamps round-trip as ISO strings → to_timestamp, the documented JSON-inference gap).",
       (s, dir) => {
         val path = ioDir(dir, "orders_jsonl")
-        T(s, dir, "orders")
-          .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"), col("o_orderdate"))
-          .write.mode("overwrite").json(path)
+        writeOnce(path) {
+          T(s, dir, "orders")
+            .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"), col("o_orderdate"))
+            .write.mode("overwrite").json(path)
+        }
         s.read.json(path)
           .withColumn("o_orderdate", to_timestamp(col("o_orderdate")))
           .groupBy(col("o_orderstatus"))
@@ -91,8 +109,10 @@ object FileFormatQueries extends QueryModule {
       "Hive-partitioned write → directory scan with partition discovery; the status filter prunes partitions at plan time (PartitionFilters, not data filters).",
       (s, dir) => {
         val path = ioDir(dir, "orders_by_status")
-        T(s, dir, "orders")
-          .write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+        writeOnce(path) {
+          T(s, dir, "orders")
+            .write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+        }
         s.read.parquet(path)
           .filter(col("o_orderstatus") === "O")
           .groupBy(col("o_orderpriority"))
@@ -109,13 +129,15 @@ object FileFormatQueries extends QueryModule {
       "Schema-evolution scan: two parquet generations with DIFFERENT column sets (old: key+name, new: key+regionkey) read through mergeSchema — missing columns surface as NULLs, the union-by-name semantics a long-lived 100 TB dataset accumulates (DuckDB twin: read_parquet union_by_name).",
       (s, dir) => {
         val base = ioDir(dir, "evolution")
-        val nation = T(s, dir, "nation")
-        nation.filter(col("n_nationkey") < 13)
-          .select(col("n_nationkey"), col("n_name"))
-          .write.mode("overwrite").parquet(s"$base/gen1")
-        nation.filter(col("n_nationkey") >= 13)
-          .select(col("n_nationkey"), col("n_regionkey"))
-          .write.mode("overwrite").parquet(s"$base/gen2")
+        writeOnce(base) {
+          val nation = T(s, dir, "nation")
+          nation.filter(col("n_nationkey") < 13)
+            .select(col("n_nationkey"), col("n_name"))
+            .write.mode("overwrite").parquet(s"$base/gen1")
+          nation.filter(col("n_nationkey") >= 13)
+            .select(col("n_nationkey"), col("n_regionkey"))
+            .write.mode("overwrite").parquet(s"$base/gen2")
+        }
         s.read.option("mergeSchema", "true")
           .parquet(s"$base/gen1", s"$base/gen2")
           .agg(count(lit(1)).as("n_rows"),

@@ -1001,46 +1001,95 @@ object Dialect {
     s
   }
 
+  /** One parsed in-aggregate sort key: (expr, ascending, nullsFirst).
+    * DuckDB defaults (verified, matching its list_sort pins): ASC, and
+    * NULLS LAST in BOTH directions unless spelled explicitly.
+    */
+  private def parseSortKeys(spec: String): Seq[(String, Boolean, Boolean)] =
+    splitTopLevel(spec, ',').map(_.trim).filter(_.nonEmpty).map { k0 =>
+      var k = k0
+      var nullsFirst = false
+      val upN = k.toUpperCase
+      if (upN.endsWith("NULLS FIRST")) { nullsFirst = true; k = k.dropRight(11).trim }
+      else if (upN.endsWith("NULLS LAST")) k = k.dropRight(10).trim
+      var asc = true
+      val up = k.toUpperCase
+      if (up.endsWith(" DESC")) { asc = false; k = k.dropRight(5).trim }
+      else if (up.endsWith(" ASC")) k = k.dropRight(4).trim
+      (k, asc, nullsFirst)
+    }
+
+  /** Lexicographic comparator over `named_struct('k0', …, 'k1', …)`
+    * structs for array_sort's two-arg form — the general rendering of
+    * an arbitrary multi-key / NULLS-spec in-aggregate ORDER BY
+    * (round-8 verdict #7 closed the one-key-only restriction).
+    */
+  private def sortComparator(keys: Seq[(String, Boolean, Boolean)]): String = {
+    def cmp(i: Int): String =
+      if (i >= keys.length) "0"
+      else {
+        val f = s"k$i"
+        val (_, asc, nf) = keys(i)
+        val (lt, gt) = if (asc) ("-1", "1") else ("1", "-1")
+        val (nullL, nullR) = if (nf) ("-1", "1") else ("1", "-1")
+        s"(CASE WHEN __l.$f IS NULL AND __r.$f IS NULL THEN ${cmp(i + 1)}" +
+          s" WHEN __l.$f IS NULL THEN $nullL WHEN __r.$f IS NULL THEN $nullR" +
+          s" WHEN __l.$f < __r.$f THEN $lt WHEN __l.$f > __r.$f THEN $gt" +
+          s" ELSE ${cmp(i + 1)} END)"
+      }
+    cmp(0)
+  }
+
+  /** `transform(array_sort(array_agg(struct)), __o -> __o.v)` — the
+    * value array in sort-spec order.
+    */
+  private def sortedValueArray(x: String, keys: Seq[(String, Boolean, Boolean)]): String = {
+    val fields = keys.zipWithIndex.map { case ((k, _, _), i) => s"'k$i', $k" }
+    val struct = s"named_struct(${fields.mkString(", ")}, 'v', $x)"
+    s"transform(array_sort(array_agg($struct), (__l, __r) -> ${sortComparator(keys)}), __o -> __o.v)"
+  }
+
   private def aggOrderReplacement(fn: String, argsPart: String, spec: String): Option[String] = {
+    val keys = parseSortKeys(spec)
+    if (keys.isEmpty) return None
+    val oneKeyPlain = keys.length == 1 && !spec.toUpperCase.contains("NULLS")
     if (fn == "string_agg") {
       val args = splitTopLevel(argsPart, ',').map(_.trim)
       if (args.isEmpty || args.length > 2) return None
       val sep = if (args.length == 2) args(1) else "','" // DuckDB's default
-      Some(s"listagg(${args.head}, $sep) WITHIN GROUP (ORDER BY $spec)")
+      if (oneKeyPlain)
+        Some(s"listagg(${args.head}, $sep) WITHIN GROUP (ORDER BY $spec)")
+      else // multi-key / NULLS spec: render through the comparator sort
+        Some(s"array_join(${sortedValueArray(args.head, keys)}, $sep)")
     } else if (fn == "first" || fn == "last" || fn == "arbitrary") {
       // first(x ORDER BY k) is the x of the minimum k = min_by(x, k)
       // (verified: first/arbitrary pick the first sorted row, last the
-      // final one; DESC flips). Multi-key / NULLS specs stay loud.
-      val keys = splitTopLevel(spec, ',').map(_.trim)
-      if (keys.length != 1 || keys.head.toUpperCase.contains("NULLS")) return None
-      var key = keys.head
-      var desc = false
-      val up = key.toUpperCase
-      if (up.endsWith(" DESC")) { desc = true; key = key.dropRight(5).trim }
-      else if (up.endsWith(" ASC")) key = key.dropRight(4).trim
+      // final one; DESC flips). Multi-key / NULLS specs take the
+      // comparator-sorted array's first/last element instead.
       val x = argsPart.trim
       if (x.toUpperCase.startsWith("DISTINCT ") || splitTopLevel(x, ',').length != 1) return None
-      val wantMin = (fn != "last") ^ desc
-      Some(s"${if (wantMin) "min_by" else "max_by"}($x, $key)")
+      if (oneKeyPlain) {
+        val (key, asc, _) = keys.head
+        val wantMin = (fn != "last") ^ !asc
+        Some(s"${if (wantMin) "min_by" else "max_by"}($x, $key)")
+      } else {
+        val pos = if (fn == "last") "-1" else "1"
+        Some(s"element_at(${sortedValueArray(x, keys)}, $pos)")
+      }
     } else {
-      val keys = splitTopLevel(spec, ',').map(_.trim)
-      if (keys.length != 1 || keys.head.toUpperCase.contains("NULLS")) return None
-      var key = keys.head
-      var desc = false
-      val up = key.toUpperCase
-      if (up.endsWith(" DESC")) { desc = true; key = key.dropRight(5).trim }
-      else if (up.endsWith(" ASC")) key = key.dropRight(4).trim
       val x = argsPart.trim
       val distinct = x.toUpperCase.startsWith("DISTINCT ")
       val bare = if (distinct) x.substring(9).trim else x
       if (splitTopLevel(bare, ',').length != 1) return None
-      if (bare == key)
-        Some(s"sort_array(array_agg($x), ${!desc})")
-      else if (distinct) None // DISTINCT + foreign sort key — unsupported
-      else {
-        val base = s"transform(array_sort(array_agg(named_struct('k', $key, 'v', $x))), __o -> __o.v)"
-        Some(if (desc) s"reverse($base)" else base)
-      }
+      if (distinct) {
+        // DISTINCT + sort key only when the key IS the value (DuckDB's
+        // own restriction for a well-defined result)
+        if (oneKeyPlain && bare == keys.head._1)
+          Some(s"sort_array(array_agg($x), ${keys.head._2})")
+        else None
+      } else if (oneKeyPlain && bare == keys.head._1)
+        Some(s"sort_array(array_agg($x), ${keys.head._2})")
+      else Some(sortedValueArray(bare, keys))
     }
   }
 
@@ -1545,7 +1594,6 @@ object Dialect {
     val fromAt = firstTopLevel(sql, "FROM")
     if (sel < 0 || fromAt < sel) return sql
     val selList = sql.substring(sel + 6, fromAt)
-    if (columnsCalls(selList).isEmpty) return sql
     val fromSeg = sql.substring(fromAt + 4)
     val cutAt = Seq("WHERE", "GROUP", "HAVING", "QUALIFY", "WINDOW",
         "ORDER", "LIMIT", "OFFSET")
@@ -1555,9 +1603,11 @@ object Dialect {
     val allCols =
       try spark.sql(s"SELECT * FROM $fromSrc LIMIT 0").schema.fieldNames.toSeq
       catch { case scala.util.control.NonFatal(_) => return sql } // let the original fail loudly
-    val expanded = splitTopLevel(selList, ',').flatMap { item =>
+    // Per-column copies of `item` with every COLUMNS(arg) occurrence
+    // replaced by one matched column; None when item has no call.
+    def expansions(item: String): Option[Seq[String]] = {
       val occ = columnsCalls(item)
-      if (occ.isEmpty) Seq(item.trim)
+      if (occ.isEmpty) None
       else {
         val args = occ.map { case (_, open, close) => item.substring(open + 1, close).trim }
         if (args.distinct.length != 1)
@@ -1567,14 +1617,72 @@ object Dialect {
         if (names.isEmpty)
           throw new IllegalArgumentException(
             s"COLUMNS(${args.head}) matched no columns")
-        names.map { n =>
+        Some(names.map { n =>
           occ.sortBy(-_._1).foldLeft(item) { case (acc, (st, _, cl)) =>
             acc.substring(0, st) + s"`$n`" + acc.substring(cl + 1)
           }.trim
-        }
+        })
       }
     }
-    sql.substring(0, sel + 6) + " " + expanded.mkString(", ") + " " + sql.substring(fromAt)
+    var out = sql
+    if (columnsCalls(selList).nonEmpty) {
+      val expanded = splitTopLevel(selList, ',').flatMap { item =>
+        expansions(item).getOrElse(Seq(item.trim))
+      }
+      out = sql.substring(0, sel + 6) + " " + expanded.mkString(", ") + " " + sql.substring(fromAt)
+    }
+    // COLUMNS in WHERE: DuckDB duplicates the WHOLE predicate per
+    // matched column and combines with AND (verified: `WHERE
+    // COLUMNS('[xy]') IS NOT NULL OR s = 'b'` keeps a row iff the
+    // disjunction holds for EVERY matched column). Outer query only —
+    // a COLUMNS in a subquery clause stays loud, like the select-list
+    // rewrite's contract.
+    val whereAt = firstTopLevel(out, "WHERE")
+    if (whereAt >= 0) {
+      val tail = out.substring(whereAt + 5)
+      val end = Seq("GROUP", "HAVING", "QUALIFY", "WINDOW", "ORDER", "LIMIT", "OFFSET")
+        .map(k => firstTopLevel(tail, k)).filter(_ >= 0).sorted.headOption
+        .getOrElse(tail.length)
+      val seg0 = tail.substring(0, end)
+      val trailingSemi = seg0.trim.endsWith(";") && end == tail.length
+      val seg = seg0.stripSuffix(" ").trim.stripSuffix(";")
+      if (columnsCalls(seg).nonEmpty)
+        expansions(seg).foreach { copies =>
+          out = out.substring(0, whereAt + 5) + " " +
+            copies.map(c => s"($c)").mkString(" AND ") +
+            (if (trailingSemi) ";" else " ") + tail.substring(end)
+        }
+    }
+    // COLUMNS in ORDER BY: each order item expands to one sort key per
+    // matched column, any ASC/DESC/NULLS suffix carried onto every
+    // copy (verified: `ORDER BY COLUMNS('[xy]') DESC` ≡ x DESC, y DESC).
+    val orderAt = firstTopLevel(out, "ORDER BY")
+    if (orderAt >= 0) {
+      val tail = out.substring(orderAt + 8)
+      val end = Seq("LIMIT", "OFFSET")
+        .map(k => firstTopLevel(tail, k)).filter(_ >= 0).sorted.headOption
+        .getOrElse(tail.length)
+      val seg0 = tail.substring(0, end)
+      val trailingSemi = seg0.trim.endsWith(";") && end == tail.length
+      val seg = seg0.trim.stripSuffix(";")
+      if (columnsCalls(seg).nonEmpty) {
+        val keys = splitTopLevel(seg, ',').flatMap { item =>
+          expansions(item) match {
+            case None => Seq(item.trim)
+            case Some(copies) =>
+              // generated keys get DuckDB's default NULL order spelled
+              // out (NULLS LAST both directions; Spark's ASC default
+              // is NULLS FIRST — a silent reorder otherwise)
+              copies.map { c =>
+                if (c.toUpperCase.contains("NULLS")) c else s"$c NULLS LAST"
+              }
+          }
+        }
+        out = out.substring(0, orderAt + 8) + " " + keys.mkString(", ") +
+          (if (trailingSemi) ";" else " ") + tail.substring(end)
+      }
+    }
+    out
   }
 
   /** `(content, remainder)` of a leading parenthesized group (after

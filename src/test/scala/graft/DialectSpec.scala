@@ -269,6 +269,49 @@ class DialectSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(post("SELECT COLUMNS('zz_nope') FROM nation").statusCode() == 400)
   }
 
+  test("COLUMNS in WHERE AND-expands; in ORDER BY it multiplies sort keys (round 9)") {
+    // fixture rows: (1,10,'a') (2,NULL,'b') (3,5,'c') (NULL,7,'d');
+    // every expected value verified against DuckDB 1.5
+    val t = "FROM (VALUES (1, 10, 'a'), (2, NULL, 'b'), (3, 5, 'c'), (NULL, 7, 'd')) t(x, y, s)"
+    def one(sql: String, expect: String): Unit = {
+      val r = post(sql)
+      assert(r.statusCode() == 200, s"$sql -> ${r.body()}")
+      assert(r.body() == expect, s"$sql -> ${r.body()} (wanted $expect)")
+    }
+    // WHERE: predicate duplicated per matched column, AND-combined
+    one(s"SELECT s $t WHERE COLUMNS('[xy]') > 2 ORDER BY s", """[{"s":"c"}]""")
+    one(s"SELECT s $t WHERE COLUMNS(*) IS NOT NULL ORDER BY s",
+      """[{"s":"a"},{"s":"c"}]""")
+    // the WHOLE predicate (incl. the OR arm) repeats per column
+    one(s"SELECT s $t WHERE COLUMNS('[xy]') IS NOT NULL OR s = 'b' ORDER BY s",
+      """[{"s":"a"},{"s":"b"},{"s":"c"}]""")
+    // ORDER BY: one sort key per matched column, suffix carried
+    one(s"SELECT s $t ORDER BY COLUMNS(*)",
+      """[{"s":"a"},{"s":"b"},{"s":"c"},{"s":"d"}]""")
+    one(s"SELECT s $t ORDER BY COLUMNS('[xy]') DESC",
+      """[{"s":"c"},{"s":"b"},{"s":"a"},{"s":"d"}]""")
+  }
+
+  test("in-aggregate ORDER BY: multi-key and NULLS specs (round 9)") {
+    val t = "FROM (VALUES (1, 10, 'a'), (2, NULL, 'b'), (3, 5, 'c'), (NULL, 7, 'd')) t(x, y, s)"
+    def one(sql: String, expect: String): Unit = {
+      val r = post(sql)
+      assert(r.statusCode() == 200, s"$sql -> ${r.body()}")
+      assert(r.body() == expect, s"$sql -> ${r.body()} (wanted $expect)")
+    }
+    // DuckDB default: NULLS LAST in both directions (verified)
+    one(s"SELECT array_agg(s ORDER BY x DESC, y ASC) AS a $t",
+      """[{"a":["c","b","a","d"]}]""")
+    one(s"SELECT array_agg(s ORDER BY x ASC NULLS FIRST) AS a $t",
+      """[{"a":["d","a","b","c"]}]""")
+    one(s"SELECT array_agg(s ORDER BY x DESC) AS a $t",
+      """[{"a":["c","b","a","d"]}]""")
+    one(s"SELECT first(s ORDER BY x DESC, y ASC) AS f $t", """[{"f":"c"}]""")
+    one(s"SELECT last(s ORDER BY x DESC, y ASC) AS l $t", """[{"l":"d"}]""")
+    one(s"SELECT string_agg(s, ',' ORDER BY x DESC, y ASC) AS g $t",
+      """[{"g":"c,b,a,d"}]""")
+  }
+
   test("star REPLACE swaps expressions in place, composing with EXCLUDE") {
     val r = post("SELECT * REPLACE (b * 10 AS b) FROM VALUES (1, 2, 3) t(a, b, c)")
     assert(r.statusCode() == 200 && r.body() == "[{\"a\":1,\"b\":20,\"c\":3}]")

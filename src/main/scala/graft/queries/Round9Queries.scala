@@ -1,0 +1,221 @@
+package graft.queries
+
+import graft.{Q, QueryModule, T}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-9 additions to the LLM-data-pipeline surface.
+  *
+  *   - n_knn_join_topk: the batched retrieval workload (every query row
+  *     gets its top-k corpus neighbors — the RAG / hard-negative-mining
+  *     join). The scale shape is the mergeable
+  *     [[graft.operators.TopKByScore]] aggregate: each partition
+  *     reduces its candidates to at most k entries BEFORE the shuffle,
+  *     so the wire carries q·k summary rows where the window-rank
+  *     formulation (n_cosine_topk_bruteforce) shuffles and sorts all
+  *     q·n scored pairs. Same answer, spec-proven (Round9Spec).
+  *   - n_kmeans_lloyd: two Lloyd iterations of cosine k-means over the
+  *     embedding corpus — the clustering model SemDeDup-style dedup and
+  *     IVF ANN assume as an offline input, expressed as the distributed
+  *     training loop itself: broadcast centroids, map-only argmax
+  *     assignment, dimension-exploded mean recompute (the layout that
+  *     scales to billions of vectors), reassign, report.
+  *   - n_quality_logreg: a fastText-style quality-classifier trained by
+  *     full-batch gradient descent — per-doc gradient contributions are
+  *     fixed-scale decimals summed order-independently (exact
+  *     allreduce), weights live on the driver and re-enter each pass as
+  *     literals (the parameter-server shape: O(features) driver state,
+  *     never O(rows)). Three unrolled iterations, bit-identical to the
+  *     oracle's CTE chain.
+  *
+  * Reference scope: fb64/uquery-rs exposes arbitrary SQL over its
+  * corpus tables (src/core/duckdb.rs:87); these queries are the
+  * training-data-pipeline surface the builder prompt adds on top.
+  */
+object Round9Queries extends QueryModule {
+
+  /** Exact mean of a per-row double rounded to `scale` digits first:
+    * both engines sum identical DECIMALs (order-independent), divide
+    * once in double. The cross-engine-stable mean for values that are
+    * themselves double-valued (sims, losses, gradients).
+    */
+  private def meanExact(c: org.apache.spark.sql.Column, scale: Int, digits: Int) =
+    round(sum(round(c, scale).cast(org.apache.spark.sql.types.DecimalType(20, scale)))
+      .cast("double") / count(lit(1)), digits)
+
+  override val queries: Seq[Q] = Seq(
+    Q("n_knn_join_topk",
+      "Batched k-NN similarity join: every probe (vec_id % 50 = 0) gets its cosine top-10 via a mergeable per-partition top-k aggregate — the shuffle carries q·k summaries, not the q·n scored pairs a window sort would move.",
+      (s, dir) => {
+        import s.implicits._
+        val emb = T(s, dir, "embeddings")
+        val probes = emb.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        val scored = emb.join(broadcast(probes), col("vec_id") =!= col("qid"))
+          .select(col("qid"),
+            round(SimilarityQueries.cosine("qv", "embedding"), 6).as("sim"),
+            col("vec_id"))
+          .as[(Long, Double, Long)]
+        val topk = graft.operators.TopKByScore(10)
+        scored.groupByKey(_._1).mapValues(t => (t._2, t._3))
+          .agg(topk.toColumn.name("summary"))
+          .toDF("qid", "summary")
+          .select(col("qid"), posexplode(col("summary")))
+          .select(col("qid"), (col("pos") + 1).cast("int").as("rk"),
+            col("col._2").as("vec_id"), col("col._1").as("sim"))
+          .orderBy(col("qid").asc_nulls_last, col("rk").asc_nulls_last)
+      },
+      Some("""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0),
+        scored AS (
+          SELECT qid, vec_id,
+            round(
+              list_sum(list_transform(list_zip(qv, embedding),
+                p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+              / (sqrt(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+               * sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS sim
+          FROM embeddings CROSS JOIN q WHERE vec_id <> qid),
+        ranked AS (
+          SELECT qid, vec_id, sim,
+            row_number() OVER (PARTITION BY qid ORDER BY sim DESC NULLS LAST, vec_id ASC NULLS LAST) AS rk
+          FROM scored)
+        SELECT qid, CAST(rk AS INT) AS rk, vec_id, sim FROM ranked WHERE rk <= 10
+        ORDER BY qid ASC NULLS LAST, rk ASC NULLS LAST""")),
+
+    Q("n_kmeans_lloyd",
+      "Two Lloyd iterations of cosine k-means (k=8, deterministic low-id seeds): broadcast centroids, map-only argmax assignment, dimension-exploded mean recompute, reassign — per-cell sizes and mean member similarity after the update step.",
+      (s, dir) => {
+        val e = T(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+        val init = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").cast("int").as("cell"), col("embedding").as("cvec"))
+        def assign(cents: DataFrame): DataFrame = {
+          val w = Window.partitionBy(col("vec_id"))
+            .orderBy(col("simr").desc, col("cell").asc)
+          e.crossJoin(broadcast(cents))
+            .withColumn("simr", round(SimilarityQueries.cosineHof("embedding", "cvec"), 6))
+            .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+            .select(col("cell"), col("vec_id"), col("embedding"), col("simr"))
+        }
+        // mean recompute in the dimension-exploded layout (same shape as
+        // n_label_centroids): rounds each component so the reassignment
+        // ranks identical values on both engines
+        val cents1 = assign(init)
+          .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "x")))
+          .groupBy(col("cell"), col("dim"))
+          .agg(round(avg(col("x")), 6).as("c"))
+          .groupBy(col("cell"))
+          .agg(expr("transform(array_sort(collect_list(struct(dim, c))), s -> s.c)").as("cvec"))
+        assign(cents1)
+          .groupBy(col("cell"))
+          .agg(count(lit(1)).as("n_vecs"),
+            meanExact(col("simr"), 6, 6).as("mean_sim"))
+          .orderBy(col("cell").asc_nulls_last)
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        c0 AS (SELECT CAST(vec_id AS INTEGER) AS cell, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS cvec
+               FROM e WHERE vec_id < 8),
+        s1 AS (SELECT e.vec_id, c0.cell, e.embedding,
+            round(
+              list_sum(list_transform(list_zip(e.embedding, c0.cvec),
+                p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+              / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+               * sqrt(list_sum(list_transform(c0.cvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS simr
+          FROM e CROSS JOIN c0),
+        a1 AS (SELECT vec_id, cell, embedding FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY simr DESC, cell ASC) AS rn FROM s1) t
+          WHERE rn = 1),
+        d1 AS (SELECT cell, CAST(pos AS INT) AS dim, round(avg(CAST(x AS DOUBLE)), 6) AS c
+          FROM (SELECT cell, unnest(embedding) AS x,
+                  unnest(generate_series(0, len(embedding) - 1)) AS pos FROM a1) t
+          GROUP BY cell, pos),
+        c1 AS (SELECT cell, list(c ORDER BY dim ASC) AS cvec FROM d1 GROUP BY cell),
+        s2 AS (SELECT e.vec_id, c1.cell,
+            round(
+              list_sum(list_transform(list_zip(e.embedding, c1.cvec),
+                p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+              / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+               * sqrt(list_sum(list_transform(c1.cvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS simr
+          FROM e CROSS JOIN c1),
+        a2 AS (SELECT vec_id, cell, simr FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY simr DESC, cell ASC) AS rn FROM s2) t
+          WHERE rn = 1)
+        SELECT cell, count(*) AS n_vecs,
+          round(CAST(sum(CAST(round(simr, 6) AS DECIMAL(20,6))) AS DOUBLE) / count(*), 6) AS mean_sim
+        FROM a2 GROUP BY cell ORDER BY cell ASC NULLS LAST""")),
+
+    Q("n_quality_logreg",
+      "Quality-classifier training: 3 full-batch GD iterations of logistic regression (predict the char-length quality gate from token-level features) — per-doc gradient contributions as fixed-scale decimals summed order-independently (exact allreduce), O(features) driver state.",
+      (s, dir) => {
+        // features from the token stream only (scaled word count +
+        // uniqueness ratio, the n_quality_score spelling); label is the
+        // n_chars >= 300 length gate the quality battery applies
+        val feats = T(s, dir, "documents")
+          .withColumn("words", split(col("text"), " "))
+          .select(
+            when(col("n_chars") >= 300, 1.0d).otherwise(0.0d).as("y"),
+            round(size(col("words")).cast("double") / 100.0d, 6).as("x1"),
+            round(size(array_distinct(col("words"))).cast("double") / size(col("words")), 6).as("x2"))
+        // 3 unrolled GD steps, lr=1. Weights cross the driver as rounded
+        // doubles whose SQL literal round-trips exactly — the oracle's
+        // CTE chain computes the identical sequence.
+        var w = (0.0d, 0.0d, 0.0d)
+        for (_ <- 1 to 3) {
+          val p = s"(1.0/(1.0 + exp(-((${w._1}) + (${w._2}) * x1 + (${w._3}) * x2))))"
+          val row = feats.agg(
+            round(lit(w._1) - meanGrad(expr(s"$p - y")), 8).as("nw0"),
+            round(lit(w._2) - meanGrad(expr(s"($p - y) * x1")), 8).as("nw1"),
+            round(lit(w._3) - meanGrad(expr(s"($p - y) * x2")), 8).as("nw2")).head()
+          w = (row.getDouble(0), row.getDouble(1), row.getDouble(2))
+        }
+        val p = s"(1.0/(1.0 + exp(-((${w._1}) + (${w._2}) * x1 + (${w._3}) * x2))))"
+        feats.agg(
+          lit(w._1).as("w0"), lit(w._2).as("w1"), lit(w._3).as("w2"),
+          count(lit(1)).as("n_docs"),
+          round(sum(when(expr(s"if($p >= 0.5, 1.0D, 0.0D)") === col("y"), 1L).otherwise(0L))
+            .cast("double") / count(lit(1)), 6).as("accuracy"),
+          meanExact(expr(s"-(y * ln($p) + (1.0 - y) * ln(1.0 - $p))"), 8, 6).as("log_loss"))
+      },
+      Some(logregOracle)))
+
+  /** Exact mean-gradient: per-row contribution rounded to 8 digits,
+    * summed as DECIMAL (order-independent), divided once in double —
+    * both engines see identical operands at every step.
+    */
+  private def meanGrad(c: org.apache.spark.sql.Column) =
+    sum(round(c, 8).cast(org.apache.spark.sql.types.DecimalType(20, 8)))
+      .cast("double") / count(lit(1))
+
+  /** The oracle unrolls the same 3 GD steps as CTEs; every arithmetic
+    * spelling (promotion order, rounding points) matches the Spark side
+    * character-for-character where weights appear.
+    */
+  private lazy val logregOracle: String = {
+    def p(w0: String, w1: String, w2: String) =
+      s"(1.0/(1.0 + exp(-(($w0) + ($w1) * x1 + ($w2) * x2))))"
+    def grad(w0: String, w1: String, w2: String, mul: String) =
+      s"CAST(sum(CAST(round((${p(w0, w1, w2)} - y)$mul, 8) AS DECIMAL(20,8))) AS DOUBLE) / count(*)"
+    def step(prev: String, next: String) =
+      s"""$next AS (SELECT
+            round(w0 - (${grad("w0", "w1", "w2", "")}), 8) AS w0,
+            round(w1 - (${grad("w0", "w1", "w2", " * x1")}), 8) AS w1,
+            round(w2 - (${grad("w0", "w1", "w2", " * x2")}), 8) AS w2
+          FROM f CROSS JOIN $prev GROUP BY w0, w1, w2)"""
+    val pf = p("w0", "w1", "w2")
+    s"""WITH f AS (SELECT
+          CASE WHEN n_chars >= 300 THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS y,
+          round(CAST(len(words) AS DOUBLE) / 100.0, 6) AS x1,
+          round(CAST(len(list_distinct(words)) AS DOUBLE) / len(words), 6) AS x2
+        FROM (SELECT n_chars, string_split(text, ' ') AS words FROM documents) t),
+      w0s AS (SELECT CAST(0 AS DOUBLE) AS w0, CAST(0 AS DOUBLE) AS w1, CAST(0 AS DOUBLE) AS w2),
+      ${step("w0s", "w1s")},
+      ${step("w1s", "w2s")},
+      ${step("w2s", "w3s")}
+      SELECT w0, w1, w2, count(*) AS n_docs,
+        round(CAST(sum(CASE WHEN (CASE WHEN $pf >= 0.5 THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END) = y
+              THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS accuracy,
+        round(CAST(sum(CAST(round(-(y * ln($pf) + (1.0 - y) * ln(1.0 - $pf)), 8) AS DECIMAL(20,8))) AS DOUBLE)
+          / count(*), 6) AS log_loss
+      FROM f CROSS JOIN w3s GROUP BY w0, w1, w2
+      ORDER BY w0 ASC NULLS LAST"""
+  }
+}

@@ -163,8 +163,12 @@ object TableFnQueries extends QueryModule {
       "DuckDB scalar macro → SQL UDF (CREATE FUNCTION … RETURN expr, Spark ≥4.0); oracle inlines the macro body as DuckDB would.",
       (s, dir) => {
         T.views(s, dir, "lineitem")
-        s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION disc_price(p DOUBLE, d DOUBLE)
-                 RETURNS DOUBLE RETURN p * (1.0 - d)""")
+        // register-if-absent: OR REPLACE on a live session emits the
+        // SimpleFunctionRegistry "replaced" WARN the bench-tail audit
+        // forbids (round-9 invariant: any warn is a regression signal)
+        if (!s.catalog.functionExists("disc_price"))
+          s.sql("""CREATE TEMPORARY FUNCTION disc_price(p DOUBLE, d DOUBLE)
+                   RETURNS DOUBLE RETURN p * (1.0 - d)""")
         // exact-decimal accumulation (Exact.sumExact discipline): both engines
         // compute the same double per row, cast to the same DECIMAL(22,4), and
         // sum order-independently — immune to partial-sum-order drift.

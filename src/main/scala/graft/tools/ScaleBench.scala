@@ -33,7 +33,15 @@ object ScaleBench {
     "n_dedup_keep_best", "n_dedup_containment",
     // round-8 additions: span extract/apply are linear in duplicated
     // positions; covariance is a constant-state single aggregate
-    "n_dup_span_extract", "n_dup_span_apply", "n_embed_covariance")
+    "n_dup_span_extract", "n_dup_span_apply", "n_embed_covariance",
+    // round-9 additions: k-means is broadcast-assign + k·d-key aggs,
+    // logreg is three map-combined gradient aggregates — both linear.
+    // n_knn_join_topk is deliberately absent: its probe set scales
+    // WITH the corpus (vec_id % 50), so the brute-force q·n pair space
+    // grows ~100× for 10× data by construction — the documented scale
+    // path swaps in bucketed candidate generation (SCALE.md), which is
+    // what the ANN rows already measure.
+    "n_kmeans_lloyd", "n_quality_logreg")
 
   def main(args: Array[String]): Unit = {
     val dirA = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

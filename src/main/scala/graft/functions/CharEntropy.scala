@@ -1,0 +1,85 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{DataType, DoubleType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Shannon entropy (bits/byte) of a string's UTF-8 bytes — the
+  * compression-ratio-style gibberish signal of the pre-training
+  * quality literature: natural prose sits ~4.0–4.5 bits, repeated
+  * filler collapses toward 0, random base64/binary junk pushes ~6.
+  *
+  * One fused loop over the byte buffer with a 256-slot on-stack tally
+  * (no explode, no per-char rows — the row-local shape that matters
+  * when scoring 10¹¹ documents). Byte-level by design: on ASCII text
+  * it equals character entropy (what the DuckDB oracle computes); on
+  * multi-byte text the byte stream is precisely what a compressor
+  * sees, which is the signal's point. Empty/null → null.
+  */
+case class CharEntropy(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"char_entropy expects string, got $other")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    if (bytes.length == 0) null else CharEntropy.ofBytes(bytes)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val bytes = ctx.freshName("bytes")
+      s"""
+        final byte[] $bytes = $a.getBytes();
+        if ($bytes.length == 0) {
+          ${ev.isNull} = true;
+        } else {
+          ${ev.value} = graft.functions.CharEntropy.ofBytes($bytes);
+        }
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): CharEntropy =
+    copy(child = newChild)
+}
+
+object CharEntropy {
+  /** Shared kernel for interpreted + codegen paths: tally in byte-value
+    * order so the floating-point sum order is deterministic.
+    */
+  def ofBytes(bytes: Array[Byte]): Double = {
+    val cnt = new Array[Int](256)
+    var i = 0
+    while (i < bytes.length) { cnt(bytes(i) & 0xff) += 1; i += 1 }
+    val n = bytes.length.toDouble
+    val log2 = math.log(2.0)
+    var h = 0.0d
+    var v = 0
+    while (v < 256) {
+      val c = cnt(v)
+      if (c > 0) { val p = c / n; h -= p * (math.log(p) / log2) }
+      v += 1
+    }
+    h
+  }
+
+  /** Column-API entry point: `char_entropy($"text")`. */
+  def apply(c: Column): Column =
+    ColumnBridge.column(CharEntropy(ColumnBridge.expression(c)))
+
+  /** SQL registration: `SELECT char_entropy(text)`. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "char_entropy", exprs => CharEntropy(exprs.head), "built-in")
+}

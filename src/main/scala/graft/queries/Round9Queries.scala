@@ -21,6 +21,9 @@ import org.apache.spark.sql.functions._
   *     training loop itself: broadcast centroids, map-only argmax
   *     assignment, dimension-exploded mean recompute (the layout that
   *     scales to billions of vectors), reassign, report.
+  *   - n_char_entropy: byte-entropy gibberish signal via the codegen'd
+  *     [[graft.functions.CharEntropy]] kernel — row-local, no per-char
+  *     explode.
   *   - n_quality_logreg: a fastText-style quality-classifier trained by
   *     full-batch gradient descent — per-doc gradient contributions are
   *     fixed-scale decimals summed order-independently (exact
@@ -142,6 +145,27 @@ object Round9Queries extends QueryModule {
         SELECT cell, count(*) AS n_vecs,
           round(CAST(sum(CAST(round(simr, 6) AS DECIMAL(20,6))) AS DOUBLE) / count(*), 6) AS mean_sim
         FROM a2 GROUP BY cell ORDER BY cell ASC NULLS LAST""")),
+
+    Q("n_char_entropy",
+      "Byte-entropy quality signal (the compression-ratio-style gibberish detector): Shannon entropy of each document's UTF-8 bytes via the codegen'd CharEntropy kernel — one fused row-local loop, no per-char explode; gate at < 3.0 bits. Oracle computes character entropy, identical on this ASCII corpus.",
+      (s, dir) =>
+        T(s, dir, "documents").filter(col("doc_id") < 100)
+          .select(col("doc_id"),
+            round(graft.functions.CharEntropy(col("text")), 6).as("char_entropy"))
+          .withColumn("low_entropy", col("char_entropy") < 3.0)
+          .orderBy(col("doc_id").asc_nulls_last),
+      Some("""WITH freq AS (
+          SELECT doc_id, ch, count(*) AS c
+          FROM (SELECT doc_id, unnest(string_split(text, '')) AS ch
+                FROM documents WHERE doc_id < 100) t
+          GROUP BY doc_id, ch),
+        tot AS (SELECT doc_id, sum(c) AS n FROM freq GROUP BY doc_id),
+        h AS (SELECT f.doc_id,
+            round(-sum((f.c / CAST(t.n AS DOUBLE)) * log2(f.c / CAST(t.n AS DOUBLE))), 6) AS char_entropy
+          FROM freq f JOIN tot t ON f.doc_id = t.doc_id
+          GROUP BY f.doc_id)
+        SELECT doc_id, char_entropy, (char_entropy < 3.0) AS low_entropy
+        FROM h ORDER BY doc_id ASC NULLS LAST""")),
 
     Q("n_quality_logreg",
       "Quality-classifier training: 3 full-batch GD iterations of logistic regression (predict the char-length quality gate from token-level features) — per-doc gradient contributions as fixed-scale decimals summed order-independently (exact allreduce), O(features) driver state.",

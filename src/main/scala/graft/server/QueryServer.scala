@@ -107,7 +107,10 @@ final class QueryServer(
       return Left(Problem(400, "SQL Error",
         s"file access outside allowed directories: $outPath"))
     var fmt: Option[String] = None
-    var header = false
+    // DuckDB writes a CSV header UNLESS told otherwise (pinned against
+    // DuckDB 1.x: `COPY t TO 'f.csv'` starts with the column line) —
+    // defaulting false here was a silent divergence (round 9, CopySpec)
+    var header = true
     var delim = ","
     var perThread = false
     for (o <- optStr.split(",").map(_.trim).filter(_.nonEmpty)) {
@@ -157,7 +160,10 @@ final class QueryServer(
         val w = d.write.mode("overwrite")
         format match {
           case "parquet" => w.parquet(path)
-          case "json" => w.json(path)
+          // DuckDB's JSON writer emits explicit nulls ({"d":null});
+          // Spark drops null fields by default — a reader diffing the
+          // two exports would see missing keys (round 9, CopySpec)
+          case "json" => w.option("ignoreNullFields", "false").json(path)
           case _ => w.option("header", header).option("sep", delim).csv(path)
         }
       }

@@ -24,6 +24,12 @@ import org.apache.spark.sql.functions._
   *   - n_char_entropy: byte-entropy gibberish signal via the codegen'd
   *     [[graft.functions.CharEntropy]] kernel — row-local, no per-char
   *     explode.
+  *   - n_bpe_train: BPE tokenizer training (3 merge steps) over the
+  *     word-frequency vocab — pair counting is an aggregate over vocab
+  *     entries weighted by count (the corpus is scanned once to build
+  *     the vocab, never again), the argmax merge rule is O(1) driver
+  *     state, and merges apply as anchored two-pass string rewrites
+  *     with identical replace() semantics on both engines.
   *   - n_quality_logreg: a fastText-style quality-classifier trained by
   *     full-batch gradient descent — per-doc gradient contributions are
   *     fixed-scale decimals summed order-independently (exact
@@ -145,6 +151,83 @@ object Round9Queries extends QueryModule {
         SELECT cell, count(*) AS n_vecs,
           round(CAST(sum(CAST(round(simr, 6) AS DECIMAL(20,6))) AS DOUBLE) / count(*), 6) AS mean_sim
         FROM a2 GROUP BY cell ORDER BY cell ASC NULLS LAST""")),
+
+    Q("n_bpe_train",
+      "BPE tokenizer training, 3 merge steps: pair frequencies aggregate over the word-frequency VOCAB (the classic formulation — the corpus text is scanned once to build it, never again), the argmax merge rule lives driver-side (O(merges) state, the parameter-server shape), and merges apply as anchored string rewrites identical on both engines. Exact integer counts + lexicographic ties = bit-deterministic.",
+      (s, dir) => {
+        // vocab: word -> count, each word as a space-joined char sequence
+        val vocab0 = DedupQueries.retain(
+          T(s, dir, "documents")
+            .select(explode(split(col("text"), " ")).as("w"))
+            .filter(length(col("w")) > 0)
+            .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+            .select(array_join(split(col("w"), ""), " ").as("spaced"), col("cnt")))
+        var cur = vocab0
+        val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+        for (step <- 1 to 3) {
+          val withToks = cur.withColumn("toks", split(col("spaced"), " "))
+            .withColumn("la", slice(col("toks"), lit(1), size(col("toks")) - 1))
+            .withColumn("ra", slice(col("toks"), lit(2), size(col("toks")) - 1))
+          val best = withToks
+            .select(col("cnt"), explode(arrays_zip(col("la"), col("ra"))).as("p"))
+            .groupBy(col("p.la").as("l"), col("p.ra").as("r"))
+            .agg(sum(col("cnt")).as("freq"))
+            .orderBy(col("freq").desc, col("l").asc, col("r").asc)
+            .limit(1).head()
+          val (l, r, f) = (best.getString(0), best.getString(1), best.getLong(2))
+          merges += ((step, l, r, l + r, f))
+          // anchored two-pass rewrite: ' l r ' -> ' lr ' on the space-
+          // padded sequence. One replace() pass (left-to-right, non-
+          // overlapping, both engines' semantics) consumes the shared
+          // boundary space in runs, so the second pass catches the
+          // even-position merges — both engines run the identical two
+          // passes, so results match even on degenerate runs where
+          // textbook greedy BPE would need a third (documented).
+          val pat = lit(s" $l $r ")
+          val rep = lit(s" $l$r ")
+          val padded = concat(lit(" "), col("spaced"), lit(" "))
+          cur = cur.withColumn("spaced",
+            btrim(call_function("replace",
+              call_function("replace", padded, pat, rep), pat, rep)))
+        }
+        val out = merges.map { case (st, l, r, m, f) => (st, l, r, m, f) }.toSeq
+        import s.implicits._
+        out.toDF("step", "l_tok", "r_tok", "merged", "freq")
+          .orderBy(col("step").asc_nulls_last)
+      },
+      Some("""WITH v0 AS (
+          SELECT array_to_string(string_split(w, ''), ' ') AS spaced, cnt
+          FROM (SELECT w, count(*) AS cnt
+                FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+                WHERE len(w) > 0 GROUP BY w)),
+        p1 AS (SELECT toks[i] AS l, toks[i + 1] AS r, cnt FROM (
+            SELECT toks, cnt, unnest(generate_series(1, len(toks) - 1)) AS i
+            FROM (SELECT string_split(spaced, ' ') AS toks, cnt FROM v0) t0) t1),
+        m1 AS (SELECT l, r, CAST(sum(cnt) AS BIGINT) AS freq FROM p1 GROUP BY l, r
+               ORDER BY freq DESC, l ASC, r ASC LIMIT 1),
+        v1 AS (SELECT trim(replace(replace(' ' || spaced || ' ',
+                 ' ' || m1.l || ' ' || m1.r || ' ', ' ' || m1.l || m1.r || ' '),
+                 ' ' || m1.l || ' ' || m1.r || ' ', ' ' || m1.l || m1.r || ' ')) AS spaced, cnt
+               FROM v0 CROSS JOIN m1),
+        p2 AS (SELECT toks[i] AS l, toks[i + 1] AS r, cnt FROM (
+            SELECT toks, cnt, unnest(generate_series(1, len(toks) - 1)) AS i
+            FROM (SELECT string_split(spaced, ' ') AS toks, cnt FROM v1) t0) t1),
+        m2 AS (SELECT l, r, CAST(sum(cnt) AS BIGINT) AS freq FROM p2 GROUP BY l, r
+               ORDER BY freq DESC, l ASC, r ASC LIMIT 1),
+        v2 AS (SELECT trim(replace(replace(' ' || spaced || ' ',
+                 ' ' || m2.l || ' ' || m2.r || ' ', ' ' || m2.l || m2.r || ' '),
+                 ' ' || m2.l || ' ' || m2.r || ' ', ' ' || m2.l || m2.r || ' ')) AS spaced, cnt
+               FROM v1 CROSS JOIN m2),
+        p3 AS (SELECT toks[i] AS l, toks[i + 1] AS r, cnt FROM (
+            SELECT toks, cnt, unnest(generate_series(1, len(toks) - 1)) AS i
+            FROM (SELECT string_split(spaced, ' ') AS toks, cnt FROM v2) t0) t1),
+        m3 AS (SELECT l, r, CAST(sum(cnt) AS BIGINT) AS freq FROM p3 GROUP BY l, r
+               ORDER BY freq DESC, l ASC, r ASC LIMIT 1)
+        SELECT CAST(step AS INT) AS step, l_tok, r_tok, l_tok || r_tok AS merged, freq FROM (
+          SELECT 1 AS step, l AS l_tok, r AS r_tok, freq FROM m1
+          UNION ALL SELECT 2, l, r, freq FROM m2
+          UNION ALL SELECT 3, l, r, freq FROM m3) u
+        ORDER BY step ASC NULLS LAST""")),
 
     Q("n_char_entropy",
       "Byte-entropy quality signal (the compression-ratio-style gibberish detector): Shannon entropy of each document's UTF-8 bytes via the codegen'd CharEntropy kernel — one fused row-local loop, no per-char explode; gate at < 3.0 bits. Oracle computes character entropy, identical on this ASCII corpus.",

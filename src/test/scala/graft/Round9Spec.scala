@@ -48,6 +48,22 @@ class Round9Spec extends AnyFunSuite {
     assert(out.toSeq == again.toSeq)
   }
 
+  test("n_bpe_train: 3 merges, concatenative, non-increasing frequency") {
+    val rows = q("n_bpe_train").collect()
+    assert(rows.length == 3)
+    assert(rows.map(_.getInt(0)).toSeq == Seq(1, 2, 3))
+    rows.foreach { r =>
+      assert(r.getString(1).nonEmpty && r.getString(2).nonEmpty)
+      assert(r.getString(3) == r.getString(1) + r.getString(2))
+      assert(r.getLong(4) > 0)
+    }
+    // a merge can only remove pair occurrences, and every new pair that
+    // contains the merged token is bounded by its count — so the chosen
+    // frequency never increases across steps
+    val freqs = rows.map(_.getLong(4)).toSeq
+    assert(freqs == freqs.sorted.reverse, s"not non-increasing: $freqs")
+  }
+
   test("n_quality_logreg learns: beats majority accuracy and ln-2 loss") {
     val row = q("n_quality_logreg").collect().head
     val docs = T(spark, sf, "documents")

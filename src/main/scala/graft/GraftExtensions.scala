@@ -1166,6 +1166,11 @@ object GraftExtensions {
         info("list_inner_product", "list_inner_product(a, b) - dot product as DOUBLE."),
         (args: Seq[Expression]) => { two("list_inner_product", args)
           dot(args(0), args(1)) }),
+      // DuckDB ships list_dot_product as an alias of list_inner_product
+      ("list_dot_product",
+        info("list_dot_product", "list_dot_product(a, b) - dot product as DOUBLE (alias of list_inner_product)."),
+        (args: Seq[Expression]) => { two("list_dot_product", args)
+          dot(args(0), args(1)) }),
       ("array_distance",
         info("array_distance", "array_distance(a, b) - Euclidean distance as DOUBLE."),
         (args: Seq[Expression]) => { two("array_distance", args)

@@ -41,7 +41,10 @@ object ScaleBench {
     // grows ~100× for 10× data by construction — the documented scale
     // path swaps in bucketed candidate generation (SCALE.md), which is
     // what the ANN rows already measure.
-    "n_kmeans_lloyd", "n_quality_logreg")
+    "n_kmeans_lloyd", "n_quality_logreg",
+    // round-9 late additions: BPE trains on the vocab aggregate (one
+    // corpus scan), entropy is a row-local codegen kernel
+    "n_bpe_train", "n_char_entropy")
 
   def main(args: Array[String]): Unit = {
     val dirA = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

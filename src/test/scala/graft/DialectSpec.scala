@@ -713,6 +713,8 @@ class DialectSpec extends AnyFunSuite with BeforeAndAfterAll {
       "array_distance([0.0, 0.0], [3.0, 4.0]) AS d, " +
       "array_cosine_similarity([1.0, 0.0], [1.0, 0.0]) AS s",
       """[{"p":11.0,"d":5.0,"s":1.0}]""")
+    one("SELECT list_dot_product([1.0, 2.0], [3.0, 4.0]) AS p", // alias of list_inner_product
+      """[{"p":11.0}]""")
     one("SELECT list_grade_up([30, 10, 20]) AS g", """[{"g":[2,3,1]}]""")
     one("SELECT list_grade_up(list_filter([1], x -> false)) AS g", """[{"g":[]}]""")
     one("SELECT list_reverse([1, 2, 3]) AS r", """[{"r":[3,2,1]}]""")

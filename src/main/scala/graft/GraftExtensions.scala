@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSimilarity, SimHash64}
+import graft.functions.{CharEntropy, CosineSimilarity, SimHash64}
 
 /** SparkSessionExtensions entry point: registers the library's native
   * codegen'd kernels in the SQL function registry, so a SQL-only
@@ -47,6 +47,12 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 1, s"simhash64 expects 1 argument, got ${args.length}")
         SimHash64(args.head)
+      }),
+    ("char_entropy",
+      info("char_entropy", "char_entropy(s) - Shannon entropy (bits/byte) of a string's UTF-8 bytes (fused codegen tally)."),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, s"char_entropy expects 1 argument, got ${args.length}")
+        CharEntropy(args.head)
       }),
     // NOT a plain alias: DuckDB's epoch_ms is overloaded by argument
     // type — BIGINT ms → TIMESTAMP, TIMESTAMP → BIGINT ms. A plain

@@ -205,6 +205,37 @@ object EventStreams {
       .agg(topk.toColumn.name("summary"))
   }
 
+  /** Streaming k-NN retrieval — the unbounded-feed face of
+    * n_knn_join_topk: probe vectors ARRIVE as a stream while the
+    * corpus stays a static relation. Each micro-batch stream-static
+    * joins its probes against the broadcast corpus (per-batch work,
+    * no join state), and the per-probe [[graft.operators.TopKByScore]]
+    * aggregate holds exactly k entries per probe seen — state is
+    * O(probes × k), independent of corpus size and feed length.
+    * StreamingSpec proves the drained stream equals the batch join
+    * row for row.
+    */
+  def knnStream(spark: SparkSession, dir: String, k: Int = 10)
+      : Dataset[(Long, Seq[(Double, Long)])] = {
+    import spark.implicits._
+    graft.GraftSession.tune(spark)
+    val schema = spark.read.parquet(s"$dir/embeddings.parquet").schema
+    val corpus = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val probes = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+      .filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val topk = graft.operators.TopKByScore(k)
+    probes.join(broadcast(corpus), col("vec_id") =!= col("qid"))
+      .select(col("qid"),
+        round(graft.queries.SimilarityQueries.cosine("qv", "embedding"), 6).as("sim"),
+        col("vec_id"))
+      .as[(Long, Double, Long)]
+      .groupByKey(_._1).mapValues(t => (t._2, t._3))
+      .agg(topk.toColumn.name("summary"))
+  }
+
   /** Streaming ingestion filter — the unbounded-feed face of the
     * n_e2e_prep_pipeline front half: documents arrive as a stream,
     * normalize (lower + whitespace collapse), pass the quality gate

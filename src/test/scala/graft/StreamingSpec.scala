@@ -67,6 +67,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("streaming k-NN retrieval: drained probe feed equals the batch join") {
+    val q = EventStreams.knnStream(spark, sf)
+      .toDF("qid", "summary")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("knn_out")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("knn_out")
+      .select(col("qid"), posexplode(col("summary")))
+      .select(col("qid"), (col("pos") + 1).cast("int").as("rk"),
+        col("col._2").as("vec_id"), col("col._1").as("sim"))
+      .orderBy(col("qid"), col("rk"))
+      .collect().toSeq
+    val batch = SparkEntry.queries("n_knn_join_topk")(spark, sf)
+      .collect().toSeq
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming dedup: duplicated stream collapses back to distinct events") {
     // duplicate every event by unioning the source with itself
     val doubled = EventStreams.source(spark, sf).union(EventStreams.source(spark, sf))

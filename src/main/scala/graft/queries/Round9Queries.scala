@@ -155,44 +155,9 @@ object Round9Queries extends QueryModule {
     Q("n_bpe_train",
       "BPE tokenizer training, 3 merge steps: pair frequencies aggregate over the word-frequency VOCAB (the classic formulation — the corpus text is scanned once to build it, never again), the argmax merge rule lives driver-side (O(merges) state, the parameter-server shape), and merges apply as anchored string rewrites identical on both engines. Exact integer counts + lexicographic ties = bit-deterministic.",
       (s, dir) => {
-        // vocab: word -> count, each word as a space-joined char sequence
-        val vocab0 = DedupQueries.retain(
-          T(s, dir, "documents")
-            .select(explode(split(col("text"), " ")).as("w"))
-            .filter(length(col("w")) > 0)
-            .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
-            .select(array_join(split(col("w"), ""), " ").as("spaced"), col("cnt")))
-        var cur = vocab0
-        val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
-        for (step <- 1 to 3) {
-          val withToks = cur.withColumn("toks", split(col("spaced"), " "))
-            .withColumn("la", slice(col("toks"), lit(1), size(col("toks")) - 1))
-            .withColumn("ra", slice(col("toks"), lit(2), size(col("toks")) - 1))
-          val best = withToks
-            .select(col("cnt"), explode(arrays_zip(col("la"), col("ra"))).as("p"))
-            .groupBy(col("p.la").as("l"), col("p.ra").as("r"))
-            .agg(sum(col("cnt")).as("freq"))
-            .orderBy(col("freq").desc, col("l").asc, col("r").asc)
-            .limit(1).head()
-          val (l, r, f) = (best.getString(0), best.getString(1), best.getLong(2))
-          merges += ((step, l, r, l + r, f))
-          // anchored two-pass rewrite: ' l r ' -> ' lr ' on the space-
-          // padded sequence. One replace() pass (left-to-right, non-
-          // overlapping, both engines' semantics) consumes the shared
-          // boundary space in runs, so the second pass catches the
-          // even-position merges — both engines run the identical two
-          // passes, so results match even on degenerate runs where
-          // textbook greedy BPE would need a third (documented).
-          val pat = lit(s" $l $r ")
-          val rep = lit(s" $l$r ")
-          val padded = concat(lit(" "), col("spaced"), lit(" "))
-          cur = cur.withColumn("spaced",
-            btrim(call_function("replace",
-              call_function("replace", padded, pat, rep), pat, rep)))
-        }
-        val out = merges.map { case (st, l, r, m, f) => (st, l, r, m, f) }.toSeq
         import s.implicits._
-        out.toDF("step", "l_tok", "r_tok", "merged", "freq")
+        trainMerges(s, dir)
+          .toDF("step", "l_tok", "r_tok", "merged", "freq")
           .orderBy(col("step").asc_nulls_last)
       },
       Some("""WITH v0 AS (
@@ -283,6 +248,70 @@ object Round9Queries extends QueryModule {
           meanExact(expr(s"-(y * ln($p) + (1.0 - y) * ln(1.0 - $p))"), 8, 6).as("log_loss"))
       },
       Some(logregOracle)))
+
+  /** The word-frequency vocab in char-spaced form, with the source word
+    * carried: one corpus scan, retained for reuse by the training loop
+    * AND the encoder (train once, apply many — the tokenizer lifecycle).
+    */
+  private[queries] def bpeVocab(s: SparkSession, dir: String): DataFrame =
+    DedupQueries.retain(
+      T(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+        .select(col("w"), array_join(split(col("w"), ""), " ").as("spaced"),
+          col("cnt")))
+
+  /** Anchored two-pass merge rewrite: ' l r ' -> ' lr ' on the space-
+    * padded sequence. One replace() pass (left-to-right, non-
+    * overlapping, both engines' semantics) consumes the shared boundary
+    * space in runs, so the second pass catches the even-position merges
+    * — both engines run the identical two passes, so results match even
+    * on degenerate runs where textbook greedy BPE would need a third
+    * (documented).
+    */
+  private[queries] def applyMerge(spaced: org.apache.spark.sql.Column,
+      l: String, r: String): org.apache.spark.sql.Column = {
+    val pat = lit(s" $l $r ")
+    val rep = lit(s" $l$r ")
+    val padded = concat(lit(" "), spaced, lit(" "))
+    btrim(call_function("replace",
+      call_function("replace", padded, pat, rep), pat, rep))
+  }
+
+  /** The 3-step BPE training loop: pair frequencies are an exact-integer
+    * aggregate over vocab entries weighted by count, the argmax merge
+    * rule is O(merges) driver state. Memoized per (session, dir) so the
+    * encoder applies the trained rule without re-running the loop —
+    * exactly how a trained tokenizer is reused downstream.
+    */
+  private val mergeCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), Seq[(Int, String, String, String, Long)]]()
+
+  private[queries] def trainMerges(s: SparkSession, dir: String)
+      : Seq[(Int, String, String, String, Long)] = {
+    mergeCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    mergeCache.computeIfAbsent((s, dir), { _ =>
+      var cur = bpeVocab(s, dir)
+      val merges =
+        scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+      for (step <- 1 to 3) {
+        val withToks = cur.withColumn("toks", split(col("spaced"), " "))
+          .withColumn("la", slice(col("toks"), lit(1), size(col("toks")) - 1))
+          .withColumn("ra", slice(col("toks"), lit(2), size(col("toks")) - 1))
+        val best = withToks
+          .select(col("cnt"), explode(arrays_zip(col("la"), col("ra"))).as("p"))
+          .groupBy(col("p.la").as("l"), col("p.ra").as("r"))
+          .agg(sum(col("cnt")).as("freq"))
+          .orderBy(col("freq").desc, col("l").asc, col("r").asc)
+          .limit(1).head()
+        val (l, r, f) = (best.getString(0), best.getString(1), best.getLong(2))
+        merges += ((step, l, r, l + r, f))
+        cur = cur.withColumn("spaced", applyMerge(col("spaced"), l, r))
+      }
+      merges.toSeq
+    })
+  }
 
   /** Exact mean-gradient: per-row contribution rounded to 8 digits,
     * summed as DECIMAL (order-independent), divided once in double —

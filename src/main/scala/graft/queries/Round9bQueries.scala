@@ -1,0 +1,334 @@
+package graft.queries
+
+import graft.{Q, QueryModule, T}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Round-9 additions, second batch — the retrieval / representation
+  * corner of the LLM-data-pipeline surface:
+  *
+  *   - n_bm25_topk: lexical retrieval (Okapi BM25, the Lucene/
+  *     Elasticsearch default scorer) — document statistics are
+  *     token-keyed aggregates, the query's term set broadcasts, and the
+  *     final ranking is a TakeOrderedAndProject. The shape that scales:
+  *     nothing materializes per (doc × query-term) beyond the posting
+  *     rows the score actually needs.
+  *   - n_pca_power: top principal component by distributed power
+  *     iteration — the O(d)-driver-state answer to the covariance
+  *     route's d² bound (n_embed_covariance's documented limit): no
+  *     d×d matrix ever exists; each pass is one map-side dot product
+  *     and one dimension-keyed exact aggregate, with the d-vector
+  *     re-entering as literals (parameter-server shape, like
+  *     n_quality_logreg / n_kmeans_lloyd).
+  *   - n_ann_pq: product-quantization ANN — the codebook compresses
+  *     each 64-dim vector to 8 one-byte codes (32× smaller than
+  *     float32), probes precompute per-subspace distance tables, and
+  *     the scan is a hash join on (subspace, code) + an exact-decimal
+  *     sum: no vector arithmetic per candidate. Completes the ANN
+  *     family (brute force / LSH / IVF / PQ).
+  *   - n_bpe_encode: apply the trained BPE merge rule
+  *     (Round9Queries.trainMerges — train once, memoized) to tokenize
+  *     the corpus: the merge rewrites run once per DISTINCT word over
+  *     the vocab relation, and documents just sum token counts through
+  *     a token-keyed join — the corpus text itself is never rewritten.
+  *
+  * Reference scope: fb64/uquery-rs exposes arbitrary SQL over its
+  * corpus tables (src/core/duckdb.rs:87); these queries are the
+  * training-data-pipeline surface the builder prompt adds on top.
+  */
+object Round9bQueries extends QueryModule {
+
+  /** Squared L2 distance between two double-array columns: a
+    * left-to-right fold with double accumulation — the same
+    * deterministic evaluation order DuckDB's list_sum applies, so a
+    * post-fold round(…, 6) is cross-engine stable (the established
+    * cosine-kernel discipline, CosineSpec).
+    */
+  private def l2sq(a: String, b: String): Column =
+    expr(s"""aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)),
+      0D, (acc, v) -> acc + v)""")
+
+  /** Spark's round() semantics on the driver: BigDecimal.valueOf
+    * (shortest decimal representation) + HALF_UP — byte-identical to
+    * what round(col, n) produces in the plan, so driver-side weight
+    * updates re-enter the next pass exactly as the oracle's CTE chain
+    * computes them.
+    */
+  private def round6(x: Double): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  override val queries: Seq[Q] = Seq(
+    Q("n_bm25_topk",
+      "Okapi BM25 lexical retrieval (k1=1.2, b=0.75): doc-frequency and length statistics are token-keyed aggregates, the query's term set (doc 0's distinct words) broadcasts against the posting relation, per-term contributions are fixed-scale decimals summed exactly, and the ranking is a top-10 TakeOrderedAndProject.",
+      (s, dir) => {
+        val docs = T(s, dir, "documents")
+          .select(col("doc_id"),
+            filter(split(col("text"), " "), w => length(w) > 0).as("words"))
+          .withColumn("dl", size(col("words")))
+        // corpus stats: one row, broadcast — avgdl's sum is an exact
+        // int64, divided once in double (identical on both engines)
+        val stats = docs.agg(count(lit(1)).as("n_docs"),
+          (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+        val tf = docs
+          .select(col("doc_id"), col("dl"), explode(col("words")).as("w"))
+          .groupBy(col("doc_id"), col("dl"), col("w"))
+          .agg(count(lit(1)).as("tf"))
+        // document frequency: tf is already distinct per (doc, term)
+        val dfreq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+        val qterms = docs.filter(col("doc_id") === 0)
+          .select(explode(col("words")).as("w")).distinct()
+        tf.join(broadcast(qterms), "w")
+          .join(broadcast(dfreq.join(broadcast(qterms), "w")), "w")
+          .crossJoin(broadcast(stats))
+          .withColumn("idf",
+            round(log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0), 8))
+          .withColumn("contrib", round(
+            col("idf") * (col("tf").cast("double") * 2.2)
+              / (col("tf").cast("double")
+                + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl").cast("double") / col("avgdl"))), 8))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_terms"),
+            round(sum(col("contrib").cast(DecimalType(20, 8))).cast("double"), 6).as("score"))
+          .orderBy(col("score").desc_nulls_last, col("doc_id").asc_nulls_last)
+          .limit(10)
+      },
+      Some("""WITH d AS (SELECT doc_id, list_filter(string_split(text, ' '), w -> len(w) > 0) AS words FROM documents),
+        dl AS (SELECT doc_id, len(words) AS dl FROM d),
+        st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+        tf AS (SELECT t.doc_id, dl.dl, t.w, count(*) AS tf
+               FROM (SELECT doc_id, unnest(words) AS w FROM d) t JOIN dl ON t.doc_id = dl.doc_id
+               GROUP BY t.doc_id, dl.dl, t.w),
+        dfq AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+        q AS (SELECT DISTINCT unnest(words) AS w FROM d WHERE doc_id = 0),
+        sc AS (SELECT tf.doc_id,
+            round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0), 8)
+              * (CAST(tf AS DOUBLE) * 2.2)
+              / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl)) AS raw
+          FROM tf JOIN q ON tf.w = q.w JOIN dfq ON tf.w = dfq.w CROSS JOIN st)
+        SELECT doc_id, count(*) AS n_terms,
+          round(CAST(sum(CAST(round(raw, 8) AS DECIMAL(20,8))) AS DOUBLE), 6) AS score
+        FROM sc GROUP BY doc_id
+        ORDER BY score DESC NULLS LAST, doc_id ASC NULLS LAST LIMIT 10""")),
+
+    Q("n_pca_power",
+      "Top principal component by 2 rounds of distributed power iteration (v0 = e_0): per-row centered dot products and dimension-keyed updates are fixed-scale decimals summed order-independently (exact allreduce); the d-vector lives driver-side and re-enters each pass as literals — O(d) state, no d×d matrix ever materializes (the scale-out answer to n_embed_covariance's d² bound).",
+      (s, dir) => {
+        val e = T(s, dir, "embeddings").select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+        // centering vector: one dimension-keyed aggregate, O(d) driver state
+        val mu = e.select(posexplode(col("v")).as(Seq("dim", "x")))
+          .groupBy(col("dim")).agg(round(avg(col("x")), 6).as("mu"))
+          .orderBy(col("dim")).collect().map(_.getDouble(1))
+        val d = mu.length
+        val muLit = array(mu.map(lit).toSeq: _*)
+        var v = Array.tabulate(d)(i => if (i == 0) 1.0d else 0.0d)
+        var lambda = 0.0d
+        val nRows = e.count()
+        for (_ <- 1 to 2) {
+          val vLit = array(v.map(lit).toSeq: _*)
+          // s[dim] = Σ_rows (xc·v) * xc[dim], every term an exact decimal
+          val sRows = e
+            .withColumn("xc", zip_with(col("v"), muLit, (a, b) => a - b))
+            .withColumn("dot", round(aggregate(
+              zip_with(col("xc"), vLit, (a, b) => a * b),
+              lit(0.0d), (acc, x) => acc + x), 6))
+            .select(col("dot"), posexplode(col("xc")).as(Seq("dim", "x")))
+            .groupBy(col("dim"))
+            .agg(round(sum(round(col("dot") * col("x"), 8).cast(DecimalType(30, 8)))
+              .cast("double"), 6).as("sd"))
+            .orderBy(col("dim")).collect().map(_.getDouble(1))
+          // normalize driver-side with the engines' own arithmetic:
+          // norm² = Σ round(sd², 12) summed exactly (order-free)
+          val norm2 = sRows.map(sd => java.math.BigDecimal.valueOf(sd * sd)
+              .setScale(12, java.math.RoundingMode.HALF_UP))
+            .foldLeft(java.math.BigDecimal.ZERO)(_.add(_))
+          val norm = math.sqrt(norm2.doubleValue())
+          v = sRows.map(sd => round6(sd / norm))
+          lambda = round6(norm / nRows.toDouble)
+        }
+        import s.implicits._
+        val loading = v.zipWithIndex.map { case (x, i) => (i, x) }.toSeq
+          .toDF("dim", "loading")
+        val muDf = mu.zipWithIndex.map { case (x, i) => (i, x) }.toSeq
+          .toDF("dim", "mu")
+        muDf.join(loading, "dim")
+          .withColumn("lambda", lit(lambda))
+          .orderBy(col("dim").asc_nulls_last)
+      },
+      Some(pcaOracle)),
+
+    Q("n_ann_pq",
+      "Product-quantization ANN: 8 subspaces × 16 codewords (codebook = the first 16 vectors' subvectors) compress each vector to 8 codes; probes (vec_id % 50 = 0) precompute per-subspace distance tables, the candidate scan is a hash join on (subspace, code) + exact-decimal ADC sum — no vector math per candidate — then the 20-candidate ADC shortlist reranks exactly by true cosine to a top-5 (the standard ADC+rerank retrieval pipeline).",
+      (s, dir) => {
+        val e = T(s, dir, "embeddings").select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+        val subs = e.select(col("vec_id"),
+          posexplode(expr("transform(sequence(0, 7), s -> slice(v, s * 8 + 1, 8))"))
+            .as(Seq("ss", "sub")))
+        val cb = subs.filter(col("vec_id") < 16)
+          .select(col("ss"), col("vec_id").cast("int").as("code"), col("sub").as("cvec"))
+        // encode: nearest codeword per (vector, subspace); min(struct)
+        // = (dist asc, code asc) argmin, no window needed
+        val codes = subs.join(broadcast(cb), "ss")
+          .withColumn("dist", round(l2sq("sub", "cvec"), 6))
+          .groupBy(col("vec_id"), col("ss"))
+          .agg(min(struct(col("dist"), col("code"))).as("m"))
+          .select(col("vec_id"), col("ss"), col("m.code").as("code"))
+        val probes = e.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("qid"), col("v").as("qv"))
+        // asymmetric distance tables: 8×16 rows per probe, broadcast
+        val ptab = probes
+          .select(col("qid"),
+            posexplode(expr("transform(sequence(0, 7), s -> slice(qv, s * 8 + 1, 8))"))
+              .as(Seq("ss", "qsub")))
+          .join(broadcast(cb), "ss")
+          .select(col("qid"), col("ss"), col("code"),
+            round(l2sq("qsub", "cvec"), 6).as("pd"))
+        val adc = codes.join(broadcast(ptab), Seq("ss", "code"))
+          .filter(col("vec_id") =!= col("qid"))
+          .groupBy(col("qid"), col("vec_id"))
+          .agg(round(sum(col("pd").cast(DecimalType(20, 6))).cast("double"), 6).as("adc"))
+        val wAdc = Window.partitionBy(col("qid"))
+          .orderBy(col("adc").asc_nulls_last, col("vec_id").asc_nulls_last)
+        val shortlist = adc.withColumn("crk", row_number().over(wAdc))
+          .filter(col("crk") <= 20)
+        val wSim = Window.partitionBy(col("qid"))
+          .orderBy(col("true_sim").desc_nulls_last, col("vec_id").asc_nulls_last)
+        e.select(col("vec_id"), col("v").as("cv"))
+          .join(broadcast(shortlist.join(broadcast(probes), "qid")), "vec_id")
+          .withColumn("true_sim", round(SimilarityQueries.cosineHof("qv", "cv"), 6))
+          .withColumn("rk", row_number().over(wSim)).filter(col("rk") <= 5)
+          .select(col("qid"), col("rk"), col("vec_id"), col("adc"), col("true_sim"))
+          .orderBy(col("qid").asc_nulls_last, col("rk").asc_nulls_last)
+      },
+      Some("""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        subs AS (SELECT vec_id, CAST(s AS INT) AS ss, v[s * 8 + 1 : s * 8 + 8] AS sub
+                 FROM e CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS s) t),
+        cb AS (SELECT ss, CAST(vec_id AS INT) AS code, sub AS cvec FROM subs WHERE vec_id < 16),
+        d2 AS (SELECT s.vec_id, s.ss, cb.code,
+            round(list_sum(list_transform(list_zip(s.sub, cb.cvec),
+              p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))), 6) AS dist
+          FROM subs s JOIN cb ON s.ss = cb.ss),
+        codes AS (SELECT vec_id, ss, code FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id, ss ORDER BY dist ASC, code ASC) AS rn FROM d2) t
+          WHERE rn = 1),
+        probes AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 50 = 0),
+        ptab AS (SELECT p.qid, cb.ss, cb.code,
+            round(list_sum(list_transform(list_zip(p.qv[cb.ss * 8 + 1 : cb.ss * 8 + 8], cb.cvec),
+              p2 -> (CAST(p2[1] AS DOUBLE) - CAST(p2[2] AS DOUBLE)) * (CAST(p2[1] AS DOUBLE) - CAST(p2[2] AS DOUBLE)))), 6) AS pd
+          FROM probes p CROSS JOIN cb),
+        adc AS (SELECT t.qid, c.vec_id,
+            round(CAST(sum(CAST(pd AS DECIMAL(20,6))) AS DOUBLE), 6) AS adc
+          FROM codes c JOIN ptab t ON c.ss = t.ss AND c.code = t.code
+          WHERE c.vec_id <> t.qid GROUP BY t.qid, c.vec_id),
+        shortlist AS (SELECT qid, vec_id, adc FROM (
+            SELECT *, row_number() OVER (PARTITION BY qid ORDER BY adc ASC NULLS LAST, vec_id ASC NULLS LAST) AS crk FROM adc) t
+          WHERE crk <= 20),
+        rr AS (SELECT sl.qid, sl.vec_id, sl.adc,
+            round(
+              list_sum(list_transform(list_zip(p.qv, e.v), z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+              / (sqrt(list_sum(list_transform(p.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+               * sqrt(list_sum(list_transform(e.v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS true_sim
+          FROM shortlist sl JOIN probes p ON sl.qid = p.qid JOIN e ON sl.vec_id = e.vec_id)
+        SELECT qid, CAST(rn AS INT) AS rk, vec_id, adc, true_sim FROM (
+            SELECT *, row_number() OVER (PARTITION BY qid ORDER BY true_sim DESC NULLS LAST, vec_id ASC NULLS LAST) AS rn FROM rr) t
+        WHERE rn <= 5
+        ORDER BY qid ASC NULLS LAST, rk ASC NULLS LAST""")),
+
+    Q("n_bpe_encode",
+      "Tokenize the corpus with the trained BPE rule (train once — Round9Queries.trainMerges is memoized — apply many): the 3 merge rewrites run once per DISTINCT word over the retained vocab relation, documents sum token counts through a token-keyed join, and the corpus text itself is never rewritten or shuffled.",
+      (s, dir) => {
+        val merges = Round9Queries.trainMerges(s, dir)
+        val wordToks = merges.foldLeft(Round9Queries.bpeVocab(s, dir)) {
+          case (df, (_, l, r, _, _)) =>
+            df.withColumn("spaced", Round9Queries.applyMerge(col("spaced"), l, r))
+        }.select(col("w"), size(split(col("spaced"), " ")).as("n_toks"))
+        T(s, dir, "documents").filter(col("doc_id") < 100)
+          .select(col("doc_id"), col("n_chars"), explode(split(col("text"), " ")).as("w"))
+          .filter(length(col("w")) > 0)
+          .join(wordToks, "w")
+          .groupBy(col("doc_id"), col("n_chars"))
+          .agg(count(lit(1)).as("n_words"), sum(col("n_toks")).as("n_tokens"))
+          .select(col("doc_id"), col("n_words"), col("n_tokens"),
+            round(col("n_chars").cast("double") / col("n_tokens"), 6).as("chars_per_token"))
+          .orderBy(col("doc_id").asc_nulls_last)
+      },
+      Some(bpeEncodeOracle)))
+
+  /** The oracle unrolls the identical centering + two power-iteration
+    * passes as CTEs — every rounding point and promotion matches the
+    * Spark side, so the driver-side literals re-enter bit-identically.
+    */
+  private lazy val pcaOracle: String = {
+    // per-dim update pass: dots per row (exact decimal per-term sums),
+    // then dimension-keyed exact aggregate
+    def pass(vRel: String, dotRel: String, sRel: String) =
+      s"""$dotRel AS (SELECT x.vec_id,
+            round(CAST(sum(CAST(round(x.xc * $vRel.vv, 10) AS DECIMAL(30,10))) AS DOUBLE), 6) AS dot
+          FROM xcd x JOIN $vRel ON x.dim = $vRel.dim GROUP BY x.vec_id),
+        $sRel AS (SELECT x.dim,
+            round(CAST(sum(CAST(round(d.dot * x.xc, 8) AS DECIMAL(30,8))) AS DOUBLE), 6) AS sd
+          FROM xcd x JOIN $dotRel d ON x.vec_id = d.vec_id GROUP BY x.dim)"""
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      n AS (SELECT count(*) AS n_rows FROM e),
+      exp0 AS (SELECT vec_id, CAST(pos AS INT) AS dim, x FROM (
+          SELECT vec_id, unnest(v) AS x, unnest(generate_series(0, len(v) - 1)) AS pos FROM e) t),
+      mu AS (SELECT dim, round(avg(x), 6) AS mu FROM exp0 GROUP BY dim),
+      xcd AS (SELECT e0.vec_id, e0.dim, e0.x - mu.mu AS xc FROM exp0 e0 JOIN mu ON e0.dim = mu.dim),
+      v0 AS (SELECT CAST(i AS INT) AS dim, CASE WHEN i = 0 THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS vv
+             FROM (SELECT unnest(generate_series(0, 63)) AS i) t),
+      ${pass("v0", "dot1", "s1")},
+      n1 AS (SELECT sqrt(CAST(sum(CAST(round(sd * sd, 12) AS DECIMAL(38,12))) AS DOUBLE)) AS norm FROM s1),
+      v1 AS (SELECT dim, round(sd / norm, 6) AS vv FROM s1 CROSS JOIN n1),
+      ${pass("v1", "dot2", "s2")},
+      n2 AS (SELECT sqrt(CAST(sum(CAST(round(sd * sd, 12) AS DECIMAL(38,12))) AS DOUBLE)) AS norm FROM s2),
+      v2 AS (SELECT dim, round(sd / norm, 6) AS loading FROM s2 CROSS JOIN n2),
+      lam AS (SELECT round(norm / n_rows, 6) AS lambda FROM n2 CROSS JOIN n)
+      SELECT mu.dim, mu.mu, v2.loading, lam.lambda
+      FROM mu JOIN v2 ON mu.dim = v2.dim CROSS JOIN lam
+      ORDER BY mu.dim ASC NULLS LAST"""
+  }
+
+  /** The oracle re-trains the 3 merges over the same vocab chain as
+    * n_bpe_train (with the source word carried through every rewrite)
+    * and applies the resulting per-word token counts to documents —
+    * character-identical merge selection and replace() semantics.
+    */
+  private lazy val bpeEncodeOracle: String = {
+    def rewrite(prev: String, m: String) =
+      s"""(SELECT w, trim(replace(replace(' ' || spaced || ' ',
+           ' ' || $m.l || ' ' || $m.r || ' ', ' ' || $m.l || $m.r || ' '),
+           ' ' || $m.l || ' ' || $m.r || ' ', ' ' || $m.l || $m.r || ' ')) AS spaced, cnt
+         FROM $prev CROSS JOIN $m)"""
+    def pairs(rel: String, p: String) =
+      s"""$p AS (SELECT toks[i] AS l, toks[i + 1] AS r, cnt FROM (
+           SELECT toks, cnt, unnest(generate_series(1, len(toks) - 1)) AS i
+           FROM (SELECT string_split(spaced, ' ') AS toks, cnt FROM $rel) t0) t1)"""
+    def best(p: String, m: String) =
+      s"""$m AS (SELECT l, r FROM $p GROUP BY l, r
+           ORDER BY CAST(sum(cnt) AS BIGINT) DESC, l ASC, r ASC LIMIT 1)"""
+    s"""WITH v0 AS (
+        SELECT w, array_to_string(string_split(w, ''), ' ') AS spaced, cnt
+        FROM (SELECT w, count(*) AS cnt
+              FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+              WHERE len(w) > 0 GROUP BY w)),
+      ${pairs("v0", "p1")}, ${best("p1", "m1")},
+      v1 AS ${rewrite("v0", "m1")},
+      ${pairs("v1", "p2")}, ${best("p2", "m2")},
+      v2 AS ${rewrite("v1", "m2")},
+      ${pairs("v2", "p3")}, ${best("p3", "m3")},
+      v3 AS ${rewrite("v2", "m3")},
+      tokw AS (SELECT w, len(string_split(spaced, ' ')) AS n_toks FROM v3),
+      dw AS (SELECT doc_id, n_chars, unnest(string_split(text, ' ')) AS w
+             FROM documents WHERE doc_id < 100)
+      SELECT d.doc_id, count(*) AS n_words, CAST(sum(t.n_toks) AS BIGINT) AS n_tokens,
+        round(CAST(max(d.n_chars) AS DOUBLE) / sum(t.n_toks), 6) AS chars_per_token
+      FROM dw d JOIN tokw t ON d.w = t.w
+      WHERE len(d.w) > 0
+      GROUP BY d.doc_id
+      ORDER BY d.doc_id ASC NULLS LAST"""
+  }
+}

@@ -44,7 +44,13 @@ object ScaleBench {
     "n_kmeans_lloyd", "n_quality_logreg",
     // round-9 late additions: BPE trains on the vocab aggregate (one
     // corpus scan), entropy is a row-local codegen kernel
-    "n_bpe_train", "n_char_entropy")
+    "n_bpe_train", "n_char_entropy",
+    // round-9 second batch: BM25 statistics are token-keyed aggregates,
+    // BPE encode does its string surgery on the vocab relation (docs
+    // just sum through a token-keyed join), PCA is two O(d)-state
+    // passes over the corpus. n_ann_pq is absent for the same reason
+    // as n_knn_join_topk: its probe set scales WITH the corpus.
+    "n_bm25_topk", "n_bpe_encode", "n_pca_power")
 
   def main(args: Array[String]): Unit = {
     val dirA = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

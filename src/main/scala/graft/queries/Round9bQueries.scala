@@ -33,6 +33,12 @@ import org.apache.spark.sql.types.DecimalType
   *     the corpus: the merge rewrites run once per DISTINCT word over
   *     the vocab relation, and documents just sum token counts through
   *     a token-keyed join — the corpus text itself is never rewritten.
+  *   - n_rand_proj: Johnson–Lindenstrauss ±1 projection with a
+  *     portable md5-derived sign matrix — map-only sketching before
+  *     ANN/clustering, no RNG state to ship.
+  *   - n_bigram_lm: add-1-smoothed bigram LM perplexity — the model is
+  *     a token-keyed aggregate relation joined back to the doc's
+  *     bigram stream; it never collects to the driver.
   *
   * Reference scope: fb64/uquery-rs exposes arbitrary SQL over its
   * corpus tables (src/core/duckdb.rs:87); these queries are the
@@ -256,7 +262,94 @@ object Round9bQueries extends QueryModule {
             round(col("n_chars").cast("double") / col("n_tokens"), 6).as("chars_per_token"))
           .orderBy(col("doc_id").asc_nulls_last)
       },
-      Some(bpeEncodeOracle)))
+      Some(bpeEncodeOracle)),
+
+    Q("n_rand_proj",
+      "Johnson–Lindenstrauss random projection 64→16 dims: the ±1/√k sign matrix derives from portable md5 parity (same matrix on any engine/cluster — no RNG state to ship), lives as k×d literals (a broadcast in cluster terms), and projection is one map-only fused fold per output dim — the cheap whitening/sketching step before ANN or clustering.",
+      (s, dir) => {
+        val k = 16
+        val sign = jlSigns(k, 64)
+        val e = T(s, dir, "embeddings").filter(col("vec_id") < 50)
+          .select(col("vec_id"),
+            expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+        val projected = e.select(col("vec_id") +: (0 until k).map { j =>
+          val srow = array(sign(j).map(lit).toSeq: _*)
+          round(aggregate(zip_with(col("v"), srow, (x, sg) => x * sg),
+            lit(0.0d), (acc, x) => acc + x) / 4.0, 6).as(s"y$j")
+        }: _*)
+        projected.select(col("vec_id"),
+          posexplode(array((0 until k).map(j => col(s"y$j")): _*)).as(Seq("j", "y")))
+          .orderBy(col("vec_id").asc_nulls_last, col("j").asc_nulls_last)
+      },
+      Some("""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings WHERE vec_id < 50),
+        sg AS (SELECT j, i,
+            CASE WHEN strpos('01234567', substr(md5('jl_' || j || '_' || i), 1, 1)) > 0
+                 THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END AS sgn
+          FROM (SELECT unnest(generate_series(0, 15)) AS j) a
+          CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i) b),
+        rows_ AS (SELECT j, list(sgn ORDER BY i) AS srow FROM sg GROUP BY j)
+        SELECT e.vec_id, CAST(r.j AS INT) AS j,
+          round(list_sum(list_transform(list_zip(e.v, r.srow),
+            p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / 4.0, 6) AS y
+        FROM e CROSS JOIN rows_ r
+        ORDER BY e.vec_id ASC NULLS LAST, j ASC NULLS LAST""")),
+
+    Q("n_bigram_lm",
+      "Bigram language-model scoring with add-1 smoothing (the n-gram rung between the unigram LM and BPE): bigram and unigram counts are token-keyed aggregates, the per-doc score joins the doc's bigram stream back to the model relation (co-partitioned on the bigram key — the model never collects), and per-doc mean negative log-prob is an exact fixed-scale decimal sum.",
+      (s, dir) => {
+        val toks = T(s, dir, "documents")
+          .select(col("doc_id"),
+            filter(split(col("text"), " "), w => length(w) > 0).as("ws"))
+        val bigrams = toks
+          .select(col("doc_id"),
+            slice(col("ws"), lit(1), size(col("ws")) - 1).as("la"),
+            slice(col("ws"), lit(2), size(col("ws")) - 1).as("ra"))
+          .select(col("doc_id"), explode(arrays_zip(col("la"), col("ra"))).as("p"))
+          .select(col("doc_id"), col("p.la").as("w1"), col("p.ra").as("w2"))
+        val big = DedupQueries.retain(bigrams)
+        val bc = big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+        val uc = big.groupBy(col("w1")).agg(count(lit(1)).as("cu"))
+        val vocabSize = toks
+          .select(explode(col("ws")).as("w")).distinct().count()
+        big.join(bc, Seq("w1", "w2")).join(uc, Seq("w1"))
+          .withColumn("nll", round(-log(
+            (col("cb") + 1.0) / (col("cu") + lit(vocabSize.toDouble))), 8))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_bigrams"),
+            round(sum(col("nll").cast(DecimalType(20, 8))).cast("double")
+              / count(lit(1)), 6).as("avg_nll"))
+          .filter(col("doc_id") < 100)
+          .orderBy(col("doc_id").asc_nulls_last)
+      },
+      Some("""WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), w -> len(w) > 0) AS ws FROM documents),
+        vs AS (SELECT count(DISTINCT w) AS v FROM (SELECT unnest(ws) AS w FROM t)),
+        big AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2 FROM (
+            SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS i FROM t) x),
+        bc AS (SELECT w1, w2, count(*) AS cb FROM big GROUP BY w1, w2),
+        uc AS (SELECT w1, count(*) AS cu FROM big GROUP BY w1),
+        sc AS (SELECT big.doc_id,
+            round(-ln((cb + 1.0) / (cu + CAST(v AS DOUBLE))), 8) AS nll
+          FROM big JOIN bc ON big.w1 = bc.w1 AND big.w2 = bc.w2
+          JOIN uc ON big.w1 = uc.w1 CROSS JOIN vs)
+        SELECT doc_id, count(*) AS n_bigrams,
+          round(CAST(sum(CAST(nll AS DECIMAL(20,8))) AS DOUBLE) / count(*), 6) AS avg_nll
+        FROM sc WHERE doc_id < 100
+        GROUP BY doc_id ORDER BY doc_id ASC NULLS LAST""")))
+
+  /** The JL sign matrix: entry (j, i) is +1 when the first hex digit of
+    * md5("jl_<j>_<i>") is 0–7, else −1 — a fair coin that any engine
+    * reproduces from the same string (no RNG state, no seed shipping;
+    * the same portability trick as n_shard_assign / n_priority_sample).
+    */
+  private def jlSigns(k: Int, d: Int): Array[Array[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(k, d) { (j, i) =>
+      val hex = md.digest(s"jl_${j}_${i}".getBytes("UTF-8"))
+      // first hex digit = high nibble of byte 0
+      if (((hex(0) >> 4) & 0xf) < 8) 1.0d else -1.0d
+    }
+  }
 
   /** The oracle unrolls the identical centering + two power-iteration
     * passes as CTEs — every rounding point and promotion matches the

@@ -50,7 +50,10 @@ object ScaleBench {
     // just sum through a token-keyed join), PCA is two O(d)-state
     // passes over the corpus. n_ann_pq is absent for the same reason
     // as n_knn_join_topk: its probe set scales WITH the corpus.
-    "n_bm25_topk", "n_bpe_encode", "n_pca_power")
+    "n_bm25_topk", "n_bpe_encode", "n_pca_power",
+    // bigram LM: model aggregates + co-partitioned rejoin, linear in
+    // tokens (n_rand_proj is excluded: fixed 50-vector output slice)
+    "n_bigram_lm")
 
   def main(args: Array[String]): Unit = {
     val dirA = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

@@ -93,6 +93,45 @@ class Round9bSpec extends AnyFunSuite {
     assert(pqMean > corpusMean, s"PQ mean sim $pqMean must beat corpus mean $corpusMean")
   }
 
+  test("n_rand_proj: JL norm preservation within the k=16 tolerance band") {
+    val rows = q("n_rand_proj").collect()
+    assert(rows.length == 50 * 16)
+    // per-vector projected norm² vs original norm²: E[ratio] = 1 for a
+    // ±1/√k projection; at k=16 individual ratios scatter but the mean
+    // over 50 vectors must sit well inside [0.7, 1.3]
+    val projNorm2 = rows.groupBy(_.getLong(0)).map { case (id, rs) =>
+      id -> rs.map(r => r.getDouble(2) * r.getDouble(2)).sum
+    }
+    val orig = T(spark, sf, "embeddings").filter(col("vec_id") < 50)
+      .select(col("vec_id"),
+        aggregate(transform(col("embedding"), x => x.cast("double") * x.cast("double")),
+          lit(0.0d), (a, b) => a + b).as("n2"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val ratios = projNorm2.map { case (id, p) => p / orig(id) }
+    val mean = ratios.sum / ratios.size
+    assert(mean > 0.7 && mean < 1.3, s"mean norm ratio $mean")
+    assert(q("n_rand_proj").collect().toSeq == rows.toSeq, "projection is deterministic")
+  }
+
+  test("n_bigram_lm: smoothed NLL bounds and model sanity") {
+    val rows = q("n_bigram_lm").collect()
+    assert(rows.nonEmpty)
+    val vocab = T(spark, sf, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0).distinct().count()
+    // add-1 smoothing bounds every bigram's probability into
+    // (0, 1]: 0 < nll ≤ ln(cu + V) and avg_nll < ln(V) + ln(2) slack
+    val maxNll = math.log(vocab.toDouble * 2)
+    rows.foreach { r =>
+      assert(r.getLong(1) > 0)
+      val nll = r.getDouble(2)
+      assert(nll > 0.0 && nll < maxNll, s"doc ${r.getLong(0)} avg_nll $nll")
+    }
+    // a trained model must beat the uniform-over-vocab baseline ln(V)
+    val meanNll = rows.map(_.getDouble(2)).sum / rows.length
+    assert(meanNll < math.log(vocab.toDouble), s"mean NLL $meanNll vs uniform ${math.log(vocab.toDouble)}")
+  }
+
   test("n_bpe_encode: words ≤ tokens ≤ chars, and the merges compress") {
     val rows = q("n_bpe_encode").collect()
     assert(rows.nonEmpty)

@@ -156,8 +156,12 @@ object Round9Queries extends QueryModule {
       "BPE tokenizer training, 3 merge steps: pair frequencies aggregate over the word-frequency VOCAB (the classic formulation — the corpus text is scanned once to build it, never again), the argmax merge rule lives driver-side (O(merges) state, the parameter-server shape), and merges apply as anchored string rewrites identical on both engines. Exact integer counts + lexicographic ties = bit-deterministic.",
       (s, dir) => {
         import s.implicits._
-        trainMerges(s, dir)
-          .toDF("step", "l_tok", "r_tok", "merged", "freq")
+        // the train query always runs the real loop (its cost IS the
+        // benchmark claim); the result seeds the cache the encoder
+        // reuses — train once, apply many
+        val merges = trainLoop(s, dir)
+        mergeCache.put((s, dir), merges)
+        merges.toDF("step", "l_tok", "r_tok", "merged", "freq")
           .orderBy(col("step").asc_nulls_last)
       },
       Some("""WITH v0 AS (
@@ -291,26 +295,29 @@ object Round9Queries extends QueryModule {
   private[queries] def trainMerges(s: SparkSession, dir: String)
       : Seq[(Int, String, String, String, Long)] = {
     mergeCache.keySet.removeIf(_._1.sparkContext.isStopped)
-    mergeCache.computeIfAbsent((s, dir), { _ =>
-      var cur = bpeVocab(s, dir)
-      val merges =
-        scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
-      for (step <- 1 to 3) {
-        val withToks = cur.withColumn("toks", split(col("spaced"), " "))
-          .withColumn("la", slice(col("toks"), lit(1), size(col("toks")) - 1))
-          .withColumn("ra", slice(col("toks"), lit(2), size(col("toks")) - 1))
-        val best = withToks
-          .select(col("cnt"), explode(arrays_zip(col("la"), col("ra"))).as("p"))
-          .groupBy(col("p.la").as("l"), col("p.ra").as("r"))
-          .agg(sum(col("cnt")).as("freq"))
-          .orderBy(col("freq").desc, col("l").asc, col("r").asc)
-          .limit(1).head()
-        val (l, r, f) = (best.getString(0), best.getString(1), best.getLong(2))
-        merges += ((step, l, r, l + r, f))
-        cur = cur.withColumn("spaced", applyMerge(col("spaced"), l, r))
-      }
-      merges.toSeq
-    })
+    mergeCache.computeIfAbsent((s, dir), _ => trainLoop(s, dir))
+  }
+
+  private def trainLoop(s: SparkSession, dir: String)
+      : Seq[(Int, String, String, String, Long)] = {
+    var cur = bpeVocab(s, dir)
+    val merges =
+      scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    for (step <- 1 to 3) {
+      val withToks = cur.withColumn("toks", split(col("spaced"), " "))
+        .withColumn("la", slice(col("toks"), lit(1), size(col("toks")) - 1))
+        .withColumn("ra", slice(col("toks"), lit(2), size(col("toks")) - 1))
+      val best = withToks
+        .select(col("cnt"), explode(arrays_zip(col("la"), col("ra"))).as("p"))
+        .groupBy(col("p.la").as("l"), col("p.ra").as("r"))
+        .agg(sum(col("cnt")).as("freq"))
+        .orderBy(col("freq").desc, col("l").asc, col("r").asc)
+        .limit(1).head()
+      val (l, r, f) = (best.getString(0), best.getString(1), best.getLong(2))
+      merges += ((step, l, r, l + r, f))
+      cur = cur.withColumn("spaced", applyMerge(col("spaced"), l, r))
+    }
+    merges.toSeq
   }
 
   /** Exact mean-gradient: per-row contribution rounded to 8 digits,

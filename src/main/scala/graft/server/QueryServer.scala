@@ -113,7 +113,22 @@ final class QueryServer(
     var header = true
     var delim = ","
     var perThread = false
-    for (o <- optStr.split(",").map(_.trim).filter(_.nonEmpty)) {
+    var partitionBy: Seq[String] = Nil
+    // split options on top-level commas only: PARTITION_BY (a, b)
+    // carries commas inside its parens
+    val opts = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var depth = 0; val sb = new StringBuilder
+      for (c <- optStr) c match {
+        case '(' => depth += 1; sb.append(c)
+        case ')' => depth -= 1; sb.append(c)
+        case ',' if depth == 0 => out += sb.toString; sb.clear()
+        case _ => sb.append(c)
+      }
+      if (sb.nonEmpty) out += sb.toString
+      out.toSeq.map(_.trim).filter(_.nonEmpty)
+    }
+    for (o <- opts) {
       val parts = o.split("\\s+", 2)
       val v = if (parts.length > 1) parts(1).trim.stripPrefix("'").stripSuffix("'") else ""
       parts(0).toUpperCase match {
@@ -121,6 +136,14 @@ final class QueryServer(
         case "HEADER" => header = v.isEmpty || v.equalsIgnoreCase("true") || v == "1"
         case "DELIMITER" | "DELIM" | "SEP" => delim = v
         case "PER_THREAD_OUTPUT" => perThread = v.isEmpty || v.equalsIgnoreCase("true")
+        // DuckDB's hive-partitioned directory write — identical
+        // path/col=value/ layout on both engines, and the writer shape
+        // that scales: every partition streams out in parallel
+        case "PARTITION_BY" =>
+          partitionBy = v.stripPrefix("(").stripSuffix(")")
+            .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+          if (partitionBy.isEmpty) return Left(Problem(400, "SQL Error",
+            "PARTITION_BY requires at least one column"))
         case "COMPRESSION" => () // codec choice never changes values
         case other => return Left(Problem(400, "SQL Error",
           s"COPY option not supported: $other")) // loud, never silent
@@ -157,7 +180,8 @@ final class QueryServer(
     try {
       val n = cached.count()
       def write(d: DataFrame, path: String): Unit = {
-        val w = d.write.mode("overwrite")
+        val w0 = d.write.mode("overwrite")
+        val w = if (partitionBy.nonEmpty) w0.partitionBy(partitionBy: _*) else w0
         format match {
           case "parquet" => w.parquet(path)
           // DuckDB's JSON writer emits explicit nulls ({"d":null});
@@ -167,7 +191,9 @@ final class QueryServer(
           case _ => w.option("header", header).option("sep", delim).csv(path)
         }
       }
-      if (perThread) write(cached, outPath)
+      // PARTITION_BY always writes the directory tree (DuckDB's
+      // partitioned COPY is inherently a directory layout)
+      if (perThread || partitionBy.nonEmpty) write(cached, outPath)
       else {
         // DuckDB's default single-file contract: coalesced write into a
         // scratch dir, then move the lone part file to the target

@@ -91,6 +91,27 @@ class CopySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.body().toLowerCase.contains("bogus"))
   }
 
+  test("COPY PARTITION_BY writes DuckDB's hive directory layout and round-trips") {
+    val p = s"$dir/part_out"
+    val r = post(
+      s"COPY (SELECT * FROM $rel) TO '$p' (FORMAT PARQUET, PARTITION_BY (i))")
+    assert(r.statusCode() == 200, r.body())
+    assert(r.body() == """[{"Count":2}]""")
+    // DuckDB writes path/col=value/…; Spark's partitionBy is the same
+    // hive layout — the two engines' outputs are directory-compatible
+    assert(Files.isDirectory(Paths.get(s"$p/i=1")))
+    assert(Files.isDirectory(Paths.get(s"$p/i=2")))
+    val back = spark.read.parquet(p)
+    assert(back.count() == 2)
+    assert(back.select("s").orderBy("s").collect().map(_.getString(0)).toSeq
+      == Seq("a,x", "b"))
+    // multi-column spelling parses through the paren-aware option split
+    val r2 = post(
+      s"COPY (SELECT * FROM $rel) TO '$dir/part2' (PARTITION_BY (i, s), FORMAT PARQUET)")
+    assert(r2.statusCode() == 200, r2.body())
+    assert(spark.read.parquet(s"$dir/part2").count() == 2)
+  }
+
   test("sandboxed server rejects COPY writes outside allowed dirs") {
     val srv2 = new QueryServer(spark, 0, allowedDirs = Seq("/root/testdata"))
     srv2.start()

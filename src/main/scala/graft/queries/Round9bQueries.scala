@@ -302,20 +302,12 @@ object Round9bQueries extends QueryModule {
     Q("n_bigram_lm",
       "Bigram language-model scoring with add-1 smoothing (the n-gram rung between the unigram LM and BPE): bigram and unigram counts are token-keyed aggregates, the per-doc score joins the doc's bigram stream back to the model relation (co-partitioned on the bigram key — the model never collects), and per-doc mean negative log-prob is an exact fixed-scale decimal sum.",
       (s, dir) => {
-        val toks = T(s, dir, "documents")
-          .select(col("doc_id"),
-            filter(split(col("text"), " "), w => length(w) > 0).as("ws"))
-        val bigrams = toks
-          .select(col("doc_id"),
-            slice(col("ws"), lit(1), size(col("ws")) - 1).as("la"),
-            slice(col("ws"), lit(2), size(col("ws")) - 1).as("ra"))
-          .select(col("doc_id"), explode(arrays_zip(col("la"), col("ra"))).as("p"))
-          .select(col("doc_id"), col("p.la").as("w1"), col("p.ra").as("w2"))
-        val big = DedupQueries.retain(bigrams)
+        val big = bigramStream(s, dir)
         val bc = big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
         val uc = big.groupBy(col("w1")).agg(count(lit(1)).as("cu"))
-        val vocabSize = toks
-          .select(explode(col("ws")).as("w")).distinct().count()
+        val vocabSize = T(s, dir, "documents")
+          .select(explode(split(col("text"), " ")).as("w"))
+          .filter(length(col("w")) > 0).distinct().count()
         big.join(bc, Seq("w1", "w2")).join(uc, Seq("w1"))
           .withColumn("nll", round(-log(
             (col("cb") + 1.0) / (col("cu") + lit(vocabSize.toDouble))), 8))
@@ -339,7 +331,117 @@ object Round9bQueries extends QueryModule {
         SELECT doc_id, count(*) AS n_bigrams,
           round(CAST(sum(CAST(nll AS DECIMAL(20,8))) AS DOUBLE) / count(*), 6) AS avg_nll
         FROM sc WHERE doc_id < 100
-        GROUP BY doc_id ORDER BY doc_id ASC NULLS LAST""")))
+        GROUP BY doc_id ORDER BY doc_id ASC NULLS LAST"""))) ++ extraQueries
+
+  private val blocklistRows: Seq[(String, String, Int)] = Seq(
+    ("slow", "perf", 1), ("crash", "stability", 3), ("hash", "crypto", 2),
+    ("big", "size", 1), ("malware", "security", 3))
+
+  private lazy val extraQueries: Seq[Q] = Seq(
+    Q("n_blocklist_filter",
+      "Blocklist gating (the bad-words filter every corpus-cleaning pipeline runs): the term list broadcasts against the token stream, per-doc hit counts / severity sums / hit rates are one partial-combined aggregate, and the gate is hit_rate > 5% or any severity-3 term. At 100 TB the list is always the tiny side — the scan is one pass over tokens.",
+      (s, dir) => {
+        import s.implicits._
+        val bl = blocklistRows.toDF("term", "category", "severity")
+        val toks = T(s, dir, "documents").filter(col("doc_id") < 200)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+          .filter(length(col("w")) > 0)
+        val nTok = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("n_toks"))
+        val hits = toks.join(broadcast(bl), col("w") === col("term"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("hits"),
+            countDistinct(col("term")).as("n_matched_terms"),
+            sum(col("severity").cast("long")).as("sev_sum"),
+            max(col("severity")).as("max_sev"))
+        nTok.join(hits, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_toks"),
+            coalesce(col("hits"), lit(0L)).as("hits"),
+            coalesce(col("n_matched_terms"), lit(0L)).as("n_matched_terms"),
+            coalesce(col("sev_sum"), lit(0L)).as("sev_sum"),
+            round(coalesce(col("hits"), lit(0L)).cast("double") / col("n_toks"), 6).as("hit_rate"),
+            coalesce(col("max_sev"), lit(0)).as("max_sev"))
+          .withColumn("blocked", col("hit_rate") > 0.05 || col("max_sev") >= 3)
+          .drop("max_sev")
+          .orderBy(col("doc_id").asc_nulls_last)
+      },
+      Some(s"""WITH bl AS (SELECT * FROM (VALUES
+          ('slow', 'perf', 1), ('crash', 'stability', 3), ('hash', 'crypto', 2),
+          ('big', 'size', 1), ('malware', 'security', 3)) v(term, category, severity)),
+        t AS (SELECT doc_id, w FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS w
+            FROM documents WHERE doc_id < 200) x WHERE len(w) > 0),
+        nt AS (SELECT doc_id, count(*) AS n_toks FROM t GROUP BY doc_id),
+        h AS (SELECT doc_id, count(*) AS hits,
+            count(DISTINCT term) AS n_matched_terms,
+            CAST(sum(severity) AS BIGINT) AS sev_sum,
+            max(severity) AS max_sev
+          FROM t JOIN bl ON t.w = bl.term GROUP BY doc_id)
+        SELECT nt.doc_id, nt.n_toks,
+          COALESCE(h.hits, 0) AS hits,
+          COALESCE(h.n_matched_terms, 0) AS n_matched_terms,
+          COALESCE(h.sev_sum, 0) AS sev_sum,
+          round(CAST(COALESCE(h.hits, 0) AS DOUBLE) / nt.n_toks, 6) AS hit_rate,
+          (round(CAST(COALESCE(h.hits, 0) AS DOUBLE) / nt.n_toks, 6) > 0.05
+           OR COALESCE(h.max_sev, 0) >= 3) AS blocked
+        FROM nt LEFT JOIN h ON nt.doc_id = h.doc_id
+        ORDER BY nt.doc_id ASC NULLS LAST""")),
+
+    Q("n_lm_heldout",
+      "Held-out (out-of-fold) bigram LM scoring — the decontaminated form of n_bigram_lm: the model trains on even doc_ids only and scores odd ones, so no document is scored by counts it contributed to (the self-memorization bias a real perplexity filter must avoid); unseen bigrams flow through the add-1 floor via LEFT joins, and the OOV-bigram share is reported alongside the NLL.",
+      (s, dir) => {
+        val big = bigramStream(s, dir)
+        val train = big.filter(col("doc_id") % 2 === 0)
+        val bc = train.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+        val uc = train.groupBy(col("w1")).agg(count(lit(1)).as("cu"))
+        val vocabSize = T(s, dir, "documents").filter(col("doc_id") % 2 === 0)
+          .select(explode(split(col("text"), " ")).as("w"))
+          .filter(length(col("w")) > 0).distinct().count()
+        big.filter(col("doc_id") % 2 === 1 && col("doc_id") < 200)
+          .join(bc, Seq("w1", "w2"), "left")
+          .join(uc, Seq("w1"), "left")
+          .withColumn("nll", round(-log(
+            (coalesce(col("cb"), lit(0L)) + 1.0)
+              / (coalesce(col("cu"), lit(0L)) + lit(vocabSize.toDouble))), 8))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_bigrams"),
+            round(sum(col("nll").cast(DecimalType(20, 8))).cast("double")
+              / count(lit(1)), 6).as("avg_nll"),
+            round(sum(when(col("cb").isNull, 1L).otherwise(0L)).cast("double")
+              / count(lit(1)), 6).as("oov_rate"))
+          .orderBy(col("doc_id").asc_nulls_last)
+      },
+      Some("""WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), w -> len(w) > 0) AS ws FROM documents),
+        big AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2 FROM (
+            SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS i FROM t) x),
+        vs AS (SELECT count(DISTINCT w) AS v FROM (
+            SELECT unnest(string_split(text, ' ')) AS w FROM documents WHERE doc_id % 2 = 0) x
+          WHERE len(w) > 0),
+        bc AS (SELECT w1, w2, count(*) AS cb FROM big WHERE doc_id % 2 = 0 GROUP BY w1, w2),
+        uc AS (SELECT w1, count(*) AS cu FROM big WHERE doc_id % 2 = 0 GROUP BY w1),
+        sc AS (SELECT big.doc_id,
+            round(-ln((COALESCE(bc.cb, 0) + 1.0) / (COALESCE(uc.cu, 0) + CAST(v AS DOUBLE))), 8) AS nll,
+            CASE WHEN bc.cb IS NULL THEN 1 ELSE 0 END AS oov
+          FROM big LEFT JOIN bc ON big.w1 = bc.w1 AND big.w2 = bc.w2
+          LEFT JOIN uc ON big.w1 = uc.w1 CROSS JOIN vs
+          WHERE big.doc_id % 2 = 1 AND big.doc_id < 200)
+        SELECT doc_id, count(*) AS n_bigrams,
+          round(CAST(sum(CAST(nll AS DECIMAL(20,8))) AS DOUBLE) / count(*), 6) AS avg_nll,
+          round(CAST(sum(oov) AS DOUBLE) / count(*), 6) AS oov_rate
+        FROM sc GROUP BY doc_id ORDER BY doc_id ASC NULLS LAST""")))
+
+  /** The per-doc bigram stream, shared (via the plan-idempotent retain)
+    * by in-sample and held-out LM scoring.
+    */
+  private def bigramStream(s: SparkSession, dir: String): DataFrame =
+    DedupQueries.retain(
+      T(s, dir, "documents")
+        .select(col("doc_id"),
+          filter(split(col("text"), " "), w => length(w) > 0).as("ws"))
+        .select(col("doc_id"),
+          slice(col("ws"), lit(1), size(col("ws")) - 1).as("la"),
+          slice(col("ws"), lit(2), size(col("ws")) - 1).as("ra"))
+        .select(col("doc_id"), explode(arrays_zip(col("la"), col("ra"))).as("p"))
+        .select(col("doc_id"), col("p.la").as("w1"), col("p.ra").as("w2")))
 
   /** The JL sign matrix: entry (j, i) is +1 when the first hex digit of
     * md5("jl_<j>_<i>") is 0–7, else −1 — a fair coin that any engine

@@ -132,6 +132,41 @@ class Round9bSpec extends AnyFunSuite {
     assert(meanNll < math.log(vocab.toDouble), s"mean NLL $meanNll vs uniform ${math.log(vocab.toDouble)}")
   }
 
+  test("n_blocklist_filter: gate fires exactly on its stated condition") {
+    val rows = q("n_blocklist_filter").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nToks, hits, rate, blocked) =
+        (r.getLong(1), r.getLong(2), r.getDouble(5), r.getBoolean(6))
+      assert(hits <= nToks)
+      assert(r.getLong(3) <= hits, "distinct matched terms cannot exceed hits")
+      if (rate > 0.05) assert(blocked)
+      if (hits == 0) assert(!blocked && r.getLong(4) == 0)
+    }
+    // the corpus vocabulary contains blocklist terms — the gate must
+    // actually partition the sample
+    assert(rows.exists(_.getBoolean(6)) || rows.forall(_.getDouble(5) <= 0.05))
+    assert(rows.exists(_.getLong(2) > 0), "blocklist terms occur in the corpus")
+  }
+
+  test("n_lm_heldout: odd docs only, OOV bounded, out-of-fold NLL ≥ in-sample") {
+    val held = q("n_lm_heldout").collect()
+    assert(held.nonEmpty)
+    held.foreach { r =>
+      assert(r.getLong(0) % 2 == 1, "only held-out (odd) docs are scored")
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+      assert(r.getDouble(2) > 0.0)
+    }
+    // a model that never saw the scored docs (and trained on half the
+    // data) cannot beat the full-corpus in-sample model on average
+    val insample = q("n_bigram_lm").collect()
+      .filter(_.getLong(0) % 2 == 1).map(_.getDouble(2))
+    val heldOdd = held.filter(_.getLong(0) < 100).map(_.getDouble(2))
+    val mh = heldOdd.sum / heldOdd.length
+    val mi = insample.sum / insample.length
+    assert(mh >= mi - 1e-9, s"held-out mean NLL $mh vs in-sample $mi")
+  }
+
   test("n_bpe_encode: words ≤ tokens ≤ chars, and the merges compress") {
     val rows = q("n_bpe_encode").collect()
     assert(rows.nonEmpty)

@@ -331,7 +331,7 @@ object Round9bQueries extends QueryModule {
         SELECT doc_id, count(*) AS n_bigrams,
           round(CAST(sum(CAST(nll AS DECIMAL(20,8))) AS DOUBLE) / count(*), 6) AS avg_nll
         FROM sc WHERE doc_id < 100
-        GROUP BY doc_id ORDER BY doc_id ASC NULLS LAST"""))) ++ extraQueries
+        GROUP BY doc_id ORDER BY doc_id ASC NULLS LAST"""))) ++ extraQueries ++ budgetQueries
 
   private val blocklistRows: Seq[(String, String, Int)] = Seq(
     ("slow", "perf", 1), ("crash", "stability", 3), ("hash", "crypto", 2),
@@ -428,6 +428,80 @@ object Round9bQueries extends QueryModule {
           round(CAST(sum(CAST(nll AS DECIMAL(20,8))) AS DOUBLE) / count(*), 6) AS avg_nll,
           round(CAST(sum(oov) AS DOUBLE) / count(*), 6) AS oov_rate
         FROM sc GROUP BY doc_id ORDER BY doc_id ASC NULLS LAST""")))
+
+  private lazy val budgetQueries: Seq[Q] = Seq(
+    Q("n_token_budget",
+      "Quality-ranked corpus selection under a global token budget (the data-mixing step: fill 20k training tokens with the best docs first): docs order by a rounded uniqueness score, the running token total is a TWO-LEVEL cumsum — per-score-band window + tiny band-offset broadcast, no single-partition global window (bands are monotone in the score, so band-local order composes to the global order) — and a doc survives iff it fits entirely.",
+      (s, dir) => {
+        val budget = 20000L
+        val d = T(s, dir, "documents")
+          .select(col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("n_tokens"),
+            round(size(array_distinct(split(col("text"), " "))).cast("double")
+              / size(split(col("text"), " ")), 6).as("score"))
+          // band is monotone in score: score1 > score2 => band1 <= band2,
+          // so (band asc, score desc, doc_id asc) IS the global order
+          .withColumn("band", lit(40) - floor(col("score") * 40).cast("int"))
+        val wBand = Window.partitionBy(col("band"))
+          .orderBy(col("score").desc, col("doc_id").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val local = d.withColumn("wcum", sum(col("n_tokens")).over(wBand))
+        // band offsets: one row per band; keyed with the constant-pmod
+        // trick so the zero-unkeyed-window invariant holds (seq_packing)
+        val oWin = Window.partitionBy(pmod(col("band"), lit(1)))
+          .orderBy(col("band"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val offsets = d.groupBy(col("band")).agg(sum(col("n_tokens")).as("btot"))
+          .withColumn("boff", sum(col("btot")).over(oWin) - col("btot"))
+          .select(col("band"), col("boff"))
+        local.join(broadcast(offsets), "band")
+          .withColumn("cum", col("boff") + col("wcum"))
+          .filter(col("cum") <= budget)
+          .select(col("doc_id"), col("score"), col("n_tokens"), col("cum"))
+          .orderBy(col("cum").asc_nulls_last, col("doc_id").asc_nulls_last)
+      },
+      Some("""WITH d AS (SELECT doc_id,
+            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+            round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+              / len(string_split(text, ' ')), 6) AS score
+          FROM documents),
+        c AS (SELECT doc_id, score, n_tokens,
+            sum(n_tokens) OVER (ORDER BY score DESC, doc_id ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM d)
+        SELECT doc_id, score, n_tokens, cum FROM c WHERE cum <= 20000
+        ORDER BY cum ASC NULLS LAST, doc_id ASC NULLS LAST""")),
+
+    Q("n_novelty_curve",
+      "Novel-content curve per ingestion batch (is each new crawl still adding anything?): a 3-word chunk is NOVEL in the doc where its digest first appears (min doc_id — one gram-keyed aggregate, digests on the wire, never text); per 50-doc batch, the novel-chunk share is the marginal value of that crawl — the curve a dedup-aware sampler reads before paying for processing.",
+      (s, dir) => {
+        val ch = T(s, dir, "documents")
+          .select(col("doc_id"), posexplode(expr(
+            "transform(sequence(0, cast(ceil(size(split(text, ' ')) / 3.0) as int) - 1), c -> array_join(slice(split(text, ' '), c * 3 + 1, 3), ' '))")))
+          .toDF("doc_id", "cidx", "chunk")
+          .select(col("doc_id"), md5(col("chunk")).as("dg"))
+        val first = ch.groupBy(col("dg")).agg(min(col("doc_id")).as("first_doc"))
+        ch.join(first, "dg")
+          .withColumn("batch", (col("doc_id") / 50).cast("long"))
+          .groupBy(col("batch"))
+          .agg(count(lit(1)).as("n_chunks"),
+            sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"),
+            round(sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+              .cast("double") / count(lit(1)), 6).as("novelty_rate"))
+          .orderBy(col("batch").asc_nulls_last)
+      },
+      Some("""WITH ch AS (SELECT doc_id,
+            md5(array_to_string(ws[c * 3 + 1 : c * 3 + 3], ' ')) AS dg
+          FROM (SELECT doc_id, string_split(text, ' ') AS ws,
+                  unnest(generate_series(0, CAST(ceil(len(string_split(text, ' ')) / 3.0) AS INT) - 1)) AS c
+                FROM documents) t),
+        f AS (SELECT dg, min(doc_id) AS first_doc FROM ch GROUP BY dg)
+        SELECT CAST(ch.doc_id // 50 AS BIGINT) AS batch,
+          count(*) AS n_chunks,
+          CAST(sum(CASE WHEN f.first_doc = ch.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+          round(CAST(sum(CASE WHEN f.first_doc = ch.doc_id THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS novelty_rate
+        FROM ch JOIN f ON ch.dg = f.dg
+        GROUP BY 1 ORDER BY batch ASC NULLS LAST""")))
 
   /** The per-doc bigram stream, shared (via the plan-idempotent retain)
     * by in-sample and held-out LM scoring.

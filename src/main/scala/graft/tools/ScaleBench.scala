@@ -53,7 +53,11 @@ object ScaleBench {
     "n_bm25_topk", "n_bpe_encode", "n_pca_power",
     // bigram LM: model aggregates + co-partitioned rejoin, linear in
     // tokens (n_rand_proj is excluded: fixed 50-vector output slice)
-    "n_bigram_lm")
+    "n_bigram_lm",
+    // held-out LM doubles the join fan; novelty is a gram-keyed
+    // min-aggregate + rejoin; token budget is the two-level cumsum
+    // (blocklist is excluded: fixed doc_id<200 output slice)
+    "n_lm_heldout", "n_novelty_curve", "n_token_budget")
 
   def main(args: Array[String]): Unit = {
     val dirA = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

@@ -167,6 +167,42 @@ class Round9bSpec extends AnyFunSuite {
     assert(mh >= mi - 1e-9, s"held-out mean NLL $mh vs in-sample $mi")
   }
 
+  test("n_token_budget: monotone fill, budget respected, best-first order") {
+    val rows = q("n_token_budget").collect()
+    assert(rows.nonEmpty)
+    val cums = rows.map(_.getLong(3)).toSeq
+    assert(cums == cums.sorted && cums.distinct == cums, "running total strictly increases")
+    assert(cums.last <= 20000L)
+    val scores = rows.map(_.getDouble(1)).toSeq
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b }, "best docs fill first")
+    // the running total is exactly the sum of selected token counts
+    assert(cums.last == rows.map(_.getLong(2)).sum)
+  }
+
+  test("n_novelty_curve: first batch is the most novel, counts reconcile") {
+    val rows = q("n_novelty_curve").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+      val rate = r.getDouble(3)
+      assert(rate >= 0.0 && rate <= 1.0)
+    }
+    val first = rows.find(_.getLong(0) == 0L).get.getDouble(3)
+    val later = rows.filter(_.getLong(0) > 0L).map(_.getDouble(3))
+    assert(later.isEmpty || first >= later.sum / later.size,
+      "novelty decays as the corpus accumulates")
+    // every distinct digest contributes ≥ 1 novel occurrence (its first
+    // doc), and can contribute more only by repeating within that doc —
+    // so novel occurrences bound distinct digests from above, tightly
+    val totalNovel = rows.map(_.getLong(2)).sum
+    val distinctGrams = T(spark, sf, "documents")
+      .select(posexplode(expr(
+        "transform(sequence(0, cast(ceil(size(split(text, ' ')) / 3.0) as int) - 1), c -> array_join(slice(split(text, ' '), c * 3 + 1, 3), ' '))")))
+      .select(md5(col("col")).as("dg")).distinct().count()
+    assert(totalNovel >= distinctGrams)
+    assert(totalNovel <= rows.map(_.getLong(1)).sum)
+  }
+
   test("n_bpe_encode: words ≤ tokens ≤ chars, and the merges compress") {
     val rows = q("n_bpe_encode").collect()
     assert(rows.nonEmpty)

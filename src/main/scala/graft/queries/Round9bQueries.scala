@@ -331,7 +331,8 @@ object Round9bQueries extends QueryModule {
         SELECT doc_id, count(*) AS n_bigrams,
           round(CAST(sum(CAST(nll AS DECIMAL(20,8))) AS DOUBLE) / count(*), 6) AS avg_nll
         FROM sc WHERE doc_id < 100
-        GROUP BY doc_id ORDER BY doc_id ASC NULLS LAST"""))) ++ extraQueries ++ budgetQueries
+        GROUP BY doc_id ORDER BY doc_id ASC NULLS LAST"""))) ++
+    extraQueries ++ budgetQueries ++ fuzzyQueries
 
   private val blocklistRows: Seq[(String, String, Int)] = Seq(
     ("slow", "perf", 1), ("crash", "stability", 3), ("hash", "crypto", 2),
@@ -502,6 +503,40 @@ object Round9bQueries extends QueryModule {
           round(CAST(sum(CASE WHEN f.first_doc = ch.doc_id THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS novelty_rate
         FROM ch JOIN f ON ch.dg = f.dg
         GROUP BY 1 ORDER BY batch ASC NULLS LAST""")))
+
+  private lazy val fuzzyQueries: Seq[Q] = Seq(
+    Q("n_fuzzy_join_edit1",
+      "Fuzzy entity-resolution self-join, exact at edit distance ≤ 1: SymSpell deletion-neighborhood blocking — every name emits itself plus its single-deletion variants as md5 keys, any distance-1 pair (insert/delete/substitute) provably shares a key, candidates are only key-sharing pairs (never all-pairs), and a row-local levenshtein verifies. Keys shuffle as 16-byte digests; a mass-duplicate-name corpus should run exact dedup first (a hot key spawns f² candidates — the documented precondition, like the dedup family's DF caps).",
+      (s, dir) => {
+        val c = T(s, dir, "customer")
+          .select(col("c_custkey").as("id"), col("c_name").as("name"))
+        val vars = c.select(col("id"), col("name"), explode(expr(
+            """array_union(array(name),
+              transform(sequence(1, length(name)),
+                i -> concat(substring(name, 1, i - 1),
+                            substring(name, i + 1, length(name) - i))))""")).as("v"))
+          .select(col("id"), col("name"), md5(col("v")).as("k"))
+          .distinct()
+        val a = vars.select(col("id").as("id_a"), col("name").as("name_a"), col("k"))
+        val b = vars.select(col("id").as("id_b"), col("name").as("name_b"), col("k"))
+        a.join(b, "k").filter(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"), col("name_a"), col("name_b"))
+          .distinct()
+          .filter(levenshtein(col("name_a"), col("name_b")) <= 1)
+          .select(col("id_a"), col("id_b"))
+          .orderBy(col("id_a").asc_nulls_last, col("id_b").asc_nulls_last)
+      },
+      Some("""WITH c AS (SELECT c_custkey AS id, c_name AS name FROM customer),
+        v AS (SELECT DISTINCT id, name, md5(d) AS k FROM (
+            SELECT id, name, unnest(list_distinct(list_append(
+              list_transform(generate_series(1, len(name)),
+                i -> substr(name, 1, i - 1) || substr(name, i + 1, len(name) - i)),
+              name))) AS d
+          FROM c) t),
+        cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.name AS name_a, b.name AS name_b
+          FROM v a JOIN v b ON a.k = b.k AND a.id < b.id)
+        SELECT id_a, id_b FROM cand WHERE levenshtein(name_a, name_b) <= 1
+        ORDER BY id_a ASC NULLS LAST, id_b ASC NULLS LAST""")))
 
   /** The per-doc bigram stream, shared (via the plan-idempotent retain)
     * by in-sample and held-out LM scoring.

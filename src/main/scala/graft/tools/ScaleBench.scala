@@ -57,7 +57,9 @@ object ScaleBench {
     // held-out LM doubles the join fan; novelty is a gram-keyed
     // min-aggregate + rejoin; token budget is the two-level cumsum
     // (blocklist is excluded: fixed doc_id<200 output slice)
-    "n_lm_heldout", "n_novelty_curve", "n_token_budget")
+    "n_lm_heldout", "n_novelty_curve", "n_token_budget",
+    // deletion-key blocking: keys scale with names × length
+    "n_fuzzy_join_edit1")
 
   def main(args: Array[String]): Unit = {
     val dirA = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

@@ -86,6 +86,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming BM25 retrieval: drained query feed equals the batch ranking") {
+    import org.apache.spark.sql.expressions.Window
+    val q = EventStreams.bm25Stream(spark, sf)
+      .toDF("qid", "summary")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("bm25_out")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("bm25_out")
+      .select(col("qid"), posexplode(col("summary")))
+      .select(col("qid"), (col("pos") + 1).cast("int").as("rk"),
+        col("col._2").as("doc_id"), col("col._1").as("score"))
+      .orderBy(col("qid"), col("rk"))
+      .collect().toSeq
+    // batch twin: the identical index, score fold, and tie-break
+    val index = EventStreams.bm25Index(spark, sf)
+    val queries = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("doc_id") % 50 === 1)
+      .select(col("doc_id").as("qid"),
+        array_distinct(filter(split(col("text"), " "), w => length(w) > 0)).as("qterms"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc_nulls_last, col("doc_id").asc_nulls_last)
+    val batch = queries.join(broadcast(index), col("doc_id") =!= col("qid"))
+      .withColumn("score", EventStreams.bm25Score)
+      .filter(col("score") > 0.0)
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 10)
+      .select(col("qid"), col("rk").cast("int").as("rk"), col("doc_id"), col("score"))
+      .orderBy(col("qid"), col("rk"))
+      .collect().toSeq
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming dedup: duplicated stream collapses back to distinct events") {
     // duplicate every event by unioning the source with itself
     val doubled = EventStreams.source(spark, sf).union(EventStreams.source(spark, sf))

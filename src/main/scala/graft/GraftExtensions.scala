@@ -95,6 +95,28 @@ object GraftExtensions {
         require(args.length == 3, s"list_slice expects 3 arguments, got ${args.length}")
         graft.functions.SliceDispatch(args.head, args(1), args(2))
       }),
+    // DuckDB's monthname/dayname return FULL names ("February",
+    // "Saturday"); Spark 4 ships builtins of the same name returning
+    // 3-letter abbreviations — a silent value divergence without these
+    // overrides (round 9, found by the probe8 value pins)
+    ("monthname",
+      info("monthname", "monthname(d) - full English month name (DuckDB semantics)."),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, s"monthname expects 1 argument, got ${args.length}")
+        builtinBuilder("date_format")(Seq(args.head,
+          org.apache.spark.sql.catalyst.expressions.Literal(
+            org.apache.spark.unsafe.types.UTF8String.fromString("MMMM"),
+            org.apache.spark.sql.types.StringType)))
+      }),
+    ("dayname",
+      info("dayname", "dayname(d) - full English day name (DuckDB semantics)."),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, s"dayname expects 1 argument, got ${args.length}")
+        builtinBuilder("date_format")(Seq(args.head,
+          org.apache.spark.sql.catalyst.expressions.Literal(
+            org.apache.spark.unsafe.types.UTF8String.fromString("EEEE"),
+            org.apache.spark.sql.types.StringType)))
+      }),
     ("epoch_ms",
       info("epoch_ms", "epoch_ms(x) - BIGINT ms->TIMESTAMP or TIMESTAMP->BIGINT ms (DuckDB's overloads)."),
       (args: Seq[Expression]) => {
@@ -269,13 +291,14 @@ object GraftExtensions {
   private def quantileDiscBuilder: Seq[Expression] => Expression =
       (args: Seq[Expression]) => {
         require(args.length == 2, s"quantile_disc expects 2 arguments, got ${args.length}")
-        import org.apache.spark.sql.catalyst.expressions.{Cast, Multiply}
+        import org.apache.spark.sql.catalyst.expressions.{Cast, CreateArray, Multiply}
         // sort_array, not array_sort: the higher-order builder asserts
         // resolved args at bind time; NULL placement is moot because
         // collect_list already skips NULLs (as DuckDB's quantile does).
         // The index derives from count(x) — a second, independent
         // aggregate — because re-referencing the collect_list subtree
-        // trips aggregate planning.
+        // trips aggregate planning (fresh semantically-equal instances
+        // are fine: the planner dedups them by canonical form).
         // pre-built aggregate functions must be wrapped explicitly —
         // the analyzer only wraps the ones it resolves itself
         def agg(name: String, in: Expression): Expression =
@@ -284,17 +307,25 @@ object GraftExtensions {
               f.toAggregateExpression()
             case e => e
           }
-        val sorted = builtinBuilder("sort_array")(Seq(
-          agg("collect_list", args.head),
-          org.apache.spark.sql.catalyst.expressions.Literal(true)))
-        val n = agg("count", args.head)
-        val idx = builtinBuilder("greatest")(Seq(
-          org.apache.spark.sql.catalyst.expressions.Literal(1),
-          Cast(builtinBuilder("ceil")(Seq(Multiply(
-            Cast(args(1), org.apache.spark.sql.types.DoubleType),
-            Cast(n, org.apache.spark.sql.types.DoubleType)))),
-            org.apache.spark.sql.types.IntegerType)))
-        builtinBuilder("try_element_at")(Seq(sorted, idx))
+        def scalarQ(p: Expression): Expression = {
+          val sorted = builtinBuilder("sort_array")(Seq(
+            agg("collect_list", args.head),
+            org.apache.spark.sql.catalyst.expressions.Literal(true)))
+          val n = agg("count", args.head)
+          val idx = builtinBuilder("greatest")(Seq(
+            org.apache.spark.sql.catalyst.expressions.Literal(1),
+            Cast(builtinBuilder("ceil")(Seq(Multiply(
+              Cast(p, org.apache.spark.sql.types.DoubleType),
+              Cast(n, org.apache.spark.sql.types.DoubleType)))),
+              org.apache.spark.sql.types.IntegerType)))
+          builtinBuilder("try_element_at")(Seq(sorted, idx))
+        }
+        // DuckDB's list form quantile_disc(x, [p1, p2, …]) → LIST of
+        // the per-p discrete quantiles (round 9; DialectSpec pins)
+        args(1) match {
+          case ca: CreateArray => CreateArray(ca.children.map(scalarQ))
+          case _ => scalarQ(args(1))
+        }
       }
 
   /** Continuation of the registration table (split around the shared
@@ -1155,6 +1186,14 @@ object GraftExtensions {
               builtinBuilder("arrays_overlap")(Seq(args(0), args(1))),
               Literal(false)))))
         }),
+      // DuckDB list_intersect: distinct shared elements. DuckDB's own
+      // output ORDER is unspecified (hash-set iteration — verified
+      // [1,2,3]∩[2,3,4] = [3,2] but [3,2,2,1]∩[2,3] = [2,3]); ours is
+      // Spark's first-list order, so DialectSpec pins through list_sort
+      ("list_intersect",
+        info("list_intersect", "list_intersect(a, b) - distinct elements present in both lists (order unspecified, as DuckDB's)."),
+        (args: Seq[Expression]) => { two("list_intersect", args)
+          builtinBuilder("array_intersect")(args) }),
       ("list_has_all",
         info("list_has_all", "list_has_all(a, b) - true when every non-NULL element of b is in a (empty b -> true)."),
         (args: Seq[Expression]) => { two("list_has_all", args)

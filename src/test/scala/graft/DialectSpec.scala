@@ -911,6 +911,61 @@ class DialectSpec extends AnyFunSuite with BeforeAndAfterAll {
       """[{"g":1},{"g":2},{"g":3}]""")
   }
 
+  test("round-9 probe8 batch returns DuckDB-verified values") {
+    def one(sql: String, expect: String): Unit = {
+      val r = post(sql)
+      assert(r.statusCode() == 200, s"$sql -> ${r.body()}")
+      assert(r.body() == expect, s"$sql -> ${r.body()} (wanted $expect)")
+    }
+    // list set algebra (list_intersect's DuckDB order is unspecified
+    // hash-set order — compare through list_sort, as documented)
+    one("SELECT list_sort(list_intersect([1, 2, 3], [2, 3, 4])) AS i", """[{"i":[2,3]}]""")
+    one("SELECT list_position([10, 20, 30], 20) AS p", """[{"p":2}]""")
+    one("SELECT flatten([[1, 2], [3]]) AS f", """[{"f":[1,2,3]}]""")
+    one("SELECT list_reduce([1, 2, 3], (a, b) -> a + b) AS r", """[{"r":6}]""")
+    // quantile list forms (verified [1,2,3] / [1.75,2.5,3.25])
+    one("SELECT quantile_disc(x, [0.25, 0.5, 0.9]) AS q FROM (VALUES (1), (2), (3)) t(x)",
+      """[{"q":[1,2,3]}]""")
+    one("SELECT quantile_cont(CAST(x AS DOUBLE), [0.25, 0.5, 0.75]) AS q FROM (VALUES (1), (2), (3), (4)) t(x)",
+      """[{"q":[1.75,2.5,3.25]}]""")
+    // math edges
+    one("SELECT even(2.5) AS e, even(-2.5) AS f", """[{"e":4.0,"f":-4.0}]""")
+    one("SELECT log(2, 8) AS l", """[{"l":3.0}]""")
+    one("SELECT atan2(1, 1) AS a", """[{"a":0.7853981633974483}]""")
+    one("SELECT degrees(pi()) AS d, radians(180) AS r",
+      """[{"d":180.0,"r":3.141592653589793}]""")
+    one("SELECT isnan('nan'::DOUBLE) AS a, isinf('inf'::DOUBLE) AS b, isfinite(1.0) AS c",
+      """[{"a":true,"b":true,"c":true}]""")
+    // temporal sugar
+    one("SELECT time_bucket(INTERVAL 15 MINUTE, TIMESTAMP '2024-01-01 10:22:00') AS b",
+      """[{"b":"2024-01-01 10:15:00"}]""")
+    one("SELECT date_diff('month', TIMESTAMP '2024-01-15 00:00:00', TIMESTAMP '2024-03-01 00:00:00') AS d",
+      """[{"d":2}]""")
+    one("SELECT epoch(TIMESTAMP '1970-01-02 00:00:00') AS e", """[{"e":86400.0}]""")
+    one("SELECT epoch_ms(TIMESTAMP '1970-01-01 00:00:01') AS e", """[{"e":1000}]""")
+    one("SELECT make_date(2024, 2, 29) AS d", """[{"d":"2024-02-29"}]""")
+    one("SELECT last_day(DATE '2024-02-10') AS d", """[{"d":"2024-02-29"}]""")
+    one("SELECT monthname(DATE '2024-02-10') AS m, dayname(DATE '2024-02-10') AS d",
+      """[{"m":"February","d":"Saturday"}]""")
+    // DuckDB counts Sunday as 0 (Spark's builtin says 1 — the shim maps)
+    one("SELECT dayofweek(DATE '2024-02-11') AS d, weekofyear(DATE '2024-02-11') AS w",
+      """[{"d":0,"w":6}]""")
+    // string edges
+    one("SELECT ascii('A') AS a, chr(66) AS c", """[{"a":65,"c":"B"}]""")
+    one("SELECT unicode('€') AS u", """[{"u":8364}]""")
+    one("SELECT left('hello', 2) AS l, right('hello', 2) AS r",
+      """[{"l":"he","r":"lo"}]""")
+    one("SELECT translate('abc', 'ab', 'xy') AS t", """[{"t":"xyc"}]""")
+    one("SELECT to_hex(255) AS h", """[{"h":"FF"}]""")
+    one("SELECT split_part('a,b,c', ',', 2) AS p", """[{"p":"b"}]""")
+    one("SELECT strip_accents('café') AS s", """[{"s":"cafe"}]""")
+    one("SELECT hamming('abc', 'abd') AS h", """[{"h":1}]""")
+    // aggregates
+    one("SELECT product(x) AS p FROM (VALUES (2.0), (3.0), (4.0)) t(x)", """[{"p":24.0}]""")
+    one("SELECT count_if(x > 1) AS c FROM (VALUES (1), (2), (3)) t(x)", """[{"c":2}]""")
+    one("SELECT bit_xor(x) AS b FROM (VALUES (1), (3)) t(x)", """[{"b":2}]""")
+  }
+
   test("read_csv named options translate to the Spark reader") {
     val d = java.nio.file.Files.createTempDirectory("graft_readopts")
     val semi = d.resolve("semi.csv")

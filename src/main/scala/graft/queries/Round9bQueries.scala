@@ -332,7 +332,7 @@ object Round9bQueries extends QueryModule {
           round(CAST(sum(CAST(nll AS DECIMAL(20,8))) AS DOUBLE) / count(*), 6) AS avg_nll
         FROM sc WHERE doc_id < 100
         GROUP BY doc_id ORDER BY doc_id ASC NULLS LAST"""))) ++
-    extraQueries ++ budgetQueries ++ fuzzyQueries
+    extraQueries ++ budgetQueries ++ fuzzyQueries ++ shuffleQueries
 
   private val blocklistRows: Seq[(String, String, Int)] = Seq(
     ("slow", "perf", 1), ("crash", "stability", 3), ("hash", "crypto", 2),
@@ -537,6 +537,52 @@ object Round9bQueries extends QueryModule {
           FROM v a JOIN v b ON a.k = b.k AND a.id < b.id)
         SELECT id_a, id_b FROM cand WHERE levenshtein(name_a, name_b) <= 1
         ORDER BY id_a ASC NULLS LAST, id_b ASC NULLS LAST""")))
+
+  private lazy val shuffleQueries: Seq[Q] = Seq(
+    Q("n_epoch_shuffle",
+      "Deterministic multi-epoch data ordering (each training epoch must see the corpus in a DIFFERENT but replayable order): per epoch, shard = portable md5 of (epoch, doc_id) — no RNG state, any engine/cluster/restart reproduces the identical plan — with per-epoch shard balance and the epoch-over-epoch movement count proving the orders decorrelate; assignment is map-only, the only shuffles are the 8-group rollup and the doc-keyed epoch self-join.",
+      (s, dir) => {
+        val d = T(s, dir, "documents")
+          .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_toks"))
+        val a = DedupQueries.retain(d
+          .withColumn("epoch", explode(expr("array(1, 2, 3)")))
+          .withColumn("shard", pmod(expr(
+            "CAST(conv(substr(md5(concat(epoch, '_', doc_id)), 1, 8), 16, 10) AS BIGINT)"),
+            lit(8L))))
+        val balance = a.groupBy(col("epoch"), col("shard"))
+          .agg(count(lit(1)).as("n"), sum(col("n_toks")).as("t"))
+          .groupBy(col("epoch"))
+          .agg(sum(col("n")).as("n_docs"),
+            min(col("n")).as("min_shard_docs"),
+            max(col("n")).as("max_shard_docs"))
+        val moved = a.select(col("doc_id"), col("epoch"), col("shard"))
+          .join(a.select(col("doc_id"), (col("epoch") + 1).as("epoch"),
+            col("shard").as("prev_shard")), Seq("doc_id", "epoch"))
+          .groupBy(col("epoch"))
+          .agg(sum(when(col("shard") =!= col("prev_shard"), 1L).otherwise(0L)).as("n_moved"))
+        balance.join(moved, Seq("epoch"), "left")
+          .select(col("epoch"), col("n_docs"), col("min_shard_docs"),
+            col("max_shard_docs"), col("n_moved"))
+          .orderBy(col("epoch").asc_nulls_last)
+      },
+      Some("""WITH d AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks FROM documents),
+        a AS (SELECT doc_id, n_toks, epoch,
+            list_reduce(list_transform(range(1, 9),
+              i -> CAST(strpos('0123456789abcdef',
+                substr(md5(epoch || '_' || doc_id), i, 1)) - 1 AS BIGINT)),
+              (x, y) -> x * 16 + y) % 8 AS shard
+          FROM d CROSS JOIN (SELECT unnest([1, 2, 3]) AS epoch) e),
+        bal AS (SELECT epoch, CAST(sum(n) AS BIGINT) AS n_docs,
+            CAST(min(n) AS BIGINT) AS min_shard_docs, CAST(max(n) AS BIGINT) AS max_shard_docs
+          FROM (SELECT epoch, shard, count(*) AS n FROM a GROUP BY epoch, shard) t
+          GROUP BY epoch),
+        mv AS (SELECT c.epoch,
+            CAST(sum(CASE WHEN c.shard <> p.shard THEN 1 ELSE 0 END) AS BIGINT) AS n_moved
+          FROM a c JOIN a p ON c.doc_id = p.doc_id AND p.epoch = c.epoch - 1
+          GROUP BY c.epoch)
+        SELECT bal.epoch, bal.n_docs, bal.min_shard_docs, bal.max_shard_docs, mv.n_moved
+        FROM bal LEFT JOIN mv ON bal.epoch = mv.epoch
+        ORDER BY bal.epoch ASC NULLS LAST""")))
 
   /** The per-doc bigram stream, shared (via the plan-idempotent retain)
     * by in-sample and held-out LM scoring.

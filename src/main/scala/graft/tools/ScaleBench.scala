@@ -59,7 +59,9 @@ object ScaleBench {
     // (blocklist is excluded: fixed doc_id<200 output slice)
     "n_lm_heldout", "n_novelty_curve", "n_token_budget",
     // deletion-key blocking: keys scale with names × length
-    "n_fuzzy_join_edit1")
+    "n_fuzzy_join_edit1",
+    // map-only epoch hashing + 8-group rollup + doc-keyed self-join
+    "n_epoch_shuffle")
 
   def main(args: Array[String]): Unit = {
     val dirA = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

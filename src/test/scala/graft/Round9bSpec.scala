@@ -223,6 +223,25 @@ class Round9bSpec extends AnyFunSuite {
     assert(truth.nonEmpty)
   }
 
+  test("n_epoch_shuffle: every epoch is a full permutation, orders decorrelate") {
+    val rows = q("n_epoch_shuffle").collect()
+    assert(rows.length == 3)
+    val total = T(spark, sf, "documents").count()
+    rows.foreach { r =>
+      assert(r.getLong(1) == total, "each epoch covers the whole corpus")
+      assert(r.getLong(2) >= 1 && r.getLong(3) <= total)
+      assert(r.getLong(2) <= r.getLong(3))
+    }
+    // epoch 1 has no predecessor; epochs 2 and 3 must move ~7/8 of docs
+    assert(rows.find(_.getInt(0) == 1).get.isNullAt(4))
+    Seq(2, 3).foreach { e =>
+      val moved = rows.find(_.getInt(0) == e).get.getLong(4)
+      val frac = moved.toDouble / total
+      assert(frac > 0.7 && frac < 0.95, s"epoch $e moved fraction $frac")
+    }
+    assert(q("n_epoch_shuffle").collect().toSeq == rows.toSeq, "fully replayable")
+  }
+
   test("n_bpe_encode: words ≤ tokens ≤ chars, and the merges compress") {
     val rows = q("n_bpe_encode").collect()
     assert(rows.nonEmpty)

@@ -519,11 +519,13 @@ object Round9bQueries extends QueryModule {
           .distinct()
         val a = vars.select(col("id").as("id_a"), col("name").as("name_a"), col("k"))
         val b = vars.select(col("id").as("id_b"), col("name").as("name_b"), col("k"))
+        // verify BEFORE the pair-dedup: the row-local levenshtein is
+        // cheaper than shuffling name payloads into distinct, and the
+        // surviving relation is bare 16-byte id pairs
         a.join(b, "k").filter(col("id_a") < col("id_b"))
-          .select(col("id_a"), col("id_b"), col("name_a"), col("name_b"))
-          .distinct()
           .filter(levenshtein(col("name_a"), col("name_b")) <= 1)
           .select(col("id_a"), col("id_b"))
+          .distinct()
           .orderBy(col("id_a").asc_nulls_last, col("id_b").asc_nulls_last)
       },
       Some("""WITH c AS (SELECT c_custkey AS id, c_name AS name FROM customer),

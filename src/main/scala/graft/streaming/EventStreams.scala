@@ -275,6 +275,58 @@ object EventStreams {
     round(aggregate(col("qterms"), lit(0.0d),
       (acc, t) => acc + coalesce(element_at(col("cmap"), t), lit(0.0d))), 6)
 
+  /** Streaming fuzzy dedup-on-arrival — the unbounded-feed face of
+    * n_fuzzy_join_edit1: entities ARRIVE as a stream and match the
+    * historical corpus through the static SymSpell deletion-key index
+    * (exact at edit distance ≤ 1 — every distance-1 pair shares a
+    * key). Each micro-batch explodes arrivals to their deletion keys,
+    * stream-static joins against the index (per-batch work, keys are
+    * 16-byte digests), verifies with a row-local levenshtein, and the
+    * per-arrival aggregate folds candidates into a match set — state
+    * O(arrivals), independent of corpus size. collect_set, not
+    * count(DISTINCT): streaming aggregation supports the former.
+    * StreamingSpec proves the drained stream equals the batch blocking
+    * restricted to the same arrival subset.
+    */
+  def fuzzyMatchStream(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftSession.tune(spark)
+    val hist = fuzzyDeletionKeys(
+      spark.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey").as("hid"), col("c_name").as("hname")),
+      "hid", "hname")
+    val schema = spark.read.parquet(s"$dir/customer.parquet").schema
+    val arrivals = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "customer.parquet").parquet(dir)
+      .filter(col("c_custkey") % 7 === 0)
+      .select(col("c_custkey").as("aid"), col("c_name").as("aname"))
+    // dedupe = false: a streaming distinct would be a second stateful
+    // operator; duplicate (arrival, hist) candidate rows are collapsed
+    // by the collect_set below instead
+    fuzzyDeletionKeys(arrivals, "aid", "aname", dedupe = false)
+      .join(hist, "k")
+      .filter(col("aid") =!= col("hid") &&
+        levenshtein(col("aname"), col("hname")) <= 1)
+      .groupBy(col("aid"))
+      .agg(size(collect_set(col("hid"))).as("n_matches"),
+        min(col("hid")).as("best_match"))
+  }
+
+  /** The SymSpell depth-1 key relation: each (id, name) row emits the
+    * name plus every single-deletion variant as an md5 key. Shared by
+    * the static index and the arrival stream (and mirrored by the
+    * batch operator n_fuzzy_join_edit1).
+    */
+  def fuzzyDeletionKeys(df: DataFrame, idCol: String, nameCol: String,
+      dedupe: Boolean = true): DataFrame = {
+    val keyed = df.select(col(idCol), col(nameCol), explode(expr(
+        s"""array_union(array($nameCol),
+          transform(sequence(1, length($nameCol)),
+            i -> concat(substring($nameCol, 1, i - 1),
+                        substring($nameCol, i + 1, length($nameCol) - i))))""")).as("v"))
+      .select(col(idCol), col(nameCol), md5(col("v")).as("k"))
+    if (dedupe) keyed.distinct() else keyed
+  }
+
   /** Streaming k-NN retrieval — the unbounded-feed face of
     * n_knn_join_topk: probe vectors ARRIVE as a stream while the
     * corpus stays a static relation. Each micro-batch stream-static

@@ -119,6 +119,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming fuzzy dedup-on-arrival equals the batch blocking on the arrival subset") {
+    val q = EventStreams.fuzzyMatchStream(spark, sf)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("fuzzy_out")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("fuzzy_out")
+      .orderBy(col("aid"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    // batch twin: the same deletion-key blocking + verify, batch-side
+    val hist = EventStreams.fuzzyDeletionKeys(
+      spark.read.parquet(s"$sf/customer.parquet")
+        .select(col("c_custkey").as("hid"), col("c_name").as("hname")),
+      "hid", "hname")
+    val arrivals = EventStreams.fuzzyDeletionKeys(
+      spark.read.parquet(s"$sf/customer.parquet")
+        .filter(col("c_custkey") % 7 === 0)
+        .select(col("c_custkey").as("aid"), col("c_name").as("aname")),
+      "aid", "aname")
+    val batch = arrivals.join(hist, "k")
+      .filter(col("aid") =!= col("hid") &&
+        levenshtein(col("aname"), col("hname")) <= 1)
+      .groupBy(col("aid"))
+      .agg(size(collect_set(col("hid"))).as("n_matches"),
+        min(col("hid")).as("best_match"))
+      .orderBy(col("aid"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+    // every arrival with a distance-1 neighbor in the full batch join
+    // must surface here too (subset consistency with n_fuzzy_join_edit1)
+    val pairs = SparkEntry.queries("n_fuzzy_join_edit1")(spark, sf).collect()
+      .flatMap(r => Seq(r.getLong(0) -> r.getLong(1), r.getLong(1) -> r.getLong(0)))
+    val expectIds = pairs.filter(_._1 % 7 == 0).map(_._1).toSet
+    assert(streamed.map(_._1).toSet == expectIds)
+  }
+
   test("streaming dedup: duplicated stream collapses back to distinct events") {
     // duplicate every event by unioning the source with itself
     val doubled = EventStreams.source(spark, sf).union(EventStreams.source(spark, sf))

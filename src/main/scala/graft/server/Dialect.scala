@@ -2739,7 +2739,7 @@ object Dialect {
         s"${m.group(1)} (SELECT explode(sequence(${m.group(2)})) AS generate_series)"))
 
   private val ReadFn =
-    """(?i)\b(read_parquet|parquet_scan|read_csv_auto|read_csv|read_json_auto|read_json)\s*\(\s*'([^']+)'\s*((?:,[^()]*)?)\)""".r
+    """(?i)\b(read_parquet|parquet_scan|read_csv_auto|read_csv|read_json_auto|read_json|read_text|read_blob)\s*\(\s*'([^']+)'\s*((?:,[^()]*)?)\)""".r
   private val BarePath =
     """(?i)\b(FROM|JOIN)\s+'([^']+\.(?:parquet|csv|tsv|json|jsonl|ndjson))'""".r
 
@@ -2785,6 +2785,25 @@ object Dialect {
               }
             }
             r.csv(path)
+          // DuckDB's file-per-row readers (verified schemas: read_text →
+          // filename, content VARCHAR, size, last_modified; read_blob →
+          // filename, content BLOB, size, last_modified). Spark's
+          // binaryFile source provides the same four facts; the path
+          // column normalizes from the file: URI to DuckDB's plain path
+          case "text" | "blob" =>
+            if (opts.trim.nonEmpty) throw new IllegalArgumentException(
+              s"read_$kind options not supported: $opts")
+            val raw = spark.read.format("binaryFile").load(path)
+            val content =
+              if (kind == "text")
+                org.apache.spark.sql.functions.col("content").cast("string")
+              else org.apache.spark.sql.functions.col("content")
+            raw.select(
+              org.apache.spark.sql.functions.regexp_replace(
+                org.apache.spark.sql.functions.col("path"), "^file:/+", "/").as("filename"),
+              content.as("content"),
+              org.apache.spark.sql.functions.col("length").as("size"),
+              org.apache.spark.sql.functions.col("modificationTime").as("last_modified"))
           case _ =>
             if (opts.trim.nonEmpty) throw new IllegalArgumentException(
               s"read_json options not supported: $opts")
@@ -2801,6 +2820,8 @@ object Dialect {
           s"read_parquet options not supported: $opts")
         s"parquet.`$path`"
       case k if k.startsWith("read_csv") => viewFor("csv", path, opts)
+      case "read_text" => viewFor("text", path, opts)
+      case "read_blob" => viewFor("blob", path, opts)
       case _ => viewFor("json", path, opts)
     }
     val step1 = ReadFn.replaceAllIn(sql, m =>

@@ -966,6 +966,34 @@ class DialectSpec extends AnyFunSuite with BeforeAndAfterAll {
     one("SELECT bit_xor(x) AS b FROM (VALUES (1), (3)) t(x)", """[{"b":2}]""")
   }
 
+  test("read_text / read_blob map files to DuckDB's file-per-row schema") {
+    val d = java.nio.file.Files.createTempDirectory("graft_readtext")
+    java.nio.file.Files.writeString(d.resolve("a.txt"), "hello world")
+    java.nio.file.Files.writeString(d.resolve("b.txt"), "second file!")
+    // read_text: content is VARCHAR; glob expands; DuckDB column order
+    val r1 = post(s"SELECT filename, content, size FROM read_text('$d/*.txt') ORDER BY filename")
+    assert(r1.statusCode() == 200, r1.body())
+    assert(r1.body() ==
+      s"""[{"filename":"$d/a.txt","content":"hello world","size":11},""" +
+      s"""{"filename":"$d/b.txt","content":"second file!","size":12}]""")
+    // read_blob: content is BLOB — verify through decode() and size
+    val r2 = post(s"SELECT filename, decode(content) AS c, size FROM read_blob('$d/a.txt')")
+    assert(r2.statusCode() == 200, r2.body())
+    assert(r2.body() == s"""[{"filename":"$d/a.txt","c":"hello world","size":11}]""")
+    // the sandbox applies to these readers like every other file source
+    val srv2 = new QueryServer(spark, 0, allowedDirs = Seq("/root/testdata"))
+    srv2.start()
+    try {
+      val r3 = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://localhost:${srv2.boundPort}/"))
+          .header("Accept", "application/json")
+          .POST(HttpRequest.BodyPublishers.ofString(
+            s"SELECT * FROM read_text('$d/a.txt')")).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(r3.statusCode() >= 400)
+    } finally srv2.stop()
+  }
+
   test("read_csv named options translate to the Spark reader") {
     val d = java.nio.file.Files.createTempDirectory("graft_readopts")
     val semi = d.resolve("semi.csv")

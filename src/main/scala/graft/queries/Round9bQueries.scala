@@ -332,7 +332,7 @@ object Round9bQueries extends QueryModule {
           round(CAST(sum(CAST(nll AS DECIMAL(20,8))) AS DOUBLE) / count(*), 6) AS avg_nll
         FROM sc WHERE doc_id < 100
         GROUP BY doc_id ORDER BY doc_id ASC NULLS LAST"""))) ++
-    extraQueries ++ budgetQueries ++ fuzzyQueries ++ shuffleQueries
+    extraQueries ++ budgetQueries ++ fuzzyQueries ++ shuffleQueries ++ rerankQueries
 
   private val blocklistRows: Seq[(String, String, Int)] = Seq(
     ("slow", "perf", 1), ("crash", "stability", 3), ("hash", "crypto", 2),
@@ -585,6 +585,159 @@ object Round9bQueries extends QueryModule {
         SELECT bal.epoch, bal.n_docs, bal.min_shard_docs, bal.max_shard_docs, mv.n_moved
         FROM bal LEFT JOIN mv ON bal.epoch = mv.epoch
         ORDER BY bal.epoch ASC NULLS LAST""")))
+
+  private lazy val rerankQueries: Seq[Q] = Seq(
+    Q("n_mmr_rerank",
+      "Maximal-Marginal-Relevance diversified top-5 (λ=0.7) over each probe's cosine top-20 shortlist: the greedy loop unrolls as five relational steps — each step anti-joins the selected set, takes the max pair-similarity to it, and argmaxes the rounded MMR score — so BOTH engines run the identical declarative chain (no driver state at all). Candidate generation is the distributed part; the rerank touches only q×20 rows regardless of corpus size — the standard retrieval/diverse-sampling shape.",
+      (s, dir) => {
+        val lam = 0.7d
+        val e = T(s, dir, "embeddings").select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+        val probes = e.filter(col("vec_id") % 150 === 0)
+          .select(col("vec_id").as("qid"), col("v").as("qv"))
+        val wq = Window.partitionBy(col("qid"))
+          .orderBy(col("simq").desc_nulls_last, col("vec_id").asc_nulls_last)
+        val cand = DedupQueries.retain(
+          e.join(broadcast(probes), col("vec_id") =!= col("qid"))
+            .withColumn("simq", round(SimilarityQueries.cosineHof("qv", "v"), 6))
+            .withColumn("rn", row_number().over(wq)).filter(col("rn") <= 20)
+            .select(col("qid"), col("vec_id"), col("simq"), col("v")))
+        val pairs = DedupQueries.retain(cand.select(col("qid"), col("vec_id").as("ca"), col("v").as("va"))
+          .join(cand.select(col("qid"), col("vec_id").as("cb"), col("v").as("vb")), "qid")
+          .filter(col("ca") =!= col("cb"))
+          .select(col("qid"), col("ca"), col("cb"),
+            round(SimilarityQueries.cosineHof("va", "vb"), 6).as("sab")))
+        val wMmr = Window.partitionBy(col("qid"))
+          .orderBy(col("mmr").desc_nulls_last, col("vec_id").asc_nulls_last)
+        def pick(selected: Option[DataFrame], step: Int): DataFrame = {
+          val base = selected match {
+            case None =>
+              cand.withColumn("mmr", round(col("simq") * lam, 6))
+            case Some(sel) =>
+              val ms = pairs.join(sel.select(col("qid"), col("vec_id").as("cb")),
+                  Seq("qid", "cb"))
+                .groupBy(col("qid"), col("ca")).agg(max(col("sab")).as("ms"))
+                .withColumnRenamed("ca", "vec_id")
+              cand.join(sel.select(col("qid"), col("vec_id")), Seq("qid", "vec_id"),
+                  "left_anti")
+                .join(ms, Seq("qid", "vec_id"))
+                // lit(0.3), never (1.0 - lam): the IEEE value of 1.0-0.7
+                // is 0.30000000000000004 while the oracle spells 0.3
+                .withColumn("mmr",
+                  round(col("simq") * lam - lit(0.3) * col("ms"), 6))
+          }
+          base.withColumn("rn", row_number().over(wMmr)).filter(col("rn") === 1)
+            .select(col("qid"), lit(step).as("step"), col("vec_id"), col("mmr"))
+        }
+        var sel = pick(None, 1)
+        for (i <- 2 to 5) sel = sel.union(pick(Some(sel), i))
+        sel.select(col("qid"), col("step"), col("vec_id"), col("mmr"))
+          .orderBy(col("qid").asc_nulls_last, col("step").asc_nulls_last)
+      },
+      Some(mmrOracle)),
+
+    Q("n_zipf_fit",
+      "Zipf rank-frequency diagnostic: token frequencies (one token-keyed aggregate), ranks over the VOCAB relation (constant-keyed window — the vocab is orders of magnitude smaller than the corpus, the documented place a keyed single-partition window is the design), and the log-log OLS slope/intercept from exact fixed-scale decimal sums — the corpus-health check (natural text ≈ −1; a broken scrape drifts).",
+      (s, dir) => {
+        val freq = T(s, dir, "documents")
+          .select(explode(split(col("text"), " ")).as("w"))
+          .filter(length(col("w")) > 0)
+          .groupBy(col("w")).agg(count(lit(1)).as("f"))
+        val wRank = Window.partitionBy(pmod(length(col("w")), lit(1)))
+          .orderBy(col("f").desc, col("w").asc)
+        val pts = freq.withColumn("r", row_number().over(wRank))
+          .select(round(log(col("r").cast("double")), 8).as("x"),
+            round(log(col("f").cast("double")), 8).as("y"),
+            col("f"), col("r"))
+        def dsum(c: org.apache.spark.sql.Column) =
+          sum(round(c, 8).cast(DecimalType(30, 8))).cast("double")
+        pts.agg(
+          count(lit(1)).as("n_vocab"),
+          dsum(col("x")).as("sx"), dsum(col("y")).as("sy"),
+          dsum(col("x") * col("x")).as("sxx"), dsum(col("x") * col("y")).as("sxy"),
+          sum(col("f")).as("n_tokens"),
+          sum(when(col("r") <= 10, col("f")).otherwise(0L)).as("top10"))
+          .select(col("n_vocab"),
+            round((col("n_vocab") * col("sxy") - col("sx") * col("sy"))
+              / (col("n_vocab") * col("sxx") - col("sx") * col("sx")), 6).as("zipf_slope"),
+            round((col("sy") - (col("n_vocab") * col("sxy") - col("sx") * col("sy"))
+              / (col("n_vocab") * col("sxx") - col("sx") * col("sx")) * col("sx"))
+              / col("n_vocab"), 6).as("intercept"),
+            round(col("top10").cast("double") / col("n_tokens"), 6).as("top10_share"))
+      },
+      Some("""WITH freq AS (SELECT w, count(*) AS f FROM (
+            SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+          WHERE len(w) > 0 GROUP BY w),
+        pts AS (SELECT round(ln(CAST(r AS DOUBLE)), 8) AS x,
+            round(ln(CAST(f AS DOUBLE)), 8) AS y, f, r
+          FROM (SELECT w, f, row_number() OVER (ORDER BY f DESC, w ASC) AS r FROM freq) t),
+        s AS (SELECT count(*) AS n_vocab,
+            CAST(sum(CAST(round(x, 8) AS DECIMAL(30,8))) AS DOUBLE) AS sx,
+            CAST(sum(CAST(round(y, 8) AS DECIMAL(30,8))) AS DOUBLE) AS sy,
+            CAST(sum(CAST(round(x * x, 8) AS DECIMAL(30,8))) AS DOUBLE) AS sxx,
+            CAST(sum(CAST(round(x * y, 8) AS DECIMAL(30,8))) AS DOUBLE) AS sxy,
+            CAST(sum(f) AS BIGINT) AS n_tokens,
+            CAST(sum(CASE WHEN r <= 10 THEN f ELSE 0 END) AS BIGINT) AS top10
+          FROM pts)
+        SELECT n_vocab,
+          round((n_vocab * sxy - sx * sy) / (n_vocab * sxx - sx * sx), 6) AS zipf_slope,
+          round((sy - (n_vocab * sxy - sx * sy) / (n_vocab * sxx - sx * sx) * sx) / n_vocab, 6) AS intercept,
+          round(CAST(top10 AS DOUBLE) / n_tokens, 6) AS top10_share
+        FROM s"""))
+  )
+
+  /** The MMR oracle: the identical five unrolled greedy steps as CTEs —
+    * candidate top-20, pairwise sims, then each step anti-joins the
+    * union of prior picks, maxes the pair sim to it, and argmaxes the
+    * rounded score with the same (mmr DESC, vec_id ASC) tie-break.
+    */
+  private lazy val mmrOracle: String = {
+    val cos = (a: String, b: String) =>
+      s"""round(
+        list_sum(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        / (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+         * sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)"""
+    def step(i: Int, selRel: String) =
+      s"""s$i AS (SELECT qid, $i AS step, vec_id, mmr FROM (
+          SELECT c.qid, c.vec_id,
+            round(c.simq * 0.7 - 0.3 * ms.ms, 6) AS mmr,
+            row_number() OVER (PARTITION BY c.qid
+              ORDER BY round(c.simq * 0.7 - 0.3 * ms.ms, 6) DESC NULLS LAST, c.vec_id ASC) AS rn
+          FROM c JOIN (SELECT p.qid, p.ca, max(p.sab) AS ms
+              FROM p JOIN $selRel sl ON p.qid = sl.qid AND p.cb = sl.vec_id
+              GROUP BY p.qid, p.ca) ms
+            ON c.qid = ms.qid AND c.vec_id = ms.ca
+          WHERE NOT EXISTS (SELECT 1 FROM $selRel sl2
+            WHERE sl2.qid = c.qid AND sl2.vec_id = c.vec_id)) t
+        WHERE rn = 1)"""
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 150 = 0),
+      c AS (SELECT qid, vec_id, simq, v FROM (
+          SELECT q.qid, e.vec_id, ${cos("q.qv", "e.v")} AS simq, e.v,
+            row_number() OVER (PARTITION BY q.qid
+              ORDER BY ${cos("q.qv", "e.v")} DESC NULLS LAST, e.vec_id ASC) AS rn
+          FROM e CROSS JOIN q WHERE e.vec_id <> q.qid) t
+        WHERE rn <= 20),
+      p AS (SELECT a.qid, a.vec_id AS ca, b.vec_id AS cb, ${cos("a.v", "b.v")} AS sab
+        FROM c a JOIN c b ON a.qid = b.qid AND a.vec_id <> b.vec_id),
+      s1 AS (SELECT qid, 1 AS step, vec_id, mmr FROM (
+          SELECT qid, vec_id, round(simq * 0.7, 6) AS mmr,
+            row_number() OVER (PARTITION BY qid
+              ORDER BY round(simq * 0.7, 6) DESC NULLS LAST, vec_id ASC) AS rn
+          FROM c) t WHERE rn = 1),
+      sel1 AS (SELECT qid, vec_id FROM s1),
+      ${step(2, "sel1")},
+      sel2 AS (SELECT qid, vec_id FROM s1 UNION ALL SELECT qid, vec_id FROM s2),
+      ${step(3, "sel2")},
+      sel3 AS (SELECT qid, vec_id FROM sel2 UNION ALL SELECT qid, vec_id FROM s3),
+      ${step(4, "sel3")},
+      sel4 AS (SELECT qid, vec_id FROM sel3 UNION ALL SELECT qid, vec_id FROM s4),
+      ${step(5, "sel4")}
+      SELECT qid, step, vec_id, mmr FROM (
+        SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3
+        UNION ALL SELECT * FROM s4 UNION ALL SELECT * FROM s5) u
+      ORDER BY qid ASC NULLS LAST, step ASC NULLS LAST"""
+  }
 
   /** The per-doc bigram stream, shared (via the plan-idempotent retain)
     * by in-sample and held-out LM scoring.

@@ -242,6 +242,51 @@ class Round9bSpec extends AnyFunSuite {
     assert(q("n_epoch_shuffle").collect().toSeq == rows.toSeq, "fully replayable")
   }
 
+  test("n_mmr_rerank: 5 distinct picks per probe, first pick = cosine argmax, picks are more diverse than plain top-5") {
+    val rows = q("n_mmr_rerank").collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.nonEmpty)
+    byQ.foreach { case (_, rs) =>
+      assert(rs.map(_.getInt(1)).toSeq.sorted == Seq(1, 2, 3, 4, 5))
+      assert(rs.map(_.getLong(2)).distinct.length == 5, "picks never repeat")
+    }
+    // compare mean pairwise cosine among picks vs among the plain top-5
+    val e = T(spark, sf, "embeddings")
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    val vecs = e.collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    def meanPairSim(ids: Seq[Long]): Double = {
+      val ps = for (i <- ids.indices; j <- ids.indices if i < j)
+        yield cos(vecs(ids(i)), vecs(ids(j)))
+      ps.sum / ps.size
+    }
+    val diversities = byQ.map { case (qid, rs) =>
+      val mmrIds = rs.map(_.getLong(2)).toSeq
+      val qv = vecs(qid)
+      val top5 = vecs.toSeq.filter(_._1 != qid)
+        .map { case (id, v) => (id, cos(qv, v)) }
+        .sortBy { case (id, s) => (-s, id) }.take(5).map(_._1)
+      (meanPairSim(mmrIds), meanPairSim(top5), rs.minBy(_.getInt(1)).getLong(2), top5.head)
+    }
+    // step-1 pick is the plain cosine argmax
+    diversities.foreach { case (_, _, firstPick, argmax) => assert(firstPick == argmax) }
+    val mmrMean = diversities.map(_._1).sum / diversities.size
+    val plainMean = diversities.map(_._2).sum / diversities.size
+    assert(mmrMean <= plainMean + 1e-9,
+      s"MMR picks (mean pair sim $mmrMean) must be at least as diverse as plain top-5 ($plainMean)")
+  }
+
+  test("n_zipf_fit: negative slope, bounded shares") {
+    val r = q("n_zipf_fit").head()
+    assert(r.getLong(0) > 10, "vocabulary is non-trivial")
+    assert(r.getDouble(1) < 0.0, "rank-frequency slope must be negative")
+    val share = r.getDouble(3)
+    assert(share > 0.0 && share <= 1.0)
+  }
+
   test("n_bpe_encode: words ≤ tokens ≤ chars, and the merges compress") {
     val rows = q("n_bpe_encode").collect()
     assert(rows.nonEmpty)

@@ -629,8 +629,14 @@ object Round9bQueries extends QueryModule {
           base.withColumn("rn", row_number().over(wMmr)).filter(col("rn") === 1)
             .select(col("qid"), lit(step).as("step"), col("vec_id"), col("mmr"))
         }
-        var sel = pick(None, 1)
-        for (i <- 2 to 5) sel = sel.union(pick(Some(sel), i))
+        // each step's selection is retained before the next references
+        // it: without the materialization the union chain re-executes
+        // every prior pick's subtree exponentially (step 5 would embed
+        // 2⁴ copies of step 1) — the same per-iteration checkpoint
+        // discipline as the connected-components loop
+        var sel = DedupQueries.retain(pick(None, 1))
+        for (i <- 2 to 5)
+          sel = DedupQueries.retain(sel.union(pick(Some(sel), i)))
         sel.select(col("qid"), col("step"), col("vec_id"), col("mmr"))
           .orderBy(col("qid").asc_nulls_last, col("step").asc_nulls_last)
       },

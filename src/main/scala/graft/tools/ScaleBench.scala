@@ -61,7 +61,10 @@ object ScaleBench {
     // deletion-key blocking: keys scale with names × length
     "n_fuzzy_join_edit1",
     // map-only epoch hashing + 8-group rollup + doc-keyed self-join
-    "n_epoch_shuffle")
+    "n_epoch_shuffle",
+    // MMR: probe count scales with the corpus, shortlist stays 20;
+    // Zipf: token aggregate + vocab-bound regression
+    "n_mmr_rerank", "n_zipf_fit")
 
   def main(args: Array[String]): Unit = {
     val dirA = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

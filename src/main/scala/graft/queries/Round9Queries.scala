@@ -222,28 +222,13 @@ object Round9Queries extends QueryModule {
     Q("n_quality_logreg",
       "Quality-classifier training: 3 full-batch GD iterations of logistic regression (predict the char-length quality gate from token-level features) — per-doc gradient contributions as fixed-scale decimals summed order-independently (exact allreduce), O(features) driver state.",
       (s, dir) => {
-        // features from the token stream only (scaled word count +
-        // uniqueness ratio, the n_quality_score spelling); label is the
-        // n_chars >= 300 length gate the quality battery applies
-        val feats = T(s, dir, "documents")
-          .withColumn("words", split(col("text"), " "))
-          .select(
-            when(col("n_chars") >= 300, 1.0d).otherwise(0.0d).as("y"),
-            round(size(col("words")).cast("double") / 100.0d, 6).as("x1"),
-            round(size(array_distinct(col("words"))).cast("double") / size(col("words")), 6).as("x2"))
-        // 3 unrolled GD steps, lr=1. Weights cross the driver as rounded
-        // doubles whose SQL literal round-trips exactly — the oracle's
-        // CTE chain computes the identical sequence.
-        var w = (0.0d, 0.0d, 0.0d)
-        for (_ <- 1 to 3) {
-          val p = s"(1.0/(1.0 + exp(-((${w._1}) + (${w._2}) * x1 + (${w._3}) * x2))))"
-          val row = feats.agg(
-            round(lit(w._1) - meanGrad(expr(s"$p - y")), 8).as("nw0"),
-            round(lit(w._2) - meanGrad(expr(s"($p - y) * x1")), 8).as("nw1"),
-            round(lit(w._3) - meanGrad(expr(s"($p - y) * x2")), 8).as("nw2")).head()
-          w = (row.getDouble(0), row.getDouble(1), row.getDouble(2))
-        }
-        val p = s"(1.0/(1.0 + exp(-((${w._1}) + (${w._2}) * x1 + (${w._3}) * x2))))"
+        val feats = logregFeatures(s, dir)
+        // the train query always runs the real loop (its cost IS the
+        // benchmark claim); the result seeds the cache the calibration
+        // query reuses — train once, evaluate many
+        val w = trainLogregLoop(s, dir)
+        logregCache.put((s, dir), w)
+        val p = logregP(w)
         feats.agg(
           lit(w._1).as("w0"), lit(w._2).as("w1"), lit(w._3).as("w2"),
           count(lit(1)).as("n_docs"),
@@ -252,6 +237,52 @@ object Round9Queries extends QueryModule {
           meanExact(expr(s"-(y * ln($p) + (1.0 - y) * ln(1.0 - $p))"), 8, 6).as("log_loss"))
       },
       Some(logregOracle)))
+
+  /** Features from the token stream only (scaled word count +
+    * uniqueness ratio, the n_quality_score spelling); label is the
+    * n_chars >= 300 length gate the quality battery applies. Shared by
+    * the trainer and the calibration evaluator.
+    */
+  private[queries] def logregFeatures(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents")
+      .withColumn("words", split(col("text"), " "))
+      .select(
+        when(col("n_chars") >= 300, 1.0d).otherwise(0.0d).as("y"),
+        round(size(col("words")).cast("double") / 100.0d, 6).as("x1"),
+        round(size(array_distinct(col("words"))).cast("double") / size(col("words")), 6).as("x2"))
+
+  /** The sigmoid spelling, character-identical on both engines. */
+  private[queries] def logregP(w: (Double, Double, Double)): String =
+    s"(1.0/(1.0 + exp(-((${w._1}) + (${w._2}) * x1 + (${w._3}) * x2))))"
+
+  private val logregCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (Double, Double, Double)]()
+
+  /** 3 unrolled GD steps, lr=1. Weights cross the driver as rounded
+    * doubles whose SQL literal round-trips exactly — the oracle's CTE
+    * chain computes the identical sequence.
+    */
+  private[queries] def trainLogregLoop(s: SparkSession, dir: String)
+      : (Double, Double, Double) = {
+    val feats = logregFeatures(s, dir)
+    var w = (0.0d, 0.0d, 0.0d)
+    for (_ <- 1 to 3) {
+      val p = logregP(w)
+      val row = feats.agg(
+        round(lit(w._1) - meanGrad(expr(s"$p - y")), 8).as("nw0"),
+        round(lit(w._2) - meanGrad(expr(s"($p - y) * x1")), 8).as("nw1"),
+        round(lit(w._3) - meanGrad(expr(s"($p - y) * x2")), 8).as("nw2")).head()
+      w = (row.getDouble(0), row.getDouble(1), row.getDouble(2))
+    }
+    w
+  }
+
+  /** Memoized trained weights: train once, evaluate many. */
+  private[queries] def trainLogreg(s: SparkSession, dir: String)
+      : (Double, Double, Double) = {
+    logregCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    logregCache.computeIfAbsent((s, dir), _ => trainLogregLoop(s, dir))
+  }
 
   /** The word-frequency vocab in char-spaced form, with the source word
     * carried: one corpus scan, retained for reuse by the training loop
@@ -328,11 +359,13 @@ object Round9Queries extends QueryModule {
     sum(round(c, 8).cast(org.apache.spark.sql.types.DecimalType(20, 8)))
       .cast("double") / count(lit(1))
 
-  /** The oracle unrolls the same 3 GD steps as CTEs; every arithmetic
-    * spelling (promotion order, rounding points) matches the Spark side
-    * character-for-character where weights appear.
+  /** The shared oracle chain: features + the same 3 unrolled GD steps
+    * as CTEs; every arithmetic spelling (promotion order, rounding
+    * points) matches the Spark side character-for-character where
+    * weights appear. The training oracle and the calibration oracle
+    * both build on this prefix.
     */
-  private lazy val logregOracle: String = {
+  private[queries] lazy val logregChainSql: String = {
     def p(w0: String, w1: String, w2: String) =
       s"(1.0/(1.0 + exp(-(($w0) + ($w1) * x1 + ($w2) * x2))))"
     def grad(w0: String, w1: String, w2: String, mul: String) =
@@ -343,8 +376,7 @@ object Round9Queries extends QueryModule {
             round(w1 - (${grad("w0", "w1", "w2", " * x1")}), 8) AS w1,
             round(w2 - (${grad("w0", "w1", "w2", " * x2")}), 8) AS w2
           FROM f CROSS JOIN $prev GROUP BY w0, w1, w2)"""
-    val pf = p("w0", "w1", "w2")
-    s"""WITH f AS (SELECT
+    s"""f AS (SELECT
           CASE WHEN n_chars >= 300 THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS y,
           round(CAST(len(words) AS DOUBLE) / 100.0, 6) AS x1,
           round(CAST(len(list_distinct(words)) AS DOUBLE) / len(words), 6) AS x2
@@ -352,7 +384,19 @@ object Round9Queries extends QueryModule {
       w0s AS (SELECT CAST(0 AS DOUBLE) AS w0, CAST(0 AS DOUBLE) AS w1, CAST(0 AS DOUBLE) AS w2),
       ${step("w0s", "w1s")},
       ${step("w1s", "w2s")},
-      ${step("w2s", "w3s")}
+      ${step("w2s", "w3s")}"""
+  }
+
+  /** The sigmoid over the chain's final weights, SQL side. A def, not
+    * a val: the query registry (declared earlier) forces the oracle
+    * strings during object construction, before later vals initialize.
+    */
+  private[queries] def logregPfSql: String =
+    "(1.0/(1.0 + exp(-((w0) + (w1) * x1 + (w2) * x2))))"
+
+  private lazy val logregOracle: String = {
+    val pf = logregPfSql
+    s"""WITH $logregChainSql
       SELECT w0, w1, w2, count(*) AS n_docs,
         round(CAST(sum(CASE WHEN (CASE WHEN $pf >= 0.5 THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END) = y
               THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS accuracy,

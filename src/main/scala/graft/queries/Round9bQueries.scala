@@ -642,6 +642,33 @@ object Round9bQueries extends QueryModule {
       },
       Some(mmrOracle)),
 
+    Q("n_logreg_calibration",
+      "Reliability diagram for the trained quality classifier (the evaluation step a production gate needs before its scores become sampling weights): score every doc with the memoized trained weights (train once — Round9Queries.trainLogreg — evaluate many), bin predicted probabilities into deciles, and compare each bin's mean prediction against its actual positive rate; the per-bin gap is the calibration error term of ECE.",
+      (s, dir) => {
+        val w = Round9Queries.trainLogreg(s, dir)
+        val p = Round9Queries.logregP(w)
+        Round9Queries.logregFeatures(s, dir)
+          .select(col("y"), round(expr(p), 6).as("p"))
+          .withColumn("bin", least(floor(col("p") * 10).cast("int"), lit(9)))
+          .groupBy(col("bin"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("p").cast(DecimalType(20, 6))).cast("double")
+              / count(lit(1)), 6).as("mean_p"),
+            round(sum(col("y")) / count(lit(1)), 6).as("frac_pos"))
+          .withColumn("gap", round(abs(col("mean_p") - col("frac_pos")), 6))
+          .orderBy(col("bin").asc_nulls_last)
+      },
+      Some(s"""WITH ${Round9Queries.logregChainSql},
+        scored AS (SELECT y, round(${Round9Queries.logregPfSql}, 6) AS p
+          FROM f CROSS JOIN w3s),
+        b AS (SELECT LEAST(CAST(floor(p * 10) AS INT), 9) AS bin, p, y FROM scored)
+        SELECT bin, count(*) AS n,
+          round(CAST(sum(CAST(p AS DECIMAL(20,6))) AS DOUBLE) / count(*), 6) AS mean_p,
+          round(sum(y) / count(*), 6) AS frac_pos,
+          round(abs(round(CAST(sum(CAST(p AS DECIMAL(20,6))) AS DOUBLE) / count(*), 6)
+            - round(sum(y) / count(*), 6)), 6) AS gap
+        FROM b GROUP BY bin ORDER BY bin ASC NULLS LAST""")),
+
     Q("n_zipf_fit",
       "Zipf rank-frequency diagnostic: token frequencies (one token-keyed aggregate), ranks over the VOCAB relation (constant-keyed window — the vocab is orders of magnitude smaller than the corpus, the documented place a keyed single-partition window is the design), and the log-log OLS slope/intercept from exact fixed-scale decimal sums — the corpus-health check (natural text ≈ −1; a broken scrape drifts).",
       (s, dir) => {

@@ -279,6 +279,24 @@ class Round9bSpec extends AnyFunSuite {
       s"MMR picks (mean pair sim $mmrMean) must be at least as diverse as plain top-5 ($plainMean)")
   }
 
+  test("n_logreg_calibration: bins cover the corpus, gaps reconcile, ECE bounded") {
+    val rows = q("n_logreg_calibration").collect()
+    assert(rows.nonEmpty)
+    val total = T(spark, sf, "documents").count()
+    assert(rows.map(_.getLong(1)).sum == total, "every doc lands in exactly one bin")
+    rows.foreach { r =>
+      val (bin, n, meanP, fracPos, gap) =
+        (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(bin >= 0 && bin <= 9 && n > 0)
+      assert(meanP >= 0.0 && meanP <= 1.0 && fracPos >= 0.0 && fracPos <= 1.0)
+      assert(math.abs(gap - math.abs(meanP - fracPos)) < 1e-6)
+      // a decile bin's mean prediction must sit inside (or on) its decile
+      assert(meanP >= bin / 10.0 - 1e-6 && (bin == 9 || meanP <= (bin + 1) / 10.0 + 1e-6))
+    }
+    val ece = rows.map(r => r.getLong(1) * r.getDouble(4)).sum / total
+    assert(ece >= 0.0 && ece < 0.5, s"expected-calibration-error $ece")
+  }
+
   test("n_zipf_fit: negative slope, bounded shares") {
     val r = q("n_zipf_fit").head()
     assert(r.getLong(0) > 10, "vocabulary is non-trivial")

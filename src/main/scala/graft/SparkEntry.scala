@@ -19,7 +19,8 @@ object SparkEntry {
     TextQueries, DedupQueries, SimilarityQueries, MultimodalQueries,
     FileFormatQueries, ExtraQueries, ScaleQueries, Round2Queries,
     Round3Queries, PipelineQueries, EventAnalyticsQueries, LayoutQueries,
-    Round6Queries, Round8Queries, Round9Queries, Round9bQueries)
+    Round6Queries, Round8Queries, Round9Queries, Round9bQueries,
+    Round10Queries)
 
   private lazy val allQueries: Seq[Q] = {
     val qs = modules.flatMap(_.queries)

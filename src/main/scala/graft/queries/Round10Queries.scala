@@ -4,6 +4,7 @@ import graft.{Q, QueryModule, T}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Round-10 additions — the sketch/summary corner of the
   * LLM-data-pipeline surface: the bounded-state primitives a 100 TB
@@ -50,6 +51,55 @@ object Round10Queries extends QueryModule {
     */
   private def h52(salt: String, key: Column): Column =
     conv(substring(md5(concat(lit(salt), key)), 1, 13), 16, 10).cast("bigint")
+
+  /** The winnowing fingerprint relation (doc_id, fph): distinct window
+    * minima of 52-bit 4-gram hashes, w=4. Shared with Round10Spec,
+    * which asserts the winnowing guarantee against it.
+    */
+  private[graft] def winnowFingerprints(s: SparkSession, dir: String): DataFrame = {
+    val t = T(s, dir, "documents")
+      .select(col("doc_id"),
+        filter(split(col("text"), " "), w => length(w) > 0).as("w"))
+    val g = t
+      .select(col("doc_id"), col("w"),
+        explode(sequence(lit(1), size(col("w")) - 3)).as("p"))
+      .select(col("doc_id"), col("p"),
+        h52("graft-win:", concat_ws(" ",
+          element_at(col("w"), col("p")),
+          element_at(col("w"), col("p") + 1),
+          element_at(col("w"), col("p") + 2),
+          element_at(col("w"), col("p") + 3))).as("gh"))
+    val winFrame = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+      .rowsBetween(Window.currentRow, 3)
+    val docAll = Window.partitionBy(col("doc_id"))
+    g.withColumn("mh", min(col("gh")).over(winFrame))
+      .withColumn("ng", count(lit(1)).over(docAll))
+      .filter(col("p") <= col("ng") - 3)
+      .select(col("doc_id"), col("mh").as("fph")).distinct()
+  }
+
+  /** The TF-IDF weight relation (doc_id, bg, wt): bigram terms,
+    * sklearn-smoothed IDF, weights rounded to 8 decimals. Shared with
+    * Round10Spec's exact-rerank cross-check.
+    */
+  private[graft] def tfidfWeights(s: SparkSession, dir: String): DataFrame = {
+    val t = T(s, dir, "documents")
+      .select(col("doc_id"),
+        filter(split(col("text"), " "), w => length(w) > 0).as("w"))
+    val tf = t
+      .select(col("doc_id"), col("w"),
+        explode(sequence(lit(1), size(col("w")) - 1)).as("i"))
+      .select(col("doc_id"),
+        concat_ws(" ", element_at(col("w"), col("i")),
+          element_at(col("w"), col("i") + 1)).as("bg"))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("tf"))
+    val dfq = tf.groupBy(col("bg")).agg(count(lit(1)).as("df"))
+    val n = t.agg(count(lit(1)).as("nd"))
+    tf.join(dfq, Seq("bg")).crossJoin(broadcast(n))
+      .select(col("doc_id"), col("bg"),
+        round((log((lit(1.0) + col("nd")) / (lit(1.0) + col("df"))) + 1.0)
+          * col("tf"), 8).as("wt"))
+  }
 
   override val queries: Seq[Q] = Seq(
     Q("n_bloom_filter",
@@ -174,6 +224,140 @@ object Round10Queries extends QueryModule {
               FROM sel CROSS JOIN t)
         SELECT 64 AS k, true_distinct, round(raw, 4) AS est,
           round(abs(raw - true_distinct)/true_distinct, 4) AS rel_err
-        FROM e"""))
+        FROM e""")),
+
+    Q("n_winnowing",
+      "Winnowing document fingerprints (Schleimer-Wilkerson-Aiken, the MOSS algorithm): token 4-grams hash to portable 52-bit values, each w=4 window contributes its minimum hash as a fingerprint (guarantee: any shared run of >= w+k-1 tokens shares a fingerprint), and docs sharing fingerprints become near-dup candidate pairs ranked by overlap coefficient. Scale shape: fingerprint selection is a doc-partitioned window (row-local after one doc-keyed sort), the expected fingerprint density is 2/(w+1) ~ 40% of grams so the pair join runs on a thinned relation of 8-byte hashes — text never shuffles — and candidate generation joins fingerprint buckets, never all-pairs.",
+      (s, dir) => {
+        val fp = winnowFingerprints(s, dir)
+        val nfp = fp.groupBy(col("doc_id")).agg(count(lit(1)).as("nfp"))
+        val a = fp.as("a"); val b = fp.as("b")
+        a.join(b, col("a.fph") === col("b.fph")
+            && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+          .agg(count(lit(1)).as("shared"))
+          .join(nfp.withColumnRenamed("doc_id", "da")
+            .withColumnRenamed("nfp", "nfp_a"), Seq("da"))
+          .join(nfp.withColumnRenamed("doc_id", "db")
+            .withColumnRenamed("nfp", "nfp_b"), Seq("db"))
+          .select(col("da"), col("db"), col("shared"), col("nfp_a"), col("nfp_b"),
+            round(col("shared").cast("double")
+              / least(col("nfp_a"), col("nfp_b")), 6).as("overlap"))
+          .orderBy(col("overlap").desc_nulls_last, col("da").asc_nulls_last,
+            col("db").asc_nulls_last)
+          .limit(20)
+      },
+      Some("""WITH t AS (SELECT doc_id, list_filter(string_split(text,' '), x->len(x)>0) w FROM documents),
+        g AS (SELECT doc_id, i AS p,
+                CAST(concat('0x', substr(md5('graft-win:'|| w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]),1,13)) AS BIGINT) AS gh
+              FROM t, unnest(range(1, len(w)-2)) u(i)),
+        wm AS (SELECT doc_id, p,
+                 min(gh) OVER (PARTITION BY doc_id ORDER BY p ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mh,
+                 count(*) OVER (PARTITION BY doc_id) AS ng
+               FROM g),
+        fp AS (SELECT DISTINCT doc_id, mh AS fph FROM wm WHERE p <= ng - 3),
+        nfp AS (SELECT doc_id, count(*) nfp FROM fp GROUP BY doc_id),
+        pairs AS (SELECT a.doc_id da, b.doc_id db, count(*) shared
+                  FROM fp a JOIN fp b ON a.fph = b.fph AND a.doc_id < b.doc_id
+                  GROUP BY a.doc_id, b.doc_id)
+        SELECT da, db, shared, na.nfp AS nfp_a, nb.nfp AS nfp_b,
+          round(CAST(shared AS DOUBLE) / least(na.nfp, nb.nfp), 6) AS overlap
+        FROM pairs JOIN nfp na ON na.doc_id = da JOIN nfp nb ON nb.doc_id = db
+        ORDER BY overlap DESC NULLS LAST, da ASC NULLS LAST, db ASC NULLS LAST
+        LIMIT 20""")),
+
+    Q("n_sorted_neighborhood",
+      "Sorted-neighborhood blocking (Hernandez-Stolfo merge/purge): normalize each doc to a 40-char sort key, range-sort within 2-char prefix blocks, and compare each record only to its w=2 following neighbors — the classic O(n log n + n*w) alternative to quadratic pair generation; similarity is normalized Levenshtein on the keys, top candidates ranked. Scale shape: the sort is Spark's range-partitioned global sort WITHIN hash-partitioned blocks (a doc-partitioned window, never a single-partition global window), each row emits exactly w candidate pairs via lead(), and the 40-char key — not the document — is what sorts and compares.",
+      (s, dir) => {
+        val k = T(s, dir, "documents")
+          .select(col("doc_id"),
+            substring(lower(regexp_replace(col("text"), "[^a-z0-9 ]", "")), 1, 40)
+              .as("skey"))
+          .withColumn("blk", substring(col("skey"), 1, 2))
+        val w = Window.partitionBy(col("blk"))
+          .orderBy(col("skey").asc_nulls_last, col("doc_id").asc_nulls_last)
+        val o = k
+          .withColumn("n1", lead(col("doc_id"), 1).over(w))
+          .withColumn("k1", lead(col("skey"), 1).over(w))
+          .withColumn("n2", lead(col("doc_id"), 2).over(w))
+          .withColumn("k2", lead(col("skey"), 2).over(w))
+        def sim(kc: Column, oc: Column): Column =
+          round(lit(1.0) - levenshtein(col("skey"), kc).cast("double")
+            / greatest(length(col("skey")), length(kc)), 6)
+        val p1 = o.filter(col("n1").isNotNull)
+          .select(col("doc_id").as("a"), col("n1").as("b"), sim(col("k1"), col("n1")).as("sim"))
+        val p2 = o.filter(col("n2").isNotNull)
+          .select(col("doc_id").as("a"), col("n2").as("b"), sim(col("k2"), col("n2")).as("sim"))
+        p1.unionAll(p2)
+          .orderBy(col("sim").desc_nulls_last, col("a").asc_nulls_last,
+            col("b").asc_nulls_last)
+          .limit(20)
+      },
+      Some("""WITH d AS (SELECT doc_id, substr(lower(regexp_replace(text, '[^a-z0-9 ]', '', 'g')),1,40) skey FROM documents),
+        k AS (SELECT doc_id, skey, substr(skey,1,2) blk FROM d),
+        o AS (SELECT doc_id, skey,
+                lead(doc_id,1) OVER (PARTITION BY blk ORDER BY skey ASC NULLS LAST, doc_id ASC NULLS LAST) n1,
+                lead(skey,1)  OVER (PARTITION BY blk ORDER BY skey ASC NULLS LAST, doc_id ASC NULLS LAST) k1,
+                lead(doc_id,2) OVER (PARTITION BY blk ORDER BY skey ASC NULLS LAST, doc_id ASC NULLS LAST) n2,
+                lead(skey,2)  OVER (PARTITION BY blk ORDER BY skey ASC NULLS LAST, doc_id ASC NULLS LAST) k2
+              FROM k),
+        p AS (SELECT doc_id a, n1 b, round(1.0 - CAST(levenshtein(skey,k1) AS DOUBLE)/greatest(len(skey),len(k1)),6) sim FROM o WHERE n1 IS NOT NULL
+              UNION ALL
+              SELECT doc_id, n2, round(1.0 - CAST(levenshtein(skey,k2) AS DOUBLE)/greatest(len(skey),len(k2)),6) FROM o WHERE n2 IS NOT NULL)
+        SELECT a, b, sim FROM p
+        ORDER BY sim DESC NULLS LAST, a ASC NULLS LAST, b ASC NULLS LAST
+        LIMIT 20""")),
+
+    Q("n_tfidf_cosine",
+      "Two-phase sparse TF-IDF cosine similarity (the lexical complement of the embedding-cosine family): phase 1 generates candidates by joining each doc's top-5 highest-weight bigram terms (static index pruning — the posting list thins from every term to 5 per doc, so the candidate join touches ~6% of the quadratic pair space here and stays bounded as the corpus grows); phase 2 computes the EXACT cosine for candidates only, via a term-keyed join over full weight vectors with fixed-scale decimal dot products. IDF is the sklearn-smoothed ln((1+N)/(1+df))+1; weights and products round to 8 decimals before the exact decimal sum, so both engines rank identical values. Scale shape: everything is token-keyed joins and aggregates over (doc, term, weight) triples — no dense vectors, no all-pairs, and the candidate count is capped by the top-T posting fan-out, not df^2.",
+      (s, dir) => {
+        val w8 = tfidfWeights(s, dir)
+        val nrm = w8.groupBy(col("doc_id"))
+          .agg(round(sqrt(sum(round(col("wt") * col("wt"), 8)
+            .cast(DecimalType(30, 8))).cast("double")), 8).as("nrm"))
+        val topt = w8
+          .withColumn("r", row_number().over(Window.partitionBy(col("doc_id"))
+            .orderBy(col("wt").desc, col("bg").asc)))
+          .filter(col("r") <= 5).select(col("doc_id"), col("bg"))
+        val cand = topt.as("a")
+          .join(topt.as("b"), col("a.bg") === col("b.bg")
+            && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("da"), col("b.doc_id").as("db")).distinct()
+        val dot = cand
+          .join(w8.as("wa"), col("wa.doc_id") === col("da"))
+          .join(w8.as("wb"), col("wb.doc_id") === col("db")
+            && col("wb.bg") === col("wa.bg"))
+          .groupBy(col("da"), col("db"))
+          .agg(sum(round(col("wa.wt") * col("wb.wt"), 8)
+            .cast(DecimalType(30, 8))).as("dot"))
+        dot
+          .join(nrm.withColumnRenamed("doc_id", "da")
+            .withColumnRenamed("nrm", "na"), Seq("da"))
+          .join(nrm.withColumnRenamed("doc_id", "db")
+            .withColumnRenamed("nrm", "nb"), Seq("db"))
+          .select(col("da"), col("db"),
+            round(col("dot").cast("double") / (col("na") * col("nb")), 6)
+              .as("cosine"))
+          .orderBy(col("cosine").desc_nulls_last, col("da").asc_nulls_last,
+            col("db").asc_nulls_last)
+          .limit(10)
+      },
+      Some("""WITH t AS (SELECT doc_id, list_filter(string_split(text,' '), x->len(x)>0) w FROM documents),
+        g AS (SELECT doc_id, w[i]||' '||w[i+1] AS bg FROM t, unnest(range(1, len(w))) u(i)),
+        tf AS (SELECT doc_id, bg, count(*) tf FROM g GROUP BY doc_id, bg),
+        dfq AS (SELECT bg, count(*) df FROM tf GROUP BY bg),
+        n AS (SELECT count(*) nd FROM t),
+        w8 AS (SELECT tf.doc_id, tf.bg, round((ln((1.0+nd)/(1.0+df))+1.0) * tf, 8) AS wt
+               FROM tf JOIN dfq USING (bg) CROSS JOIN n),
+        nrm AS (SELECT doc_id, round(sqrt(CAST(sum(CAST(round(wt*wt,8) AS DECIMAL(30,8))) AS DOUBLE)),8) nrm FROM w8 GROUP BY doc_id),
+        topt AS (SELECT doc_id, bg FROM (SELECT doc_id, bg, row_number() OVER (PARTITION BY doc_id ORDER BY wt DESC, bg) r FROM w8) WHERE r <= 5),
+        cand AS (SELECT DISTINCT a.doc_id da, b.doc_id db FROM topt a JOIN topt b ON a.bg = b.bg AND a.doc_id < b.doc_id),
+        dot AS (SELECT c.da, c.db, sum(CAST(round(wa.wt*wb.wt,8) AS DECIMAL(30,8))) dot
+                FROM cand c JOIN w8 wa ON wa.doc_id = c.da JOIN w8 wb ON wb.doc_id = c.db AND wb.bg = wa.bg
+                GROUP BY c.da, c.db)
+        SELECT da, db, round(CAST(dot AS DOUBLE)/(na.nrm*nb.nrm), 6) AS cosine
+        FROM dot JOIN nrm na ON na.doc_id = da JOIN nrm nb ON nb.doc_id = db
+        ORDER BY cosine DESC NULLS LAST, da ASC NULLS LAST, db ASC NULLS LAST
+        LIMIT 10"""))
   )
 }

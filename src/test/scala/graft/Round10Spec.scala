@@ -99,4 +99,84 @@ class Round10Spec extends AnyFunSuite {
     assert(r.getDouble(3) <= 0.5, s"KMV full-sketch error implausible: $r")
     assert(r.getDouble(2) > 32.0 && r.getDouble(2) < 4 * r.getLong(1))
   }
+
+  test("n_winnowing: the winnowing guarantee — every pair sharing a 7-token run shares a fingerprint") {
+    // w=4 windows over k=4 grams: any shared run of >= w+k-1 = 7 tokens
+    // must contribute at least one common fingerprint (Schleimer et al.
+    // Theorem 1). Build the ground-truth 7-gram-sharing pairs and check
+    // each against the fingerprint pair relation.
+    val docs = T(spark, sf, "documents")
+      .select(col("doc_id"),
+        filter(split(col("text"), " "), w => length(w) > 0).as("w"))
+    val g7 = docs
+      .select(col("doc_id"), col("w"),
+        explode(sequence(lit(1), size(col("w")) - 6)).as("p"))
+      .select(col("doc_id"),
+        concat_ws(" ", (0 until 7).map(k => element_at(col("w"), col("p") + k)): _*)
+          .as("run"))
+      .distinct()
+    val truth = g7.as("x").join(g7.as("y"),
+        col("x.run") === col("y.run") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("da"), col("y.doc_id").as("db")).distinct()
+    val fp = graft.queries.Round10Queries.winnowFingerprints(spark, sf)
+    val fpPairs = fp.as("a").join(fp.as("b"),
+        col("a.fph") === col("b.fph") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db")).distinct()
+    val truthN = truth.count()
+    assert(truthN > 0, "fixture must contain at least one shared 7-token run")
+    val missed = truth.join(fpPairs, Seq("da", "db"), "left_anti").count()
+    assert(missed == 0,
+      s"$missed of $truthN pairs with a shared 7-token run have no shared fingerprint")
+  }
+
+  test("n_winnowing: output shape — overlap in (0,1], shared bounded by min fingerprint count") {
+    val rows = q("n_winnowing").collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.foreach { r =>
+      val (shared, nfpA, nfpB, ov) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))
+      assert(shared >= 1 && shared <= math.min(nfpA, nfpB))
+      assert(ov > 0.0 && ov <= 1.0)
+    }
+    val ovs = rows.map(_.getDouble(5)).toSeq
+    assert(ovs == ovs.sorted.reverse)
+  }
+
+  test("n_sorted_neighborhood: 20 ranked candidates, sims in [0,1], neighbors only") {
+    val rows = q("n_sorted_neighborhood").collect()
+    assert(rows.length == 20)
+    val sims = rows.map(_.getDouble(2)).toSeq
+    assert(sims == sims.sorted.reverse)
+    assert(sims.forall(s0 => s0 >= 0.0 && s0 <= 1.0))
+    rows.foreach(r => assert(r.getLong(0) != r.getLong(1)))
+    // each record emits at most w=2 pairs — every pair distinct
+    val pairs = rows.map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pairs.distinct.size == pairs.size)
+  }
+
+  test("n_tfidf_cosine: candidate phase prunes; exact phase matches a brute-force dot") {
+    val rows = q("n_tfidf_cosine").collect()
+    assert(rows.length == 10)
+    val cos = rows.map(_.getDouble(2)).toSeq
+    assert(cos == cos.sorted.reverse)
+    assert(cos.forall(c => c > 0.0 && c <= 1.0 + 1e-9))
+    assert(cos.head >= 0.9, s"fixture near-dups should score >= 0.9, got ${cos.head}")
+    // exactness of phase 2: recompute the top pair's cosine from FULL
+    // weight vectors, independent of the candidate path
+    val (da, db) = (rows.head.getLong(0), rows.head.getLong(1))
+    val w8 = graft.queries.Round10Queries.tfidfWeights(spark, sf)
+    val va = w8.filter(col("doc_id") === da)
+      .collect().map(r => r.getString(1) -> r.getDouble(2)).toMap
+    val vb = w8.filter(col("doc_id") === db)
+      .collect().map(r => r.getString(1) -> r.getDouble(2)).toMap
+    def norm(v: Map[String, Double]) =
+      math.sqrt(v.values.map(x => BigDecimal(x * x)
+        .setScale(8, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble)
+    val dot = va.keySet.intersect(vb.keySet).toSeq
+      .map(k => BigDecimal(va(k) * vb(k)).setScale(8, BigDecimal.RoundingMode.HALF_UP))
+      .sum.toDouble
+    val expected = dot / (norm(va) * norm(vb))
+    assert(math.abs(cos.head - expected) < 1e-5,
+      s"candidate-phase cosine ${cos.head} != brute-force $expected")
+  }
 }

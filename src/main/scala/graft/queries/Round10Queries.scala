@@ -52,6 +52,14 @@ object Round10Queries extends QueryModule {
   private def h52(salt: String, key: Column): Column =
     conv(substring(md5(concat(lit(salt), key)), 1, 13), 16, 10).cast("bigint")
 
+  /** The n_kmv_distinct key hash — shared with the streaming face
+    * (EventStreams.kmvShards) so stream and batch sketch identical
+    * values.
+    */
+  private[graft] def kmvHash(userId: Column): Column =
+    conv(substring(md5(concat(lit("graft-kmv:"), userId.cast("string"))), 1, 13),
+      16, 10).cast("bigint")
+
   /** The winnowing fingerprint relation (doc_id, fph): distinct window
     * minima of 52-bit 4-gram hashes, w=4. Shared with Round10Spec,
     * which asserts the winnowing guarantee against it.
@@ -197,7 +205,7 @@ object Round10Queries extends QueryModule {
       (s, dir) => {
         val hv = T(s, dir, "events")
           .select(col("user_id")).distinct()
-          .select(h52("graft-kmv:", col("user_id").cast("string")).as("hv"))
+          .select(kmvHash(col("user_id")).as("hv"))
         // KMV rule: a non-full sketch IS the exact distinct count;
         // only a full sketch estimates via the k-th order statistic
         val kth = hv.orderBy(col("hv").asc_nulls_last).limit(64)
@@ -358,6 +366,76 @@ object Round10Queries extends QueryModule {
         SELECT da, db, round(CAST(dot AS DOUBLE)/(na.nrm*nb.nrm), 6) AS cosine
         FROM dot JOIN nrm na ON na.doc_id = da JOIN nrm nb ON nb.doc_id = db
         ORDER BY cosine DESC NULLS LAST, da ASC NULLS LAST, db ASC NULLS LAST
-        LIMIT 10"""))
+        LIMIT 10""")),
+
+    Q("n_embed_quantize_sq",
+      "Int8 scalar quantization of the embedding corpus (the SQ8 storage mode every vector store ships alongside PQ): per-dimension min/max train the quantizer, codes are floor(round(q,6)+0.5) clamped to [0,255] — 4x smaller than float32 — and the output reports per-dimension reconstruction error (mean via the exact-decimal-mean pattern, plus max). The quantization bound err <= scale/2 per value is asserted in Round10Spec. Scale shape: the trainer is one dimension-keyed min/max aggregate (d rows of state), encoding is map-only against the broadcast ranges, and error metrics are dimension-keyed partial-combined aggregates — nothing materializes per (vector x dimension) beyond the scan itself.",
+      (s, dir) => {
+        val e = T(s, dir, "embeddings")
+          .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "vf")))
+          .select(col("vec_id"), col("dim"), col("vf").cast("double").as("v"))
+        val mm = e.groupBy(col("dim"))
+          .agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+        val q = e.join(broadcast(mm), Seq("dim"))
+          .withColumn("scale", (col("mx") - col("mn")) / 255.0)
+          .withColumn("code",
+            least(greatest(floor(round((col("v") - col("mn"))
+              / ((col("mx") - col("mn")) / 255.0), 6) + 0.5).cast("bigint"),
+              lit(0L)), lit(255L)))
+          .withColumn("err", abs(col("v") - (col("mn") + col("code") * col("scale"))))
+        q.groupBy(col("dim"))
+          .agg(
+            round(sum(round(col("err"), 8).cast(DecimalType(30, 8))).cast("double")
+              / count(lit(1)), 6).as("mean_abs_err"),
+            round(max(col("err")), 6).as("max_err"))
+          .orderBy(col("dim").asc_nulls_last)
+      },
+      Some("""WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim, CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
+        mm AS (SELECT dim, min(v) mn, max(v) mx FROM e GROUP BY dim),
+        q AS (SELECT e.vec_id, e.dim, e.v, mn, mx, (mx - mn) / 255.0 AS scale,
+                least(greatest(CAST(floor(round((e.v - mn) / ((mx - mn) / 255.0), 6) + 0.5) AS BIGINT), 0), 255) AS code
+              FROM e JOIN mm USING (dim)),
+        r AS (SELECT dim, abs(v - (mn + code * scale)) AS err FROM q)
+        SELECT dim, round(CAST(sum(CAST(round(err,8) AS DECIMAL(30,8))) AS DOUBLE) / count(*), 6) AS mean_abs_err,
+          round(max(err), 6) AS max_err
+        FROM r GROUP BY dim ORDER BY dim ASC NULLS LAST""")),
+
+    Q("n_fim_split",
+      "Fill-in-the-middle transform (the PSM reordering code models train on): two deterministic cut points per doc from integer md5 hashes mod (n-1) — no RNG state, replayable on any engine/cluster — split tokens into prefix/middle/suffix, and the output carries the span lengths plus the md5 of the reassembled <P>prefix<S>suffix<M>middle sequence (the training-ready form). Scale shape: entirely row-local map work — no shuffle at all beyond the output sort; the digest, not the transformed text, is what leaves the row.",
+      (s, dir) => {
+        val t = T(s, dir, "documents")
+          .select(col("doc_id"),
+            filter(split(col("text"), " "), w => length(w) > 0).as("w"))
+          .withColumn("n", size(col("w")))
+          .filter(col("n") >= 4)
+        val cut = t
+          .withColumn("a", lit(1) + h52("graft-fim-a:", col("doc_id").cast("string"))
+            % (col("n") - 1))
+          .withColumn("b", lit(1) + h52("graft-fim-b:", col("doc_id").cast("string"))
+            % (col("n") - 1))
+          .withColumn("lo", least(col("a"), col("b")))
+          .withColumn("hi", greatest(col("a"), col("b")))
+        cut.select(col("doc_id"), col("n").as("n_tok"), col("lo"), col("hi"),
+            col("lo").as("len_prefix"), (col("hi") - col("lo")).as("len_middle"),
+            (col("n") - col("hi")).as("len_suffix"),
+            md5(concat(lit("<P>"),
+              array_join(slice(col("w"), lit(1), col("lo")), " "),
+              lit("<S>"),
+              array_join(slice(col("w"), col("hi") + 1, col("n") - col("hi")), " "),
+              lit("<M>"),
+              array_join(slice(col("w"), col("lo") + 1, col("hi") - col("lo")), " ")))
+              .as("psm_md5"))
+          .orderBy(col("doc_id").asc_nulls_last)
+      },
+      Some("""WITH t AS (SELECT doc_id, list_filter(string_split(text,' '), x->len(x)>0) w FROM documents),
+        n AS (SELECT doc_id, w, len(w) AS n FROM t WHERE len(w) >= 4),
+        cut AS (SELECT doc_id, w, n,
+           1 + (CAST(concat('0x', substr(md5('graft-fim-a:'||CAST(doc_id AS VARCHAR)),1,13)) AS BIGINT) % (n-1)) AS a,
+           1 + (CAST(concat('0x', substr(md5('graft-fim-b:'||CAST(doc_id AS VARCHAR)),1,13)) AS BIGINT) % (n-1)) AS b
+         FROM n),
+        s AS (SELECT doc_id, n, least(a,b) lo, greatest(a,b) hi, w FROM cut)
+        SELECT doc_id, n AS n_tok, lo, hi, lo AS len_prefix, hi-lo AS len_middle, n-hi AS len_suffix,
+          md5('<P>'||COALESCE(array_to_string(w[1:lo],' '),'')||'<S>'||COALESCE(array_to_string(w[hi+1:n],' '),'')||'<M>'||COALESCE(array_to_string(w[lo+1:hi],' '),'')) AS psm_md5
+        FROM s ORDER BY doc_id ASC NULLS LAST"""))
   )
 }

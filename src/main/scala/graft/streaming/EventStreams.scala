@@ -385,4 +385,28 @@ object EventStreams {
       .dropDuplicatesWithinWatermark("digest")
       .select(col("doc_id"), col("lang"), col("digest"))
   }
+
+  /** Streaming KMV cardinality — the unbounded-feed face of
+    * n_kmv_distinct: events arrive as a stream, each user hashes to the
+    * SAME portable 52-bit value as the batch query
+    * (Round10Queries.kmvHash), and per-shard [[graft.operators.KmvSketch]]
+    * summaries keep the k smallest distinct hashes — state is
+    * shards × k longs however long the feed runs, with NO stateful
+    * dropDuplicates in front (the sketch dedups internally). Summaries
+    * merge by keeping the k smallest of the distinct union, so
+    * flattening shard summaries and re-merging reproduces the batch
+    * sketch — and therefore the batch estimate — exactly
+    * (StreamingSpec proves it).
+    */
+  def kmvShards(spark: SparkSession, dir: String,
+      shards: Int = 8, k: Int = 64): Dataset[(Long, Seq[Long])] = {
+    import spark.implicits._
+    graft.GraftSession.tune(spark)
+    val kmv = graft.operators.KmvSketch(k)
+    source(spark, dir)
+      .select(graft.queries.Round10Queries.kmvHash(col("user_id")).as("hv"))
+      .as[Long]
+      .groupByKey(hv => math.floorMod(hv, shards.toLong))
+      .agg(kmv.toColumn.name("sketch"))
+  }
 }

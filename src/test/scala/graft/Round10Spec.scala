@@ -179,4 +179,57 @@ class Round10Spec extends AnyFunSuite {
     assert(math.abs(cos.head - expected) < 1e-5,
       s"candidate-phase cosine ${cos.head} != brute-force $expected")
   }
+
+  test("n_embed_quantize_sq: 64 dims, error bounded by half a quantization step") {
+    val rows = q("n_embed_quantize_sq").collect()
+    assert(rows.length == 64)
+    // recompute each dim's scale and assert max_err <= scale/2 (+ the
+    // 1e-6 the pre-floor rounding can add): the SQ8 guarantee
+    val ranges = T(spark, sf, "embeddings")
+      .select(posexplode(col("embedding")).as(Seq("dim", "vf")))
+      .groupBy("dim")
+      .agg(((max(col("vf").cast("double")) - min(col("vf").cast("double"))) / 255.0)
+        .as("scale"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    rows.foreach { r =>
+      val (dim, meanErr, maxErr) = (r.getInt(0), r.getDouble(1), r.getDouble(2))
+      val bound = ranges(dim) / 2.0 + 1e-6
+      assert(maxErr <= bound, s"dim $dim: max_err $maxErr > scale/2 $bound")
+      assert(meanErr >= 0.0 && meanErr <= maxErr + 1e-9)
+    }
+  }
+
+  test("n_fim_split: spans partition every doc; cuts are in range") {
+    val rows = q("n_fim_split").collect()
+    assert(rows.length == T(spark, sf, "documents")
+      .filter(size(filter(split(col("text"), " "), w => length(w) > 0)) >= 4).count())
+    rows.foreach { r =>
+      def l(i: Int) = r.getAs[Number](i).longValue()
+      val (n, lo, hi) = (l(1), l(2), l(3))
+      val (lp, lm, ls) = (l(4), l(5), l(6))
+      assert(lo >= 1 && lo <= hi && hi <= n - 1, s"cuts out of range: $r")
+      assert(lp + lm + ls == n, s"spans don't partition: $r")
+      assert(lp >= 1 && ls >= 1, "prefix and suffix are structurally non-empty")
+      assert(r.getString(7).length == 32)
+    }
+  }
+
+  test("KmvSketch: merge law — sharded/permuted feeds reproduce the single-pass sketch") {
+    val kmv = graft.operators.KmvSketch(8)
+    val xs = Seq(923L, 14L, 77L, 14L, 500L, 3L, 77L, 81L, 402L, 7L, 900L, 3L,
+      650L, 12L, 88L, 41L)
+    val single = xs.foldLeft(kmv.zero)(kmv.reduce)
+    // dedup'd, sorted, capped
+    assert(single == xs.distinct.sorted.take(8))
+    // any sharding merges back to the same sketch
+    for (nShards <- 2 to 4) {
+      val shards = xs.zipWithIndex.groupBy(_._2 % nShards).values
+        .map(_.map(_._1).foldLeft(kmv.zero)(kmv.reduce))
+      assert(shards.foldLeft(kmv.zero)(kmv.merge) == single)
+    }
+    // permutation invariance
+    assert(xs.reverse.foldLeft(kmv.zero)(kmv.reduce) == single)
+    // estimate: non-full is exact
+    assert(graft.operators.KmvSketch.estimate(Seq(1L, 2L, 3L), 8) == 3.0)
+  }
 }

@@ -253,4 +253,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(closedU40 + openTails == batchSessions,
       s"closed=$closedU40 open=$openTails batch=$batchSessions")
   }
+
+  test("streaming KMV: merged shard sketches reproduce the batch estimate exactly") {
+    val q = EventStreams.kmvShards(spark, sf)
+      .toDF("shard", "sketch")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("kmv_out")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val shardSketches = spark.table("kmv_out")
+      .collect().map(_.getSeq[Long](1)).toSeq
+    // shard state bound: each sketch holds at most k distinct hashes
+    assert(shardSketches.forall(s0 => s0.length <= 64 && s0 == s0.distinct.sorted))
+    val merged = shardSketches.foldLeft(Seq.empty[Long])(
+      graft.operators.KmvSketch(64).merge)
+    val streamedEst = graft.operators.KmvSketch.estimate(merged, 64)
+    val batchRow = SparkEntry.queries("n_kmv_distinct")(spark, sf).collect().head
+    assert(math.abs(streamedEst - batchRow.getDouble(2)) < 1e-3,
+      s"stream est $streamedEst != batch est ${batchRow.getDouble(2)}")
+  }
 }

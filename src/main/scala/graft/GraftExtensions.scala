@@ -1748,6 +1748,124 @@ object GraftExtensions {
         }))
   }
 
+  /** Round-10 probe9 closures: ISO-year arithmetic, the TIME
+    * constructor (rendered as DuckDB's own JSON string — the engine
+    * has no TIME type, the bitstring-as-VARCHAR precedent), the upper
+    * md5 digest half, parse_path, the element-extraction family with
+    * DuckDB's index-0/out-of-bounds conventions, and aggregate alias
+    * delegations (kahan_sum -> fsum, list_aggr -> list_aggregate).
+    */
+  private[graft] val registrations8: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = {
+    import org.apache.spark.sql.catalyst.expressions.{Add, CaseWhen, Cast, Literal, Subtract}
+    import org.apache.spark.sql.types._
+    def one(n: String, a: Seq[Expression]): Unit =
+      require(a.length == 1, s"$n expects 1 argument, got ${a.length}")
+    def two(n: String, a: Seq[Expression]): Unit =
+      require(a.length == 2, s"$n expects 2 arguments, got ${a.length}")
+    Seq(
+      // isoyear: the year of the ISO week = the year of that week's
+      // Thursday (verified isoyear(2021-01-01) = 2020,
+      // isoyear(2024-12-30) = 2025) — same construction as yearweek
+      ("isoyear",
+        info("isoyear", "isoyear(d) - ISO week-numbering year (DuckDB semantics)."),
+        (args: Seq[Expression]) => { one("isoyear", args)
+          val isodow = Add(builtinBuilder("weekday")(Seq(args.head)), Literal(1))
+          builtinBuilder("year")(Seq(builtinBuilder("date_add")(
+            Seq(Cast(args.head, DateType), Subtract(Literal(4), isodow))))) }),
+      // make_time: DuckDB returns TIME; the engine has no TIME type so
+      // this renders DuckDB's own JSON/text form (verified to_json(
+      // make_time(10,30,12.5)) = "10:30:12.5" — fraction trimmed of
+      // trailing zeros, integral seconds zero-padded to 2)
+      ("make_time",
+        info("make_time", "make_time(h, m, s) - DuckDB TIME rendered as its text form (the engine has no TIME type)."),
+        (args: Seq[Expression]) => {
+          require(args.length == 3, s"make_time expects 3 arguments, got ${args.length}")
+          def pad2(e: Expression) = builtinBuilder("lpad")(
+            Seq(Cast(e, StringType), Literal(2), Literal("0")))
+          val secRaw = Cast(Cast(args(2), DecimalType(15, 6)), StringType)
+          val noZeros = builtinBuilder("regexp_replace")(
+            Seq(builtinBuilder("regexp_replace")(
+              Seq(secRaw, Literal("0+$"), Literal(""))), Literal("\\.$"), Literal("")))
+          val ip = builtinBuilder("substring_index")(Seq(noZeros, Literal("."), Literal(1)))
+          val secFmt = CaseWhen(Seq((
+            org.apache.spark.sql.catalyst.expressions.GreaterThan(
+              builtinBuilder("instr")(Seq(noZeros, Literal("."))), Literal(0)),
+            builtinBuilder("concat")(Seq(pad2(ip), Literal("."),
+              builtinBuilder("substring_index")(Seq(noZeros, Literal("."), Literal(-1))))))),
+            Some(pad2(noZeros)))
+          builtinBuilder("concat")(Seq(pad2(args(0)), Literal(":"),
+            pad2(args(1)), Literal(":"), secFmt)): Expression }),
+      // md5_number_upper: the LAST 8 digest bytes as a little-endian
+      // unsigned 64 (verified md5_number_upper('abc') =
+      // 12704604231530709392) — same byte-reversal as md5_number_lower
+      ("md5_number_upper",
+        info("md5_number_upper", "md5_number_upper(s) - upper 64 bits of the MD5 digest, little-endian (DuckDB's UBIGINT as DECIMAL(20,0))."),
+        (args: Seq[Expression]) => { one("md5_number_upper", args)
+          val h = builtinBuilder("md5")(Seq(Cast(args.head, StringType)))
+          val leHex = builtinBuilder("concat")(
+            (8 until 16).reverse.map(i =>
+              builtinBuilder("substring")(Seq(h, Literal(i * 2 + 1), Literal(2))): Expression))
+          Cast(builtinBuilder("conv")(Seq(leHex, Literal(16), Literal(10))),
+            DecimalType(20, 0)) }),
+      // parse_path: components as a list, '/' head for absolute paths
+      // (verified parse_path('/a/b/c.txt') = ['/','a','b','c.txt'],
+      // parse_path('a/b.txt') = ['a','b.txt'])
+      ("parse_path",
+        info("parse_path", "parse_path(p) - path components as a list (DuckDB semantics, '/' separator)."),
+        (args: Seq[Expression]) => { one("parse_path", args)
+          val x = org.apache.spark.sql.catalyst.expressions.UnresolvedNamedLambdaVariable(Seq("__pp"))
+          val parts = org.apache.spark.sql.catalyst.expressions.ArrayFilter(
+            builtinBuilder("split")(Seq(args.head, Literal("/"))),
+            org.apache.spark.sql.catalyst.expressions.LambdaFunction(
+              org.apache.spark.sql.catalyst.expressions.Not(
+                org.apache.spark.sql.catalyst.expressions.EqualTo(x, Literal(""))), Seq(x)))
+          CaseWhen(Seq((builtinBuilder("startswith")(Seq(args.head, Literal("/"))),
+            builtinBuilder("concat")(Seq(
+              org.apache.spark.sql.catalyst.expressions.CreateArray(Seq(Literal("/"))),
+              parts)))),
+            Some(parts)): Expression }),
+      // the element-extraction family (index-0 → NULL for lists / ''
+      // for strings, negative from the end, OOB NULL/'': pinned vs
+      // DuckDB in ArrayExtractDispatch's scaladoc)
+      ("array_extract",
+        info("array_extract", "array_extract(x, i) - list element or string character (DuckDB index conventions)."),
+        (args: Seq[Expression]) => { two("array_extract", args)
+          graft.functions.ArrayExtractDispatch(args.head, args(1)) }),
+      ("list_element",
+        info("list_element", "list_element(l, i) - DuckDB alias of array_extract."),
+        (args: Seq[Expression]) => { two("list_element", args)
+          graft.functions.ArrayExtractDispatch(args.head, args(1)) }),
+      ("list_extract",
+        info("list_extract", "list_extract(l, i) - DuckDB alias of array_extract."),
+        (args: Seq[Expression]) => { two("list_extract", args)
+          graft.functions.ArrayExtractDispatch(args.head, args(1)) }),
+      // sign: DuckDB returns TINYINT (-1/0/1) for every numeric input
+      // where Spark's signum returns DOUBLE — cast to the integer form
+      ("sign",
+        info("sign", "sign(x) - -1/0/1 as an integer (DuckDB returns TINYINT, not DOUBLE)."),
+        (args: Seq[Expression]) => { one("sign", args)
+          Cast(builtinBuilder("signum")(args), IntegerType) }),
+      // aggregate alias delegations onto existing registered builders
+      ("kahan_sum",
+        info("kahan_sum", "kahan_sum(x) - DuckDB alias of fsum (DOUBLE accumulation)."),
+        (args: Seq[Expression]) => registrations2.find(_._1 == "fsum").get._3(args)),
+      ("sumkahan",
+        info("sumkahan", "sumkahan(x) - DuckDB alias of fsum (DOUBLE accumulation)."),
+        (args: Seq[Expression]) => registrations2.find(_._1 == "fsum").get._3(args)),
+      ("list_aggr",
+        info("list_aggr", "list_aggr(list, 'fn') - DuckDB alias of list_aggregate."),
+        (args: Seq[Expression]) => { two("list_aggr", args)
+          graft.functions.ListAggregateDispatch(args.head, args(1)) }),
+      ("array_aggregate",
+        info("array_aggregate", "array_aggregate(list, 'fn') - DuckDB alias of list_aggregate."),
+        (args: Seq[Expression]) => { two("array_aggregate", args)
+          graft.functions.ListAggregateDispatch(args.head, args(1)) }),
+      ("array_aggr",
+        info("array_aggr", "array_aggr(list, 'fn') - DuckDB alias of list_aggregate."),
+        (args: Seq[Expression]) => { two("array_aggr", args)
+          graft.functions.ListAggregateDispatch(args.head, args(1)) }))
+  }
+
   /** DuckDB function-name aliases onto Spark builtins with matching
     * semantics AND argument order — the function-level face of the
     * dialect shim (`server.Dialect` handles the syntax-level sugar).
@@ -1841,7 +1959,8 @@ object GraftExtensions {
   // alias entries (later registration wins in the registry).
   private[graft] def allRegistrations: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] =
     registrations ++ registrations2 ++ registrations3 ++ registrations4 ++
-      registrations5 ++ aliasRegistrations ++ registrations6 ++ registrations7
+      registrations5 ++ aliasRegistrations ++ registrations6 ++ registrations7 ++
+      registrations8
 
   private val txidCounter = new java.util.concurrent.atomic.AtomicLong(0L)
 

@@ -966,6 +966,78 @@ class DialectSpec extends AnyFunSuite with BeforeAndAfterAll {
     one("SELECT bit_xor(x) AS b FROM (VALUES (1), (3)) t(x)", """[{"b":2}]""")
   }
 
+  test("round-10 probe9 batch returns DuckDB-verified values") {
+    def one(sql: String, expect: String): Unit = {
+      val r = post(sql)
+      assert(r.statusCode() == 200, s"$sql -> ${r.body()}")
+      assert(r.body() == expect, s"$sql -> ${r.body()} (wanted $expect)")
+    }
+    // operator function-forms (divide is INTEGER division in DuckDB)
+    one("SELECT fdiv(7, 2) AS f, fmod(7, 2) AS m", """[{"f":3.0,"m":1.0}]""")
+    one("SELECT divide(7, 2) AS d, multiply(3, 4) AS m, add(1, 2) AS a, subtract(5, 3) AS s",
+      """[{"d":3,"m":12,"a":3,"s":2}]""")
+    one("SELECT mod(7, 3) AS m, xor(3, 5) AS x", """[{"m":1,"x":6}]""")
+    one("SELECT log2(8) AS l, log10(100) AS m", """[{"l":3.0,"m":2.0}]""")
+    one("SELECT sign(-3) AS s, nextafter(1, 2) AS n",
+      """[{"s":-1,"n":1.0000000000000002}]""")
+    one("SELECT greatest_common_divisor(12, 8) AS g, least_common_multiple(4, 6) AS l",
+      """[{"g":4,"l":12}]""")
+    // path helpers
+    one("SELECT parse_filename('/a/b/c.txt', true) AS f, parse_dirpath('/a/b/c.txt') AS p",
+      """[{"f":"c","p":"/a/b"}]""")
+    one("SELECT parse_path('/a/b/c.txt') AS l, parse_path('a/b.txt') AS m",
+      """[{"l":["/","a","b","c.txt"],"m":["a","b.txt"]}]""")
+    // date-part long tail
+    one("SELECT century(DATE '2024-02-10') AS c, decade(DATE '2024-02-10') AS d",
+      """[{"c":21,"d":202}]""")
+    one("SELECT quarter(DATE '2024-05-10') AS q, isodow(DATE '2024-02-11') AS i",
+      """[{"q":2,"i":7}]""")
+    // ISO year = the year of that week's Thursday
+    one("SELECT isoyear(DATE '2021-01-01') AS y, isoyear(DATE '2024-12-30') AS z",
+      """[{"y":2020,"z":2025}]""")
+    one("SELECT dayofyear(DATE '2024-02-10') AS d, date_part('doy', DATE '2024-02-10') AS p",
+      """[{"d":41,"p":41}]""")
+    one("SELECT datepart('year', DATE '2024-02-10') AS y", """[{"y":2024}]""")
+    // make_time renders DuckDB's TIME text form (no TIME type here —
+    // the bitstring-as-VARCHAR precedent): fraction trimmed, 2-padded
+    one("SELECT make_time(10, 30, 12.5) AS t, make_time(1, 2, 3) AS u",
+      """[{"t":"10:30:12.5","u":"01:02:03"}]""")
+    // case/length aliases and string edges
+    one("SELECT ucase('ab') AS u, lcase('AB') AS l", """[{"u":"AB","l":"ab"}]""")
+    one("SELECT lpad('7', 3, '0') AS l, rpad('7', 3, 'x') AS r",
+      """[{"l":"007","r":"7xx"}]""")
+    one("SELECT substr('hello', -3) AS s, ord('A') AS o", """[{"s":"llo","o":65}]""")
+    one("SELECT bit_length('abc') AS b", """[{"b":24}]""")
+    one("SELECT to_base(5, 2, 8) AS b", """[{"b":"00000101"}]""")
+    // md5_number_upper: the LAST 8 digest bytes little-endian under
+    // DuckDB 1.5.2 semantics (1.0 had the halves swapped — the repo
+    // pins the reference's embedded 1.5.2, consistent with the
+    // md5_number_lower pin above)
+    one("SELECT md5_number_upper('abc') AS u", """[{"u":8250560606382298838}]""")
+    // struct surgery
+    one("SELECT struct_extract({'a': 1, 'b': 2}, 'a') AS v", """[{"v":1}]""")
+    one("SELECT struct_insert({'a': 1}, b := 2) AS s", """[{"s":{"a":1,"b":2}}]""")
+    one("SELECT if(1 < 2, 'y', 'n') AS i", """[{"i":"y"}]""")
+    // element extraction: index 0 → NULL (lists) / '' (strings),
+    // negative from the end, out-of-bounds NULL/'' — DuckDB-pinned
+    one("SELECT list_element([10, 20], 2) AS e, list_extract([10, 20], -1) AS x, list_extract([10, 20], 0) AS z",
+      """[{"e":20,"x":20,"z":null}]""")
+    one("SELECT array_extract('abc', 2) AS c, array_extract('abc', 0) AS z, array_extract([1, 2], 9) AS o",
+      """[{"c":"b","z":"","o":null}]""")
+    one("SELECT list_aggr([1, 2, 3], 'sum') AS s, array_aggregate([1, 2], 'max') AS m",
+      """[{"s":6,"m":2}]""")
+    // SIMILAR TO (full-match regex, like DuckDB)
+    one("SELECT 'ab' SIMILAR TO 'a.' AS s, 'abc' NOT SIMILAR TO 'z.*' AS n",
+      """[{"s":true,"n":true}]""")
+    // statistics aggregate aliases
+    one("SELECT variance(x) AS v, var_pop(x) AS p FROM (VALUES (1.0),(2.0),(3.0)) t(x)",
+      """[{"v":1.0,"p":0.6666666666666666}]""")
+    one("SELECT stddev(x) AS s, stddev_pop(x) AS p FROM (VALUES (1.0),(2.0),(3.0)) t(x)",
+      """[{"s":1.0,"p":0.816496580927726}]""")
+    one("SELECT geomean(x) AS g FROM (VALUES (1.0),(4.0)) t(x)", """[{"g":2.0}]""")
+    one("SELECT kahan_sum(x) AS k FROM (VALUES (1.5),(2.5)) t(x)", """[{"k":4.0}]""")
+  }
+
   test("read_text / read_blob map files to DuckDB's file-per-row schema") {
     val d = java.nio.file.Files.createTempDirectory("graft_readtext")
     java.nio.file.Files.writeString(d.resolve("a.txt"), "hello world")

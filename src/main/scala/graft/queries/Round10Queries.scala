@@ -436,6 +436,140 @@ object Round10Queries extends QueryModule {
         s AS (SELECT doc_id, n, least(a,b) lo, greatest(a,b) hi, w FROM cut)
         SELECT doc_id, n AS n_tok, lo, hi, lo AS len_prefix, hi-lo AS len_middle, n-hi AS len_suffix,
           md5('<P>'||COALESCE(array_to_string(w[1:lo],' '),'')||'<S>'||COALESCE(array_to_string(w[hi+1:n],' '),'')||'<M>'||COALESCE(array_to_string(w[lo+1:hi],' '),'')) AS psm_md5
-        FROM s ORDER BY doc_id ASC NULLS LAST"""))
+        FROM s ORDER BY doc_id ASC NULLS LAST""")),
+
+    Q("n_minhash_eval",
+      "Screen-quality evaluation of the MinHash/LSH candidate generator (the harness every dedup pipeline runs before trusting its band parameters): a portable MinHash-4 screen (b=4 bands x r=1 row — the recall-heavy corner of the S-curve 1-(1-s^r)^b) generates candidate pairs over the SAME DF-capped shingle relation the exact n-gram-Jaccard truth set uses, and the output is the confusion summary — true pairs, candidates, true positives, precision/recall/F1. Scale shape: the truth side reuses the memoized shingle-intersection relation (bucketed equi-join, never O(n^2)); the screen side is one 4-column signature aggregate plus four single-band equi-joins on 8-byte keys.",
+      (s, dir) => {
+        val sh = DedupQueries.cappedShingles(s, dir)
+        val hs = sh.select(col("doc_id"),
+          (expr("CAST(conv(substr(md5(sh), 1, 8), 16, 10) AS BIGINT)")
+            % 2147483647L).as("h"))
+        val perms = Seq((131L, 7L), (137L, 11L), (139L, 13L), (149L, 17L))
+        val sigs = hs.groupBy(col("doc_id")).agg(
+          min((col("h") * perms.head._1 + perms.head._2) % 2147483647L).as("s0"),
+          perms.tail.zipWithIndex.map { case ((a, b), i) =>
+            min((col("h") * a + b) % 2147483647L).as(s"s${i + 1}")
+          }: _*)
+        val cand = perms.indices.map { i =>
+          sigs.select(col("doc_id").as("id_a"), col(s"s$i").as("k"))
+            .join(sigs.select(col("doc_id").as("id_b"), col(s"s$i").as("k")), Seq("k"))
+            .filter(col("id_a") < col("id_b"))
+            .select(col("id_a"), col("id_b"))
+        }.reduce(_ unionAll _).distinct()
+        val truth = DedupQueries.jaccardPairs(s, dir).select(col("id_a"), col("id_b"))
+        val m = broadcast(truth.agg(count(lit(1)).as("n_truth")))
+          .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_cand"))))
+          .crossJoin(broadcast(cand.join(truth, Seq("id_a", "id_b"))
+            .agg(count(lit(1)).as("tp"))))
+        m.select(col("n_truth"), col("n_cand"), col("tp"),
+          round(col("tp").cast("double") / col("n_cand"), 6).as("precision"),
+          round(col("tp").cast("double") / col("n_truth"), 6).as("recall"),
+          round(lit(2.0) * col("tp") / (col("n_cand") + col("n_truth")), 6).as("f1"))
+      },
+      Some("""WITH sh0 AS (
+          SELECT DISTINCT doc_id, w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS sh
+          FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) d,
+               LATERAL (SELECT unnest(generate_series(0, len(w) - 3)) AS i) g),
+        sh AS (SELECT * FROM sh0 WHERE sh IN
+                 (SELECT sh FROM sh0 GROUP BY sh HAVING count(*) <= 1000)),
+        hs AS (SELECT doc_id,
+                 list_reduce(list_transform(range(1, 9),
+                   i -> CAST(strpos('0123456789abcdef', substr(md5(sh), i, 1)) - 1 AS BIGINT)),
+                   (a, b) -> a * 16 + b) % 2147483647 AS h
+               FROM sh),
+        sigs AS (SELECT doc_id,
+            min((131*h+7) % 2147483647) AS s0, min((137*h+11) % 2147483647) AS s1,
+            min((139*h+13) % 2147483647) AS s2, min((149*h+17) % 2147483647) AS s3
+          FROM hs GROUP BY doc_id),
+        cand AS (
+          SELECT a.doc_id id_a, b.doc_id id_b FROM sigs a JOIN sigs b ON a.s0 = b.s0 AND a.doc_id < b.doc_id
+          UNION SELECT a.doc_id, b.doc_id FROM sigs a JOIN sigs b ON a.s1 = b.s1 AND a.doc_id < b.doc_id
+          UNION SELECT a.doc_id, b.doc_id FROM sigs a JOIN sigs b ON a.s2 = b.s2 AND a.doc_id < b.doc_id
+          UNION SELECT a.doc_id, b.doc_id FROM sigs a JOIN sigs b ON a.s3 = b.s3 AND a.doc_id < b.doc_id),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+                  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                  GROUP BY a.doc_id, b.doc_id),
+        truth AS (SELECT id_a, id_b FROM pairs
+                  JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+                  WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.5),
+        m AS (SELECT (SELECT count(*) FROM truth) AS n_truth,
+                     (SELECT count(*) FROM cand) AS n_cand,
+                     (SELECT count(*) FROM cand JOIN truth USING (id_a, id_b)) AS tp)
+        SELECT n_truth, n_cand, tp,
+          round(CAST(tp AS DOUBLE)/n_cand, 6) AS precision,
+          round(CAST(tp AS DOUBLE)/n_truth, 6) AS recall,
+          round(2.0*tp/(n_cand + n_truth), 6) AS f1
+        FROM m""")),
+
+    Q("n_ann_recall",
+      "ANN recall@10 evaluation harness (the measurement that decides whether a bucketed index is usable before it ships): 20 probe vectors retrieve from the full corpus twice — exact brute-force cosine top-10, and multi-probe hyperplane LSH (signature Hamming distance <= 1, i.e. the probe's bucket plus its 8 single-bit neighbors) reranked by exact cosine — and each probe reports its candidate count, measured recall@10, and the analytic random-baseline recall (n_cand/(N-1)) so the index's lift over random is visible in the output itself. Scale shape: signatures are map-only against authoring-time constant hyperplanes, the probe set broadcasts, and the exact side IS the documented brute-force baseline this harness exists to compare against.",
+      (s, dir) => {
+        val planes = Round2Queries.lshPlanes
+        var e = T(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+        planes.zipWithIndex.foreach { case (hp, b) =>
+          e = e.withColumn(s"hp$b", typedLit(hp))
+        }
+        val sigExpr = planes.indices.map { b =>
+          when(expr(
+            s"aggregate(zip_with(hp$b, embedding, (p, q) -> CAST(p AS DOUBLE) * CAST(q AS DOUBLE)), 0D, (a, b) -> a + b)")
+            >= 0, lit(1L << b)).otherwise(lit(0L))
+        }.reduce(_ + _)
+        val sigs = e.withColumn("sig", sigExpr)
+          .select(col("vec_id"), col("embedding"), col("sig"))
+        val probes = sigs.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("pid"), col("embedding").as("pv"),
+            col("sig").as("psig"))
+        val pairs = sigs.join(broadcast(probes), col("vec_id") =!= col("pid"))
+          .withColumn("cos", round(SimilarityQueries.cosine("pv", "embedding"), 6))
+          .select(col("pid"), col("psig"), col("vec_id"), col("sig"), col("cos"))
+        def top10(df: DataFrame): DataFrame = df
+          .withColumn("rk", row_number().over(Window.partitionBy(col("pid"))
+            .orderBy(col("cos").desc, col("vec_id").asc)))
+          .filter(col("rk") <= 10).select(col("pid"), col("vec_id"))
+        val exact = top10(pairs)
+        val annc = pairs.filter(expr("bit_count(psig ^ sig)") <= 1)
+        val ann = top10(annc)
+        val nc = annc.groupBy(col("pid")).agg(count(lit(1)).as("n_cand"))
+        val hits = ann.join(exact, Seq("pid", "vec_id"))
+          .groupBy(col("pid")).agg(count(lit(1)).as("hits"))
+        probes.select(col("pid"))
+          .join(nc, Seq("pid"), "left")
+          .join(hits, Seq("pid"), "left")
+          .select(col("pid"),
+            coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+            round(coalesce(col("hits"), lit(0L)) / 10.0, 6).as("recall_at_10"),
+            round(coalesce(col("n_cand"), lit(0L)) / 499.0, 6).as("random_recall"))
+          .orderBy(col("pid").asc_nulls_last)
+      },
+      Some {
+        val bits = Round2Queries.lshPlanes.zipWithIndex.map { case (hp, b) =>
+          val lst = hp.mkString("[", ", ", "]")
+          s"""(CASE WHEN list_sum(list_transform(list_zip($lst, embedding),
+              p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) >= 0
+              THEN ${1L << b} ELSE 0 END)"""
+        }.mkString("\n            + ")
+        s"""WITH sigs AS (SELECT vec_id, embedding, $bits AS sig FROM embeddings),
+        probes AS (SELECT vec_id AS pid, embedding AS pv, sig AS psig FROM sigs WHERE vec_id < 20),
+        pairs AS (SELECT pid, psig, c.vec_id, c.sig,
+            round(list_sum(list_transform(list_zip(pv, c.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+              / (sqrt(list_sum(list_transform(pv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+               * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cos
+          FROM sigs c CROSS JOIN probes WHERE c.vec_id != pid),
+        exact AS (SELECT pid, vec_id FROM (
+            SELECT pid, vec_id, row_number() OVER (PARTITION BY pid ORDER BY cos DESC, vec_id) rk FROM pairs) t WHERE rk <= 10),
+        annc AS (SELECT * FROM pairs WHERE bit_count(xor(psig, sig)) <= 1),
+        ann AS (SELECT pid, vec_id FROM (
+            SELECT pid, vec_id, row_number() OVER (PARTITION BY pid ORDER BY cos DESC, vec_id) rk FROM annc) t WHERE rk <= 10),
+        nc AS (SELECT pid, count(*) AS n_cand FROM annc GROUP BY pid),
+        hit AS (SELECT pid, count(*) AS hits FROM ann JOIN exact USING (pid, vec_id) GROUP BY pid)
+        SELECT p.pid, COALESCE(nc.n_cand, 0) AS n_cand,
+          round(COALESCE(hit.hits, 0) / 10.0, 6) AS recall_at_10,
+          round(COALESCE(nc.n_cand, 0) / 499.0, 6) AS random_recall
+        FROM (SELECT DISTINCT pid FROM probes) p
+        LEFT JOIN nc USING (pid) LEFT JOIN hit USING (pid)
+        ORDER BY pid ASC NULLS LAST"""
+      })
   )
 }

@@ -214,6 +214,35 @@ class Round10Spec extends AnyFunSuite {
     }
   }
 
+  test("n_minhash_eval: confusion counts reconcile; the b=4/r=1 screen is recall-heavy") {
+    val r = SparkEntry.queries("n_minhash_eval")(spark, "/root/testdata/sf0.01")
+      .collect().head
+    val (nTruth, nCand, tp) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(nTruth > 0 && nCand > 0)
+    assert(tp <= math.min(nTruth, nCand))
+    // 1-band-of-1-row x4: P(miss) = (1-s)^4 <= 6.25% at the tau=0.5
+    // threshold — the screen must be recall-heavy and precision-poor
+    assert(r.getDouble(4) >= 0.8, s"screen recall ${r.getDouble(4)} implausibly low")
+    assert(r.getDouble(3) <= 0.5, s"a r=1 screen cannot be precise: $r")
+    // f1 consistency with the counts
+    val f1 = 2.0 * tp / (nCand + nTruth)
+    assert(math.abs(r.getDouble(5) - f1) < 1e-6)
+  }
+
+  test("n_ann_recall: 20 probes, recall in range, index lifts over the random baseline") {
+    val rows = SparkEntry.queries("n_ann_recall")(spark, "/root/testdata/sf0.01")
+      .collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 0 && r.getLong(1) <= 499)
+      assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0)
+    }
+    val avgRecall = rows.map(_.getDouble(2)).sum / rows.length
+    val avgRandom = rows.map(_.getDouble(3)).sum / rows.length
+    assert(avgRecall >= 2.0 * avgRandom,
+      s"ANN recall $avgRecall does not lift over random $avgRandom")
+  }
+
   test("KmvSketch: merge law — sharded/permuted feeds reproduce the single-pass sketch") {
     val kmv = graft.operators.KmvSketch(8)
     val xs = Seq(923L, 14L, 77L, 14L, 500L, 3L, 77L, 81L, 402L, 7L, 900L, 3L,

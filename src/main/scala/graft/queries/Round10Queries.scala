@@ -570,6 +570,31 @@ object Round10Queries extends QueryModule {
         FROM (SELECT DISTINCT pid FROM probes) p
         LEFT JOIN nc USING (pid) LEFT JOIN hit USING (pid)
         ORDER BY pid ASC NULLS LAST"""
-      })
+      }),
+
+    Q("n_time_decay_agg",
+      "Exponentially time-decayed engagement counters (half-life 7 days, as-of the corpus max timestamp) — the freshness-aware aggregate every ranking/metrics system keeps: per event type, decayed count = sum 2^(-age/h) and decayed value-weighted sum. Ages are exact integer microsecond differences; decay factors round to 8 decimals before an exact decimal sum, so both engines aggregate identical values in any order. Scale/streaming shape: the decayed counter is MERGEABLE by the rescaling law C_T = C_T1 * 2^(-(T-T1)/h) + C_T2 * 2^(-(T-T2)/h) (Round10Spec proves it on split halves) — shards keep a (sum, as-of) pair and merge by rescaling to the newer as-of, which is exactly how a streaming half-life counter avoids reprocessing history.",
+      (s, dir) => {
+        val mx = T(s, dir, "events").agg(max(col("ts")).as("tmax"))
+        T(s, dir, "events").crossJoin(broadcast(mx))
+          .withColumn("decay", round(pow(lit(2.0),
+            -(unix_micros(col("tmax")) - unix_micros(col("ts"))).cast("double")
+              / 604800000000.0), 8))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("decay").cast(DecimalType(30, 8))).cast("double"), 6)
+              .as("decayed_count"),
+            round(sum(round(col("value") * col("decay"), 8)
+              .cast(DecimalType(30, 8))).cast("double"), 6).as("decayed_value"))
+          .orderBy(col("event_type").asc_nulls_last)
+      },
+      Some("""WITH mx AS (SELECT max(ts) AS tmax FROM events),
+        d AS (SELECT event_type, value,
+                round(pow(2.0, -CAST(epoch_us(tmax) - epoch_us(ts) AS DOUBLE) / 604800000000.0), 8) AS decay
+              FROM events CROSS JOIN mx)
+        SELECT event_type, count(*) AS n,
+          round(CAST(sum(CAST(decay AS DECIMAL(30,8))) AS DOUBLE), 6) AS decayed_count,
+          round(CAST(sum(CAST(round(value * decay, 8) AS DECIMAL(30,8))) AS DOUBLE), 6) AS decayed_value
+        FROM d GROUP BY event_type ORDER BY event_type ASC NULLS LAST"""))
   )
 }

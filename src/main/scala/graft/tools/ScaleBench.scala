@@ -64,7 +64,20 @@ object ScaleBench {
     "n_epoch_shuffle",
     // MMR: probe count scales with the corpus, shortlist stays 20;
     // Zipf: token aggregate + vocab-bound regression
-    "n_mmr_rerank", "n_zipf_fit")
+    "n_mmr_rerank", "n_zipf_fit",
+    // round-10 sketches: bloom/cms are linear scans into bounded-state
+    // aggregates; kmv is a distinct + per-partition bottom-k
+    "n_bloom_filter", "n_cms_freq", "n_kmv_distinct",
+    // round-10 text ops: winnowing is linear grams + doc windows +
+    // fingerprint-bucket join; SNM is sort + w pairs per row; the
+    // TF-IDF pair join is capped by the top-5 posting fan-out; the
+    // screen-eval reuses the memoized shingle relations; FIM and SQ8
+    // are map-only scans (n_ann_recall is excluded: fixed 20-probe
+    // output slice against the brute-force baseline by design)
+    "n_winnowing", "n_sorted_neighborhood", "n_tfidf_cosine",
+    "n_minhash_eval", "n_fim_split", "n_embed_quantize_sq",
+    // half-life counters: one linear scan into a 5-group aggregate
+    "n_time_decay_agg")
 
   def main(args: Array[String]): Unit = {
     val dirA = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

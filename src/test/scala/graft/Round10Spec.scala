@@ -243,6 +243,30 @@ class Round10Spec extends AnyFunSuite {
       s"ANN recall $avgRecall does not lift over random $avgRandom")
   }
 
+  test("n_time_decay_agg: the rescaling merge law — split halves rescaled to the global as-of reproduce the full counter") {
+    val ev = T(spark, sf, "events")
+    val tmax = ev.agg(max(unix_micros(col("ts")))).collect().head.getLong(0)
+    val h = 604800000000.0
+    def decayedCount(df: org.apache.spark.sql.DataFrame, asOf: Long): Double =
+      df.select(sum(pow(lit(2.0),
+        -(lit(asOf) - unix_micros(col("ts"))).cast("double") / h)))
+        .collect().head.getDouble(0)
+    // split on user parity; each half keeps (sum, its own as-of)
+    val hA = ev.filter(col("user_id") % 2 === 0)
+    val hB = ev.filter(col("user_id") % 2 === 1)
+    val tA = hA.agg(max(unix_micros(col("ts")))).collect().head.getLong(0)
+    val tB = hB.agg(max(unix_micros(col("ts")))).collect().head.getLong(0)
+    val merged = decayedCount(hA, tA) * math.pow(2.0, -(tmax - tA) / h) +
+      decayedCount(hB, tB) * math.pow(2.0, -(tmax - tB) / h)
+    val full = decayedCount(ev, tmax)
+    assert(math.abs(merged - full) < 1e-6,
+      s"rescaled merge $merged != full $full — the half-life counter must be mergeable")
+    // and the query output reconciles: decayed_count <= n always
+    val rows = q("n_time_decay_agg").collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getDouble(2) > 0.0 && r.getDouble(2) <= r.getLong(1)))
+  }
+
   test("KmvSketch: merge law — sharded/permuted feeds reproduce the single-pass sketch") {
     val kmv = graft.operators.KmvSketch(8)
     val xs = Seq(923L, 14L, 77L, 14L, 500L, 3L, 77L, 81L, 402L, 7L, 900L, 3L,

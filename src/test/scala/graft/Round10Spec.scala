@@ -279,6 +279,20 @@ class Round10Spec extends AnyFunSuite {
     }
   }
 
+  test("n_ccnet_buckets: three ordered buckets, monotone perplexity, shares reconcile") {
+    val rows = q("n_ccnet_buckets").collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("head", "middle", "tail"))
+    val byName = rows.map(r => r.getString(0) -> r).toMap
+    // the whole point of the split: head is the lowest-perplexity third
+    assert(byName("head").getDouble(2) < byName("middle").getDouble(2))
+    assert(byName("middle").getDouble(2) < byName("tail").getDouble(2))
+    val nDocs = rows.map(_.getLong(1)).sum
+    assert(nDocs == T(spark, sf, "documents")
+      .filter(size(filter(split(col("text"), " "), w => length(w) > 0)) >= 2).count())
+    val shareSum = rows.map(_.getDouble(4)).sum
+    assert(math.abs(shareSum - 1.0) < 1e-5, s"bigram shares must sum to 1: $shareSum")
+  }
+
   test("KmvSketch: merge law — sharded/permuted feeds reproduce the single-pass sketch") {
     val kmv = graft.operators.KmvSketch(8)
     val xs = Seq(923L, 14L, 77L, 14L, 500L, 3L, 77L, 81L, 402L, 7L, 900L, 3L,

@@ -272,4 +272,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(math.abs(streamedEst - batchRow.getDouble(2)) < 1e-3,
       s"stream est $streamedEst != batch est ${batchRow.getDouble(2)}")
   }
+
+  test("streaming half-life counters match the batch decayed counts after rescale") {
+    val q = EventStreams.decayedCounters(spark, sf)
+      .toDF("event_type", "counter")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("decay_out")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("decay_out")
+      .select(col("event_type"), col("counter._1").as("sum"), col("counter._2").as("asOf"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    val tmax = T(spark, sf, "events")
+      .agg(max(unix_micros(col("ts")))).collect().head.getLong(0)
+    val h = 604800000000.0
+    // batch reference: direct single-pass decayed count per type
+    val batch = T(spark, sf, "events")
+      .groupBy(col("event_type"))
+      .agg(sum(pow(lit(2.0), -(lit(tmax) - unix_micros(col("ts"))).cast("double") / h))
+        .as("c"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(streamed.keySet == batch.keySet)
+    streamed.foreach { case (k, (s0, asOf)) =>
+      val rescaled = s0 * math.pow(2.0, -(tmax - asOf).toDouble / h)
+      val b = batch(k)
+      assert(math.abs(rescaled - b) / b < 1e-9,
+        s"$k: streamed counter $rescaled != batch $b — rescaling law broken")
+    }
+  }
 }

@@ -534,13 +534,17 @@ object Round10Queries extends QueryModule {
         val nc = annc.groupBy(col("pid")).agg(count(lit(1)).as("n_cand"))
         val hits = ann.join(exact, Seq("pid", "vec_id"))
           .groupBy(col("pid")).agg(count(lit(1)).as("hits"))
+        val corpusN = broadcast(T(s, dir, "embeddings")
+          .agg((count(lit(1)) - 1).as("n_others")))
         probes.select(col("pid"))
           .join(nc, Seq("pid"), "left")
           .join(hits, Seq("pid"), "left")
+          .crossJoin(corpusN)
           .select(col("pid"),
             coalesce(col("n_cand"), lit(0L)).as("n_cand"),
             round(coalesce(col("hits"), lit(0L)) / 10.0, 6).as("recall_at_10"),
-            round(coalesce(col("n_cand"), lit(0L)) / 499.0, 6).as("random_recall"))
+            round(coalesce(col("n_cand"), lit(0L)).cast("double")
+              / col("n_others"), 6).as("random_recall"))
           .orderBy(col("pid").asc_nulls_last)
       },
       Some {
@@ -563,12 +567,13 @@ object Round10Queries extends QueryModule {
         ann AS (SELECT pid, vec_id FROM (
             SELECT pid, vec_id, row_number() OVER (PARTITION BY pid ORDER BY cos DESC, vec_id) rk FROM annc) t WHERE rk <= 10),
         nc AS (SELECT pid, count(*) AS n_cand FROM annc GROUP BY pid),
-        hit AS (SELECT pid, count(*) AS hits FROM ann JOIN exact USING (pid, vec_id) GROUP BY pid)
+        hit AS (SELECT pid, count(*) AS hits FROM ann JOIN exact USING (pid, vec_id) GROUP BY pid),
+        cn AS (SELECT count(*) - 1 AS n_others FROM embeddings)
         SELECT p.pid, COALESCE(nc.n_cand, 0) AS n_cand,
           round(COALESCE(hit.hits, 0) / 10.0, 6) AS recall_at_10,
-          round(COALESCE(nc.n_cand, 0) / 499.0, 6) AS random_recall
+          round(CAST(COALESCE(nc.n_cand, 0) AS DOUBLE) / n_others, 6) AS random_recall
         FROM (SELECT DISTINCT pid FROM probes) p
-        LEFT JOIN nc USING (pid) LEFT JOIN hit USING (pid)
+        LEFT JOIN nc USING (pid) LEFT JOIN hit USING (pid) CROSS JOIN cn
         ORDER BY pid ASC NULLS LAST"""
       }),
 

@@ -115,4 +115,93 @@ object AudioDecode {
       .toDF()
       .orderBy(col("doc_id").asc_nulls_last)
   }
+
+  /** Textured PCM fixture for the fingerprint operator: the [[synthSamples]]
+    * sawtooth gives every clip the same energy envelope (the same
+    * problem as the image gradient — every fingerprint hashes alike),
+    * so this variant's per-id quadratic phase wraps differently per
+    * id (measured: nearest distinct clip at Hamming 3 of 31).
+    * n = 32·(25 + id%13) samples — divisible by the 32-frame grid so
+    * floor frames aggregate exactly the same source samples at any
+    * integer repetition — and `rep` repeats each sample (a 2x-sample-
+    * rate re-encode of the SAME audio, the size-variant twin).
+    *   v(i) = (31·id + (id%13+2)·i² + (id%7+3)·i) % 2048 − 1024
+    */
+  def synthTexturedWav(docId: Long, rep: Int = 1): Array[Byte] = {
+    val n = (32L * (25 + docId % 13)).toInt * rep
+    val samples = Array.tabulate(n) { i =>
+      val si = i / rep
+      ((docId * 31 + (docId % 13 + 2) * si.toLong * si + (docId % 7 + 3) * si)
+        % 2048 - 1024).toShort
+    }
+    val pcm = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      pcm(2 * i) = (samples(i) & 0xff).toByte
+      pcm(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(SampleRate * rep, 16, 1, true, false)
+    val ais = new AudioInputStream(
+      new ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+    val out = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  val synthTexturedWavUdf = udf((id: Long) => synthTexturedWav(id, 1))
+  val synthTexturedWav2xUdf = udf((id: Long) => synthTexturedWav(id, 2))
+
+  final case class AudioFingerprint(doc_id: Long, n_samples: Int, fp: Long)
+
+  /** Energy-envelope audio fingerprint (the shape of Shazam-style
+    * audio hashing reduced to its time-domain core): REAL WAV decode,
+    * 32 floor-block frames, per-frame energy = Σ|sample| as an exact
+    * integer, bit f = 1 iff energy[f] > energy[f+1] — 31 bits, every
+    * shift < 63. Invariant to sample-rate re-encodes that repeat
+    * samples (frames aggregate the same sources) and to amplitude
+    * comparisons' monotone transforms.
+    */
+  def fingerprint(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (docId, payload) =>
+          val ais = AudioSystem.getAudioInputStream(
+            new ByteArrayInputStream(payload))
+          val fmt = ais.getFormat
+          require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+            !fmt.isBigEndian && fmt.getEncoding == AudioFormat.Encoding.PCM_SIGNED,
+            s"unsupported WAV layout: $fmt")
+          val bytes = ais.readAllBytes()
+          ais.close()
+          val n = bytes.length / 2
+          require(n % 32 == 0, s"fingerprint frames need n % 32 == 0; got $n")
+          val e = new Array[Long](32)
+          var f = 0
+          while (f < 32) {
+            val (i0, i1) = (f * n / 32, (f + 1) * n / 32)
+            var acc = 0L
+            var i = i0
+            while (i < i1) {
+              val v = ((bytes(2 * i + 1).toInt << 8) | (bytes(2 * i) & 0xff))
+              acc += math.abs(v.toLong)
+              i += 1
+            }
+            e(f) = acc
+            f += 1
+          }
+          var fp = 0L
+          f = 0
+          while (f < 31) {
+            if (e(f) > e(f + 1)) fp |= 1L << f
+            f += 1
+          }
+          AudioFingerprint(docId, n, fp)
+        }
+      }
+      .toDF()
+  }
 }

@@ -183,5 +183,47 @@ object MultimodalQueries extends QueryModule {
           bit_count(xor(a.h1, b.h1)) + bit_count(xor(a.h2, b.h2)) AS hamming
         FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
         WHERE bit_count(xor(a.h1, b.h1)) + bit_count(xor(a.h2, b.h2)) <= 6
+        ORDER BY id_a ASC NULLS LAST, id_b ASC NULLS LAST""")),
+
+    Q("m_audio_fingerprint",
+      "Audio near-dup detection via energy-envelope fingerprints (the time-domain core of Shazam-style hashing): REAL WAV decode of 200 clips — 100 textured originals plus their 2x-sample-rate re-encodes — 32 floor-block frames with exact-integer |sample| energies, bit f = envelope rises between frames f and f+1, pairs at Hamming <= 2 reported. Frame-aligned sample counts make every re-encode a Hamming-0 twin while the nearest DISTINCT clip sits at Hamming 3. Scale shape: fingerprinting is partition-batched binary decode; at corpus scale candidates come from fingerprint-chunk buckets like the SimHash/dHash pipelines, not this fixture's all-pairs join.",
+      (s, dir) => {
+        val ids = T(s, dir, "documents").select(col("doc_id"))
+          .filter(col("doc_id") >= 1 && col("doc_id") <= 100)
+        val media = ids.select(col("doc_id"),
+            graft.operators.AudioDecode.synthTexturedWavUdf(col("doc_id")).as("payload"))
+          .unionAll(ids.select((col("doc_id") + 100000).as("doc_id"),
+            graft.operators.AudioDecode.synthTexturedWav2xUdf(col("doc_id")).as("payload")))
+          .repartition(s.sparkContext.defaultParallelism)
+        val fp = graft.operators.AudioDecode.fingerprint(media)
+        fp.as("a").join(fp.as("b"), col("a.doc_id") < col("b.doc_id"))
+          .withColumn("hamming", expr("bit_count(a.fp ^ b.fp)"))
+          .filter(col("hamming") <= 2)
+          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+            col("hamming"))
+          .orderBy(col("id_a").asc_nulls_last, col("id_b").asc_nulls_last)
+      },
+      Some("""WITH ids AS (SELECT doc_id AS src FROM documents WHERE doc_id BETWEEN 1 AND 100),
+        clips AS (
+          SELECT src AS doc_id, src, 0 AS up, CAST(32*(25 + src % 13) AS INTEGER) AS n FROM ids
+          UNION ALL
+          SELECT src + 100000, src, 1, CAST(64*(25 + src % 13) AS INTEGER) FROM ids),
+        smp AS (SELECT doc_id, src, up, n, s.i,
+                  CASE WHEN up = 0 THEN s.i ELSE s.i // 2 END AS si
+                FROM clips, LATERAL (SELECT unnest(range(0, n)) AS i) s),
+        v AS (SELECT doc_id, n, i,
+                abs((31*src + (src%13+2)*si*si + (src%7+3)*si) % 2048 - 1024) AS av
+              FROM smp),
+        fr AS (SELECT doc_id, f.f, sum(av) AS e
+               FROM v, LATERAL (SELECT unnest(range(0, 32)) AS f) f
+               WHERE i >= f.f * n // 32 AND i < (f.f + 1) * n // 32
+               GROUP BY doc_id, f.f),
+        bits AS (SELECT a.doc_id, a.f, CASE WHEN a.e > b.e THEN 1 ELSE 0 END AS bit
+                 FROM fr a JOIN fr b ON a.doc_id = b.doc_id AND b.f = a.f + 1 WHERE a.f < 31),
+        h AS (SELECT doc_id, sum(CASE WHEN bit = 1 THEN (1::BIGINT << CAST(f AS INT)) ELSE 0 END) AS fp
+              FROM bits GROUP BY doc_id)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, bit_count(xor(a.fp, b.fp)) AS hamming
+        FROM h a JOIN h b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.fp, b.fp)) <= 2
         ORDER BY id_a ASC NULLS LAST, id_b ASC NULLS LAST""")))
 }

@@ -293,6 +293,17 @@ class Round10Spec extends AnyFunSuite {
     assert(math.abs(shareSum - 1.0) < 1e-5, s"bigram shares must sum to 1: $shareSum")
   }
 
+  test("m_audio_fingerprint: every 2x re-encode is a Hamming-0 twin; no false matches") {
+    val rows = q("m_audio_fingerprint").collect()
+    assert(rows.length == 100, s"expected the 100 planted twins, got ${rows.length}")
+    rows.foreach { r =>
+      assert(r.getLong(1) == r.getLong(0) + 100000L,
+        s"non-twin pair leaked through the threshold: $r")
+      assert(r.getAs[Number](2).longValue() == 0L,
+        s"re-encoded clip must fingerprint identically: $r")
+    }
+  }
+
   test("KmvSketch: merge law — sharded/permuted feeds reproduce the single-pass sketch") {
     val kmv = graft.operators.KmvSketch(8)
     val xs = Seq(923L, 14L, 77L, 14L, 500L, 3L, 77L, 81L, 402L, 7L, 900L, 3L,

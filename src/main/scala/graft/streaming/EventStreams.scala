@@ -430,4 +430,27 @@ object EventStreams {
       .mapValues { case (_, t) => (t, 1.0) }
       .agg(ctr.toColumn.name("counter"))
   }
+
+  /** Streaming Count-Min sketch shards — the unbounded-feed face of
+    * n_cms_freq: document tokens stream through per-shard
+    * [[graft.operators.CmsSketch]] buffers (d·w longs each — 8 KiB of
+    * state per shard however long the feed runs), and because CMS
+    * merges by cellwise addition, the drained shard sketches sum to
+    * the batch sketch EXACTLY, cell for cell — same md5-52-bit column
+    * hashes as the oracle-checked batch construction (StreamingSpec
+    * proves cell-level equality and point-estimate agreement).
+    */
+  def cmsShards(spark: SparkSession, dir: String,
+      shards: Int = 8): Dataset[(Int, Array[Long])] = {
+    import spark.implicits._
+    graft.GraftSession.tune(spark)
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val cms = graft.operators.CmsSketch()
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      .select(explode(split(col("text"), " ")).as("w")).as[String]
+      .filter((w: String) => w.nonEmpty)
+      .groupByKey(w => math.floorMod(w.hashCode, shards))
+      .agg(cms.toColumn.name("cells"))
+  }
 }

@@ -273,6 +273,43 @@ class StreamingSpec extends AnyFunSuite {
       s"stream est $streamedEst != batch est ${batchRow.getDouble(2)}")
   }
 
+  test("streaming CMS shards sum cellwise to the exact batch sketch") {
+    val q = EventStreams.cmsShards(spark, sf)
+      .toDF("shard", "cells")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("cms_out")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val sketches = spark.table("cms_out")
+      .collect().map(_.getSeq[Long](1).toArray).toSeq
+    assert(sketches.forall(_.length == 4 * 256))
+    val merged = sketches.reduce(graft.operators.CmsSketch().merge)
+    // batch reference: the same (row, col)-keyed sum the oracle checks
+    val batch = T(spark, sf, "documents")
+      .select(explode(filter(split(col("text"), " "), w => length(w) > 0)).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .select(col("tok"), col("cnt"),
+        explode(array((0 until 4).map(lit): _*)).as("i"))
+      .withColumn("c",
+        conv(substring(md5(concat(lit("graft-cms-"), col("i").cast("string"),
+          lit(":"), col("tok"))), 1, 13), 16, 10).cast("bigint") % 256)
+      .groupBy("i", "c").agg(sum(col("cnt")).as("total"))
+      .collect().map(r => (r.getInt(0) * 256 + r.getLong(1).toInt) -> r.getLong(2)).toMap
+    val batchCells = new Array[Long](4 * 256)
+    batch.foreach { case (idx, v) => batchCells(idx) = v }
+    assert(merged.toSeq == batchCells.toSeq,
+      "drained stream sketch must equal the batch sketch cell for cell")
+    // point estimates agree with true counts' one-sided guarantee
+    val top = T(spark, sf, "documents")
+      .select(explode(filter(split(col("text"), " "), w => length(w) > 0)).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc).limit(5)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    top.foreach { case (tok, cnt) =>
+      assert(graft.operators.CmsSketch.estimate(merged, tok) >= cnt)
+    }
+  }
+
   test("streaming half-life counters match the batch decayed counts after rescale") {
     val q = EventStreams.decayedCounters(spark, sf)
       .toDF("event_type", "counter")

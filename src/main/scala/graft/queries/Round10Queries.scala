@@ -317,7 +317,7 @@ object Round10Queries extends QueryModule {
         LIMIT 20""")),
 
     Q("n_tfidf_cosine",
-      "Two-phase sparse TF-IDF cosine similarity (the lexical complement of the embedding-cosine family): phase 1 generates candidates by joining each doc's top-5 highest-weight bigram terms (static index pruning — the posting list thins from every term to 5 per doc, so the candidate join touches ~6% of the quadratic pair space here and stays bounded as the corpus grows); phase 2 computes the EXACT cosine for candidates only, via a term-keyed join over full weight vectors with fixed-scale decimal dot products. IDF is the sklearn-smoothed ln((1+N)/(1+df))+1; weights and products round to 8 decimals before the exact decimal sum, so both engines rank identical values. Scale shape: everything is token-keyed joins and aggregates over (doc, term, weight) triples — no dense vectors, no all-pairs, and the candidate count is capped by the top-T posting fan-out, not df^2.",
+      "Two-phase sparse TF-IDF cosine similarity (the lexical complement of the embedding-cosine family): phase 1 generates candidates as pairs sharing >= 2 of each other's top-5 highest-weight bigram terms (static index pruning + multi-term agreement, the standard DAAT candidate filter — on this saturated-vocab corpus the single-shared-term rule admits 30x more pairs at sf0.1 without changing the top-10); phase 2 computes the EXACT cosine for candidates only, via a term-keyed join over full weight vectors with fixed-scale decimal dot products. IDF is the sklearn-smoothed ln((1+N)/(1+df))+1; weights and products round to 8 decimals before the exact decimal sum, so both engines rank identical values. Scale shape: everything is token-keyed joins and aggregates over (doc, term, weight) triples — no dense vectors, no all-pairs, and the candidate count is governed by multi-term co-occurrence, not df^2.",
       (s, dir) => {
         val w8 = tfidfWeights(s, dir)
         val nrm = w8.groupBy(col("doc_id"))
@@ -327,10 +327,19 @@ object Round10Queries extends QueryModule {
           .withColumn("r", row_number().over(Window.partitionBy(col("doc_id"))
             .orderBy(col("wt").desc, col("bg").asc)))
           .filter(col("r") <= 5).select(col("doc_id"), col("bg"))
+        // candidate rule: pairs sharing >= 2 of each other's top-5 terms
+        // (multi-term agreement — the standard DAAT candidate filter).
+        // A single shared term admits ~1M pairs at sf0.1 on this
+        // saturated-vocab corpus (30x the >= 2 set) without changing
+        // the top-10 at any tested scale: near-dup pairs share their
+        // top terms by construction of TF-IDF weight.
         val cand = topt.as("a")
           .join(topt.as("b"), col("a.bg") === col("b.bg")
             && col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("da"), col("b.doc_id").as("db")).distinct()
+          .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+          .agg(count(lit(1)).as("nshared"))
+          .filter(col("nshared") >= 2)
+          .select(col("da"), col("db"))
         val dot = cand
           .join(w8.as("wa"), col("wa.doc_id") === col("da"))
           .join(w8.as("wb"), col("wb.doc_id") === col("db")
@@ -359,7 +368,8 @@ object Round10Queries extends QueryModule {
                FROM tf JOIN dfq USING (bg) CROSS JOIN n),
         nrm AS (SELECT doc_id, round(sqrt(CAST(sum(CAST(round(wt*wt,8) AS DECIMAL(30,8))) AS DOUBLE)),8) nrm FROM w8 GROUP BY doc_id),
         topt AS (SELECT doc_id, bg FROM (SELECT doc_id, bg, row_number() OVER (PARTITION BY doc_id ORDER BY wt DESC, bg) r FROM w8) WHERE r <= 5),
-        cand AS (SELECT DISTINCT a.doc_id da, b.doc_id db FROM topt a JOIN topt b ON a.bg = b.bg AND a.doc_id < b.doc_id),
+        cand AS (SELECT a.doc_id da, b.doc_id db FROM topt a JOIN topt b ON a.bg = b.bg AND a.doc_id < b.doc_id
+                 GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 2),
         dot AS (SELECT c.da, c.db, sum(CAST(round(wa.wt*wb.wt,8) AS DECIMAL(30,8))) dot
                 FROM cand c JOIN w8 wa ON wa.doc_id = c.da JOIN w8 wb ON wb.doc_id = c.db AND wb.bg = wa.bg
                 GROUP BY c.da, c.db)

@@ -621,13 +621,17 @@ object Round10Queries extends QueryModule {
         val vocabSize = T(s, dir, "documents")
           .select(explode(split(col("text"), " ")).as("w"))
           .filter(length(col("w")) > 0).distinct().count()
-        val perDoc = big.join(bc, Seq("w1", "w2")).join(uc, Seq("w1"))
-          .withColumn("nll", round(-log(
-            (col("cb") + 1.0) / (col("cu") + lit(vocabSize.toDouble))), 8))
-          .groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_bigrams"),
-            round(sum(col("nll").cast(DecimalType(20, 8))).cast("double")
-              / count(lit(1)), 6).as("avg_nll"))
+        // retained: the cutoff aggregate, the total aggregate and the
+        // bucketed main pass all read this doc-level relation — without
+        // the cache the whole scoring chain runs three times
+        val perDoc = DedupQueries.retain(
+          big.join(bc, Seq("w1", "w2")).join(uc, Seq("w1"))
+            .withColumn("nll", round(-log(
+              (col("cb") + 1.0) / (col("cu") + lit(vocabSize.toDouble))), 8))
+            .groupBy(col("doc_id"))
+            .agg(count(lit(1)).as("n_bigrams"),
+              round(sum(col("nll").cast(DecimalType(20, 8))).cast("double")
+                / count(lit(1)), 6).as("avg_nll")))
         val tot = broadcast(perDoc.agg(sum(col("n_bigrams")).as("total_bigrams")))
         val cuts = broadcast(perDoc.agg(
           round(expr("percentile(avg_nll, 1.0/3)"), 8).as("q1"),

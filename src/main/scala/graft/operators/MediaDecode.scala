@@ -295,6 +295,55 @@ object MediaDecode {
     * precedent). Requires image width >= 9 so no grid column is empty.
     * Hamming distance = bit_count(h1 xor h1') + bit_count(h2 xor h2').
     */
+  /** The dHash core over a decoded image: 9x8 floor-block grid of
+    * exact-integer gray sums, cross-multiplied mean comparisons, two
+    * 32-bit halves. Shared by the still-image and per-frame paths.
+    */
+  private def dhashOf(img: BufferedImage): (Long, Long) = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    require(w >= 9 && h >= 8, s"dHash grid needs w>=9, h>=8; got ${w}x$h")
+    val s = Array.ofDim[Long](8, 9)
+    val n = Array.ofDim[Long](8, 9)
+    var j = 0
+    while (j < 8) {
+      var i = 0
+      while (i < 9) {
+        val (x0, x1) = (i * w / 9, (i + 1) * w / 9)
+        val (y0, y1) = (j * h / 8, (j + 1) * h / 8)
+        var acc = 0L; var cnt = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val rgb = img.getRGB(x, y)
+            acc += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+            cnt += 1
+            x += 1
+          }
+          y += 1
+        }
+        s(j)(i) = acc; n(j)(i) = cnt
+        i += 1
+      }
+      j += 1
+    }
+    var h1 = 0L; var h2 = 0L
+    j = 0
+    while (j < 8) {
+      var i = 0
+      while (i < 8) {
+        // mean[j][i] > mean[j][i+1] as exact integer rationals
+        if (s(j)(i) * n(j)(i + 1) > s(j)(i + 1) * n(j)(i)) {
+          val bit = j * 8 + i
+          if (bit < 32) h1 |= 1L << bit else h2 |= 1L << (bit - 32)
+        }
+        i += 1
+      }
+      j += 1
+    }
+    (h1, h2)
+  }
+
   def dHash(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
@@ -303,48 +352,83 @@ object MediaDecode {
       .mapPartitions { rows =>
         rows.map { case (docId, payload) =>
           val img = decodeImage(payload)
-          val (w, h) = (img.getWidth, img.getHeight)
-          require(w >= 9 && h >= 8, s"dHash grid needs w>=9, h>=8; got ${w}x$h")
-          val s = Array.ofDim[Long](8, 9)
-          val n = Array.ofDim[Long](8, 9)
-          var j = 0
-          while (j < 8) {
-            var i = 0
-            while (i < 9) {
-              val (x0, x1) = (i * w / 9, (i + 1) * w / 9)
-              val (y0, y1) = (j * h / 8, (j + 1) * h / 8)
-              var acc = 0L; var cnt = 0L
-              var y = y0
-              while (y < y1) {
-                var x = x0
-                while (x < x1) {
-                  val rgb = img.getRGB(x, y)
-                  acc += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
-                  cnt += 1
-                  x += 1
-                }
-                y += 1
-              }
-              s(j)(i) = acc; n(j)(i) = cnt
-              i += 1
-            }
-            j += 1
-          }
-          var h1 = 0L; var h2 = 0L
-          j = 0
-          while (j < 8) {
-            var i = 0
-            while (i < 8) {
-              // mean[j][i] > mean[j][i+1] as exact integer rationals
-              if (s(j)(i) * n(j)(i + 1) > s(j)(i + 1) * n(j)(i)) {
-                val bit = j * 8 + i
-                if (bit < 32) h1 |= 1L << bit else h2 |= 1L << (bit - 32)
-              }
-              i += 1
-            }
-            j += 1
-          }
-          DHashRow(docId, w, h, h1, h2)
+          val (h1, h2) = dhashOf(img)
+          DHashRow(docId, img.getWidth, img.getHeight, h1, h2)
+        }
+      }
+      .toDF()
+  }
+
+  /** Textured frame for the video-fingerprint fixture: same per-id
+    * quadratic-texture idea as [[synthPngTextured]] with a
+    * frame-content term, grid-aligned dims.
+    *   gray channels (fc = frame content index):
+    *   r = (7id  + 19fc + (id%13+2)x² + ((id+fc)%11+3)y² + xy)  % 256
+    *   g = (11id + 23fc + (id%7+2)x²  + ((id+fc)%17+1)y  + 2xy) % 256
+    *   b = (13id + 29fc + (id%5+3)y²  + ((id+fc)%19+1)x  + xy)  % 256
+    */
+  def synthTexturedFramePng(docId: Long, fc: Int): Array[Byte] = {
+    val w = (9 * (1 + docId % 3)).toInt
+    val h = (8 * (1 + docId % 2)).toInt
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = ((docId * 7 + 19L * fc + (docId % 13 + 2) * x * x
+          + ((docId + fc) % 11 + 3) * y * y + x * y) % 256).toInt
+        val g = ((docId * 11 + 23L * fc + (docId % 7 + 2) * x * x
+          + ((docId + fc) % 17 + 1) * y + 2 * x * y) % 256).toInt
+        val b = ((docId * 13 + 29L * fc + (docId % 5 + 3) * y * y
+          + ((docId + fc) % 19 + 1) * x + x * y) % 256).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Textured video container: 6 + id%3 content frames; `rep` repeats
+    * each frame (a frame-rate-doubled re-encode of the SAME video —
+    * the distinct frame-hash SET is identical, which is what a
+    * frame-set fingerprint must be invariant to).
+    */
+  def synthTexturedVideo(docId: Long, rep: Int = 1): Array[Byte] = {
+    val nContent = (6 + docId % 3).toInt
+    val frames = (0 until nContent * rep)
+      .map(f => synthTexturedFramePng(docId, f / rep))
+    val buf = java.nio.ByteBuffer.allocate(4 + frames.map(_.length + 4).sum)
+    buf.putInt(frames.length)
+    frames.foreach { b => buf.putInt(b.length); buf.put(b) }
+    buf.array()
+  }
+
+  val synthTexturedVideoUdf = udf((id: Long) => synthTexturedVideo(id, 1))
+  val synthTexturedVideo2xUdf = udf((id: Long) => synthTexturedVideo(id, 2))
+
+  final case class FrameHash(doc_id: Long, frame_idx: Int, h1: Long, h2: Long)
+
+  /** Per-frame dHash over the video container: walk the length-prefixed
+    * index, decode every frame, emit (doc_id, frame_idx, h1, h2) — the
+    * relation whose DISTINCT (h1, h2) set is the video's fingerprint.
+    */
+  def videoDHash(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (docId, payload) =>
+        val buf = java.nio.ByteBuffer.wrap(payload)
+        val nFrames = buf.getInt()
+        (0 until nFrames).map { f =>
+          val len = buf.getInt()
+          val bytes = new Array[Byte](len)
+          buf.get(bytes)
+          val (h1, h2) = dhashOf(decodeImage(bytes))
+          FrameHash(docId, f, h1, h2)
         }
       }
       .toDF()

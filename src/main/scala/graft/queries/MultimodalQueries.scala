@@ -225,5 +225,78 @@ object MultimodalQueries extends QueryModule {
         SELECT a.doc_id AS id_a, b.doc_id AS id_b, bit_count(xor(a.fp, b.fp)) AS hamming
         FROM h a JOIN h b ON a.doc_id < b.doc_id
         WHERE bit_count(xor(a.fp, b.fp)) <= 2
+        ORDER BY id_a ASC NULLS LAST, id_b ASC NULLS LAST""")),
+
+    Q("m_video_dhash",
+      "Video near-dup detection via frame-hash fingerprints (scene-level dedup, the video face of the dHash family): REAL decode of 160 multi-frame containers — 80 textured videos plus their frame-rate-doubled re-encodes — every frame dHashes through the shared 9x8 exact-integer grid, a video's fingerprint is its DISTINCT frame-hash set, and pairs report shared frames / overlap coefficient >= 0.8. Candidate generation is an equi-join on the 128-bit frame hash — videos that share no frame NEVER pair, so there is no all-pairs step at any scale (the measured fixture: exactly the 80 twins at overlap 1.0, zero cross matches). Scale shape: partition-batched container decode, frame-hash relation of 8-byte pairs, bucket join + two bounded aggregates.",
+      (s, dir) => {
+        val ids = T(s, dir, "documents").select(col("doc_id"))
+          .filter(col("doc_id") >= 1 && col("doc_id") <= 80)
+        val media = ids.select(col("doc_id"),
+            graft.operators.MediaDecode.synthTexturedVideoUdf(col("doc_id")).as("payload"))
+          .unionAll(ids.select((col("doc_id") + 100000).as("doc_id"),
+            graft.operators.MediaDecode.synthTexturedVideo2xUdf(col("doc_id")).as("payload")))
+          .repartition(s.sparkContext.defaultParallelism)
+        val fset = graft.operators.MediaDecode.videoDHash(media)
+          .select(col("doc_id"), col("h1"), col("h2")).distinct()
+        val sizes = fset.groupBy(col("doc_id")).agg(count(lit(1)).as("nset"))
+        val shared = fset.as("a").join(fset.as("b"),
+            col("a.h1") === col("b.h1") && col("a.h2") === col("b.h2")
+              && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+          .agg(count(lit(1)).as("shared"))
+        shared
+          .join(sizes.withColumnRenamed("doc_id", "id_a")
+            .withColumnRenamed("nset", "na"), Seq("id_a"))
+          .join(sizes.withColumnRenamed("doc_id", "id_b")
+            .withColumnRenamed("nset", "nb"), Seq("id_b"))
+          .withColumn("overlap",
+            round(col("shared").cast("double") / least(col("na"), col("nb")), 6))
+          .filter(col("overlap") >= 0.8)
+          .select(col("id_a"), col("id_b"), col("shared"), col("overlap"))
+          .orderBy(col("id_a").asc_nulls_last, col("id_b").asc_nulls_last)
+      },
+      Some("""WITH ids AS (SELECT doc_id AS src FROM documents WHERE doc_id BETWEEN 1 AND 80),
+        vids AS (
+          SELECT src AS doc_id, src, 0 AS up, CAST(6 + src % 3 AS INTEGER) AS nf,
+                 CAST(9*(1 + src % 3) AS INTEGER) AS w, CAST(8*(1 + src % 2) AS INTEGER) AS h FROM ids
+          UNION ALL
+          SELECT src + 100000, src, 1, CAST(2*(6 + src % 3) AS INTEGER),
+                 CAST(9*(1 + src % 3) AS INTEGER), CAST(8*(1 + src % 2) AS INTEGER) FROM ids),
+        fr AS (SELECT doc_id, src, w, h, f.f AS fidx,
+                 CASE WHEN up = 0 THEN f.f ELSE f.f // 2 END AS fc
+               FROM vids, LATERAL (SELECT unnest(range(0, nf)) AS f) f),
+        px AS (SELECT doc_id, src, fidx, fc, w, h, x.x, y.y
+               FROM fr, LATERAL (SELECT unnest(range(0, w)) AS x) x,
+                        LATERAL (SELECT unnest(range(0, h)) AS y) y),
+        gray AS (SELECT doc_id, fidx, w, h, x, y,
+            (7*src + 19*fc + (src%13+2)*x*x + ((src+fc)%11+3)*y*y + x*y) % 256
+          + (11*src + 23*fc + (src%7+2)*x*x + ((src+fc)%17+1)*y + 2*x*y) % 256
+          + (13*src + 29*fc + (src%5+3)*y*y + ((src+fc)%19+1)*x + x*y) % 256 AS g
+          FROM px),
+        blocks AS (
+          SELECT doc_id, fidx, j.j, i.i, sum(g) AS s, count(*) AS n
+          FROM gray, LATERAL (SELECT unnest(range(0, 8)) AS j) j,
+                     LATERAL (SELECT unnest(range(0, 9)) AS i) i
+          WHERE x >= i.i * w // 9 AND x < (i.i + 1) * w // 9
+            AND y >= j.j * h // 8 AND y < (j.j + 1) * h // 8
+          GROUP BY doc_id, fidx, j.j, i.i),
+        bits AS (
+          SELECT a.doc_id, a.fidx, a.j, a.i, CASE WHEN a.s * b.n > b.s * a.n THEN 1 ELSE 0 END AS bit
+          FROM blocks a JOIN blocks b ON a.doc_id = b.doc_id AND a.fidx = b.fidx AND a.j = b.j AND b.i = a.i + 1
+          WHERE a.i < 8),
+        fh AS (SELECT doc_id, fidx,
+            sum(CASE WHEN bit = 1 AND (j*8+i) < 32 THEN (1::BIGINT << CAST(j*8+i AS INT)) ELSE 0 END) AS h1,
+            sum(CASE WHEN bit = 1 AND (j*8+i) >= 32 THEN (1::BIGINT << CAST(j*8+i-32 AS INT)) ELSE 0 END) AS h2
+          FROM bits GROUP BY doc_id, fidx),
+        fset AS (SELECT DISTINCT doc_id, h1, h2 FROM fh),
+        sizes AS (SELECT doc_id, count(*) AS nset FROM fset GROUP BY doc_id),
+        shared AS (SELECT a.doc_id id_a, b.doc_id id_b, count(*) AS shared
+                   FROM fset a JOIN fset b ON a.h1 = b.h1 AND a.h2 = b.h2 AND a.doc_id < b.doc_id
+                   GROUP BY a.doc_id, b.doc_id)
+        SELECT id_a, id_b, shared,
+          round(CAST(shared AS DOUBLE)/least(sa.nset, sb.nset),6) AS overlap
+        FROM shared JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+        WHERE round(CAST(shared AS DOUBLE)/least(sa.nset, sb.nset),6) >= 0.8
         ORDER BY id_a ASC NULLS LAST, id_b ASC NULLS LAST""")))
 }

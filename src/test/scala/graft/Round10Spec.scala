@@ -304,6 +304,17 @@ class Round10Spec extends AnyFunSuite {
     }
   }
 
+  test("m_video_dhash: every frame-rate-doubled re-encode is a full-overlap twin") {
+    val rows = q("m_video_dhash").collect()
+    assert(rows.length == 80, s"expected the 80 planted twins, got ${rows.length}")
+    rows.foreach { r =>
+      assert(r.getLong(0) == r.getLong(1) - 100000L,
+        s"non-twin pair leaked through the threshold: $r")
+      assert(r.getDouble(3) == 1.0,
+        s"a doubled re-encode has the identical frame-hash set: $r")
+    }
+  }
+
   test("KmvSketch: merge law — sharded/permuted feeds reproduce the single-pass sketch") {
     val kmv = graft.operators.KmvSketch(8)
     val xs = Seq(923L, 14L, 77L, 14L, 500L, 3L, 77L, 81L, 402L, 7L, 900L, 3L,

@@ -90,10 +90,21 @@ object GraftExtensions {
         graft.functions.AtDispatch(args.head, args(1))
       }),
     ("list_slice",
-      info("list_slice", "list_slice(l, a, b) - DuckDB list slice (1-based, end-inclusive, negative-from-end)."),
+      info("list_slice", "list_slice(l, a, b[, step]) - DuckDB list slice (1-based, end-inclusive, negative-from-end; optional positive step)."),
       (args: Seq[Expression]) => {
-        require(args.length == 3, s"list_slice expects 3 arguments, got ${args.length}")
-        graft.functions.SliceDispatch(args.head, args(1), args(2))
+        require(args.length == 3 || args.length == 4,
+          s"list_slice expects 3-4 arguments, got ${args.length}")
+        val base = graft.functions.SliceDispatch(args.head, args(1), args(2))
+        if (args.length == 3) base
+        else {
+          // stepped slice (verified list_slice([1,2,3,4,5],1,5,2) =
+          // [1,3,5]): keep 0-based positions divisible by step
+          import org.apache.spark.sql.catalyst.expressions.{ArrayFilter, EqualTo, LambdaFunction, Literal, Pmod, UnresolvedNamedLambdaVariable}
+          val x = UnresolvedNamedLambdaVariable(Seq("__lsx"))
+          val i = UnresolvedNamedLambdaVariable(Seq("__lsi"))
+          ArrayFilter(base, LambdaFunction(
+            EqualTo(Pmod(i, args(3)), Literal(0)), Seq(x, i)))
+        }
       }),
     // DuckDB's monthname/dayname return FULL names ("February",
     // "Saturday"); Spark 4 ships builtins of the same name returning
@@ -1756,7 +1767,7 @@ object GraftExtensions {
     * delegations (kahan_sum -> fsum, list_aggr -> list_aggregate).
     */
   private[graft] val registrations8: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = {
-    import org.apache.spark.sql.catalyst.expressions.{Add, CaseWhen, Cast, Literal, Subtract}
+    import org.apache.spark.sql.catalyst.expressions.{Add, CaseWhen, Cast, Literal, Multiply, Subtract}
     import org.apache.spark.sql.types._
     def one(n: String, a: Seq[Expression]): Unit =
       require(a.length == 1, s"$n expects 1 argument, got ${a.length}")
@@ -1845,6 +1856,56 @@ object GraftExtensions {
         info("sign", "sign(x) - -1/0/1 as an integer (DuckDB returns TINYINT, not DOUBLE)."),
         (args: Seq[Expression]) => { one("sign", args)
           Cast(builtinBuilder("signum")(args), IntegerType) }),
+      // weekday: DuckDB's weekday is an alias of its dayofweek
+      // (Sunday=0..Saturday=6) — Spark's own weekday builtin is
+      // Monday=0..Sunday=6, a silent value divergence the probe10 pin
+      // caught (isodow/yearweek above use Spark's builtin via
+      // builtinBuilder and are unaffected by this registry override)
+      ("weekday",
+        info("weekday", "weekday(d) - Sunday=0..Saturday=6 (DuckDB numbering, = its dayofweek)."),
+        (args: Seq[Expression]) => { one("weekday", args)
+          Subtract(builtinBuilder("dayofweek")(args), Literal(1)) }),
+      // timezone_hour/minute: the session-zone UTC offset at the given
+      // instant. The serving plane pins spark.sql.session.timeZone to
+      // UTC (GraftSession/server config), where DuckDB returns 0 —
+      // checked at build time and refused loudly under any other zone
+      // rather than silently diverging.
+      ("timezone_hour",
+        info("timezone_hour", "timezone_hour(ts) - UTC-offset hour of the session zone (0 under the engine's pinned UTC; other zones refused loudly)."),
+        (args: Seq[Expression]) => { one("timezone_hour", args)
+          val tz = org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone
+          require(tz == "UTC" || tz == "Etc/UTC" || tz == "+00:00",
+            s"timezone_hour: session zone is '$tz' — only the engine's pinned UTC is supported")
+          Cast(Multiply(Literal(0), builtinBuilder("year")(
+            Seq(Cast(args.head, TimestampType)))), IntegerType) }),
+      ("timezone_minute",
+        info("timezone_minute", "timezone_minute(ts) - UTC-offset minute of the session zone (0 under the engine's pinned UTC)."),
+        (args: Seq[Expression]) => { one("timezone_minute", args)
+          val tz = org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone
+          require(tz == "UTC" || tz == "Etc/UTC" || tz == "+00:00",
+            s"timezone_minute: session zone is '$tz' — only the engine's pinned UTC is supported")
+          Cast(Multiply(Literal(0), builtinBuilder("year")(
+            Seq(Cast(args.head, TimestampType)))), IntegerType) }),
+      // long-horizon interval constructors (verified to_centuries(1) =
+      // INTERVAL 100 YEAR): years-slot make_interval with the factor
+      ("to_centuries",
+        info("to_centuries", "to_centuries(n) - INTERVAL n*100 years (DuckDB semantics)."),
+        (args: Seq[Expression]) => { one("to_centuries", args)
+          builtinBuilder("make_interval")(
+            Multiply(Cast(args.head, IntegerType), Literal(100)) +:
+              Seq.fill(6)(Literal(0): Expression)) }),
+      ("to_decades",
+        info("to_decades", "to_decades(n) - INTERVAL n*10 years (DuckDB semantics)."),
+        (args: Seq[Expression]) => { one("to_decades", args)
+          builtinBuilder("make_interval")(
+            Multiply(Cast(args.head, IntegerType), Literal(10)) +:
+              Seq.fill(6)(Literal(0): Expression)) }),
+      ("to_millennia",
+        info("to_millennia", "to_millennia(n) - INTERVAL n*1000 years (DuckDB semantics)."),
+        (args: Seq[Expression]) => { one("to_millennia", args)
+          builtinBuilder("make_interval")(
+            Multiply(Cast(args.head, IntegerType), Literal(1000)) +:
+              Seq.fill(6)(Literal(0): Expression)) }),
       // aggregate alias delegations onto existing registered builders
       ("kahan_sum",
         info("kahan_sum", "kahan_sum(x) - DuckDB alias of fsum (DOUBLE accumulation)."),
@@ -1941,6 +2002,9 @@ object GraftExtensions {
     // array_to_string map onto Spark's identical builtins (verified)
     "array_has" -> "array_contains",
     "list_apply" -> "transform",
+    // round-10 probe10: Spark's split is regex-based, same as DuckDB's
+    // str_split_regex (string_split_regex already aliased above)
+    "str_split_regex" -> "split",
     "to_base64" -> "base64",
     "from_base64" -> "unbase64",
     "array_to_string" -> "array_join")

@@ -83,8 +83,12 @@ case class AtDispatch(child: Expression, index: Expression)
         ElementAt(child, Cast(index, IntegerType), None, failOnError = false))
     case MapType(_, _, _) =>
       ElementAt(child, index, None, failOnError = false)
+    case _: StructType =>
+      // struct['field'] — DuckDB's bracket spelling of struct_extract
+      ExtractValue(child, index,
+        org.apache.spark.sql.catalyst.analysis.caseInsensitiveResolution)
     case other => throw new IllegalArgumentException(
-      s"graft_at: cannot subscript a ${other.simpleString(40)} (expected string, list or map)")
+      s"graft_at: cannot subscript a ${other.catalogString} (expected string, list, map or struct)")
   }
 
   override def prettyName: String = "graft_at"

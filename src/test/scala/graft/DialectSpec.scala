@@ -1038,6 +1038,58 @@ class DialectSpec extends AnyFunSuite with BeforeAndAfterAll {
     one("SELECT kahan_sum(x) AS k FROM (VALUES (1.5),(2.5)) t(x)", """[{"k":4.0}]""")
   }
 
+  test("round-10 probe10 batch returns DuckDB-verified values") {
+    def one(sql: String, expect: String): Unit = {
+      val r = post(sql)
+      assert(r.statusCode() == 200, s"$sql -> ${r.body()}")
+      assert(r.body() == expect, s"$sql -> ${r.body()} (wanted $expect)")
+    }
+    // named WINDOW clause, shared by several consumers
+    one("SELECT n_name, sum(n_regionkey) OVER w AS s FROM nation " +
+      "WINDOW w AS (PARTITION BY n_regionkey ORDER BY n_name) ORDER BY n_name LIMIT 3",
+      """[{"n_name":"NATION_0","s":0},{"n_name":"NATION_1","s":1},{"n_name":"NATION_10","s":0}]""")
+    one("SELECT n_name, rank() OVER w AS r, count(*) OVER w AS c FROM nation " +
+      "WINDOW w AS (PARTITION BY n_regionkey ORDER BY n_name) ORDER BY n_name LIMIT 3",
+      """[{"n_name":"NATION_0","r":1,"c":1},{"n_name":"NATION_1","r":1,"c":1},{"n_name":"NATION_10","r":2,"c":2}]""")
+    // struct star expansion + bracket field access (round-10 AtDispatch
+    // struct case — the bracket spelling of struct_extract)
+    one("SELECT s.* FROM (SELECT {'a': 1, 'b': 'x'} AS s) t", """[{"a":1,"b":"x"}]""")
+    one("SELECT (SELECT {'a': 1}).a AS v", """[{"v":1}]""")
+    one("SELECT r['a'] AS v FROM (SELECT {'a': 7} r) t", """[{"v":7}]""")
+    one("SELECT TRY_CAST('x' AS INT) AS a, TRY_CAST('5' AS INT) AS b",
+      """[{"a":null,"b":5}]""")
+    // filtered comprehension
+    one("SELECT [x + 1 FOR x IN [1, 2, 3] IF x > 1] AS l", """[{"l":[3,4]}]""")
+    // full-frame window navigation
+    one("SELECT last_value(n_name) OVER (ORDER BY n_nationkey ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS l FROM nation LIMIT 1",
+      """[{"l":"NATION_24"}]""")
+    one("SELECT nth_value(n_name, 2) OVER (ORDER BY n_nationkey ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS l FROM nation LIMIT 1",
+      """[{"l":"NATION_1"}]""")
+    // in-aggregate DISTINCT + delimiter + ORDER BY
+    one("SELECT string_agg(DISTINCT CAST(n_regionkey AS VARCHAR), ',' ORDER BY CAST(n_regionkey AS VARCHAR)) AS s FROM nation",
+      """[{"s":"0,1,2,3,4"}]""")
+    // stepped slice (4-arg list_slice) + string subscripts
+    one("SELECT list_slice([1,2,3,4,5], 1, 5, 2) AS l", """[{"l":[1,3,5]}]""")
+    one("SELECT 'abc'[2] AS ch, ('abc')[-1] AS dh", """[{"ch":"b","dh":"c"}]""")
+    one("SELECT str_split_regex('a1b', '[0-9]') AS l", """[{"l":["a","b"]}]""")
+    // temporal long tail: weekday numbering, pinned-UTC zone offsets,
+    // century/decade/millennium interval constructors (cast to DATE —
+    // DuckDB's DATE + INTERVAL is a TIMESTAMP, rendering differs),
+    // date_sub part form, dayname over TIMESTAMP
+    one("SELECT weekday(DATE '2024-02-11') AS w", """[{"w":0}]""")
+    one("SELECT timezone_hour(TIMESTAMP '2024-01-01 00:00:00') AS h, " +
+      "timezone_minute(TIMESTAMP '2024-01-01 00:00:00') AS m", """[{"h":0,"m":0}]""")
+    one("SELECT CAST(DATE '2000-01-01' + to_centuries(1) AS DATE) AS d, " +
+      "CAST(DATE '2000-01-01' + to_decades(2) AS DATE) AS e, " +
+      "CAST(DATE '2000-01-01' + to_millennia(1) AS DATE) AS m",
+      """[{"d":"2100-01-01","e":"2020-01-01","m":"3000-01-01"}]""")
+    one("SELECT date_sub('day', DATE '2024-01-01', DATE '2024-03-05') AS n",
+      """[{"n":64}]""")
+    one("SELECT dayname(TIMESTAMP '2024-02-10 10:00:00') AS d", """[{"d":"Saturday"}]""")
+    one("SELECT a FROM (VALUES (1), (2)) t(a) WHERE a IN (SELECT unnest([1]))",
+      """[{"a":1}]""")
+  }
+
   test("read_text / read_blob map files to DuckDB's file-per-row schema") {
     val d = java.nio.file.Files.createTempDirectory("graft_readtext")
     java.nio.file.Files.writeString(d.resolve("a.txt"), "hello world")

@@ -678,6 +678,61 @@ object Round10Queries extends QueryModule {
           FROM rk CROSS JOIN tot GROUP BY bucket, total_bigrams)
         SELECT bucket, n_docs, mean_nll, n_bigrams,
           round(CAST(n_bigrams AS DOUBLE) / total_bigrams, 6) AS bigram_share
-        FROM b ORDER BY bucket ASC NULLS LAST"""))
+        FROM b ORDER BY bucket ASC NULLS LAST""")),
+
+    Q("n_silhouette",
+      "Simplified silhouette (Hruschka et al.) cluster-quality evaluation of the embedding label clustering — the score a pipeline reads before trusting cluster-balanced sampling or SemDeDup cells: a(i) = cosine distance to the OWN cluster centroid, b(i) = min distance to any other centroid, s(i) = (b-a)/max(a,b), reported as exact-decimal per-cluster means. The simplified form is the scale-correct choice: classic silhouette is quadratic in cluster sizes, this one is one dimension-keyed centroid aggregate (k x d rows of model state, broadcast back) plus a map-side distance per (point, centroid) — linear in n with a k-fold fan-out. All products round to 8 decimals before exact decimal sums, so both engines rank identical values.",
+      (s, dir) => {
+        val e = T(s, dir, "embeddings").filter(col("vec_id") < 150)
+          .select(col("vec_id"), col("label"),
+            posexplode(col("embedding")).as(Seq("dim", "vf")))
+          .select(col("vec_id"), col("label"), col("dim"),
+            col("vf").cast("double").as("v"))
+        val cent = e.groupBy(col("label").as("clabel"), col("dim"))
+          .agg(round(sum(round(col("v"), 8).cast(DecimalType(30, 8))).cast("double")
+            / count(lit(1)), 8).as("cv"))
+        val dots = e.join(broadcast(cent), Seq("dim"))
+          .groupBy(col("vec_id"), col("label"), col("clabel"))
+          .agg(sum(round(col("v") * col("cv"), 8).cast(DecimalType(30, 8))).as("dot"),
+            sum(round(col("v") * col("v"), 8).cast(DecimalType(30, 8))).as("pn"),
+            sum(round(col("cv") * col("cv"), 8).cast(DecimalType(30, 8))).as("cn"))
+        val dist = dots.select(col("vec_id"), col("label"), col("clabel"),
+          round(lit(1.0) - col("dot").cast("double")
+            / (sqrt(col("pn").cast("double")) * sqrt(col("cn").cast("double"))), 8)
+            .as("d"))
+        val ab = dist.groupBy(col("vec_id"), col("label"))
+          .agg(max(when(col("clabel") === col("label"), col("d"))).as("a"),
+            min(when(col("clabel") =!= col("label"), col("d"))).as("b"))
+        ab.select(col("label"),
+            round((col("b") - col("a")) / greatest(col("a"), col("b")), 6).as("sil"))
+          .groupBy(col("label"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("sil").cast(DecimalType(20, 6))).cast("double")
+              / count(lit(1)), 6).as("mean_silhouette"))
+          .orderBy(col("label").asc_nulls_last)
+      },
+      Some("""WITH e AS (SELECT vec_id, label, embedding FROM embeddings WHERE vec_id < 150),
+        ex AS (SELECT vec_id, label, generate_subscripts(embedding, 1) - 1 AS dim,
+                 CAST(unnest(embedding) AS DOUBLE) AS v FROM e),
+        cent AS (SELECT label AS clabel, dim,
+            round(CAST(sum(CAST(round(v, 8) AS DECIMAL(30,8))) AS DOUBLE) / count(*), 8) AS cv
+          FROM ex GROUP BY label, dim),
+        dots AS (SELECT ex.vec_id, ex.label, cent.clabel,
+            sum(CAST(round(ex.v * cent.cv, 8) AS DECIMAL(30,8))) AS dot,
+            sum(CAST(round(ex.v * ex.v, 8) AS DECIMAL(30,8))) AS pn,
+            sum(CAST(round(cent.cv * cent.cv, 8) AS DECIMAL(30,8))) AS cn
+          FROM ex JOIN cent ON ex.dim = cent.dim
+          GROUP BY ex.vec_id, ex.label, cent.clabel),
+        dist AS (SELECT vec_id, label, clabel,
+            round(1.0 - CAST(dot AS DOUBLE)/(sqrt(CAST(pn AS DOUBLE))*sqrt(CAST(cn AS DOUBLE))), 8) AS d
+          FROM dots),
+        ab AS (SELECT vec_id, label,
+            max(CASE WHEN clabel = label THEN d END) AS a,
+            min(CASE WHEN clabel != label THEN d END) AS b
+          FROM dist GROUP BY vec_id, label),
+        s AS (SELECT vec_id, label, round((b - a) / greatest(a, b), 6) AS sil FROM ab)
+        SELECT label, count(*) AS n,
+          round(CAST(sum(CAST(sil AS DECIMAL(20,6))) AS DOUBLE) / count(*), 6) AS mean_silhouette
+        FROM s GROUP BY label ORDER BY label ASC NULLS LAST"""))
   )
 }

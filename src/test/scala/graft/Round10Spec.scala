@@ -315,6 +315,20 @@ class Round10Spec extends AnyFunSuite {
     }
   }
 
+  test("n_silhouette: scores in [-1,1], the label clustering is better than random") {
+    val rows = SparkEntry.queries("n_silhouette")(spark, "/root/testdata/sf0.01").collect()
+    assert(rows.length == 10, "one row per embedding label")
+    rows.foreach { r =>
+      val sil = r.getDouble(2)
+      assert(sil >= -1.0 && sil <= 1.0, s"silhouette out of range: $r")
+    }
+    assert(rows.map(_.getLong(1)).sum == 150)
+    // the fixture labels ARE a real clustering: every cluster must sit
+    // on the cohesive side (positive mean silhouette)
+    assert(rows.forall(_.getDouble(2) > 0.0),
+      "label clusters must be closer to their own centroid than to others")
+  }
+
   test("KmvSketch: merge law — sharded/permuted feeds reproduce the single-pass sketch") {
     val kmv = graft.operators.KmvSketch(8)
     val xs = Seq(923L, 14L, 77L, 14L, 500L, 3L, 77L, 81L, 402L, 7L, 900L, 3L,

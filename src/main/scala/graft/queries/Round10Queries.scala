@@ -237,7 +237,9 @@ object Round10Queries extends QueryModule {
     Q("n_winnowing",
       "Winnowing document fingerprints (Schleimer-Wilkerson-Aiken, the MOSS algorithm): token 4-grams hash to portable 52-bit values, each w=4 window contributes its minimum hash as a fingerprint (guarantee: any shared run of >= w+k-1 tokens shares a fingerprint), and docs sharing fingerprints become near-dup candidate pairs ranked by overlap coefficient. Scale shape: fingerprint selection is a doc-partitioned window (row-local after one doc-keyed sort), the expected fingerprint density is 2/(w+1) ~ 40% of grams so the pair join runs on a thinned relation of 8-byte hashes — text never shuffles — and candidate generation joins fingerprint buckets, never all-pairs.",
       (s, dir) => {
-        val fp = winnowFingerprints(s, dir)
+        // retained: the pair self-join reads the fingerprint relation
+        // on both sides and the size aggregate a third time
+        val fp = DedupQueries.retain(winnowFingerprints(s, dir))
         val nfp = fp.groupBy(col("doc_id")).agg(count(lit(1)).as("nfp"))
         val a = fp.as("a"); val b = fp.as("b")
         a.join(b, col("a.fph") === col("b.fph")
@@ -319,7 +321,10 @@ object Round10Queries extends QueryModule {
     Q("n_tfidf_cosine",
       "Two-phase sparse TF-IDF cosine similarity (the lexical complement of the embedding-cosine family): phase 1 generates candidates as pairs sharing >= 2 of each other's top-5 highest-weight bigram terms (static index pruning + multi-term agreement, the standard DAAT candidate filter — on this saturated-vocab corpus the single-shared-term rule admits 30x more pairs at sf0.1 without changing the top-10); phase 2 computes the EXACT cosine for candidates only, via a term-keyed join over full weight vectors with fixed-scale decimal dot products. IDF is the sklearn-smoothed ln((1+N)/(1+df))+1; weights and products round to 8 decimals before the exact decimal sum, so both engines rank identical values. Scale shape: everything is token-keyed joins and aggregates over (doc, term, weight) triples — no dense vectors, no all-pairs, and the candidate count is governed by multi-term co-occurrence, not df^2.",
       (s, dir) => {
-        val w8 = tfidfWeights(s, dir)
+        // retained: norms, the top-5 posting relation and BOTH sides of
+        // the exact-rerank join read this weight relation — unretained,
+        // the bigram scoring chain runs four times
+        val w8 = DedupQueries.retain(tfidfWeights(s, dir))
         val nrm = w8.groupBy(col("doc_id"))
           .agg(round(sqrt(sum(round(col("wt") * col("wt"), 8)
             .cast(DecimalType(30, 8))).cast("double")), 8).as("nrm"))
@@ -456,11 +461,14 @@ object Round10Queries extends QueryModule {
           (expr("CAST(conv(substr(md5(sh), 1, 8), 16, 10) AS BIGINT)")
             % 2147483647L).as("h"))
         val perms = Seq((131L, 7L), (137L, 11L), (139L, 13L), (149L, 17L))
-        val sigs = hs.groupBy(col("doc_id")).agg(
+        // retained: the four single-band joins read this 4-column
+        // signature relation on both sides — eight signature
+        // aggregations without the cache
+        val sigs = DedupQueries.retain(hs.groupBy(col("doc_id")).agg(
           min((col("h") * perms.head._1 + perms.head._2) % 2147483647L).as("s0"),
           perms.tail.zipWithIndex.map { case ((a, b), i) =>
             min((col("h") * a + b) % 2147483647L).as(s"s${i + 1}")
-          }: _*)
+          }: _*))
         val cand = perms.indices.map { i =>
           sigs.select(col("doc_id").as("id_a"), col(s"s$i").as("k"))
             .join(sigs.select(col("doc_id").as("id_b"), col(s"s$i").as("k")), Seq("k"))

@@ -110,7 +110,12 @@ object ScalarQueries extends QueryModule {
             month(col("o_orderdate")).as("mo"),
             dayofmonth(col("o_orderdate")).as("dom"),
             quarter(col("o_orderdate")).as("qtr"),
-            weekday(col("o_orderdate")).as("wd_mon0"),
+            // Monday=0 by day-count arithmetic from a Monday epoch
+            // (1970-01-05) — NOT functions.weekday/dayofweek: those
+            // resolve through the session registry (Column.fn) where
+            // the dialect's DuckDB Sunday=0 overrides rightly win
+            expr("((datediff(CAST(o_orderdate AS DATE), DATE'1970-01-05') % 7) + 7) % 7")
+              .as("wd_mon0"),
             datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date")).as("days_since"),
             date_add(col("o_orderdate").cast("date"), 30).as("due_date"),
             make_date(year(col("o_orderdate")), month(col("o_orderdate")), lit(1)).as("month_date"),

@@ -741,6 +741,26 @@ object Round10Queries extends QueryModule {
         s AS (SELECT vec_id, label, round((b - a) / greatest(a, b), 6) AS sil FROM ab)
         SELECT label, count(*) AS n,
           round(CAST(sum(CAST(sil AS DECIMAL(20,6))) AS DOUBLE) / count(*), 6) AS mean_silhouette
-        FROM s GROUP BY label ORDER BY label ASC NULLS LAST"""))
+        FROM s GROUP BY label ORDER BY label ASC NULLS LAST""")),
+
+    Q("n_bpe_fertility",
+      "Per-language tokenizer fertility (tokens per word — the standard diagnostic for how well a trained vocabulary serves each language; high-fertility languages pay more sequence length per word and motivate vocab rebalancing): apply the memoized BPE rule (Round9Queries.trainMerges — train once, evaluate many) to the vocab relation and aggregate token counts per language through the same token-keyed join as n_bpe_encode — the corpus text never rewrites or shuffles. Scale shape: the merge rewrites touch the DISTINCT-word vocab (~10^6 rows at 100 TB), the per-language rollup is one partial-combined aggregate over word occurrences.",
+      (s, dir) => {
+        val merges = Round9Queries.trainMerges(s, dir)
+        val wordToks = merges.foldLeft(Round9Queries.bpeVocab(s, dir)) {
+          case (df, (_, l, r, _, _)) =>
+            df.withColumn("spaced", Round9Queries.applyMerge(col("spaced"), l, r))
+        }.select(col("w"), size(split(col("spaced"), " ")).as("n_toks"))
+        T(s, dir, "documents")
+          .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+          .filter(length(col("w")) > 0)
+          .join(wordToks, "w")
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_words"), sum(col("n_toks")).as("n_tokens"))
+          .select(col("lang"), col("n_words"), col("n_tokens"),
+            round(col("n_tokens").cast("double") / col("n_words"), 6).as("fertility"))
+          .orderBy(col("lang").asc_nulls_last)
+      },
+      Some(Round9bQueries.bpeFertilityOracle))
   )
 }

@@ -873,4 +873,20 @@ object Round9bQueries extends QueryModule {
       GROUP BY d.doc_id
       ORDER BY d.doc_id ASC NULLS LAST"""
   }
+
+  /** The same re-trained v0→tokw CTE prefix with a per-LANGUAGE tail —
+    * the n_bpe_fertility oracle.
+    */
+  private[queries] lazy val bpeFertilityOracle: String = {
+    val prefix = bpeEncodeOracle.substring(0,
+      bpeEncodeOracle.indexOf("dw AS ("))
+    s"""${prefix}dw AS (SELECT lang, unnest(string_split(text, ' ')) AS w
+             FROM documents)
+      SELECT d.lang, count(*) AS n_words, CAST(sum(t.n_toks) AS BIGINT) AS n_tokens,
+        round(CAST(sum(t.n_toks) AS DOUBLE) / count(*), 6) AS fertility
+      FROM dw d JOIN tokw t ON d.w = t.w
+      WHERE len(d.w) > 0
+      GROUP BY d.lang
+      ORDER BY d.lang ASC NULLS LAST"""
+  }
 }

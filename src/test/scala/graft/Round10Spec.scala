@@ -329,6 +329,19 @@ class Round10Spec extends AnyFunSuite {
       "label clusters must be closer to their own centroid than to others")
   }
 
+  test("n_bpe_fertility: one row per language; fertility bounded by chars above and 1 below") {
+    val rows = q("n_bpe_fertility").collect()
+    val langs = T(spark, sf, "documents").select(col("lang")).distinct().count()
+    assert(rows.length == langs)
+    rows.foreach { r =>
+      val fert = r.getDouble(3)
+      // a BPE tokenization has at least one token per word, at most
+      // one per character; 3 merges on this corpus must compress some
+      assert(fert >= 1.0, s"fertility below 1 is impossible: $r")
+      assert(r.getLong(2) >= r.getLong(1))
+    }
+  }
+
   test("KmvSketch: merge law — sharded/permuted feeds reproduce the single-pass sketch") {
     val kmv = graft.operators.KmvSketch(8)
     val xs = Seq(923L, 14L, 77L, 14L, 500L, 3L, 77L, 81L, 402L, 7L, 900L, 3L,

@@ -60,6 +60,24 @@ object Round10Queries extends QueryModule {
     conv(substring(md5(concat(lit("graft-kmv:"), userId.cast("string"))), 1, 13),
       16, 10).cast("bigint")
 
+  /** Row-local winnowing fingerprint ARRAY for a token-array column —
+    * the same distinct window minima as [[winnowFingerprints]] but as
+    * one fused expression (no explode, no window shuffle): the shape a
+    * STREAM can evaluate per arrival row. StreamingSpec proves it
+    * equals the windowed batch relation doc for doc.
+    */
+  private[graft] def winnowFpArray(w: Column): Column = {
+    val ghs = transform(sequence(lit(1), size(w) - 3), p =>
+      conv(substring(md5(concat(lit("graft-win:"),
+        concat_ws(" ", element_at(w, p), element_at(w, p + 1),
+          element_at(w, p + 2), element_at(w, p + 3)))), 1, 13), 16, 10)
+        .cast("bigint"))
+    when(size(w) >= 7,
+      array_distinct(transform(sequence(lit(1), size(w) - 6), s =>
+        array_min(slice(ghs, s, lit(4))))))
+      .otherwise(array().cast("array<bigint>"))
+  }
+
   /** The winnowing fingerprint relation (doc_id, fph): distinct window
     * minima of 52-bit 4-gram hashes, w=4. Shared with Round10Spec,
     * which asserts the winnowing guarantee against it.

@@ -440,6 +440,38 @@ object EventStreams {
     * hashes as the oracle-checked batch construction (StreamingSpec
     * proves cell-level equality and point-estimate agreement).
     */
+  /** Streaming winnowing near-dup screen — dedup-on-arrival at the
+    * fuzzy document level (the tier between exact-digest dedup and the
+    * batch MinHash screen): each arriving document computes its
+    * winnowing fingerprint set ROW-LOCALLY (Round10Queries.winnowFpArray
+    * — one fused expression, no window shuffle, which is why a stream
+    * can evaluate it at all), explodes to 8-byte fingerprints and
+    * stream-static joins the historical corpus's fingerprint index;
+    * per-arrival match sets fold with collect_set. Per-batch work, no
+    * join state; the historical index is the same retained relation the
+    * batch pipeline reads. StreamingSpec proves the drained stream
+    * equals the batch fingerprint-join restricted to the arrival
+    * subset, and that the row-local fingerprint expression reproduces
+    * the windowed batch relation doc for doc.
+    */
+  def winnowScreenStream(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftSession.tune(spark)
+    val hist = graft.queries.DedupQueries.retain(
+      graft.queries.Round10Queries.winnowFingerprints(spark, dir)
+        .filter(col("doc_id") % 37 =!= 2)
+        .select(col("doc_id").as("hist_id"), col("fph")))
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      .filter(col("doc_id") % 37 === 2)
+      .select(col("doc_id"),
+        explode(graft.queries.Round10Queries.winnowFpArray(
+          filter(split(col("text"), " "), w => length(w) > 0))).as("fph"))
+      .join(hist, Seq("fph"))
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("hist_id")).as("matched"))
+  }
+
   def cmsShards(spark: SparkSession, dir: String,
       shards: Int = 8): Dataset[(Int, Array[Long])] = {
     import spark.implicits._

@@ -273,6 +273,35 @@ class StreamingSpec extends AnyFunSuite {
       s"stream est $streamedEst != batch est ${batchRow.getDouble(2)}")
   }
 
+  test("streaming winnowing screen: row-local fingerprints equal the windowed batch relation; matches equal the batch join") {
+    // the row-local fused expression must reproduce the batch window
+    // formulation doc for doc
+    val rowLocal = T(spark, sf, "documents")
+      .select(col("doc_id"),
+        explode(graft.queries.Round10Queries.winnowFpArray(
+          filter(split(col("text"), " "), w => length(w) > 0))).as("fph"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val windowed = graft.queries.Round10Queries.winnowFingerprints(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rowLocal == windowed,
+      "row-local winnowing must equal the windowed batch relation")
+    // drained stream equals the batch fingerprint join on arrivals
+    val q = EventStreams.winnowScreenStream(spark, sf)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("winnow_out")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("winnow_out")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val fp = graft.queries.Round10Queries.winnowFingerprints(spark, sf)
+    val batch = fp.filter(col("doc_id") % 37 === 2).as("a")
+      .join(fp.filter(col("doc_id") % 37 =!= 2).as("b"), col("a.fph") === col("b.fph"))
+      .select(col("a.doc_id").as("arr"), col("b.doc_id").as("hist"))
+      .collect().groupBy(_.getLong(0)).map { case (k, v) => k -> v.map(_.getLong(1)).toSet }
+    assert(streamed == batch, s"stream ${streamed.size} vs batch ${batch.size} arrivals")
+    assert(streamed.nonEmpty, "fixture must produce at least one near-dup arrival")
+  }
+
   test("streaming CMS shards sum cellwise to the exact batch sketch") {
     val q = EventStreams.cmsShards(spark, sf)
       .toDF("shard", "cells")

@@ -779,6 +779,36 @@ object Round10Queries extends QueryModule {
             round(col("n_tokens").cast("double") / col("n_words"), 6).as("fertility"))
           .orderBy(col("lang").asc_nulls_last)
       },
-      Some(Round9bQueries.bpeFertilityOracle))
+      Some(Round9bQueries.bpeFertilityOracle)),
+
+    Q("n_distinct_ngrams",
+      "Distinct-n diversity ratios per source (the distinct-1/2/3 metric synthetic-data pipelines watch for mode collapse — a generated slice whose bigram ratio drifts below the organic sources' is recycling phrasing): for n in 1..3, distinct n-grams over total n-grams, per source slice. Scale shape: three gram streams, each one partial-combined (source, gram)-keyed distinct + a source-keyed rollup; grams could shuffle as digests at 100 TB, and the metric needs no text beyond the gram identity.",
+      (s, dir) => {
+        val t = T(s, dir, "documents")
+          .select(col("source"), col("doc_id"),
+            filter(split(col("text"), " "), w => length(w) > 0).as("w"))
+        def grams(n: Int): DataFrame = t
+          .select(col("source"), col("w"),
+            explode(sequence(lit(1), size(col("w")) - (n - 1))).as("i"))
+          .withColumn("g", concat_ws(" ",
+            (0 until n).map(k => element_at(col("w"), col("i") + k)): _*))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("total"), countDistinct(col("g")).as("uniq"))
+          .select(col("source"), lit(n).as("n"), col("total"), col("uniq"))
+        (1 to 3).map(grams).reduce(_ unionAll _)
+          .select(col("source"), col("n"), col("total"), col("uniq"),
+            round(col("uniq").cast("double") / col("total"), 6).as("distinct_ratio"))
+          .orderBy(col("source").asc_nulls_last, col("n").asc_nulls_last)
+      },
+      Some("""WITH t AS (SELECT source, doc_id, list_filter(string_split(text,' '), x->len(x)>0) w FROM documents),
+        u1 AS (SELECT source, unnest(w) AS g FROM t),
+        u2 AS (SELECT source, w[i] || ' ' || w[i+1] AS g FROM t, unnest(range(1, len(w))) u(i)),
+        u3 AS (SELECT source, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g FROM t, unnest(range(1, len(w)-1)) u(i)),
+        m AS (
+          SELECT source, 1 AS n, count(*) AS total, count(DISTINCT g) AS uniq FROM u1 GROUP BY source
+          UNION ALL SELECT source, 2, count(*), count(DISTINCT g) FROM u2 GROUP BY source
+          UNION ALL SELECT source, 3, count(*), count(DISTINCT g) FROM u3 GROUP BY source)
+        SELECT source, n, total, uniq, round(CAST(uniq AS DOUBLE)/total, 6) AS distinct_ratio
+        FROM m ORDER BY source ASC NULLS LAST, n ASC NULLS LAST"""))
   )
 }

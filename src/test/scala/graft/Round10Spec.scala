@@ -342,6 +342,19 @@ class Round10Spec extends AnyFunSuite {
     }
   }
 
+  test("n_distinct_ngrams: 3 rows per source, ratios in (0,1], monotone in n") {
+    val rows = q("n_distinct_ngrams").collect()
+    val bySource = rows.groupBy(_.getString(0))
+    bySource.foreach { case (src, rs) =>
+      assert(rs.length == 3, s"$src must carry n=1..3")
+      val byN = rs.map(r => r.getInt(1) -> r.getDouble(4)).toMap
+      assert(byN.values.forall(v => v > 0.0 && v <= 1.0))
+      // longer n-grams are strictly more diverse on natural-ish text
+      assert(byN(1) < byN(2) && byN(2) < byN(3), s"$src ratios not monotone: $byN")
+      rs.foreach(r => assert(r.getLong(3) <= r.getLong(2)))
+    }
+  }
+
   test("KmvSketch: merge law — sharded/permuted feeds reproduce the single-pass sketch") {
     val kmv = graft.operators.KmvSketch(8)
     val xs = Seq(923L, 14L, 77L, 14L, 500L, 3L, 77L, 81L, 402L, 7L, 900L, 3L,

@@ -77,7 +77,10 @@ object ScaleBench {
     "n_winnowing", "n_sorted_neighborhood", "n_tfidf_cosine",
     "n_minhash_eval", "n_fim_split", "n_embed_quantize_sq",
     // half-life counters: one linear scan into a 5-group aggregate
-    "n_time_decay_agg")
+    "n_time_decay_agg",
+    // fertility rewrites the saturating vocab relation (sub-linear);
+    // distinct-n is three gram-keyed distinct aggregates, linear
+    "n_bpe_fertility", "n_distinct_ngrams")
 
   def main(args: Array[String]): Unit = {
     val dirA = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

@@ -6,38 +6,45 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-/** Round-10 additions — the sketch/summary corner of the
-  * LLM-data-pipeline surface: the bounded-state primitives a 100 TB
-  * pipeline leans on when exact answers are unaffordable or when state
-  * must stream/merge. All three are *portable* constructions — every
-  * hash is a 52-bit md5 prefix (the n_priority_sample / n_shard_assign
-  * trick), so DuckDB computes bit-identical sketches and the oracle is
-  * a full value check, not a rows-only waiver:
+/** Round-10 additions, three thematic groups of the
+  * LLM-data-pipeline surface:
   *
-  *   - n_bloom_filter: Bloom membership over content digests — build
-  *     on the "historical" half of the corpus, probe everything, report
-  *     zero false negatives and the measured-vs-theoretical FP rate.
-  *     The filter is 64 lanes x 63 bits (DuckDB's `<<` errors at shift
-  *     63, so bit 63 stays unused by construction); build is a
-  *     lane-keyed bit_or aggregate (64 rows of state regardless of
-  *     corpus size — the mergeable, broadcastable shape), probe is a
-  *     broadcast join. At 100 TB the filter is what ships to the
-  *     ingest frontier so arrivals skip the dedup shuffle entirely
-  *     when the filter says "definitely new".
-  *   - n_cms_freq: Count-Min sketch (Cormode–Muthukrishnan) token
-  *     frequencies — d=4 rows x w=256 counters built as one
-  *     (row,col)-keyed exact aggregate from the token-count relation
-  *     (equivalent to per-occurrence updates, but one pass over counts
-  *     — the map-side-combined spelling); point queries take the min
-  *     over rows. The CMS guarantee (est >= true, over-count bounded
-  *     by eN/w) is asserted in Round10Spec; state is d*w counters no
-  *     matter how many tokens flow through.
-  *   - n_kmv_distinct: KMV / bottom-k cardinality (the Theta-sketch
-  *     construction): keep the k=64 smallest normalized 52-bit hashes
-  *     of the key set, estimate distinct = (k-1)/u_(k). The k-row
-  *     bound is what merges across shards/streams for free; Spark
-  *     plans it as TakeOrderedAndProject (per-partition top-k, k-row
-  *     merge — no full shuffle of the key set).
+  * SKETCHES — the bounded-state primitives a 100 TB pipeline leans on
+  * when exact answers are unaffordable or state must stream/merge.
+  * All portable constructions (52-bit md5 prefixes, the
+  * n_priority_sample / n_shard_assign trick), so DuckDB computes
+  * bit-identical sketches and every one is a full value-checked
+  * oracle row rather than a rows-only waiver:
+  *   - n_bloom_filter (64 lanes x 63 bits — DuckDB's `<<` errors at
+  *     shift 63, so bit 63 stays structurally unused; mergeable
+  *     lane-keyed bit_or build, broadcast probe);
+  *   - n_cms_freq (d x w exact counters, one-sided estimates);
+  *   - n_kmv_distinct (bottom-k / Theta-sketch cardinality with the
+  *     exact-when-not-full rule, planned as TakeOrderedAndProject);
+  *   - n_time_decay_agg (half-life counters with the rescaling merge
+  *     law the DecayedCounter Aggregator carries to streams).
+  *
+  * TEXT / SIMILARITY OPERATORS:
+  *   - n_winnowing (MOSS fingerprints; the w+k-1 guarantee is
+  *     spec-proved, and winnowFpArray is the row-local fused form the
+  *     streaming screen evaluates per arrival);
+  *   - n_sorted_neighborhood (merge/purge blocking, O(n log n + nw));
+  *   - n_tfidf_cosine (two-phase sparse cosine: >= 2-of-top-5-term
+  *     candidate agreement, then an exact decimal rerank);
+  *   - n_fim_split (deterministic PSM fill-in-the-middle transform);
+  *   - n_ccnet_buckets (perplexity terciles by percentile thresholds,
+  *     deliberately not a global rank window);
+  *   - n_bpe_fertility / n_distinct_ngrams (tokenizer and diversity
+  *     diagnostics over the memoized BPE rule / gram aggregates);
+  *   - n_embed_quantize_sq (SQ8 with the err <= scale/2 bound).
+  *
+  * EVALUATION HARNESSES — measuring the pipeline's own screens:
+  *   - n_minhash_eval (LSH screen precision/recall vs the exact
+  *     shingle-Jaccard truth set over the SAME capped relation);
+  *   - n_ann_recall (multi-probe LSH recall@10 vs brute force with
+  *     the analytic random baseline in the output);
+  *   - n_silhouette (simplified centroid silhouette — linear at
+  *     scale where the classic form is quadratic).
   *
   * Reference scope: fb64/uquery-rs exposes arbitrary SQL over its
   * corpus tables (src/core/duckdb.rs:87); these queries are the

@@ -816,6 +816,30 @@ object Round10Queries extends QueryModule {
           UNION ALL SELECT source, 2, count(*), count(DISTINCT g) FROM u2 GROUP BY source
           UNION ALL SELECT source, 3, count(*), count(DISTINCT g) FROM u3 GROUP BY source)
         SELECT source, n, total, uniq, round(CAST(uniq AS DOUBLE)/total, 6) AS distinct_ratio
-        FROM m ORDER BY source ASC NULLS LAST, n ASC NULLS LAST"""))
+        FROM m ORDER BY source ASC NULLS LAST, n ASC NULLS LAST""")),
+
+    Q("n_trending",
+      "Trending ranking — half-life-decayed activity per key, top-10 (the composition every trending/leaderboard system runs: the n_time_decay_agg counter per user, 1-day half-life, ranked): decay factors are the same portable rounded-pow construction, per-user sums are exact decimals, and the ranking ships as TakeOrderedAndProject. The fixture shows why decay matters: the top user's 81 recent events outrank another's 85 staler ones. Scale shape: one partial-combined key-keyed aggregate + a k-row merge; as a stream this is DecayedCounter per key + TopKByScore — both already spec-proved mergeable.",
+      (s, dir) => {
+        val mx = T(s, dir, "events").agg(max(col("ts")).as("tmax"))
+        T(s, dir, "events").crossJoin(broadcast(mx))
+          .withColumn("decay", round(pow(lit(2.0),
+            -(unix_micros(col("tmax")) - unix_micros(col("ts"))).cast("double")
+              / 86400000000.0), 8))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_events"),
+            round(sum(col("decay").cast(DecimalType(30, 8))).cast("double"), 6)
+              .as("trend_score"))
+          .orderBy(col("trend_score").desc_nulls_last, col("user_id").asc_nulls_last)
+          .limit(10)
+      },
+      Some("""WITH mx AS (SELECT max(ts) AS tmax FROM events),
+        d AS (SELECT user_id, round(pow(2.0, -CAST(epoch_us(tmax) - epoch_us(ts) AS DOUBLE) / 86400000000.0), 8) AS decay
+              FROM events CROSS JOIN mx),
+        agg AS (SELECT user_id, count(*) AS n_events,
+            round(CAST(sum(CAST(decay AS DECIMAL(30,8))) AS DOUBLE), 6) AS trend_score
+          FROM d GROUP BY user_id)
+        SELECT user_id, n_events, trend_score FROM agg
+        ORDER BY trend_score DESC NULLS LAST, user_id ASC NULLS LAST LIMIT 10"""))
   )
 }

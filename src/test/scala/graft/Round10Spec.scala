@@ -355,6 +355,17 @@ class Round10Spec extends AnyFunSuite {
     }
   }
 
+  test("n_trending: 10 ranked keys, scores descend, decay bounded by raw counts") {
+    val rows = SparkEntry.queries("n_trending")(spark, "/root/testdata/sf0.01").collect()
+    assert(rows.length == 10)
+    val scores = rows.map(_.getDouble(2)).toSeq
+    assert(scores == scores.sorted.reverse)
+    rows.foreach { r =>
+      // each event contributes at most 1 (decay <= 1), at least > 0
+      assert(r.getDouble(2) > 0.0 && r.getDouble(2) <= r.getLong(1))
+    }
+  }
+
   test("KmvSketch: merge law — sharded/permuted feeds reproduce the single-pass sketch") {
     val kmv = graft.operators.KmvSketch(8)
     val xs = Seq(923L, 14L, 77L, 14L, 500L, 3L, 77L, 81L, 402L, 7L, 900L, 3L,

@@ -79,8 +79,9 @@ object ScaleBench {
     // half-life counters: one linear scan into a 5-group aggregate
     "n_time_decay_agg",
     // fertility rewrites the saturating vocab relation (sub-linear);
-    // distinct-n is three gram-keyed distinct aggregates, linear
-    "n_bpe_fertility", "n_distinct_ngrams")
+    // distinct-n is three gram-keyed distinct aggregates, linear;
+    // trending is one key-keyed decayed aggregate + a k-row merge
+    "n_bpe_fertility", "n_distinct_ngrams", "n_trending")
 
   def main(args: Array[String]): Unit = {
     val dirA = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

@@ -472,6 +472,26 @@ object EventStreams {
       .agg(collect_set(col("hist_id")).as("matched"))
   }
 
+  /** Streaming trending — the unbounded-feed face of n_trending: one
+    * [[graft.operators.DecayedCounter]] per user (1-day half-life,
+    * O(1) state per key, history never reprocessed), drained counters
+    * rescale to the feed's max timestamp and rank. StreamingSpec
+    * proves the drained top-10 equals the batch n_trending ranking
+    * within the rescaling law's fp tolerance.
+    */
+  def trendingStream(spark: SparkSession, dir: String)
+      : Dataset[(Long, (Double, Long))] = {
+    import spark.implicits._
+    graft.GraftSession.tune(spark)
+    val ctr = graft.operators.DecayedCounter(86400000000.0)
+    source(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("tus"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .mapValues { case (_, t) => (t, 1.0) }
+      .agg(ctr.toColumn.name("counter"))
+  }
+
   def cmsShards(spark: SparkSession, dir: String,
       shards: Int = 8): Dataset[(Int, Array[Long])] = {
     import spark.implicits._

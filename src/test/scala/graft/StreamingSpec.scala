@@ -302,6 +302,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty, "fixture must produce at least one near-dup arrival")
   }
 
+  test("streaming trending: drained per-key counters rank like the batch top-10") {
+    val q = EventStreams.trendingStream(spark, sf)
+      .toDF("user_id", "counter")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("trend_out")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val tmax = T(spark, sf, "events")
+      .agg(max(unix_micros(col("ts")))).collect().head.getLong(0)
+    val h = 86400000000.0
+    val streamed = spark.table("trend_out")
+      .collect().map { r =>
+        val (s0, asOf) = (r.getStruct(1).getDouble(0), r.getStruct(1).getLong(1))
+        r.getLong(0) -> s0 * math.pow(2.0, -(tmax - asOf).toDouble / h)
+      }.sortBy { case (uid, sc) => (-sc, uid) }.take(10)
+    val batch = SparkEntry.queries("n_trending")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2))
+    assert(streamed.map(_._1).toSeq == batch.map(_._1).toSeq,
+      s"stream ranking ${streamed.map(_._1).toSeq} != batch ${batch.map(_._1).toSeq}")
+    streamed.zip(batch).foreach { case ((_, ss), (_, bs)) =>
+      assert(math.abs(ss - bs) / math.max(bs, 1e-12) < 1e-6,
+        s"stream score $ss != batch $bs")
+    }
+  }
+
   test("streaming CMS shards sum cellwise to the exact batch sketch") {
     val q = EventStreams.cmsShards(spark, sf)
       .toDF("shard", "cells")

@@ -72,9 +72,19 @@ object Bench {
     // catches the mid-band that box contention inflates most — at sf0.1
     // that is ~1/3 of the suite, and steady-state min is the documented
     // measurement discipline (first-hit JIT + contention spikes are the
-    // driver box's, not the operator's).
+    // driver box's, not the operator's). Round-11 addition (verdict #4):
+    // sub-2 s queries whose two timings DISAGREE by >15% get a third run
+    // — d_cube has measured 1.2 s clean and 23.9 s contended on an
+    // identical plan, and min-of-3 only where needed keeps the extra
+    // cost bounded to the noisy minority instead of the whole suite.
     val results = first.map { case (n, f, t1) =>
-      n -> (if (t1 > 0.3) math.min(t1, once(n, f)) else t1)
+      var best = t1
+      if (t1 > 0.3) {
+        val t2 = once(n, f); best = math.min(best, t2)
+        if (best < 2.0 && math.abs(t1 - t2) > 0.15 * best)
+          best = math.min(best, once(n, f))
+      }
+      n -> best
     }
     graft.queries.DedupQueries.release(spark)
     val loadEnd = loadavg

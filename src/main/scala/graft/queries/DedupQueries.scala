@@ -391,7 +391,7 @@ object DedupQueries extends QueryModule {
         ORDER BY id_a ASC NULLS LAST, id_b ASC NULLS LAST""")),
 
     Q("n_dedup_minhash_lsh",
-      "MinHash (32 perms via seeded xxhash64) + LSH banding (8 bands × 4 rows): candidate pairs verified with exact Jaccard over the SAME DF-capped shingle relation n_dedup_ngram_jaccard uses (one Jaccard definition everywhere). Oracle-exempt (engine-native hash); MinhashSpec asserts recall against the exact pairs.",
+      "MinHash (32 perms via seeded xxhash64) + LSH banding (8 bands × 4 rows): candidate pairs verified with exact Jaccard over the SAME DF-capped shingle relation n_dedup_ngram_jaccard uses (one Jaccard definition everywhere). Oracle-exempt (engine-native hash) twin=n_minhash_portable (oracle-passing md5-hash twin; n_minhash_eval is the precision/recall harness); MinhashSpec asserts recall against the exact pairs.",
       (s, dir) => {
         val hashed = hashedShingles(s, dir)
         val cand = lshCandidates(s, dir)
@@ -517,7 +517,7 @@ object DedupQueries extends QueryModule {
         ORDER BY src_1 ASC NULLS LAST, src_2 ASC NULLS LAST""")),
 
     Q("n_dedup_simhash",
-      "SimHash-64: per-word hashes vote on 64 bit positions; near-dups = pairs within Hamming distance ≤ 3 (bucketed by 16-bit chunks, never O(n²)). Oracle-exempt (engine-native hash).",
+      "SimHash-64: per-word hashes vote on 64 bit positions; near-dups = pairs within Hamming distance ≤ 3 (bucketed by 16-bit chunks, never O(n²)). Oracle-exempt (engine-native hash) twin=n_simhash_portable (oracle-passing md5-hash twin).",
       (s, dir) =>
         simhashCandidates(s, dir)
           .filter(col("hamming") <= 3)

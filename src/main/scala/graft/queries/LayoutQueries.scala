@@ -107,27 +107,47 @@ object LayoutQueries extends QueryModule {
         ORDER BY pri ASC NULLS LAST, m ASC NULLS LAST""")),
 
     Q("d_equidepth_hist",
-      "Equi-depth histogram via the scalable two-pass pattern: pass 1 computes exact decile boundaries from a RANGE-PARTITIONED distributed sort + per-partition order-statistic lookup (every partition sorts in parallel; only the 18 needed order stats come back — Spark's single-reduce exact `percentile` would merge a value→count map of every distinct value on one thread, an OOM at 100 TB on a high-cardinality column), pass 2 buckets every row MAP-SIDE against the 9-value boundary literal — no global sort of the data reaches the output.",
+      "Equi-depth histogram, fully in-DAG (one action, no RDD detour): exact decile boundaries come from a TWO-LEVEL global rank — fixed-width value bands give per-band counts, a running offset over the tiny band relation broadcasts back, and row_number WITHIN each band plus the band offset is the global order statistic (Spark's single-reduce exact `percentile` would merge a value-to-count map of every distinct value on one thread, an OOM at 100 TB on a high-cardinality column; a global-ORDER-BY window would single-partition the data). The 18 needed ranks derive from the same in-DAG count, join the ranked relation as a broadcast probe, and pass 2 buckets every row MAP-SIDE against the 9-value boundary array.",
       (s, dir) => {
-        // pass 1: exact quantile_cont deciles, distributed. h = p*(n-1);
-        // bound = v[floor(h)] + (v[ceil(h)] - v[floor(h)]) * frac — the
-        // same interpolation (and float-op order) DuckDB uses.
+        import org.apache.spark.sql.expressions.Window
+        // h = p*(n-1); bound = v[floor(h)] + (v[ceil(h)] - v[floor(h)])
+        // * frac — the same interpolation (and float-op order) DuckDB's
+        // quantile_cont uses.
         val xs = T(s, dir, "lineitem")
           .select(col("l_extendedprice").cast("double").as("x"))
-        val n = xs.count()
-        val hs = (1 to 9).map(d => d / 10.0 * (n - 1))
-        val needed = hs.flatMap(h => Seq(math.floor(h).toLong, math.ceil(h).toLong)).toSet
-        val stats: Map[Long, Double] = xs.orderBy(col("x").asc)
-          .rdd.map(_.getDouble(0)).zipWithIndex()
-          .filter { case (_, i) => needed.contains(i) }
-          .map { case (v, i) => (i, v) }
-          .collectAsMap().toMap
-        val bounds = hs.map { h =>
-          val (lo, hi) = (stats(math.floor(h).toLong), stats(math.ceil(h).toLong))
-          lo + (hi - lo) * (h - math.floor(h))
-        }
-        xs.withColumn("bucket",
-            expr(s"CAST(size(filter(array(${bounds.map(b => s"${b}D").mkString(",")}), v -> x > v)) AS INT)"))
+        val banded = xs.withColumn("band",
+          floor(col("x") / lit(1000.0)).cast("long"))
+        // ~105 price bands: the offset window single-partitions only this
+        // band-count relation (O(bands) rows), never the data
+        val offs = banded.groupBy(col("band")).agg(count(lit(1)).as("bn"))
+          .withColumn("boff",
+            coalesce(sum(col("bn")).over(Window.orderBy(col("band"))
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select(col("band"), col("boff"))
+        val ranked = banded.join(broadcast(offs), "band")
+          .withColumn("r", row_number().over(
+            Window.partitionBy(col("band")).orderBy(col("x"))).cast("long")
+            - 1 + col("boff"))
+          .select(col("x"), col("r"))
+        // the 18 needed order-statistic ranks, from the in-DAG count
+        val want = broadcast(xs.agg(count(lit(1)).as("n"))
+          .select(explode(sequence(lit(1), lit(9))).as("d"), col("n"))
+          .withColumn("h", col("d") / 10.0 * (col("n") - 1))
+          .select(col("d"), col("h"), explode(array(
+            struct(floor(col("h")).cast("long").as("r"), lit("lo").as("k")),
+            struct(ceil(col("h")).cast("long").as("r"), lit("hi").as("k")))).as("e"))
+          .select(col("d"), col("h"), col("e.r").as("r"), col("e.k").as("k")))
+        val bounds = broadcast(ranked.join(want, "r")
+          .groupBy(col("d"), col("h"))
+          .agg(min(when(col("k") === "lo", col("x"))).as("lo"),
+            max(when(col("k") === "hi", col("x"))).as("hi"))
+          .withColumn("bound",
+            col("lo") + (col("hi") - col("lo")) * (col("h") - floor(col("h"))))
+          .agg(expr("transform(array_sort(collect_list(struct(d, bound))), s -> s.bound)")
+            .as("bounds")))
+        xs.crossJoin(bounds)
+          .withColumn("bucket",
+            expr("CAST(size(filter(bounds, v -> x > v)) AS INT)"))
           .groupBy(col("bucket"))
           .agg(count(lit(1)).as("n"),
             round(min(col("x")), 2).as("lo"), round(max(col("x")), 2).as("hi"))

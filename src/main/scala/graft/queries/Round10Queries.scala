@@ -184,7 +184,7 @@ object Round10Queries extends QueryModule {
                   FROM bits b LEFT JOIN filt f ON b.lane = f.lane GROUP BY b.doc_id, b.par),
         n AS (SELECT count(*) nm FROM d WHERE par = 0)
         SELECT CASE WHEN par = 0 THEN 'member' ELSE 'non_member' END AS side,
-          count(*) AS n_docs, sum(hit) AS predicted_present,
+          count(*) AS n_docs, CAST(sum(hit) AS BIGINT) AS predicted_present,
           round(CAST(sum(hit) AS DOUBLE)/count(*), 6) AS hit_rate,
           round(pow(1.0 - exp(-4.0 * nm / 4032.0), 4), 6) AS fp_bound
         FROM probe CROSS JOIN n GROUP BY par, nm ORDER BY side ASC NULLS LAST""")),
@@ -222,7 +222,8 @@ object Round10Queries extends QueryModule {
         est AS (SELECT t.tok, t.cnt, min(sk.total) AS est
                 FROM top t JOIN pos p ON t.tok = p.tok JOIN sk ON p.i = sk.i AND p.c = sk.c
                 GROUP BY t.tok, t.cnt)
-        SELECT tok, cnt AS true_cnt, est, est - cnt AS overcount FROM est
+        SELECT tok, cnt AS true_cnt, CAST(est AS BIGINT) AS est,
+          CAST(est - cnt AS BIGINT) AS overcount FROM est
         ORDER BY true_cnt DESC NULLS LAST, tok ASC NULLS LAST""")),
 
     Q("n_kmv_distinct",
@@ -651,16 +652,21 @@ object Round10Queries extends QueryModule {
         val big = Round9bQueries.bigramStream(s, dir)
         val bc = big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
         val uc = big.groupBy(col("w1")).agg(count(lit(1)).as("cu"))
-        val vocabSize = T(s, dir, "documents")
+        // vocab size as an in-DAG one-row broadcast aggregate — not a
+        // plan-build-time .count(), which would run a second full corpus
+        // scan per invocation even when the query is only being planned
+        val vocab = broadcast(T(s, dir, "documents")
           .select(explode(split(col("text"), " ")).as("w"))
-          .filter(length(col("w")) > 0).distinct().count()
+          .filter(length(col("w")) > 0)
+          .agg(countDistinct(col("w")).cast("double").as("vsz")))
         // retained: the cutoff aggregate, the total aggregate and the
         // bucketed main pass all read this doc-level relation — without
         // the cache the whole scoring chain runs three times
         val perDoc = DedupQueries.retain(
           big.join(bc, Seq("w1", "w2")).join(uc, Seq("w1"))
+            .crossJoin(vocab)
             .withColumn("nll", round(-log(
-              (col("cb") + 1.0) / (col("cu") + lit(vocabSize.toDouble))), 8))
+              (col("cb") + 1.0) / (col("cu") + col("vsz"))), 8))
             .groupBy(col("doc_id"))
             .agg(count(lit(1)).as("n_bigrams"),
               round(sum(col("nll").cast(DecimalType(20, 8))).cast("double")
@@ -709,7 +715,7 @@ object Round10Queries extends QueryModule {
             round(CAST(sum(CAST(avg_nll AS DECIMAL(20,6))) AS DOUBLE) / count(*), 6) AS mean_nll,
             sum(n_bigrams) AS n_bigrams
           FROM rk CROSS JOIN tot GROUP BY bucket, total_bigrams)
-        SELECT bucket, n_docs, mean_nll, n_bigrams,
+        SELECT bucket, n_docs, mean_nll, CAST(n_bigrams AS BIGINT) AS n_bigrams,
           round(CAST(n_bigrams AS DOUBLE) / total_bigrams, 6) AS bigram_share
         FROM b ORDER BY bucket ASC NULLS LAST""")),
 

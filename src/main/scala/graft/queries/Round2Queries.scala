@@ -485,7 +485,7 @@ object Round2Queries extends QueryModule {
         ORDER BY doc_id ASC NULLS LAST, rk ASC NULLS LAST""")),
 
     Q("n_ann_ivf",
-      "IVF-style ANN: per-label mean embeddings are the coarse cells (trained from the data, broadcast); each probe scans only its nprobe=4 nearest cells and reranks with exact cosine. Oracle-exempt (float argmax cell assignment); spec measures recall vs brute force.",
+      "IVF-style ANN: per-label mean embeddings are the coarse cells (trained from the data, broadcast); each probe scans only its nprobe=4 nearest cells and reranks with exact cosine. Oracle-exempt (float argmax cell assignment) twin=n_ann_ivf_portable (oracle-passing SQL-expressible twin; n_ann_recall is the recall harness); spec measures recall vs brute force.",
       (s, dir) => ivfTopK(s, dir, nprobe = 4, k = 5),
       None),
   )

@@ -305,12 +305,17 @@ object Round9bQueries extends QueryModule {
         val big = bigramStream(s, dir)
         val bc = big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
         val uc = big.groupBy(col("w1")).agg(count(lit(1)).as("cu"))
-        val vocabSize = T(s, dir, "documents")
+        // vocab size stays inside the DAG as a one-row broadcast aggregate
+        // (not a plan-build-time .count(), which would run a second full
+        // corpus scan per invocation — even for explain-only plans)
+        val vocab = broadcast(T(s, dir, "documents")
           .select(explode(split(col("text"), " ")).as("w"))
-          .filter(length(col("w")) > 0).distinct().count()
+          .filter(length(col("w")) > 0)
+          .agg(countDistinct(col("w")).cast("double").as("vsz")))
         big.join(bc, Seq("w1", "w2")).join(uc, Seq("w1"))
+          .crossJoin(vocab)
           .withColumn("nll", round(-log(
-            (col("cb") + 1.0) / (col("cu") + lit(vocabSize.toDouble))), 8))
+            (col("cb") + 1.0) / (col("cu") + col("vsz"))), 8))
           .groupBy(col("doc_id"))
           .agg(count(lit(1)).as("n_bigrams"),
             round(sum(col("nll").cast(DecimalType(20, 8))).cast("double")
@@ -394,15 +399,20 @@ object Round9bQueries extends QueryModule {
         val train = big.filter(col("doc_id") % 2 === 0)
         val bc = train.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
         val uc = train.groupBy(col("w1")).agg(count(lit(1)).as("cu"))
-        val vocabSize = T(s, dir, "documents").filter(col("doc_id") % 2 === 0)
+        // train-fold vocab as an in-DAG one-row broadcast aggregate (no
+        // plan-build-time .count() — see n_bigram_lm)
+        val vocab = broadcast(T(s, dir, "documents")
+          .filter(col("doc_id") % 2 === 0)
           .select(explode(split(col("text"), " ")).as("w"))
-          .filter(length(col("w")) > 0).distinct().count()
+          .filter(length(col("w")) > 0)
+          .agg(countDistinct(col("w")).cast("double").as("vsz")))
         big.filter(col("doc_id") % 2 === 1 && col("doc_id") < 200)
           .join(bc, Seq("w1", "w2"), "left")
           .join(uc, Seq("w1"), "left")
+          .crossJoin(vocab)
           .withColumn("nll", round(-log(
             (coalesce(col("cb"), lit(0L)) + 1.0)
-              / (coalesce(col("cu"), lit(0L)) + lit(vocabSize.toDouble))), 8))
+              / (coalesce(col("cu"), lit(0L)) + col("vsz"))), 8))
           .groupBy(col("doc_id"))
           .agg(count(lit(1)).as("n_bigrams"),
             round(sum(col("nll").cast(DecimalType(20, 8))).cast("double")
@@ -470,7 +480,7 @@ object Round9bQueries extends QueryModule {
             sum(n_tokens) OVER (ORDER BY score DESC, doc_id ASC
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
           FROM d)
-        SELECT doc_id, score, n_tokens, cum FROM c WHERE cum <= 20000
+        SELECT doc_id, score, n_tokens, CAST(cum AS BIGINT) AS cum FROM c WHERE cum <= 20000
         ORDER BY cum ASC NULLS LAST, doc_id ASC NULLS LAST""")),
 
     Q("n_novelty_curve",

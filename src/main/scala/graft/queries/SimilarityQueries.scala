@@ -94,7 +94,7 @@ object SimilarityQueries extends QueryModule {
         ORDER BY label ASC NULLS LAST, id_a ASC NULLS LAST, id_b ASC NULLS LAST""")),
 
     Q("n_ann_lsh_buckets",
-      "ANN via random-hyperplane LSH: 6-bit signatures from deterministic hash-seeded hyperplanes; probes scan only their bucket, exact cosine reranks. Oracle-exempt (engine-native hash); AnnSpec measures recall vs brute force.",
+      "ANN via random-hyperplane LSH: 6-bit signatures from deterministic hash-seeded hyperplanes; probes scan only their bucket, exact cosine reranks. Oracle-exempt (engine-native hash) twin=n_ann_lsh_portable (oracle-passing md5-hyperplane twin); AnnSpec measures recall vs brute force.",
       (s, dir) => {
         val emb = T(s, dir, "embeddings")
         // hyperplane component (i, j) = ±1 from xxhash64 parity — no

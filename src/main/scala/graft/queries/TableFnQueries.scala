@@ -197,7 +197,7 @@ object TableFnQueries extends QueryModule {
         ORDER BY c_mktsegment ASC NULLS LAST, rn ASC NULLS LAST""")),
 
     Q("i_summarize",
-      "DuckDB SUMMARIZE → df.summary(): per-column profile. Oracle-exempt: profile layout is engine-specific.",
+      "DuckDB SUMMARIZE → df.summary(): per-column profile. Oracle-exempt: profile layout is engine-specific; twin=i_profile_portable (oracle-passing SQL-expressible profile).",
       (s, dir) =>
         T(s, dir, "lineitem")
           .select(col("l_quantity"), col("l_extendedprice"), col("l_discount"))
@@ -205,7 +205,7 @@ object TableFnQueries extends QueryModule {
       None),
 
     Q("i_sample_seeded",
-      "USING SAMPLE → df.sample(seeded). Oracle-exempt: RNG streams are engine-specific; the spec asserts determinism across runs instead.",
+      "USING SAMPLE → df.sample(seeded). Oracle-exempt: RNG streams are engine-specific; twin=i_sample_hash_split (oracle-passing deterministic hash-split sample); the spec asserts determinism across runs instead.",
       (s, dir) =>
         T(s, dir, "orders")
           .sample(withReplacement = false, fraction = 0.1, seed = 42L)

@@ -5,10 +5,22 @@ Runs after `sbt "runMain graft.Verify <sfDir> <outDir>"`:
 for each <outDir>/<name>/ parquet dump, executes the matching SQL from
 <outDir>/oracle_sql.json in DuckDB (tables = views over the same
 parquet), canonicalizes both sides (columns sorted by name, rows
-sorted), and reports schema/row-count/value match plus the max float
-deviation. Dev tooling only — not part of the shipped library.
+sorted), and reports schema/row-count/value match.
 
-Usage: python3 tools/check.py <sfDir> <outDir> [name ...]
+Compare modes:
+  default    — EXACT (mirrors the driver's hash compare: any rendered
+               difference is a FAIL, including integer-type rendering).
+  --tolerant — legacy 1e-9-relative float tolerance (dev triage only;
+               a --tolerant PASS is NOT a driver-gate pass).
+
+Oracle type lint (always on): every oracle query is DESCRIBEd and any
+output column typed HUGEINT (or DECIMAL when the Spark side is not a
+decimal) FAILS the query even if values match — DuckDB renders HUGEINT
+differently from Spark's BIGINT in the driver's hasher, so uncast
+integer sum()s are a latent hash-fail. Cast them in the oracle SQL
+(CAST(sum(x) AS BIGINT)).
+
+Usage: python3 tools/check.py [--tolerant] <sfDir> <outDir> [name ...]
 """
 import sys, json, glob, os, math
 import duckdb
@@ -22,7 +34,7 @@ def canon(rows):
         return tuple((x is None, str(x)) for x in r)
     return sorted(rows, key=key)
 
-def cmp_val(a, b):
+def cmp_val_tolerant(a, b):
     if a is None or b is None:
         return (a is None and b is None), 0.0
     if isinstance(a, float) or isinstance(b, float):
@@ -36,13 +48,56 @@ def cmp_val(a, b):
         if len(a) != len(b): return False, 0.0
         ok, mx = True, 0.0
         for x, y in zip(a, b):
-            o, d = cmp_val(x, y); ok = ok and o; mx = max(mx, d)
+            o, d = cmp_val_tolerant(x, y); ok = ok and o; mx = max(mx, d)
         return ok, mx
     return str(a) == str(b), 0.0
 
+def cmp_val_exact(a, b):
+    """Driver-faithful compare: exact rendered equality, no tolerance.
+
+    Both sides arrive as Python values (parquet via pyarrow, DuckDB via
+    fetchall); bitwise-equal doubles repr identically, and any integer
+    type-width divergence (HUGEINT vs BIGINT) shows up as a separate
+    lint failure before this runs."""
+    if a is None or b is None:
+        return (a is None and b is None), 0.0
+    if isinstance(a, float) and isinstance(b, float) \
+            and math.isnan(a) and math.isnan(b):
+        return True, 0.0
+    if isinstance(a, (list, tuple)) and isinstance(b, (list, tuple)):
+        if len(a) != len(b): return False, 0.0
+        for x, y in zip(a, b):
+            ok, _ = cmp_val_exact(x, y)
+            if not ok: return False, 0.0
+        return True, 0.0
+    return str(a) == str(b), 0.0
+
+def lint_oracle_types(con, sql, spark_schema):
+    """FAIL-worthy oracle output types: HUGEINT always (Spark has no
+    128-bit int; the driver hash diverges), DECIMAL unless the Spark
+    side of the same column is itself a decimal."""
+    bad = []
+    try:
+        desc = con.execute(f"DESCRIBE {sql}").fetchall()
+    except Exception as e:
+        return [f"describe-error: {e}"]
+    spark_types = {f.name: str(f.type) for f in spark_schema} if spark_schema is not None else {}
+    for row in desc:
+        cname, ctype = row[0], str(row[1]).upper()
+        if "HUGEINT" in ctype:
+            bad.append(f"{cname}:{ctype}")
+        elif ctype.startswith("DECIMAL"):
+            if not spark_types.get(cname, "").startswith("decimal"):
+                bad.append(f"{cname}:{ctype} (spark side {spark_types.get(cname,'?')})")
+    return bad
+
 def main():
-    sf_dir, out_dir = sys.argv[1], sys.argv[2]
-    only = set(sys.argv[3:])
+    args = [a for a in sys.argv[1:]]
+    tolerant = "--tolerant" in args
+    if tolerant: args.remove("--tolerant")
+    sf_dir, out_dir = args[0], args[1]
+    only = set(args[2:])
+    cmp_val = cmp_val_tolerant if tolerant else cmp_val_exact
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     con = duckdb.connect()
     for t in TABLES:
@@ -65,6 +120,11 @@ def main():
             n_nooracle += 1
             if len(srows) == 0: print(f"WARN {name}: zero rows")
             continue
+        lint = lint_oracle_types(con, oracle[name], st.schema)
+        if lint:
+            print(f"FAIL {name}: oracle type lint: {', '.join(lint)} "
+                  f"— cast to BIGINT/DOUBLE in the oracle SQL")
+            n_fail += 1; continue
         try:
             res = con.execute(oracle[name])
             ocols_raw = [d[0] for d in res.description]
@@ -92,7 +152,8 @@ def main():
             dev = f" maxfloatdev={maxdev:.2e}" if maxdev else ""
             print(f"PASS {name}: {len(srows)} rows{dev}")
             n_pass += 1
-    print(f"\n{n_pass} pass, {n_fail} fail, {n_nooracle} rows-only")
+    mode = "tolerant (NOT the driver gate)" if tolerant else "exact (driver-faithful)"
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_nooracle} rows-only [{mode}]")
     sys.exit(1 if n_fail else 0)
 
 if __name__ == "__main__":

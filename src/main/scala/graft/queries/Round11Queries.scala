@@ -63,6 +63,12 @@ object Round11Queries extends QueryModule {
   private def h52(salt: String, key: Column): Column =
     conv(substring(md5(concat(lit(salt), key)), 1, 13), 16, 10).cast("bigint")
 
+  /** The n_hll_distinct hash — shared with the streaming HLL shard
+    * face so stream and batch hash identically.
+    */
+  private[graft] def hllHash(userId: Column): Column =
+    h52("graft-hll:", userId.cast("string"))
+
   /** Whitespace tokens with empties dropped, as (doc_id, w). */
   private def tokens(s: SparkSession, dir: String) =
     T(s, dir, "documents")

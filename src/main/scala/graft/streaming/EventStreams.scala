@@ -410,6 +410,30 @@ object EventStreams {
       .agg(kmv.toColumn.name("sketch"))
   }
 
+  /** Streaming HyperLogLog register shards — the unbounded-feed face
+    * of n_hll_distinct: each arriving event hashes to the SAME
+    * portable 52-bit value as the batch query
+    * (Round11Queries.hllHash) and per-shard
+    * [[graft.operators.HllSketch]] buffers keep 64 max-registers —
+    * state is shards × 64 ints however long the feed runs, no
+    * stateful dropDuplicates needed (MAX is idempotent, the sketch
+    * absorbs duplicates by construction). Register files merge by
+    * elementwise MAX, so flattening shard summaries reproduces the
+    * batch register file — and therefore the batch estimate —
+    * EXACTLY (StreamingSpec proves it).
+    */
+  def hllShards(spark: SparkSession, dir: String,
+      shards: Int = 8): Dataset[(Long, Seq[Int])] = {
+    import spark.implicits._
+    graft.GraftSession.tune(spark)
+    val hll = graft.operators.HllSketch()
+    source(spark, dir)
+      .select(graft.queries.Round11Queries.hllHash(col("user_id")).as("hv"))
+      .as[Long]
+      .groupByKey(hv => math.floorMod(hv, shards.toLong))
+      .agg(hll.toColumn.name("regs"))
+  }
+
   /** Streaming half-life counters — the unbounded-feed face of
     * n_time_decay_agg: each event type keeps ONE (decayed sum, as-of)
     * pair via [[graft.operators.DecayedCounter]], folding arrivals by

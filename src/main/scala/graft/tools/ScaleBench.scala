@@ -81,7 +81,16 @@ object ScaleBench {
     // fertility rewrites the saturating vocab relation (sub-linear);
     // distinct-n is three gram-keyed distinct aggregates, linear;
     // trending is one key-keyed decayed aggregate + a k-row merge
-    "n_bpe_fertility", "n_distinct_ngrams", "n_trending")
+    "n_bpe_fertility", "n_distinct_ngrams", "n_trending",
+    // round-11: HLL is one linear scan into a 64-group max-aggregate;
+    // the Bloom screen is shingle-linear into a 4096-lane bit_or +
+    // broadcast probe; interpolated LM adds one token-keyed join to the
+    // bigram chain; CDC chunking is doc-windows + digest-keyed rollups;
+    // domain reputation is a source-keyed roll-up + O(#sources) pass 2
+    // (n_temperature_mix / n_minhash_band_tuning are excluded: 5- and
+    // 6-row closed-form outputs)
+    "n_hll_distinct", "n_dedup_bloom_screen", "n_interpolated_lm",
+    "n_cdc_chunking", "n_domain_reputation")
 
   def main(args: Array[String]): Unit = {
     val dirA = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

@@ -254,6 +254,29 @@ class StreamingSpec extends AnyFunSuite {
       s"closed=$closedU40 open=$openTails batch=$batchSessions")
   }
 
+  test("streaming HLL: merged shard register files reproduce the batch estimate exactly") {
+    val q = EventStreams.hllShards(spark, sf)
+      .toDF("shard", "regs")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("hll_out")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val shardRegs = spark.table("hll_out")
+      .collect().map(_.getSeq[Int](1)).toSeq
+    // shard state bound: each register file is exactly 64 ints
+    assert(shardRegs.forall(_.length == 64))
+    val merged = shardRegs.foldLeft(graft.operators.HllSketch().zero)(
+      graft.operators.HllSketch().merge)
+    val streamedEst = graft.operators.HllSketch.estimate(merged)
+    val batchRow = SparkEntry.queries("n_hll_distinct")(spark, sf).collect().head
+    // the batch query rounds to 4 decimals (Spark round = HALF_UP);
+    // the register files are identical so the estimates agree exactly
+    val rounded = BigDecimal(streamedEst)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(rounded == batchRow.getDouble(2),
+      s"stream est $streamedEst != batch est ${batchRow.getDouble(2)}")
+  }
+
   test("streaming KMV: merged shard sketches reproduce the batch estimate exactly") {
     val q = EventStreams.kmvShards(spark, sf)
       .toDF("shard", "sketch")

@@ -124,7 +124,9 @@ object Round11Queries extends QueryModule {
       "Bloom-gated cross-shard dedup screen (the sketch applied as an operator): shard-0 word-3-gram digests fold into a 4096-lane x 63-bit filter via 3 md5-derived hash functions (lane-keyed bit_or — mergeable, ~32 KB total), shard-1 digests probe it MAP-SIDE against the broadcast bitmap, and the output is the confusion summary vs the exact semi-join truth: every true member passes (Bloom guarantee, asserted by the zero false-negative count), false positives are counted and the measured FP rate sits next to the analytic (1-e^(-kn/m))^k bound. Scale shape: the 100 TB win is that the common-negative probe never shuffles — a constant-size bitmap replaces the digest-digest join everywhere the answer is 'new'.",
       (s, dir) => {
         val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-        val sh = T(s, dir, "documents")
+        // retained: the filter build, the probe side, the exact truth
+        // set and the n_build aggregate all read this digest relation
+        val sh = DedupQueries.retain(T(s, dir, "documents")
           .select(col("doc_id"), posexplode(filter(split(col("text"), " "),
             x => length(x) > 0)).as(Seq("pos", "w")))
           .withColumn("w1", lead(col("w"), 1).over(w))
@@ -132,7 +134,7 @@ object Round11Queries extends QueryModule {
           .filter(col("w2").isNotNull)
           .select((col("doc_id") % 2).as("par"),
             md5(concat_ws(" ", col("w"), col("w1"), col("w2"))).as("dg"))
-          .distinct()
+          .distinct())
         val pos = sh.select(col("par"), col("dg"),
             explode(array((0 until 3).map(lit): _*)).as("i"))
           .withColumn("h",
@@ -395,5 +397,195 @@ object Round11Queries extends QueryModule {
           FROM chunks c JOIN fd ON c.dg = fd.dg GROUP BY c.doc_id)
         SELECT doc_id, n_chunks, mean_width, dup_chunks,
           round(CAST(dup_chunks AS DOUBLE) / n_chunks, 6) AS dup_frac
-        FROM pd WHERE doc_id < 60 ORDER BY doc_id ASC NULLS LAST""")))
+        FROM pd WHERE doc_id < 60 ORDER BY doc_id ASC NULLS LAST""")),
+
+    Q("n_js_divergence",
+      "Jensen-Shannon divergence of each source's unigram distribution vs the pooled corpus (the mixture-drift monitor a curated pipeline runs per ingestion source): per-source and corpus token distributions are token-keyed aggregates, the cross-entropy terms decompose so only SOURCE-PRESENT tokens need the join (absent-token mass folds into the closed-form q*ln2 tail, added as a constant), and per-term products round to fixed-scale decimals so both engines sum identical operands. Scale shape: one token-keyed co-partitioned join + a 20-row source rollup; totals are broadcast one-row aggregates.",
+      (s, dir) => {
+        val tokS = T(s, dir, "documents")
+          .select(col("source"),
+            explode(filter(split(col("text"), " "), x => length(x) > 0)).as("w"))
+        val tcs = tokS.groupBy(col("source"), col("w")).agg(count(lit(1)).as("cs"))
+        val ns = tcs.groupBy(col("source")).agg(sum(col("cs")).as("ns"))
+        val tc = tokS.groupBy(col("w")).agg(count(lit(1)).as("c"))
+        val nt = broadcast(tokS.agg(count(lit(1)).as("n")))
+        tcs.join(broadcast(ns), Seq("source"))
+          .join(tc, Seq("w")).crossJoin(nt)
+          .withColumn("p", col("cs") / col("ns"))
+          .withColumn("q", col("c") / col("n"))
+          .withColumn("m", (col("p") + col("q")) / 2.0)
+          .withColumn("tp",
+            round(col("p") * log(col("p") / col("m")), 12)
+              .cast(DecimalType(30, 12)))
+          .withColumn("tq",
+            round(col("q") * (log(col("q") / col("m")) - log(lit(2.0))), 12)
+              .cast(DecimalType(30, 12)))
+          .groupBy(col("source"))
+          .agg(max(col("ns")).as("n_tokens"),
+            round(lit(0.5) * sum(col("tp")).cast("double")
+              + lit(0.5) * (sum(col("tq")).cast("double") + log(lit(2.0))), 6)
+              .as("js"))
+          .orderBy(col("source").asc_nulls_last)
+      },
+      Some("""WITH toks AS (SELECT source, unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS w FROM documents),
+        tcs AS (SELECT source, w, count(*) AS cs FROM toks GROUP BY source, w),
+        ns AS (SELECT source, CAST(sum(cs) AS BIGINT) AS ns FROM tcs GROUP BY source),
+        tc AS (SELECT w, count(*) AS c FROM toks GROUP BY w),
+        nt AS (SELECT count(*) AS n FROM toks),
+        terms AS (SELECT tcs.source,
+            CAST(round((cs / ns) * ln((cs / ns) / (((cs / ns) + (c / CAST(n AS DOUBLE))) / 2.0)), 12) AS DECIMAL(30,12)) AS tp,
+            CAST(round((c / CAST(n AS DOUBLE)) * (ln((c / CAST(n AS DOUBLE)) / (((cs / ns) + (c / CAST(n AS DOUBLE))) / 2.0)) - ln(2.0)), 12) AS DECIMAL(30,12)) AS tq,
+            ns
+          FROM tcs JOIN ns ON tcs.source = ns.source
+          JOIN tc ON tcs.w = tc.w CROSS JOIN nt)
+        SELECT source, max(ns) AS n_tokens,
+          round(0.5 * CAST(sum(tp) AS DOUBLE)
+            + 0.5 * (CAST(sum(tq) AS DOUBLE) + ln(2.0)), 6) AS js
+        FROM terms GROUP BY source ORDER BY source ASC NULLS LAST""")),
+
+    Q("n_kneser_ney_lm",
+      "Interpolated Kneser-Ney bigram LM (Kneser-Ney 1995 / Chen-Goodman's interpolated form, d=0.75 — the third rung of the smoothing ladder after add-1 and Jelinek-Mercer): the discounted bigram term max(c-d,0)/c(w1) backs off into the CONTINUATION probability (how many distinct contexts each word follows — the famous 'San Francisco' fix: 'Francisco' is frequent but predictable), and all four model relations (bigram counts, left-context totals, fan-out N1+(w1,*), continuation counts N1+(*,w2)) are token-keyed aggregates co-partitioned with the scoring join. Per-doc mean NLL in exact decimals; the bigram-type total is an in-DAG broadcast one-row aggregate.",
+      (s, dir) => {
+        val big = Round9bQueries.bigramStream(s, dir)
+        val bc = big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+        val uc = big.groupBy(col("w1")).agg(count(lit(1)).as("cu"))
+        val n1f = bc.groupBy(col("w1")).agg(count(lit(1)).as("n1f"))
+        val n1p = bc.groupBy(col("w2")).agg(count(lit(1)).as("n1p"))
+        val nbt = broadcast(bc.agg(count(lit(1)).as("nbt")))
+        big.join(bc, Seq("w1", "w2")).join(uc, Seq("w1"))
+          .join(n1f, Seq("w1")).join(n1p, Seq("w2")).crossJoin(nbt)
+          .withColumn("p",
+            greatest(col("cb") - 0.75, lit(0.0)) / col("cu")
+              + (lit(0.75) * col("n1f") / col("cu")) * (col("n1p") / col("nbt")))
+          .withColumn("nll", round(-log(col("p")), 8))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_bigrams"),
+            round(sum(col("nll").cast(DecimalType(20, 8))).cast("double")
+              / count(lit(1)), 6).as("avg_nll"))
+          .filter(col("doc_id") < 100)
+          .orderBy(col("doc_id").asc_nulls_last)
+      },
+      Some("""WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), w -> len(w) > 0) AS ws FROM documents),
+        big AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2 FROM (
+            SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS i FROM t) x),
+        bc AS (SELECT w1, w2, count(*) AS cb FROM big GROUP BY w1, w2),
+        uc AS (SELECT w1, count(*) AS cu FROM big GROUP BY w1),
+        n1f AS (SELECT w1, count(*) AS n1f FROM bc GROUP BY w1),
+        n1p AS (SELECT w2, count(*) AS n1p FROM bc GROUP BY w2),
+        nbt AS (SELECT count(*) AS nbt FROM bc),
+        sc AS (SELECT big.doc_id,
+            round(-ln(greatest(cb - 0.75, 0.0) / cu
+              + (0.75 * n1f / cu) * (n1p / nbt)), 8) AS nll
+          FROM big JOIN bc ON big.w1 = bc.w1 AND big.w2 = bc.w2
+          JOIN uc ON big.w1 = uc.w1
+          JOIN n1f ON big.w1 = n1f.w1
+          JOIN n1p ON big.w2 = n1p.w2 CROSS JOIN nbt)
+        SELECT doc_id, count(*) AS n_bigrams,
+          round(CAST(sum(CAST(nll AS DECIMAL(20,8))) AS DOUBLE) / count(*), 6) AS avg_nll
+        FROM sc WHERE doc_id < 100
+        GROUP BY doc_id ORDER BY doc_id ASC NULLS LAST""")),
+
+    Q("n_softdedup_weights",
+      "Soft deduplication (down-WEIGHT duplicate clusters instead of dropping them — the SoftDeDup move that keeps rare-but-duplicated content at reduced sampling mass): near-dup cluster labels come from the SAME connected-components operator n_dedup_clusters uses, every member of an n-doc cluster carries weight 1/n (fixed-scale decimal so effective counts sum exactly), and the per-language rollup reports raw vs effective docs/tokens — the numbers that show how much sampling mass dedup-aware training actually removes. Scale shape: the cluster relation is the CC fixpoint (checkpoint-bounded supersteps), everything after is one broadcast-joined linear pass.",
+      (s, dir) => {
+        val labels = DedupQueries.clusterLabels(s, dir)
+          .withColumnRenamed("id", "doc_id")
+        val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("nm"))
+        T(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            size(filter(split(col("text"), " "), x => length(x) > 0))
+              .cast("long").as("ntok"))
+          // plain doc-keyed joins: the label/size relations scale with the
+          // duplicated subset, so they shuffle-join rather than broadcast
+          .join(labels, Seq("doc_id"), "left")
+          .join(sizes, Seq("label"), "left")
+          .withColumn("n", coalesce(col("nm"), lit(1L)))
+          .withColumn("wgt", round(lit(1.0) / col("n"), 8))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("n") > 1, 1).otherwise(0)).cast("long").as("dup_members"),
+            round(sum(col("wgt").cast(DecimalType(20, 8))).cast("double"), 4)
+              .as("eff_docs"),
+            sum(col("ntok")).cast("long").as("total_tokens"),
+            round(sum(round(col("ntok") * col("wgt"), 8)
+              .cast(DecimalType(30, 8))).cast("double"), 4).as("eff_tokens"))
+          .orderBy(col("lang").asc_nulls_last)
+      },
+      Some("""WITH RECURSIVE sh AS (
+          SELECT DISTINCT doc_id, w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS sh
+          FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) d,
+               LATERAL (SELECT unnest(generate_series(0, len(w) - 3)) AS i) g),
+        sizes0 AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        cpairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id),
+        jp AS (
+          SELECT id_a, id_b FROM cpairs
+          JOIN sizes0 sa ON sa.doc_id = id_a
+          JOIN sizes0 sb ON sb.doc_id = id_b
+          WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.5),
+        edges AS (
+          SELECT id_a AS u, id_b AS v FROM jp
+          UNION SELECT id_b, id_a FROM jp),
+        reach AS (
+          SELECT u, v FROM edges
+          UNION
+          SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+        labels AS (
+          SELECT u AS doc_id, least(u, min(v)) AS label FROM reach GROUP BY u),
+        csz AS (SELECT label, count(*) AS nm FROM labels GROUP BY label),
+        d AS (SELECT doc_id, lang,
+            CAST(len(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS BIGINT) AS ntok
+          FROM documents),
+        j AS (SELECT d.doc_id, d.lang, d.ntok,
+            COALESCE(csz.nm, 1) AS n,
+            round(1.0 / COALESCE(csz.nm, 1), 8) AS wgt
+          FROM d LEFT JOIN labels ON d.doc_id = labels.doc_id
+          LEFT JOIN csz ON labels.label = csz.label)
+        SELECT lang, count(*) AS n_docs,
+          CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_members,
+          round(CAST(sum(CAST(wgt AS DECIMAL(20,8))) AS DOUBLE), 4) AS eff_docs,
+          CAST(sum(ntok) AS BIGINT) AS total_tokens,
+          round(CAST(sum(CAST(round(ntok * wgt, 8) AS DECIMAL(30,8))) AS DOUBLE), 4) AS eff_tokens
+        FROM j GROUP BY lang ORDER BY lang ASC NULLS LAST""")),
+
+    Q("n_quality_ecdf",
+      "Exact GLOBAL quality ECDF without a global window (the rank transform quality thresholds are quoted in — 'drop the bottom 15%'): the percent_rank of every doc's uniqueness score computes from the TWO-LEVEL rank pattern — per-score-value counts, value-monotone bands, a constant-pmod offset window over the tiny band relation, and rank = 1 + smaller-in-band + band offset — so the data never single-partitions (a bare percent_rank() OVER (ORDER BY score) would; the oracle IS that global window, proving the decomposition exact, ties included). Scale shape: the banded value relation is vocabulary-sized, not corpus-sized; docs join it on the rounded score key.",
+      (s, dir) => {
+        val d = T(s, dir, "documents")
+          .select(col("doc_id"),
+            round(size(array_distinct(filter(split(col("text"), " "),
+              x => length(x) > 0))).cast("double")
+              / size(filter(split(col("text"), " "),
+                x => length(x) > 0)), 6).as("score"))
+        val vals = d.groupBy(col("score")).agg(count(lit(1)).as("cnt"))
+          .withColumn("band", floor(col("score") * 40).cast("int"))
+        val wIn = Window.partitionBy(col("band")).orderBy(col("score"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val inBand = vals.withColumn("smaller_in_band",
+          coalesce(sum(col("cnt")).over(wIn), lit(0L)))
+        val wOff = Window.partitionBy(pmod(col("band"), lit(1)))
+          .orderBy(col("band"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offs = vals.groupBy(col("band")).agg(sum(col("cnt")).as("bn"))
+          .withColumn("boff", coalesce(sum(col("bn")).over(wOff), lit(0L)))
+          .select(col("band"), col("boff"))
+        val n = broadcast(d.agg(count(lit(1)).as("n")))
+        val ranked = inBand.join(broadcast(offs), Seq("band")).crossJoin(n)
+          .select(col("score"),
+            round((col("smaller_in_band") + col("boff"))
+              / (col("n") - 1), 6).as("pr"))
+        d.join(ranked, Seq("score"))
+          .filter(col("doc_id") < 100)
+          .select(col("doc_id"), col("score"), col("pr"))
+          .orderBy(col("doc_id").asc_nulls_last)
+      },
+      Some("""WITH d AS (SELECT doc_id,
+            round(CAST(len(list_distinct(list_filter(string_split(text, ' '), x -> len(x) > 0))) AS DOUBLE)
+              / len(list_filter(string_split(text, ' '), x -> len(x) > 0)), 6) AS score
+          FROM documents),
+        q AS (SELECT doc_id, score, percent_rank() OVER (ORDER BY score) AS pr FROM d)
+        SELECT doc_id, score, round(pr, 6) AS pr FROM q
+        WHERE doc_id < 100 ORDER BY doc_id ASC NULLS LAST""")))
 }

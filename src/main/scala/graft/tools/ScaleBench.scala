@@ -90,7 +90,13 @@ object ScaleBench {
     // (n_temperature_mix / n_minhash_band_tuning are excluded: 5- and
     // 6-row closed-form outputs)
     "n_hll_distinct", "n_dedup_bloom_screen", "n_interpolated_lm",
-    "n_cdc_chunking", "n_domain_reputation")
+    "n_cdc_chunking", "n_domain_reputation",
+    // round-11 second batch: JS divergence is one token-keyed join +
+    // source rollup; Kneser-Ney adds two type-count joins to the bigram
+    // chain; SoftDeDup is the CC fixpoint + a linear weighted rollup;
+    // the ECDF is the banded two-level rank over the value relation
+    "n_js_divergence", "n_kneser_ney_lm", "n_softdedup_weights",
+    "n_quality_ecdf")
 
   def main(args: Array[String]): Unit = {
     val dirA = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

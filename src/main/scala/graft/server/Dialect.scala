@@ -1568,6 +1568,15 @@ object Dialect {
           s"""SELECT `$v` FROM (VALUES $values) AS __columns_names(__i, `$v`)
              |WHERE $body ORDER BY __i""".stripMargin)
           .collect().map(_.getString(0)).toSeq
+      case bare if bare.nonEmpty && bare.forall(isWordChar) =>
+        // DuckDB also accepts a bare column identifier: COLUMNS(x)
+        // expands to exactly that column (verified: SELECT
+        // max(COLUMNS(x)) == max(x)); unknown names stay loud
+        cols.filter(_.equalsIgnoreCase(bare)) match {
+          case Seq(c) => Seq(c)
+          case _ => throw new IllegalArgumentException(
+            s"COLUMNS($bare) matched no column")
+        }
       case other =>
         throw new IllegalArgumentException(s"unsupported COLUMNS() argument: $other")
     }
@@ -1588,8 +1597,51 @@ object Dialect {
     * (no FROM, subquery-nested, unsupported argument shapes) pass
     * through and fail loudly downstream.
     */
-  private def rewriteColumns(spark: SparkSession, sql: String): String = {
+  /** Round-11 closure of the subquery residue: COLUMNS() inside a
+    * parenthesized subquery (derived tables, IN/EXISTS bodies) now
+    * rewrites too — each balanced paren group whose content is a
+    * SELECT gets the full rewrite recursively (its own FROM resolves
+    * its own schema, innermost first, so by the time an outer LIMIT-0
+    * probe runs its subqueries are already plain SQL). Correlated
+    * bodies whose probe can't resolve pass through and stay loud,
+    * the established contract.
+    */
+  private def rewriteSubqueryColumns(spark: SparkSession, sql: String): String = {
     if (!containsUnquoted(sql, "COLUMNS")) return sql
+    val mask = quoteMask(sql)
+    val sb = new StringBuilder
+    var i = 0
+    while (i < sql.length) {
+      if (!mask(i) && sql.charAt(i) == '(') {
+        var depth = 0; var j = i; var close = -1
+        while (j < sql.length && close < 0) {
+          if (!mask(j)) {
+            if (sql.charAt(j) == '(') depth += 1
+            else if (sql.charAt(j) == ')') { depth -= 1; if (depth == 0) close = j }
+          }
+          j += 1
+        }
+        if (close < 0) { sb.append(sql.substring(i)); i = sql.length }
+        else {
+          val content = sql.substring(i + 1, close)
+          val trimmed = content.trim
+          val rewritten =
+            if (trimmed.length >= 6 &&
+                trimmed.substring(0, 6).equalsIgnoreCase("SELECT") &&
+                containsUnquoted(content, "COLUMNS"))
+              rewriteColumns(spark, content)
+            else rewriteSubqueryColumns(spark, content)
+          sb.append('(').append(rewritten).append(')')
+          i = close + 1
+        }
+      } else { sb.append(sql.charAt(i)); i += 1 }
+    }
+    sb.toString
+  }
+
+  private def rewriteColumns(spark: SparkSession, sql0: String): String = {
+    if (!containsUnquoted(sql0, "COLUMNS")) return sql0
+    val sql = rewriteSubqueryColumns(spark, sql0)
     val sel = firstTopLevel(sql, "SELECT")
     val fromAt = firstTopLevel(sql, "FROM")
     if (sel < 0 || fromAt < sel) return sql

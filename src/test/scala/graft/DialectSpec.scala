@@ -292,6 +292,25 @@ class DialectSpec extends AnyFunSuite with BeforeAndAfterAll {
       """[{"s":"c"},{"s":"b"},{"s":"a"},{"s":"d"}]""")
   }
 
+  test("COLUMNS in subqueries: derived tables, subquery WHERE, IN bodies (round 11)") {
+    // every expected value verified against DuckDB 1.5
+    val t = "FROM (VALUES (1, 10, 'a'), (2, NULL, 'b'), (3, 5, 'c'), (NULL, 7, 'd')) t(x, y, s)"
+    def one(sql: String, expect: String): Unit = {
+      val r = post(sql)
+      assert(r.statusCode() == 200, s"$sql -> ${r.body()}")
+      assert(r.body() == expect, s"$sql -> ${r.body()} (wanted $expect)")
+    }
+    // derived table: inner COLUMNS expands against the inner FROM
+    one(s"SELECT q.x + q.y AS z FROM (SELECT COLUMNS('[xy]') $t) q ORDER BY z NULLS LAST",
+      """[{"z":8},{"z":11},{"z":null},{"z":null}]""")
+    // subquery's own WHERE clause AND-expands inside the derived table
+    one(s"SELECT count(*) AS n FROM (SELECT COLUMNS('[xy]') $t WHERE COLUMNS('[xy]') IS NOT NULL) q",
+      """[{"n":2}]""")
+    // IN-subquery body with an aggregate-wrapped COLUMNS
+    one(s"SELECT s $t WHERE x IN (SELECT max(COLUMNS(x)) $t) ORDER BY s",
+      """[{"s":"c"}]""")
+  }
+
   test("in-aggregate ORDER BY: multi-key and NULLS specs (round 9)") {
     val t = "FROM (VALUES (1, 10, 'a'), (2, NULL, 'b'), (3, 5, 'c'), (NULL, 7, 'd')) t(x, y, s)"
     def one(sql: String, expect: String): Unit = {

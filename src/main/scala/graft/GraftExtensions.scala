@@ -540,6 +540,53 @@ object GraftExtensions {
       (args: Seq[Expression]) => { one("ord", args)
         CaseWhen(Seq((EqualTo(Length(args.head), Literal(0)), Literal(-1))),
           Some(builtinBuilder("ascii")(args))) }),
+    // DuckDB's two-arg trim family takes (string, characters); Spark's
+    // builtins take (trimStr, string) — a SILENT value divergence
+    // (Spark ltrim('xxabcx','x') = '' where DuckDB returns 'abcx';
+    // round-11 probe catch). The dispatch swaps the arguments; one-arg
+    // forms delegate unchanged, and TRIM(BOTH x FROM y) parses at the
+    // grammar level so it never reaches this registry entry.
+    ("ltrim",
+      info("ltrim", "ltrim(s[, chars]) - left-trim chars (DuckDB argument order)."),
+      (args: Seq[Expression]) => args match {
+        case Seq(s) => builtinBuilder("ltrim")(Seq(s))
+        case Seq(s, cs) => builtinBuilder("ltrim")(Seq(cs, s))
+        case _ => throw new IllegalArgumentException(
+          s"ltrim expects 1-2 arguments, got ${args.length}")
+      }),
+    ("rtrim",
+      info("rtrim", "rtrim(s[, chars]) - right-trim chars (DuckDB argument order)."),
+      (args: Seq[Expression]) => args match {
+        case Seq(s) => builtinBuilder("rtrim")(Seq(s))
+        case Seq(s, cs) => builtinBuilder("rtrim")(Seq(cs, s))
+        case _ => throw new IllegalArgumentException(
+          s"rtrim expects 1-2 arguments, got ${args.length}")
+      }),
+    ("trim",
+      info("trim", "trim(s[, chars]) - trim chars from both ends (DuckDB argument order)."),
+      (args: Seq[Expression]) => args match {
+        case Seq(s) => builtinBuilder("trim")(Seq(s))
+        case Seq(s, cs) => builtinBuilder("trim")(Seq(cs, s))
+        case _ => throw new IllegalArgumentException(
+          s"trim expects 1-2 arguments, got ${args.length}")
+      }),
+    // DuckDB left/right with NEGATIVE n drop -n characters from the
+    // other end (left('hello',-2) = 'hel', right('hello',-2) = 'llo');
+    // Spark's builtins return '' for negative n — branch at dispatch.
+    ("left",
+      info("left", "left(s, n) - prefix of n chars; negative n drops -n from the end (DuckDB semantics)."),
+      (args: Seq[Expression]) => { two("left", args)
+        val (s, n) = (args(0), args(1))
+        CaseWhen(Seq((Not(LessThan(n, Literal(0))), builtinBuilder("left")(args))),
+          Some(builtinBuilder("substring")(Seq(s, Literal(1),
+            builtinBuilder("greatest")(Seq(Add(Length(s), n), Literal(0))))))) }),
+    ("right",
+      info("right", "right(s, n) - suffix of n chars; negative n drops -n from the start (DuckDB semantics)."),
+      (args: Seq[Expression]) => { two("right", args)
+        val (s, n) = (args(0), args(1))
+        CaseWhen(Seq((Not(LessThan(n, Literal(0))), builtinBuilder("right")(args))),
+          Some(builtinBuilder("substring")(Seq(s, Add(Abs(n), Literal(1)),
+            Length(s))))) }),
     ("to_base",
       info("to_base", "to_base(n, base[, min_len]) - n rendered in base (uppercase, like DuckDB); negative n errors."),
       (args: Seq[Expression]) => {

@@ -1109,6 +1109,38 @@ class DialectSpec extends AnyFunSuite with BeforeAndAfterAll {
       """[{"a":1}]""")
   }
 
+  test("round-11 probe11 batch returns DuckDB-verified values") {
+    def one(sql: String, expect: String): Unit = {
+      val r = post(sql)
+      assert(r.statusCode() == 200, s"$sql -> ${r.body()}")
+      assert(r.body() == expect, s"$sql -> ${r.body()} (wanted $expect)")
+    }
+    // trim family: DuckDB argument order (string, characters) — the
+    // round-11 silent-divergence catch (Spark's builtin order is
+    // (trimStr, string) and returned '' for the first case)
+    one("SELECT ltrim('xxabcx','x') AS a, rtrim('xxabcx','x') AS b, trim('xxabcx','x') AS c",
+      """[{"a":"abcx","b":"xxabc","c":"abc"}]""")
+    one("SELECT ltrim('  a') AS a, rtrim('a  ') AS b, trim('  a  ') AS c",
+      """[{"a":"a","b":"a","c":"a"}]""")
+    one("SELECT trim('xyabyx', 'xy') AS a", """[{"a":"ab"}]""")
+    // negative-length left/right drop from the other end in DuckDB
+    one("SELECT left('hello',2) AS a, right('hello',2) AS b, left('hello',-2) AS c, right('hello',-2) AS d",
+      """[{"a":"he","b":"lo","c":"hel","d":"llo"}]""")
+    one("SELECT left('hello',-7) AS a, right('hello',-7) AS b",
+      """[{"a":"","b":""}]""")
+    one("SELECT bin(5) AS a, hex(255) AS b, to_base(255,16) AS c",
+      """[{"a":"101","b":"FF","c":"FF"}]""")
+    one("SELECT strip_accents('âbçdé') AS a, damerau_levenshtein('abc','acb') AS b",
+      """[{"a":"abcde","b":1}]""")
+    one("SELECT ascii('A') AS a, chr(66) AS b, repeat('ab',3) AS c",
+      """[{"a":65,"b":"B","c":"ababab"}]""")
+    one("SELECT format_bytes(1234567) AS a", """[{"a":"1.1 MiB"}]""")
+    one("SELECT gcd(12,18) AS a, lcm(4,6) AS b", """[{"a":6,"b":12}]""")
+    one("SELECT list_grade_up([3,1,2]) AS a", """[{"a":[2,3,1]}]""")
+    one("SELECT last_day(DATE '2024-02-10') AS a, bit_count(CAST(7 AS BIGINT)) AS b",
+      """[{"a":"2024-02-29","b":3}]""")
+  }
+
   test("read_text / read_blob map files to DuckDB's file-per-row schema") {
     val d = java.nio.file.Files.createTempDirectory("graft_readtext")
     java.nio.file.Files.writeString(d.resolve("a.txt"), "hello world")

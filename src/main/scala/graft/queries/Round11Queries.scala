@@ -550,6 +550,88 @@ object Round11Queries extends QueryModule {
           round(CAST(sum(CAST(round(ntok * wgt, 8) AS DECIMAL(30,8))) AS DOUBLE), 4) AS eff_tokens
         FROM j GROUP BY lang ORDER BY lang ASC NULLS LAST""")),
 
+    Q("n_cluster_metrics",
+      "Clustering-agreement metrics (the evaluation a pipeline runs on ANY unsupervised partition before trusting it): purity, Rand index and NMI between the embedding ground-truth labels and the portable random-hyperplane LSH partition (the same authored hyperplanes n_ann_lsh_portable buckets with, so the contingency is bit-identical cross-engine). Everything reduces over the CONTINGENCY relation — one (label, bucket)-keyed count whose size is #labels x #buckets, not the corpus — pair counts stay in exact integers (C(x,2) via the even product x(x-1)/2), and entropy terms round to fixed-scale decimals before summing. Scale shape: one linear assignment pass, one tiny contingency rollup.",
+      (s, dir) => {
+        var df = T(s, dir, "embeddings").select(col("label"), col("embedding"))
+        Round2Queries.lshPlanes.zipWithIndex.foreach { case (hp, b) =>
+          df = df.withColumn(s"hp$b", typedLit(hp))
+        }
+        val sig = Round2Queries.lshPlanes.indices.map { b =>
+          when(expr(
+            s"aggregate(zip_with(hp$b, embedding, (p, q) -> CAST(p AS DOUBLE) * CAST(q AS DOUBLE)), 0D, (a, b) -> a + b)")
+            >= 0, lit(1L << b)).otherwise(lit(0L))
+        }.reduce(_ + _)
+        // the contingency relation: everything below aggregates this
+        val ct = DedupQueries.retain(df.withColumn("sig", sig)
+          .groupBy(col("label"), col("sig")).agg(count(lit(1)).as("nij")))
+        val nn = broadcast(ct.agg(sum(col("nij")).cast("long").as("n")))
+        val pure = broadcast(ct.groupBy(col("sig")).agg(max(col("nij")).as("mx"))
+          .agg(sum(col("mx")).cast("long").as("pure")))
+        val sij = broadcast(ct.agg(
+          sum(expr("(nij * (nij - 1)) div 2")).cast("long").as("sij")))
+        val ra = ct.groupBy(col("label")).agg(sum(col("nij")).as("ni"))
+        val cb = ct.groupBy(col("sig")).agg(sum(col("nij")).as("nj"))
+        val si = broadcast(ra.agg(
+          sum(expr("(ni * (ni - 1)) div 2")).cast("long").as("si"),
+          count(lit(1)).as("n_labels")))
+        val sj = broadcast(cb.agg(
+          sum(expr("(nj * (nj - 1)) div 2")).cast("long").as("sj"),
+          count(lit(1)).as("n_buckets")))
+        def ent(rel: org.apache.spark.sql.DataFrame, c: String, out: String) =
+          broadcast(rel.crossJoin(nn).agg(
+            sum(round(-(col(c) / col("n")) * log(col(c) / col("n")), 12)
+              .cast(DecimalType(30, 12))).as(out)))
+        val ha = ent(ra, "ni", "ha")
+        val hb = ent(cb, "nj", "hb")
+        val hab = ent(ct, "nij", "hab")
+        nn.crossJoin(pure).crossJoin(sij).crossJoin(si).crossJoin(sj)
+          .crossJoin(ha).crossJoin(hb).crossJoin(hab)
+          .withColumn("cn2", expr("(n * (n - 1)) div 2"))
+          .select(col("n"), col("n_labels"), col("n_buckets"),
+            round(col("pure").cast("double") / col("n"), 6).as("purity"),
+            round((col("cn2") + lit(2) * col("sij") - col("si") - col("sj"))
+              .cast("double") / col("cn2"), 6).as("rand_index"),
+            round((col("ha").cast("double") + col("hb").cast("double")
+              - col("hab").cast("double"))
+              / sqrt(col("ha").cast("double") * col("hb").cast("double")), 6)
+              .as("nmi"))
+      },
+      Some {
+        val bits = Round2Queries.lshPlanes.zipWithIndex.map { case (hp, b) =>
+          val lst = hp.mkString("[", ", ", "]")
+          s"""(CASE WHEN list_sum(list_transform(list_zip($lst, embedding),
+              p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) >= 0
+              THEN ${1L << b} ELSE 0 END)"""
+        }.mkString("\n            + ")
+        s"""WITH asg AS (SELECT label, $bits AS sig FROM embeddings),
+        ct AS (SELECT label, sig, count(*) AS nij FROM asg GROUP BY label, sig),
+        nn AS (SELECT CAST(sum(nij) AS BIGINT) AS n FROM ct),
+        pure AS (SELECT CAST(sum(mx) AS BIGINT) AS pure FROM (
+            SELECT sig, max(nij) AS mx FROM ct GROUP BY sig) x),
+        sij AS (SELECT CAST(sum((nij * (nij - 1)) // 2) AS BIGINT) AS sij FROM ct),
+        ra AS (SELECT label, sum(nij) AS ni FROM ct GROUP BY label),
+        cb AS (SELECT sig, sum(nij) AS nj FROM ct GROUP BY sig),
+        si AS (SELECT CAST(sum((ni * (ni - 1)) // 2) AS BIGINT) AS si,
+                 count(*) AS n_labels FROM ra),
+        sj AS (SELECT CAST(sum((nj * (nj - 1)) // 2) AS BIGINT) AS sj,
+                 count(*) AS n_buckets FROM cb),
+        ha AS (SELECT sum(CAST(round(-(ni / n) * ln(ni / n), 12) AS DECIMAL(30,12))) AS ha
+               FROM ra CROSS JOIN nn),
+        hb AS (SELECT sum(CAST(round(-(nj / n) * ln(nj / n), 12) AS DECIMAL(30,12))) AS hb
+               FROM cb CROSS JOIN nn),
+        hab AS (SELECT sum(CAST(round(-(nij / n) * ln(nij / n), 12) AS DECIMAL(30,12))) AS hab
+                FROM ct CROSS JOIN nn)
+        SELECT n, n_labels, n_buckets,
+          round(CAST(pure AS DOUBLE) / n, 6) AS purity,
+          round(CAST(((n * (n - 1)) // 2) + 2 * sij - si - sj AS DOUBLE)
+            / ((n * (n - 1)) // 2), 6) AS rand_index,
+          round((CAST(ha AS DOUBLE) + CAST(hb AS DOUBLE) - CAST(hab AS DOUBLE))
+            / sqrt(CAST(ha AS DOUBLE) * CAST(hb AS DOUBLE)), 6) AS nmi
+        FROM nn CROSS JOIN pure CROSS JOIN sij CROSS JOIN si CROSS JOIN sj
+        CROSS JOIN ha CROSS JOIN hb CROSS JOIN hab"""
+      }),
+
     Q("n_quality_ecdf",
       "Exact GLOBAL quality ECDF without a global window (the rank transform quality thresholds are quoted in — 'drop the bottom 15%'): the percent_rank of every doc's uniqueness score computes from the TWO-LEVEL rank pattern — per-score-value counts, value-monotone bands, a constant-pmod offset window over the tiny band relation, and rank = 1 + smaller-in-band + band offset — so the data never single-partitions (a bare percent_rank() OVER (ORDER BY score) would; the oracle IS that global window, proving the decomposition exact, ties included). Scale shape: the banded value relation is vocabulary-sized, not corpus-sized; docs join it on the rounded score key.",
       (s, dir) => {

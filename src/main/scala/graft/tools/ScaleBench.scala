@@ -96,7 +96,10 @@ object ScaleBench {
     // chain; SoftDeDup is the CC fixpoint + a linear weighted rollup;
     // the ECDF is the banded two-level rank over the value relation
     "n_js_divergence", "n_kneser_ney_lm", "n_softdedup_weights",
-    "n_quality_ecdf")
+    "n_quality_ecdf",
+    // contingency metrics: one linear assignment pass + a rollup whose
+    // size is #labels x #buckets, not the corpus
+    "n_cluster_metrics")
 
   def main(args: Array[String]): Unit = {
     val dirA = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{CmsSketch, DecayedCounter, KmvSketch}
+import graft.operators.{CmsSketch, DecayedCounter, HllSketch, KmvSketch}
 import org.scalacheck.Gen
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -33,6 +33,27 @@ class SketchPropertySpec extends AnyFunSuite {
       // estimate is exact below capacity
       if (xs.distinct.length < 16)
         assert(KmvSketch.estimate(single, 16) == xs.distinct.length.toDouble)
+    }
+  }
+
+  test("HllSketch: any sharding of any feed max-merges to the single-pass registers") {
+    val hll = HllSketch()
+    forSamples(for {
+      xs <- longSeqGen
+      nShards <- Gen.chooseNum(1, 5)
+    } yield (xs, nShards)) { case (xs, nShards) =>
+      val single = xs.foldLeft(hll.zero)(hll.reduce)
+      val sharded = xs.zipWithIndex.groupBy(_._2 % nShards).values
+        .map(_.map(_._1).foldLeft(hll.zero)(hll.reduce))
+        .foldLeft(hll.zero)(hll.merge)
+      assert(sharded == single, s"shard-merge diverged")
+      // idempotence: re-merging the result changes nothing (MAX law)
+      assert(hll.merge(single, single) == single)
+      // duplicates never change the registers
+      val dup = (xs ++ xs).foldLeft(hll.zero)(hll.reduce)
+      assert(dup == single)
+      // rank bounds: every register in [0, 47]
+      assert(single.forall(m => m >= 0 && m <= 47))
     }
   }
 

@@ -550,6 +550,96 @@ object Round11Queries extends QueryModule {
           round(CAST(sum(CAST(round(ntok * wgt, 8) AS DECIMAL(30,8))) AS DOUBLE), 4) AS eff_tokens
         FROM j GROUP BY lang ORDER BY lang ASC NULLS LAST""")),
 
+    Q("n_quantile_sketch",
+      "Mergeable quantile sketch by hash-rank sampling (the bottom-k trick applied to order statistics: the k=256 events with the SMALLEST portable 52-bit hashes are a deterministic uniform sample — any engine, any partitioning, any shard merge keeps the k smallest of the union, so the sketch is mergeable exactly like KMV): quantile estimates interpolate over the sorted sample with the same h=p(n-1) rule the equi-depth histogram pins, and the plan is a TakeOrderedAndProject (per-partition bottom-k, k-row merge — the key set never shuffles). The spec asserts the estimates land within the expected sampling error of the exact quantiles; at 100 TB the exact computation is the thing this sketch exists to avoid.",
+      (s, dir) => {
+        val k = 256
+        val sample = T(s, dir, "events")
+          .select(col("value"),
+            h52("graft-qsk:", col("event_id").cast("string")).as("hv"))
+          .orderBy(col("hv").asc_nulls_last).limit(k)
+        val wS = Window.partitionBy(pmod(lit(0), lit(1))).orderBy(col("value"))
+        val ranked = DedupQueries.retain(sample
+          .withColumn("r", row_number().over(wS).cast("long") - 1)
+          .select(col("r"), col("value")))
+        val want = broadcast(ranked.agg(count(lit(1)).as("n"))
+          .select(explode(array(lit(0.1), lit(0.25), lit(0.5), lit(0.75),
+            lit(0.9))).as("p"), col("n"))
+          .withColumn("h", col("p") * (col("n") - 1))
+          .select(col("p"), col("h"), explode(array(
+            struct(floor(col("h")).cast("long").as("r"), lit("lo").as("k")),
+            struct(ceil(col("h")).cast("long").as("r"), lit("hi").as("k")))).as("e"))
+          .select(col("p"), col("h"), col("e.r").as("r"), col("e.k").as("k")))
+        ranked.join(want, "r")
+          .groupBy(col("p"), col("h"))
+          .agg(min(when(col("k") === "lo", col("value"))).as("lo"),
+            max(when(col("k") === "hi", col("value"))).as("hi"))
+          .select(col("p"),
+            round(col("lo") + (col("hi") - col("lo"))
+              * (col("h") - floor(col("h"))), 6).as("est"))
+          .orderBy(col("p").asc_nulls_last)
+      },
+      Some("""WITH h AS (SELECT value,
+            CAST(concat('0x', substr(md5('graft-qsk:' || CAST(event_id AS VARCHAR)),1,13)) AS BIGINT) AS hv
+          FROM events),
+        sample AS (SELECT value FROM h ORDER BY hv ASC NULLS LAST LIMIT 256),
+        q AS (SELECT quantile_cont(value, [0.1, 0.25, 0.5, 0.75, 0.9]) AS qs FROM sample)
+        SELECT CAST(p AS DOUBLE) AS p, round(qs[i], 6) AS est
+        FROM q, (VALUES (1, 0.1), (2, 0.25), (3, 0.5), (4, 0.75), (5, 0.9)) v(i, p)
+        ORDER BY p ASC NULLS LAST""")),
+
+    Q("n_ks_drift",
+      "Two-sample Kolmogorov-Smirnov drift statistic between crawl halves (the distribution-shift monitor a pipeline runs before mixing an old and a new scrape): per-doc token counts split by source half, the two ECDFs evaluate at every DISTINCT value via the banded two-level cumsum (per-band window + constant-pmod offset window over the tiny band relation — the n_token_budget discipline, never a data-sized single-partition window; the oracle IS the global window, proving the decomposition), and D = max |F_a - F_b| reduces in one aggregate. Integer counts end to end; only the final ECDF ratios are doubles.",
+      (s, dir) => {
+        val d = T(s, dir, "documents")
+          .select((expr("CAST(substr(source, 4, 10) AS INT)") % 2).as("side"),
+            size(filter(split(col("text"), " "), x => length(x) > 0))
+              .cast("long").as("v"))
+        val vals = d.groupBy(col("v")).agg(
+          sum(when(col("side") === 0, 1L).otherwise(0L)).as("c0"),
+          sum(when(col("side") === 1, 1L).otherwise(0L)).as("c1"))
+          .withColumn("band", (col("v") / 16).cast("long"))
+        val wIn = Window.partitionBy(col("band")).orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val inBand = vals
+          .withColumn("s0", sum(col("c0")).over(wIn))
+          .withColumn("s1", sum(col("c1")).over(wIn))
+        val wOff = Window.partitionBy(pmod(col("band"), lit(1)))
+          .orderBy(col("band"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offs = vals.groupBy(col("band"))
+          .agg(sum(col("c0")).as("b0"), sum(col("c1")).as("b1"))
+          .withColumn("o0", coalesce(sum(col("b0")).over(wOff), lit(0L)))
+          .withColumn("o1", coalesce(sum(col("b1")).over(wOff), lit(0L)))
+          .select(col("band"), col("o0"), col("o1"))
+        val ns = broadcast(d.agg(
+          sum(when(col("side") === 0, 1L).otherwise(0L)).as("na"),
+          sum(when(col("side") === 1, 1L).otherwise(0L)).as("nb")))
+        inBand.join(broadcast(offs), Seq("band")).crossJoin(ns)
+          .withColumn("diff",
+            abs((col("s0") + col("o0")) / col("na")
+              - (col("s1") + col("o1")) / col("nb")))
+          .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+            count(lit(1)).as("n_values"),
+            round(max(col("diff")), 6).as("ks_d"))
+      },
+      Some("""WITH d AS (SELECT CAST(substr(source, 4, 10) AS INT) % 2 AS side,
+            CAST(len(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS BIGINT) AS v
+          FROM documents),
+        vals AS (SELECT v,
+            CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+            CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1
+          FROM d GROUP BY v),
+        cum AS (SELECT v,
+            CAST(sum(c0) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS s0,
+            CAST(sum(c1) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS s1
+          FROM vals),
+        ns AS (SELECT CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+                 CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb FROM d)
+        SELECT max(na) AS n_a, max(nb) AS n_b, count(*) AS n_values,
+          round(max(abs(s0 / na - s1 / nb)), 6) AS ks_d
+        FROM cum CROSS JOIN ns""")),
+
     Q("n_cluster_metrics",
       "Clustering-agreement metrics (the evaluation a pipeline runs on ANY unsupervised partition before trusting it): purity, Rand index and NMI between the embedding ground-truth labels and the portable random-hyperplane LSH partition (the same authored hyperplanes n_ann_lsh_portable buckets with, so the contingency is bit-identical cross-engine). Everything reduces over the CONTINGENCY relation — one (label, bucket)-keyed count whose size is #labels x #buckets, not the corpus — pair counts stay in exact integers (C(x,2) via the even product x(x-1)/2), and entropy terms round to fixed-scale decimals before summing. Scale shape: one linear assignment pass, one tiny contingency rollup.",
       (s, dir) => {

@@ -99,7 +99,10 @@ object ScaleBench {
     "n_quality_ecdf",
     // contingency metrics: one linear assignment pass + a rollup whose
     // size is #labels x #buckets, not the corpus
-    "n_cluster_metrics")
+    "n_cluster_metrics",
+    // bottom-k quantile sample is a TakeOrderedAndProject; KS runs the
+    // banded two-level cumsum over the distinct-value relation
+    "n_quantile_sketch", "n_ks_drift")
 
   def main(args: Array[String]): Unit = {
     val dirA = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

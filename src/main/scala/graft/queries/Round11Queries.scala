@@ -69,6 +69,12 @@ object Round11Queries extends QueryModule {
   private[graft] def hllHash(userId: Column): Column =
     h52("graft-hll:", userId.cast("string"))
 
+  /** The n_quantile_sketch hash — shared with the streaming sample
+    * shard face so stream and batch select the identical bottom-k.
+    */
+  private[graft] def qskHash(eventId: Column): Column =
+    h52("graft-qsk:", eventId.cast("string"))
+
   /** Whitespace tokens with empties dropped, as (doc_id, w). */
   private def tokens(s: SparkSession, dir: String) =
     T(s, dir, "documents")

@@ -434,6 +434,30 @@ object EventStreams {
       .agg(hll.toColumn.name("regs"))
   }
 
+  /** Streaming bottom-k sample shards — the unbounded-feed face of
+    * n_quantile_sketch: events arrive as a stream, each hashes its
+    * event_id to the SAME portable 52-bit value as the batch query,
+    * and per-shard [[graft.operators.SampleSketch]] buffers keep the
+    * k smallest (hash, value) pairs — a deterministic uniform sample
+    * whose shard summaries merge by keeping the k smallest of the
+    * union, so the drained, merged sample (and every quantile
+    * estimate over it) equals the batch sketch EXACTLY (StreamingSpec
+    * proves it). State: shards × k pairs however long the feed runs.
+    */
+  def sampleShards(spark: SparkSession, dir: String,
+      shards: Int = 8, k: Int = 256): Dataset[(Long, Seq[(Long, Double)])] = {
+    import spark.implicits._
+    graft.GraftSession.tune(spark)
+    val sk = graft.operators.SampleSketch(k)
+    source(spark, dir)
+      .select(
+        graft.queries.Round11Queries.qskHash(col("event_id")).as("hv"),
+        col("value"))
+      .as[(Long, Double)]
+      .groupByKey { case (hv, _) => math.floorMod(hv, shards.toLong) }
+      .agg(sk.toColumn.name("sample"))
+  }
+
   /** Streaming half-life counters — the unbounded-feed face of
     * n_time_decay_agg: each event type keeps ONE (decayed sum, as-of)
     * pair via [[graft.operators.DecayedCounter]], folding arrivals by

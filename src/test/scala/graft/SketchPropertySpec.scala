@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{CmsSketch, DecayedCounter, HllSketch, KmvSketch}
+import graft.operators.{CmsSketch, DecayedCounter, HllSketch, KmvSketch, SampleSketch}
 import org.scalacheck.Gen
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -54,6 +54,27 @@ class SketchPropertySpec extends AnyFunSuite {
       assert(dup == single)
       // rank bounds: every register in [0, 47]
       assert(single.forall(m => m >= 0 && m <= 47))
+    }
+  }
+
+  test("SampleSketch: any sharding merges to the single-pass bottom-k sample") {
+    val sk = SampleSketch(16)
+    forSamples(for {
+      xs <- longSeqGen
+      nShards <- Gen.chooseNum(1, 5)
+    } yield (xs, nShards)) { case (xs, nShards) =>
+      val pairs = xs.map(h => (h, (h % 1000).toDouble))
+      val single = pairs.foldLeft(sk.zero)(sk.reduce)
+      assert(single == pairs.distinctBy(_._1).sortBy(_._1).take(16))
+      val sharded = pairs.zipWithIndex.groupBy(_._2 % nShards).values
+        .map(_.map(_._1).foldLeft(sk.zero)(sk.reduce))
+        .foldLeft(sk.zero)(sk.merge)
+      assert(sharded == single, "shard-merge diverged")
+      // quantiles over the merged sample equal the single-pass ones
+      if (single.nonEmpty)
+        Seq(0.1, 0.5, 0.9).foreach { p =>
+          assert(SampleSketch.quantile(sharded, p) == SampleSketch.quantile(single, p))
+        }
     }
   }
 

@@ -277,6 +277,29 @@ class StreamingSpec extends AnyFunSuite {
       s"stream est $streamedEst != batch est ${batchRow.getDouble(2)}")
   }
 
+  test("streaming bottom-k sample: merged shards reproduce the batch quantile sketch exactly") {
+    val q = EventStreams.sampleShards(spark, sf)
+      .toDF("shard", "sample")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("qsk_out")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val sk = graft.operators.SampleSketch(256)
+    val shardSamples = spark.table("qsk_out")
+      .collect().map(_.getSeq[org.apache.spark.sql.Row](1)
+        .map(r => (r.getLong(0), r.getDouble(1))))
+    assert(shardSamples.forall(_.length <= 256))
+    val merged = shardSamples.foldLeft(sk.zero)(sk.merge)
+    val batch = SparkEntry.queries("n_quantile_sketch")(spark, sf)
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    batch.foreach { case (p, est) =>
+      val streamed = graft.operators.SampleSketch.quantile(merged, p)
+      val rounded = BigDecimal(streamed)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(rounded == est, s"p=$p stream $streamed != batch $est")
+    }
+  }
+
   test("streaming KMV: merged shard sketches reproduce the batch estimate exactly") {
     val q = EventStreams.kmvShards(spark, sf)
       .toDF("shard", "sketch")

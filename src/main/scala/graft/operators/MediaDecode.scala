@@ -344,6 +344,117 @@ object MediaDecode {
     (h1, h2)
   }
 
+  /** Square textured frame for the spectral-hash fixture: 32·scale ×
+    * 32·scale with the same per-id quadratic texture as
+    * [[synthPngTextured]] (sx = x/scale, so a scale-2 payload is the
+    * pixel-doubled re-encode of the scale-1 image).
+    */
+  def synthPngTextured32(docId: Long, scale: Int): Array[Byte] = {
+    val n = 32 * scale
+    val img = new BufferedImage(n, n, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < n) {
+      var x = 0
+      while (x < n) {
+        val sx = x / scale; val sy = y / scale
+        val r = ((docId * 7 + (docId % 13 + 2) * sx * sx
+          + (docId % 11 + 3) * sy * sy + sx * sy) % 256).toInt
+        val g = ((docId * 11 + (docId % 7 + 2) * sx * sx
+          + (docId % 17 + 1) * sy + 2 * sx * sy) % 256).toInt
+        val b = ((docId * 13 + (docId % 5 + 3) * sy * sy
+          + (docId % 19 + 1) * sx + sx * sy) % 256).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  val synthPngTextured32Udf = udf((id: Long) => synthPngTextured32(id, 1))
+  val synthPngTextured32x2Udf = udf((id: Long) => synthPngTextured32(id, 2))
+
+  final case class WhtHashRow(doc_id: Long, w: Int, h: Int, hw: Long)
+
+  /** pHash-style SPECTRAL perceptual hash over the Walsh-Hadamard
+    * transform (the exact-integer sibling of the DCT pHash — WHT is
+    * what video-hashing standards use when they need a transform
+    * without float drift): the decoded image block-SUM-downsamples to
+    * a 32×32 integer grayscale grid (a k× pixel-doubled re-encode
+    * scales every grid cell — and therefore every coefficient and
+    * their median — by exactly k², leaving the sign pattern
+    * invariant), the 8×8 low-frequency WHT coefficients
+    * C(u,v) = Σ g(x,y)·(−1)^(popcount(x∧u)+popcount(y∧v)) are exact
+    * integer sums, and bit i is coefficient-above-median over the 63
+    * AC coefficients (median = 32nd smallest of 63 — an exact order
+    * statistic, never interpolated).
+    */
+  def whtHashOf(img: BufferedImage): Long = {
+    val n = 32
+    val f = img.getWidth / n
+    require(img.getWidth == n * f && img.getHeight == n * f,
+      s"whtHash expects a square multiple of 32, got ${img.getWidth}x${img.getHeight}")
+    val g = Array.ofDim[Long](n, n)
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val rgb = img.getRGB(x, y)
+        g(y / f)(x / f) +=
+          ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+        x += 1
+      }
+      y += 1
+    }
+    val coeffs = new Array[Long](64)
+    var u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        var s = 0L
+        var yy = 0
+        while (yy < n) {
+          var xx = 0
+          while (xx < n) {
+            val parity = (java.lang.Integer.bitCount(xx & u)
+              + java.lang.Integer.bitCount(yy & v)) & 1
+            s += (if (parity == 0) g(yy)(xx) else -g(yy)(xx))
+            xx += 1
+          }
+          yy += 1
+        }
+        coeffs(u * 8 + v) = s
+        v += 1
+      }
+      u += 1
+    }
+    val ac = coeffs.drop(1)
+    val med = ac.sorted.apply(31)
+    var hw = 0L
+    var i = 0
+    while (i < 63) {
+      if (ac(i) > med) hw |= (1L << i)
+      i += 1
+    }
+    hw
+  }
+
+  def whtHash(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (docId, payload) =>
+          val img = decodeImage(payload)
+          WhtHashRow(docId, img.getWidth, img.getHeight, whtHashOf(img))
+        }
+      }
+      .toDF()
+  }
+
   def dHash(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._

@@ -185,6 +185,50 @@ object MultimodalQueries extends QueryModule {
         WHERE bit_count(xor(a.h1, b.h1)) + bit_count(xor(a.h2, b.h2)) <= 6
         ORDER BY id_a ASC NULLS LAST, id_b ASC NULLS LAST""")),
 
+    Q("m_image_phash",
+      "pHash-style SPECTRAL image hash over the Walsh-Hadamard transform (the exact-integer sibling of the DCT pHash — the transform video-hashing standards reach for when float drift is unacceptable): REAL decode of 240 PNGs (120 textured 32x32 originals + their 64x64 pixel-doubled re-encodes), block-SUM downsample to the 32x32 integer grid (a kx re-encode scales every coefficient AND the median by exactly k^2, so the sign pattern is invariant by construction), 8x8 low-frequency WHT coefficients as exact integer sums, bit = coefficient-above-median over the 63 AC coefficients (median = exact 32nd-smallest order statistic). Pairs at Hamming <= 4 reported; every re-encode is a Hamming-0 twin of its original. Scale shape: hashing is partition-batched binary decode; candidates come from 16-bit hash-chunk buckets at corpus scale, like the dHash/SimHash pipelines — the all-pairs join is this fixture's luxury.",
+      (s, dir) => {
+        val ids = T(s, dir, "documents").select(col("doc_id"))
+          .filter(col("doc_id") >= 1 && col("doc_id") <= 120)
+        val media = ids.select(col("doc_id"),
+            graft.operators.MediaDecode.synthPngTextured32Udf(col("doc_id")).as("payload"))
+          .unionAll(ids.select((col("doc_id") + 100000).as("doc_id"),
+            graft.operators.MediaDecode.synthPngTextured32x2Udf(col("doc_id")).as("payload")))
+          .repartition(s.sparkContext.defaultParallelism)
+        val ph = graft.operators.MediaDecode.whtHash(media)
+        ph.as("a").join(ph.as("b"), col("a.doc_id") < col("b.doc_id"))
+          .withColumn("hamming", expr("bit_count(a.hw ^ b.hw)"))
+          .filter(col("hamming") <= 4)
+          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+            col("hamming"))
+          .orderBy(col("id_a").asc_nulls_last, col("id_b").asc_nulls_last)
+      },
+      Some("""WITH ids AS (SELECT doc_id AS src FROM documents WHERE doc_id BETWEEN 1 AND 120),
+        imgs AS (SELECT src AS doc_id, src, 1 AS mul FROM ids
+                 UNION ALL SELECT src + 100000, src, 4 FROM ids),
+        px AS (SELECT doc_id, src, mul, x.x, y.y,
+                 mul * (((7*src + (src%13+2)*x.x*x.x + (src%11+3)*y.y*y.y + x.x*y.y) % 256)
+                      + ((11*src + (src%7+2)*x.x*x.x + (src%17+1)*y.y + 2*x.x*y.y) % 256)
+                      + ((13*src + (src%5+3)*y.y*y.y + (src%19+1)*x.x + x.x*y.y) % 256)) AS g
+               FROM imgs, LATERAL (SELECT unnest(range(0, 32)) AS x) x,
+                          LATERAL (SELECT unnest(range(0, 32)) AS y) y),
+        co AS (SELECT doc_id, u.u, v.v,
+                 CAST(sum(CASE WHEN (bit_count(x & u.u) + bit_count(y & v.v)) % 2 = 0
+                          THEN g ELSE -g END) AS BIGINT) AS c
+               FROM px, LATERAL (SELECT unnest(range(0, 8)) AS u) u,
+                        LATERAL (SELECT unnest(range(0, 8)) AS v) v
+               GROUP BY doc_id, u.u, v.v),
+        ac AS (SELECT doc_id, u*8 + v - 1 AS idx, c FROM co WHERE NOT (u = 0 AND v = 0)),
+        med AS (SELECT doc_id, quantile_disc(c, 0.5) AS med FROM ac GROUP BY doc_id),
+        hashes AS (SELECT ac.doc_id,
+            CAST(sum(CASE WHEN c > med THEN (1::BIGINT << CAST(idx AS INT)) ELSE 0 END) AS BIGINT) AS hw
+          FROM ac JOIN med ON ac.doc_id = med.doc_id GROUP BY ac.doc_id)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          bit_count(xor(a.hw, b.hw)) AS hamming
+        FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.hw, b.hw)) <= 4
+        ORDER BY id_a ASC NULLS LAST, id_b ASC NULLS LAST""")),
+
     Q("m_audio_fingerprint",
       "Audio near-dup detection via energy-envelope fingerprints (the time-domain core of Shazam-style hashing): REAL WAV decode of 200 clips — 100 textured originals plus their 2x-sample-rate re-encodes — 32 floor-block frames with exact-integer |sample| energies, bit f = envelope rises between frames f and f+1, pairs at Hamming <= 2 reported. Frame-aligned sample counts make every re-encode a Hamming-0 twin while the nearest DISTINCT clip sits at Hamming 3. Scale shape: fingerprinting is partition-batched binary decode; at corpus scale candidates come from fingerprint-chunk buckets like the SimHash/dHash pipelines, not this fixture's all-pairs join.",
       (s, dir) => {

@@ -43,6 +43,27 @@ class Round11Spec extends AnyFunSuite {
     assert(ecdf.count() > 1) // the statistic had something to compare
   }
 
+  test("WHT spectral hash: re-encodes are Hamming-0 twins, distinct images separate") {
+    import org.apache.spark.sql.functions._
+    val ids = spark.range(1, 41).toDF("doc_id")
+    val media = ids.select(col("doc_id"),
+        graft.operators.MediaDecode.synthPngTextured32Udf(col("doc_id")).as("payload"))
+      .unionAll(ids.select((col("doc_id") + 100000).as("doc_id"),
+        graft.operators.MediaDecode.synthPngTextured32x2Udf(col("doc_id")).as("payload")))
+    val ph = graft.operators.MediaDecode.whtHash(media)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    // invariance: every 2x re-encode hashes identically (coefficients
+    // and median scale by exactly 4)
+    (1L to 40L).foreach { id =>
+      assert(ph(id) == ph(id + 100000), s"re-encode of $id drifted")
+    }
+    // separation: nearest DISTINCT pair is far from the twin threshold
+    val dist = for {
+      a <- 1L to 40L; b <- (a + 1) to 40L
+    } yield java.lang.Long.bitCount(ph(a) ^ ph(b))
+    assert(dist.min > 4, s"distinct images collide: min Hamming ${dist.min}")
+  }
+
   test("clustering metrics: purity/rand/nmi in range; purity at least 1/#labels") {
     val r = SparkEntry.queries("n_cluster_metrics")(spark, sf).collect().head
     val (n, nl, nb) = (r.getLong(0), r.getLong(1), r.getLong(2))

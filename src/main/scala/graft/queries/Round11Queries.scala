@@ -556,6 +556,61 @@ object Round11Queries extends QueryModule {
           round(CAST(sum(CAST(round(ntok * wgt, 8) AS DECIMAL(30,8))) AS DOUBLE), 4) AS eff_tokens
         FROM j GROUP BY lang ORDER BY lang ASC NULLS LAST""")),
 
+    Q("n_dataset_card",
+      "Per-language dataset card (the datasheet block a corpus release ships: Datasheets for Datasets, Gebru et al.): doc/token counts, exact-decimal mean tokens, the DISCRETE median doc length computed from the per-language value-count ECDF relation (median = the value whose cumulative interval covers rank floor((n-1)/2) — a lang-partitioned window over the vocabulary-sized value relation, never a row-level sort; DuckDB's quantile_disc pins the same rule), the exact-duplicate rate from text digests, and the mean lexical-quality score. One linear pass per statistic family, all rollups keyed by language.",
+      (s, dir) => {
+        val d = DedupQueries.retain(T(s, dir, "documents")
+          .select(col("lang"), col("doc_id"), md5(col("text")).as("dg"),
+            size(filter(split(col("text"), " "), x => length(x) > 0))
+              .cast("long").as("nt"),
+            round(size(array_distinct(filter(split(col("text"), " "),
+              x => length(x) > 0))).cast("double")
+              / size(filter(split(col("text"), " "),
+                x => length(x) > 0)), 6).as("q")))
+        val base = d.groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("nt")).cast("long").as("n_tokens"),
+            round(sum(col("nt").cast(DecimalType(20, 0))).cast("double")
+              / count(lit(1)), 4).as("mean_tokens"),
+            countDistinct(col("dg")).as("n_distinct"),
+            round(sum(col("q").cast(DecimalType(20, 6))).cast("double")
+              / count(lit(1)), 6).as("mean_quality"))
+          .withColumn("dup_rate",
+            round((col("n_docs") - col("n_distinct")).cast("double")
+              / col("n_docs"), 6))
+        val vals = d.groupBy(col("lang"), col("nt")).agg(count(lit(1)).as("c"))
+        val wC = Window.partitionBy(col("lang")).orderBy(col("nt"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val med = vals.withColumn("cum", sum(col("c")).over(wC))
+          .join(base.select(col("lang"), col("n_docs")), Seq("lang"))
+          .withColumn("r", expr("(n_docs - 1) div 2"))
+          .filter(col("cum") > col("r") && col("cum") - col("c") <= col("r"))
+          .select(col("lang"), col("nt").as("median_tokens"))
+        base.join(med, Seq("lang"))
+          .select(col("lang"), col("n_docs"), col("n_tokens"),
+            col("mean_tokens"), col("median_tokens"), col("dup_rate"),
+            col("mean_quality"))
+          .orderBy(col("lang").asc_nulls_last)
+      },
+      Some("""WITH d AS (SELECT lang, doc_id, md5(text) AS dg,
+            CAST(len(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS BIGINT) AS nt,
+            round(CAST(len(list_distinct(list_filter(string_split(text, ' '), x -> len(x) > 0))) AS DOUBLE)
+              / len(list_filter(string_split(text, ' '), x -> len(x) > 0)), 6) AS q
+          FROM documents),
+        base AS (SELECT lang, count(*) AS n_docs,
+            CAST(sum(nt) AS BIGINT) AS n_tokens,
+            round(CAST(sum(CAST(nt AS DECIMAL(20,0))) AS DOUBLE) / count(*), 4) AS mean_tokens,
+            count(DISTINCT dg) AS n_distinct,
+            round(CAST(sum(CAST(q AS DECIMAL(20,6))) AS DOUBLE) / count(*), 6) AS mean_quality
+          FROM d GROUP BY lang),
+        med AS (SELECT lang, CAST(quantile_disc(nt, 0.5) AS BIGINT) AS median_tokens
+                FROM d GROUP BY lang)
+        SELECT base.lang, n_docs, n_tokens, mean_tokens, median_tokens,
+          round(CAST(n_docs - n_distinct AS DOUBLE) / n_docs, 6) AS dup_rate,
+          mean_quality
+        FROM base JOIN med ON base.lang = med.lang
+        ORDER BY base.lang ASC NULLS LAST""")),
+
     Q("n_quantile_sketch",
       "Mergeable quantile sketch by hash-rank sampling (the bottom-k trick applied to order statistics: the k=256 events with the SMALLEST portable 52-bit hashes are a deterministic uniform sample — any engine, any partitioning, any shard merge keeps the k smallest of the union, so the sketch is mergeable exactly like KMV): quantile estimates interpolate over the sorted sample with the same h=p(n-1) rule the equi-depth histogram pins, and the plan is a TakeOrderedAndProject (per-partition bottom-k, k-row merge — the key set never shuffles). The spec asserts the estimates land within the expected sampling error of the exact quantiles; at 100 TB the exact computation is the thing this sketch exists to avoid.",
       (s, dir) => {

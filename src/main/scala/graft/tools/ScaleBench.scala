@@ -101,8 +101,11 @@ object ScaleBench {
     // size is #labels x #buckets, not the corpus
     "n_cluster_metrics",
     // bottom-k quantile sample is a TakeOrderedAndProject; KS runs the
-    // banded two-level cumsum over the distinct-value relation
-    "n_quantile_sketch", "n_ks_drift")
+    // banded two-level cumsum over the distinct-value relation; the
+    // dataset card is per-language rollups over one retained pass
+    // (m_image_phash is excluded like the other media fingerprints:
+    // fixed 240-image fixture by design)
+    "n_quantile_sketch", "n_ks_drift", "n_dataset_card")
 
   def main(args: Array[String]): Unit = {
     val dirA = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

@@ -556,6 +556,75 @@ object Round11Queries extends QueryModule {
           round(CAST(sum(CAST(round(ntok * wgt, 8) AS DECIMAL(30,8))) AS DOUBLE), 4) AS eff_tokens
         FROM j GROUP BY lang ORDER BY lang ASC NULLS LAST""")),
 
+    Q("n_matryoshka_eval",
+      "Matryoshka truncation evaluation (Kusupati et al.: can you serve the first k dimensions of an embedding and keep the ranking?): for each probe, cosine top-5 under prefix dims k in {8,16,32,64} compares against the full-dimension top-5 — overlap@5 and top-1 agreement per k are the curves a serving team reads before cutting index memory 8x. Ranking determinism: sims round to 6 decimals with id tiebreaks (the repo-wide cosine discipline); the k=64 row is the identity anchor. Scale shape: probes broadcast against the corpus once, the per-k fan-out is a row-local slice, and per-(probe,k) top-5 is a bounded window over the scored relation.",
+      (s, dir) => {
+        val emb = T(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+        val probes = emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        val scored = emb.join(broadcast(probes), col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id").as("nid"), col("embedding"), col("qv"),
+            explode(array(Seq(8, 16, 32, 64).map(lit): _*)).as("k"))
+          .withColumn("pv", expr("slice(embedding, 1, k)"))
+          .withColumn("pq", expr("slice(qv, 1, k)"))
+          .withColumn("simr", round(SimilarityQueries.cosineHof("pq", "pv"), 6))
+        val w = Window.partitionBy(col("qid"), col("k"))
+          .orderBy(col("simr").desc, col("nid").asc)
+        val t5 = DedupQueries.retain(scored
+          .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+          .select(col("qid"), col("k"), col("nid"), col("rn")))
+        val f5 = t5.filter(col("k") === 64)
+          .select(col("qid"), col("nid"), lit(1).as("present"))
+        val f1 = t5.filter(col("k") === 64 && col("rn") === 1)
+          .select(col("qid"), col("nid").as("fid"))
+        val ov = t5.join(f5, Seq("qid", "nid"), "left")
+          .groupBy(col("k"), col("qid"))
+          .agg(sum(coalesce(col("present"), lit(0))).cast("long").as("m"))
+          .groupBy(col("k"))
+          .agg(sum(col("m")).cast("long").as("matched"),
+            count(lit(1)).as("nq"))
+        val t1 = t5.filter(col("rn") === 1)
+          .join(f1, Seq("qid"))
+          .groupBy(col("k"))
+          .agg(sum(when(col("nid") === col("fid"), 1).otherwise(0))
+            .cast("long").as("hits"), count(lit(1)).as("nq1"))
+        ov.join(t1, Seq("k"))
+          .select(col("k"),
+            round(col("matched").cast("double") / (col("nq") * 5.0), 4)
+              .as("overlap_at_5"),
+            round(col("hits").cast("double") / col("nq1"), 4).as("top1_match"))
+          .orderBy(col("k").asc_nulls_last)
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        p AS (SELECT vec_id AS qid, embedding AS qv FROM e WHERE vec_id < 10),
+        sc AS (SELECT p.qid, e.vec_id AS nid, k.k,
+            round(list_sum(list_transform(list_zip(list_slice(qv, 1, k.k), list_slice(embedding, 1, k.k)),
+                z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+              / (sqrt(list_sum(list_transform(list_slice(qv, 1, k.k), v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+               * sqrt(list_sum(list_transform(list_slice(embedding, 1, k.k), v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))), 6) AS simr
+          FROM e JOIN p ON e.vec_id <> p.qid,
+               LATERAL (SELECT unnest([8, 16, 32, 64]) AS k) k),
+        top AS (SELECT qid, k, nid,
+            row_number() OVER (PARTITION BY qid, k ORDER BY simr DESC, nid ASC) AS rn
+          FROM sc),
+        t5 AS (SELECT * FROM top WHERE rn <= 5),
+        f5 AS (SELECT qid, nid, 1 AS present FROM t5 WHERE k = 64),
+        f1 AS (SELECT qid, nid AS fid FROM t5 WHERE k = 64 AND rn = 1),
+        ov AS (SELECT t.k, t.qid,
+            CAST(sum(COALESCE(f.present, 0)) AS BIGINT) AS m
+          FROM t5 t LEFT JOIN f5 f ON t.qid = f.qid AND t.nid = f.nid
+          GROUP BY t.k, t.qid),
+        o AS (SELECT k, CAST(sum(m) AS BIGINT) AS matched, count(*) AS nq
+              FROM ov GROUP BY k),
+        t1 AS (SELECT t.k,
+            CAST(sum(CASE WHEN t.nid = f1.fid THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+            count(*) AS nq1
+          FROM (SELECT k, qid, nid FROM t5 WHERE rn = 1) t
+          JOIN f1 ON t.qid = f1.qid GROUP BY t.k)
+        SELECT o.k, round(CAST(matched AS DOUBLE) / (o.nq * 5.0), 4) AS overlap_at_5,
+          round(CAST(hits AS DOUBLE) / nq1, 4) AS top1_match
+        FROM o JOIN t1 ON o.k = t1.k ORDER BY o.k ASC NULLS LAST""")),
+
     Q("n_dataset_card",
       "Per-language dataset card (the datasheet block a corpus release ships: Datasheets for Datasets, Gebru et al.): doc/token counts, exact-decimal mean tokens, the DISCRETE median doc length computed from the per-language value-count ECDF relation (median = the value whose cumulative interval covers rank floor((n-1)/2) — a lang-partitioned window over the vocabulary-sized value relation, never a row-level sort; DuckDB's quantile_disc pins the same rule), the exact-duplicate rate from text digests, and the mean lexical-quality score. One linear pass per statistic family, all rollups keyed by language.",
       (s, dir) => {

@@ -105,7 +105,9 @@ object ScaleBench {
     // dataset card is per-language rollups over one retained pass
     // (m_image_phash is excluded like the other media fingerprints:
     // fixed 240-image fixture by design)
-    "n_quantile_sketch", "n_ks_drift", "n_dataset_card")
+    "n_quantile_sketch", "n_ks_drift", "n_dataset_card",
+    // probes broadcast once, per-k fan-out is a row-local slice
+    "n_matryoshka_eval")
 
   def main(args: Array[String]): Unit = {
     val dirA = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

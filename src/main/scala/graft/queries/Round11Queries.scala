@@ -556,6 +556,52 @@ object Round11Queries extends QueryModule {
           round(CAST(sum(CAST(round(ntok * wgt, 8) AS DECIMAL(30,8))) AS DOUBLE), 4) AS eff_tokens
         FROM j GROUP BY lang ORDER BY lang ASC NULLS LAST""")),
 
+    Q("n_textrank_keywords",
+      "TextRank keyword extraction (Mihalcea-Tarau: PageRank over the word co-occurrence graph — the classic unsupervised keyphrase baseline): adjacent-word pairs build a weighted undirected graph, two damped power-iteration steps (d=0.85) run as token-keyed join+aggregate rounds with each contribution rounded to a fixed-scale decimal (exact order-free sums — the n_pca_power discipline), and the top-20 words by final score are the corpus keywords. Scale shape: the graph is vocabulary-sized (edges = distinct co-occurring pairs, token-keyed), score vectors are relations not driver state, and each iteration is one co-partitioned join — PageRank as Spark was built to run it.",
+      (s, dir) => {
+        val big = Round9bQueries.bigramStream(s, dir)
+          .filter(col("w1") =!= col("w2"))
+        // undirected weighted edges, then out-degree per node
+        val edges = DedupQueries.retain(
+          big.select(col("w1").as("u"), col("w2").as("v"))
+            .unionAll(big.select(col("w2").as("u"), col("w1").as("v")))
+            .groupBy(col("u"), col("v")).agg(count(lit(1)).as("wt")))
+        val deg = edges.groupBy(col("u")).agg(sum(col("wt")).as("deg"))
+        val contrib = DedupQueries.retain(edges.join(deg, Seq("u"))
+          .select(col("u"), col("v"), (col("wt") / col("deg")).as("frac")))
+        // iteration 1 from s = 1.0: s1(v) = 0.15 + 0.85 * sum(frac)
+        val s1 = contrib
+          .withColumn("t", round(lit(0.85) * col("frac"), 10)
+            .cast(DecimalType(30, 10)))
+          .groupBy(col("v"))
+          .agg(round(lit(0.15) + sum(col("t")).cast("double"), 8).as("s1"))
+        // iteration 2: s2(v) = 0.15 + 0.85 * sum(frac * s1(u))
+        contrib.join(s1.withColumnRenamed("v", "u"), Seq("u"))
+          .withColumn("t", round(lit(0.85) * col("frac") * col("s1"), 10)
+            .cast(DecimalType(30, 10)))
+          .groupBy(col("v"))
+          .agg(round(lit(0.15) + sum(col("t")).cast("double"), 8).as("score"))
+          .orderBy(col("score").desc_nulls_last, col("v").asc_nulls_last)
+          .limit(20)
+          .select(col("v").as("word"), col("score"))
+      },
+      Some("""WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), w -> len(w) > 0) AS ws FROM documents),
+        big AS (SELECT ws[i] AS w1, ws[i + 1] AS w2 FROM (
+            SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS i FROM t) x
+          WHERE ws[i] <> ws[i + 1]),
+        edges AS (SELECT u, v, count(*) AS wt FROM (
+            SELECT w1 AS u, w2 AS v FROM big
+            UNION ALL SELECT w2, w1 FROM big) e GROUP BY u, v),
+        deg AS (SELECT u, sum(wt) AS deg FROM edges GROUP BY u),
+        contrib AS (SELECT edges.u, v, wt / deg AS frac
+                    FROM edges JOIN deg ON edges.u = deg.u),
+        s1 AS (SELECT v, round(0.15 + CAST(sum(CAST(round(0.85 * frac, 10) AS DECIMAL(30,10))) AS DOUBLE), 8) AS s1
+               FROM contrib GROUP BY v),
+        s2 AS (SELECT c.v, round(0.15 + CAST(sum(CAST(round(0.85 * c.frac * s1.s1, 10) AS DECIMAL(30,10))) AS DOUBLE), 8) AS score
+               FROM contrib c JOIN s1 ON c.u = s1.v GROUP BY c.v)
+        SELECT v AS word, score FROM s2
+        ORDER BY score DESC NULLS LAST, v ASC NULLS LAST LIMIT 20""")),
+
     Q("n_matryoshka_eval",
       "Matryoshka truncation evaluation (Kusupati et al.: can you serve the first k dimensions of an embedding and keep the ranking?): for each probe, cosine top-5 under prefix dims k in {8,16,32,64} compares against the full-dimension top-5 — overlap@5 and top-1 agreement per k are the curves a serving team reads before cutting index memory 8x. Ranking determinism: sims round to 6 decimals with id tiebreaks (the repo-wide cosine discipline); the k=64 row is the identity anchor. Scale shape: probes broadcast against the corpus once, the per-k fan-out is a row-local slice, and per-(probe,k) top-5 is a bounded window over the scored relation.",
       (s, dir) => {

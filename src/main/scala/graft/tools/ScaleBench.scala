@@ -107,7 +107,9 @@ object ScaleBench {
     // fixed 240-image fixture by design)
     "n_quantile_sketch", "n_ks_drift", "n_dataset_card",
     // probes broadcast once, per-k fan-out is a row-local slice
-    "n_matryoshka_eval")
+    "n_matryoshka_eval",
+    // vocabulary-sized graph; each PageRank step one co-partitioned join
+    "n_textrank_keywords")
 
   def main(args: Array[String]): Unit = {
     val dirA = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

@@ -59,4 +59,24 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window [row_number()], []"),
       "window with empty partition spec would serialize on one task")
   }
+
+  test("quantile sketch bottom-k plans as TakeOrderedAndProject (round 11)") {
+    val p = planOf("n_quantile_sketch")
+    assert(p.contains("TakeOrderedAndProject"),
+      "the bottom-k sample must be a per-partition top-k, not a sort:\n" + p)
+  }
+
+  test("bloom screen probes the filter via a broadcast join (round 11)") {
+    val p = planOf("n_dedup_bloom_screen")
+    assert(p.contains("BroadcastHashJoin"),
+      "the 4096-lane filter must broadcast to the probe side:\n" + p)
+  }
+
+  test("equi-depth histogram stays in the DataFrame plan — no RDD detour (round 11)") {
+    val p = planOf("d_equidepth_hist")
+    assert(!p.contains("Scan ExistingRDD"),
+      "an RDD scan means zipWithIndex came back:\n" + p)
+    assert(p.contains("TakeOrderedAndProject") || p.contains("Window"),
+      "expected the two-level rank machinery:\n" + p)
+  }
 }

@@ -556,6 +556,54 @@ object Round11Queries extends QueryModule {
           round(CAST(sum(CAST(round(ntok * wgt, 8) AS DECIMAL(30,8))) AS DOUBLE), 4) AS eff_tokens
         FROM j GROUP BY lang ORDER BY lang ASC NULLS LAST""")),
 
+    Q("n_label_noise",
+      "Label-noise audit by k-NN majority vote (the confident-learning-style check run before trusting a labeled set: a point whose neighbors overwhelmingly carry a different label is a suspect annotation): each probe's cosine top-5 neighborhood votes, the majority label (count desc, label asc tiebreak) compares against the probe's own label, and disagreements flag for review. Scale shape: probes broadcast once against the corpus (the n_knn_join_topk candidate discipline — at 100 TB the neighbor set comes from the ANN tier, not brute force), the vote is a probe-keyed 5-row aggregate.",
+      (s, dir) => {
+        val emb = T(s, dir, "embeddings")
+          .select(col("vec_id"), col("label"), col("embedding"))
+        val probes = emb.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("qid"), col("label").as("own"),
+            col("embedding").as("qv"))
+        val w = Window.partitionBy(col("qid"))
+          .orderBy(col("simr").desc, col("vec_id").asc)
+        val top5 = emb.join(broadcast(probes), col("vec_id") =!= col("qid"))
+          .withColumn("simr",
+            round(SimilarityQueries.cosineHof("qv", "embedding"), 6))
+          .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+          .select(col("qid"), col("own"), col("label"))
+        val wV = Window.partitionBy(col("qid"))
+          .orderBy(col("votes").desc, col("label").asc)
+        top5.groupBy(col("qid"), col("own"), col("label"))
+          .agg(count(lit(1)).as("votes"))
+          .withColumn("vr", row_number().over(wV)).filter(col("vr") === 1)
+          .select(col("qid").as("vec_id"), col("own").as("label"),
+            col("label").as("maj_label"), col("votes").as("n_agree"),
+            (col("own") =!= col("label")).as("flagged"))
+          .orderBy(col("vec_id").asc_nulls_last)
+      },
+      Some("""WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+        p AS (SELECT vec_id AS qid, label AS own, embedding AS qv
+              FROM e WHERE vec_id % 50 = 0),
+        sc AS (SELECT p.qid, p.own, e.vec_id, e.label,
+            round(list_sum(list_transform(list_zip(qv, embedding),
+                z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+              / (sqrt(list_sum(list_transform(qv, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+               * sqrt(list_sum(list_transform(embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))), 6) AS simr
+          FROM e JOIN p ON e.vec_id <> p.qid),
+        t5 AS (SELECT qid, own, label FROM (
+            SELECT qid, own, label,
+              row_number() OVER (PARTITION BY qid ORDER BY simr DESC, vec_id ASC) AS rn
+            FROM sc) x WHERE rn <= 5),
+        votes AS (SELECT qid, own, label, count(*) AS votes
+                  FROM t5 GROUP BY qid, own, label),
+        maj AS (SELECT qid, own, label, votes FROM (
+            SELECT qid, own, label, votes,
+              row_number() OVER (PARTITION BY qid ORDER BY votes DESC, label ASC) AS vr
+            FROM votes) x WHERE vr = 1)
+        SELECT qid AS vec_id, own AS label, label AS maj_label,
+          CAST(votes AS BIGINT) AS n_agree, (own <> label) AS flagged
+        FROM maj ORDER BY vec_id ASC NULLS LAST""")),
+
     Q("n_textrank_keywords",
       "TextRank keyword extraction (Mihalcea-Tarau: PageRank over the word co-occurrence graph — the classic unsupervised keyphrase baseline): adjacent-word pairs build a weighted undirected graph, two damped power-iteration steps (d=0.85) run as token-keyed join+aggregate rounds with each contribution rounded to a fixed-scale decimal (exact order-free sums — the n_pca_power discipline), and the top-20 words by final score are the corpus keywords. Scale shape: the graph is vocabulary-sized (edges = distinct co-occurring pairs, token-keyed), score vectors are relations not driver state, and each iteration is one co-partitioned join — PageRank as Spark was built to run it.",
       (s, dir) => {

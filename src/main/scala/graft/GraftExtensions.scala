@@ -540,6 +540,91 @@ object GraftExtensions {
       (args: Seq[Expression]) => { one("ord", args)
         CaseWhen(Seq((EqualTo(Length(args.head), Literal(0)), Literal(-1))),
           Some(builtinBuilder("ascii")(args))) }),
+    // DuckDB log(x) is the BASE-10 logarithm; Spark's log(x) is the
+    // natural log — a silent value divergence (round-11 probe catch:
+    // DuckDB log(100) = 2.0, Spark = 4.605...). Two-arg log(b, x)
+    // agrees on both engines and delegates unchanged.
+    ("log",
+      info("log", "log(x) - base-10 logarithm; log(b, x) - base-b (DuckDB semantics)."),
+      (args: Seq[Expression]) => args match {
+        case Seq(x) => builtinBuilder("log10")(Seq(x))
+        case Seq(b, x) => builtinBuilder("log")(Seq(b, x))
+        case _ => throw new IllegalArgumentException(
+          s"log expects 1-2 arguments, got ${args.length}")
+      }),
+    // DuckDB ERRORS on out-of-domain math where Spark silently yields
+    // NaN/NULL (sqrt(-1) = NaN, ln(0) = NULL) — a NaN flowing into a
+    // result is the worst kind of divergence, so the server face
+    // raises like DuckDB. NULL inputs still pass through as NULL.
+    ("sqrt",
+      info("sqrt", "sqrt(x) - errors on negative input (DuckDB semantics)."),
+      (args: Seq[Expression]) => { one("sqrt", args)
+        val x = D(args.head)
+        CaseWhen(Seq((LessThan(x, Literal(0.0)),
+          D(raise("cannot take square root of a negative number")))),
+          Some(builtinBuilder("sqrt")(Seq(x)))) }),
+    ("ln",
+      info("ln", "ln(x) - errors on x <= 0 (DuckDB semantics)."),
+      (args: Seq[Expression]) => { one("ln", args)
+        val x = D(args.head)
+        CaseWhen(Seq((LessThanOrEqual(x, Literal(0.0)),
+          D(raise("cannot take logarithm of a non-positive number")))),
+          Some(builtinBuilder("ln")(Seq(x)))) }),
+    ("log10",
+      info("log10", "log10(x) - errors on x <= 0 (DuckDB semantics)."),
+      (args: Seq[Expression]) => { one("log10", args)
+        val x = D(args.head)
+        CaseWhen(Seq((LessThanOrEqual(x, Literal(0.0)),
+          D(raise("cannot take logarithm of a non-positive number")))),
+          Some(builtinBuilder("log10")(Seq(x)))) }),
+    ("log2",
+      info("log2", "log2(x) - errors on x <= 0 (DuckDB semantics)."),
+      (args: Seq[Expression]) => { one("log2", args)
+        val x = D(args.head)
+        CaseWhen(Seq((LessThanOrEqual(x, Literal(0.0)),
+          D(raise("cannot take logarithm of a non-positive number")))),
+          Some(builtinBuilder("log2")(Seq(x)))) }),
+    ("asin",
+      info("asin", "asin(x) - errors outside [-1, 1] (DuckDB semantics)."),
+      (args: Seq[Expression]) => { one("asin", args)
+        val x = D(args.head)
+        CaseWhen(Seq((GreaterThan(Abs(x), Literal(1.0)),
+          D(raise("ASIN is undefined outside [-1,1]")))),
+          Some(builtinBuilder("asin")(Seq(x)))) }),
+    ("acos",
+      info("acos", "acos(x) - errors outside [-1, 1] (DuckDB semantics)."),
+      (args: Seq[Expression]) => { one("acos", args)
+        val x = D(args.head)
+        CaseWhen(Seq((GreaterThan(Abs(x), Literal(1.0)),
+          D(raise("ACOS is undefined outside [-1,1]")))),
+          Some(builtinBuilder("acos")(Seq(x)))) }),
+    // DuckDB substr with start = 0 counts the window from virtual
+    // position 0 (substr('hello', 0, 3) = 'he'); Spark treats 0 as 1
+    // ('hel') — silent divergence. Negative starts (from-end) agree.
+    ("substr",
+      info("substr", "substr(s, start[, len]) - start 0 clips the window (DuckDB semantics)."),
+      (args: Seq[Expression]) => args match {
+        case Seq(s, st) => builtinBuilder("substring")(Seq(s, st))
+        case Seq(s, st, len) =>
+          CaseWhen(Seq((EqualTo(Cast(st, LongType), Literal(0L)),
+            builtinBuilder("substring")(Seq(s, Literal(1),
+              builtinBuilder("greatest")(Seq(Subtract(Cast(len, LongType), Literal(1L)), Literal(0L))))))),
+            Some(builtinBuilder("substring")(Seq(s, st, len))))
+        case _ => throw new IllegalArgumentException(
+          s"substr expects 2-3 arguments, got ${args.length}")
+      }),
+    ("substring",
+      info("substring", "substring(s, start[, len]) - start 0 clips the window (DuckDB semantics)."),
+      (args: Seq[Expression]) => args match {
+        case Seq(s, st) => builtinBuilder("substring")(Seq(s, st))
+        case Seq(s, st, len) =>
+          CaseWhen(Seq((EqualTo(Cast(st, LongType), Literal(0L)),
+            builtinBuilder("substring")(Seq(s, Literal(1),
+              builtinBuilder("greatest")(Seq(Subtract(Cast(len, LongType), Literal(1L)), Literal(0L))))))),
+            Some(builtinBuilder("substring")(Seq(s, st, len))))
+        case _ => throw new IllegalArgumentException(
+          s"substring expects 2-3 arguments, got ${args.length}")
+      }),
     // DuckDB's two-arg trim family takes (string, characters); Spark's
     // builtins take (trimStr, string) — a SILENT value divergence
     // (Spark ltrim('xxabcx','x') = '' where DuckDB returns 'abcx';

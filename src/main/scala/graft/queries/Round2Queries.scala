@@ -453,7 +453,9 @@ object Round2Queries extends QueryModule {
           n AS (SELECT count(*) AS n_docs FROM docs),
           scored AS (
             SELECT doc_id, tok,
-              round(tf * log(CAST(n_docs AS DOUBLE) / df), 6) AS score
+              -- ln, not log: the registry's DuckDB-semantics log() is
+              -- base 10 (round-11 dispatch), and this score is natural
+              round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS score
             FROM tf JOIN df USING (tok) CROSS JOIN n)
           SELECT doc_id, rk, tok, score FROM (
             SELECT doc_id, tok, score,

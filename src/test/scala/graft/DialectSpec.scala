@@ -1139,6 +1139,20 @@ class DialectSpec extends AnyFunSuite with BeforeAndAfterAll {
     one("SELECT list_grade_up([3,1,2]) AS a", """[{"a":[2,3,1]}]""")
     one("SELECT last_day(DATE '2024-02-10') AS a, bit_count(CAST(7 AS BIGINT)) AS b",
       """[{"a":"2024-02-29","b":3}]""")
+    // one-arg log is BASE 10 in DuckDB (Spark's is ln — the second
+    // silent-divergence catch of this tier); two-arg agrees
+    one("SELECT log(100) AS a, log(2, 8) AS b, log10(100) AS c, log2(8) AS d",
+      """[{"a":2.0,"b":3.0,"c":2.0,"d":3.0}]""")
+    // substr start=0 clips the window (Spark would return 'hel')
+    one("SELECT substr('hello', 0, 3) AS a, substr('hello', -1, 3) AS b, substr('hello', 0) AS c",
+      """[{"a":"he","b":"o","c":"hello"}]""")
+    // out-of-domain math errors loudly like DuckDB instead of Spark's
+    // silent NaN/NULL; in-domain and NULL inputs unchanged
+    assert(post("SELECT sqrt(-1) AS x").statusCode() == 400)
+    assert(post("SELECT ln(0) AS x").statusCode() == 400)
+    assert(post("SELECT asin(2) AS x").statusCode() == 400)
+    one("SELECT sqrt(4) AS a, ln(1.0) AS b, asin(1) IS NOT NULL AS c, sqrt(NULL) AS d",
+      """[{"a":2.0,"b":0.0,"c":true,"d":null}]""")
   }
 
   test("read_text / read_blob map files to DuckDB's file-per-row schema") {

@@ -1806,14 +1806,40 @@ object GraftExtensions {
       // never a silent first-vs-all divergence) and folds i/s/m into
       // an inline group.
       ("regexp_replace",
-        info("regexp_replace", "regexp_replace(s, pat, rep[, 'g[ism]']) - global replace with inline flags."),
+        info("regexp_replace", "regexp_replace(s, pat, rep[, 'g[ism]']) - FIRST-match replace like DuckDB; 'g' for global."),
         (args: Seq[Expression]) => {
-          if (args.length != 4) builtinBuilder("regexp_replace")(args)
+          if (args.length == 3) {
+            // DuckDB's 3-arg form replaces the FIRST match only; Spark's
+            // builtin is global-only (a silent divergence the round-11
+            // sweep caught). First-only via the anchored lazy-prefix
+            // rewrite: ((?s)^.*?)(?:pat) -> $1rep matches at most once
+            // (it is ^-anchored), so the global engine performs exactly
+            // one replacement. The prefix group shifts user group
+            // numbers, so replacements carrying $/\ references stay
+            // LOUD rather than silently mis-referencing.
+            val rep = litStr(args(2), "regexp_replace")
+            require(!rep.contains("$") && !rep.contains("\\"),
+              "regexp_replace: group references in the replacement need the 'g' flag here " +
+                "(first-match emulation shifts group numbers)")
+            val anchored = builtinBuilder("concat")(Seq(
+              Literal("((?s)^.*?)(?:"), args(1), Literal(")")))
+            builtinBuilder("regexp_replace")(
+              Seq(args(0), anchored, Literal("$1" + rep)))
+          } else if (args.length != 4) builtinBuilder("regexp_replace")(args)
           else {
             val flags = litStr(args(3), "regexp_replace").toLowerCase
-            require(flags.contains("g"),
-              "regexp_replace: only global ('g') replacement is supported here — Spark replaces all matches")
-            builtinBuilder("regexp_replace")(Seq(args(0), flagged(args(1), flags), args(2)))
+            if (flags.contains("g"))
+              builtinBuilder("regexp_replace")(Seq(args(0), flagged(args(1), flags), args(2)))
+            else {
+              val rep = litStr(args(2), "regexp_replace")
+              require(!rep.contains("$") && !rep.contains("\\"),
+                "regexp_replace: group references in the replacement need the 'g' flag here " +
+                  "(first-match emulation shifts group numbers)")
+              val anchored = builtinBuilder("concat")(Seq(
+                Literal("((?s)^.*?)(?:"), flagged(args(1), flags), Literal(")")))
+              builtinBuilder("regexp_replace")(
+                Seq(args(0), anchored, Literal("$1" + rep)))
+            }
           }
         }),
       ("regexp_matches",

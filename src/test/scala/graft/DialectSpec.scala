@@ -912,10 +912,11 @@ class DialectSpec extends AnyFunSuite with BeforeAndAfterAll {
     // map_extract returns [value] / []
     one("SELECT map_extract(MAP {'a': 1}, 'a') AS x, map_extract(MAP {'a': 1}, 'z') AS y",
       """[{"x":[1],"y":[]}]""")
-    // regex flags: 'g' required for replace (loud otherwise), inline i
+    // regex flags: global 'g' + inline i; flags WITHOUT g are
+    // first-match like DuckDB (round 11 closed the old loud 400)
     one("SELECT regexp_replace('aAa', 'a', 'x', 'gi') AS r, regexp_replace('aAa', 'a', 'x', 'g') AS s",
       """[{"r":"xxx","s":"xAx"}]""")
-    assert(post("SELECT regexp_replace('aAa', 'a', 'x', 'i') AS r").statusCode() >= 400)
+    one("SELECT regexp_replace('aAa', 'a', 'x', 'i') AS r", """[{"r":"xAa"}]""")
     one("SELECT regexp_matches('ABC', 'abc', 'i') AS m, regexp_matches('ABC', 'abc') AS n",
       """[{"m":true,"n":false}]""")
     one("SELECT regexp_extract('a1b2', '([a-z])([0-9])', ['l', 'n']) AS g",
@@ -1153,6 +1154,12 @@ class DialectSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(post("SELECT asin(2) AS x").statusCode() == 400)
     one("SELECT sqrt(4) AS a, ln(1.0) AS b, asin(1) IS NOT NULL AS c, sqrt(NULL) AS d",
       """[{"a":2.0,"b":0.0,"c":true,"d":null}]""")
+    // 3-arg regexp_replace is FIRST-match in DuckDB (Spark's builtin is
+    // global — the third silent catch; 'g' opts into global)
+    one("SELECT regexp_replace('aaa','a','b') AS a, regexp_replace('banana','an','X') AS b, " +
+      "regexp_replace('aaa','a','b','g') AS c, regexp_replace('abc','z','y') AS d, " +
+      "regexp_replace('aaa','a','b','i') AS e",
+      """[{"a":"baa","b":"bXana","c":"bbb","d":"abc","e":"baa"}]""")
   }
 
   test("read_text / read_blob map files to DuckDB's file-per-row schema") {

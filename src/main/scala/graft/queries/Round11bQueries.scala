@@ -1,0 +1,459 @@
+package graft.queries
+
+import graft.{Q, QueryModule, T}
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Round-11 second batch — the quality-filter / retrieval-fusion /
+  * ops tiers of a training-data pipeline (reference scope:
+  * fb64/uquery-rs exposes arbitrary SQL over corpus tables,
+  * src/core/duckdb.rs:87; these are the curation programs built on
+  * top of that surface):
+  *
+  * QUALITY FILTERS (the classic published batteries):
+  *   - n_gopher_rules — the Gopher (Rae et al. 2021) document-level
+  *     rule battery: word-count bounds, mean-word-length band,
+  *     max-word-length cap, English-stopword floor, type-token-ratio
+  *     floor. Row-local map, no shuffle before the output sort.
+  *   - n_readability — Flesch-Kincaid grade from vowel-group syllable
+  *     counting (deterministic regex syllables; fixed 15-word
+  *     pseudo-sentences since the synthetic corpus has no
+  *     punctuation), rolled up per language in exact decimals.
+  *   - n_lexical_diversity — segmental type-token ratio (STTR over
+  *     full 25-token segments — the length-robust TTR variant) next
+  *     to the raw per-doc TTR.
+  *
+  * EVALUATION HARNESSES:
+  *   - n_langid_eval — per-language precision / recall / F1 of the
+  *     n_lang_id stopword classifier against the labeled lang column
+  *     (the eval a pipeline runs BEFORE trusting a lang gate).
+  *
+  * RETRIEVAL / EMBEDDING OPS:
+  *   - n_hard_negatives — hard-negative mining for retrieval
+  *     training: per probe, the top-3 highest-cosine vectors whose
+  *     label DIFFERS from the probe's.
+  *   - n_rank_fusion — reciprocal-rank fusion (RRF, k=60) of a
+  *     lexical BM25 ranking and a semantic cosine ranking — the
+  *     standard hybrid-search combiner.
+  *   - n_embedding_outliers — corpus-level embedding sanity gate:
+  *     per-vector L2 norm z-scored against exact-decimal corpus
+  *     moments; |z| beyond the gate flags broken encoder output.
+  *
+  * INGESTION OPS:
+  *   - n_snapshot_diff — crawl-snapshot delta: added / removed /
+  *     changed / unchanged classification by content digest, the
+  *     incremental-ingest primitive (only `changed`+`added` re-enter
+  *     the pipeline; digests on the wire, never bodies).
+  */
+object Round11bQueries extends QueryModule {
+
+  /** Whitespace words with empties dropped. */
+  private def withWords(s: SparkSession, dir: String) =
+    T(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"), col("text"),
+        filter(split(col("text"), " "), w => length(w) > 0).as("words"))
+
+  private val enStop = Seq("the", "a", "of", "and", "to")
+
+  /** Per-doc (lang, pred_lang) from the n_lang_id stopword scorer —
+    * same rule, shared here for the eval harness.
+    */
+  private def langScored(s: SparkSession, dir: String) = {
+    val stopwords = Map(
+      "en" -> Seq("the", "a", "of", "and", "to"),
+      "es" -> Seq("el", "la", "de", "y", "que"),
+      "fr" -> Seq("le", "la", "de", "et", "que"),
+      "de" -> Seq("der", "die", "das", "und", "zu"),
+      "zh" -> Seq("de", "le", "shi", "bu", "wo"))
+    val scoreCols = stopwords.toSeq.sortBy(_._1).map { case (lg, words) =>
+      val arr = words.map("'" + _ + "'").mkString(",")
+      struct(
+        size(expr(s"filter(words, w -> array_contains(array($arr), w))")).as("score"),
+        lit(lg).as("lang")).as(s"s_$lg")
+    }
+    withWords(s, dir)
+      .withColumn("cand", array(scoreCols: _*))
+      .withColumn("best", expr(
+        "array_sort(cand, (l, r) -> CASE WHEN l.score > r.score THEN -1 WHEN l.score < r.score THEN 1 " +
+        "WHEN l.lang < r.lang THEN -1 WHEN l.lang > r.lang THEN 1 ELSE 0 END)[0]"))
+      .select(col("doc_id"), col("lang"), col("best.lang").as("pred"))
+  }
+
+  /** The shared DuckDB words CTE. */
+  private val wordsCte =
+    "SELECT doc_id, lang, source, text, list_filter(string_split(text, ' '), w -> len(w) > 0) AS words FROM documents"
+
+  override val queries: Seq[Q] = Seq(
+
+    Q("n_gopher_rules",
+      "Gopher-style document quality rule battery (Rae et al. 2021 §A1.1, adapted to the corpus surface): word-count bounds [50, 100k], mean-word-length band [3, 10], max-word-length cap 15, >=2 English stopword hits, type-token ratio >= 0.2; per-doc rule values + overall verdict. Every rule is a row-local array fold over the words column — zero shuffles before the output sort, the filter shape that runs map-side at 100 TB.",
+      (s, dir) => {
+        withWords(s, dir)
+          .withColumn("n_words", size(col("words")))
+          .withColumn("sum_len", expr("aggregate(words, 0L, (a, w) -> a + length(w))"))
+          .withColumn("mean_wlen", round(col("sum_len").cast("double") / col("n_words"), 6))
+          .withColumn("max_wlen", expr("aggregate(words, 0, (a, w) -> greatest(a, length(w)))"))
+          .withColumn("stop_hits",
+            size(array_intersect(array_distinct(col("words")), array(enStop.map(lit): _*))))
+          .withColumn("ttr", round(
+            size(array_distinct(col("words"))).cast("double") / col("n_words"), 6))
+          .withColumn("pass",
+            col("n_words").between(50, 100000) &&
+            col("mean_wlen").between(3.0, 10.0) &&
+            col("max_wlen") <= 15 &&
+            col("stop_hits") >= 2 &&
+            col("ttr") >= 0.2)
+          .select(col("doc_id"), col("n_words"), col("mean_wlen"), col("max_wlen"),
+            col("stop_hits"), col("ttr"), col("pass"))
+          .orderBy(col("doc_id").asc_nulls_last)
+      },
+      Some(s"""WITH d AS ($wordsCte),
+        m AS (SELECT doc_id, CAST(len(words) AS INT) AS n_words,
+            CAST(list_sum(list_transform(words, w -> len(w))) AS BIGINT) AS sum_len,
+            CAST(list_max(list_transform(words, w -> len(w))) AS INT) AS max_wlen,
+            CAST(len(list_intersect(list_distinct(words), ['the','a','of','and','to'])) AS INT) AS stop_hits,
+            CAST(len(list_distinct(words)) AS INT) AS n_types
+          FROM d)
+        SELECT doc_id, n_words,
+          round(CAST(sum_len AS DOUBLE) / n_words, 6) AS mean_wlen,
+          max_wlen, stop_hits,
+          round(CAST(n_types AS DOUBLE) / n_words, 6) AS ttr,
+          (n_words BETWEEN 50 AND 100000)
+            AND (round(CAST(sum_len AS DOUBLE) / n_words, 6) BETWEEN 3.0 AND 10.0)
+            AND max_wlen <= 15 AND stop_hits >= 2
+            AND round(CAST(n_types AS DOUBLE) / n_words, 6) >= 0.2 AS pass
+        FROM m ORDER BY doc_id ASC NULLS LAST""")),
+
+    Q("n_readability",
+      "Flesch-Kincaid grade-level readability per language: syllables = vowel-group ([aeiouy]+) regex matches over the text (the standard heuristic), sentences = fixed 15-word pseudo-sentences (the corpus has no punctuation — documented, deterministic), FK = 0.39*(words/sents) + 11.8*(syll/words) - 15.59 evaluated row-local as an EXACT integer rational with the 4-decimal round done in integer space (double round() tie semantics differ cross-engine — caught live building this), rolled up per lang via exact-decimal sums. Scale shape: row-local map + a 5-row language aggregate.",
+      (s, dir) => {
+        withWords(s, dir)
+          .withColumn("n_words", size(col("words")).cast("long"))
+          .withColumn("syll",
+            size(regexp_extract_all(col("text"), lit("[aeiouy]+"), lit(0))).cast("long"))
+          .withColumn("sents", ceil(col("n_words").cast("double") / 15).cast("long"))
+          // fk = 0.39*(w/s) + 11.8*(syl/w) - 15.59 computed as the exact
+          // rational (39*w*w + 1180*syl*s - 1559*s*w) / (100*s*w) —
+          // positive on any real corpus — with the 4-decimal half-up
+          // round done in INTEGER space: double round(x, 4) disagrees
+          // cross-engine on exact ties (observed live on this query),
+          // integer (2e4*num + den) div (2*den) cannot.
+          .withColumn("num",
+            lit(39L) * col("n_words") * col("n_words")
+              + lit(1180L) * col("syll") * col("sents")
+              - lit(1559L) * col("sents") * col("n_words"))
+          .withColumn("den", lit(100L) * col("sents") * col("n_words"))
+          .withColumn("fk",
+            expr("(20000 * num + den) div (2 * den)").cast("double") / 10000.0)
+          .groupBy(col("lang"))
+          // mean_fk deliberately UNROUNDED: the decimal sum cast to
+          // double and the count are bit-identical operands on both
+          // engines, so the IEEE quotient is too — while a final
+          // round(x, 6) is the one step whose semantics differ
+          // cross-engine on boundary-adjacent doubles (Spark rounds
+          // the shortest decimal repr, DuckDB rounds numerically;
+          // observed live: 6.367525 vs 6.367524 on this very query).
+          .agg(count(lit(1)).as("n_docs"),
+            (sum(col("fk").cast(DecimalType(18, 4))).cast("double") / count(lit(1)))
+              .as("mean_fk"),
+            min(col("fk")).as("min_fk"),
+            max(col("fk")).as("max_fk"))
+          .orderBy(col("lang").asc_nulls_last)
+      },
+      Some(s"""WITH d AS ($wordsCte),
+        m AS (SELECT lang, CAST(len(words) AS BIGINT) AS w,
+            CAST(len(regexp_extract_all(text, '[aeiouy]+')) AS BIGINT) AS syl,
+            CAST(ceil(CAST(len(words) AS DOUBLE) / 15) AS BIGINT) AS s
+          FROM d),
+        r AS (SELECT lang,
+            39 * w * w + 1180 * syl * s - 1559 * s * w AS num,
+            100 * s * w AS den
+          FROM m),
+        f AS (SELECT lang,
+            CAST((20000 * num + den) // (2 * den) AS DOUBLE) / 10000.0 AS fk
+          FROM r)
+        SELECT lang, count(*) AS n_docs,
+          CAST(sum(CAST(fk AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS mean_fk,
+          min(fk) AS min_fk, max(fk) AS max_fk
+        FROM f GROUP BY lang ORDER BY lang ASC NULLS LAST""")),
+
+    Q("n_lexical_diversity",
+      "Lexical diversity: raw per-doc type-token ratio next to segmental TTR (mean distinct-type count over full 25-token segments — STTR, the length-robust variant; ragged tails excluded so every segment is comparable). Docs shorter than one full segment drop out (documented). Scale shape: one posexplode + (doc, segment)-keyed aggregate + per-doc rollup; segment keys are co-partitioned with the doc rollup.",
+      (s, dir) => {
+        val d = withWords(s, dir)
+        val segs = d
+          .select(col("doc_id"), posexplode(col("words")).as(Seq("pos", "w")))
+          .withColumn("seg", floor(col("pos") / 25))
+          .groupBy(col("doc_id"), col("seg"))
+          .agg(count(lit(1)).as("n"), countDistinct(col("w")).as("types"))
+          .filter(col("n") === 25)
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_segs"), sum(col("types")).as("sum_types"))
+        d.select(col("doc_id"),
+            size(col("words")).as("n_words"),
+            round(size(array_distinct(col("words"))).cast("double") / size(col("words")), 6)
+              .as("ttr"))
+          .join(segs, "doc_id")
+          .withColumn("mean_seg_types",
+            round(col("sum_types").cast("double") / col("n_segs"), 6))
+          .select(col("doc_id"), col("n_words"), col("ttr"), col("n_segs"),
+            col("mean_seg_types"))
+          .orderBy(col("doc_id").asc_nulls_last)
+      },
+      Some(s"""WITH d AS ($wordsCte),
+        t AS (SELECT doc_id, generate_subscripts(words, 1) - 1 AS pos, unnest(words) AS w FROM d),
+        sg AS (SELECT doc_id, pos // 25 AS seg, count(*) AS n, count(DISTINCT w) AS types
+               FROM t GROUP BY doc_id, seg),
+        ds AS (SELECT doc_id, count(*) AS n_segs, CAST(sum(types) AS BIGINT) AS sum_types
+               FROM sg WHERE n = 25 GROUP BY doc_id),
+        b AS (SELECT doc_id, CAST(len(words) AS INT) AS n_words,
+               round(CAST(len(list_distinct(words)) AS DOUBLE) / len(words), 6) AS ttr FROM d)
+        SELECT b.doc_id AS doc_id, n_words, ttr, n_segs,
+          round(CAST(sum_types AS DOUBLE) / n_segs, 6) AS mean_seg_types
+        FROM b JOIN ds ON b.doc_id = ds.doc_id
+        ORDER BY b.doc_id ASC NULLS LAST""")),
+
+    Q("n_langid_eval",
+      "Language-ID gate evaluation: per-language precision / recall / F1 of the n_lang_id stopword classifier vs the labeled lang column — the confusion-derived scorecard a pipeline reads before trusting any lang filter. F1 computed as 2*tp/(n_pred+n_true) (the division-safe identity). Scale shape: the per-doc classify is row-local; both rollups are 5-row aggregates.",
+      (s, dir) => {
+        val scored = langScored(s, dir)
+        val truth = scored.groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_true"),
+            sum(when(col("pred") === col("lang"), 1L).otherwise(0L)).as("tp"))
+        val preds = scored.groupBy(col("pred").as("plang"))
+          .agg(count(lit(1)).as("n_pred"))
+        truth.join(preds, col("lang") === col("plang"), "left")
+          .withColumn("n_pred", coalesce(col("n_pred"), lit(0L)))
+          .withColumn("precision",
+            when(col("n_pred") === 0, lit(null))
+              .otherwise(round(col("tp").cast("double") / col("n_pred"), 6)))
+          .withColumn("recall", round(col("tp").cast("double") / col("n_true"), 6))
+          .withColumn("f1", round(
+            lit(2.0) * col("tp") / (col("n_pred") + col("n_true")), 6))
+          .select(col("lang"), col("n_true"), col("n_pred"), col("tp"),
+            col("precision"), col("recall"), col("f1"))
+          .orderBy(col("lang").asc_nulls_last)
+      },
+      Some(s"""WITH d AS ($wordsCte),
+        scored AS (
+          SELECT doc_id, lang,
+            CAST(len(list_filter(words, w -> list_contains(['the','a','of','and','to'], w))) AS INT) AS sc_en,
+            CAST(len(list_filter(words, w -> list_contains(['el','la','de','y','que'], w))) AS INT) AS sc_es,
+            CAST(len(list_filter(words, w -> list_contains(['le','la','de','et','que'], w))) AS INT) AS sc_fr,
+            CAST(len(list_filter(words, w -> list_contains(['der','die','das','und','zu'], w))) AS INT) AS sc_de,
+            CAST(len(list_filter(words, w -> list_contains(['de','le','shi','bu','wo'], w))) AS INT) AS sc_zh
+          FROM d),
+        best AS (
+          SELECT doc_id, lang,
+            (SELECT b.lang FROM (VALUES (sc_de,'de'),(sc_en,'en'),(sc_es,'es'),(sc_fr,'fr'),(sc_zh,'zh')) b(score, lang)
+             ORDER BY b.score DESC, b.lang ASC LIMIT 1) AS pred
+          FROM scored),
+        truth AS (SELECT lang, count(*) AS n_true,
+            CAST(sum(CASE WHEN pred = lang THEN 1 ELSE 0 END) AS BIGINT) AS tp
+          FROM best GROUP BY lang),
+        preds AS (SELECT pred AS plang, count(*) AS n_pred FROM best GROUP BY pred)
+        SELECT lang, n_true, coalesce(n_pred, 0) AS n_pred, tp,
+          CASE WHEN coalesce(n_pred, 0) = 0 THEN NULL
+               ELSE round(CAST(tp AS DOUBLE) / n_pred, 6) END AS precision,
+          round(CAST(tp AS DOUBLE) / n_true, 6) AS recall,
+          round(2.0 * tp / (coalesce(n_pred, 0) + n_true), 6) AS f1
+        FROM truth LEFT JOIN preds ON lang = plang
+        ORDER BY lang ASC NULLS LAST""")),
+
+    Q("n_hard_negatives",
+      "Hard-negative mining for retrieval training (the DPR/contrastive-learning data step): per probe (vec_id < 5), the top-3 highest-cosine corpus vectors whose LABEL DIFFERS from the probe's — maximally confusable negatives. Probes broadcast; at corpus scale the candidate set comes from the ANN tier instead of the full scan (same contract as n_label_noise). Ranking is per-probe top-3 on rounded sims, deterministic tiebreak.",
+      (s, dir) => {
+        val emb = T(s, dir, "embeddings")
+        val probes = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+            col("embedding").as("qv"))
+        val scored = emb.join(broadcast(probes),
+            col("vec_id") =!= col("qid") && col("label") =!= col("qlabel"))
+          .withColumn("sim", round(SimilarityQueries.cosine("qv", "embedding"), 6))
+        val w = Window.partitionBy(col("qid"))
+          .orderBy(col("sim").desc_nulls_last, col("vec_id").asc_nulls_last)
+        scored.withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .select(col("qid"), col("rk"), col("vec_id"), col("label"), col("sim"))
+          .orderBy(col("qid").asc_nulls_last, col("rk").asc_nulls_last)
+      },
+      Some("""WITH q AS (SELECT vec_id AS qid, label AS qlabel, embedding AS qv
+               FROM embeddings WHERE vec_id < 5),
+        scored AS (
+          SELECT qid, vec_id, label,
+            round(
+              list_sum(list_transform(list_zip(qv, embedding),
+                p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+              / (sqrt(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+               * sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS sim
+          FROM embeddings CROSS JOIN q
+          WHERE vec_id <> qid AND label <> qlabel),
+        ranked AS (
+          SELECT qid, vec_id, label, sim,
+            row_number() OVER (PARTITION BY qid ORDER BY sim DESC NULLS LAST, vec_id ASC NULLS LAST) AS rk
+          FROM scored)
+        SELECT qid, rk, vec_id, label, sim FROM ranked WHERE rk <= 3
+        ORDER BY qid ASC NULLS LAST, rk ASC NULLS LAST""")),
+
+    Q("n_rank_fusion",
+      "Reciprocal-rank fusion (RRF, k=60) of a lexical and a semantic ranking — the standard hybrid-search combiner: BM25 top-20 for doc 0's terms (the n_bm25_topk scorer) fused with cosine top-20 against vec 0's embedding (doc_id i <-> vec_id i by fixture convention), rrf = 1/(60+r_lex) + 1/(60+r_sem) with absent-list contributions 0, final top-10. Ranks come from rounded scores so tie order is cross-engine identical. Scale shape: both rankings end in TakeOrderedAndProject top-20 relations; the fusion is a 40-row outer join.",
+      (s, dir) => {
+        // lexical arm: the n_bm25_topk scorer, kept verbatim (k1=1.2 b=0.75)
+        val docs = T(s, dir, "documents")
+          .select(col("doc_id"),
+            filter(split(col("text"), " "), w => length(w) > 0).as("words"))
+          .withColumn("dl", size(col("words")))
+        val stats = docs.agg(count(lit(1)).as("n_docs"),
+          (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+        val tf = docs
+          .select(col("doc_id"), col("dl"), explode(col("words")).as("w"))
+          .groupBy(col("doc_id"), col("dl"), col("w"))
+          .agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+        val qterms = docs.filter(col("doc_id") === 0)
+          .select(explode(col("words")).as("w")).distinct()
+        val bm25 = tf.join(broadcast(qterms), "w")
+          .join(broadcast(dfreq.join(broadcast(qterms), "w")), "w")
+          .crossJoin(broadcast(stats))
+          .withColumn("idf",
+            round(log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0), 8))
+          .withColumn("contrib", round(
+            col("idf") * (col("tf").cast("double") * 2.2)
+              / (col("tf").cast("double")
+                + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl").cast("double") / col("avgdl"))), 8))
+          .groupBy(col("doc_id"))
+          .agg(round(sum(col("contrib").cast(DecimalType(20, 8))).cast("double"), 6).as("score"))
+        val wl = Window.orderBy(col("score").desc_nulls_last, col("doc_id").asc_nulls_last)
+        val lex = bm25.withColumn("r_lex", row_number().over(wl)).filter(col("r_lex") <= 20)
+          .select(col("doc_id").as("id"), col("r_lex"))
+        // semantic arm: cosine vs vec 0
+        val emb = T(s, dir, "embeddings")
+        val qv = emb.filter(col("vec_id") === 0)
+          .select(col("embedding").as("qv"))
+        val ws = Window.orderBy(col("sim").desc_nulls_last, col("vec_id").asc_nulls_last)
+        val sem = emb.filter(col("vec_id") =!= 0).crossJoin(broadcast(qv))
+          .withColumn("sim", round(SimilarityQueries.cosine("qv", "embedding"), 6))
+          .withColumn("r_sem", row_number().over(ws)).filter(col("r_sem") <= 20)
+          .select(col("vec_id").as("id"), col("r_sem"))
+        lex.join(sem, Seq("id"), "full_outer")
+          .withColumn("rrf", round(
+            coalesce(lit(1.0) / (lit(60) + col("r_lex")), lit(0.0))
+              + coalesce(lit(1.0) / (lit(60) + col("r_sem")), lit(0.0)), 8))
+          .orderBy(col("rrf").desc_nulls_last, col("id").asc_nulls_last)
+          .limit(10)
+          .select(col("id"), col("r_lex"), col("r_sem"), col("rrf"))
+      },
+      Some("""WITH d AS (SELECT doc_id, list_filter(string_split(text, ' '), w -> len(w) > 0) AS words FROM documents),
+        dl AS (SELECT doc_id, len(words) AS dl FROM d),
+        st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+        tf AS (SELECT t.doc_id, dl.dl, t.w, count(*) AS tf
+               FROM (SELECT doc_id, unnest(words) AS w FROM d) t JOIN dl ON t.doc_id = dl.doc_id
+               GROUP BY t.doc_id, dl.dl, t.w),
+        dfq AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+        q AS (SELECT DISTINCT unnest(words) AS w FROM d WHERE doc_id = 0),
+        sc AS (SELECT tf.doc_id,
+            round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0), 8)
+              * (CAST(tf AS DOUBLE) * 2.2)
+              / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl)) AS raw
+          FROM tf JOIN q ON tf.w = q.w JOIN dfq ON tf.w = dfq.w CROSS JOIN st),
+        bm AS (SELECT doc_id, round(CAST(sum(CAST(round(raw, 8) AS DECIMAL(20,8))) AS DOUBLE), 6) AS score
+               FROM sc GROUP BY doc_id),
+        lex AS (SELECT doc_id AS id, CAST(r_lex AS INT) AS r_lex FROM (
+            SELECT doc_id, row_number() OVER (ORDER BY score DESC NULLS LAST, doc_id ASC NULLS LAST) AS r_lex
+            FROM bm) WHERE r_lex <= 20),
+        qv AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        cos AS (SELECT vec_id,
+            round(
+              list_sum(list_transform(list_zip(qv, embedding),
+                p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+              / (sqrt(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+               * sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS sim
+          FROM embeddings CROSS JOIN qv WHERE vec_id <> 0),
+        sem AS (SELECT vec_id AS id, CAST(r_sem AS INT) AS r_sem FROM (
+            SELECT vec_id, row_number() OVER (ORDER BY sim DESC NULLS LAST, vec_id ASC NULLS LAST) AS r_sem
+            FROM cos) WHERE r_sem <= 20)
+        SELECT coalesce(lex.id, sem.id) AS id, r_lex, r_sem,
+          round(coalesce(1.0 / (60 + r_lex), 0.0) + coalesce(1.0 / (60 + r_sem), 0.0), 8) AS rrf
+        FROM lex FULL OUTER JOIN sem ON lex.id = sem.id
+        ORDER BY rrf DESC NULLS LAST, id ASC NULLS LAST LIMIT 10""")),
+
+    Q("n_embedding_outliers",
+      "Embedding sanity gate: per-vector component-sum (the bias/drift statistic — this corpus is unit-L2-normalized, so norms are identically 1.0 and carry no signal; the gate reports the norm alongside to PROVE that) z-scored against corpus moments computed over DECIMAL(18,6) sums (order-independent, both engines divide identical operands); |z| > 2 flags a vector for the broken-encoder-batch review. Scale shape: one row-local map + a one-row moment aggregate broadcast back — no shuffle of vectors, only of 8-byte statistics.",
+      (s, dir) => {
+        val e = T(s, dir, "embeddings")
+          .withColumn("norm", round(sqrt(expr(
+            "aggregate(embedding, 0D, (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")), 6))
+          .withColumn("csum", round(expr(
+            "aggregate(embedding, 0D, (a, x) -> a + CAST(x AS DOUBLE))"), 6))
+        val m = e.agg(
+          count(lit(1)).as("n"),
+          sum(col("csum").cast(DecimalType(18, 6))).as("s1"),
+          sum((col("csum").cast(DecimalType(18, 6)) * col("csum").cast(DecimalType(18, 6))))
+            .as("s2"))
+          .withColumn("mean", round(col("s1").cast("double") / col("n"), 6))
+          .withColumn("sd", round(sqrt(greatest(
+            col("s2").cast("double") / col("n") - col("mean") * col("mean"), lit(0.0))), 6))
+          .select(col("mean"), col("sd"))
+        e.crossJoin(broadcast(m))
+          .withColumn("z", round((col("csum") - col("mean")) / col("sd"), 4))
+          .filter(abs(col("z")) > 2.0)
+          .select(col("vec_id"), col("norm"), col("csum"), col("z"))
+          .orderBy(col("vec_id").asc_nulls_last)
+      },
+      Some("""WITH e AS (SELECT vec_id,
+            round(sqrt(list_sum(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS norm,
+            round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 6) AS csum
+          FROM embeddings),
+        m AS (SELECT count(*) AS n,
+            sum(CAST(csum AS DECIMAL(18,6))) AS s1,
+            sum(CAST(csum AS DECIMAL(18,6)) * CAST(csum AS DECIMAL(18,6))) AS s2
+          FROM e),
+        ms AS (SELECT round(CAST(s1 AS DOUBLE) / n, 6) AS mean,
+            round(sqrt(greatest(CAST(s2 AS DOUBLE) / n
+              - round(CAST(s1 AS DOUBLE) / n, 6) * round(CAST(s1 AS DOUBLE) / n, 6), 0.0)), 6) AS sd
+          FROM m)
+        SELECT vec_id, norm, csum, round((csum - mean) / sd, 4) AS z
+        FROM e CROSS JOIN ms
+        WHERE abs(round((csum - mean) / sd, 4)) > 2.0
+        ORDER BY vec_id ASC NULLS LAST""")),
+
+    Q("n_snapshot_diff",
+      "Crawl-snapshot delta (the incremental-ingest primitive): snapshot OLD omits doc_id % 17 = 3 (those are 'added' later), snapshot NEW omits doc_id % 17 = 0 ('removed') and re-crawls doc_id % 13 = 0 with changed content; docs classify added / removed / changed / unchanged by comparing md5 content digests through a full outer join on the document key. Only digests shuffle — at 100 TB the bodies stay in place and only changed+added keys re-enter the pipeline. Output: per-status counts + id range.",
+      (s, dir) => {
+        val docs = T(s, dir, "documents").select(col("doc_id"), col("text"))
+        val old = docs.filter(col("doc_id") % 17 =!= 3)
+          .select(col("doc_id").as("id_o"), md5(col("text")).as("dig_o"))
+        val nw = docs.filter(col("doc_id") % 17 =!= 0)
+          .withColumn("t2",
+            when(col("doc_id") % 13 === 0, concat(col("text"), lit(" recrawl-delta")))
+              .otherwise(col("text")))
+          .select(col("doc_id").as("id_n"), md5(col("t2")).as("dig_n"))
+        old.join(nw, col("id_o") === col("id_n"), "full_outer")
+          .withColumn("status",
+            when(col("id_o").isNull, lit("added"))
+              .when(col("id_n").isNull, lit("removed"))
+              .when(col("dig_o") =!= col("dig_n"), lit("changed"))
+              .otherwise(lit("unchanged")))
+          .withColumn("id", coalesce(col("id_o"), col("id_n")))
+          .groupBy(col("status"))
+          .agg(count(lit(1)).as("n"), min(col("id")).as("min_id"), max(col("id")).as("max_id"))
+          .orderBy(col("status").asc_nulls_last)
+      },
+      Some("""WITH o AS (SELECT doc_id AS id_o, md5(text) AS dig_o FROM documents WHERE doc_id % 17 <> 3),
+        n AS (SELECT doc_id AS id_n,
+            md5(CASE WHEN doc_id % 13 = 0 THEN text || ' recrawl-delta' ELSE text END) AS dig_n
+          FROM documents WHERE doc_id % 17 <> 0),
+        j AS (SELECT id_o, id_n, dig_o, dig_n,
+            CASE WHEN id_o IS NULL THEN 'added'
+                 WHEN id_n IS NULL THEN 'removed'
+                 WHEN dig_o <> dig_n THEN 'changed'
+                 ELSE 'unchanged' END AS status,
+            coalesce(id_o, id_n) AS id
+          FROM o FULL OUTER JOIN n ON id_o = id_n)
+        SELECT status, count(*) AS n, min(id) AS min_id, max(id) AS max_id
+        FROM j GROUP BY status ORDER BY status ASC NULLS LAST"""))
+  )
+}

@@ -152,6 +152,83 @@ object AudioDecode {
   val synthTexturedWavUdf = udf((id: Long) => synthTexturedWav(id, 1))
   val synthTexturedWav2xUdf = udf((id: Long) => synthTexturedWav(id, 2))
 
+  /** Speech-pattern PCM fixture for the VAD operator: 32 fixed
+    * 50-sample frames; frame f is VOICED iff (id + f²) % 7 < 4
+    * (deterministic ~57% voiced; the quadratic residues give
+    * IRREGULAR run lengths and the id term phase-shifts them, so
+    * clips genuinely differ in segment structure), voiced samples
+    * follow the textured formula over the GLOBAL sample index,
+    * unvoiced frames are digital silence. Real WAV encode like every
+    * other audio fixture — the decoder sees a genuine RIFF container.
+    */
+  def synthVadWav(docId: Long): Array[Byte] = {
+    val frameLen = 50
+    val n = 32 * frameLen
+    val samples = Array.tabulate(n) { i =>
+      val f = i / frameLen
+      if ((docId + f.toLong * f) % 7 < 4)
+        ((docId * 31 + (docId % 13 + 2) * i.toLong * i + (docId % 7 + 3) * i)
+          % 2048 - 1024).toShort
+      else 0.toShort
+    }
+    val pcm = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      pcm(2 * i) = (samples(i) & 0xff).toByte
+      pcm(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(SampleRate, 16, 1, true, false)
+    val ais = new AudioInputStream(
+      new ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+    val out = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  val synthVadWavUdf = udf(synthVadWav _)
+
+  final case class FrameEnergy(doc_id: Long, f: Int, n_in_frame: Int, e: Long)
+
+  /** Per-frame energy relation from REAL WAV decode: 32 floor-block
+    * frames, e = Σ|sample| as an exact int64 — the relation the VAD
+    * (and any envelope-segmentation) operator reduces over. Keeping
+    * the output RELATIONAL (doc_id, frame, energy) instead of folding
+    * the segmentation into the decoder is the point: the
+    * gaps-and-islands logic stays declarative Spark where Catalyst
+    * can see it.
+    */
+  def frameEnergies(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (docId, payload) =>
+        val ais = AudioSystem.getAudioInputStream(
+          new ByteArrayInputStream(payload))
+        val fmt = ais.getFormat
+        require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+          !fmt.isBigEndian && fmt.getEncoding == AudioFormat.Encoding.PCM_SIGNED,
+          s"unsupported WAV layout: $fmt")
+        val bytes = ais.readAllBytes()
+        ais.close()
+        val n = bytes.length / 2
+        require(n % 32 == 0, s"frame energies need n % 32 == 0; got $n")
+        (0 until 32).map { f =>
+          val (i0, i1) = (f * n / 32, (f + 1) * n / 32)
+          var acc = 0L
+          var i = i0
+          while (i < i1) {
+            val v = ((bytes(2 * i + 1).toInt << 8) | (bytes(2 * i) & 0xff))
+            acc += math.abs(v.toLong)
+            i += 1
+          }
+          FrameEnergy(docId, f, i1 - i0, acc)
+        }
+      }
+      .toDF()
+  }
+
   final case class AudioFingerprint(doc_id: Long, n_samples: Int, fp: Long)
 
   /** Energy-envelope audio fingerprint (the shape of Shazam-style

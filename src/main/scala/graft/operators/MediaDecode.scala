@@ -520,6 +520,27 @@ object MediaDecode {
   val synthTexturedVideoUdf = udf((id: Long) => synthTexturedVideo(id, 1))
   val synthTexturedVideo2xUdf = udf((id: Long) => synthTexturedVideo(id, 2))
 
+  /** Scene-structured video container for the shot-boundary operator:
+    * S = 3 + id%3 scenes of L = 2 + id%2 frames each; every frame in
+    * a scene renders the SAME textured content (fc = scene·17 — the
+    * stride keeps consecutive scenes' modular texture coefficients
+    * apart), so within-scene consecutive frames hash identically and
+    * scene boundaries are exactly the frame pairs whose dHashes
+    * differ.
+    */
+  def synthSceneVideo(docId: Long): Array[Byte] = {
+    val nScenes = (3 + docId % 3).toInt
+    val sceneLen = (2 + docId % 2).toInt
+    val frames = (0 until nScenes * sceneLen)
+      .map(f => synthTexturedFramePng(docId, (f / sceneLen) * 17))
+    val buf = java.nio.ByteBuffer.allocate(4 + frames.map(_.length + 4).sum)
+    buf.putInt(frames.length)
+    frames.foreach { b => buf.putInt(b.length); buf.put(b) }
+    buf.array()
+  }
+
+  val synthSceneVideoUdf = udf(synthSceneVideo _)
+
   final case class FrameHash(doc_id: Long, frame_idx: Int, h1: Long, h2: Long)
 
   /** Per-frame dHash over the video container: walk the length-prefixed

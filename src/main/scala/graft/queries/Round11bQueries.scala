@@ -454,6 +454,121 @@ object Round11bQueries extends QueryModule {
             coalesce(id_o, id_n) AS id
           FROM o FULL OUTER JOIN n ON id_o = id_n)
         SELECT status, count(*) AS n, min(id) AS min_id, max(id) AS max_id
-        FROM j GROUP BY status ORDER BY status ASC NULLS LAST"""))
+        FROM j GROUP BY status ORDER BY status ASC NULLS LAST""")),
+
+    Q("m_video_scene_cut",
+      "Shot-boundary (scene-cut) detection — the video segmentation step before per-scene sampling/dedup: REAL decode of 60 scene-structured containers (3-5 scenes x 2-3 frames of identical content each), per-frame dHash through the shared 9x8 exact-integer grid, a cut wherever consecutive frames' 63-bit hash Hamming distance >= 8 (within-scene pairs are Hamming 0 BY CONSTRUCTION); per-video cut count, scene count and mean scene length. Scale shape: partition-batched container decode, then a per-video lag window over bounded frames-per-video partitions — no cross-video data movement at all.",
+      (s, dir) => {
+        val ids = T(s, dir, "documents").select(col("doc_id"))
+          .filter(col("doc_id") >= 1 && col("doc_id") <= 60)
+        val media = ids.select(col("doc_id"),
+            graft.operators.MediaDecode.synthSceneVideoUdf(col("doc_id")).as("payload"))
+          .repartition(s.sparkContext.defaultParallelism)
+        val fh = graft.operators.MediaDecode.videoDHash(media)
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx").asc)
+        fh.withColumn("p1", lag(col("h1"), 1).over(w))
+          .withColumn("p2", lag(col("h2"), 1).over(w))
+          .withColumn("cut", when(col("p1").isNull, lit(0))
+            .otherwise((expr("bit_count(h1 ^ p1) + bit_count(h2 ^ p2)") >= 8).cast("int")))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_frames"), sum(col("cut")).as("n_cuts"))
+          .withColumn("n_scenes", col("n_cuts") + 1)
+          .withColumn("mean_scene_len",
+            round(col("n_frames").cast("double") / (col("n_cuts") + 1), 6))
+          .orderBy(col("doc_id").asc_nulls_last)
+      },
+      Some("""WITH ids AS (SELECT doc_id AS src FROM documents WHERE doc_id BETWEEN 1 AND 60),
+        vids AS (SELECT src AS doc_id, src,
+                 CAST((3 + src % 3) * (2 + src % 2) AS INTEGER) AS nf,
+                 CAST(2 + src % 2 AS INTEGER) AS sl,
+                 CAST(9*(1 + src % 3) AS INTEGER) AS w, CAST(8*(1 + src % 2) AS INTEGER) AS h FROM ids),
+        fr AS (SELECT doc_id, src, w, h, f.f AS fidx, (f.f // sl) * 17 AS fc
+               FROM vids, LATERAL (SELECT unnest(range(0, nf)) AS f) f),
+        px AS (SELECT doc_id, src, fidx, fc, w, h, x.x, y.y
+               FROM fr, LATERAL (SELECT unnest(range(0, w)) AS x) x,
+                        LATERAL (SELECT unnest(range(0, h)) AS y) y),
+        gray AS (SELECT doc_id, fidx, w, h, x, y,
+            (7*src + 19*fc + (src%13+2)*x*x + ((src+fc)%11+3)*y*y + x*y) % 256
+          + (11*src + 23*fc + (src%7+2)*x*x + ((src+fc)%17+1)*y + 2*x*y) % 256
+          + (13*src + 29*fc + (src%5+3)*y*y + ((src+fc)%19+1)*x + x*y) % 256 AS g
+          FROM px),
+        blocks AS (
+          SELECT doc_id, fidx, j.j, i.i, sum(g) AS s, count(*) AS n
+          FROM gray, LATERAL (SELECT unnest(range(0, 8)) AS j) j,
+                     LATERAL (SELECT unnest(range(0, 9)) AS i) i
+          WHERE x >= i.i * w // 9 AND x < (i.i + 1) * w // 9
+            AND y >= j.j * h // 8 AND y < (j.j + 1) * h // 8
+          GROUP BY doc_id, fidx, j.j, i.i),
+        bits AS (
+          SELECT a.doc_id, a.fidx, a.j, a.i, CASE WHEN a.s * b.n > b.s * a.n THEN 1 ELSE 0 END AS bit
+          FROM blocks a JOIN blocks b ON a.doc_id = b.doc_id AND a.fidx = b.fidx AND a.j = b.j AND b.i = a.i + 1
+          WHERE a.i < 8),
+        fh AS (SELECT doc_id, fidx,
+            sum(CASE WHEN bit = 1 AND (j*8+i) < 32 THEN (1::BIGINT << CAST(j*8+i AS INT)) ELSE 0 END) AS h1,
+            sum(CASE WHEN bit = 1 AND (j*8+i) >= 32 THEN (1::BIGINT << CAST(j*8+i-32 AS INT)) ELSE 0 END) AS h2
+          FROM bits GROUP BY doc_id, fidx),
+        lagd AS (SELECT doc_id, fidx, h1, h2,
+            lag(h1) OVER (PARTITION BY doc_id ORDER BY fidx) AS p1,
+            lag(h2) OVER (PARTITION BY doc_id ORDER BY fidx) AS p2
+          FROM fh),
+        cuts AS (SELECT doc_id,
+            CASE WHEN p1 IS NULL THEN 0
+                 WHEN bit_count(xor(CAST(h1 AS BIGINT), CAST(p1 AS BIGINT)))
+                    + bit_count(xor(CAST(h2 AS BIGINT), CAST(p2 AS BIGINT))) >= 8 THEN 1
+                 ELSE 0 END AS cut
+          FROM lagd)
+        SELECT doc_id, count(*) AS n_frames, CAST(sum(cut) AS BIGINT) AS n_cuts,
+          CAST(sum(cut) + 1 AS BIGINT) AS n_scenes,
+          round(CAST(count(*) AS DOUBLE) / (sum(cut) + 1), 6) AS mean_scene_len
+        FROM cuts GROUP BY doc_id ORDER BY doc_id ASC NULLS LAST""")),
+
+    Q("m_audio_vad",
+      "Energy-based voice-activity detection (the audio segmentation step before transcription/captioning): REAL WAV decode of 100 speech-pattern clips (32 fixed frames, deterministic voiced/silence runs), per-frame Sum|sample| energies as exact int64s, frame voiced iff mean |sample| > 64, contiguous voiced runs resolved by the gaps-and-islands rewrite (frame_idx minus voiced row_number); per-clip voiced-frame count, segment count, longest segment and voiced ratio. Scale shape: partition-batched decode emits a 32-row-per-clip RELATION (doc_id, frame, energy) so the segmentation stays declarative; windows partition per clip, bounded frames each.",
+      (s, dir) => {
+        val ids = T(s, dir, "documents").select(col("doc_id"))
+          .filter(col("doc_id") >= 1 && col("doc_id") <= 100)
+        val media = ids.select(col("doc_id"),
+            graft.operators.AudioDecode.synthVadWavUdf(col("doc_id")).as("payload"))
+          .repartition(s.sparkContext.defaultParallelism)
+        val fe = graft.operators.AudioDecode.frameEnergies(media)
+          .withColumn("voiced", (col("e") > lit(64L) * col("n_in_frame")).cast("int"))
+        val tot = fe.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_frames"), sum(col("voiced")).as("n_voiced"))
+        val wv = Window.partitionBy(col("doc_id")).orderBy(col("f").asc)
+        val segs = fe.filter(col("voiced") === 1)
+          .withColumn("rn", row_number().over(wv))
+          .withColumn("grp", col("f") - col("rn"))
+          .groupBy(col("doc_id"), col("grp"))
+          .agg(count(lit(1)).as("seg_len"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_segments"), max(col("seg_len")).as("longest_seg"))
+        tot.join(segs, "doc_id")
+          .withColumn("voiced_ratio",
+            round(col("n_voiced").cast("double") / col("n_frames"), 6))
+          .select(col("doc_id"), col("n_frames"), col("n_voiced"), col("n_segments"),
+            col("longest_seg"), col("voiced_ratio"))
+          .orderBy(col("doc_id").asc_nulls_last)
+      },
+      Some("""WITH ids AS (SELECT doc_id FROM documents WHERE doc_id BETWEEN 1 AND 100),
+        smp AS (SELECT doc_id, s.i, s.i // 50 AS f,
+            CASE WHEN (doc_id + (s.i // 50) * (s.i // 50)) % 7 < 4
+                 THEN abs((31*doc_id + (doc_id%13+2)*s.i*s.i + (doc_id%7+3)*s.i) % 2048 - 1024)
+                 ELSE 0 END AS av
+          FROM ids, LATERAL (SELECT unnest(range(0, 1600)) AS i) s),
+        fe AS (SELECT doc_id, f, CAST(sum(av) AS BIGINT) AS e, count(*) AS n_in_frame
+               FROM smp GROUP BY doc_id, f),
+        vf AS (SELECT doc_id, f, CASE WHEN e > 64 * n_in_frame THEN 1 ELSE 0 END AS voiced FROM fe),
+        tot AS (SELECT doc_id, count(*) AS n_frames, CAST(sum(voiced) AS BIGINT) AS n_voiced
+                FROM vf GROUP BY doc_id),
+        isl AS (SELECT doc_id, f,
+            f - row_number() OVER (PARTITION BY doc_id ORDER BY f ASC) AS grp
+          FROM vf WHERE voiced = 1),
+        sl AS (SELECT doc_id, grp, count(*) AS seg_len FROM isl GROUP BY doc_id, grp),
+        segs AS (SELECT doc_id, count(*) AS n_segments, max(seg_len) AS longest_seg
+                 FROM sl GROUP BY doc_id)
+        SELECT tot.doc_id AS doc_id, n_frames, n_voiced, n_segments, longest_seg,
+          round(CAST(n_voiced AS DOUBLE) / n_frames, 6) AS voiced_ratio
+        FROM tot JOIN segs ON tot.doc_id = segs.doc_id
+        ORDER BY tot.doc_id ASC NULLS LAST"""))
   )
 }

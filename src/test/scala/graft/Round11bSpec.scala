@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-11b operator semantics beyond the oracle gate: the scene-cut
+  * detector must recover the PLANTED scene structure, VAD must
+  * reconstruct the designed voicing runs, the quality battery must
+  * discriminate, and the fusion/mining operators must respect their
+  * defining invariants.
+  */
+class Round11bSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("scene-cut recovers exactly the planted scene count on every video") {
+    val rows = SparkEntry.queries("m_video_scene_cut")(spark, sf).collect()
+    assert(rows.length == 60)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val expected = 3 + id % 3
+      assert(r.getLong(3) == expected,
+        s"video $id: detected ${r.getLong(3)} scenes, planted $expected")
+      assert(r.getLong(1) == expected * (2 + id % 2), s"video $id frame count")
+    }
+  }
+
+  test("VAD reconstructs the designed voicing pattern and varies across clips") {
+    val rows = SparkEntry.queries("m_audio_vad")(spark, sf).collect()
+    assert(rows.length == 100)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val voiced = (0 until 32).map(f => if ((id + f.toLong * f) % 7 < 4) 1 else 0)
+      assert(r.getLong(2) == voiced.sum, s"clip $id voiced-frame count")
+      // segment count = number of 0->1 transitions (with leading 1 counted)
+      val segs = voiced.zip(0 +: voiced.init).count { case (v, p) => v == 1 && p == 0 }
+      assert(r.getLong(3) == segs, s"clip $id segment count")
+    }
+    // the fixture must not be monotonous: clips differ in run structure
+    assert(rows.map(_.getLong(3)).distinct.length > 1)
+    assert(rows.map(_.getLong(4)).distinct.length > 1)
+  }
+
+  test("Gopher battery is discriminative and its verdict equals the rule conjunction") {
+    val rows = SparkEntry.queries("n_gopher_rules")(spark, sf).collect()
+    assert(rows.length == 500)
+    var passes = 0
+    rows.foreach { r =>
+      val (nw, mean, mx, stop, ttr, pass) =
+        (r.getInt(1), r.getDouble(2), r.getInt(3), r.getInt(4), r.getDouble(5),
+          r.getBoolean(6))
+      val expect = nw >= 50 && nw <= 100000 && mean >= 3.0 && mean <= 10.0 &&
+        mx <= 15 && stop >= 2 && ttr >= 0.2
+      assert(pass == expect, s"doc ${r.getLong(0)}: verdict != rule conjunction")
+      if (pass) passes += 1
+    }
+    assert(passes > 0 && passes < 500, s"battery not discriminative: $passes/500 pass")
+  }
+
+  test("RRF fusion: scores bounded, members come from at least one arm (rank present)") {
+    val rows = SparkEntry.queries("n_rank_fusion")(spark, sf).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      val rrf = r.getDouble(3)
+      assert(rrf > 0.0 && rrf <= 2.0 / 61 + 1e-12, s"rrf $rrf out of bounds")
+      assert(!r.isNullAt(1) || !r.isNullAt(2), "fused row in neither arm")
+    }
+    // descending by construction
+    val scores = rows.map(_.getDouble(3))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("hard negatives: every mined negative has a different label than its probe") {
+    val probes = T(spark, sf, "embeddings").filter(col("vec_id") < 5)
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = SparkEntry.queries("n_hard_negatives")(spark, sf).collect()
+    assert(rows.length == 15) // 5 probes x top-3
+    rows.foreach { r =>
+      assert(r.getInt(3) != probes(r.getLong(0)),
+        s"probe ${r.getLong(0)} mined a SAME-label negative ${r.getLong(2)}")
+    }
+  }
+
+  test("snapshot diff partitions the key space consistently with the planted delta") {
+    val byStatus = SparkEntry.queries("n_snapshot_diff")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ids = 0L until 500L
+    val added = ids.count(id => id % 17 == 3 && id % 17 != 0)
+    val removed = ids.count(id => id % 17 == 0 && id % 17 != 3)
+    val changed = ids.count(id => id % 17 != 0 && id % 17 != 3 && id % 13 == 0)
+    assert(byStatus("added") == added)
+    assert(byStatus("removed") == removed)
+    assert(byStatus("changed") == changed)
+    // old ∪ new covers every key exactly once (no key is both %17==0 and ==3)
+    assert(byStatus.values.sum == 500)
+    assert(byStatus("unchanged") == 500 - added - removed - changed)
+  }
+
+  test("lang-ID eval: confusion identities hold (tp <= min(n_true, n_pred), f1 in [0,1])") {
+    val rows = SparkEntry.queries("n_langid_eval")(spark, sf).collect()
+    assert(rows.length == 5)
+    var totTrue = 0L; var totPred = 0L
+    rows.foreach { r =>
+      val (nt, np, tp, f1) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(6))
+      assert(tp <= math.min(nt, np), s"${r.getString(0)}: tp exceeds margins")
+      assert(f1 >= 0.0 && f1 <= 1.0)
+      totTrue += nt; totPred += np
+    }
+    // every doc is classified exactly once on both axes
+    assert(totTrue == 500 && totPred == 500)
+  }
+
+  test("embedding outlier gate: corpus is unit-normalized and flags are true z-tails") {
+    val rows = SparkEntry.queries("n_embedding_outliers")(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length < 500, "gate must flag a strict subset")
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(1) - 1.0) < 1e-9, "fixture norms are 1.0 by design")
+      assert(math.abs(r.getDouble(3)) > 2.0)
+    }
+  }
+}

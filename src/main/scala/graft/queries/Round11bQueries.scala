@@ -325,17 +325,27 @@ object Round11bQueries extends QueryModule {
                 + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl").cast("double") / col("avgdl"))), 8))
           .groupBy(col("doc_id"))
           .agg(round(sum(col("contrib").cast(DecimalType(20, 8))).cast("double"), 6).as("score"))
-        val wl = Window.orderBy(col("score").desc_nulls_last, col("doc_id").asc_nulls_last)
-        val lex = bm25.withColumn("r_lex", row_number().over(wl)).filter(col("r_lex") <= 20)
+        // each arm takes its top-20 via orderBy+limit — planned as
+        // TakeOrderedAndProject (distributed per-partition bottom-k,
+        // 20-row merge) — and only THEN ranks inside the bounded
+        // relation, with the column-based constant partition key
+        // (pmod(id, 1) = 0) so no unpartitioned window is ever planned
+        val top20l = bm25
+          .orderBy(col("score").desc_nulls_last, col("doc_id").asc_nulls_last).limit(20)
+        val wl = Window.partitionBy(pmod(col("doc_id"), lit(1)))
+          .orderBy(col("score").desc_nulls_last, col("doc_id").asc_nulls_last)
+        val lex = top20l.withColumn("r_lex", row_number().over(wl))
           .select(col("doc_id").as("id"), col("r_lex"))
         // semantic arm: cosine vs vec 0
         val emb = T(s, dir, "embeddings")
         val qv = emb.filter(col("vec_id") === 0)
           .select(col("embedding").as("qv"))
-        val ws = Window.orderBy(col("sim").desc_nulls_last, col("vec_id").asc_nulls_last)
-        val sem = emb.filter(col("vec_id") =!= 0).crossJoin(broadcast(qv))
+        val top20s = emb.filter(col("vec_id") =!= 0).crossJoin(broadcast(qv))
           .withColumn("sim", round(SimilarityQueries.cosine("qv", "embedding"), 6))
-          .withColumn("r_sem", row_number().over(ws)).filter(col("r_sem") <= 20)
+          .orderBy(col("sim").desc_nulls_last, col("vec_id").asc_nulls_last).limit(20)
+        val ws = Window.partitionBy(pmod(col("vec_id"), lit(1)))
+          .orderBy(col("sim").desc_nulls_last, col("vec_id").asc_nulls_last)
+        val sem = top20s.withColumn("r_sem", row_number().over(ws))
           .select(col("vec_id").as("id"), col("r_sem"))
         lex.join(sem, Seq("id"), "full_outer")
           .withColumn("rrf", round(

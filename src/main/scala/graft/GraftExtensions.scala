@@ -2176,13 +2176,75 @@ object GraftExtensions {
     }
   }
 
+  /** Round-11b probe-12 closures: concat's NULL-skip (the silent
+    * divergence this tier caught — DuckDB concat SKIPS NULL arguments
+    * and stringifies everything, Spark's nulls the whole result) and
+    * the extract-field long tail Spark's parser lacks (epoch / decade /
+    * century / millennium / milliseconds / microseconds — reached via
+    * Dialect.rewriteExtractFields, which turns
+    * `extract(epoch FROM x)` into `graft_extract_epoch(x)`).
+    */
+  private[graft] val registrations9: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = {
+    import org.apache.spark.sql.catalyst.expressions.{Add, Cast, Divide, Literal, Multiply, Subtract}
+    import org.apache.spark.sql.types._
+    def one(n: String, a: Seq[Expression]): Unit =
+      require(a.length == 1, s"$n expects 1 argument, got ${a.length}")
+    def ts(e: Expression) = Cast(e, TimestampType)
+    // sub-minute microseconds: unix_micros(ts) - unix_micros(trunc-to-minute)
+    def subMinuteMicros(e: Expression): Expression =
+      Subtract(
+        builtinBuilder("unix_micros")(Seq(ts(e))),
+        builtinBuilder("unix_micros")(Seq(
+          builtinBuilder("date_trunc")(Seq(Literal("minute"), ts(e))))))
+    Seq(
+      ("concat",
+        info("concat", "concat(a, b, ...) - stringifies and SKIPS NULL arguments (DuckDB semantics; Spark's builtin nulls the whole result)."),
+        (args: Seq[Expression]) => {
+          require(args.nonEmpty, "concat expects at least 1 argument")
+          builtinBuilder("concat_ws")(
+            Literal("") +: args.map(a => Cast(a, StringType): Expression))
+        }),
+      ("graft_extract_epoch",
+        info("graft_extract_epoch", "extract(epoch FROM x) - seconds since 1970 as DOUBLE (DuckDB typing)."),
+        (args: Seq[Expression]) => { one("graft_extract_epoch", args)
+          Divide(Cast(builtinBuilder("unix_micros")(Seq(ts(args.head))), DoubleType),
+            Literal(1e6)) }),
+      ("graft_extract_decade",
+        info("graft_extract_decade", "extract(decade FROM x) - year // 10 (DuckDB semantics)."),
+        (args: Seq[Expression]) => { one("graft_extract_decade", args)
+          Cast(builtinBuilder("floor")(Seq(Divide(
+            Cast(builtinBuilder("year")(Seq(args.head)), DoubleType),
+            Literal(10.0)))), LongType) }),
+      ("graft_extract_century",
+        info("graft_extract_century", "extract(century FROM x) - ((year - 1) // 100) + 1 (DuckDB semantics, CE dates)."),
+        (args: Seq[Expression]) => { one("graft_extract_century", args)
+          Add(Cast(builtinBuilder("floor")(Seq(Divide(
+            Cast(Subtract(builtinBuilder("year")(Seq(args.head)), Literal(1)), DoubleType),
+            Literal(100.0)))), LongType), Literal(1L)) }),
+      ("graft_extract_millennium",
+        info("graft_extract_millennium", "extract(millennium FROM x) - ((year - 1) // 1000) + 1 (DuckDB semantics, CE dates)."),
+        (args: Seq[Expression]) => { one("graft_extract_millennium", args)
+          Add(Cast(builtinBuilder("floor")(Seq(Divide(
+            Cast(Subtract(builtinBuilder("year")(Seq(args.head)), Literal(1)), DoubleType),
+            Literal(1000.0)))), LongType), Literal(1L)) }),
+      ("graft_extract_milliseconds",
+        info("graft_extract_milliseconds", "extract(milliseconds FROM x) - sub-minute milliseconds: seconds*1000 + ms (DuckDB semantics)."),
+        (args: Seq[Expression]) => { one("graft_extract_milliseconds", args)
+          Cast(Divide(Cast(subMinuteMicros(args.head), DoubleType), Literal(1000.0)),
+            LongType) }),
+      ("graft_extract_microseconds",
+        info("graft_extract_microseconds", "extract(microseconds FROM x) - sub-minute microseconds: seconds*1e6 + us (DuckDB semantics)."),
+        (args: Seq[Expression]) => { one("graft_extract_microseconds", args)
+          subMinuteMicros(args.head) }))
+  }
+
   // registrations6 AFTER the aliases: its full-arity list_sort /
   // arg_min / arg_max / min / max builders must override the plain
   // alias entries (later registration wins in the registry).
   private[graft] def allRegistrations: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] =
     registrations ++ registrations2 ++ registrations3 ++ registrations4 ++
       registrations5 ++ aliasRegistrations ++ registrations6 ++ registrations7 ++
-      registrations8
+      registrations8 ++ registrations9
 
   private val txidCounter = new java.util.concurrent.atomic.AtomicLong(0L)
 

@@ -2957,6 +2957,30 @@ object Dialect {
       java.util.regex.Matcher.quoteReplacement(
         m.group(1) + m.group(2).toUpperCase + m.group(3)))
 
+  /** Extract fields Spark's parser lacks (probe 12): `extract(epoch
+    * FROM x)` → `graft_extract_epoch(x)` — the operand and its closing
+    * paren carry over verbatim, so nesting is free. EPOCH / DECADE /
+    * CENTURY / MILLENNIUM / MILLISECONDS / MICROSECONDS; everything
+    * else (YEAR, DOW, DOY, …) Spark evaluates natively with
+    * DuckDB-identical numbering (DOW Sunday=0, pinned).
+    */
+  private val ExtractFieldRe =
+    ("""(?i)\bextract\s*\(\s*(epoch|decade|century|millennium|milliseconds|""" +
+      """microseconds|dow|weekday|isodow|isoyear)\s+FROM\b""").r
+  private val ExtractFieldFn = Map(
+    "epoch" -> "graft_extract_epoch", "decade" -> "graft_extract_decade",
+    "century" -> "graft_extract_century", "millennium" -> "graft_extract_millennium",
+    "milliseconds" -> "graft_extract_milliseconds",
+    "microseconds" -> "graft_extract_microseconds",
+    // Spark's own extract(DOW) is 1-based — these route through the
+    // registered DuckDB-numbered functions instead (Sunday=0 / ISO 7)
+    "dow" -> "dayofweek", "weekday" -> "dayofweek",
+    "isodow" -> "isodow", "isoyear" -> "isoyear")
+  private def rewriteExtractFields(sql: String): String =
+    ExtractFieldRe.replaceAllIn(sql, m =>
+      java.util.regex.Matcher.quoteReplacement(
+        ExtractFieldFn(m.group(1).toLowerCase) + "("))
+
   def rewrite(spark: SparkSession, sql: String,
       pathOk: String => Boolean = _ => true,
       readOnly: Boolean = false): String =
@@ -2974,9 +2998,9 @@ object Dialect {
       rewritePositionalJoin(spark,
       rewriteDistinctOn(rewriteQualify(rewriteExclude(rewriteOffsetLimit(rewriteFactorialAbs(rewritePower(rewriteGlob(rewriteTildeOps(rewriteQuantified(rewriteAggOrder(rewriteSimilarTo(rewriteJsonOps(rewriteDateDiff(rewriteIntDiv(
         rewriteSample(rewriteStructPack(rewriteBrackets(rewriteBraces(
-          rewriteTypeAliases(rewriteExtractQuoted(
+          rewriteTypeAliases(rewriteExtractFields(rewriteExtractQuoted(
           rewriteUnionByName(spark, rewriteReplace(spark, rewriteColumns(spark, rewriteAsOf(rewriteGenerateSeries(rewriteSources(spark,
             rewritePivot(spark, rewriteUnpivot(rewriteSummarize(spark,
               rewritePragma(rewriteDescribe(spark, expandMacros(spark, rewriteFromFirst(sql))))))),
-            pathOk))))))))))))))))))))))))))))
+            pathOk)))))))))))))))))))))))))))))
 }

@@ -109,7 +109,19 @@ object ScaleBench {
     // probes broadcast once, per-k fan-out is a row-local slice
     "n_matryoshka_eval",
     // vocabulary-sized graph; each PageRank step one co-partitioned join
-    "n_textrank_keywords")
+    "n_textrank_keywords",
+    // round-11b: the quality battery / readability / STTR / lang-ID
+    // eval are row-local folds + bounded rollups; snapshot diff is a
+    // digest-keyed outer join; the outlier gate is a linear scan + a
+    // one-row moment aggregate; rank fusion's arms are token-keyed
+    // aggregates and a single-probe cosine scan ending in top-20
+    // TakeOrderedAndProject; hard negatives scan the corpus against 5
+    // broadcast probes (same shape as n_cosine_topk_bruteforce).
+    // m_video_scene_cut / m_audio_vad are excluded like the other
+    // media ops: fixed 60/100-clip fixtures by design.
+    "n_gopher_rules", "n_readability", "n_lexical_diversity",
+    "n_langid_eval", "n_snapshot_diff", "n_embedding_outliers",
+    "n_rank_fusion", "n_hard_negatives")
 
   def main(args: Array[String]): Unit = {
     val dirA = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

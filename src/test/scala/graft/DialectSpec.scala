@@ -1244,6 +1244,46 @@ class DialectSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally sandboxed.stop()
   }
 
+  test("probe-12 pins: concat NULL-skip, extract long tail, double and interval rendering") {
+    // every expected value verified against DuckDB 1.5 (to_json)
+    def one(sql: String, expect: String): Unit = {
+      val r = post(sql)
+      assert(r.statusCode() == 200, s"$sql -> ${r.body()}")
+      assert(r.body() == expect, s"$sql -> ${r.body()} (wanted $expect)")
+    }
+    // concat stringifies and SKIPS NULLs (Spark's builtin nulls the
+    // whole result — the probe-12 silent catch); || stays NULL-strict
+    one("SELECT concat('a', NULL, 'b') AS a, concat(NULL) AS b, concat(1.5, 'x') AS c, 'a' || NULL AS d",
+      """[{"a":"ab","b":"","c":"1.5x","d":null}]""")
+    // extract long tail: epoch (DOUBLE), dow/weekday Sunday=0,
+    // isodow Sunday=7, isoyear, decade/century/millennium,
+    // sub-minute milliseconds (truncated) / microseconds
+    one("SELECT extract(epoch FROM TIMESTAMP '2024-01-01 00:00:30') AS a",
+      """[{"a":1704067230.0}]""")
+    one("SELECT extract(dow FROM DATE '2024-01-07') AS a, extract(weekday FROM DATE '2024-01-07') AS b, " +
+      "extract(isodow FROM DATE '2024-01-07') AS c, extract(isoyear FROM DATE '2021-01-01') AS d",
+      """[{"a":0,"b":0,"c":7,"d":2020}]""")
+    one("SELECT extract(decade FROM DATE '2024-05-01') AS a, extract(century FROM DATE '2024-05-01') AS b, " +
+      "extract(millennium FROM DATE '2024-05-01') AS c",
+      """[{"a":202,"b":21,"c":3}]""")
+    one("SELECT extract(milliseconds FROM TIMESTAMP '2024-01-01 00:02:30.2505') AS a, " +
+      "extract(microseconds FROM TIMESTAMP '2024-01-01 00:02:30.2505') AS b",
+      """[{"a":30250,"b":30250500}]""")
+    // doubles render DuckDB-style: plain decimal through 1e20 (Java's
+    // toString goes scientific at 1e7 — the rendering divergence the
+    // probe caught on every big HTTP-served aggregate), bare-exponent
+    // scientific outside
+    one("SELECT CAST(1704067230 AS DOUBLE) AS a, CAST(1e21 AS DOUBLE) AS b, " +
+      "CAST(0.00000015 AS DOUBLE) AS c, CAST(12345.0 AS DOUBLE) AS d, CAST(0.000001 AS DOUBLE) AS e",
+      """[{"a":1704067230.0,"b":1e21,"c":1.5e-7,"d":12345.0,"e":0.000001}]""")
+    // interval rendering: DuckDB text form for Period / Duration /
+    // CalendarInterval values (previously Java toString leaked out)
+    one("SELECT INTERVAL 2 MONTH AS a, INTERVAL '90' SECOND AS b, INTERVAL '-1' HOUR AS c, INTERVAL 5 DAY AS d",
+      """[{"a":"2 months","b":"00:01:30","c":"-01:00:00","d":"5 days"}]""")
+    one("SELECT age(TIMESTAMP '2024-03-15 10:00:00', TIMESTAMP '2024-01-10 09:00:00') AS a",
+      """[{"a":"2 months 5 days 01:00:00"}]""")
+  }
+
   test("sandboxed server rejects dialect file sources outside allowed dirs") {
     val sandboxed = new QueryServer(spark, 0, allowedDirs = Seq("/nonexistent"))
     sandboxed.start()

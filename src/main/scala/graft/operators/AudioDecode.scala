@@ -158,8 +158,11 @@ object AudioDecode {
     * IRREGULAR run lengths and the id term phase-shifts them, so
     * clips genuinely differ in segment structure), voiced samples
     * follow the textured formula over the GLOBAL sample index,
-    * unvoiced frames are digital silence. Real WAV encode like every
-    * other audio fixture — the decoder sees a genuine RIFF container.
+    * unvoiced frames carry LOW-LEVEL NOISE (same formula % 32 − 16,
+    * mean |v| ≈ 8 — far under the 64 VAD threshold, and a nonzero
+    * noise floor so the SNR operator has a real denominator). Real
+    * WAV encode like every other audio fixture — the decoder sees a
+    * genuine RIFF container.
     */
   def synthVadWav(docId: Long): Array[Byte] = {
     val frameLen = 50
@@ -169,7 +172,9 @@ object AudioDecode {
       if ((docId + f.toLong * f) % 7 < 4)
         ((docId * 31 + (docId % 13 + 2) * i.toLong * i + (docId % 7 + 3) * i)
           % 2048 - 1024).toShort
-      else 0.toShort
+      else
+        ((docId * 31 + (docId % 13 + 2) * i.toLong * i + (docId % 7 + 3) * i)
+          % 32 - 16).toShort
     }
     val pcm = new Array[Byte](samples.length * 2)
     var i = 0

@@ -533,7 +533,7 @@ object Round11bQueries extends QueryModule {
         FROM cuts GROUP BY doc_id ORDER BY doc_id ASC NULLS LAST""")),
 
     Q("m_audio_vad",
-      "Energy-based voice-activity detection (the audio segmentation step before transcription/captioning): REAL WAV decode of 100 speech-pattern clips (32 fixed frames, deterministic voiced/silence runs), per-frame Sum|sample| energies as exact int64s, frame voiced iff mean |sample| > 64, contiguous voiced runs resolved by the gaps-and-islands rewrite (frame_idx minus voiced row_number); per-clip voiced-frame count, segment count, longest segment and voiced ratio. Scale shape: partition-batched decode emits a 32-row-per-clip RELATION (doc_id, frame, energy) so the segmentation stays declarative; windows partition per clip, bounded frames each.",
+      "Energy-based voice-activity detection (the audio segmentation step before transcription/captioning): REAL WAV decode of 100 speech-pattern clips (32 fixed frames, deterministic voiced / noise-floor runs — unvoiced frames carry low-level noise, mean |v| ~ 8 vs the voiced ~512), per-frame Sum|sample| energies as exact int64s, frame voiced iff mean |sample| > 64, contiguous voiced runs resolved by the gaps-and-islands rewrite (frame_idx minus voiced row_number); per-clip voiced-frame count, segment count, longest segment and voiced ratio. Scale shape: partition-batched decode emits a 32-row-per-clip RELATION (doc_id, frame, energy) so the segmentation stays declarative; windows partition per clip, bounded frames each.",
       (s, dir) => {
         val ids = T(s, dir, "documents").select(col("doc_id"))
           .filter(col("doc_id") >= 1 && col("doc_id") <= 100)
@@ -563,7 +563,7 @@ object Round11bQueries extends QueryModule {
         smp AS (SELECT doc_id, s.i, s.i // 50 AS f,
             CASE WHEN (doc_id + (s.i // 50) * (s.i // 50)) % 7 < 4
                  THEN abs((31*doc_id + (doc_id%13+2)*s.i*s.i + (doc_id%7+3)*s.i) % 2048 - 1024)
-                 ELSE 0 END AS av
+                 ELSE abs((31*doc_id + (doc_id%13+2)*s.i*s.i + (doc_id%7+3)*s.i) % 32 - 16) END AS av
           FROM ids, LATERAL (SELECT unnest(range(0, 1600)) AS i) s),
         fe AS (SELECT doc_id, f, CAST(sum(av) AS BIGINT) AS e, count(*) AS n_in_frame
                FROM smp GROUP BY doc_id, f),
@@ -579,6 +579,125 @@ object Round11bQueries extends QueryModule {
         SELECT tot.doc_id AS doc_id, n_frames, n_voiced, n_segments, longest_seg,
           round(CAST(n_voiced AS DOUBLE) / n_frames, 6) AS voiced_ratio
         FROM tot JOIN segs ON tot.doc_id = segs.doc_id
-        ORDER BY tot.doc_id ASC NULLS LAST"""))
+        ORDER BY tot.doc_id ASC NULLS LAST""")),
+
+    Q("m_video_keyframes",
+      "Keyframe extraction (the per-scene representative-frame step a video pipeline runs after shot-boundary detection, before captioning/embedding only ONE frame per scene): scene ids reconstruct as the running sum of the cut flags over each video's frame order, the keyframe is each scene's first frame, and the output is the (video, scene) relation with keyframe index and scene length. Scale shape: same per-video bounded lag/cumsum windows as m_video_scene_cut — no cross-video movement; the keyframe relation is what flows to the expensive downstream model, nf/sceneLen times smaller than the frame relation.",
+      (s, dir) => {
+        val ids = T(s, dir, "documents").select(col("doc_id"))
+          .filter(col("doc_id") >= 1 && col("doc_id") <= 60)
+        val media = ids.select(col("doc_id"),
+            graft.operators.MediaDecode.synthSceneVideoUdf(col("doc_id")).as("payload"))
+          .repartition(s.sparkContext.defaultParallelism)
+        val fh = graft.operators.MediaDecode.videoDHash(media)
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx").asc)
+        fh.withColumn("p1", lag(col("h1"), 1).over(w))
+          .withColumn("p2", lag(col("h2"), 1).over(w))
+          .withColumn("cut", when(col("p1").isNull, lit(0))
+            .otherwise((expr("bit_count(h1 ^ p1) + bit_count(h2 ^ p2)") >= 8).cast("int")))
+          .withColumn("scene_id", sum(col("cut"))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy(col("doc_id"), col("scene_id"))
+          .agg(min(col("frame_idx")).as("keyframe_idx"), count(lit(1)).as("scene_len"))
+          .orderBy(col("doc_id").asc_nulls_last, col("scene_id").asc_nulls_last)
+      },
+      Some("""WITH ids AS (SELECT doc_id AS src FROM documents WHERE doc_id BETWEEN 1 AND 60),
+        vids AS (SELECT src AS doc_id, src,
+                 CAST((3 + src % 3) * (2 + src % 2) AS INTEGER) AS nf,
+                 CAST(2 + src % 2 AS INTEGER) AS sl,
+                 CAST(9*(1 + src % 3) AS INTEGER) AS w, CAST(8*(1 + src % 2) AS INTEGER) AS h FROM ids),
+        fr AS (SELECT doc_id, src, w, h, f.f AS fidx, (f.f // sl) * 17 AS fc
+               FROM vids, LATERAL (SELECT unnest(range(0, nf)) AS f) f),
+        px AS (SELECT doc_id, src, fidx, fc, w, h, x.x, y.y
+               FROM fr, LATERAL (SELECT unnest(range(0, w)) AS x) x,
+                        LATERAL (SELECT unnest(range(0, h)) AS y) y),
+        gray AS (SELECT doc_id, fidx, w, h, x, y,
+            (7*src + 19*fc + (src%13+2)*x*x + ((src+fc)%11+3)*y*y + x*y) % 256
+          + (11*src + 23*fc + (src%7+2)*x*x + ((src+fc)%17+1)*y + 2*x*y) % 256
+          + (13*src + 29*fc + (src%5+3)*y*y + ((src+fc)%19+1)*x + x*y) % 256 AS g
+          FROM px),
+        blocks AS (
+          SELECT doc_id, fidx, j.j, i.i, sum(g) AS s, count(*) AS n
+          FROM gray, LATERAL (SELECT unnest(range(0, 8)) AS j) j,
+                     LATERAL (SELECT unnest(range(0, 9)) AS i) i
+          WHERE x >= i.i * w // 9 AND x < (i.i + 1) * w // 9
+            AND y >= j.j * h // 8 AND y < (j.j + 1) * h // 8
+          GROUP BY doc_id, fidx, j.j, i.i),
+        bits AS (
+          SELECT a.doc_id, a.fidx, a.j, a.i, CASE WHEN a.s * b.n > b.s * a.n THEN 1 ELSE 0 END AS bit
+          FROM blocks a JOIN blocks b ON a.doc_id = b.doc_id AND a.fidx = b.fidx AND a.j = b.j AND b.i = a.i + 1
+          WHERE a.i < 8),
+        fh AS (SELECT doc_id, fidx,
+            sum(CASE WHEN bit = 1 AND (j*8+i) < 32 THEN (1::BIGINT << CAST(j*8+i AS INT)) ELSE 0 END) AS h1,
+            sum(CASE WHEN bit = 1 AND (j*8+i) >= 32 THEN (1::BIGINT << CAST(j*8+i-32 AS INT)) ELSE 0 END) AS h2
+          FROM bits GROUP BY doc_id, fidx),
+        lagd AS (SELECT doc_id, fidx, h1, h2,
+            lag(h1) OVER (PARTITION BY doc_id ORDER BY fidx) AS p1,
+            lag(h2) OVER (PARTITION BY doc_id ORDER BY fidx) AS p2
+          FROM fh),
+        cuts AS (SELECT doc_id, fidx,
+            CASE WHEN p1 IS NULL THEN 0
+                 WHEN bit_count(xor(CAST(h1 AS BIGINT), CAST(p1 AS BIGINT)))
+                    + bit_count(xor(CAST(h2 AS BIGINT), CAST(p2 AS BIGINT))) >= 8 THEN 1
+                 ELSE 0 END AS cut
+          FROM lagd),
+        sc AS (SELECT doc_id, fidx,
+            CAST(sum(cut) OVER (PARTITION BY doc_id ORDER BY fidx
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS scene_id
+          FROM cuts)
+        SELECT doc_id, scene_id, CAST(min(fidx) AS INT) AS keyframe_idx, count(*) AS scene_len
+        FROM sc GROUP BY doc_id, scene_id
+        ORDER BY doc_id ASC NULLS LAST, scene_id ASC NULLS LAST""")),
+
+    Q("m_audio_snr",
+      "Signal-to-noise estimate per clip (the audio-quality gate run before paying for transcription): voiced and noise-floor per-sample mean energies from the VAD frame relation (exact int64 sums over REAL WAV decode), snr_db = 10*log10(voiced_mean / (noise_mean + 1)) with identical division/log operands on both engines. Scale shape: one partition-batched decode + a per-clip 2-way conditional aggregate — constant state per clip.",
+      (s, dir) => {
+        val ids = T(s, dir, "documents").select(col("doc_id"))
+          .filter(col("doc_id") >= 1 && col("doc_id") <= 100)
+        val media = ids.select(col("doc_id"),
+            graft.operators.AudioDecode.synthVadWavUdf(col("doc_id")).as("payload"))
+          .repartition(s.sparkContext.defaultParallelism)
+        val fe = graft.operators.AudioDecode.frameEnergies(media)
+          .withColumn("voiced", col("e") > lit(64L) * col("n_in_frame"))
+        fe.groupBy(col("doc_id"))
+          .agg(
+            sum(when(col("voiced"), 1L).otherwise(0L)).as("n_voiced"),
+            sum(when(!col("voiced"), 1L).otherwise(0L)).as("n_noise"),
+            sum(when(col("voiced"), col("e")).otherwise(0L)).as("sv"),
+            sum(when(!col("voiced"), col("e")).otherwise(0L)).as("su"))
+          .withColumn("mean_voiced",
+            round(col("sv").cast("double") / (col("n_voiced") * 50), 6))
+          .withColumn("mean_noise",
+            round(col("su").cast("double") / (col("n_noise") * 50), 6))
+          .withColumn("snr_db", round(
+            lit(10.0) * log10(
+              (col("sv").cast("double") / (col("n_voiced") * 50))
+                / (col("su").cast("double") / (col("n_noise") * 50) + 1.0)), 6))
+          .select(col("doc_id"), col("n_voiced"), col("n_noise"),
+            col("mean_voiced"), col("mean_noise"), col("snr_db"))
+          .orderBy(col("doc_id").asc_nulls_last)
+      },
+      Some("""WITH ids AS (SELECT doc_id FROM documents WHERE doc_id BETWEEN 1 AND 100),
+        smp AS (SELECT doc_id, s.i, s.i // 50 AS f,
+            CASE WHEN (doc_id + (s.i // 50) * (s.i // 50)) % 7 < 4
+                 THEN abs((31*doc_id + (doc_id%13+2)*s.i*s.i + (doc_id%7+3)*s.i) % 2048 - 1024)
+                 ELSE abs((31*doc_id + (doc_id%13+2)*s.i*s.i + (doc_id%7+3)*s.i) % 32 - 16) END AS av
+          FROM ids, LATERAL (SELECT unnest(range(0, 1600)) AS i) s),
+        fe AS (SELECT doc_id, f, CAST(sum(av) AS BIGINT) AS e, count(*) AS n_in_frame
+               FROM smp GROUP BY doc_id, f),
+        vf AS (SELECT doc_id, f, e, (e > 64 * n_in_frame) AS voiced FROM fe),
+        ag AS (SELECT doc_id,
+            CAST(sum(CASE WHEN voiced THEN 1 ELSE 0 END) AS BIGINT) AS n_voiced,
+            CAST(sum(CASE WHEN voiced THEN 0 ELSE 1 END) AS BIGINT) AS n_noise,
+            CAST(sum(CASE WHEN voiced THEN e ELSE 0 END) AS BIGINT) AS sv,
+            CAST(sum(CASE WHEN voiced THEN 0 ELSE e END) AS BIGINT) AS su
+          FROM vf GROUP BY doc_id)
+        SELECT doc_id, n_voiced, n_noise,
+          round(CAST(sv AS DOUBLE) / (n_voiced * 50), 6) AS mean_voiced,
+          round(CAST(su AS DOUBLE) / (n_noise * 50), 6) AS mean_noise,
+          round(10.0 * log10(
+            (CAST(sv AS DOUBLE) / (n_voiced * 50))
+              / (CAST(su AS DOUBLE) / (n_noise * 50) + 1.0)), 6) AS snr_db
+        FROM ag ORDER BY doc_id ASC NULLS LAST"""))
   )
 }

@@ -40,6 +40,33 @@ class Round11bSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(4)).distinct.length > 1)
   }
 
+  test("keyframes land exactly on the planted scene grid") {
+    val rows = SparkEntry.queries("m_video_keyframes")(spark, sf).collect()
+    val byVid = rows.groupBy(_.getLong(0))
+    assert(byVid.size == 60)
+    byVid.foreach { case (id, scenes) =>
+      val expS = (3 + id % 3).toInt
+      val expL = (2 + id % 2).toInt
+      assert(scenes.length == expS, s"video $id: ${scenes.length} scenes, planted $expS")
+      scenes.sortBy(_.getLong(1)).zipWithIndex.foreach { case (r, i) =>
+        assert(r.getLong(1) == i, s"video $id scene ids not dense")
+        assert(r.getInt(2) == i * expL, s"video $id scene $i keyframe off the grid")
+        assert(r.getLong(3) == expL, s"video $id scene $i length")
+      }
+    }
+  }
+
+  test("SNR gate: voiced mean dominates the noise floor on every clip") {
+    val rows = SparkEntry.queries("m_audio_snr")(spark, sf).collect()
+    assert(rows.length == 100)
+    rows.foreach { r =>
+      assert(r.getDouble(3) > r.getDouble(4) * 10,
+        s"clip ${r.getLong(0)}: voiced mean does not dominate noise")
+      val snr = r.getDouble(5)
+      assert(snr > 5.0 && snr < 40.0, s"clip ${r.getLong(0)}: snr $snr out of band")
+    }
+  }
+
   test("Gopher battery is discriminative and its verdict equals the rule conjunction") {
     val rows = SparkEntry.queries("n_gopher_rules")(spark, sf).collect()
     assert(rows.length == 500)

@@ -85,7 +85,93 @@ object Round11bQueries extends QueryModule {
   private val wordsCte =
     "SELECT doc_id, lang, source, text, list_filter(string_split(text, ' '), w -> len(w) > 0) AS words FROM documents"
 
+  /** 3-step BPE training over one corpus half (doc_id parity) — the
+    * Round9Queries.trainLoop recipe on a filtered vocab, memoized per
+    * (session, dir, parity) like the full-corpus rule.
+    */
+  private val halfMergeCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Int),
+      Seq[(Int, String, String, Long)]]()
+  private def trainHalf(s: SparkSession, dir: String, parity: Int)
+      : Seq[(Int, String, String, Long)] = {
+    halfMergeCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    halfMergeCache.computeIfAbsent((s, dir, parity), _ => {
+      var cur = T(s, dir, "documents")
+        .filter(col("doc_id") % 2 === parity)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+        .select(array_join(split(col("w"), ""), " ").as("spaced"), col("cnt"))
+      val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+      for (step <- 1 to 3) {
+        val withToks = cur.withColumn("toks", split(col("spaced"), " "))
+          .withColumn("la", slice(col("toks"), lit(1), size(col("toks")) - 1))
+          .withColumn("ra", slice(col("toks"), lit(2), size(col("toks")) - 1))
+        val best = withToks
+          .select(col("cnt"), explode(arrays_zip(col("la"), col("ra"))).as("p"))
+          .groupBy(col("p.la").as("l"), col("p.ra").as("r"))
+          .agg(sum(col("cnt")).as("freq"))
+          .orderBy(col("freq").desc, col("l").asc, col("r").asc)
+          .limit(1).head()
+        val (l, r, f) = (best.getString(0), best.getString(1), best.getLong(2))
+        merges += ((step, l, r, f))
+        cur = cur.withColumn("spaced", Round9Queries.applyMerge(col("spaced"), l, r))
+      }
+      merges.toSeq
+    })
+  }
+
+  /** One unrolled 3-step BPE training chain as DuckDB CTEs, prefixed
+    * so two parities can coexist in one WITH clause (the
+    * n_bpe_train oracle recipe, parameterized).
+    */
+  private def bpeChainSql(p: String, parity: Int): String = {
+    def mergeStep(i: Int): String =
+      s"""${p}p$i AS (SELECT toks[i] AS l, toks[i + 1] AS r, cnt FROM (
+            SELECT toks, cnt, unnest(generate_series(1, len(toks) - 1)) AS i
+            FROM (SELECT string_split(spaced, ' ') AS toks, cnt FROM ${p}v${i - 1}) t0) t1),
+        ${p}m$i AS (SELECT l, r, CAST(sum(cnt) AS BIGINT) AS freq FROM ${p}p$i GROUP BY l, r
+               ORDER BY freq DESC, l ASC, r ASC LIMIT 1)"""
+    def rewriteStep(i: Int): String =
+      s"""${p}v$i AS (SELECT trim(replace(replace(' ' || spaced || ' ',
+                 ' ' || ${p}m$i.l || ' ' || ${p}m$i.r || ' ', ' ' || ${p}m$i.l || ${p}m$i.r || ' '),
+                 ' ' || ${p}m$i.l || ' ' || ${p}m$i.r || ' ', ' ' || ${p}m$i.l || ${p}m$i.r || ' ')) AS spaced, cnt
+               FROM ${p}v${i - 1} CROSS JOIN ${p}m$i)"""
+    s"""${p}v0 AS (
+          SELECT array_to_string(string_split(w, ''), ' ') AS spaced, cnt
+          FROM (SELECT w, count(*) AS cnt
+                FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents
+                      WHERE doc_id % 2 = $parity) t
+                WHERE len(w) > 0 GROUP BY w)),
+        ${mergeStep(1)}, ${rewriteStep(1)},
+        ${mergeStep(2)}, ${rewriteStep(2)},
+        ${mergeStep(3)},
+        ${p}mm AS (SELECT 1 AS step, l || r AS merged, freq FROM ${p}m1
+          UNION ALL SELECT 2, l || r, freq FROM ${p}m2
+          UNION ALL SELECT 3, l || r, freq FROM ${p}m3)"""
+  }
+
   override val queries: Seq[Q] = Seq(
+
+    Q("n_tokenizer_drift",
+      "Tokenizer stability across data splits (the check run before retraining a production tokenizer on a new crawl: do the learned merges change?): 3-step BPE rules train independently on the even and odd doc_id halves — same exact-integer pair counts and lexicographic ties as n_bpe_train, each over its half's vocab relation — and the merge tables compare step by step with an agreement verdict. Scale shape: two vocab-sized training chains (the corpus scans once per half to build word counts, never again), O(merges) driver state each.",
+      (s, dir) => {
+        import s.implicits._
+        val e = trainHalf(s, dir, 0)
+        val o = trainHalf(s, dir, 1)
+        (1 to 3).map { st =>
+          val (_, el, er, ef) = e(st - 1)
+          val (_, ol, or_, of) = o(st - 1)
+          (st, el + er, ef, ol + or_, of, (el + er) == (ol + or_))
+        }.toDF("step", "even_merged", "even_freq", "odd_merged", "odd_freq", "agree")
+          .orderBy(col("step").asc_nulls_last)
+      },
+      Some(s"""WITH ${bpeChainSql("e", 0)},
+        ${bpeChainSql("o", 1)}
+        SELECT CAST(e.step AS INT) AS step, e.merged AS even_merged, e.freq AS even_freq,
+          o.merged AS odd_merged, o.freq AS odd_freq, e.merged = o.merged AS agree
+        FROM emm e JOIN omm o ON e.step = o.step
+        ORDER BY step ASC NULLS LAST""")),
 
     Q("n_gopher_rules",
       "Gopher-style document quality rule battery (Rae et al. 2021 §A1.1, adapted to the corpus surface): word-count bounds [50, 100k], mean-word-length band [3, 10], max-word-length cap 15, >=2 English stopword hits, type-token ratio >= 0.2; per-doc rule values + overall verdict. Every rule is a row-local array fold over the words column — zero shuffles before the output sort, the filter shape that runs map-side at 100 TB.",

@@ -40,6 +40,15 @@ class Round11bSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(4)).distinct.length > 1)
   }
 
+  test("tokenizer drift: agree verdict is exactly merge equality, freqs positive") {
+    val rows = SparkEntry.queries("n_tokenizer_drift")(spark, sf).collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      assert(r.getBoolean(5) == (r.getString(1) == r.getString(3)))
+      assert(r.getLong(2) > 0 && r.getLong(4) > 0)
+    }
+  }
+
   test("keyframes land exactly on the planted scene grid") {
     val rows = SparkEntry.queries("m_video_keyframes")(spark, sf).collect()
     val byVid = rows.groupBy(_.getLong(0))

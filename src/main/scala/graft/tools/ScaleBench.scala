@@ -121,7 +121,10 @@ object ScaleBench {
     // media ops: fixed 60/100-clip fixtures by design.
     "n_gopher_rules", "n_readability", "n_lexical_diversity",
     "n_langid_eval", "n_snapshot_diff", "n_embedding_outliers",
-    "n_rank_fusion", "n_hard_negatives")
+    "n_rank_fusion", "n_hard_negatives",
+    // per-half BPE training: two vocab-bound chains (sub-linear,
+    // like n_bpe_train)
+    "n_tokenizer_drift")
 
   def main(args: Array[String]): Unit = {
     val dirA = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

@@ -283,6 +283,100 @@ object MediaDecode {
   val synthPngTexturedUdf = udf((id: Long) => synthPngTextured(id, 1))
   val synthPngTextured2xUdf = udf((id: Long) => synthPngTextured(id, 2))
 
+  /** Fixed 16x16 textured image for the quality gate; `blur` replaces
+    * every 2x2 block with its per-channel floor-average (a genuine
+    * low-pass: sharpness drops, luma barely moves) — the blur twin a
+    * quality screen must reject. Even dimensions keep the block
+    * average SQL-mirrorable with no edge clamping.
+    */
+  def synthQualityPng(docId: Long, blur: Boolean): Array[Byte] = {
+    val n = 16
+    def ch(k: Int, x: Int, y: Int): Int = (k match {
+      case 0 => (docId * 7 + (docId % 13 + 2) * x * x
+        + (docId % 11 + 3) * y * y + x * y) % 256
+      case 1 => (docId * 11 + (docId % 7 + 2) * x * x
+        + (docId % 17 + 1) * y + 2 * x * y) % 256
+      case _ => (docId * 13 + (docId % 5 + 3) * y * y
+        + (docId % 19 + 1) * x + x * y) % 256
+    }).toInt
+    def chAt(k: Int, x: Int, y: Int): Int =
+      if (!blur) ch(k, x, y)
+      else {
+        val (bx, by) = ((x / 2) * 2, (y / 2) * 2)
+        (ch(k, bx, by) + ch(k, bx + 1, by) + ch(k, bx, by + 1)
+          + ch(k, bx + 1, by + 1)) / 4
+      }
+    val img = new BufferedImage(n, n, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < n) {
+      var x = 0
+      while (x < n) {
+        img.setRGB(x, y,
+          (chAt(0, x, y) << 16) | (chAt(1, x, y) << 8) | chAt(2, x, y))
+        x += 1
+      }
+      y += 1
+    }
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  val synthQualityPngUdf = udf((id: Long) => synthQualityPng(id, blur = false))
+  val synthQualityPngBlurUdf = udf((id: Long) => synthQualityPng(id, blur = true))
+
+  final case class ImageQuality(
+      doc_id: Long, n_px: Int, sum_g: Long, sum_g2: Long,
+      lap_sum: Long, n_interior: Int)
+
+  /** Image-quality statistics from REAL decode: per-pixel luma
+    * g = r+g+b as exact integers, corpus-gate ingredients = luma
+    * sum/sum-of-squares (brightness + RMS contrast) and the L1
+    * Laplacian |4g − left − right − up − down| over interior pixels
+    * (the variance-of-Laplacian blur detector's exact-integer L1
+    * sibling). One pass per image, constant state.
+    */
+  def imageQuality(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (docId, payload) =>
+          val img = decodeImage(payload)
+          val (w, h) = (img.getWidth, img.getHeight)
+          val g = Array.ofDim[Int](w, h)
+          var sumG = 0L; var sumG2 = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              val v = ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+              g(x)(y) = v
+              sumG += v
+              sumG2 += v.toLong * v
+              x += 1
+            }
+            y += 1
+          }
+          var lap = 0L
+          y = 1
+          while (y < h - 1) {
+            var x = 1
+            while (x < w - 1) {
+              lap += math.abs(
+                4L * g(x)(y) - g(x - 1)(y) - g(x + 1)(y) - g(x)(y - 1) - g(x)(y + 1))
+              x += 1
+            }
+            y += 1
+          }
+          ImageQuality(docId, w * h, sumG, sumG2, lap, (w - 2) * (h - 2))
+        }
+      }
+      .toDF()
+  }
+
   final case class DHashRow(doc_id: Long, w: Int, h: Int, h1: Long, h2: Long)
 
   /** Perceptual difference hash (dHash, the industry-standard cheap

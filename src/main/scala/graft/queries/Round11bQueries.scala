@@ -151,7 +151,81 @@ object Round11bQueries extends QueryModule {
           UNION ALL SELECT 3, l || r, freq FROM ${p}m3)"""
   }
 
+  /** Channel formula of the quality-gate fixture as SQL text (shared
+    * with MediaDecode.synthQualityPng — the oracle recomputes the
+    * pixels analytically, the engine decodes the real PNG).
+    */
+  private def qchSql(k: Int, xe: String, ye: String): String = k match {
+    case 0 => s"(7*src + (src%13+2)*($xe)*($xe) + (src%11+3)*($ye)*($ye) + ($xe)*($ye)) % 256"
+    case 1 => s"(11*src + (src%7+2)*($xe)*($xe) + (src%17+1)*($ye) + 2*($xe)*($ye)) % 256"
+    case _ => s"(13*src + (src%5+3)*($ye)*($ye) + (src%19+1)*($xe) + ($xe)*($ye)) % 256"
+  }
+  private def qLumaOrig: String =
+    (0 to 2).map(k => qchSql(k, "x", "y")).mkString(" + ")
+  private def qLumaBlur: String =
+    (0 to 2).map { k =>
+      val corners = Seq(("bx", "by"), ("bx+1", "by"), ("bx", "by+1"), ("bx+1", "by+1"))
+        .map { case (xe, ye) => qchSql(k, xe, ye) }.mkString(" + ")
+      s"(($corners) // 4)"
+    }.mkString(" + ")
+
   override val queries: Seq[Q] = Seq(
+
+    Q("m_image_quality",
+      "Image quality gate (the blur/exposure screen an image-corpus pipeline runs before captioning): REAL decode of 240 PNGs — 120 textured originals plus their 2x2 box-blurred twins — per-pixel exact-integer luma reduces to brightness (mean), RMS contrast, and L1-Laplacian sharpness over interior pixels (the variance-of-Laplacian blur detector's exact-integer sibling); pass = sharpness >= 250 (the planted gap: blur twins top out at ~175, originals start at ~345), which every original clears and every blur twin fails (spec'd). Scale shape: partition-batched decode to constant per-image state; the gate is one row-local comparison.",
+      (s, dir) => {
+        val ids = T(s, dir, "documents").select(col("doc_id"))
+          .filter(col("doc_id") >= 1 && col("doc_id") <= 120)
+        val media = ids.select(col("doc_id"),
+            graft.operators.MediaDecode.synthQualityPngUdf(col("doc_id")).as("payload"))
+          .unionAll(ids.select((col("doc_id") + 100000).as("doc_id"),
+            graft.operators.MediaDecode.synthQualityPngBlurUdf(col("doc_id")).as("payload")))
+          .repartition(s.sparkContext.defaultParallelism)
+        graft.operators.MediaDecode.imageQuality(media)
+          .withColumn("mean_luma",
+            round(col("sum_g").cast("double") / col("n_px"), 6))
+          .withColumn("contrast", round(sqrt(
+            col("sum_g2").cast("double") / col("n_px")
+              - (col("sum_g").cast("double") / col("n_px"))
+                * (col("sum_g").cast("double") / col("n_px"))), 6))
+          .withColumn("sharpness",
+            round(col("lap_sum").cast("double") / col("n_interior"), 6))
+          .withColumn("pass", col("sharpness") >= 250.0)
+          .select(col("doc_id"), col("mean_luma"), col("contrast"),
+            col("sharpness"), col("pass"))
+          .orderBy(col("doc_id").asc_nulls_last)
+      },
+      Some(s"""WITH ids AS (SELECT doc_id AS src FROM documents WHERE doc_id BETWEEN 1 AND 120),
+        imgs AS (SELECT src AS doc_id, src, 0 AS up FROM ids
+                 UNION ALL SELECT src + 100000, src, 1 FROM ids),
+        px AS (SELECT doc_id, src, up, x.x, y.y,
+                 (x.x // 2) * 2 AS bx, (y.y // 2) * 2 AS by
+               FROM imgs, LATERAL (SELECT unnest(range(0, 16)) AS x) x,
+                          LATERAL (SELECT unnest(range(0, 16)) AS y) y),
+        pxg AS (SELECT doc_id, x, y,
+                 CASE WHEN up = 0 THEN $qLumaOrig ELSE $qLumaBlur END AS g
+               FROM px),
+        base AS (SELECT doc_id, count(*) AS n_px,
+                 CAST(sum(g) AS BIGINT) AS sum_g, CAST(sum(g*g) AS BIGINT) AS sum_g2
+               FROM pxg GROUP BY doc_id),
+        lap AS (SELECT c.doc_id,
+                 CAST(sum(abs(4*c.g - l.g - r.g - u.g - d.g)) AS BIGINT) AS lap_sum,
+                 count(*) AS n_interior
+               FROM pxg c
+                 JOIN pxg l ON l.doc_id = c.doc_id AND l.x = c.x - 1 AND l.y = c.y
+                 JOIN pxg r ON r.doc_id = c.doc_id AND r.x = c.x + 1 AND r.y = c.y
+                 JOIN pxg u ON u.doc_id = c.doc_id AND u.x = c.x AND u.y = c.y - 1
+                 JOIN pxg d ON d.doc_id = c.doc_id AND d.x = c.x AND d.y = c.y + 1
+               WHERE c.x BETWEEN 1 AND 14 AND c.y BETWEEN 1 AND 14
+               GROUP BY c.doc_id)
+        SELECT base.doc_id AS doc_id,
+          round(CAST(sum_g AS DOUBLE) / n_px, 6) AS mean_luma,
+          round(sqrt(CAST(sum_g2 AS DOUBLE) / n_px
+            - (CAST(sum_g AS DOUBLE) / n_px) * (CAST(sum_g AS DOUBLE) / n_px)), 6) AS contrast,
+          round(CAST(lap_sum AS DOUBLE) / n_interior, 6) AS sharpness,
+          (round(CAST(lap_sum AS DOUBLE) / n_interior, 6) >= 250.0) AS pass
+        FROM base JOIN lap ON base.doc_id = lap.doc_id
+        ORDER BY base.doc_id ASC NULLS LAST""")),
 
     Q("n_tokenizer_drift",
       "Tokenizer stability across data splits (the check run before retraining a production tokenizer on a new crawl: do the learned merges change?): 3-step BPE rules train independently on the even and odd doc_id halves — same exact-integer pair counts and lexicographic ties as n_bpe_train, each over its half's vocab relation — and the merge tables compare step by step with an agreement verdict. Scale shape: two vocab-sized training chains (the corpus scans once per half to build word counts, never again), O(merges) driver state each.",

@@ -40,6 +40,23 @@ class Round11bSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(4)).distinct.length > 1)
   }
 
+  test("image quality gate: every original passes, every blur twin fails") {
+    val rows = SparkEntry.queries("m_image_quality")(spark, sf).collect()
+    assert(rows.length == 240)
+    val (orig, blur) = rows.partition(_.getLong(0) < 100000)
+    assert(orig.length == 120 && blur.length == 120)
+    orig.foreach(r => assert(r.getBoolean(4), s"original ${r.getLong(0)} failed the gate"))
+    blur.foreach(r => assert(!r.getBoolean(4), s"blur twin ${r.getLong(0)} passed the gate"))
+    // blurring must not have moved brightness much (it is a low-pass,
+    // not an exposure change): per-pair mean_luma within 2%
+    val origLuma = orig.map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    blur.foreach { r =>
+      val o = origLuma(r.getLong(0) - 100000)
+      assert(math.abs(r.getDouble(1) - o) / o < 0.02,
+        s"blur twin ${r.getLong(0)} luma drifted")
+    }
+  }
+
   test("tokenizer drift: agree verdict is exactly merge equality, freqs positive") {
     val rows = SparkEntry.queries("n_tokenizer_drift")(spark, sf).collect()
     assert(rows.length == 3)

@@ -626,6 +626,135 @@ object Round11bQueries extends QueryModule {
         SELECT status, count(*) AS n, min(id) AS min_id, max(id) AS max_id
         FROM j GROUP BY status ORDER BY status ASC NULLS LAST""")),
 
+    Q("n_retrieval_eval",
+      "Retrieval-quality evaluation (the harness read before choosing a retriever for RAG/dedup): precision@5 and MRR@5 of the BM25 lexical arm, the cosine semantic arm, and their RRF fusion, for 5 probes against the label ground truth (doc_id i <-> vec_id i; relevant = same embedding label). Reciprocal ranks round to fixed-scale decimals before the probe-mean so both engines sum identical operands. Scale shape: the arms are the n_bm25_topk / n_cosine_topk shapes batched over the probe relation; metrics reduce 25 rows per method.",
+      (s, dir) => {
+        val docs = T(s, dir, "documents")
+          .select(col("doc_id"),
+            filter(split(col("text"), " "), w => length(w) > 0).as("words"))
+          .withColumn("dl", size(col("words")))
+        val labels = T(s, dir, "embeddings").select(col("vec_id"), col("label"))
+        val stats = docs.agg(count(lit(1)).as("n_docs"),
+          (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+        val tf = docs
+          .select(col("doc_id"), col("dl"), explode(col("words")).as("w"))
+          .groupBy(col("doc_id"), col("dl"), col("w"))
+          .agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+        val qterms = docs.filter(col("doc_id") < 5)
+          .select(col("doc_id").as("qid"), explode(col("words")).as("w")).distinct()
+        val bm25 = tf.join(broadcast(qterms), "w")
+          .filter(col("doc_id") =!= col("qid"))
+          .join(broadcast(dfreq), "w")
+          .crossJoin(broadcast(stats))
+          .withColumn("idf",
+            round(log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0), 8))
+          .withColumn("contrib", round(
+            col("idf") * (col("tf").cast("double") * 2.2)
+              / (col("tf").cast("double")
+                + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl").cast("double") / col("avgdl"))), 8))
+          .groupBy(col("qid"), col("doc_id").as("id"))
+          .agg(round(sum(col("contrib").cast(DecimalType(20, 8))).cast("double"), 6).as("score"))
+        val wq = Window.partitionBy(col("qid"))
+          .orderBy(col("score").desc_nulls_last, col("id").asc_nulls_last)
+        val lex = bm25.withColumn("rk", row_number().over(wq)).filter(col("rk") <= 20)
+          .select(col("qid"), col("id"), col("rk"))
+        val emb = T(s, dir, "embeddings")
+        val probes = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        val cosScored = emb.join(broadcast(probes), col("vec_id") =!= col("qid"))
+          .withColumn("score", round(SimilarityQueries.cosine("qv", "embedding"), 6))
+          .select(col("qid"), col("vec_id").as("id"), col("score"))
+        val wc = Window.partitionBy(col("qid"))
+          .orderBy(col("score").desc_nulls_last, col("id").asc_nulls_last)
+        val sem = cosScored.withColumn("rk", row_number().over(wc)).filter(col("rk") <= 20)
+          .select(col("qid"), col("id"), col("rk"))
+        val rrf = lex.select(col("qid"), col("id"), col("rk").as("rl"))
+          .join(sem.select(col("qid"), col("id"), col("rk").as("rs")),
+            Seq("qid", "id"), "full_outer")
+          .withColumn("score", round(
+            coalesce(lit(1.0) / (lit(60) + col("rl")), lit(0.0))
+              + coalesce(lit(1.0) / (lit(60) + col("rs")), lit(0.0)), 8))
+          .select(col("qid"), col("id"), col("score"))
+        val wr = Window.partitionBy(col("qid"))
+          .orderBy(col("score").desc_nulls_last, col("id").asc_nulls_last)
+        val fus = rrf.withColumn("rk", row_number().over(wr)).filter(col("rk") <= 20)
+          .select(col("qid"), col("id"), col("rk"))
+        val ranked = lex.withColumn("method", lit("bm25"))
+          .unionAll(sem.withColumn("method", lit("cosine")))
+          .unionAll(fus.withColumn("method", lit("rrf")))
+          .filter(col("rk") <= 5)
+        val qlab = labels.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("label").as("qlabel"))
+        val judged = ranked
+          .join(broadcast(qlab), "qid")
+          .join(labels.withColumnRenamed("vec_id", "id"), "id")
+          .withColumn("rel", (col("label") === col("qlabel")).cast("int"))
+        val perProbe = judged.groupBy(col("method"), col("qid"))
+          .agg(sum(col("rel")).as("n_rel"),
+            round(coalesce(
+              lit(1.0) / min(when(col("rel") === 1, col("rk"))), lit(0.0)), 6).as("rr"))
+        perProbe.groupBy(col("method"))
+          .agg(count(lit(1)).as("n_probes"),
+            round(sum(col("n_rel")).cast("double") / (count(lit(1)) * 5), 6).as("p_at_5"),
+            round(sum(col("rr").cast(DecimalType(18, 6))).cast("double") / count(lit(1)), 6)
+              .as("mrr"))
+          .orderBy(col("method").asc_nulls_last)
+      },
+      Some("""WITH d AS (SELECT doc_id, list_filter(string_split(text, ' '), w -> len(w) > 0) AS words FROM documents),
+        dl AS (SELECT doc_id, len(words) AS dl FROM d),
+        st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+        tf AS (SELECT t.doc_id, dl.dl, t.w, count(*) AS tf
+               FROM (SELECT doc_id, unnest(words) AS w FROM d) t JOIN dl ON t.doc_id = dl.doc_id
+               GROUP BY t.doc_id, dl.dl, t.w),
+        dfq AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+        q AS (SELECT DISTINCT doc_id AS qid, unnest(words) AS w FROM d WHERE doc_id < 5),
+        sc AS (SELECT q.qid, tf.doc_id AS id,
+            round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0), 8)
+              * (CAST(tf AS DOUBLE) * 2.2)
+              / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl)) AS raw
+          FROM tf JOIN q ON tf.w = q.w JOIN dfq ON tf.w = dfq.w CROSS JOIN st
+          WHERE tf.doc_id <> q.qid),
+        bm AS (SELECT qid, id, round(CAST(sum(CAST(round(raw, 8) AS DECIMAL(20,8))) AS DOUBLE), 6) AS score
+               FROM sc GROUP BY qid, id),
+        lex AS (SELECT qid, id, rk FROM (
+            SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY score DESC NULLS LAST, id ASC NULLS LAST) AS rk
+            FROM bm) WHERE rk <= 20),
+        pr AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+        cs AS (SELECT qid, vec_id AS id,
+            round(
+              list_sum(list_transform(list_zip(qv, embedding),
+                p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+              / (sqrt(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+               * sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS score
+          FROM embeddings CROSS JOIN pr WHERE vec_id <> qid),
+        sem AS (SELECT qid, id, rk FROM (
+            SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY score DESC NULLS LAST, id ASC NULLS LAST) AS rk
+            FROM cs) WHERE rk <= 20),
+        rf AS (SELECT coalesce(lex.qid, sem.qid) AS qid, coalesce(lex.id, sem.id) AS id,
+            round(coalesce(1.0 / (60 + lex.rk), 0.0) + coalesce(1.0 / (60 + sem.rk), 0.0), 8) AS score
+          FROM lex FULL OUTER JOIN sem ON lex.qid = sem.qid AND lex.id = sem.id),
+        fus AS (SELECT qid, id, rk FROM (
+            SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY score DESC NULLS LAST, id ASC NULLS LAST) AS rk
+            FROM rf) WHERE rk <= 20),
+        ranked AS (
+          SELECT 'bm25' AS method, qid, id, rk FROM lex WHERE rk <= 5
+          UNION ALL SELECT 'cosine', qid, id, rk FROM sem WHERE rk <= 5
+          UNION ALL SELECT 'rrf', qid, id, rk FROM fus WHERE rk <= 5),
+        lab AS (SELECT vec_id, label FROM embeddings),
+        judged AS (SELECT method, r.qid, r.rk,
+            CASE WHEN cl.label = ql.label THEN 1 ELSE 0 END AS rel
+          FROM ranked r
+          JOIN lab ql ON ql.vec_id = r.qid
+          JOIN lab cl ON cl.vec_id = r.id),
+        pp AS (SELECT method, qid, CAST(sum(rel) AS BIGINT) AS n_rel,
+            round(coalesce(1.0 / min(CASE WHEN rel = 1 THEN rk END), 0.0), 6) AS rr
+          FROM judged GROUP BY method, qid)
+        SELECT method, count(*) AS n_probes,
+          round(CAST(sum(n_rel) AS DOUBLE) / (count(*) * 5), 6) AS p_at_5,
+          round(CAST(sum(CAST(rr AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS mrr
+        FROM pp GROUP BY method ORDER BY method ASC NULLS LAST""")),
+
     Q("m_video_scene_cut",
       "Shot-boundary (scene-cut) detection — the video segmentation step before per-scene sampling/dedup: REAL decode of 60 scene-structured containers (3-5 scenes x 2-3 frames of identical content each), per-frame dHash through the shared 9x8 exact-integer grid, a cut wherever consecutive frames' 63-bit hash Hamming distance >= 8 (within-scene pairs are Hamming 0 BY CONSTRUCTION); per-video cut count, scene count and mean scene length. Scale shape: partition-batched container decode, then a per-video lag window over bounded frames-per-video partitions — no cross-video data movement at all.",
       (s, dir) => {

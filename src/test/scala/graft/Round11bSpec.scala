@@ -40,6 +40,16 @@ class Round11bSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(4)).distinct.length > 1)
   }
 
+  test("retrieval eval: metrics bounded, every method judged over all 5 probes") {
+    val rows = SparkEntry.queries("n_retrieval_eval")(spark, sf).collect()
+    assert(rows.map(_.getString(0)).sorted.sameElements(Array("bm25", "cosine", "rrf")))
+    rows.foreach { r =>
+      assert(r.getLong(1) == 5)
+      val (p5, mrr) = (r.getDouble(2), r.getDouble(3))
+      assert(p5 >= 0.0 && p5 <= 1.0 && mrr >= 0.0 && mrr <= 1.0)
+    }
+  }
+
   test("image quality gate: every original passes, every blur twin fails") {
     val rows = SparkEntry.queries("m_image_quality")(spark, sf).collect()
     assert(rows.length == 240)

@@ -626,6 +626,83 @@ object Round11bQueries extends QueryModule {
         SELECT status, count(*) AS n, min(id) AS min_id, max(id) AS max_id
         FROM j GROUP BY status ORDER BY status ASC NULLS LAST""")),
 
+    Q("n_dedup_ensemble",
+      "Near-dup ENSEMBLE vote (the production pattern: no single family is trusted alone — a pair is a duplicate when >= 2 of exact-Jaccard / SimHash / MinHash agree): all three families run over the SAME portable md5-52-bit trigram-shingle relation (doc_id < 300 evaluation slice), so the vote compares the estimators, not the tokenizations — shingle Jaccard >= 0.3, SimHash-32 Hamming <= 6, MinHash-4 agreement >= 2. Output = every pair any family flags, with per-family verdicts and the ensemble vote. At corpus scale each family generates candidates through its own bucketed path (bands / bit-chunks / digest joins — the n_dedup_* tier); this fixture evaluates the VOTE rule those candidates flow into.",
+      (s, dir) => {
+        val shingleHash =
+          "CAST(conv(substring(md5(concat_ws(' ', element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2))), 1, 13), 16, 10) AS BIGINT)"
+        val perms = Seq((131L, 7L), (137L, 11L), (139L, 13L), (149L, 17L))
+        val base = T(s, dir, "documents").filter(col("doc_id") < 300)
+          .select(col("doc_id"),
+            expr("filter(split(text, ' '), w -> length(w) > 0)").as("ws"))
+          .withColumn("ss", expr(
+            s"array_distinct(transform(sequence(1, size(ws) - 2), i -> $shingleHash))"))
+          .withColumn("sig32", expr(
+            """aggregate(sequence(0, 31), 0L, (acc, b) -> acc +
+                 IF(aggregate(ss, 0L, (a, h) -> a + IF(((h >> b) & 1) = 1, 1L, -1L)) >= 0,
+                    shiftleft(1L, b), 0L))"""))
+        val withSigs = perms.zipWithIndex.foldLeft(base) { case (df, ((a, b), i)) =>
+          df.withColumn(s"m$i", expr(s"array_min(transform(ss, h -> ($a * h + $b) % 2147483647))"))
+        }.select(col("doc_id"), col("ss"), col("sig32"),
+          col("m0"), col("m1"), col("m2"), col("m3"))
+        val l = withSigs.columns.foldLeft(withSigs)((d, c) => d.withColumnRenamed(c, c + "_a"))
+        val r = withSigs.columns.foldLeft(withSigs)((d, c) => d.withColumnRenamed(c, c + "_b"))
+        l.join(r, col("doc_id_a") < col("doc_id_b"))
+          .withColumn("j", round(
+            size(array_intersect(col("ss_a"), col("ss_b"))).cast("double")
+              / size(array_union(col("ss_a"), col("ss_b"))), 6))
+          .withColumn("hamming", expr("bit_count(sig32_a ^ sig32_b)"))
+          .withColumn("mh_agree",
+            (0 to 3).map(i => when(col(s"m${i}_a") === col(s"m${i}_b"), 1).otherwise(0))
+              .reduce(_ + _))
+          .withColumn("jac_dup", col("j") >= 0.3)
+          .withColumn("sim_dup", col("hamming") <= 6)
+          .withColumn("mh_dup", col("mh_agree") >= 2)
+          .withColumn("votes",
+            col("jac_dup").cast("int") + col("sim_dup").cast("int") + col("mh_dup").cast("int"))
+          .filter(col("votes") >= 1)
+          .withColumn("ensemble_dup", col("votes") >= 2)
+          .select(col("doc_id_a").as("id_a"), col("doc_id_b").as("id_b"),
+            col("j"), col("hamming"), col("mh_agree"), col("votes"), col("ensemble_dup"))
+          .orderBy(col("id_a").asc_nulls_last, col("id_b").asc_nulls_last)
+      },
+      Some("""WITH d AS (SELECT doc_id, list_filter(string_split(text, ' '), w -> len(w) > 0) AS ws
+               FROM documents WHERE doc_id < 300),
+        sh AS (SELECT doc_id,
+            list_distinct(list_transform(range(1, len(ws) - 1),
+              i -> CAST(concat('0x', substr(md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]), 1, 13)) AS BIGINT))) AS ss
+          FROM d),
+        sig AS (SELECT doc_id, ss,
+            CAST(list_sum(list_transform(range(0, 32), b ->
+              CASE WHEN list_sum(list_transform(ss, h ->
+                     CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) >= 0
+                   THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT) AS sig32,
+            list_min(list_transform(ss, h -> (131 * h + 7) % 2147483647)) AS m0,
+            list_min(list_transform(ss, h -> (137 * h + 11) % 2147483647)) AS m1,
+            list_min(list_transform(ss, h -> (139 * h + 13) % 2147483647)) AS m2,
+            list_min(list_transform(ss, h -> (149 * h + 17) % 2147483647)) AS m3
+          FROM sh),
+        p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            round(CAST(len(list_intersect(a.ss, b.ss)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.ss, b.ss))), 6) AS j,
+            bit_count(xor(a.sig32, b.sig32)) AS hamming,
+            CAST((CASE WHEN a.m0 = b.m0 THEN 1 ELSE 0 END)
+              + (CASE WHEN a.m1 = b.m1 THEN 1 ELSE 0 END)
+              + (CASE WHEN a.m2 = b.m2 THEN 1 ELSE 0 END)
+              + (CASE WHEN a.m3 = b.m3 THEN 1 ELSE 0 END) AS INT) AS mh_agree
+          FROM sig a JOIN sig b ON a.doc_id < b.doc_id),
+        f AS (SELECT id_a, id_b, j, CAST(hamming AS INT) AS hamming, mh_agree,
+            (j >= 0.3) AS jac_dup, (hamming <= 6) AS sim_dup, (mh_agree >= 2) AS mh_dup
+          FROM p)
+        SELECT id_a, id_b, j, hamming, mh_agree,
+          CAST((CASE WHEN jac_dup THEN 1 ELSE 0 END) + (CASE WHEN sim_dup THEN 1 ELSE 0 END)
+            + (CASE WHEN mh_dup THEN 1 ELSE 0 END) AS INT) AS votes,
+          ((CASE WHEN jac_dup THEN 1 ELSE 0 END) + (CASE WHEN sim_dup THEN 1 ELSE 0 END)
+            + (CASE WHEN mh_dup THEN 1 ELSE 0 END)) >= 2 AS ensemble_dup
+        FROM f
+        WHERE jac_dup OR sim_dup OR mh_dup
+        ORDER BY id_a ASC NULLS LAST, id_b ASC NULLS LAST""")),
+
     Q("n_retrieval_eval",
       "Retrieval-quality evaluation (the harness read before choosing a retriever for RAG/dedup): precision@5 and MRR@5 of the BM25 lexical arm, the cosine semantic arm, and their RRF fusion, for 5 probes against the label ground truth (doc_id i <-> vec_id i; relevant = same embedding label). Reciprocal ranks round to fixed-scale decimals before the probe-mean so both engines sum identical operands. Scale shape: the arms are the n_bm25_topk / n_cosine_topk shapes batched over the probe relation; metrics reduce 25 rows per method.",
       (s, dir) => {

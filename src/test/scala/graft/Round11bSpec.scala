@@ -40,6 +40,22 @@ class Round11bSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(4)).distinct.length > 1)
   }
 
+  test("ensemble dedup: the vote vetoes single-family false positives") {
+    val rows = SparkEntry.queries("n_dedup_ensemble")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (j, votes, ens) = (r.getDouble(2), r.getInt(5), r.getBoolean(6))
+      assert(ens == (votes >= 2))
+      // any pair the ensemble confirms must have real shingle overlap;
+      // any single-vote pair is a family-specific false positive the
+      // vote exists to reject
+      if (ens) assert(j >= 0.3, s"ensemble pair (${r.getLong(0)},${r.getLong(1)}) with j=$j")
+      else assert(j < 0.3)
+    }
+    assert(rows.exists(_.getBoolean(6)), "no confirmed dups — fixture has planted twins")
+    assert(rows.exists(!_.getBoolean(6)), "no vetoed FPs — the vote did no work")
+  }
+
   test("retrieval eval: metrics bounded, every method judged over all 5 probes") {
     val rows = SparkEntry.queries("n_retrieval_eval")(spark, sf).collect()
     assert(rows.map(_.getString(0)).sorted.sameElements(Array("bm25", "cosine", "rrf")))

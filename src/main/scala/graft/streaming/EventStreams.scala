@@ -386,6 +386,38 @@ object EventStreams {
       .select(col("doc_id"), col("lang"), col("digest"))
   }
 
+  /** Streaming Gopher rule battery — the unbounded-feed face of
+    * n_gopher_rules: every arriving document evaluates the full
+    * rule set ROW-LOCALLY (word-count bounds, mean/max word length,
+    * stopword floor, TTR floor), so the operator is stateless in
+    * streaming terms — no watermark, no store, the shape that runs
+    * at any ingest rate. Emits the same per-rule columns + verdict
+    * as the batch query (StreamingSpec proves stream ≡ batch on
+    * every doc).
+    */
+  def gopherFilterStream(docs: DataFrame): DataFrame = {
+    docs
+      .select(col("doc_id"),
+        filter(split(col("text"), " "), w => length(w) > 0).as("words"))
+      .withColumn("n_words", size(col("words")))
+      .withColumn("sum_len", expr("aggregate(words, 0L, (a, w) -> a + length(w))"))
+      .withColumn("mean_wlen", round(col("sum_len").cast("double") / col("n_words"), 6))
+      .withColumn("max_wlen", expr("aggregate(words, 0, (a, w) -> greatest(a, length(w)))"))
+      .withColumn("stop_hits",
+        size(array_intersect(array_distinct(col("words")),
+          array(Seq("the", "a", "of", "and", "to").map(lit): _*))))
+      .withColumn("ttr", round(
+        size(array_distinct(col("words"))).cast("double") / col("n_words"), 6))
+      .withColumn("pass",
+        col("n_words").between(50, 100000) &&
+        col("mean_wlen").between(3.0, 10.0) &&
+        col("max_wlen") <= 15 &&
+        col("stop_hits") >= 2 &&
+        col("ttr") >= 0.2)
+      .select(col("doc_id"), col("n_words"), col("mean_wlen"), col("max_wlen"),
+        col("stop_hits"), col("ttr"), col("pass"))
+  }
+
   /** Streaming KMV cardinality — the unbounded-feed face of
     * n_kmv_distinct: events arrive as a stream, each user hashes to the
     * SAME portable 52-bit value as the batch query

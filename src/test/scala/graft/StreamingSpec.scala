@@ -189,6 +189,19 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamedRows == streamed, s"rows=$streamedRows distinct=$streamed (dups survived)")
   }
 
+  test("streaming Gopher battery: stateless row-local rules equal the batch query on every doc") {
+    val q = EventStreams.gopherFilterStream(EventStreams.docSource(spark, sf))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("gopher_out")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("gopher_out")
+    val batch = SparkEntry.queries("n_gopher_rules")(spark, sf)
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      "stream and batch verdicts diverge")
+  }
+
   test("streaming as-of enrichment equals the batch AsOfJoin") {
     val q = EventStreams.asOfEnrich(spark, EventStreams.source(spark, sf))
       .writeStream.outputMode("append")

@@ -2235,7 +2235,33 @@ object GraftExtensions {
       ("graft_extract_microseconds",
         info("graft_extract_microseconds", "extract(microseconds FROM x) - sub-minute microseconds: seconds*1e6 + us (DuckDB semantics)."),
         (args: Seq[Expression]) => { one("graft_extract_microseconds", args)
-          subMinuteMicros(args.head) }))
+          subMinuteMicros(args.head) }),
+      ("graft_int_cast",
+        info("graft_int_cast", "graft_int_cast(x, 'TYPE') - CAST to an integer type with DuckDB's rounding rules (Dialect.rewriteIntCasts target)."),
+        (args: Seq[Expression]) => intCastBuilder(args, tryMode = false)),
+      ("graft_try_int_cast",
+        info("graft_try_int_cast", "graft_try_int_cast(x, 'TYPE') - TRY_CAST to an integer type with DuckDB's rounding rules."),
+        (args: Seq[Expression]) => intCastBuilder(args, tryMode = true)))
+  }
+
+  private def intCastBuilder(args: Seq[Expression], tryMode: Boolean): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types._
+    require(args.length == 2, s"graft_int_cast expects 2 arguments, got ${args.length}")
+    val tname = args(1) match {
+      case Literal(s, _: StringType) if s != null => s.toString.toUpperCase
+      case other => throw new IllegalArgumentException(
+        s"graft_int_cast: type name must be a string literal, got $other")
+    }
+    val target = tname match {
+      case "TINYINT" => ByteType
+      case "SMALLINT" => ShortType
+      case "INT" | "INTEGER" => IntegerType
+      case "BIGINT" => LongType
+      case other => throw new IllegalArgumentException(
+        s"graft_int_cast: unsupported target type $other")
+    }
+    graft.functions.IntCastDispatch(args.head, target, tryMode)
   }
 
   // registrations6 AFTER the aliases: its full-arity list_sort /

@@ -2907,6 +2907,7 @@ object Dialect {
     "UBIGINT" -> "DECIMAL(20,0)", "HUGEINT" -> "DECIMAL(38,0)",
     "UHUGEINT" -> "DECIMAL(38,0)",
     "TEXT" -> "STRING", "BPCHAR" -> "STRING", "VARCHAR" -> "STRING",
+    "BLOB" -> "BINARY", "BYTEA" -> "BINARY", "VARBINARY" -> "BINARY",
     "TIMESTAMPTZ" -> "TIMESTAMP", "TIMESTAMP_S" -> "TIMESTAMP",
     "TIMESTAMP_MS" -> "TIMESTAMP", "TIMESTAMP_NS" -> "TIMESTAMP")
 
@@ -2981,6 +2982,73 @@ object Dialect {
       java.util.regex.Matcher.quoteReplacement(
         ExtractFieldFn(m.group(1).toLowerCase) + "("))
 
+  /** DuckDB rounds on casts to integer types where Spark truncates
+    * (probe 13; rules per source type live in
+    * graft.functions.IntCastDispatch). CAST(x AS INT) /
+    * TRY_CAST(x AS INT) / x::INT rewrite to the graft_int_cast
+    * dispatch function — innermost-first with a rescan after each
+    * replacement, so nested casts stay index-safe. Runs AFTER
+    * rewriteTypeAliases (type names already canonical; HUGEINT/
+    * UBIGINT became DECIMAL targets, which Spark already rounds).
+    */
+  private val IntTargetRe =
+    """(?i)\s+AS\s+(TINYINT|SMALLINT|INT|INTEGER|BIGINT)\s*\)$""".r
+  private val ColonIntRe = """::\s*(?i)(TINYINT|SMALLINT|INT|INTEGER|BIGINT)\b""".r
+  private def rewriteIntCasts(sql: String): String = {
+    var out = sql
+    var changed = true
+    var guard = 0
+    val castRe = """(?i)\b(try_)?cast\s*\(""".r
+    while (changed && guard < 200) {
+      changed = false
+      guard += 1
+      val mask = quoteMask(out)
+      // innermost-first: pick the LAST cast-open whose span has an
+      // integer target and no nested cast inside
+      val opens = castRe.findAllMatchIn(out).filterNot(m => mask(m.start)).toList
+      val candidates = opens.reverseIterator.flatMap { m =>
+        var depth = 0; var j = m.end - 1; var close = -1
+        while (j < out.length && close < 0) {
+          if (!mask(j)) out.charAt(j) match {
+            case '(' => depth += 1
+            case ')' => depth -= 1; if (depth == 0) close = j
+            case _ => ()
+          }
+          j += 1
+        }
+        if (close < 0) None
+        else {
+          val seg = out.substring(m.start, close + 1)
+          IntTargetRe.findFirstMatchIn(seg).map { tm =>
+            val isTry = m.group(1) != null
+            val openParen = seg.indexOf('(')
+            val inner = seg.substring(openParen + 1, tm.start)
+            val fn = if (isTry) "graft_try_int_cast" else "graft_int_cast"
+            (m.start, close, s"$fn($inner, '${tm.group(1).toUpperCase}')")
+          }
+        }
+      }
+      candidates.toSeq.headOption.foreach { case (start, close, repl) =>
+        out = out.substring(0, start) + repl + out.substring(close + 1)
+        changed = true
+      }
+      if (!changed) {
+        // x::INT form: capture the left primary with operandStart
+        val mask2 = quoteMask(out)
+        ColonIntRe.findAllMatchIn(out).filterNot(m => mask2(m.start)).toSeq.lastOption
+          .foreach { m =>
+            val start = operandStart(out, m.start - 1)
+            val lhs = out.substring(start, m.start)
+            out = out.substring(0, start) +
+              s"graft_int_cast($lhs, '${m.group(1).toUpperCase}')" +
+              out.substring(m.end)
+            changed = true
+          }
+      }
+    }
+    out
+  }
+
   def rewrite(spark: SparkSession, sql: String,
       pathOk: String => Boolean = _ => true,
       readOnly: Boolean = false): String =
@@ -2998,9 +3066,9 @@ object Dialect {
       rewritePositionalJoin(spark,
       rewriteDistinctOn(rewriteQualify(rewriteExclude(rewriteOffsetLimit(rewriteFactorialAbs(rewritePower(rewriteGlob(rewriteTildeOps(rewriteQuantified(rewriteAggOrder(rewriteSimilarTo(rewriteJsonOps(rewriteDateDiff(rewriteIntDiv(
         rewriteSample(rewriteStructPack(rewriteBrackets(rewriteBraces(
-          rewriteTypeAliases(rewriteExtractFields(rewriteExtractQuoted(
+          rewriteIntCasts(rewriteTypeAliases(rewriteExtractFields(rewriteExtractQuoted(
           rewriteUnionByName(spark, rewriteReplace(spark, rewriteColumns(spark, rewriteAsOf(rewriteGenerateSeries(rewriteSources(spark,
             rewritePivot(spark, rewriteUnpivot(rewriteSummarize(spark,
               rewritePragma(rewriteDescribe(spark, expandMacros(spark, rewriteFromFirst(sql))))))),
-            pathOk)))))))))))))))))))))))))))))
+            pathOk))))))))))))))))))))))))))))))
 }

@@ -1282,6 +1282,50 @@ class DialectSpec extends AnyFunSuite with BeforeAndAfterAll {
       """[{"a":"2 months","b":"00:01:30","c":"-01:00:00","d":"5 days"}]""")
     one("SELECT age(TIMESTAMP '2024-03-15 10:00:00', TIMESTAMP '2024-01-10 09:00:00') AS a",
       """[{"a":"2 months 5 days 01:00:00"}]""")
+    // integer casts ROUND per DuckDB's source-typed rules (probe 13):
+    // DECIMAL half-away, DOUBLE/FLOAT half-to-EVEN, VARCHAR parse then
+    // half-away; integral inputs never detour through double
+    one("SELECT CAST(12.7 AS INT) AS a, CAST(-2.5 AS INT) AS b, CAST(2.5 AS INT) AS c, 12.7::INT AS d",
+      """[{"a":13,"b":-3,"c":3,"d":13}]""")
+    one("SELECT CAST(CAST(2.5 AS DOUBLE) AS INT) AS a, CAST(CAST(3.5 AS FLOAT) AS INT) AS b, " +
+      "CAST(CAST(-2.5 AS DOUBLE) AS INT) AS c",
+      """[{"a":2,"b":4,"c":-2}]""")
+    one("SELECT TRY_CAST('12.5' AS INTEGER) AS a, TRY_CAST('-12.5' AS INTEGER) AS b, " +
+      "TRY_CAST('x' AS INTEGER) AS c, TRY_CAST('  7  ' AS INTEGER) AS d, TRY_CAST('1e3' AS INTEGER) AS e",
+      """[{"a":13,"b":-13,"c":null,"d":7,"e":1000}]""")
+    one("SELECT CAST(9007199254740993 AS BIGINT) AS a, CAST('12' AS INT) AS b",
+      """[{"a":9007199254740993,"b":12}]""")
+    // overflow and garbage stay LOUD like DuckDB's conversion errors
+    assert(post("SELECT CAST(127.6 AS TINYINT) AS a").statusCode() >= 400)
+    assert(post("SELECT CAST('abc' AS INT) AS a").statusCode() >= 400)
+  }
+
+  test("probe-13 pins: numeric predicates, entropy, list/map long tail, base64, int-cast rounding") {
+    // every expected value verified against DuckDB 1.5
+    def one(sql: String, expect: String): Unit = {
+      val r = post(sql)
+      assert(r.statusCode() == 200, s"$sql -> ${r.body()}")
+      assert(r.body() == expect, s"$sql -> ${r.body()} (wanted $expect)")
+    }
+    one("SELECT even(2.1) AS a, even(-2.1) AS b, signbit(-1.5) AS c, isfinite(1.0) AS d, isnan(sqrt(4)) AS e",
+      """[{"a":4.0,"b":-4.0,"c":true,"d":true,"e":false}]""")
+    one("SELECT cot(1.0) AS a, gamma(5) AS b, lgamma(5) AS c",
+      """[{"a":0.6420926159343306,"b":24.0,"c":3.1780538303479458}]""")
+    one("SELECT round(entropy(x), 6) AS a FROM (VALUES (1),(1),(2),(3)) t(x)",
+      """[{"a":1.5}]""")
+    one("SELECT flatten([[1,2],[3]]) AS a, list_unique([1,2,2,3]) AS b, list_value(1,2) AS c",
+      """[{"a":[1,2,3],"b":3,"c":[1,2]}]""")
+    one("SELECT map_keys(MAP {'a':1,'b':2}) AS a, map_values(MAP {'a':1}) AS b, cardinality(MAP {'a':1,'b':2}) AS c",
+      """[{"a":["a","b"],"b":[1],"c":2}]""")
+    // list_aggregate's HUGEINT sum renders through the documented
+    // BIGINT mapping (DuckDB to_json spells it 6.0)
+    one("SELECT list_reduce([1,2,3], (x,y) -> x+y) AS a, list_aggregate([1,2,3], 'sum') AS b, " +
+      "bit_xor(x) AS c FROM (VALUES (5),(3)) t(x)",
+      """[{"a":6,"b":6,"c":6}]""")
+    one("SELECT list_resize([1,2],4,0) AS a, [1,2] || [3] AS b",
+      """[{"a":[1,2,0,0],"b":[1,2,3]}]""")
+    one("SELECT to_base64(CAST('abc' AS BLOB)) AS a",
+      """[{"a":"YWJj"}]""")
   }
 
   test("sandboxed server rejects dialect file sources outside allowed dirs") {

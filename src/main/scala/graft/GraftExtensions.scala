@@ -2185,7 +2185,7 @@ object GraftExtensions {
     * `extract(epoch FROM x)` into `graft_extract_epoch(x)`).
     */
   private[graft] val registrations9: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = {
-    import org.apache.spark.sql.catalyst.expressions.{Add, Cast, Divide, Literal, Multiply, Subtract}
+    import org.apache.spark.sql.catalyst.expressions.{Add, And, CaseWhen, Cast, Divide, EqualTo, GreaterThan, GreaterThanOrEqual, LambdaFunction, LessThan, LessThanOrEqual, Literal, Multiply, Subtract, UnresolvedNamedLambdaVariable}
     import org.apache.spark.sql.types._
     def one(n: String, a: Seq[Expression]): Unit =
       require(a.length == 1, s"$n expects 1 argument, got ${a.length}")
@@ -2236,6 +2236,35 @@ object GraftExtensions {
         info("graft_extract_microseconds", "extract(microseconds FROM x) - sub-minute microseconds: seconds*1e6 + us (DuckDB semantics)."),
         (args: Seq[Expression]) => { one("graft_extract_microseconds", args)
           subMinuteMicros(args.head) }),
+      ("graft_step_slice",
+        info("graft_step_slice", "graft_step_slice(list, from, to, step) - DuckDB list step slicing a[s:e:st]: both bounds inclusive, negative-from-end, clamped; negative step walks backward; step 0 errors."),
+        (args: Seq[Expression]) => {
+          require(args.length == 4, s"graft_step_slice expects 4 arguments, got ${args.length}")
+          val lst = args(0)
+          val st = Cast(args(3), IntegerType)
+          val n = builtinBuilder("size")(Seq(lst))
+          def norm(e: Expression): Expression = {
+            val ce = Cast(e, IntegerType)
+            CaseWhen(Seq((LessThan(ce, Literal(0)), Add(Add(n, Literal(1)), ce))), ce)
+          }
+          val na = norm(args(1)); val nb = norm(args(2))
+          val lo = builtinBuilder("greatest")(Seq(na, Literal(1)))
+          val hi = builtinBuilder("least")(Seq(nb, n))
+          val dStart = builtinBuilder("least")(Seq(na, n))
+          val dEnd = builtinBuilder("greatest")(Seq(nb, Literal(1)))
+          val lv = UnresolvedNamedLambdaVariable(Seq("__ssi"))
+          def pick(idx: Expression): Expression = builtinBuilder("transform")(Seq(idx,
+            LambdaFunction(builtinBuilder("element_at")(Seq(lst, lv)), Seq(lv))))
+          val empty = builtinBuilder("slice")(Seq(lst, Literal(1), Literal(0)))
+          CaseWhen(Seq(
+            (EqualTo(st, Literal(0)),
+              builtinBuilder("raise_error")(Seq(Literal("Slice step cannot be zero")))),
+            (And(GreaterThan(st, Literal(0)), LessThanOrEqual(lo, hi)),
+              pick(builtinBuilder("sequence")(Seq(lo, hi, st)))),
+            (And(LessThan(st, Literal(0)), GreaterThanOrEqual(dStart, dEnd)),
+              pick(builtinBuilder("sequence")(Seq(dStart, dEnd, st))))),
+            empty)
+        }),
       ("graft_int_cast",
         info("graft_int_cast", "graft_int_cast(x, 'TYPE') - CAST to an integer type with DuckDB's rounding rules (Dialect.rewriteIntCasts target)."),
         (args: Seq[Expression]) => intCastBuilder(args, tryMode = false)),

@@ -459,12 +459,24 @@ object Dialect {
               // (end-inclusive, negative-from-end, clamping) for both
               // strings and lists; missing bounds are 1 and -1
               val a = content.substring(0, colon).trim
-              val b = content.substring(colon + 1).trim
-              (a.isEmpty, b.isEmpty) match {
-                case (true, true)   => s"($operand)"
-                case (true, false)  => s"graft_slice($operand, 1, $b)"
-                case (false, true)  => s"graft_slice($operand, $a, -1)"
-                case (false, false) => s"graft_slice($operand, $a, $b)"
+              val rest = content.substring(colon + 1)
+              val colon2 = topLevelColon(rest)
+              if (colon2 >= 0) {
+                // step slice a[s:e:st] — DuckDB requires BOTH bounds
+                // with a step (empty-bound step forms are parser
+                // errors there too); lists only, strings stay loud
+                // like DuckDB's own Not-implemented
+                val b = rest.substring(0, colon2).trim
+                val st = rest.substring(colon2 + 1).trim
+                s"graft_step_slice($operand, $a, $b, $st)"
+              } else {
+                val b = rest.trim
+                (a.isEmpty, b.isEmpty) match {
+                  case (true, true)   => s"($operand)"
+                  case (true, false)  => s"graft_slice($operand, 1, $b)"
+                  case (false, true)  => s"graft_slice($operand, $a, -1)"
+                  case (false, false) => s"graft_slice($operand, $a, $b)"
+                }
               }
             }
           s = s.substring(0, start) + repl + s.substring(close + 1)
@@ -2982,6 +2994,141 @@ object Dialect {
       java.util.regex.Matcher.quoteReplacement(
         ExtractFieldFn(m.group(1).toLowerCase) + "("))
 
+  /** `agg(args) FILTER (WHERE pred) OVER ...` — Spark supports agg
+    * FILTER only OUTSIDE windows (probe 14: "Window aggregate function
+    * with filter predicate is not supported yet"). For NULL-IGNORING
+    * aggregates the filter is exactly a CASE on the argument, so the
+    * windowed form rewrites to `agg(CASE WHEN pred THEN args END)
+    * OVER ...` (count(*) → count(CASE WHEN pred THEN 1 END)).
+    * Null-RESPECTING functions (first/last/lag/...) are NOT rewritten
+    * — the CASE would change their semantics — and keep Spark's loud
+    * error. Non-window FILTER is untouched (native).
+    */
+  private val FilterIgnoringAggs = Set(
+    "count", "sum", "avg", "mean", "min", "max", "median", "product",
+    "stddev", "stddev_samp", "stddev_pop", "var_samp", "var_pop", "variance",
+    "string_agg", "group_concat", "listagg", "array_agg", "list",
+    "bit_and", "bit_or", "bit_xor", "bool_and", "bool_or", "fsum", "favg")
+  private val FilterWhereRe = """(?i)\bfilter\s*\(\s*where\b""".r
+  private def rewriteWindowFilter(sql: String): String = {
+    var out = sql
+    var changed = true
+    var guard = 0
+    while (changed && guard < 100) {
+      changed = false
+      guard += 1
+      val mask = quoteMask(out)
+      val hit = FilterWhereRe.findAllMatchIn(out).filterNot(m => mask(m.start))
+        .toSeq.reverseIterator.flatMap { m =>
+          // matching close of the FILTER( group
+          val openIdx = out.indexOf('(', m.start)
+          var depth = 0; var j = openIdx; var close = -1
+          while (j < out.length && close < 0) {
+            if (!mask(j)) out.charAt(j) match {
+              case '(' => depth += 1
+              case ')' => depth -= 1; if (depth == 0) close = j
+              case _ => ()
+            }
+            j += 1
+          }
+          if (close < 0) None
+          else {
+            var k = close + 1
+            while (k < out.length && out.charAt(k).isWhitespace) k += 1
+            val hasOver = out.regionMatches(true, k, "over", 0, 4) &&
+              (k + 4 >= out.length || !isWordChar(out.charAt(k + 4)))
+            if (!hasOver) None
+            else {
+              // the aggregate call directly before FILTER
+              var p = m.start - 1
+              while (p >= 0 && out.charAt(p).isWhitespace) p -= 1
+              if (p < 0 || out.charAt(p) != ')') None
+              else {
+                var d2 = 0; var q = p; var open2 = -1
+                while (q >= 0 && open2 < 0) {
+                  if (!mask(q)) out.charAt(q) match {
+                    case ')' => d2 += 1
+                    case '(' => d2 -= 1; if (d2 == 0) open2 = q
+                    case _ => ()
+                  }
+                  q -= 1
+                }
+                if (open2 < 0) None
+                else {
+                  var ns = open2 - 1
+                  while (ns >= 0 && isWordChar(out.charAt(ns))) ns -= 1
+                  val fname = out.substring(ns + 1, open2).trim.toLowerCase
+                  if (!FilterIgnoringAggs.contains(fname)) None
+                  else {
+                    val argsTxt = out.substring(open2 + 1, p).trim
+                    val pred = {
+                      val inner = out.substring(openIdx + 1, close).trim
+                      inner.substring(5).trim // drop leading WHERE
+                    }
+                    if (fname == "count" && argsTxt == "*")
+                      Some((ns + 1, close, s"count(CASE WHEN $pred THEN 1 END)"))
+                    else if (topLevelComma(argsTxt)) None // multi-arg: stays loud
+                    else Some((ns + 1, close,
+                      s"$fname(CASE WHEN $pred THEN $argsTxt END)"))
+                  }
+                }
+              }
+            }
+          }
+        }.toSeq.headOption
+      hit.foreach { case (start, close, repl) =>
+        out = out.substring(0, start) + repl + out.substring(close + 1)
+        changed = true
+      }
+    }
+    out
+  }
+
+  /** DuckDB's `unnest(x, recursive := true)` named-argument form
+    * (probe 14): `recursive := true` flattens one list level before
+    * the unnest (covers the list-of-list case DuckDB's own docs
+    * demonstrate; deeper nesting or struct recursion stays loud);
+    * `recursive := false` just drops the argument.
+    */
+  private val UnnestRecRe = """(?i)\bunnest\s*\(""".r
+  private def rewriteUnnestRecursive(sql: String): String = {
+    var out = sql
+    var changed = true
+    var guard = 0
+    while (changed && guard < 50) {
+      changed = false
+      guard += 1
+      val mask = quoteMask(out)
+      UnnestRecRe.findAllMatchIn(out).filterNot(m => mask(m.start)).toSeq.reverseIterator
+        .foreach { m =>
+          if (!changed) {
+            var depth = 0; var j = m.end - 1; var close = -1
+            while (j < out.length && close < 0) {
+              if (!mask(j)) out.charAt(j) match {
+                case '(' => depth += 1
+                case ')' => depth -= 1; if (depth == 0) close = j
+                case _ => ()
+              }
+              j += 1
+            }
+            if (close >= 0) {
+              val content = out.substring(m.end, close)
+              val recRe = """(?i),\s*recursive\s*:=\s*(true|false)\s*$""".r
+              recRe.findFirstMatchIn(content).foreach { rm =>
+                val inner = content.substring(0, rm.start).trim
+                val repl =
+                  if (rm.group(1).equalsIgnoreCase("true")) s"unnest(flatten($inner))"
+                  else s"unnest($inner)"
+                out = out.substring(0, m.start) + repl + out.substring(close + 1)
+                changed = true
+              }
+            }
+          }
+        }
+    }
+    out
+  }
+
   /** DuckDB rounds on casts to integer types where Spark truncates
     * (probe 13; rules per source type live in
     * graft.functions.IntCastDispatch). CAST(x AS INT) /
@@ -3066,9 +3213,9 @@ object Dialect {
       rewritePositionalJoin(spark,
       rewriteDistinctOn(rewriteQualify(rewriteExclude(rewriteOffsetLimit(rewriteFactorialAbs(rewritePower(rewriteGlob(rewriteTildeOps(rewriteQuantified(rewriteAggOrder(rewriteSimilarTo(rewriteJsonOps(rewriteDateDiff(rewriteIntDiv(
         rewriteSample(rewriteStructPack(rewriteBrackets(rewriteBraces(
-          rewriteIntCasts(rewriteTypeAliases(rewriteExtractFields(rewriteExtractQuoted(
+          rewriteIntCasts(rewriteTypeAliases(rewriteWindowFilter(rewriteUnnestRecursive(rewriteExtractFields(rewriteExtractQuoted(
           rewriteUnionByName(spark, rewriteReplace(spark, rewriteColumns(spark, rewriteAsOf(rewriteGenerateSeries(rewriteSources(spark,
             rewritePivot(spark, rewriteUnpivot(rewriteSummarize(spark,
               rewritePragma(rewriteDescribe(spark, expandMacros(spark, rewriteFromFirst(sql))))))),
-            pathOk))))))))))))))))))))))))))))))
+            pathOk))))))))))))))))))))))))))))))))
 }

@@ -1328,6 +1328,37 @@ class DialectSpec extends AnyFunSuite with BeforeAndAfterAll {
       """[{"a":"YWJj"}]""")
   }
 
+  test("probe-14 pins: named windows, interval frames, windowed FILTER, step slices, recursive unnest") {
+    // every expected value verified against DuckDB 1.5
+    def one(sql: String, expect: String): Unit = {
+      val r = post(sql)
+      assert(r.statusCode() == 200, s"$sql -> ${r.body()}")
+      assert(r.body() == expect, s"$sql -> ${r.body()} (wanted $expect)")
+    }
+    one("SELECT x, sum(x) OVER w AS s FROM (VALUES (1),(2),(3)) t(x) WINDOW w AS (ORDER BY x) ORDER BY x",
+      """[{"x":1,"s":1},{"x":2,"s":3},{"x":3,"s":6}]""")
+    one("SELECT CAST(ts AS STRING) AS ts, count(*) OVER (ORDER BY ts RANGE BETWEEN INTERVAL 1 DAY PRECEDING AND CURRENT ROW) AS c " +
+      "FROM (VALUES (TIMESTAMP '2024-01-01'),(TIMESTAMP '2024-01-02'),(TIMESTAMP '2024-01-05')) t(ts) ORDER BY ts",
+      """[{"ts":"2024-01-01 00:00:00","c":1},{"ts":"2024-01-02 00:00:00","c":2},{"ts":"2024-01-05 00:00:00","c":1}]""")
+    // windowed FILTER rewrites to the CASE form for null-ignoring aggs
+    one("SELECT x, count(*) FILTER (WHERE x > 1) OVER (ORDER BY x) AS c, " +
+      "sum(x) FILTER (WHERE x <> 2) OVER (ORDER BY x) AS s FROM (VALUES (1),(2),(3)) t(x) ORDER BY x",
+      """[{"x":1,"c":0,"s":1},{"x":2,"c":1,"s":1},{"x":3,"c":2,"s":4}]""")
+    // non-window FILTER stays native
+    one("SELECT count(*) FILTER (WHERE x > 1) AS c FROM (VALUES (1),(2),(3)) t(x)",
+      """[{"c":2}]""")
+    // step slices: inclusive bounds, clamping, negative step
+    one("SELECT ([1,2,3,4,5,6])[1:-1:2] AS a, ([1,2,3,4,5,6])[5:2:-1] AS b, ([1,2,3,4,5,6])[2:100:3] AS c",
+      """[{"a":[1,3,5],"b":[5,4,3,2],"c":[2,5]}]""")
+    assert(post("SELECT ([1,2,3])[1:3:0] AS a").statusCode() >= 400)
+    one("SELECT unnest([[1,2],[3]], recursive := true) AS u",
+      """[{"u":1},{"u":2},{"u":3}]""")
+    one("SELECT unnest([4,5], recursive := false) AS u",
+      """[{"u":4},{"u":5}]""")
+    // DISTINCT over a window stays a loud, clearly-named error
+    assert(post("SELECT count(DISTINCT x) OVER (ORDER BY x) AS c FROM (VALUES (1),(2)) t(x)").statusCode() >= 400)
+  }
+
   test("sandboxed server rejects dialect file sources outside allowed dirs") {
     val sandboxed = new QueryServer(spark, 0, allowedDirs = Seq("/nonexistent"))
     sandboxed.start()

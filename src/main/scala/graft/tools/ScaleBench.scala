@@ -124,7 +124,21 @@ object ScaleBench {
     "n_rank_fusion", "n_hard_negatives",
     // per-half BPE training: two vocab-bound chains (sub-linear,
     // like n_bpe_train)
-    "n_tokenizer_drift")
+    "n_tokenizer_drift",
+    // round-11c/d: theta sketches are linear scans into bounded KMV
+    // state; the skew audit and sampling temperature reduce to keyed
+    // count relations; boilerplate is row-local blocks + one neighbor
+    // window; Bradley-Terry is a lag window into the k^2 pair relation;
+    // kappa is a 4-counter aggregate; the domain gate is two
+    // source-keyed passes; turn structure is one conversation-keyed
+    // window + island rollup. n_bitext_mining / n_decontam_semantic
+    // are excluded for the n_knn_join_topk reason: their probe sets
+    // scale WITH the corpus by fixture construction (vec_id slices),
+    // so the pair space grows ~100x for 10x data — the documented
+    // scale path swaps in the ANN-tier candidate generation.
+    "n_theta_sketch_setops", "n_skew_audit", "n_boilerplate_extract",
+    "n_pref_bradley_terry", "n_kappa_agreement", "n_domain_gate_apply",
+    "n_turn_structure", "n_lang_sampling_temp")
 
   def main(args: Array[String]): Unit = {
     val dirA = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

@@ -138,7 +138,16 @@ object ScaleBench {
     // scale path swaps in the ANN-tier candidate generation.
     "n_theta_sketch_setops", "n_skew_audit", "n_boilerplate_extract",
     "n_pref_bradley_terry", "n_kappa_agreement", "n_domain_gate_apply",
-    "n_turn_structure", "n_lang_sampling_temp")
+    "n_turn_structure", "n_lang_sampling_temp",
+    // round-11e: DoReMi is the unigram-LM chain + a source rollup;
+    // the encoding audit is row-local counters into a source rollup;
+    // packing is a 3-way broadcast cross of one linear scan.
+    // n_record_linkage is excluded like n_sorted_neighborhood's
+    // quadratic cousin would be: at FIXED block-key cardinality
+    // (brand x size = 1250) block width grows with the data, so pairs
+    // grow ~100x for 10x — the documented scale path is a finer block
+    // key (the Fellegi-Sunter knob), not a faster join.
+    "n_doremi_reweight", "n_encoding_audit", "n_packing_efficiency")
 
   def main(args: Array[String]): Unit = {
     val dirA = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

@@ -152,6 +152,11 @@ object ScaleBench {
   def main(args: Array[String]): Unit = {
     val dirA = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val dirB = if (args.length > 1) args(1) else "target/sf1"
+    // optional comma-separated subset (dev iteration on a new batch
+    // without re-sweeping the whole inventory)
+    val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val sweep = only.fold(headline)(f => headline.filter(f))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -165,7 +170,7 @@ object ScaleBench {
 
     def timeDir(dir: String): Map[String, Double] = {
       T.all.foreach(t => T(spark, dir, t).queryExecution.toRdd.count())
-      val out = headline.map { name =>
+      val out = sweep.map { name =>
         val fn = SparkEntry.queries(name)
         def once(): Double = {
           val t0 = System.nanoTime()
@@ -184,7 +189,7 @@ object ScaleBench {
     val a1 = timeDir(dirA); val b1 = timeDir(dirB)
     val a = merge(a1, timeDir(dirA)); val b = merge(b1, timeDir(dirB))
     def f(v: Double) = f"$v%.2f"
-    println(f"""{"queries":[${headline.map(q =>
+    println(f"""{"queries":[${sweep.map(q =>
       s"""{"q":"$q","a":${f(a(q))},"b":${f(b(q))},"ratio":${f(b(q) / a(q))}}""").mkString(",")}],"dirA":"$dirA","dirB":"$dirB"}""")
     spark.stop()
   }

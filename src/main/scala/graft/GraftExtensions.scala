@@ -2293,13 +2293,64 @@ object GraftExtensions {
     graft.functions.IntCastDispatch(args.head, target, tryMode)
   }
 
+  /** Probe-tier-15 closures: DuckDB/utf8proc case mapping for
+    * upper/lower (Java's String case functions apply FULL Unicode
+    * mappings — 'straße' uppercases to STRASSE there vs STRAẞE in
+    * DuckDB, lower('İ') grows a combining dot — silent value
+    * divergences on international text), split_part's part=0 → ''
+    * (Spark raises INVALID_INDEX_OF_ZERO), and lpad/rpad's loud
+    * "Insufficient padding" error when an empty pad would actually be
+    * needed (Spark silently returns the unpadded string).
+    */
+  private val registrations10: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types.StringType
+    def caseMap(n: String, up: Boolean) =
+      (n, info(n, s"$n(s) - Unicode SIMPLE case mapping (DuckDB/utf8proc semantics)."),
+        (args: Seq[Expression]) => {
+          require(args.length == 1, s"$n expects 1 argument, got ${args.length}")
+          // explicit string cast = the builtin's implicit coercion
+          graft.functions.CaseMapDispatch(Cast(args.head, StringType), up): Expression
+        })
+    def padGuard(n: String) =
+      (n, info(n, s"$n(s, len, pad) - pad with DuckDB's loud empty-pad error."),
+        (args: Seq[Expression]) => {
+          if (args.length != 3) builtinBuilder(n)(args)
+          else {
+            val emptyPad = EqualTo(builtinBuilder("length")(Seq(args(2))), Literal(0))
+            val padNeeded = GreaterThan(args(1), builtinBuilder("length")(Seq(args(0))))
+            If(And(emptyPad, padNeeded),
+              Cast(new RaiseError(
+                Literal(s"Insufficient padding in ${n.toUpperCase}")), StringType),
+              builtinBuilder(n)(args)): Expression
+          }
+        })
+    Seq(
+      caseMap("upper", up = true), caseMap("ucase", up = true),
+      caseMap("lower", up = false), caseMap("lcase", up = false),
+      padGuard("lpad"), padGuard("rpad"),
+      ("split_part",
+        info("split_part", "split_part(s, sep, n) - DuckDB semantics: n = 0 and out-of-range yield ''."),
+        (args: Seq[Expression]) => {
+          require(args.length == 3, s"split_part expects 3 arguments, got ${args.length}")
+          If(EqualTo(args(2), Literal(0)), Literal(""),
+            builtinBuilder("split_part")(args)): Expression
+        }),
+      ("graft_div",
+        info("graft_div", "graft_div(a, b) - DuckDB's / operator: always DOUBLE, NULL on zero divisor (Dialect.sqlServed target)."),
+        (args: Seq[Expression]) => {
+          require(args.length == 2, s"graft_div expects 2 arguments, got ${args.length}")
+          graft.functions.DivDispatch(args(0), args(1)): Expression
+        }))
+  }
+
   // registrations6 AFTER the aliases: its full-arity list_sort /
   // arg_min / arg_max / min / max builders must override the plain
   // alias entries (later registration wins in the registry).
   private[graft] def allRegistrations: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] =
     registrations ++ registrations2 ++ registrations3 ++ registrations4 ++
       registrations5 ++ aliasRegistrations ++ registrations6 ++ registrations7 ++
-      registrations8 ++ registrations9
+      registrations8 ++ registrations9 ++ registrations10
 
   private val txidCounter = new java.util.concurrent.atomic.AtomicLong(0L)
 

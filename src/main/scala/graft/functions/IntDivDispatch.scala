@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Cast, Divide, Expression, IntegralDivide, RuntimeReplaceable}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Cast, Divide, EqualTo, Expression, If, IntegralDivide, Literal, RuntimeReplaceable}
 import org.apache.spark.sql.types.{ByteType, DoubleType, IntegerType, LongType, ShortType}
 
 /** DuckDB's `//` operator, type-faithfully (verified against DuckDB
@@ -21,11 +21,20 @@ case class IntDivDispatch(left: Expression, right: Expression)
 
   // the replacement is built AFTER analysis, so Spark's implicit type
   // coercion never runs on it — cast operands to the builtin's input
-  // types explicitly
+  // types explicitly. A zero divisor yields NULL like DuckDB (1//0 is
+  // NULL there, probe tier 15) instead of Spark's ANSI error; the
+  // divisor is nulled rather than the division wrapped so the builtin
+  // never sees the zero.
   override lazy val replacement: Expression =
-    if (integral(left) && integral(right))
-      IntegralDivide(Cast(left, LongType), Cast(right, LongType))
-    else Divide(Cast(left, DoubleType), Cast(right, DoubleType))
+    if (integral(left) && integral(right)) {
+      val r = Cast(right, LongType)
+      IntegralDivide(Cast(left, LongType),
+        If(EqualTo(r, Literal(0L)), Literal(null, LongType), r))
+    } else {
+      val r = Cast(right, DoubleType)
+      Divide(Cast(left, DoubleType),
+        If(EqualTo(r, Literal(0.0)), Literal(null, DoubleType), r))
+    }
 
   override def prettyName: String = "graft_intdiv"
 

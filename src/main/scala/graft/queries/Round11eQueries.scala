@@ -184,15 +184,24 @@ object Round11eQueries extends QueryModule {
             when(col("doc_id") % 17 === 0, lit("  ")).otherwise(lit("")),
             when(col("doc_id") % 19 === 0, lit("\u0007")).otherwise(lit("")))
             .as("raw"))
+        // literal-char counting via replace()/translate(), NOT
+        // regexp_replace: the dialect shim registers DuckDB's
+        // FIRST-match regexp_replace, and Spark 4's functions API
+        // resolves by NAME through the session registry — in a shared
+        // session where an injectInto query ran earlier, the override
+        // silently halved the two-NBSP count (caught by the round-11e
+        // full-inventory vs single-query Verify diff)
+        val ctrlChars = ((0x01 to 0x08) ++ Seq(0x0B, 0x0C) ++ (0x0E to 0x1F))
+          .map(_.toChar).mkString
         val counted = raw
           .withColumn("n_repl",
-            length(col("raw")) - length(regexp_replace(col("raw"), "�", "")))
+            length(col("raw")) - length(replace(col("raw"), lit("�"), lit(""))))
           .withColumn("n_moji",
-            length(col("raw")) - length(regexp_replace(col("raw"), "Ã", "")))
+            length(col("raw")) - length(replace(col("raw"), lit("Ã"), lit(""))))
           .withColumn("n_nbsp",
-            length(col("raw")) - length(regexp_replace(col("raw"), " ", "")))
-          .withColumn("n_ctrl", length(col("raw")) - length(regexp_replace(
-            col("raw"), "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]", "")))
+            length(col("raw")) - length(replace(col("raw"), lit(" "), lit(""))))
+          .withColumn("n_ctrl",
+            length(col("raw")) - length(translate(col("raw"), ctrlChars, "")))
           .withColumn("affected",
             (col("n_repl") + col("n_moji") + col("n_nbsp") + col("n_ctrl") > 0)
               .cast("int"))
@@ -219,10 +228,10 @@ object Round11eQueries extends QueryModule {
           FROM documents),
         counted AS (
           SELECT source,
-            len(raw) - len(regexp_replace(raw, chr(65533), '', 'g')) AS n_repl,
-            len(raw) - len(regexp_replace(raw, chr(195), '', 'g')) AS n_moji,
-            len(raw) - len(regexp_replace(raw, chr(160), '', 'g')) AS n_nbsp,
-            len(raw) - len(regexp_replace(raw, '[\x00-\x08\x0B\x0C\x0E-\x1F]', '', 'g')) AS n_ctrl
+            len(raw) - len(replace(raw, chr(65533), '')) AS n_repl,
+            len(raw) - len(replace(raw, chr(195), '')) AS n_moji,
+            len(raw) - len(replace(raw, chr(160), '')) AS n_nbsp,
+            len(raw) - len(regexp_replace(raw, '[\x01-\x08\x0B\x0C\x0E-\x1F]', '', 'g')) AS n_ctrl
           FROM raw),
         agg AS (
           SELECT source, CAST(count(*) AS BIGINT) AS n_docs,

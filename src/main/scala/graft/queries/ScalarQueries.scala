@@ -261,9 +261,19 @@ object ScalarQueries extends QueryModule {
     Q("h_strftime_fns",
       "DuckDB C-style strftime/strptime (%-directives) against DuckDB's native implementations: the GraftExtensions registration translates the format literal to a JDK pattern at bind time and renders/parses through the codegen'd builtins.",
       (s, dir) => {
-        graft.GraftExtensions.injectInto(s)
-        T.views(s, dir, "orders")
-        s.sql("""SELECT o_orderkey,
+        // inject into an ISOLATED child session: Spark 4's functions
+        // API resolves by NAME through the session registry, so
+        // injecting into the shared library session would silently
+        // flip the semantics of every later DataFrame query using an
+        // overridden name (first-match regexp_replace, swapped-arg
+        // trim, base-10 log, utf8proc upper/lower…) — an
+        // iteration-order hazard the round-11e full-run Verify caught.
+        // The serving plane (QueryServer) owns its session and injects
+        // there by design; the library session stays builtin-pure.
+        val s2 = s.newSession()
+        graft.GraftExtensions.injectInto(s2)
+        T.views(s2, dir, "orders")
+        s2.sql("""SELECT o_orderkey,
             strftime(o_orderdate, '%Y-%m-%d') AS iso,
             strftime(o_orderdate, '%-d %B %Y') AS pretty,
             strftime(o_orderdate, '%a %j') AS dow_doy,

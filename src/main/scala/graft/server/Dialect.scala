@@ -3218,4 +3218,40 @@ object Dialect {
             rewritePivot(spark, rewriteUnpivot(rewriteSummarize(spark,
               rewritePragma(rewriteDescribe(spark, expandMacros(spark, rewriteFromFirst(sql))))))),
             pathOk))))))))))))))))))))))))))))))))
+
+  /** The serving plane's spark.sql: parse, then rewrite arithmetic to
+    * DuckDB semantics BEFORE analysis so Catalyst's own coercion
+    * re-runs over the replacements (probe tier 15, all verified
+    * against DuckDB 2026-08-15):
+    *
+    *   - every `/` → graft_div (DivDispatch): result is ALWAYS DOUBLE
+    *     like DuckDB (Spark keeps DECIMAL for decimal operands —
+    *     5.0/2 rendered 2.500000 vs 2.5), zero divisor → NULL instead
+    *     of the ANSI error, intervals keep interval division with the
+    *     same guard;
+    *   - `%` and `div` keep Spark's operand typing (it matches DuckDB)
+    *     but the divisor gets a zero→NULL guard (1%0 is NULL there).
+    *
+    * A textual operator rewrite can't bound arbitrary left operands
+    * (`CASE … END / x`), and transforming the ANALYZED plan can't
+    * retype decimal divisions without desyncing parent operators —
+    * parse-level is the one altitude where both come out right. The
+    * guard references the divisor twice; for a NONDETERMINISTIC
+    * divisor (rand()) the null-check draw and the dividing draw
+    * differ — pathological input, accepted.
+    */
+  def sqlServed(spark: SparkSession, sql: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+    import org.apache.spark.sql.catalyst.expressions.{Divide, EqualTo, Expression, If, IntegralDivide, Literal, Remainder}
+    def guard(r: Expression): Expression =
+      If(EqualTo(r, Literal(0)), Literal(null), r)
+    val parsed = spark.sessionState.sqlParser.parsePlan(sql)
+    val guarded = parsed.transformAllExpressions {
+      case Divide(l, r, _) =>
+        UnresolvedFunction("graft_div", Seq(l, r), isDistinct = false)
+      case Remainder(l, r, ev) => Remainder(l, guard(r), ev)
+      case IntegralDivide(l, r, ev) => IntegralDivide(l, guard(r), ev)
+    }
+    org.apache.spark.sql.graft.ColumnBridge.ofRows(spark, guarded)
+  }
 }

@@ -162,7 +162,7 @@ final class QueryServer(
       if (trimmed.startsWith("(")) trimmed.drop(1).dropRight(1)
       else s"SELECT * FROM $trimmed"
     val df =
-      try spark.sql(Dialect.rewrite(spark, inner, pathAllowed))
+      try Dialect.sqlServed(spark, Dialect.rewrite(spark, inner, pathAllowed))
       catch {
         case Dialect.RejectedPath(p) =>
           return Left(Problem(400, "SQL Error",
@@ -371,7 +371,7 @@ final class QueryServer(
 
           val df: DataFrame =
             try {
-              val df0 = spark.sql(sql)
+              val df0 = Dialect.sqlServed(spark, sql)
               // unaliased count(*) surfaces as count_star() in DuckDB — the
               // reference's smoke tests assert that exact column name
               val names = df0.columns.map(c => if (c == "count(1)") "count_star()" else c)

@@ -1359,6 +1359,41 @@ class DialectSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(post("SELECT count(DISTINCT x) OVER (ORDER BY x) AS c FROM (VALUES (1),(2)) t(x)").statusCode() >= 400)
   }
 
+  test("probe-15 pins: div/mod by zero is NULL, split_part edges, pad errors, utf8proc case mapping") {
+    def one(sql: String, expect: String): Unit = {
+      val r = post(sql)
+      assert(r.statusCode() == 200, s"$sql -> ${r.body()}")
+      assert(r.body() == expect, s"$sql -> ${r.body()} (wanted $expect)")
+    }
+    // DuckDB returns NULL for every division/modulo by zero (verified
+    // 2026-08-15); Spark's ANSI error never fires on the serving plane
+    one("SELECT 1/0 AS a, 1//0 AS b, 1%0 AS c, 1.5/0.0 AS d, 0/0 AS e",
+      """[{"a":null,"b":null,"c":null,"d":null,"e":null}]""")
+    one("SELECT 3/2 AS a, -7 // 2 AS b, -7 % 3 AS c", """[{"a":1.5,"b":-3,"c":-1}]""")
+    one("SELECT INTERVAL '2' DAY / 0 AS a", """[{"a":null}]""")
+    // zero divisors reached through expressions, not just literals
+    one("SELECT sum(x)/(count(*) - 2) AS a FROM (VALUES (1),(2)) t(x)",
+      """[{"a":null}]""")
+    // non-zero divisors keep exact Spark semantics (decimal typing
+    // documented in COVERAGE.md omissions: value-equal, scale rendering)
+    one("SELECT 5.0/2 AS a", """[{"a":2.5}]""")
+    // split_part: part 0 and out-of-range yield '' like DuckDB (Spark
+    // raises INVALID_INDEX_OF_ZERO for 0); negatives count from the end
+    one("SELECT split_part('a,b,c', ',', 0) AS a, split_part('a,b,c', ',', -1) AS b, split_part('a,b,c', ',', 9) AS c",
+      """[{"a":"","b":"c","c":""}]""")
+    // lpad/rpad with an EMPTY pad raise DuckDB's loud error exactly when
+    // padding would be needed; Spark's builtin silently returns the input
+    val pad = post("SELECT lpad('ab', 5, '') AS a")
+    assert(pad.statusCode() >= 400 && pad.body().contains("Insufficient padding in LPAD"), pad.body())
+    one("SELECT lpad('ab', 2, '') AS a, lpad('ab', 1, '') AS b, rpad('ab', 0, 'x') AS c",
+      """[{"a":"ab","b":"a","c":""}]""")
+    // utf8proc SIMPLE case mapping (Java's full mappings expand: STRASSE,
+    // FI, i + combining dot — all silent divergences before this dispatch)
+    one("SELECT upper('straße') AS a, upper('ﬁ') AS b, lower('İ') AS c, lower('ẞ') AS d, ucase('é') AS e, lcase('Ǆ') AS f",
+      """[{"a":"STRAẞE","b":"ﬁ","c":"i","d":"ß","e":"É","f":"ǆ"}]""")
+    one("SELECT upper(123) AS a", """[{"a":"123"}]""")
+  }
+
   test("sandboxed server rejects dialect file sources outside allowed dirs") {
     val sandboxed = new QueryServer(spark, 0, allowedDirs = Seq("/nonexistent"))
     sandboxed.start()

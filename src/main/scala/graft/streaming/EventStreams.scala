@@ -585,4 +585,131 @@ object EventStreams {
       .groupByKey(w => math.floorMod(w.hashCode, shards))
       .agg(cms.toColumn.name("cells"))
   }
+
+  /** Streaming encoding/mojibake audit — the ingestion-time face of
+    * n_encoding_audit: every arriving document evaluates its artifact
+    * counters ROW-LOCALLY (replacement chars, double-encoded-UTF-8
+    * 'Ã', NBSP, C0 controls — the same planted fixture and the same
+    * replace()/translate() detectors as the batch query), so the
+    * operator is stateless in streaming terms — no watermark, no
+    * store, any ingest rate. The per-source rollup happens wherever
+    * the per-doc stream lands; StreamingSpec aggregates the streamed
+    * rows by source and proves the result equals the batch query
+    * exactly.
+    */
+  def encodingAuditStream(docs: DataFrame): DataFrame = {
+    val ctrlChars = ((0x01 to 0x08) ++ Seq(0x0B, 0x0C) ++ (0x0E to 0x1F))
+      .map(_.toChar).mkString
+    docs
+      .select(col("doc_id"), col("source"),
+        concat(col("text"),
+          when(col("doc_id") % 11 === 0, lit(" cafÃ©")).otherwise(lit("")),
+          when(col("doc_id") % 13 === 0, lit("�")).otherwise(lit("")),
+          when(col("doc_id") % 17 === 0, lit("  ")).otherwise(lit("")),
+          when(col("doc_id") % 19 === 0, lit("\u0007")).otherwise(lit("")))
+          .as("raw"))
+      .withColumn("n_repl",
+        length(col("raw")) - length(replace(col("raw"), lit("�"), lit(""))))
+      .withColumn("n_moji",
+        length(col("raw")) - length(replace(col("raw"), lit("Ã"), lit(""))))
+      .withColumn("n_nbsp",
+        length(col("raw")) - length(replace(col("raw"), lit(" "), lit(""))))
+      .withColumn("n_ctrl",
+        length(col("raw")) - length(translate(col("raw"), ctrlChars, "")))
+      .withColumn("affected",
+        (col("n_repl") + col("n_moji") + col("n_nbsp") + col("n_ctrl") > 0)
+          .cast("int"))
+      .select(col("doc_id"), col("source"), col("n_repl"), col("n_moji"),
+        col("n_nbsp"), col("n_ctrl"), col("affected"))
+  }
+
+  /** Streaming inter-annotator confusion shards — the unbounded-feed
+    * face of n_kappa_agreement: each arriving document classifies
+    * row-locally under both rule annotators and lands in one of
+    * `shards` 4-counter confusion summaries (n11/n10/n01/n00 —
+    * integer counters, the smallest possible mergeable state).
+    * Counters merge by ADDITION, so summing shard summaries
+    * reproduces the batch confusion matrix — and therefore po, pe and
+    * kappa — EXACTLY (StreamingSpec proves it).
+    */
+  def kappaShards(spark: SparkSession, dir: String,
+      shards: Int = 8): DataFrame = {
+    graft.GraftSession.tune(spark)
+    docSource(spark, dir)
+      .select(col("doc_id"),
+        (col("n_chars") >= 300).cast("int").as("a"),
+        (size(filter(split(col("text"), " "), w => length(w) > 0)) >= 50)
+          .cast("int").as("b"))
+      .withColumn("shard", pmod(col("doc_id"), lit(shards)))
+      .groupBy(col("shard"))
+      .agg(
+        sum(col("a") * col("b")).cast("bigint").as("n11"),
+        sum(col("a") * (lit(1) - col("b"))).cast("bigint").as("n10"),
+        sum((lit(1) - col("a")) * col("b")).cast("bigint").as("n01"),
+        sum((lit(1) - col("a")) * (lit(1) - col("b"))).cast("bigint").as("n00"))
+  }
+
+  final case class TurnState(lastRole: String, runLen: Long, nTurns: Int,
+      nEvents: Long, maxUser: Long, maxAsst: Long, opensWith: String)
+  final case class TurnOut(user_id: Long, n_events: Long, n_turns: Int,
+      max_user_run: Long, max_assistant_run: Long, opens_with: String,
+      closes_with: String, strict_alternation: Int)
+
+  /** Streaming dialogue-structure tracker — the live face of
+    * n_turn_structure: per-conversation role-run state advances
+    * INCREMENTALLY as events arrive (lastRole, current run length,
+    * turn count, per-side monologue maxima — O(1) state per
+    * conversation however long the dialogue runs), emitting the
+    * conversation's current structure summary every trigger. Within a
+    * micro-batch events sort by (event-time, event_id) — the
+    * sessionize convention; across batches the log is assumed
+    * append-ordered per conversation (the chat-transcript reality).
+    * StreamingSpec proves the drained summaries equal the batch query
+    * row for row.
+    */
+  def turnStructureStream(spark: SparkSession, events: DataFrame): Dataset[TurnOut] = {
+    import spark.implicits._
+    def usOf(e: Event): Long =
+      Math.floorDiv(e.ts.getTime, 1000L) * 1000000L + e.ts.getNanos / 1000L
+    def roleOf(t: String): String =
+      if (t == "click" || t == "view" || t == "signup") "user" else "assistant"
+    events.select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[TurnState, TurnOut](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[TurnState]) =>
+          val sorted = rows.toSeq.sortBy(e => (usOf(e), e.event_id))
+          var st = state.getOption.orNull
+          sorted.foreach { e =>
+            val r = roleOf(e.event_type)
+            if (st == null)
+              st = TurnState(r, 1L, 1, 1L, 0L, 0L, r)
+            else if (r == st.lastRole)
+              st = st.copy(runLen = st.runLen + 1, nEvents = st.nEvents + 1)
+            else {
+              // run closes: fold its length into the finished side's max
+              val (mu, ma) =
+                if (st.lastRole == "user")
+                  (math.max(st.maxUser, st.runLen), st.maxAsst)
+                else (st.maxUser, math.max(st.maxAsst, st.runLen))
+              st = TurnState(r, 1L, st.nTurns + 1, st.nEvents + 1, mu, ma,
+                st.opensWith)
+            }
+          }
+          if (st == null) Iterator.empty
+          else {
+            state.update(st)
+            // the summary folds the OPEN run into its side's max
+            val mu = if (st.lastRole == "user")
+              math.max(st.maxUser, st.runLen) else st.maxUser
+            val ma = if (st.lastRole == "assistant")
+              math.max(st.maxAsst, st.runLen) else st.maxAsst
+            Iterator.single(TurnOut(userId, st.nEvents, st.nTurns, mu, ma,
+              st.opensWith, st.lastRole,
+              if (st.nTurns.toLong == st.nEvents) 1 else 0))
+          }
+      }
+  }
 }

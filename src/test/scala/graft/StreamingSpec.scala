@@ -450,4 +450,64 @@ class StreamingSpec extends AnyFunSuite {
         s"$k: streamed counter $rescaled != batch $b — rescaling law broken")
     }
   }
+
+  test("streaming encoding audit: per-doc rows roll up to the exact batch report") {
+    val q = EventStreams.encodingAuditStream(EventStreams.docSource(spark, sf))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("encaudit_out")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("encaudit_out")
+      .groupBy(col("source")).agg(
+        count(lit(1)).cast("bigint").as("n_docs"),
+        sum(col("affected")).cast("bigint").as("n_affected"),
+        sum(col("n_repl")).cast("bigint").as("repl_chars"),
+        sum(col("n_moji")).cast("bigint").as("moji_chars"),
+        sum(col("n_nbsp")).cast("bigint").as("nbsp_chars"),
+        sum(col("n_ctrl")).cast("bigint").as("ctrl_chars"))
+    val batch = SparkEntry.queries("n_encoding_audit")(spark, sf)
+      .select("source", "n_docs", "n_affected", "repl_chars", "moji_chars",
+        "nbsp_chars", "ctrl_chars")
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      "streamed rollup diverges from the batch audit")
+  }
+
+  test("streaming kappa shards: summed confusion counters reproduce batch kappa exactly") {
+    val q = EventStreams.kappaShards(spark, sf)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("kappa_out")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val shards = spark.table("kappa_out").collect()
+    assert(shards.length > 1, "fixture should fill multiple shards")
+    val Seq(n11, n10, n01, n00) = (1 to 4).map(i => shards.map(_.getLong(i)).sum)
+    val b = SparkEntry.queries("n_kappa_agreement")(spark, sf).collect().head
+    assert((n11, n10, n01, n00) ==
+      ((b.getLong(1), b.getLong(2), b.getLong(3), b.getLong(4))),
+      "merged confusion matrix != batch")
+    val n = (n11 + n10 + n01 + n00).toDouble
+    val po = (n11 + n00) / n
+    val pe = ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)) / (n * n)
+    val kappa = BigDecimal((po - pe) / (1 - pe))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(kappa == b.getDouble(7), s"streamed kappa $kappa != batch ${b.getDouble(7)}")
+  }
+
+  test("streaming turn structure: incremental run tracking equals the batch islands") {
+    val q = EventStreams.turnStructureStream(spark, EventStreams.source(spark, sf))
+      .writeStream.outputMode("update")
+      .format("memory").queryName("turns_out")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    // one micro-batch over the parquet replay -> one summary per key
+    val streamed = spark.table("turns_out")
+      .select(col("user_id"), col("n_events"), col("n_turns"),
+        col("max_user_run"), col("max_assistant_run"), col("opens_with"),
+        col("closes_with"), col("strict_alternation"))
+    val batch = SparkEntry.queries("n_turn_structure")(spark, sf)
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      "streamed turn summaries diverge from the batch query")
+  }
 }

@@ -641,16 +641,34 @@ object Round11bQueries extends QueryModule {
             """aggregate(sequence(0, 31), 0L, (acc, b) -> acc +
                  IF(aggregate(ss, 0L, (a, h) -> a + IF(((h >> b) & 1) = 1, 1L, -1L)) >= 0,
                     shiftleft(1L, b), 0L))"""))
-        val withSigs = perms.zipWithIndex.foldLeft(base) { case (df, ((a, b), i)) =>
-          df.withColumn(s"m$i", expr(s"array_min(transform(ss, h -> ($a * h + $b) % 2147483647))"))
-        }.select(col("doc_id"), col("ss"), col("sig32"),
-          col("m0"), col("m1"), col("m2"), col("m3"))
-        val l = withSigs.columns.foldLeft(withSigs)((d, c) => d.withColumnRenamed(c, c + "_a"))
-        val r = withSigs.columns.foldLeft(withSigs)((d, c) => d.withColumnRenamed(c, c + "_b"))
+        val withSigs = DedupQueries.retain(
+          perms.zipWithIndex.foldLeft(base) { case (df, ((a, b), i)) =>
+            df.withColumn(s"m$i", expr(s"array_min(transform(ss, h -> ($a * h + $b) % 2147483647))"))
+          }.select(col("doc_id"), col("ss"), col("sig32"),
+            col("m0"), col("m1"), col("m2"), col("m3")))
+        // Jaccard via the shingle-keyed pair-intersection relation (the
+        // n_dedup_ngram_jaccard shape) instead of per-pair
+        // array_intersect over every ordered pair: the all-pairs
+        // relation below carries only SCALARS (sizes + signatures), and
+        // |A∩B| arrives from a digest equi-join — the round-11 bench
+        // caught the array-op form at 40 s for 300 docs (25% of the
+        // whole suite), vs ~1 s for this shape; values are identical
+        // because j = inter / (|A| + |B| - inter) exactly.
+        val ex = withSigs.select(col("doc_id"), explode(col("ss")).as("h"))
+        val inter = ex.as("x").join(ex.as("y"),
+            col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
+          .groupBy(col("x.doc_id").as("ia"), col("y.doc_id").as("ib"))
+          .agg(count(lit(1)).as("inter"))
+        val scalars = withSigs.select(col("doc_id"), size(col("ss")).as("n"),
+          col("sig32"), col("m0"), col("m1"), col("m2"), col("m3"))
+        val l = scalars.columns.foldLeft(scalars)((d, c) => d.withColumnRenamed(c, c + "_a"))
+        val r = scalars.columns.foldLeft(scalars)((d, c) => d.withColumnRenamed(c, c + "_b"))
         l.join(r, col("doc_id_a") < col("doc_id_b"))
-          .withColumn("j", round(
-            size(array_intersect(col("ss_a"), col("ss_b"))).cast("double")
-              / size(array_union(col("ss_a"), col("ss_b"))), 6))
+          .join(inter,
+            col("doc_id_a") === col("ia") && col("doc_id_b") === col("ib"), "left")
+          .withColumn("i0", coalesce(col("inter"), lit(0L)))
+          .withColumn("j", round(col("i0").cast("double")
+            / (col("n_a") + col("n_b") - col("i0")), 6))
           .withColumn("hamming", expr("bit_count(sig32_a ^ sig32_b)"))
           .withColumn("mh_agree",
             (0 to 3).map(i => when(col(s"m${i}_a") === col(s"m${i}_b"), 1).otherwise(0))

@@ -2341,6 +2341,18 @@ object GraftExtensions {
         (args: Seq[Expression]) => {
           require(args.length == 2, s"graft_div expects 2 arguments, got ${args.length}")
           graft.functions.DivDispatch(args(0), args(1)): Expression
+        }),
+      // DuckDB's map(keys_list, values_list) two-list constructor vs
+      // Spark's variadic map(k1, v1, …): without the dispatch,
+      // map([1,2],['a','b']) silently became a ONE-entry Spark map of
+      // array→array (cardinality 1 where DuckDB says 2 — probe 16).
+      // Arity 2 dispatches on the RESOLVED types (arrays → map_from_arrays,
+      // scalars → the 1-entry variadic meaning); other arities stay builtin.
+      ("map",
+        info("map", "map(keys, values) - DuckDB two-list constructor; variadic k/v pairs otherwise."),
+        (args: Seq[Expression]) => {
+          if (args.length == 2) graft.functions.MapDispatch(args(0), args(1))
+          else builtinBuilder("map")(args): Expression
         }))
   }
 

@@ -3252,6 +3252,21 @@ object Dialect {
       case Remainder(l, r, ev) => Remainder(l, guard(r), ev)
       case IntegralDivide(l, r, ev) => IntegralDivide(l, guard(r), ev)
     }
-    org.apache.spark.sql.graft.ColumnBridge.ofRows(spark, guarded)
+    val df = org.apache.spark.sql.graft.ColumnBridge.ofRows(spark, guarded)
+    // DuckDB types DATE - DATE as BIGINT days (probe tier 16:
+    // DATE '2024-03-05' - DATE '2024-02-28' = 6) where Spark yields
+    // INTERVAL '6' DAY. Flip the resolved SubtractDates node to
+    // datediff-as-bigint and RE-ANALYZE: a parent that consumed the
+    // interval re-resolves against the new type — succeeding where
+    // DuckDB's integer arithmetic would ((d1 - d2) + 5 works on both
+    // engines now), failing LOUDLY where it can't, never silently.
+    import org.apache.spark.sql.catalyst.expressions.{Cast, DateDiff, SubtractDates}
+    import org.apache.spark.sql.types.LongType
+    val analyzed = df.queryExecution.analyzed
+    val flipped = analyzed.transformAllExpressions {
+      case SubtractDates(l, r, _) => Cast(DateDiff(l, r), LongType)
+    }
+    if (flipped eq analyzed) df
+    else org.apache.spark.sql.graft.ColumnBridge.ofRows(spark, flipped)
   }
 }

@@ -1394,6 +1394,35 @@ class DialectSpec extends AnyFunSuite with BeforeAndAfterAll {
     one("SELECT upper(123) AS a", """[{"a":"123"}]""")
   }
 
+  test("probe-16 pins: date-date is BIGINT days, the DuckDB two-list map constructor, comparisons") {
+    def one(sql: String, expect: String): Unit = {
+      val r = post(sql)
+      assert(r.statusCode() == 200, s"$sql -> ${r.body()}")
+      assert(r.body() == expect, s"$sql -> ${r.body()} (wanted $expect)")
+    }
+    // DATE - DATE types BIGINT days in DuckDB (6) vs Spark's INTERVAL;
+    // sqlServed flips the resolved SubtractDates. Composing the result
+    // into further integer arithmetic stays a LOUD analysis error
+    // (analysis fails on the interval before the flip can run) —
+    // documented in COVERAGE.md omissions, never silent.
+    one("SELECT DATE '2024-03-05' - DATE '2024-02-28' AS a", """[{"a":6}]""")
+    assert(post("SELECT (DATE '2024-03-05' - DATE '2024-02-28') + 5 AS a").statusCode() >= 400)
+    one("SELECT DATE '2024-03-05' + 3 AS a, DATE '2024-03-05' - 3 AS b",
+      """[{"a":"2024-03-08","b":"2024-03-02"}]""")
+    one("SELECT TIMESTAMP '2024-01-02 03:00:00' - TIMESTAMP '2024-01-01 00:00:00' AS a",
+      """[{"a":"1 day 03:00:00"}]""")
+    // DuckDB's map(keys, values) two-list constructor: without the
+    // MapDispatch this silently became a ONE-entry map of array→array
+    one("SELECT cardinality(map([1,2],['a','b'])) AS c", """[{"c":2}]""")
+    one("SELECT map_keys(map([2,1],['b','a'])) AS k", """[{"k":[2,1]}]""")
+    // the variadic pair meaning survives for scalar args
+    one("SELECT map('k', 7) AS m", """[{"m":{"k":7}}]""")
+    // binary codepoint collation + lexicographic list/struct compare
+    one("SELECT ('a' < 'B') AS x, ([1,2] < [1,3]) AS a, ([1,2] < [1,2,0]) AS b",
+      """[{"x":false,"a":true,"b":true}]""")
+    one("SELECT nullif(5, 5) AS a, ifnull(NULL, 7) AS b", """[{"a":null,"b":7}]""")
+  }
+
   test("sandboxed server rejects dialect file sources outside allowed dirs") {
     val sandboxed = new QueryServer(spark, 0, allowedDirs = Seq("/nonexistent"))
     sandboxed.start()

@@ -147,7 +147,13 @@ object ScaleBench {
     // (brand x size = 1250) block width grows with the data, so pairs
     // grow ~100x for 10x — the documented scale path is a finer block
     // key (the Fellegi-Sunter knob), not a faster join.
-    "n_doremi_reweight", "n_encoding_audit", "n_packing_efficiency")
+    "n_doremi_reweight", "n_encoding_audit", "n_packing_efficiency",
+    // round-11g: LOO influence is the DoReMi token-keyed chain plus a
+    // co-partitioned (source, token) join; the epoch plan is a
+    // source-count rollup x 3-row broadcast. n_quality_kendall is
+    // excluded: its pair space is slice-quadratic over a FIXED
+    // doc_id < 300 evaluation sample by definition of the statistic.
+    "n_loo_domain_influence", "n_mixture_epochs")
 
   def main(args: Array[String]): Unit = {
     val dirA = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

@@ -973,7 +973,17 @@ object Dialect {
     * Multi-key or NULLS-qualified specs are left alone → loud parse
     * error, never a silently unsorted result.
     */
-  private val AggOrderRe = """(?i)\b(string_agg|array_agg|list|first|last|arbitrary)\s*\(""".r
+  private val AggOrderRe = """(?i)\b(string_agg|array_agg|list|first|last|arbitrary|any_value|sum|avg|mean|min|max|count|median|mode|product|quantile_cont|quantile_disc|quantile|bool_and|bool_or|bit_and|bit_or|bit_xor|entropy|favg|fsum)\s*\(""".r
+
+  /** Aggregates whose result provably does not depend on input order —
+    * DuckDB accepts ORDER BY inside any aggregate and it is a no-op
+    * for these (pinned: sum(x ORDER BY x) = sum(x), probe 17), so the
+    * clause is stripped rather than failed. */
+  private val orderInsensitiveAggs = Set(
+    "sum", "avg", "mean", "min", "max", "count", "median", "mode",
+    "product", "quantile_cont", "quantile_disc", "quantile",
+    "bool_and", "bool_or", "bit_and", "bit_or", "bit_xor",
+    "entropy", "favg", "fsum")
 
   private def rewriteAggOrder(sql: String): String = {
     var s = sql
@@ -1064,6 +1074,9 @@ object Dialect {
   private def aggOrderReplacement(fn: String, argsPart: String, spec: String): Option[String] = {
     val keys = parseSortKeys(spec)
     if (keys.isEmpty) return None
+    // order-insensitive aggregates: DuckDB allows the clause, the
+    // result ignores it — strip (probe 17)
+    if (orderInsensitiveAggs(fn)) return Some(s"$fn($argsPart)")
     val oneKeyPlain = keys.length == 1 && !spec.toUpperCase.contains("NULLS")
     if (fn == "string_agg") {
       val args = splitTopLevel(argsPart, ',').map(_.trim)
@@ -1073,10 +1086,11 @@ object Dialect {
         Some(s"listagg(${args.head}, $sep) WITHIN GROUP (ORDER BY $spec)")
       else // multi-key / NULLS spec: render through the comparator sort
         Some(s"array_join(${sortedValueArray(args.head, keys)}, $sep)")
-    } else if (fn == "first" || fn == "last" || fn == "arbitrary") {
+    } else if (fn == "first" || fn == "last" || fn == "arbitrary" || fn == "any_value") {
       // first(x ORDER BY k) is the x of the minimum k = min_by(x, k)
-      // (verified: first/arbitrary pick the first sorted row, last the
-      // final one; DESC flips). Multi-key / NULLS specs take the
+      // (verified: first/arbitrary/any_value pick the first sorted row,
+      // last the final one; DESC flips — probe 17 pinned the ordered
+      // any_value form). Multi-key / NULLS specs take the
       // comparator-sorted array's first/last element instead.
       val x = argsPart.trim
       if (x.toUpperCase.startsWith("DISTINCT ") || splitTopLevel(x, ',').length != 1) return None

@@ -1423,6 +1423,34 @@ class DialectSpec extends AnyFunSuite with BeforeAndAfterAll {
     one("SELECT nullif(5, 5) AS a, ifnull(NULL, 7) AS b", """[{"a":null,"b":7}]""")
   }
 
+  test("probe-17 pins: aggregate long tail — ordered any_value, order-insensitive ORDER BY strip, quantile forms") {
+    def one(sql: String, expect: String): Unit = {
+      val r = post(sql)
+      assert(r.statusCode() == 200, s"$sql -> ${r.body()}")
+      assert(r.body() == expect, s"$sql -> ${r.body()} (wanted $expect)")
+    }
+    // ordered any_value = first along the order (DuckDB pin)
+    one("SELECT any_value(x ORDER BY x DESC) AS a FROM (VALUES (1),(3),(2)) t(x)",
+      """[{"a":3}]""")
+    // ORDER BY inside order-insensitive aggregates is a DuckDB no-op
+    one("SELECT sum(x ORDER BY x DESC) AS s, min(x ORDER BY x) AS m, " +
+      "quantile_cont(x, 0.5 ORDER BY x) AS q FROM (VALUES (1),(2),(3),(4)) t(x)",
+      """[{"s":10,"m":1,"q":2.5}]""")
+    // quantile list form (doubles), disc lower-pick, medians
+    one("SELECT quantile_cont(x, [0.25, 0.5, 0.75]) AS q FROM (VALUES (CAST(1 AS DOUBLE)),(2),(3),(4)) t(x)",
+      """[{"q":[1.75,2.5,3.25]}]""")
+    one("SELECT quantile_cont(x, 0.5) AS m, quantile_disc(x, 0.5) AS d, median(x) AS e " +
+      "FROM (VALUES (1),(2),(3),(4)) t(x)",
+      """[{"m":2.5,"d":2,"e":2.5}]""")
+    // favg/fsum (Kahan forms), entropy's log2 base, ordered list
+    one("SELECT favg(x) AS f, fsum(x) AS s FROM (VALUES (1.5),(2.5)) t(x)",
+      """[{"f":2.0,"s":4.0}]""")
+    one("SELECT entropy(x) AS e FROM (VALUES (1),(1),(2),(3)) t(x)",
+      """[{"e":1.5}]""")
+    one("SELECT list(x ORDER BY x DESC) AS l FROM (VALUES (1),(3),(2)) t(x)",
+      """[{"l":[3,2,1]}]""")
+  }
+
   test("sandboxed server rejects dialect file sources outside allowed dirs") {
     val sandboxed = new QueryServer(spark, 0, allowedDirs = Seq("/nonexistent"))
     sandboxed.start()

@@ -202,10 +202,30 @@ object GraftExtensions {
     // NULL elements skipped, empty/all-NULL lists → NULL (count → 0),
     // dispatched on the resolved element type (ListAggregateDispatch)
     ("list_aggregate",
-      info("list_aggregate", "list_aggregate(list, 'fn') - reduce a list with min/max/count/sum/avg (DuckDB NULL semantics)."),
+      info("list_aggregate", "list_aggregate(list, 'fn'[, sep]) - reduce a list with min/max/count/sum/avg, or string_agg with a separator (DuckDB NULL semantics)."),
       (args: Seq[Expression]) => {
-        require(args.length == 2, s"list_aggregate expects 2 arguments, got ${args.length}")
-        graft.functions.ListAggregateDispatch(args.head, args(1))
+        if (args.length == 3) {
+          // the 3-arg form forwards the extra argument to the named
+          // aggregate; string_agg/listagg (the separator form) is the
+          // DuckDB usage (probe 18) — array_join skips NULLs exactly
+          // like DuckDB's string_agg
+          val fn = args(1) match {
+            case org.apache.spark.sql.catalyst.expressions.Literal(s,
+                _: org.apache.spark.sql.types.StringType) if s != null =>
+              s.toString.toLowerCase
+            case other => throw new IllegalArgumentException(
+              s"list_aggregate: the function name must be a string literal, got $other")
+          }
+          require(fn == "string_agg" || fn == "listagg",
+            s"list_aggregate: 3-arg form supports string_agg, got '$fn'")
+          builtinBuilder("array_join")(Seq(
+            org.apache.spark.sql.catalyst.expressions.Cast(args.head,
+              org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.StringType)), args(2)))
+        } else {
+          require(args.length == 2, s"list_aggregate expects 2 arguments, got ${args.length}")
+          graft.functions.ListAggregateDispatch(args.head, args(1))
+        }
       }),
     ("list_sum",
       info("list_sum", "list_sum(list) - sum of non-NULL elements; NULL when none."),

@@ -1451,6 +1451,28 @@ class DialectSpec extends AnyFunSuite with BeforeAndAfterAll {
       """[{"l":[3,2,1]}]""")
   }
 
+  test("probe-18 pins: list-lambda long tail") {
+    def one(sql: String, expect: String): Unit = {
+      val r = post(sql)
+      assert(r.statusCode() == 200, s"$sql -> ${r.body()}")
+      assert(r.body() == expect, s"$sql -> ${r.body()} (wanted $expect)")
+    }
+    one("SELECT list_reduce([1,2,3], (a, b) -> a + b) AS r", """[{"r":6}]""")
+    one("SELECT list_where([10,20,30], [true,false,true]) AS w", """[{"w":[10,30]}]""")
+    one("SELECT list_select([10,20,30], [3,1]) AS s", """[{"s":[30,10]}]""")
+    one("SELECT list_grade_up([30,10,20]) AS g", """[{"g":[2,3,1]}]""")
+    // zip fills the SHORTER side with NULLs (DuckDB semantics)
+    one("SELECT list_zip([1,2],['a','b','c']) AS z",
+      """[{"z":[{"list_1":1,"list_2":"a"},{"list_1":2,"list_2":"b"},{"list_1":null,"list_2":"c"}]}]""")
+    one("SELECT list_has_any([1,2],[2,3]) AS a, list_has_all([1,2,3],[2,3]) AS b",
+      """[{"a":true,"b":true}]""")
+    // 3-arg list_aggregate forwards the separator to string_agg
+    one("SELECT list_aggregate([1,2,3], 'sum') AS s, list_aggregate(['a','b'], 'string_agg', '-') AS g",
+      """[{"s":6,"g":"a-b"}]""")
+    one("SELECT list_apply([1,2], x -> x * 2) AS a", """[{"a":[2,4]}]""")
+    one("SELECT [x * 2 FOR x IN [1,2,3] IF x > 1] AS c", """[{"c":[4,6]}]""")
+  }
+
   test("sandboxed server rejects dialect file sources outside allowed dirs") {
     val sandboxed = new QueryServer(spark, 0, allowedDirs = Seq("/nonexistent"))
     sandboxed.start()

@@ -3143,6 +3143,67 @@ object Dialect {
     out
   }
 
+  /** MULTIPLE `unnest(...)` items in one select list ZIP in DuckDB
+    * (Postgres-style: rows = the longest list, shorter lists
+    * NULL-fill — probe 18b pinned [(1,30),(2,40),(NULL,50)]), while
+    * Spark's multiple generators CROSS-product — a silent row-set
+    * divergence. Rewrite: the shared row index explodes once in a
+    * derived table (CASE-guarded sequence so all-empty lists produce
+    * ZERO rows, like DuckDB), and each unnest item becomes
+    * try_element_at(list, index) — NULL past the end = the NULL fill.
+    * Scope: every multi-unnest item needs an AS alias, and top-level
+    * GROUP BY / HAVING / DISTINCT with zipped unnests stays LOUD
+    * (throw → 400) rather than risking a silent mis-rewrite; single
+    * unnests keep the plain explode path.
+    */
+  private def rewriteMultiUnnest(sql: String): String = {
+    val up = sql.toUpperCase(java.util.Locale.ROOT)
+    if (!up.contains("UNNEST")) return sql
+    val selAt = firstTopLevel(sql, "SELECT")
+    if (selAt != 0) return sql // subquery-leading forms: leave alone
+    val fromAt = firstTopLevel(sql, "FROM")
+    val listEnd = if (fromAt >= 0) fromAt else sql.length
+    val listStr = sql.substring(selAt + "SELECT".length, listEnd)
+    val items = splitTopLevel(listStr, ',').map(_.trim)
+    val ItemRe = """(?is)^unnest\s*\((.*)\)(?:\s+(?:AS\s+)?([A-Za-z_][A-Za-z0-9_]*))?$""".r
+    val unnestish = items.count(i =>
+      """(?is)^unnest\s*\(.*""".r.findFirstIn(i).isDefined)
+    if (unnestish < 2) return sql
+    if (firstTopLevel(sql, "GROUP BY") >= 0 || firstTopLevel(sql, "HAVING") >= 0 ||
+        listStr.trim.toUpperCase.startsWith("DISTINCT"))
+      throw new IllegalArgumentException(
+        "multiple unnest() items zip row-wise in DuckDB; combining them with " +
+          "GROUP BY/HAVING/DISTINCT is not supported here — unnest in a subquery first")
+    val exprs = items.map {
+      case ItemRe(inner, alias) => Some((inner.trim, Option(alias)))
+      case _ => None
+    }
+    if (exprs.flatten.length != unnestish || exprs.flatten.exists(_._2.isEmpty))
+      throw new IllegalArgumentException(
+        "multiple unnest() items zip row-wise in DuckDB; each needs to be a " +
+          "plain aliased item (unnest(expr) AS name) here")
+    val lists = exprs.flatten.map(_._1)
+    val g = lists.map(e => s"size($e)").mkString("greatest(", ", ", ")")
+    val seq = s"CASE WHEN coalesce($g, 0) <= 0 THEN array() ELSE sequence(1, $g) END"
+    // ORDER BY / LIMIT / OFFSET stay with the OUTER select
+    val tail = if (fromAt >= 0) sql.substring(fromAt) else ""
+    val cutAt = Seq("ORDER BY", "LIMIT", "OFFSET")
+      .map(k => firstTopLevel(tail, k)).filter(_ >= 0).sorted.headOption
+    val (innerTail, outerTail) = cutAt match {
+      case Some(c) => (tail.substring(0, c), " " + tail.substring(c))
+      case None => (tail, "")
+    }
+    val outItems = items.map {
+      case ItemRe(inner, alias) =>
+        s"try_element_at(${inner.trim}, __uzi) AS $alias"
+      case other => other
+    }
+    val innerSel =
+      if (innerTail.trim.isEmpty) s"SELECT explode($seq) AS __uzi"
+      else s"SELECT *, explode($seq) AS __uzi $innerTail"
+    s"SELECT ${outItems.mkString(", ")} FROM ($innerSel) __uzq$outerTail"
+  }
+
   /** DuckDB rounds on casts to integer types where Spark truncates
     * (probe 13; rules per source type live in
     * graft.functions.IntCastDispatch). CAST(x AS INT) /
@@ -3227,11 +3288,11 @@ object Dialect {
       rewritePositionalJoin(spark,
       rewriteDistinctOn(rewriteQualify(rewriteExclude(rewriteOffsetLimit(rewriteFactorialAbs(rewritePower(rewriteGlob(rewriteTildeOps(rewriteQuantified(rewriteAggOrder(rewriteSimilarTo(rewriteJsonOps(rewriteDateDiff(rewriteIntDiv(
         rewriteSample(rewriteStructPack(rewriteBrackets(rewriteBraces(
-          rewriteIntCasts(rewriteTypeAliases(rewriteWindowFilter(rewriteUnnestRecursive(rewriteExtractFields(rewriteExtractQuoted(
+          rewriteIntCasts(rewriteTypeAliases(rewriteWindowFilter(rewriteMultiUnnest(rewriteUnnestRecursive(rewriteExtractFields(rewriteExtractQuoted(
           rewriteUnionByName(spark, rewriteReplace(spark, rewriteColumns(spark, rewriteAsOf(rewriteGenerateSeries(rewriteSources(spark,
             rewritePivot(spark, rewriteUnpivot(rewriteSummarize(spark,
               rewritePragma(rewriteDescribe(spark, expandMacros(spark, rewriteFromFirst(sql))))))),
-            pathOk))))))))))))))))))))))))))))))))
+            pathOk)))))))))))))))))))))))))))))))))
 
   /** The serving plane's spark.sql: parse, then rewrite arithmetic to
     * DuckDB semantics BEFORE analysis so Catalyst's own coercion

@@ -1473,6 +1473,29 @@ class DialectSpec extends AnyFunSuite with BeforeAndAfterAll {
     one("SELECT [x * 2 FOR x IN [1,2,3] IF x > 1] AS c", """[{"c":[4,6]}]""")
   }
 
+  test("probe-18b pins: multiple unnest items ZIP like DuckDB, never cross-product") {
+    def one(sql: String, expect: String): Unit = {
+      val r = post(sql)
+      assert(r.statusCode() == 200, s"$sql -> ${r.body()}")
+      assert(r.body() == expect, s"$sql -> ${r.body()} (wanted $expect)")
+    }
+    // rows = longest list, shorter NULL-fills (was a silent 6-row
+    // cross product before the rewrite)
+    one("SELECT unnest([1,2]) AS a, unnest([30,40,50]) AS b",
+      """[{"a":1,"b":30},{"a":2,"b":40},{"a":null,"b":50}]""")
+    // per-FROM-row zip
+    one("SELECT d, unnest([1,2]) AS a, unnest([5]) AS b FROM (VALUES ('x'),('y')) t(d) ORDER BY d, a NULLS LAST",
+      """[{"d":"x","a":1,"b":5},{"d":"x","a":2,"b":null},{"d":"y","a":1,"b":5},{"d":"y","a":2,"b":null}]""")
+    // all-empty lists produce ZERO rows (the CASE guard, not [1,0])
+    one("SELECT unnest(CAST(array() AS ARRAY<INT>)) AS a, unnest(CAST(array() AS ARRAY<INT>)) AS b",
+      """[]""")
+    // single unnest keeps the plain explode path
+    one("SELECT unnest([7,8]) AS u", """[{"u":7},{"u":8}]""")
+    // unsupported combinations stay LOUD, never silently cross-product
+    assert(post("SELECT unnest([1]) AS a, unnest([2]) AS b, count(*) FROM (VALUES (1)) t(x) GROUP BY 1, 2").statusCode() >= 400)
+    assert(post("SELECT unnest([1]), unnest([2])").statusCode() >= 400)
+  }
+
   test("sandboxed server rejects dialect file sources outside allowed dirs") {
     val sandboxed = new QueryServer(spark, 0, allowedDirs = Seq("/nonexistent"))
     sandboxed.start()

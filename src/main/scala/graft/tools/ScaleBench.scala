@@ -153,7 +153,13 @@ object ScaleBench {
     // source-count rollup x 3-row broadcast. n_quality_kendall is
     // excluded: its pair space is slice-quadratic over a FIXED
     // doc_id < 300 evaluation sample by definition of the statistic.
-    "n_loo_domain_influence", "n_mixture_epochs")
+    "n_loo_domain_influence", "n_mixture_epochs",
+    // round-11h: the overlap matrix is a source-keyed digest rollup +
+    // k-bounded top relation (state independent of corpus size); the
+    // cohesion audit reads the memoized whole-corpus pair relation +
+    // one label join. n_lpa_communities is excluded: fixed doc_id<300
+    // evaluation slice by construction.
+    "n_source_overlap_matrix", "n_cluster_cohesion")
 
   def main(args: Array[String]): Unit = {
     val dirA = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

@@ -159,7 +159,12 @@ object ScaleBench {
     // cohesion audit reads the memoized whole-corpus pair relation +
     // one label join. n_lpa_communities is excluded: fixed doc_id<300
     // evaluation slice by construction.
-    "n_source_overlap_matrix", "n_cluster_cohesion")
+    "n_source_overlap_matrix", "n_cluster_cohesion",
+    // round-11i: the consistency audit reduces to the k^2 majority
+    // relation (one lag window + one aggregate; triads are k^3 over a
+    // model-sized relation); trimmed stats are one keyed rank window
+    // per language + exact-integer sums
+    "n_pref_consistency", "n_trimmed_stats")
 
   def main(args: Array[String]): Unit = {
     val dirA = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

@@ -2463,6 +2463,15 @@ object GraftExtensions {
     spark.udf.register("jaro_similarity", nd(StringDistances.jaro))
     spark.udf.register("jaro_winkler_similarity", nd(StringDistances.jaroWinkler))
     spark.udf.register("damerau_levenshtein", nl(StringDistances.damerauLevenshtein))
+    // Spark's builtin chr is byte-oriented (codepoint % 256 — chr(769)
+    // silently yields ́ % 256 = \x01) while DuckDB's takes any
+    // Unicode codepoint and ERRORS outside the valid range (probe 19
+    // follow-up: nfc_normalize('e' || chr(769)) silently broke through
+    // the wrapped chr). Full-range Unicode with DuckDB's loud bounds.
+    spark.udf.register("chr", (cp: Int) =>
+      if (cp < 0 || cp > 0x10FFFF || (cp >= 0xD800 && cp <= 0xDFFF))
+        throw new IllegalArgumentException(s"Invalid UTF8 Codepoint $cp")
+      else new String(Character.toChars(cp)))
     spark.udf.register("nfc_normalize", (s: String) =>
       if (s == null) null
       else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))

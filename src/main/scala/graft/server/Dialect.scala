@@ -3143,6 +3143,40 @@ object Dialect {
     out
   }
 
+  /** DuckDB string literals are STANDARD SQL: no backslash escape
+    * processing ('\d' is backslash-d; e'...' is the opt-in escaped
+    * form). Spark's default parser processes backslash escapes in
+    * EVERY literal — '\d' silently became 'd', breaking every served
+    * regex character class (probe 19: regexp_extract('2024-01-02',
+    * '(\d+)-(\d+)', 2) returned '' and regexp_split_to_array never
+    * split). Backslashes inside plain quoted literals DOUBLE
+    * (round-tripping to the exact DuckDB bytes through Spark's escape
+    * processing); e'...'/E'...' literals drop the prefix and keep
+    * their backslashes, so Spark's processing plays the escape-string
+    * role. Runs INNERMOST (on the raw request) so literal content
+    * later rewrites extract is already in Spark spelling; macro
+    * bodies spliced from stored definitions bypass it — a documented
+    * niche (define backslash-using macros with e'...').
+    */
+  private def rewriteStringEscapes(sql: String): String = {
+    if (sql.indexOf('\\') < 0 && sql.toLowerCase.indexOf("e'") < 0) return sql
+    val mask = quoteMask(sql)
+    val sb = new StringBuilder(sql.length + 8)
+    var i = 0
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (!mask(i) && (c == 'e' || c == 'E') && i + 1 < sql.length &&
+          sql.charAt(i + 1) == '\'' && mask(i + 1) &&
+          (i == 0 || !isWordChar(sql.charAt(i - 1)))) {
+        // escape-string literal: drop the prefix, copy the span verbatim
+        i += 1
+        while (i < sql.length && mask(i)) { sb.append(sql.charAt(i)); i += 1 }
+      } else if (mask(i) && c == '\\') { sb.append("\\\\"); i += 1 }
+      else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
   /** MULTIPLE `unnest(...)` items in one select list ZIP in DuckDB
     * (Postgres-style: rows = the longest list, shorter lists
     * NULL-fill — probe 18b pinned [(1,30),(2,40),(NULL,50)]), while
@@ -3291,7 +3325,7 @@ object Dialect {
           rewriteIntCasts(rewriteTypeAliases(rewriteWindowFilter(rewriteMultiUnnest(rewriteUnnestRecursive(rewriteExtractFields(rewriteExtractQuoted(
           rewriteUnionByName(spark, rewriteReplace(spark, rewriteColumns(spark, rewriteAsOf(rewriteGenerateSeries(rewriteSources(spark,
             rewritePivot(spark, rewriteUnpivot(rewriteSummarize(spark,
-              rewritePragma(rewriteDescribe(spark, expandMacros(spark, rewriteFromFirst(sql))))))),
+              rewritePragma(rewriteDescribe(spark, expandMacros(spark, rewriteFromFirst(rewriteStringEscapes(sql)))))))),
             pathOk)))))))))))))))))))))))))))))))))
 
   /** The serving plane's spark.sql: parse, then rewrite arithmetic to

@@ -39,7 +39,11 @@ class DialectPropertySpec extends AnyFunSuite {
             "AS INT", "AS TINYINT", "AS SMALLINT", "AS BIGINT",
             "::INT", "::TINYINT", "::SMALLINT", "::BIGINT",
             "FILTER", "extract(epoch", "extract(dow", "recursive :=")
-          .exists(Dialect.hasUnquoted(sql, _)) }
+          .exists(Dialect.hasUnquoted(sql, _)) ||
+        // backslashes inside literals are dialect surface since probe
+        // 19: DuckDB literals are standard SQL (no escape processing)
+        // while Spark's parser escapes, so the shim doubles them
+        sql.contains("\\") }
       .foreach { case (name, sql) =>
         assert(Dialect.rewrite(spark, sql) == sql, s"rewrite altered oracle of $name")
       }
@@ -47,11 +51,17 @@ class DialectPropertySpec extends AnyFunSuite {
 
   test("rewrite is idempotent over the ENTIRE oracle corpus") {
     // scanner-correctness safety net across 120+ real SQL texts,
-    // including the bracket-using ones
-    SparkEntry.oracleSql.foreach { case (name, sql) =>
-      val once = Dialect.rewrite(spark, sql)
-      assert(Dialect.rewrite(spark, once) == once, s"not idempotent on oracle of $name")
-    }
+    // including the bracket-using ones. Literals CONTAINING backslashes
+    // are excluded: the probe-19 escape doubling treats every input as
+    // fresh DuckDB text ('\d' → '\\d' → '\\\\d'), so it is a genuine
+    // transformation, not a normal form — the server applies rewrite
+    // exactly once per request by construction (QueryServer.runQuery).
+    SparkEntry.oracleSql
+      .filterNot { case (_, sql) => sql.contains("\\") }
+      .foreach { case (name, sql) =>
+        val once = Dialect.rewrite(spark, sql)
+        assert(Dialect.rewrite(spark, once) == once, s"not idempotent on oracle of $name")
+      }
   }
 
   test("rewrite is idempotent on dialect examples") {

@@ -1496,6 +1496,43 @@ class DialectSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(post("SELECT unnest([1]), unnest([2])").statusCode() >= 400)
   }
 
+  test("probe-19 pins: standard-SQL string literals (no escape processing), string utility tail") {
+    def one(sql: String, expect: String): Unit = {
+      val r = post(sql)
+      assert(r.statusCode() == 200, s"$sql -> ${r.body()}")
+      assert(r.body() == expect, s"$sql -> ${r.body()} (wanted $expect)")
+    }
+    // DuckDB literals keep backslashes ('\d' IS backslash-d); before
+    // the probe-19 escape rewrite Spark silently ate them and every
+    // served regex class broke
+    one("""SELECT regexp_extract('2024-01-02', '(\d+)-(\d+)', 2) AS g""",
+      """[{"g":"01"}]""")
+    one("""SELECT regexp_extract_all('a1b22c', '\d+') AS a, regexp_split_to_array('a1b22c', '\d+') AS s""",
+      """[{"a":["1","22"],"s":["a","b","c"]}]""")
+    // a literal backslash survives the round trip; length sees ONE char
+    one("""SELECT length('\') AS n, '\d' AS s""", """[{"n":1,"s":"\\d"}]""")
+    // e'...' is the opt-in ESCAPED form: \n becomes a newline there
+    one("""SELECT length(e'a\nb') AS n, length('a\nb') AS m""",
+      """[{"n":3,"m":4}]""")
+    // SIMILAR TO is regex full-match in DuckDB (% is literal there)
+    one("SELECT ('abc' SIMILAR TO 'a%') AS s, ('abc' SIMILAR TO 'a.*') AS r",
+      """[{"s":false,"r":true}]""")
+    one("SELECT parse_dirname('/a/b/c.txt') AS d, parse_dirpath('/a/b/c.txt') AS p, parse_filename('/a/b/c.txt') AS f",
+      """[{"d":"/","p":"/a/b","f":"c.txt"}]""")
+    one("SELECT format_bytes(1234567) AS f, formatReadableDecimalSize(1234567) AS g",
+      """[{"f":"1.1 MiB","g":"1.2 MB"}]""")
+    one("SELECT damerau_levenshtein('abc','acb') AS d, hamming('abc','abd') AS h",
+      """[{"d":1,"h":1}]""")
+    one("SELECT string_to_array('a,b', ',') AS a, array_to_string([1,2], '-') AS s",
+      """[{"a":["a","b"],"s":"1-2"}]""")
+    // chr takes full Unicode codepoints (Spark's builtin wraps at 256 —
+    // chr(769) silently became \x01); invalid codepoints stay loud
+    one("SELECT length(nfc_normalize('e' || chr(769))) AS n, chr(128512) AS e",
+      """[{"n":1,"e":"😀"}]""")
+    assert(post("SELECT chr(1114112) AS a").statusCode() >= 400)
+    assert(post("SELECT chr(-1) AS a").statusCode() >= 400)
+  }
+
   test("sandboxed server rejects dialect file sources outside allowed dirs") {
     val sandboxed = new QueryServer(spark, 0, allowedDirs = Seq("/nonexistent"))
     sandboxed.start()

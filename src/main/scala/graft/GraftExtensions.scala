@@ -2468,6 +2468,10 @@ object GraftExtensions {
     // Unicode codepoint and ERRORS outside the valid range (probe 19
     // follow-up: nfc_normalize('e' || chr(769)) silently broke through
     // the wrapped chr). Full-range Unicode with DuckDB's loud bounds.
+    // Drop the builtin clone FIRST — udf.register over an existing name
+    // logs a replacement WARN, and the warn-free invariant
+    // (WarnAuditSpec) treats any warn as signal.
+    reg.dropFunction(FunctionIdentifier("chr"))
     spark.udf.register("chr", (cp: Int) =>
       if (cp < 0 || cp > 0x10FFFF || (cp >= 0xD800 && cp <= 0xDFFF))
         throw new IllegalArgumentException(s"Invalid UTF8 Codepoint $cp")

@@ -2362,6 +2362,43 @@ object GraftExtensions {
           require(args.length == 2, s"graft_div expects 2 arguments, got ${args.length}")
           graft.functions.DivDispatch(args(0), args(1)): Expression
         }),
+      // probe-20 JSON aggregates/quote as builtin compositions:
+      // json_group_array = to_json over the collected list,
+      // json_group_object = to_json over the collected map,
+      // json_quote = to_json of a 1-element array with the brackets
+      // stripped (renders any value as its JSON text)
+      ("json_group_array",
+        info("json_group_array", "json_group_array(x) - aggregate values into a JSON array string."),
+        (args: Seq[Expression]) => {
+          require(args.length == 1, s"json_group_array expects 1 argument, got ${args.length}")
+          builtinBuilder("to_json")(Seq(builtinBuilder("collect_list")(args) match {
+            case f: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateFunction =>
+              f.toAggregateExpression()
+            case e => e
+          })): Expression
+        }),
+      ("json_group_object",
+        info("json_group_object", "json_group_object(k, v) - aggregate pairs into a JSON object string."),
+        (args: Seq[Expression]) => {
+          require(args.length == 2, s"json_group_object expects 2 arguments, got ${args.length}")
+          def coll(e: Expression) = builtinBuilder("collect_list")(Seq(e)) match {
+            case f: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateFunction =>
+              f.toAggregateExpression()
+            case x => x
+          }
+          builtinBuilder("to_json")(Seq(
+            builtinBuilder("map_from_arrays")(Seq(coll(args(0)), coll(args(1)))))): Expression
+        }),
+      ("json_quote",
+        info("json_quote", "json_quote(x) - render a value as JSON text (DuckDB semantics)."),
+        (args: Seq[Expression]) => {
+          require(args.length == 1, s"json_quote expects 1 argument, got ${args.length}")
+          val arr = builtinBuilder("to_json")(Seq(
+            org.apache.spark.sql.catalyst.expressions.CreateArray(args)))
+          builtinBuilder("substring")(Seq(arr, Literal(2),
+            org.apache.spark.sql.catalyst.expressions.Subtract(
+              builtinBuilder("length")(Seq(arr)), Literal(2)))): Expression
+        }),
       // DuckDB's map(keys_list, values_list) two-list constructor vs
       // Spark's variadic map(k1, v1, …): without the dispatch,
       // map([1,2],['a','b']) silently became a ONE-entry Spark map of
@@ -2460,6 +2497,18 @@ object GraftExtensions {
     // input fails loudly like DuckDB's Invalid Input Error.
     spark.udf.register("json_structure", (s: String) =>
       if (s == null) null else graft.functions.JsonStructure.render(s))
+    // probe-20 JSON tail (each pinned against DuckDB): json_type's
+    // scalar vocabulary (UBIGINT/BIGINT/DOUBLE/VARCHAR/BOOLEAN/NULL),
+    // RFC-7386 merge_patch (null deletes), deep-subtree containment,
+    // json_quote's value-to-JSON-text rendering
+    spark.udf.register("json_type", (s: String) =>
+      if (s == null) null else graft.functions.JsonTail.jsonType(s))
+    spark.udf.register("json_merge_patch", (a: String, b: String) =>
+      if (a == null || b == null) null
+      else graft.functions.JsonTail.mergePatch(a, b))
+    spark.udf.register("json_contains", (h: String, n: String) =>
+      if (h == null || n == null) null
+      else java.lang.Boolean.valueOf(graft.functions.JsonTail.contains(h, n)))
     spark.udf.register("jaro_similarity", nd(StringDistances.jaro))
     spark.udf.register("jaro_winkler_similarity", nd(StringDistances.jaroWinkler))
     spark.udf.register("damerau_levenshtein", nl(StringDistances.damerauLevenshtein))

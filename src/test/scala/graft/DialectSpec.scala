@@ -1533,6 +1533,28 @@ class DialectSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(post("SELECT chr(-1) AS a").statusCode() >= 400)
   }
 
+  test("probe-20 pins: JSON long tail") {
+    def one(sql: String, expect: String): Unit = {
+      val r = post(sql)
+      assert(r.statusCode() == 200, s"$sql -> ${r.body()}")
+      assert(r.body() == expect, s"$sql -> ${r.body()} (wanted $expect)")
+    }
+    one("""SELECT json_type('{"a":1}') AS t, json_type('[1]') AS u, json_type('1') AS v, json_type('-1') AS w, json_type('1.5') AS x""",
+      """[{"t":"OBJECT","u":"ARRAY","v":"UBIGINT","w":"BIGINT","x":"DOUBLE"}]""")
+    // RFC 7386: null in the patch DELETES the key
+    one("""SELECT json_merge_patch('{"a":1,"b":2}', '{"b":null,"c":3}') AS m""",
+      """[{"m":"{\"a\":1,\"c\":3}"}]""")
+    // deep-subtree containment, root/array/nested-object forms
+    one("""SELECT json_contains('{"a": {"b": 2}}', '{"b": 2}') AS a, json_contains('[1,2,3]', '2') AS b, json_contains('{"a":1}', '2') AS c""",
+      """[{"a":true,"b":true,"c":false}]""")
+    one("SELECT json_quote(42) AS q, json_quote('a') AS s",
+      """[{"q":"42","s":"\"a\""}]""")
+    one("SELECT json_group_array(x) AS a FROM (VALUES (1),(2)) t(x)",
+      """[{"a":"[1,2]"}]""")
+    one("SELECT json_group_object(k, v) AS o FROM (VALUES ('a',1),('b',2)) t(k,v)",
+      """[{"o":"{\"a\":1,\"b\":2}"}]""")
+  }
+
   test("sandboxed server rejects dialect file sources outside allowed dirs") {
     val sandboxed = new QueryServer(spark, 0, allowedDirs = Seq("/nonexistent"))
     sandboxed.start()

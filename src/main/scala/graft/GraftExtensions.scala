@@ -1759,6 +1759,41 @@ object GraftExtensions {
       if (inline.isEmpty) pattern
       else builtinBuilder("concat")(Seq(Literal(s"(?$inline)"), pattern))
     }
+    // The first-match regexp_replace emulation prepends one capturing
+    // group, shifting every group number in the user's pattern — a
+    // backreference like '(a)\1' would silently point at the lazy
+    // prefix. For LITERAL patterns, renumber \1-\8 up by one (staying
+    // single-digit, so Java never parses '\10' ambiguously); \9 and
+    // multi-digit backrefs reject loudly. Escapes and character
+    // classes are skipped (inside [...] a \digit is not a backref).
+    def shiftBackrefs(pattern: Expression): Expression = pattern match {
+      case Literal(s, StringType) if s != null =>
+        val p = s.toString
+        if (!p.contains('\\')) pattern
+        else {
+          val sb = new StringBuilder(p.length + 4)
+          var i = 0
+          var inClass = false
+          while (i < p.length) {
+            val c = p.charAt(i)
+            if (c == '\\' && i + 1 < p.length) {
+              val d = p.charAt(i + 1)
+              if (!inClass && d >= '1' && d <= '9') {
+                require(d != '9' && (i + 2 >= p.length || !p.charAt(i + 2).isDigit),
+                  "regexp_replace: this backreference cannot be renumbered for " +
+                    "first-match emulation here - use the 'g' flag")
+                sb.append('\\').append((d + 1).toChar)
+              } else sb.append(c).append(d)
+              i += 2
+            } else {
+              if (c == '[') inClass = true else if (c == ']') inClass = false
+              sb.append(c); i += 1
+            }
+          }
+          Literal(sb.toString)
+        }
+      case other => other
+    }
     Seq(
       // encode/decode: DuckDB's 1-arg VARCHAR<->BLOB forms; the 2-arg
       // charset forms stay Spark's
@@ -1842,7 +1877,7 @@ object GraftExtensions {
               "regexp_replace: group references in the replacement need the 'g' flag here " +
                 "(first-match emulation shifts group numbers)")
             val anchored = builtinBuilder("concat")(Seq(
-              Literal("((?s)^.*?)(?:"), args(1), Literal(")")))
+              Literal("((?s)^.*?)(?:"), shiftBackrefs(args(1)), Literal(")")))
             builtinBuilder("regexp_replace")(
               Seq(args(0), anchored, Literal("$1" + rep)))
           } else if (args.length != 4) builtinBuilder("regexp_replace")(args)
@@ -1856,7 +1891,7 @@ object GraftExtensions {
                 "regexp_replace: group references in the replacement need the 'g' flag here " +
                   "(first-match emulation shifts group numbers)")
               val anchored = builtinBuilder("concat")(Seq(
-                Literal("((?s)^.*?)(?:"), flagged(args(1), flags), Literal(")")))
+                Literal("((?s)^.*?)(?:"), flagged(shiftBackrefs(args(1)), flags), Literal(")")))
               builtinBuilder("regexp_replace")(
                 Seq(args(0), anchored, Literal("$1" + rep)))
             }

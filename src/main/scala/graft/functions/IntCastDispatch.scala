@@ -32,7 +32,14 @@ case class IntCastDispatch(child: Expression, target: DataType, tryMode: Boolean
     case DoubleType | FloatType =>
       cast(BRound(child, Literal(0)), target)
     case _: StringType =>
-      cast(Round(cast(child, DoubleType), Literal(0)), target)
+      // integral-looking strings cast DIRECTLY (the double detour lost
+      // precision past 2^53: CAST('9223372036854775807' AS BIGINT)
+      // must be exact); only strings with a fractional/exponent part
+      // take the parse-then-round-half-away route
+      import org.apache.spark.sql.catalyst.expressions.{If, RLike}
+      If(RLike(child, Literal("^\\s*[+-]?[0-9]+\\s*$")),
+        cast(child, target),
+        cast(Round(cast(child, DoubleType), Literal(0)), target))
     case _ =>
       cast(child, target)
   }

@@ -2979,10 +2979,13 @@ object Dialect {
     */
   private val ExtractQuotedRe =
     """(?i)\b(extract\s*\(\s*)'([A-Za-z_]+)'(\s+FROM\b)""".r
-  private def rewriteExtractQuoted(sql: String): String =
+  private def rewriteExtractQuoted(sql: String): String = {
+    val mask = quoteMask(sql)
     ExtractQuotedRe.replaceAllIn(sql, m =>
       java.util.regex.Matcher.quoteReplacement(
-        m.group(1) + m.group(2).toUpperCase + m.group(3)))
+        if (mask(m.start)) m.matched
+        else m.group(1) + m.group(2).toUpperCase + m.group(3)))
+  }
 
   /** Extract fields Spark's parser lacks (probe 12): `extract(epoch
     * FROM x)` → `graft_extract_epoch(x)` — the operand and its closing
@@ -3003,10 +3006,15 @@ object Dialect {
     // registered DuckDB-numbered functions instead (Sunday=0 / ISO 7)
     "dow" -> "dayofweek", "weekday" -> "dayofweek",
     "isodow" -> "isodow", "isoyear" -> "isoyear")
-  private def rewriteExtractFields(sql: String): String =
+  private def rewriteExtractFields(sql: String): String = {
+    // filter matches through quoteMask like the neighboring rewrites —
+    // "extract(epoch FROM ..." inside a string literal must survive
+    val mask = quoteMask(sql)
     ExtractFieldRe.replaceAllIn(sql, m =>
       java.util.regex.Matcher.quoteReplacement(
-        ExtractFieldFn(m.group(1).toLowerCase) + "("))
+        if (mask(m.start)) m.matched
+        else ExtractFieldFn(m.group(1).toLowerCase) + "("))
+  }
 
   /** `agg(args) FILTER (WHERE pred) OVER ...` — Spark supports agg
     * FILTER only OUTSIDE windows (probe 14: "Window aggregate function
@@ -3160,19 +3168,48 @@ object Dialect {
     */
   private def rewriteStringEscapes(sql: String): String = {
     if (sql.indexOf('\\') < 0 && sql.toLowerCase.indexOf("e'") < 0) return sql
-    val mask = quoteMask(sql)
+    // A single forward scan that knows WHICH quote opened each span:
+    // backslashes double only inside single-quoted STRING literals
+    // (standard-SQL round-trip through Spark's escape processing);
+    // "…" / `…` identifier spans copy verbatim — a global
+    // all-quoted-spans mask silently renamed identifiers containing a
+    // backslash. e'…' literals drop the prefix, keep their backslashes
+    // (Spark's processing plays the escape-string role), and honor
+    // BOTH of DuckDB's quote escapes there: '' doubling and \'.
     val sb = new StringBuilder(sql.length + 8)
+    val n = sql.length
     var i = 0
-    while (i < sql.length) {
+    while (i < n) {
       val c = sql.charAt(i)
-      if (!mask(i) && (c == 'e' || c == 'E') && i + 1 < sql.length &&
-          sql.charAt(i + 1) == '\'' && mask(i + 1) &&
+      if ((c == 'e' || c == 'E') && i + 1 < n && sql.charAt(i + 1) == '\'' &&
           (i == 0 || !isWordChar(sql.charAt(i - 1)))) {
-        // escape-string literal: drop the prefix, copy the span verbatim
-        i += 1
-        while (i < sql.length && mask(i)) { sb.append(sql.charAt(i)); i += 1 }
-      } else if (mask(i) && c == '\\') { sb.append("\\\\"); i += 1 }
-      else { sb.append(c); i += 1 }
+        sb.append('\''); i += 2
+        var open = true
+        while (i < n && open) {
+          val d = sql.charAt(i)
+          if (d == '\\' && i + 1 < n) { sb.append(d).append(sql.charAt(i + 1)); i += 2 }
+          else if (d == '\'' && i + 1 < n && sql.charAt(i + 1) == '\'') { sb.append("''"); i += 2 }
+          else if (d == '\'') { sb.append(d); i += 1; open = false }
+          else { sb.append(d); i += 1 }
+        }
+      } else if (c == '\'') {
+        sb.append(c); i += 1
+        var open = true
+        while (i < n && open) {
+          val d = sql.charAt(i)
+          if (d == '\\') { sb.append("\\\\"); i += 1 }
+          else if (d == '\'' && i + 1 < n && sql.charAt(i + 1) == '\'') { sb.append("''"); i += 2 }
+          else if (d == '\'') { sb.append(d); i += 1; open = false }
+          else { sb.append(d); i += 1 }
+        }
+      } else if (c == '"' || c == '`') {
+        sb.append(c); i += 1
+        var open = true
+        while (i < n && open) {
+          val d = sql.charAt(i); sb.append(d); i += 1
+          if (d == c) open = false
+        }
+      } else { sb.append(c); i += 1 }
     }
     sb.toString
   }
@@ -3351,16 +3388,32 @@ object Dialect {
     */
   def sqlServed(spark: SparkSession, sql: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
-    import org.apache.spark.sql.catalyst.expressions.{Divide, EqualTo, Expression, If, IntegralDivide, Literal, Remainder}
+    import org.apache.spark.sql.catalyst.expressions.{Divide, EqualTo, Expression, If, IntegralDivide, Literal, Remainder, SubqueryExpression}
+    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, SubqueryAlias, UnresolvedWith}
     def guard(r: Expression): Expression =
       If(EqualTo(r, Literal(0)), Literal(null), r)
-    val parsed = spark.sessionState.sqlParser.parsePlan(sql)
-    val guarded = parsed.transformAllExpressions {
-      case Divide(l, r, _) =>
-        UnresolvedFunction("graft_div", Seq(l, r), isDistinct = false)
-      case Remainder(l, r, ev) => Remainder(l, guard(r), ev)
-      case IntegralDivide(l, r, ev) => IntegralDivide(l, guard(r), ev)
+    // transformAllExpressions alone never reaches CTE bodies
+    // (UnresolvedWith keeps cteRelations as innerChildren, not
+    // children) or SubqueryExpression inner plans, so `/` in
+    // `WITH q AS (SELECT 5.0/2 AS r) ...` kept Spark's DECIMAL and
+    // ANSI-on-zero semantics — descend into both explicitly.
+    def rewriteDiv(plan: LogicalPlan): LogicalPlan = {
+      val cteMapped = plan.transformDown {
+        case w: UnresolvedWith =>
+          w.copy(cteRelations = w.cteRelations.map { rel =>
+            rel.copy(_2 = rewriteDiv(rel._2).asInstanceOf[SubqueryAlias])
+          })
+      }
+      cteMapped.transformAllExpressions {
+        case Divide(l, r, _) =>
+          UnresolvedFunction("graft_div", Seq(l, r), isDistinct = false)
+        case Remainder(l, r, ev) => Remainder(l, guard(r), ev)
+        case IntegralDivide(l, r, ev) => IntegralDivide(l, guard(r), ev)
+        case sub: SubqueryExpression => sub.withNewPlan(rewriteDiv(sub.plan))
+      }
     }
+    val parsed = spark.sessionState.sqlParser.parsePlan(sql)
+    val guarded = rewriteDiv(parsed)
     val df = org.apache.spark.sql.graft.ColumnBridge.ofRows(spark, guarded)
     // DuckDB types DATE - DATE as BIGINT days (probe tier 16:
     // DATE '2024-03-05' - DATE '2024-02-28' = 6) where Spark yields
@@ -3369,12 +3422,18 @@ object Dialect {
     // interval re-resolves against the new type — succeeding where
     // DuckDB's integer arithmetic would ((d1 - d2) + 5 works on both
     // engines now), failing LOUDLY where it can't, never silently.
+    // (In the ANALYZED plan, CTE bodies sit in WithCTE's regular
+    // children; subquery inner plans still need the explicit descent.)
     import org.apache.spark.sql.catalyst.expressions.{Cast, DateDiff, SubtractDates}
     import org.apache.spark.sql.types.LongType
-    val analyzed = df.queryExecution.analyzed
-    val flipped = analyzed.transformAllExpressions {
+    def flipDates(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
       case SubtractDates(l, r, _) => Cast(DateDiff(l, r), LongType)
+      case sub: SubqueryExpression =>
+        val inner = flipDates(sub.plan)
+        if (inner eq sub.plan) sub else sub.withNewPlan(inner)
     }
+    val analyzed = df.queryExecution.analyzed
+    val flipped = flipDates(analyzed)
     if (flipped eq analyzed) df
     else org.apache.spark.sql.graft.ColumnBridge.ofRows(spark, flipped)
   }

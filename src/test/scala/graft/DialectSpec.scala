@@ -1555,6 +1555,35 @@ class DialectSpec extends AnyFunSuite with BeforeAndAfterAll {
       """[{"o":"{\"a\":1,\"b\":2}"}]""")
   }
 
+  test("round-12 probe21 batch: division/date semantics reach CTEs and subqueries; literal protection") {
+    def one(sql: String, expect: String): Unit = {
+      val r = post(sql)
+      assert(r.statusCode() == 200, s"$sql -> ${r.body()}")
+      assert(r.body() == expect, s"$sql -> ${r.body()} (wanted $expect)")
+    }
+    // DuckDB-pinned (2026-08-15): / inside CTE bodies and subquery
+    // inner plans is DOUBLE + NULL-on-zero, DATE-DATE is BIGINT days —
+    // the parse-level transform now descends into innerChildren
+    one("WITH q AS (SELECT 5.0/2 AS r) SELECT r FROM q", """[{"r":2.5}]""")
+    one("SELECT (SELECT 10/4) AS x", """[{"x":2.5}]""")
+    one("WITH q AS (SELECT 1/0 AS r) SELECT r, 7%0 AS m FROM q",
+      """[{"r":null,"m":null}]""")
+    one("SELECT (SELECT DATE '2024-03-05' - DATE '2024-02-28') AS d", """[{"d":6}]""")
+    one("WITH q AS (SELECT (SELECT 9/2) AS r) SELECT r FROM q", """[{"r":4.5}]""")
+    // backrefs renumber under the first-match prefix group (Java
+    // semantics, self-consistent numbering; DuckDB's RE2 has no
+    // backrefs at all — documented extension)
+    one("""SELECT regexp_replace('aab', '(a)\1', 'X') AS r""", """[{"r":"Xb"}]""")
+    // integral strings cast EXACTLY (no double detour); fractional
+    // strings keep parse-then-half-away (DuckDB probe 13)
+    one("SELECT CAST('9223372036854775807' AS BIGINT) AS b, CAST('12.5' AS INT) AS i, CAST('-12.5' AS INT) AS j",
+      """[{"b":9223372036854775807,"i":13,"j":-13}]""")
+    // rewrites must not fire inside string literals / identifier spans
+    one("SELECT 'extract(epoch FROM x)' AS s", """[{"s":"extract(epoch FROM x)"}]""")
+    one("""SELECT e'it\'s' AS s""", """[{"s":"it's"}]""")
+    one("SELECT '\\d+' AS s", """[{"s":"\\d+"}]""")
+  }
+
   test("sandboxed server rejects dialect file sources outside allowed dirs") {
     val sandboxed = new QueryServer(spark, 0, allowedDirs = Seq("/nonexistent"))
     sandboxed.start()

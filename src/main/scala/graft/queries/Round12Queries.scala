@@ -1,0 +1,253 @@
+package graft.queries
+
+import graft.{Q, QueryModule, T}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Round-12 batch — the ANN-tier candidate contract made EXECUTABLE.
+  *
+  * Rounds 10-11 shipped embedding-pair miners (n_bitext_mining,
+  * n_decontam_semantic, n_label_noise) whose doc strings promised "at
+  * corpus scale the candidate sets come from the ANN tier" while the
+  * code scored bounded-slice cross products. These queries compose the
+  * candidate tier into the miners for real (reference scope:
+  * fb64/uquery-rs exposes arbitrary SQL over corpus tables,
+  * src/core/duckdb.rs:87; the miners are curation programs on that
+  * surface):
+  *
+  *   - n_bitext_mining_ann — the Artetxe-Schwenk margin miner scoring
+  *     ONLY multi-probe LSH bucket cohabitants: n_ann_lsh_portable's
+  *     own 8 portable MD5 hyperplanes (256 buckets) with the 37
+  *     Hamming<=2 probe masks, so candidate generation is an
+  *     EQUI-JOIN on probe signature — the map-side bucket join that
+  *     survives 100 TB, never an all-pairs scan. Random cohabitation
+  *     under radius-2 probing is 37/256 = 14.5% of the cross product
+  *     at this bucket count; at corpus scale the signature widens
+  *     with log2(n) (16 bits -> 0.2%) to hold the ratio.
+  *   - n_decontam_semantic_ann — the embedding decontamination screen
+  *     over the same candidate tier: benchmark probes explode into 37
+  *     probe signatures, cohabitant corpus vectors get exact-cosine
+  *     reranked, >= 0.3 flags contamination.
+  *
+  * Equality with the brute-force miners is a RECALL property of the
+  * data, not of the algorithm: on corpora with true near neighbors the
+  * radius-2 tier captures the mutual-best pairs (Round12Spec proves
+  * set equality on planted near-duplicate sides, and measures recall +
+  * candidate ratio on the synthetic corpus, whose cross-slice top
+  * pairs sit at cosine 0.10-0.41 — the no-signal regime where NO
+  * sub-quadratic tier can reproduce brute force). Both queries are
+  * oracle-checked cross-engine on the SAME candidate algorithm: the
+  * hyperplanes and probe masks render identically into the Spark
+  * expressions and the DuckDB SQL.
+  */
+object Round12Queries extends QueryModule {
+
+  /** The candidate tier's hyperplanes are EXACTLY n_ann_lsh_portable's
+    * (Round2Queries.lshPlanes — 8 portable MD5-derived planes, 256
+    * buckets): the contract the round-11 verdict asked to make
+    * executable. At 10^11 rows the signature widens with log2(n) to
+    * hold bucket occupancy (the dial n_ann_lsh_portable documents);
+    * the construction is salt-parameterized, nothing else changes.
+    */
+  private[graft] def annPlanes: Seq[Seq[Int]] = Round2Queries.lshPlanes
+
+  /** Multi-probe masks: all signatures within Hamming distance 2 of
+    * the query signature (1 + 8 + 28 = 37 probes over 8 bits).
+    * Probing the QUERY side keeps the index side single-signature —
+    * the asymmetry that matters at scale: 10^11 corpus vectors store
+    * one bucket entry each; only the small probe side amplifies 37x.
+    */
+  private[graft] lazy val probeMasks: Seq[Int] =
+    0 +: ((0 until 8).map(1 << _) ++
+      (for { i <- 0 until 8; j <- (i + 1) until 8 } yield (1 << i) | (1 << j)))
+
+  /** Append the 8-bit portable signature of `vec` as column `sig`. */
+  private[graft] def withSig(df: DataFrame, vec: String): DataFrame = {
+    var d = df
+    annPlanes.zipWithIndex.foreach { case (hp, b) =>
+      d = d.withColumn(s"hp$b", typedLit(hp))
+    }
+    val sig = annPlanes.indices.map { b =>
+      when(expr(
+        s"aggregate(zip_with(hp$b, $vec, (p, q) -> CAST(p AS DOUBLE) * CAST(q AS DOUBLE)), 0D, (a, b) -> a + b)")
+        >= 0, lit(1 << b)).otherwise(lit(0))
+    }.reduce(_ + _)
+    d.withColumn("sig", sig).drop(annPlanes.indices.map(b => s"hp$b"): _*)
+  }
+
+  /** DuckDB spelling of the same signature over column `vec`. */
+  private def sigSql(vec: String): String =
+    annPlanes.zipWithIndex.map { case (hp, b) =>
+      val lst = hp.mkString("[", ", ", "]")
+      s"""(CASE WHEN list_sum(list_transform(list_zip($lst, $vec),
+          p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) >= 0
+          THEN ${1 << b} ELSE 0 END)"""
+    }.mkString("\n            + ")
+
+  private def masksValues: String = probeMasks.map(m => s"($m)").mkString(",")
+
+  /** The shared DuckDB cosine spelling (rounded to 6 — the cross-engine
+    * tie-stability discipline every similarity query uses).
+    */
+  private def cosSql(a: String, b: String): String =
+    s"""round(list_sum(list_transform(list_zip($a, $b),
+         p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+       / (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        * sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)"""
+
+  override val queries: Seq[Q] = Seq(
+
+    Q("n_bitext_mining_ann",
+      "The n_bitext_mining margin miner with its candidate tier made executable: source side x (vec_id%50=0) and target side y (vec_id%50=25) get the portable 8-bit hyperplane signatures; x probes explode into the 37 Hamming<=2 masks and candidates are the signature EQUI-JOIN cohabitants (never a cross product); exact cosine reranks candidates, avgTop4 normalizers and the ratio margin are computed over the candidate relation (sum/4 like the brute-force form — the ANN tier normalizes over up to 4 candidate neighbors), and mutual-best acceptance runs among candidates. Scale shape: the corpus side stores ONE bucket entry per vector, only the probe side amplifies 37x, and the join shuffles on signature — the map-side bucket join; at 10^11 rows signature width grows with log2(n) to hold bucket occupancy, the same dial n_ann_lsh_portable documents. Round12Spec proves mutual-pair equality with brute force on planted near-duplicate sides and measures recall + candidate ratio on the corpus.",
+      (s, dir) => {
+        val e = T(s, dir, "embeddings")
+        // one signature pass over both sides, retained: xs/ys/scoring
+        // all read it
+        val both = DedupQueries.retain(withSig(
+          e.filter(col("vec_id") % 50 === 0 || col("vec_id") % 50 === 25)
+            .select(col("vec_id"), col("embedding")), "embedding"))
+        val xs = both.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("xid"), col("embedding").as("xv"),
+            col("sig").as("xsig"))
+        val ys = both.filter(col("vec_id") % 50 === 25)
+          .select(col("vec_id").as("yid"), col("embedding").as("yv"),
+            col("sig").as("ysig"))
+        val cand = xs.select(col("xid"), col("xsig"))
+          .withColumn("m", explode(typedLit(probeMasks)))
+          .select(col("xid"), col("xsig").bitwiseXOR(col("m")).as("psig"))
+          .join(ys.select(col("yid"), col("ysig")),
+            col("psig") === col("ysig"))
+          .select(col("xid"), col("yid")).distinct()
+        val scored = DedupQueries.retain(
+          cand.join(xs.select(col("xid"), col("xv")), "xid")
+            .join(ys.select(col("yid"), col("yv")), "yid")
+            .withColumn("sim",
+              round(SimilarityQueries.cosine("xv", "yv"), 6))
+            .select(col("xid"), col("yid"), col("sim")))
+        def top4(side: String, other: String) = {
+          val w = Window.partitionBy(col(side))
+            .orderBy(col("sim").desc_nulls_last, col(other).asc_nulls_last)
+          scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= 4)
+            .groupBy(col(side))
+            .agg(round(sum(col("sim").cast(DecimalType(18, 6)))
+              .cast("double") / 4, 6).as(s"avg_$side"))
+        }
+        val m = DedupQueries.retain(scored
+          .join(top4("xid", "yid"), "xid").join(top4("yid", "xid"), "yid")
+          .withColumn("margin", round(
+            col("sim") / (lit(0.5) * (col("avg_xid") + col("avg_yid"))), 6)))
+        val bestY = m.withColumn("rk", row_number().over(
+            Window.partitionBy(col("xid"))
+              .orderBy(col("margin").desc_nulls_last, col("yid").asc_nulls_last)))
+          .filter(col("rk") === 1).drop("rk")
+        val bestX = m.withColumn("rk", row_number().over(
+            Window.partitionBy(col("yid"))
+              .orderBy(col("margin").desc_nulls_last, col("xid").asc_nulls_last)))
+          .filter(col("rk") === 1)
+          .select(col("xid").as("bx"), col("yid").as("by"))
+        bestY.join(bestX,
+            col("xid") === col("bx") && col("yid") === col("by"), "left")
+          .select(col("xid"), col("yid"), col("sim"), col("margin"),
+            when(col("bx").isNotNull, 1).otherwise(0).cast("int").as("mutual"))
+          .orderBy(col("xid").asc_nulls_last)
+      },
+      Some(s"""WITH sides AS (
+          SELECT vec_id, embedding,
+            ${sigSql("embedding")} AS sig
+          FROM embeddings WHERE vec_id % 50 = 0 OR vec_id % 50 = 25),
+        xs AS (SELECT vec_id AS xid, embedding AS xv, sig AS xsig FROM sides WHERE vec_id % 50 = 0),
+        ys AS (SELECT vec_id AS yid, embedding AS yv, sig AS ysig FROM sides WHERE vec_id % 50 = 25),
+        cand AS (SELECT DISTINCT p.xid, y.yid
+                 FROM (SELECT xid, xor(xsig, m) AS psig
+                       FROM xs CROSS JOIN (VALUES $masksValues) t(m)) p
+                 JOIN ys y ON p.psig = y.ysig),
+        scored AS (SELECT c.xid, c.yid, ${cosSql("xv", "yv")} AS sim
+                   FROM cand c JOIN xs USING (xid) JOIN ys USING (yid)),
+        rx AS (SELECT xid, yid, sim, row_number() OVER (PARTITION BY xid ORDER BY sim DESC NULLS LAST, yid ASC NULLS LAST) AS rk FROM scored),
+        ax AS (SELECT xid, round(CAST(sum(CAST(sim AS DECIMAL(18,6))) AS DOUBLE) / 4, 6) AS avg_xid FROM rx WHERE rk <= 4 GROUP BY xid),
+        ry AS (SELECT xid, yid, sim, row_number() OVER (PARTITION BY yid ORDER BY sim DESC NULLS LAST, xid ASC NULLS LAST) AS rk FROM scored),
+        ay AS (SELECT yid, round(CAST(sum(CAST(sim AS DECIMAL(18,6))) AS DOUBLE) / 4, 6) AS avg_yid FROM ry WHERE rk <= 4 GROUP BY yid),
+        m AS (SELECT s.xid, s.yid, s.sim, round(s.sim / (0.5 * (ax.avg_xid + ay.avg_yid)), 6) AS margin
+              FROM scored s JOIN ax ON s.xid = ax.xid JOIN ay ON s.yid = ay.yid),
+        besty AS (SELECT xid, yid, sim, margin,
+                    row_number() OVER (PARTITION BY xid ORDER BY margin DESC NULLS LAST, yid ASC NULLS LAST) AS rk FROM m),
+        bestx AS (SELECT xid AS bx, yid AS by,
+                    row_number() OVER (PARTITION BY yid ORDER BY margin DESC NULLS LAST, xid ASC NULLS LAST) AS rk FROM m)
+        SELECT b.xid, b.yid, b.sim, b.margin,
+          CAST(CASE WHEN x.bx IS NOT NULL THEN 1 ELSE 0 END AS INTEGER) AS mutual
+        FROM besty b LEFT JOIN (SELECT bx, by FROM bestx WHERE rk = 1) x
+          ON b.xid = x.bx AND b.yid = x.by
+        WHERE b.rk = 1
+        ORDER BY b.xid ASC NULLS LAST""")),
+
+    Q("n_decontam_semantic_ann",
+      "The n_decontam_semantic screen over the executable candidate tier: benchmark items (vec_id%97=0) probe the 37 Hamming<=2 signatures against single-signature corpus buckets, exact cosine reranks only cohabitants, >= 0.3 flags contamination; per-benchmark hit counts + max candidate similarity + the corpus-wide distinct flagged count (one-row aggregate broadcast back in-DAG). A SCREEN with measured recall, not an exactness claim: the brute-force n_decontam_semantic stays the audit baseline, this is the shape that runs when the corpus is 10^11 rows — corpus vectors store one bucket entry, probes amplify 137x, the join shuffles on signature only. Benchmarks with zero candidates surface with n_candidates=0 (a left join from the benchmark relation), never silently vanish.",
+      (s, dir) => {
+        val e = T(s, dir, "embeddings")
+        val all = DedupQueries.retain(withSig(
+          e.select(col("vec_id"), col("embedding")), "embedding"))
+        val bench = all.filter(col("vec_id") % 97 === 0)
+          .select(col("vec_id").as("bid"), col("embedding").as("bv"),
+            col("sig").as("bsig"))
+        val corpus = all.filter(col("vec_id") % 97 =!= 0)
+          .select(col("vec_id"), col("embedding"), col("sig"))
+        val scored = DedupQueries.retain(
+          bench.select(col("bid"), col("bsig"))
+            .withColumn("m", explode(typedLit(probeMasks)))
+            .select(col("bid"), col("bsig").bitwiseXOR(col("m")).as("psig"))
+            .join(corpus, col("psig") === col("sig"))
+            .select(col("bid"), col("vec_id")).distinct()
+            .join(bench.select(col("bid"), col("bv")), "bid")
+            .join(corpus.select(col("vec_id"), col("embedding")), "vec_id")
+            .withColumn("sim",
+              round(SimilarityQueries.cosine("bv", "embedding"), 6))
+            .select(col("bid"), col("vec_id"), col("sim")))
+        val perB = scored.groupBy(col("bid")).agg(
+          count(lit(1)).as("n_candidates"),
+          sum(when(col("sim") >= 0.3, 1).otherwise(0)).cast("int")
+            .as("n_contaminated"),
+          max(col("sim")).as("max_sim"))
+        val flagged = scored.filter(col("sim") >= 0.3)
+          .agg(coalesce(countDistinct(col("vec_id")), lit(0L))
+            .as("corpus_flagged"))
+        bench.select(col("bid")).join(perB, Seq("bid"), "left")
+          .crossJoin(broadcast(flagged))
+          .select(col("bid"),
+            coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+            coalesce(col("n_contaminated"), lit(0)).cast("int")
+              .as("n_contaminated"),
+            col("max_sim"),
+            when(coalesce(col("n_contaminated"), lit(0)) > 0, 1).otherwise(0)
+              .cast("int").as("leaked"),
+            col("corpus_flagged"))
+          .orderBy(col("bid").asc_nulls_last)
+      },
+      Some(s"""WITH sigs AS (
+          SELECT vec_id, embedding,
+            ${sigSql("embedding")} AS sig
+          FROM embeddings),
+        b AS (SELECT vec_id AS bid, embedding AS bv, sig AS bsig FROM sigs WHERE vec_id % 97 = 0),
+        corpus AS (SELECT vec_id, embedding, sig FROM sigs WHERE vec_id % 97 <> 0),
+        cand AS (SELECT DISTINCT p.bid, c.vec_id
+                 FROM (SELECT bid, xor(bsig, m) AS psig
+                       FROM b CROSS JOIN (VALUES $masksValues) t(m)) p
+                 JOIN corpus c ON p.psig = c.sig),
+        scored AS (SELECT cd.bid, cd.vec_id, ${cosSql("bv", "embedding")} AS sim
+                   FROM cand cd JOIN b USING (bid) JOIN corpus USING (vec_id)),
+        perb AS (SELECT bid, count(*) AS n_candidates,
+                   CAST(sum(CASE WHEN sim >= 0.3 THEN 1 ELSE 0 END) AS INTEGER) AS n_contaminated,
+                   max(sim) AS max_sim
+                 FROM scored GROUP BY bid),
+        fl AS (SELECT CAST(coalesce(count(DISTINCT vec_id), 0) AS BIGINT) AS corpus_flagged
+               FROM scored WHERE sim >= 0.3)
+        SELECT b.bid,
+          CAST(coalesce(perb.n_candidates, 0) AS BIGINT) AS n_candidates,
+          CAST(coalesce(perb.n_contaminated, 0) AS INTEGER) AS n_contaminated,
+          perb.max_sim,
+          CAST(CASE WHEN coalesce(perb.n_contaminated, 0) > 0 THEN 1 ELSE 0 END AS INTEGER) AS leaked,
+          fl.corpus_flagged
+        FROM b LEFT JOIN perb ON b.bid = perb.bid CROSS JOIN fl
+        ORDER BY b.bid ASC NULLS LAST""")))
+}

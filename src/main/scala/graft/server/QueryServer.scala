@@ -249,7 +249,13 @@ final class QueryServer(
 
   server.createContext("/", (x: HttpExchange) => handle(x))
 
-  def start(): Unit = server.start()
+  def start(): Unit = {
+    // the built-in pipeline-operator macro library (exact_dedup,
+    // minhash_signatures, …) registers through the same runtime
+    // CREATE MACRO path a client uses; OR REPLACE lets clients shadow
+    PipelineMacros.install(spark)
+    server.start()
+  }
   def stop(): Unit = { server.stop(0); exec.shutdownNow() }
   def boundPort: Int = server.getAddress.getPort
 

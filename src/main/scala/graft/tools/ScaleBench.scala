@@ -164,7 +164,18 @@ object ScaleBench {
     // relation (one lag window + one aggregate; triads are k^3 over a
     // model-sized relation); trimmed stats are one keyed rank window
     // per language + exact-integer sums
-    "n_pref_consistency", "n_trimmed_stats")
+    "n_pref_consistency", "n_trimmed_stats",
+    // round-12: the retrieval eval harness scans the corpus against 5
+    // FIXED probes across three arms — linear. n_label_noise stays
+    // excluded (probes are vec_id % 50 = a corpus-scaling slice, the
+    // n_knn_join_topk reason). n_bitext_mining_ann /
+    // n_decontam_semantic_ann are excluded from the RUNTIME sweep for
+    // the same fixture reason (both sides scale with the corpus), but
+    // their candidate-volume scaling — the thing the ANN tier actually
+    // controls — is measured directly in SCALE.md: at 10× data the
+    // 8→16-bit signature widening holds candidate growth to ~5× (vs
+    // 100× at fixed width), the executable form of the log2(n) dial.
+    "n_retrieval_eval")
 
   def main(args: Array[String]): Unit = {
     val dirA = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
@@ -173,7 +184,16 @@ object ScaleBench {
     // without re-sweeping the whole inventory)
     val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val sweep = only.fold(headline)(f => headline.filter(f))
+    // SPARK_GRAFT_SCALE_FULL=1: the once-per-round regression fence —
+    // sweep the ENTIRE declared inventory (fixed-slice queries land at
+    // ratio ~1 and are fine), so a scaling regression in an old query
+    // cannot hide behind new-batch-only sweeps. Diff the emitted JSON
+    // against the prior round with tools/scale_fence.py.
+    val base =
+      if (sys.env.get("SPARK_GRAFT_SCALE_FULL").contains("1"))
+        SparkEntry.queries.keys.toVector.sorted
+      else headline
+    val sweep = only.fold(base)(f => base.filter(f))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -1,0 +1,126 @@
+package graft
+
+import graft.server.QueryServer
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The pipeline inventory served over POST / (VERDICT r11 ask #3):
+  * every QueryServer pre-registers the PipelineMacros table-macro
+  * library, so a reference client reaches the flagship operators as
+  * `SELECT * FROM exact_dedup(documents)` — the custom-database
+  * macro workflow (uquery-rs docs/docs/advanced-tutorials/
+  * custom-database.md), with OUR operators as the library.
+  *
+  * Each test drives one operator end-to-end over HTTP and asserts the
+  * served rows EQUAL the first-party SparkEntry DataFrame program's
+  * output — two independent spellings (served DuckDB-dialect SQL vs
+  * hand-built DataFrame graph) of one portable construction.
+  */
+class PipelineMacroSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  // dedicated session: the documents view and the macro registry stay
+  // out of other suites
+  private lazy val session = GraftSession.tune(TestSpark.spark.newSession())
+  private var srv: QueryServer = _
+  private var base: String = _
+  private val client = HttpClient.newHttpClient()
+  private val sf = TestSpark.sf
+
+  override def beforeAll(): Unit = {
+    T.views(session, sf, "documents")
+    srv = new QueryServer(session, 0)
+    srv.start()
+    base = s"http://localhost:${srv.boundPort}"
+  }
+
+  override def afterAll(): Unit = if (srv != null) srv.stop()
+
+  /** POST, expect 200, parse text/csv into header + string rows. */
+  private def csv(sql: String): (Array[String], Seq[Array[String]]) = {
+    val r = client.send(
+      HttpRequest.newBuilder(URI.create(s"$base/"))
+        .header("Accept", "text/csv").header("Content-Type", "text/plain")
+        .POST(HttpRequest.BodyPublishers.ofString(sql)).build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(r.statusCode() == 200, s"$sql -> ${r.statusCode()}: ${r.body().take(300)}")
+    val lines = r.body().trim.split("\n").toSeq
+    (lines.head.split(",", -1), lines.tail.map(_.split(",", -1)))
+  }
+
+  /** The first-party program's rows, stringified cell-by-cell. */
+  private def program(name: String): Seq[Seq[Any]] =
+    SparkEntry.queries(name)(session, sf).collect()
+      .toSeq.map(_.toSeq)
+
+  private def close(a: String, b: Any): Boolean = b match {
+    case d: Double => math.abs(a.toDouble - d) <= 1e-6
+    case other => a == String.valueOf(other)
+  }
+
+  private def assertRowsEqual(sql: String, name: String): Unit = {
+    val (_, got) = csv(sql)
+    val want = program(name)
+    assert(got.size == want.size,
+      s"$sql: ${got.size} served rows vs ${want.size} program rows")
+    got.zip(want).zipWithIndex.foreach { case ((g, w), i) =>
+      assert(g.length == w.length, s"row $i arity ${g.length} vs ${w.length}")
+      g.zip(w).foreach { case (a, b) =>
+        assert(close(a, b), s"$name row $i: served '$a' vs program '$b'")
+      }
+    }
+  }
+
+  test("exact_dedup(documents) over HTTP equals n_dedup_exact_hash") {
+    assertRowsEqual(
+      "SELECT * FROM exact_dedup(documents) ORDER BY keep_id ASC NULLS LAST",
+      "n_dedup_exact_hash")
+  }
+
+  test("minhash_signatures(documents) over HTTP equals n_minhash_portable") {
+    // the programs filter doc_id < 300; the served side matches the slice
+    assertRowsEqual(
+      "SELECT * FROM minhash_signatures(documents) WHERE doc_id < 300 ORDER BY doc_id ASC NULLS LAST",
+      "n_minhash_portable")
+  }
+
+  test("simhash_signatures(documents) over HTTP equals n_simhash_portable") {
+    assertRowsEqual(
+      "SELECT * FROM simhash_signatures(documents) WHERE doc_id < 300 ORDER BY doc_id ASC NULLS LAST",
+      "n_simhash_portable")
+  }
+
+  test("quality_score(documents) over HTTP equals n_quality_score") {
+    assertRowsEqual(
+      "SELECT * FROM quality_score(documents) WHERE doc_id < 300 ORDER BY doc_id ASC NULLS LAST",
+      "n_quality_score")
+  }
+
+  test("token_count(documents) over HTTP equals n_token_count") {
+    assertRowsEqual("SELECT * FROM token_count(documents)", "n_token_count")
+  }
+
+  test("bm25_topk(documents, 0, 10) over HTTP equals n_bm25_topk") {
+    assertRowsEqual("SELECT * FROM bm25_topk(documents, 0, 10)", "n_bm25_topk")
+  }
+
+  test("macros compose with served SQL and remain client-shadowable") {
+    // compose: feed a macro's output into a served aggregation
+    val (_, rows) = csv(
+      "SELECT count(*) AS n_unique FROM exact_dedup(documents) WHERE n_copies = 1")
+    assert(rows.size == 1 && rows.head.head.toLong >= 0)
+    // shadow: a client CREATE OR REPLACE wins over the library entry
+    val c = client.send(
+      HttpRequest.newBuilder(URI.create(s"$base/"))
+        .header("Accept", "application/json").header("Content-Type", "text/plain")
+        .POST(HttpRequest.BodyPublishers.ofString(
+          "CREATE OR REPLACE MACRO token_count(tbl) AS TABLE SELECT 42 AS t")).build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(c.statusCode() == 200)
+    val (_, shadowed) = csv("SELECT * FROM token_count(documents)")
+    assert(shadowed.head.head == "42")
+    // restore the library for any later suite using this session
+    graft.server.PipelineMacros.install(session)
+  }
+}

@@ -1060,12 +1060,36 @@ object GraftExtensions {
   private def jsonExtractBuilder(asText: Boolean): Seq[Expression] => Expression =
     (args: Seq[Expression]) => {
       require(args.length == 2, s"json extraction expects 2 arguments, got ${args.length}")
-      val parsed = builtinBuilder("try_parse_json")(Seq(args.head))
-      val path = jsonPathLiteral(args(1))
-      if (asText)
-        builtinBuilder("variant_get")(Seq(parsed, path, strLit("string")))
-      else
-        builtinBuilder("to_json")(Seq(builtinBuilder("variant_get")(Seq(parsed, path))))
+      if (!args(1).foldable) {
+        // RUNTIME key (`j ->> k` with k a column): the TEXT form maps
+        // exactly onto get_json_object with a per-row path (pinned vs
+        // DuckDB 2026-08-15: scalars unquote, objects/arrays render as
+        // JSON text, missing keys are NULL). The JSON form (`->`)
+        // stays loud: it quotes string leaves ('"x"'), and the variant
+        // path it compiles to must be a constant — get_json_object
+        // cannot reproduce the quoting, so error beats silently-wrong.
+        require(asText,
+          "json `->` with a runtime key is not supported here - use the text form " +
+            "`->>` / json_extract_string (the JSON form needs a constant path)")
+        val key = args(1)
+        import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+        val path = key.dataType match {
+          case ByteType | ShortType | IntegerType | LongType =>
+            builtinBuilder("concat")(Seq(strLit("$["),
+              org.apache.spark.sql.catalyst.expressions.Cast(
+                key, org.apache.spark.sql.types.StringType), strLit("]")))
+          case _ =>
+            builtinBuilder("concat")(Seq(strLit("$."), key))
+        }
+        builtinBuilder("get_json_object")(Seq(args.head, path))
+      } else {
+        val parsed = builtinBuilder("try_parse_json")(Seq(args.head))
+        val path = jsonPathLiteral(args(1))
+        if (asText)
+          builtinBuilder("variant_get")(Seq(parsed, path, strLit("string")))
+        else
+          builtinBuilder("to_json")(Seq(builtinBuilder("variant_get")(Seq(parsed, path))))
+      }
     }
 
   private def dateDiffInfo(name: String): ExpressionInfo =

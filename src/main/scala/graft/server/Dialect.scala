@@ -892,11 +892,17 @@ object Dialect {
     *
     * `->` is also DuckDB's lambda arrow — an arrow whose LEFT operand
     * is a bare identifier directly after `(` or `,` is a lambda
-    * parameter and is left alone, as is any arrow whose right operand
-    * is not a 'key' / integer literal. The ambiguous leftovers (a
-    * json arrow on a bare column as the first argument of a call)
-    * fail loudly at parse rather than risking a silent mis-rewrite —
-    * parenthesizing the left side opts back in: `(j) ->> 'k'`.
+    * parameter and is left alone, as is a parenthesized multi-param
+    * head `(a, b) ->`. Right operands may be 'key' / integer literals
+    * or (round 12) bare possibly-qualified identifiers — the
+    * RUNTIME-keyed form `j ->> k`, which maps onto a per-row
+    * get_json_object path (probe 22; the JSON form `j -> k` stays
+    * loud there — it quotes string leaves, which no runtime path
+    * function reproduces). The ambiguous leftovers (a json arrow on a
+    * bare column as the first argument of a call, a call-shaped right
+    * operand) fail loudly at parse rather than risking a silent
+    * mis-rewrite — parenthesizing the left side opts back in:
+    * `(j) ->> 'k'`.
     */
   private def rewriteJsonOps(sql: String): String = {
     // strip ::JSON (quote-masked)
@@ -928,7 +934,10 @@ object Dialect {
         i += 1
       }
       if (at < 0) return s
-      // right operand: a 'key' or integer literal, else not a json arrow
+      // right operand: a 'key' / integer literal, or (round 12) a bare
+      // possibly-qualified IDENTIFIER — the runtime-keyed form `j ->> k`.
+      // An identifier followed by '(' is a call, not a key: left alone
+      // (loud), never split mid-expression.
       var r = at + arrowLen
       while (r < s.length && s.charAt(r).isWhitespace) r += 1
       val rightEnd =
@@ -940,6 +949,12 @@ object Dialect {
           var e = r
           while (e < s.length && s.charAt(e).isDigit) e += 1
           e
+        } else if (r < s.length && (s.charAt(r).isLetter || s.charAt(r) == '_')) {
+          var e = r
+          while (e < s.length && (isWordChar(s.charAt(e)) || s.charAt(e) == '.')) e += 1
+          var w = e
+          while (w < s.length && s.charAt(w).isWhitespace) w += 1
+          if (w < s.length && s.charAt(w) == '(') -1 else e
         } else -1
       if (rightEnd < 0) { searchFrom = at + arrowLen; }
       else {
@@ -952,7 +967,27 @@ object Dialect {
         var q = start - 1
         while (q >= 0 && s.charAt(q).isWhitespace) q -= 1
         val lambdaParam = bareIdent && q >= 0 && (s.charAt(q) == '(' || s.charAt(q) == ',')
-        if (lambdaParam) { searchFrom = at + arrowLen }
+        // `(a, b) -> …` is a MULTI-PARAM lambda head (list_reduce et
+        // al.) — with identifier right operands now rewritable, a
+        // top-level comma inside a parenthesized left operand must
+        // disqualify the arrow or `(a, b) -> a` would silently become
+        // a json extraction
+        val multiParamLambda = leftOp.startsWith("(") && leftOp.endsWith(")") && {
+          val lm = quoteMask(leftOp)
+          var depth = 0; var comma = false
+          var li = 0
+          while (li < leftOp.length) {
+            if (!lm(li)) leftOp.charAt(li) match {
+              case '(' => depth += 1
+              case ')' => depth -= 1
+              case ',' => if (depth == 1) comma = true
+              case _ => ()
+            }
+            li += 1
+          }
+          comma
+        }
+        if (lambdaParam || multiParamLambda) { searchFrom = at + arrowLen }
         else {
           val right = s.substring(r, rightEnd)
           val fn = if (arrowLen == 3) "graft_json_extract_string" else "graft_json_extract"
@@ -3388,10 +3423,28 @@ object Dialect {
     */
   def sqlServed(spark: SparkSession, sql: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
-    import org.apache.spark.sql.catalyst.expressions.{Divide, EqualTo, Expression, If, IntegralDivide, Literal, Remainder, SubqueryExpression}
+    import org.apache.spark.sql.catalyst.expressions.{Cast => CastE, Divide, EqualTo, Expression, If, IntegralDivide, Literal, Remainder, SubqueryExpression, WindowExpression}
     import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, SubqueryAlias, UnresolvedWith}
+    import org.apache.spark.sql.types.{LongType => LongT}
     def guard(r: Expression): Expression =
       If(EqualTo(r, Literal(0)), Literal(null), r)
+    // DuckDB runs `count(DISTINCT x) OVER (…)` where Spark's window
+    // exec refuses DISTINCT aggregates. Per-frame distinct count IS
+    // size(collect_set(x) OVER same-spec) — identical on every frame
+    // shape (default RANGE, bounded ROWS, plain PARTITION BY) and on
+    // NULLs (count DISTINCT ignores them, collect_set drops them);
+    // pinned vs DuckDB in probe 22. Only single-argument count is
+    // rewritten; sum/avg(DISTINCT) OVER keep the loud error (their
+    // result types diverge under a collected-set rebuild).
+    def isDistinctCount(f: UnresolvedFunction): Boolean =
+      f.isDistinct && f.nameParts.last.equalsIgnoreCase("count") &&
+        f.arguments.length == 1 && f.filter.isEmpty
+    def collectSet(f: UnresolvedFunction): UnresolvedFunction =
+      UnresolvedFunction("collect_set", f.arguments, isDistinct = false)
+    // size/cast wrap OUTSIDE the window: the OVER child must stay a
+    // bare aggregate (collect_set), the set's size is row-local
+    def sizeOf(windowed: Expression): Expression =
+      CastE(UnresolvedFunction("size", Seq(windowed), isDistinct = false), LongT)
     // transformAllExpressions alone never reaches CTE bodies
     // (UnresolvedWith keeps cteRelations as innerChildren, not
     // children) or SubqueryExpression inner plans, so `/` in
@@ -3409,6 +3462,12 @@ object Dialect {
           UnresolvedFunction("graft_div", Seq(l, r), isDistinct = false)
         case Remainder(l, r, ev) => Remainder(l, guard(r), ev)
         case IntegralDivide(l, r, ev) => IntegralDivide(l, guard(r), ev)
+        case WindowExpression(f: UnresolvedFunction, spec) if isDistinctCount(f) =>
+          sizeOf(WindowExpression(collectSet(f), spec))
+        case org.apache.spark.sql.catalyst.expressions.UnresolvedWindowExpression(
+            f: UnresolvedFunction, ref) if isDistinctCount(f) =>
+          sizeOf(org.apache.spark.sql.catalyst.expressions.UnresolvedWindowExpression(
+            collectSet(f), ref))
         case sub: SubqueryExpression => sub.withNewPlan(rewriteDiv(sub.plan))
       }
     }

@@ -1355,8 +1355,10 @@ class DialectSpec extends AnyFunSuite with BeforeAndAfterAll {
       """[{"u":1},{"u":2},{"u":3}]""")
     one("SELECT unnest([4,5], recursive := false) AS u",
       """[{"u":4},{"u":5}]""")
-    // DISTINCT over a window stays a loud, clearly-named error
-    assert(post("SELECT count(DISTINCT x) OVER (ORDER BY x) AS c FROM (VALUES (1),(2)) t(x)").statusCode() >= 400)
+    // count(DISTINCT) over a window — loud through round 11, CLOSED in
+    // round 12 via the size(collect_set) rewrite (probe 22 pins)
+    one("SELECT count(DISTINCT x) OVER (ORDER BY x) AS c FROM (VALUES (1),(2)) t(x)",
+      """[{"c":1},{"c":2}]""")
   }
 
   test("probe-15 pins: div/mod by zero is NULL, split_part edges, pad errors, utf8proc case mapping") {
@@ -1582,6 +1584,41 @@ class DialectSpec extends AnyFunSuite with BeforeAndAfterAll {
     one("SELECT 'extract(epoch FROM x)' AS s", """[{"s":"extract(epoch FROM x)"}]""")
     one("""SELECT e'it\'s' AS s""", """[{"s":"it's"}]""")
     one("SELECT '\\d+' AS s", """[{"s":"\\d+"}]""")
+  }
+
+  test("round-12 probe22 batch: runtime-keyed ->> arrows and count(DISTINCT) OVER") {
+    def one(sql: String, expect: String): Unit = {
+      val r = post(sql)
+      assert(r.statusCode() == 200, s"$sql -> ${r.body()}")
+      assert(r.body() == expect, s"$sql -> ${r.body()} (wanted $expect)")
+    }
+    // DuckDB-pinned (2026-08-15): runtime string/integer keys under the
+    // TEXT arrow; scalars unquote, objects render as JSON text,
+    // missing keys are NULL
+    one("""SELECT j ->> k AS v FROM (VALUES ('{"a":1,"b":"x"}', 'a'), ('{"a":1,"b":"x"}', 'b')) t(j, k) ORDER BY v""",
+      """[{"v":"1"},{"v":"x"}]""")
+    one("SELECT j ->> i AS v FROM (VALUES ('[10,20,30]', 1)) t(j, i)",
+      """[{"v":"20"}]""")
+    one("""SELECT j ->> k AS v FROM (VALUES ('{"a":1}', 'z')) t(j, k)""",
+      """[{"v":null}]""")
+    one("""SELECT j ->> k AS v FROM (VALUES ('{"a":{"c":2}}', 'a')) t(j, k)""",
+      """[{"v":"{\"c\":2}"}]""")
+    // lambdas survive the identifier-right-operand extension
+    one("SELECT list_reduce([1, 2, 3], (a, b) -> a * 16 + b) AS r", """[{"r":291}]""")
+    // count(DISTINCT) OVER == size(collect_set OVER): every frame
+    // shape pinned vs DuckDB, NULLs ignored, named windows too
+    one("SELECT p, x, count(DISTINCT x) OVER (PARTITION BY p) AS c FROM (VALUES (1,10),(1,10),(1,20),(2,30)) t(p,x) ORDER BY p, x",
+      """[{"p":1,"x":10,"c":2},{"p":1,"x":10,"c":2},{"p":1,"x":20,"c":2},{"p":2,"x":30,"c":1}]""")
+    one("SELECT x, count(DISTINCT x) OVER (ORDER BY i ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS c FROM (VALUES (1,10),(2,10),(3,20),(4,20)) t(i,x) ORDER BY i",
+      """[{"x":10,"c":1},{"x":10,"c":1},{"x":20,"c":2},{"x":20,"c":1}]""")
+    one("SELECT count(DISTINCT x) OVER (PARTITION BY p) AS c FROM (VALUES (1,CAST(NULL AS INT)),(1,10),(1,NULL)) t(p,x) LIMIT 1",
+      """[{"c":1}]""")
+    one("SELECT count(DISTINCT x) OVER w AS c FROM (VALUES (1,10),(1,10)) t(p,x) WINDOW w AS (PARTITION BY p) LIMIT 1",
+      """[{"c":1}]""")
+    // the negative space stays loud: `->` with a runtime key,
+    // sum(DISTINCT) over a window
+    assert(post("""SELECT j -> k AS v FROM (VALUES ('{"a":1}', 'a')) t(j, k)""").statusCode() == 400)
+    assert(post("SELECT sum(DISTINCT x) OVER (PARTITION BY p) AS s FROM (VALUES (1,10),(1,10)) t(p,x)").statusCode() == 400)
   }
 
   test("sandboxed server rejects dialect file sources outside allowed dirs") {

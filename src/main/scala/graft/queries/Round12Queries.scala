@@ -249,5 +249,67 @@ object Round12Queries extends QueryModule {
           CAST(CASE WHEN coalesce(perb.n_contaminated, 0) > 0 THEN 1 ELSE 0 END AS INTEGER) AS leaked,
           fl.corpus_flagged
         FROM b LEFT JOIN perb ON b.bid = perb.bid CROSS JOIN fl
-        ORDER BY b.bid ASC NULLS LAST""")))
+        ORDER BY b.bid ASC NULLS LAST""")),
+
+    Q("n_label_noise_ann",
+      "The n_label_noise k-NN majority vote with the candidate tier executable (the third miner named in the round-11 verdict): probes (vec_id%50=0) explode into the 37 Hamming<=2 probe signatures and meet the single-signature corpus in an equi-join, the vote runs over each probe's top-5 HIGHEST-cosine candidates (a probe pair matches at most one mask, so the join emits no duplicate pairs), majority label by count desc / label asc, disagreement flags. Probes with zero cohabitants surface with n_agree=0 and NULL majority (left join from the probe relation) - at corpus scale that IS the signal to widen the signature or probe radius, never a silent drop. Oracle-checked cross-engine on the same candidate algorithm.",
+      (s, dir) => {
+        val all = DedupQueries.retain(withSig(
+          T(s, dir, "embeddings")
+            .select(col("vec_id"), col("label"), col("embedding")), "embedding"))
+        val probes = all.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("qid"), col("label").as("own"),
+            col("embedding").as("qv"), col("sig").as("qsig"))
+        val w = Window.partitionBy(col("qid"))
+          .orderBy(col("simr").desc, col("vec_id").asc)
+        val top5 = probes
+          .withColumn("m", explode(typedLit(probeMasks)))
+          .select(col("qid"), col("own"), col("qv"),
+            col("qsig").bitwiseXOR(col("m")).as("psig"))
+          .join(all.select(col("vec_id"), col("label"), col("embedding"), col("sig")),
+            col("psig") === col("sig") && col("vec_id") =!= col("qid"))
+          .withColumn("simr",
+            round(SimilarityQueries.cosine("qv", "embedding"), 6))
+          .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+          .select(col("qid"), col("own"), col("label"))
+        val wV = Window.partitionBy(col("qid"))
+          .orderBy(col("votes").desc, col("label").asc)
+        val maj = top5.groupBy(col("qid"), col("own"), col("label"))
+          .agg(count(lit(1)).as("votes"))
+          .withColumn("vr", row_number().over(wV)).filter(col("vr") === 1)
+          .select(col("qid"), col("label").as("maj_label"),
+            col("votes").as("n_agree"))
+        probes.select(col("qid"), col("own")).join(maj, Seq("qid"), "left")
+          .select(col("qid").as("vec_id"), col("own").as("label"),
+            col("maj_label"),
+            coalesce(col("n_agree"), lit(0L)).as("n_agree"),
+            (col("own") =!= col("maj_label")).as("flagged"))
+          .orderBy(col("vec_id").asc_nulls_last)
+      },
+      Some(s"""WITH sigs AS (
+          SELECT vec_id, label, embedding,
+            ${sigSql("embedding")} AS sig
+          FROM embeddings),
+        p AS (SELECT vec_id AS qid, label AS own, embedding AS qv, sig AS qsig
+              FROM sigs WHERE vec_id % 50 = 0),
+        cand AS (SELECT pp.qid, pp.own, pp.qv, c.vec_id, c.label, c.embedding
+                 FROM (SELECT qid, own, qv, xor(qsig, m) AS psig
+                       FROM p CROSS JOIN (VALUES $masksValues) t(m)) pp
+                 JOIN sigs c ON pp.psig = c.sig AND c.vec_id <> pp.qid),
+        sc AS (SELECT qid, own, vec_id, label, ${cosSql("qv", "embedding")} AS simr FROM cand),
+        t5 AS (SELECT qid, own, label FROM (
+            SELECT qid, own, label,
+              row_number() OVER (PARTITION BY qid ORDER BY simr DESC, vec_id ASC) AS rn
+            FROM sc) x WHERE rn <= 5),
+        votes AS (SELECT qid, own, label, count(*) AS votes
+                  FROM t5 GROUP BY qid, own, label),
+        maj AS (SELECT qid, label AS maj_label, votes AS n_agree FROM (
+            SELECT qid, label, votes,
+              row_number() OVER (PARTITION BY qid ORDER BY votes DESC, label ASC) AS vr
+            FROM votes) x WHERE vr = 1)
+        SELECT p.qid AS vec_id, p.own AS label, maj.maj_label,
+          CAST(coalesce(maj.n_agree, 0) AS BIGINT) AS n_agree,
+          (p.own <> maj.maj_label) AS flagged
+        FROM p LEFT JOIN maj ON p.qid = maj.qid
+        ORDER BY vec_id ASC NULLS LAST""")))
 }

@@ -712,4 +712,41 @@ object EventStreams {
           }
       }
   }
+  /** Streaming ANN decontamination screen — the on-arrival face of
+    * n_decontam_semantic_ann: training vectors ARRIVE as a stream and
+    * must be screened against a fixed benchmark before admission. The
+    * 37 Hamming<=2 probe masks explode on the STATIC benchmark side
+    * (XOR symmetry: probing either side yields the same Hamming<=2
+    * pair set), so each arriving vector computes ONE portable 8-bit
+    * signature map-only and meets a broadcast (bid, probe-sig, bv)
+    * relation of 37 x |benchmark| rows; bucket cohabitants get the
+    * exact cosine rerank, sim >= 0.3 flags. STATELESS in streaming
+    * terms — no watermark, no state store (a vector's signature
+    * matches at most one probe signature per benchmark item, so the
+    * join emits no duplicates) — the shape that screens any ingest
+    * rate against a benchmark that broadcasts once.
+    * StreamingSpec proves the drained per-benchmark rollup equals
+    * n_decontam_semantic_ann's batch candidates exactly.
+    */
+  def annScreenStream(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftSession.tune(spark)
+    val schema = spark.read.parquet(s"$dir/embeddings.parquet").schema
+    val bench = graft.queries.Round12Queries.withSig(
+      spark.read.parquet(s"$dir/embeddings.parquet")
+        .filter(col("vec_id") % 97 === 0)
+        .select(col("vec_id").as("bid"), col("embedding").as("bv")), "bv")
+    val benchProbes = bench
+      .withColumn("m", explode(typedLit(graft.queries.Round12Queries.probeMasks)))
+      .select(col("bid"), col("bv"), col("sig").bitwiseXOR(col("m")).as("psig"))
+    val arriving = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+      .filter(col("vec_id") % 97 =!= 0)
+      .select(col("vec_id"), col("embedding"))
+    graft.queries.Round12Queries.withSig(arriving, "embedding")
+      .join(broadcast(benchProbes), col("sig") === col("psig"))
+      .withColumn("sim",
+        round(graft.queries.SimilarityQueries.cosine("bv", "embedding"), 6))
+      .select(col("vec_id"), col("bid"), col("sim"),
+        (col("sim") >= 0.3).cast("int").as("contaminated"))
+  }
 }

@@ -41,6 +41,14 @@ class Round12Spec extends AnyFunSuite {
     * small perturbations (cosine ~0.999 — within the radius-2 probe
     * envelope). Clusters are mutually near-orthogonal random vectors,
     * so each side's true best partner is its own pair.
+    *
+    * For the label-noise vote, each cluster ALSO plants five exact
+    * copies at 50i+1..50i+5 (ids ≢ 0,25 mod 50 — invisible to the
+    * bitext x/y slices): a k=5 majority needs k same-label neighbors
+    * to be guaranteed, because random 8-bit signatures collide within
+    * Hamming≤2 at ~14.5% rate and a lone own-label vote can lose the
+    * count-desc/label-asc tie-break to a chance two-cohabitant
+    * cluster.
     */
   private lazy val plantedDir: String = {
     val tmp = java.nio.file.Files.createTempDirectory("graft_r12_planted").toString
@@ -52,7 +60,8 @@ class Round12Spec extends AnyFunSuite {
           val p = baseVec(1000 + i)
           v.zip(p).map { case (a, b) => a + 0.02f * b }
         }
-      Seq(Row(50L * i, v.toSeq, i), Row(50L * i + 25, y.toSeq, i))
+      Seq(Row(50L * i, v.toSeq, i), Row(50L * i + 25, y.toSeq, i)) ++
+        (1 to 5).map(j => Row(50L * i + j, v.toSeq, i))
     }
     val schema = StructType(Seq(
       StructField("vec_id", LongType),
@@ -107,6 +116,28 @@ class Round12Spec extends AnyFunSuite {
       "- low recall EXPECTED here: corpus cross-slice top pairs sit at cosine 0.10-0.41")
     // every ANN mutual pair must at least be a real candidate-scored pair
     assert(ann.forall { case (x, y) => x % 50 == 0 && y % 50 == 25 })
+  }
+
+  test("label-noise ANN vote: planted pairs vote their own label; corpus rollup is probe-complete") {
+    // planted: each probe's bucket cohabitants include five exact
+    // own-label copies (cosine 1.0 beats any chance collision), so
+    // the k=5 vote is unanimous and no planted probe is flagged
+    val planted = SparkEntry.queries("n_label_noise_ann")(spark, plantedDir).collect()
+    assert(planted.length == 12)
+    planted.foreach { r =>
+      assert(r.getAs[Integer]("maj_label") == r.getAs[Integer]("label"),
+        s"planted probe ${r.get(0)} voted ${r.get(2)} against own ${r.get(1)}")
+      assert(!r.getAs[Boolean]("flagged"))
+      assert(r.getAs[Long]("n_agree") == 5L,
+        s"planted probe ${r.get(0)} vote not unanimous: ${r.getAs[Long]("n_agree")}")
+    }
+    // corpus: every probe surfaces (zero-cohabitant probes included),
+    // votes bounded by k=5
+    val dir = "/root/testdata/sf0.01"
+    val rows = SparkEntry.queries("n_label_noise_ann")(spark, dir).collect()
+    val nProbes = T(spark, dir, "embeddings").filter(col("vec_id") % 50 === 0).count()
+    assert(rows.length == nProbes)
+    assert(rows.forall(r => r.getAs[Long]("n_agree") <= 5))
   }
 
   test("decontam ANN screen: flags are a subset of brute-force flags, counts consistent") {

@@ -510,4 +510,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
       "streamed turn summaries diverge from the batch query")
   }
+  test("streaming ANN decontamination screen: drained rollup equals the batch candidates") {
+    val q = EventStreams.annScreenStream(spark, sf)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ann_screen_out")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("ann_screen_out")
+      .groupBy(col("bid"))
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(col("contaminated")).cast("int").as("n_contaminated"),
+        max(col("sim")).as("max_sim"))
+      .orderBy(col("bid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSeq
+    val batch = SparkEntry.queries("n_decontam_semantic_ann")(spark, sf)
+      .filter(col("n_candidates") > 0)
+      .select("bid", "n_candidates", "n_contaminated", "max_sim")
+      .orderBy(col("bid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
 }

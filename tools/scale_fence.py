@@ -33,8 +33,8 @@ MIN_S = 0.15  # ignore regressions below this absolute time at 10x
 KNOWN_QUADRATIC = {
     "n_knn_join_topk", "n_ann_pq", "n_bitext_mining", "n_decontam_semantic",
     "n_label_noise", "n_record_linkage", "n_quality_kendall",
-    "n_bitext_mining_ann", "n_decontam_semantic_ann", "n_hard_negatives",
-    "n_cosine_topk_bruteforce",
+    "n_bitext_mining_ann", "n_decontam_semantic_ann", "n_label_noise_ann",
+    "n_hard_negatives", "n_cosine_topk_bruteforce",
 }
 
 

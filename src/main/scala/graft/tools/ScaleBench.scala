@@ -175,7 +175,14 @@ object ScaleBench {
     // controls — is measured directly in SCALE.md: at 10× data the
     // 8→16-bit signature widening holds candidate growth to ~5× (vs
     // 100× at fixed width), the executable form of the log2(n) dial.
-    "n_retrieval_eval")
+    "n_retrieval_eval",
+    // round-12b: the Heaps fit is two linear aggregates + an O(log n)
+    // broadcast inequality join; the transfer matrix is a token-keyed
+    // self-join amplified by k=#sources (k fixed at 20 in the fixture);
+    // nDCG scans the corpus against 5 FIXED probes. n_quality_rbo is
+    // excluded: fixed doc_id<300 evaluation slice by construction
+    // (the n_quality_kendall contract).
+    "n_heaps_law", "n_lm_transfer_matrix", "n_ndcg_eval")
 
   def main(args: Array[String]): Unit = {
     val dirA = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

@@ -387,17 +387,17 @@ object GraftExtensions {
           args.head, org.apache.spark.sql.types.DoubleType)))
       }),
     // DuckDB format() speaks fmt's {}-placeholders, Spark's
-    // format_string speaks printf — translate the (literal) template
-    // at bind time; {}, {N}, {:spec} and {N:spec} are covered,
-    // exotic fill/align specs fail loudly
+    // fmt-style templates → per-placeholder printf/pad expressions
+    // (probe 23: default align is LEFT for strings, RIGHT for numbers;
+    // fill/center via guarded pads; NULL args propagate like DuckDB)
     ("format",
-      info("format", "format('{}-{}', args...) - DuckDB fmt-style formatting (translated to printf)."),
+      info("format", "format('{}-{}', args...) - DuckDB fmt-style formatting (fill/align/width/.precision/dfsxoeg)."),
       (args: Seq[Expression]) => {
         require(args.nonEmpty, "format expects at least the template argument")
         // decimals/floats → double so java's %f accepts them (Spark
         // parses 3.14 literals as DECIMAL, which format_string rejects)
-        builtinBuilder("format_string")(
-          fmtTemplateToPrintf(args.head) +: args.tail.map(graft.functions.FmtArgCast))
+        val fmtArgs = args.tail.map(graft.functions.FmtArgCast)
+        nullPropagating(fmtArgs, fmtFormatExpr(args.head, fmtArgs))
       }),
     // DuckDB regexp_extract/extract_all default to group 0 (the whole
     // match); Spark's default is group 1 — re-register with the
@@ -975,24 +975,44 @@ object GraftExtensions {
     ArrayDistinct(ArrayFilter(arr, LambdaFunction(IsNotNull(v), Seq(v))))
   }
 
-  /** DuckDB/fmt `{}` template literal → printf template literal.
-    * `{}` → `%s` (auto-indexed), `{2}` → `%3$s`, `{:.2f}` → `%.2f`,
-    * `{1:5d}` → `%2$5d`; `{{`/`}}` escape braces. Width/precision/
-    * d-f-s-x-o-e-g types map 1:1; fill/align/sign specs fail loudly.
+  /** DuckDB/fmt `{}` template → a Concat of literal segments and
+    * per-placeholder printf/pad expressions (probe 23).
+    *
+    * Grammar per placeholder: `{[index][:[[fill]align][sign][#][0]
+    * [width][.precision][type]]}` with `{{`/`}}` brace escapes.
+    * Alignment semantics pinned against DuckDB: default align is LEFT
+    * for strings and RIGHT for numbers (the old one-printf translation
+    * right-aligned everything — `{:5}` on a string was silently
+    * wrong); `<`/`>` map to printf flags, `^` and custom fill chars
+    * become guarded lpad/rpad wrappers (fmt never truncates — a value
+    * wider than the field passes through; center puts the extra fill
+    * on the RIGHT). `=` (align-after-sign) and nested braces stay
+    * loud. fmt forbids mixing auto and manual indexing; so do we.
     */
-  private[graft] def fmtTemplateToPrintf(e: Expression): Expression = {
-    require(e.foldable, "format: the template must be a string literal")
-    val raw = e.eval(null) match {
+  private[graft] def fmtFormatExpr(template: Expression,
+      fmtArgs: Seq[Expression]): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{Add, Cast, Concat,
+      FormatString, GreaterThanOrEqual, If, Length, Literal, StringLPad,
+      StringRPad, Subtract}
+    import org.apache.spark.sql.types.{IntegerType, NumericType}
+    require(template.foldable, "format: the template must be a string literal")
+    val raw = template.eval(null) match {
       case null => throw new IllegalArgumentException("format: template is NULL")
       case u => u.toString
     }
-    val out = new StringBuilder
+    val segments = scala.collection.mutable.ArrayBuffer.empty[Expression]
+    val text = new StringBuilder
+    def flushText(): Unit =
+      if (text.nonEmpty) { segments += strLit(text.toString); text.clear() }
+    var auto = 0
+    var sawAuto = false
+    var sawManual = false
+    val specRe = "^(?:(.)?([<>^=]))?([+\\- ])?(#?)(0?)(\\d*)(\\.\\d+)?([dfsxoeg]?)$".r
     var i = 0
     while (i < raw.length) {
       val c = raw.charAt(i)
-      if (c == '{' && i + 1 < raw.length && raw.charAt(i + 1) == '{') { out.append('{'); i += 2 }
-      else if (c == '}' && i + 1 < raw.length && raw.charAt(i + 1) == '}') { out.append('}'); i += 2 }
-      else if (c == '%') { out.append("%%"); i += 1 }
+      if (c == '{' && i + 1 < raw.length && raw.charAt(i + 1) == '{') { text.append('{'); i += 2 }
+      else if (c == '}' && i + 1 < raw.length && raw.charAt(i + 1) == '}') { text.append('}'); i += 2 }
       else if (c == '{') {
         val close = raw.indexOf('}', i)
         require(close >= 0, s"format: unbalanced '{' in template: $raw")
@@ -1001,30 +1021,98 @@ object GraftExtensions {
           case -1 => (body, "")
           case k  => (body.substring(0, k), body.substring(k + 1))
         }
-        val pos =
-          if (idxPart.isEmpty) ""
+        flushText()
+        val idx =
+          if (idxPart.isEmpty) { sawAuto = true; val k = auto; auto += 1; k }
           else {
             require(idxPart.forall(_.isDigit), s"format: unsupported placeholder {$body}")
-            s"${idxPart.toInt + 1}$$"
+            sawManual = true; idxPart.toInt
           }
-        val conv =
-          if (specPart.isEmpty) "s"
-          else {
-            // [width][.precision][type] — anything fancier fails loudly
-            val m = "^(\\d*)(\\.\\d+)?([dfsxoeg]?)$".r
-            specPart match {
-              case m(w, p, t) =>
-                val ty = if (t.isEmpty) "s" else t
-                s"$w${Option(p).getOrElse("")}$ty"
-              case _ => throw new IllegalArgumentException(
-                s"format: unsupported format spec {$body} (width/.precision/dfsxoeg only)")
+        require(!(sawAuto && sawManual),
+          "format: cannot mix automatic {} and manual {N} indexing (fmt rule)")
+        require(idx < fmtArgs.length,
+          s"format: placeholder {$body} references argument $idx but only ${fmtArgs.length} given")
+        val arg = fmtArgs(idx)
+        specPart match {
+          case specRe(fill, align, sign, hash, zero, width, prec, ty) =>
+            require(align != "=", s"format: '=' alignment unsupported ({$body})")
+            val isNumeric =
+              if (ty != null && ty.nonEmpty && ty != "s") true
+              else if (ty == "s") false
+              else try arg.dataType.isInstanceOf[NumericType]
+                catch { case _: Throwable => false }
+            val effAlign = Option(align).filter(_ != null).filter(_.nonEmpty)
+              .getOrElse(if (isNumeric) ">" else "<")
+            val effFill = Option(fill).filter(_ != null).filter(_.nonEmpty).getOrElse(" ")
+            val tyChar =
+              if (ty != null && ty.nonEmpty) ty
+              else if (zero == "0" && isNumeric) {
+                // {:06} zero-pads after the sign — printf's %0Nd does
+                // exactly that for integrals; floats have no printf
+                // equivalent (lpad would put zeros before the sign)
+                val integral = try {
+                  import org.apache.spark.sql.types._
+                  arg.dataType match {
+                    case ByteType | ShortType | IntegerType | LongType => true
+                    case _ => false
+                  }
+                } catch { case _: Throwable => false }
+                require(integral,
+                  s"format: zero-padding needs an integral argument or an explicit type ({$body})")
+                "d"
+              } else "s"
+            val signS = Option(sign).filter(_ != null).getOrElse("")
+            val precS = Option(prec).filter(_ != null).getOrElse("")
+            def pf(spec: String) = FormatString(Seq(strLit(spec), arg): _*)
+            if (effAlign == "^" || effFill != " ") {
+              // pad wrappers: format the bare value, then guarded pads
+              require(width.nonEmpty,
+                s"format: fill/center alignment needs a width ({$body})")
+              val w = width.toInt
+              val base = pf(s"%$signS$hash$precS$tyChar")
+              val fillLit = strLit(effFill)
+              val wLit = Literal(w)
+              val padded = effAlign match {
+                case "<" => StringRPad(base, wLit, fillLit)
+                case ">" => StringLPad(base, wLit, fillLit)
+                case _ => // center: left gets floor(pad/2), extra fill right
+                  val leftTarget = Cast(Add(Length(base),
+                    Cast(org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+                      Subtract(wLit, Length(base)), Literal(2), evalMode =
+                        org.apache.spark.sql.catalyst.expressions.EvalMode.LEGACY),
+                      IntegerType)), IntegerType)
+                  StringRPad(StringLPad(base, leftTarget, fillLit), wLit, fillLit)
+              }
+              segments += If(GreaterThanOrEqual(Length(base), wLit), base, padded)
+            } else {
+              // printf-expressible: right align is printf's default,
+              // '<' is the '-' flag; numeric zero-pad passes through
+              val flag = if (effAlign == "<") "-" else ""
+              segments += pf(s"%$signS$hash$flag$zero$width$precS$tyChar")
             }
-          }
-        out.append('%').append(pos).append(conv)
+          case _ => throw new IllegalArgumentException(
+            s"format: unsupported format spec {$body}")
+        }
         i = close + 1
-      } else { out.append(c); i += 1 }
+      } else { text.append(c); i += 1 }
     }
-    strLit(out.toString)
+    flushText()
+    if (segments.isEmpty) strLit("")
+    else if (segments.length == 1) segments.head
+    else Concat(segments.toSeq)
+  }
+
+  /** DuckDB's format/printf are NULL-propagating (any NULL argument →
+    * NULL result); Spark's format_string renders the string "null".
+    */
+  private[graft] def nullPropagating(fmtArgs: Seq[Expression],
+      result: Expression): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{If, IsNull, Literal, Or}
+    if (fmtArgs.isEmpty) result
+    else {
+      val anyNull = fmtArgs.map(IsNull(_): Expression).reduce(Or(_, _))
+      If(anyNull, Literal(null, org.apache.spark.sql.types.StringType), result)
+    }
   }
 
   private def strLit(s: String): Expression =
@@ -1958,17 +2046,20 @@ object GraftExtensions {
           ILike(args(0), args(1), escChar(args(2), "ilike_escape"))
         }),
       // printf: format_string, with DECIMAL arguments cast to double
-      // (a bare 3.14 literal parses as DECIMAL and %f rejects it)
+      // (a bare 3.14 literal parses as DECIMAL and %f rejects it);
+      // NULL args propagate to a NULL result like DuckDB (probe 23)
       ("printf",
         info("printf", "printf(fmt, ...) - C-style formatting (DuckDB)."),
         (args: Seq[Expression]) => {
           require(args.nonEmpty, "printf expects at least the format")
-          builtinBuilder("format_string")(args.head +: args.tail.map { a =>
+          val fmtArgs = args.tail.map { a =>
             try a.dataType match {
               case _: DecimalType => Cast(a, DoubleType)
               case _ => a
             } catch { case _: Throwable => a }
-          })
+          }
+          GraftExtensions.nullPropagating(fmtArgs,
+            builtinBuilder("format_string")(args.head +: fmtArgs))
         }),
       ("alias",
         info("alias", "alias(expr) - the expression's name as text (DuckDB)."),

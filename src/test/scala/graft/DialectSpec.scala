@@ -1621,6 +1621,43 @@ class DialectSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(post("SELECT sum(DISTINCT x) OVER (PARTITION BY p) AS s FROM (VALUES (1,10),(1,10)) t(p,x)").statusCode() == 400)
   }
 
+  test("round-12 probe23 batch: fmt alignment/fill semantics, format/printf NULL propagation") {
+    def one(sql: String, expect: String): Unit = {
+      val r = post(sql)
+      assert(r.statusCode() == 200, s"$sql -> ${r.body()}")
+      assert(r.body() == expect, s"$sql -> ${r.body()} (wanted $expect)")
+    }
+    // DuckDB-pinned (2026-08-15): fmt default alignment is LEFT for
+    // strings and RIGHT for numbers — the old one-printf translation
+    // right-aligned everything, so {:5} on a string was silently wrong
+    one("SELECT format('[{:5}]', 'ab') AS a, format('[{:5}]', 42) AS b, format('[{:5}]', 3.5) AS c",
+      """[{"a":"[ab   ]","b":"[   42]","c":"[  3.5]"}]""")
+    one("SELECT format('[{:<5}]', 'ab') AS a, format('[{:>5}]', 'ab') AS b, format('[{:^5}]', 'ab') AS c, format('[{:^6}]', 'ab') AS d",
+      """[{"a":"[ab   ]","b":"[   ab]","c":"[ ab  ]","d":"[  ab  ]"}]""")
+    // custom fill chars; center puts the extra fill on the RIGHT
+    one("SELECT format('[{:*<5}]', 'ab') AS a, format('[{:*>5}]', 'ab') AS b, format('[{:*^5}]', 'ab') AS c",
+      """[{"a":"[ab***]","b":"[***ab]","c":"[*ab**]"}]""")
+    // fmt never truncates: a value wider than the field passes through
+    one("SELECT format('[{:>2}]', 'abcdef') AS a, format('[{:^3}]', 'abcdef') AS b",
+      """[{"a":"[abcdef]","b":"[abcdef]"}]""")
+    // sign interaction: zero-pad goes AFTER the sign, fill before it
+    one("SELECT format('[{:<6}]', -42) AS a, format('[{:06}]', -42) AS b, format('[{:*>6}]', -42) AS c, format('[{:+d}]', 42) AS d",
+      """[{"a":"[-42   ]","b":"[-00042]","c":"[***-42]","d":"[+42]"}]""")
+    one("SELECT format('[{:^7.2f}]', 3.14159) AS a, format('[{:>8x}]', 255) AS b, format('[{:#x}]', 255) AS c, format('[{:#o}]', 8) AS d",
+      """[{"a":"[ 3.14  ]","b":"[      ff]","c":"[0xff]","d":"[010]"}]""")
+    // manual indexing reuses an argument across alignments
+    one("SELECT format('[{0:>4}{0:<4}]', 'ab') AS a", """[{"a":"[  abab  ]"}]""")
+    // NULL args propagate to a NULL result (format_string would have
+    // rendered the string "null")
+    one("SELECT format('[{:>5}]', NULL) AS a, printf('%d', NULL) AS b",
+      """[{"a":null,"b":null}]""")
+    one("SELECT format('[{: d}]', 42) AS f, format('{{}}{}', 1) AS g",
+      """[{"f":"[ 42]","g":"{}1"}]""")
+    // the negative space stays loud: '=' align, mixed auto/manual
+    assert(post("SELECT format('[{:=5}]', 42) AS a").statusCode() == 400)
+    assert(post("SELECT format('{}{0}', 1) AS a").statusCode() == 400)
+  }
+
   test("sandboxed server rejects dialect file sources outside allowed dirs") {
     val sandboxed = new QueryServer(spark, 0, allowedDirs = Seq("/nonexistent"))
     sandboxed.start()

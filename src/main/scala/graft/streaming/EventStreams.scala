@@ -712,6 +712,28 @@ object EventStreams {
           }
       }
   }
+  /** Streaming transfer-matrix shards — the ingestion face of
+    * n_lm_transfer_matrix: the whole k×k cross-entropy matrix is a
+    * deterministic function of ONE mergeable summary, the
+    * (source, token) count relation, so streaming ingestion keeps
+    * doc_id-sharded count shards and the matrix recomputes from their
+    * sum at any point — no per-pair state, no reprocessing. State is
+    * #shards × #sources × |vocab| counters (model-sized, corpus-
+    * independent). StreamingSpec proves the summed shards equal the
+    * batch (source, token) relation EXACTLY.
+    */
+  def transferShards(spark: SparkSession, dir: String,
+      shards: Int = 8): DataFrame = {
+    graft.GraftSession.tune(spark)
+    docSource(spark, dir)
+      .select(col("doc_id"), col("source"),
+        explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .withColumn("shard", pmod(col("doc_id"), lit(shards)))
+      .groupBy(col("shard"), col("source"), col("w"))
+      .agg(count(lit(1)).as("c"))
+  }
+
   /** Streaming ANN decontamination screen — the on-arrival face of
     * n_decontam_semantic_ann: training vectors ARRIVE as a stream and
     * must be screened against a fixed benchmark before admission. The

@@ -182,7 +182,13 @@ object ScaleBench {
     // nDCG scans the corpus against 5 FIXED probes. n_quality_rbo is
     // excluded: fixed doc_id<300 evaluation slice by construction
     // (the n_quality_kendall contract).
-    "n_heaps_law", "n_lm_transfer_matrix", "n_ndcg_eval")
+    "n_heaps_law", "n_lm_transfer_matrix", "n_ndcg_eval",
+    // round-12c: the conformal gate is a bounded-calibration threshold
+    // broadcast against a linear apply scan; the Hill fit is one
+    // gram-keyed aggregate + a <=41-row tail slice (the zipf-family
+    // vocab-window convention). n_bootstrap_ci is excluded: B*n draws
+    // over a FIXED doc_id<300 evaluation slice by construction.
+    "n_conformal_quality_gate", "n_hill_tail_fit")
 
   def main(args: Array[String]): Unit = {
     val dirA = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

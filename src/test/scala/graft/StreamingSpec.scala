@@ -510,6 +510,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
       "streamed turn summaries diverge from the batch query")
   }
+  test("streaming transfer shards: summed (source, token) counts equal the batch relation") {
+    val q = EventStreams.transferShards(spark, sf)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("transfer_shards_out")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val merged = spark.table("transfer_shards_out")
+      .groupBy(col("source"), col("w")).agg(sum(col("c")).as("c"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(spark.table("transfer_shards_out")
+      .select(countDistinct(col("shard"))).collect().head.getLong(0) > 1,
+      "fixture should fill multiple shards")
+    val batch = T(spark, sf, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(merged == batch,
+      "merged transfer shards diverge from the batch (source, token) relation")
+  }
+
   test("streaming ANN decontamination screen: drained rollup equals the batch candidates") {
     val q = EventStreams.annScreenStream(spark, sf)
       .writeStream.outputMode("append")

@@ -2302,8 +2302,10 @@ object GraftExtensions {
     "gen_random_uuid" -> "uuid",
     "uuidv4" -> "uuid",
     "unnest" -> "explode",
-    // DuckDB's list(x) aggregate (NULL-keeping there, NULL-skipping
-    // here — the same pre-existing divergence as the array_agg alias)
+    // list/array_agg: superseded by the registrations11 builders
+    // (probe 24 closed the NULL-keeping + NULL-on-empty divergence);
+    // the alias stays as documentation of the resolution chain, the
+    // later registration wins
     "list" -> "collect_list",
     // round-5 second batch: editdist3 is DuckDB's levenshtein alias;
     // week = ISO week on both engines (verified week(2024-12-30) = 1 =
@@ -2563,13 +2565,53 @@ object GraftExtensions {
         }))
   }
 
+  /** Probe-24 closures: DuckDB's list/array_agg keep NULL elements and
+    * return NULL (not []) on empty input — collect_list does neither.
+    * Elements wrap in a single-field struct (a struct row is non-NULL
+    * even when its field is), collect, unwrap, and a Size guard maps
+    * the empty collection to a typed NULL. Composes with the
+    * in-aggregate ORDER BY rewrite (which stacks its own named_struct
+    * sort wrapper on top of array_agg).
+    */
+  private val registrations11: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = {
+    import org.apache.spark.sql.catalyst.expressions.{ArrayTransform,
+      CreateNamedStruct, EqualTo, Expression => Expr, If, LambdaFunction,
+      Literal, Size, UnresolvedNamedLambdaVariable}
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    def aggE(e: Expr): Expr = e match {
+      case f: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateFunction =>
+        f.toAggregateExpression()
+      case other => other
+    }
+    def duckList(n: String) =
+      (n, info(n, s"$n(x) - DuckDB list aggregate: NULL elements kept, NULL (not []) on empty input (probe 24)."),
+        (args: Seq[Expression]) => {
+          require(args.length == 1, s"$n expects 1 argument, got ${args.length}")
+          val x = args.head
+          val wrapped = CreateNamedStruct(Seq(
+            Literal(org.apache.spark.unsafe.types.UTF8String.fromString("v"),
+              StringType), x))
+          val coll = aggE(builtinBuilder("collect_list")(Seq(wrapped)))
+          val s = UnresolvedNamedLambdaVariable(Seq("__lst_s"))
+          val unwrapped = ArrayTransform(coll, LambdaFunction(
+            UnresolvedExtractValue(s, Literal(
+              org.apache.spark.unsafe.types.UTF8String.fromString("v"),
+              StringType)), Seq(s)))
+          val nullTyped = try Literal.create(null, ArrayType(x.dataType))
+            catch { case _: Throwable => Literal.create(null, ArrayType(StringType)) }
+          If(EqualTo(Size(unwrapped), Literal(0)), nullTyped, unwrapped): Expression
+        })
+    Seq(duckList("list"), duckList("array_agg"))
+  }
+
   // registrations6 AFTER the aliases: its full-arity list_sort /
   // arg_min / arg_max / min / max builders must override the plain
   // alias entries (later registration wins in the registry).
   private[graft] def allRegistrations: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] =
     registrations ++ registrations2 ++ registrations3 ++ registrations4 ++
       registrations5 ++ aliasRegistrations ++ registrations6 ++ registrations7 ++
-      registrations8 ++ registrations9 ++ registrations10
+      registrations8 ++ registrations9 ++ registrations10 ++ registrations11
 
   private val txidCounter = new java.util.concurrent.atomic.AtomicLong(0L)
 

@@ -3445,6 +3445,34 @@ object Dialect {
     // bare aggregate (collect_set), the set's size is row-local
     def sizeOf(windowed: Expression): Expression =
       CastE(UnresolvedFunction("size", Seq(windowed), isDistinct = false), LongT)
+    // DuckDB's list/array_agg OVER (...) keep NULL elements and yield
+    // NULL on an empty frame (probe 24). The group-by forms are fixed
+    // by the registrations11 builders, but a builder result must BE a
+    // bare aggregate inside OVER — so the window form rewrites here:
+    // struct-wrap the element (a struct row survives collect_list even
+    // when its field is NULL), collect over the same spec, and unwrap
+    // + empty-guard OUTSIDE the window.
+    def isListAgg(f: UnresolvedFunction): Boolean =
+      !f.isDistinct && f.filter.isEmpty && f.arguments.length == 1 &&
+        (f.nameParts.last.equalsIgnoreCase("list") ||
+         f.nameParts.last.equalsIgnoreCase("array_agg"))
+    def structWrap(f: UnresolvedFunction): UnresolvedFunction = {
+      import org.apache.spark.sql.catalyst.expressions.CreateNamedStruct
+      UnresolvedFunction("collect_list",
+        Seq(CreateNamedStruct(Seq(Literal("v"), f.arguments.head))),
+        isDistinct = false)
+    }
+    def listWin(windowed: Expression): Expression = {
+      import org.apache.spark.sql.catalyst.expressions.{ArrayTransform,
+        LambdaFunction, UnresolvedNamedLambdaVariable}
+      import org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue
+      val s = UnresolvedNamedLambdaVariable(Seq("__lwin_s"))
+      val unwrapped = ArrayTransform(windowed,
+        LambdaFunction(UnresolvedExtractValue(s, Literal("v")), Seq(s)))
+      If(EqualTo(
+        UnresolvedFunction("size", Seq(unwrapped), isDistinct = false),
+        Literal(0)), Literal(null), unwrapped)
+    }
     // transformAllExpressions alone never reaches CTE bodies
     // (UnresolvedWith keeps cteRelations as innerChildren, not
     // children) or SubqueryExpression inner plans, so `/` in
@@ -3468,6 +3496,12 @@ object Dialect {
             f: UnresolvedFunction, ref) if isDistinctCount(f) =>
           sizeOf(org.apache.spark.sql.catalyst.expressions.UnresolvedWindowExpression(
             collectSet(f), ref))
+        case WindowExpression(f: UnresolvedFunction, spec) if isListAgg(f) =>
+          listWin(WindowExpression(structWrap(f), spec))
+        case org.apache.spark.sql.catalyst.expressions.UnresolvedWindowExpression(
+            f: UnresolvedFunction, ref) if isListAgg(f) =>
+          listWin(org.apache.spark.sql.catalyst.expressions.UnresolvedWindowExpression(
+            structWrap(f), ref))
         case sub: SubqueryExpression => sub.withNewPlan(rewriteDiv(sub.plan))
       }
     }

@@ -1658,6 +1658,50 @@ class DialectSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(post("SELECT format('{}{0}', 1) AS a").statusCode() == 400)
   }
 
+  test("round-12 probe24 batch: list/array_agg NULL semantics, coercion + empty-aggregate family") {
+    def one(sql: String, expect: String): Unit = {
+      val r = post(sql)
+      assert(r.statusCode() == 200, s"$sql -> ${r.body()}")
+      assert(r.body() == expect, s"$sql -> ${r.body()} (wanted $expect)")
+    }
+    // DuckDB-pinned (2026-08-15): list/array_agg keep NULL elements
+    // and return NULL (not []) on empty input — in group-by AND
+    // window contexts (closed this round; collect_list does neither)
+    one("SELECT list(x) AS l FROM (VALUES (1),(NULL),(2)) t(x)",
+      """[{"l":[1,null,2]}]""")
+    one("SELECT list(x) AS l FROM (SELECT 1 AS x WHERE false) t",
+      """[{"l":null}]""")
+    one("SELECT array_agg(x) AS l FROM (SELECT 1 AS x WHERE false) t",
+      """[{"l":null}]""")
+    one("SELECT p, list(x) AS l FROM (VALUES (1,10),(1,NULL),(2,30)) t(p,x) GROUP BY p ORDER BY p",
+      """[{"p":1,"l":[10,null]},{"p":2,"l":[30]}]""")
+    // in-aggregate ORDER BY still composes through the sort wrapper
+    one("SELECT list(x ORDER BY x DESC) AS l FROM (VALUES (1),(3),(2)) t(x)",
+      """[{"l":[3,2,1]}]""")
+    // window forms: empty frame -> NULL, NULL elements kept
+    one("SELECT i, list(x) OVER (ORDER BY i ROWS BETWEEN 2 PRECEDING AND 1 PRECEDING) AS l FROM (VALUES (1,10),(2,NULL),(3,30)) t(i,x) ORDER BY i",
+      """[{"i":1,"l":null},{"i":2,"l":[10]},{"i":3,"l":[10,null]}]""")
+    one("SELECT array_agg(x) OVER (PARTITION BY p) AS l FROM (VALUES (1,10),(1,NULL)) t(p,x) LIMIT 1",
+      """[{"l":[10,null]}]""")
+    one("SELECT list(x) OVER w AS l FROM (VALUES (1,10),(1,20)) t(p,x) WINDOW w AS (PARTITION BY p) LIMIT 1",
+      """[{"l":[10,20]}]""")
+    // coercion family already DuckDB-identical (pinned so it stays so)
+    one("SELECT '5' = 5 AS a, 5 IN ('5', 6) AS b, '2024-01-01' = DATE '2024-01-01' AS c",
+      """[{"a":true,"b":true,"c":true}]""")
+    one("SELECT CASE WHEN true THEN 1 ELSE '2' END AS a, coalesce(NULL, 1, '2') AS b",
+      """[{"a":1,"b":1}]""")
+    one("SELECT concat(1, 'a', 2.5, NULL) AS a, 1 || 'a' AS b",
+      """[{"a":"1a2.5","b":"1a"}]""")
+    one("SELECT sum(x) AS s, avg(x) AS a, min(x) AS m, count(x) AS c, string_agg(x, ',') AS g FROM (SELECT 1 AS x WHERE false) t",
+      """[{"s":null,"a":null,"m":null,"c":0,"g":null}]""")
+    one("SELECT 2 BETWEEN 3 AND 1 AS a, true AND NULL AS b, false AND NULL AS c, NOT NULL AS d",
+      """[{"a":false,"b":null,"c":false,"d":null}]""")
+    one("SELECT CAST('t' AS BOOLEAN) AS a, CAST(1.9 AS BOOLEAN) AS b, CAST(true AS INT) AS c",
+      """[{"a":true,"b":true,"c":1}]""")
+    // 'abc' = 0 errors on BOTH engines (conversion error)
+    assert(post("SELECT 'abc' = 0 AS c").statusCode() != 200)
+  }
+
   test("sandboxed server rejects dialect file sources outside allowed dirs") {
     val sandboxed = new QueryServer(spark, 0, allowedDirs = Seq("/nonexistent"))
     sandboxed.start()

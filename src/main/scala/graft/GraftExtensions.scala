@@ -1864,12 +1864,62 @@ object GraftExtensions {
       require(s.length == 1, s"$fn: the escape must be a single character")
       s.head
     }
-    // inline-flag regex composition: 'i'/'s'/'m'/'p' prepend a (?...)
-    // group; the pattern may be a runtime expression
+    // inline-flag regex composition; the pattern may be a runtime
+    // expression. DuckDB/RE2 options (probe 25): 'i' case-insensitive
+    // and 's' dot-matches-newline map to the same Java inline flags;
+    // 'm'/'n'/'p' mean NEWLINE-SENSITIVE matching there — which is
+    // Java's DEFAULT (and 'p' isn't even a valid Java inline flag, so
+    // the old (?p) group raised at run time) — and 'c'
+    // (case-sensitive) is the default on both: all four are no-ops.
+    // 'l' (literal) and anything unknown stay loud.
     def flagged(pattern: Expression, flags: String): Expression = {
-      val inline = flags.filter("ismp".contains(_))
+      val bad = flags.filterNot(c => "ismnpcg".contains(c))
+      require(bad.isEmpty,
+        s"regex options '$bad' unsupported (DuckDB options i/s/g map; m/n/p/c are the Java default)")
+      // options apply IN ORDER and can cancel each other (probe 25:
+      // regexp_matches('ab','AB','ic') is FALSE in DuckDB — the later
+      // 'c' turns case sensitivity back on; 'm'/'n'/'p' likewise turn
+      // newline sensitivity back on, cancelling an earlier 's')
+      val eff = flags.foldLeft(Set.empty[Char]) {
+        case (acc, 'i') => acc + 'i'
+        case (acc, 'c') => acc - 'i'
+        case (acc, 's') => acc + 's'
+        case (acc, 'm' | 'n' | 'p') => acc - 's'
+        case (acc, _) => acc
+      }
+      val inline = "is".filter(eff.contains)
       if (inline.isEmpty) pattern
       else builtinBuilder("concat")(Seq(Literal(s"(?$inline)"), pattern))
+    }
+    // DuckDB/RE2 rewrite syntax -> Java replacement syntax (probe 25:
+    // '\1' in a Java replacement is a literal '1', so every DuckDB
+    // group reference was silently dropped before): \N -> $(N+shift)
+    // (\0 = the whole match; shift covers the first-match emulation's
+    // prepended group), \\ -> literal backslash, literal $ -> \$.
+    // Unknown \x escapes and multi-digit backrefs stay loud.
+    def duckRepLit(e: Expression, shift: Int): Option[Expression] = e match {
+      case Literal(s, StringType) if s != null =>
+        val p = s.toString
+        val sb = new StringBuilder(p.length + 4)
+        var i = 0
+        while (i < p.length) {
+          val c = p.charAt(i)
+          if (c == '\\' && i + 1 < p.length) {
+            val d = p.charAt(i + 1)
+            if (d.isDigit) {
+              require(i + 2 >= p.length || !p.charAt(i + 2).isDigit,
+                "regexp_replace: multi-digit backreferences in the replacement are unsupported")
+              sb.append('$').append((d - '0') + shift)
+            } else if (d == '\\') sb.append("\\\\")
+            else throw new IllegalArgumentException(
+              s"regexp_replace: unsupported escape '\\$d' in the replacement")
+            i += 2
+          } else if (c == '$') { sb.append("\\$"); i += 1 }
+          else if (c == '\\') { sb.append("\\\\"); i += 1 }
+          else { sb.append(c); i += 1 }
+        }
+        Some(Literal(sb.toString))
+      case _ => None
     }
     // The first-match regexp_replace emulation prepends one capturing
     // group, shifting every group number in the user's pattern — a
@@ -1984,30 +2034,43 @@ object GraftExtensions {
             // one replacement. The prefix group shifts user group
             // numbers, so replacements carrying $/\ references stay
             // LOUD rather than silently mis-referencing.
-            val rep = litStr(args(2), "regexp_replace")
-            require(!rep.contains("$") && !rep.contains("\\"),
-              "regexp_replace: group references in the replacement need the 'g' flag here " +
-                "(first-match emulation shifts group numbers)")
+            val repT = duckRepLit(args(2), shift = 1).getOrElse(
+              throw new IllegalArgumentException(
+                "regexp_replace: a non-literal replacement needs the 'g' flag here " +
+                  "(first-match emulation shifts group numbers)"))
             val anchored = builtinBuilder("concat")(Seq(
               Literal("((?s)^.*?)(?:"), shiftBackrefs(args(1)), Literal(")")))
             builtinBuilder("regexp_replace")(
-              Seq(args(0), anchored, Literal("$1" + rep)))
+              Seq(args(0), anchored,
+                Literal("$1" + repT.asInstanceOf[Literal].value.toString)))
           } else if (args.length != 4) builtinBuilder("regexp_replace")(args)
           else {
             val flags = litStr(args(3), "regexp_replace").toLowerCase
             if (flags.contains("g"))
-              builtinBuilder("regexp_replace")(Seq(args(0), flagged(args(1), flags), args(2)))
+              builtinBuilder("regexp_replace")(Seq(args(0), flagged(args(1), flags),
+                duckRepLit(args(2), shift = 0).getOrElse(args(2))))
             else {
-              val rep = litStr(args(2), "regexp_replace")
-              require(!rep.contains("$") && !rep.contains("\\"),
-                "regexp_replace: group references in the replacement need the 'g' flag here " +
-                  "(first-match emulation shifts group numbers)")
+              val repT = duckRepLit(args(2), shift = 1).getOrElse(
+                throw new IllegalArgumentException(
+                  "regexp_replace: a non-literal replacement needs the 'g' flag here " +
+                    "(first-match emulation shifts group numbers)"))
               val anchored = builtinBuilder("concat")(Seq(
                 Literal("((?s)^.*?)(?:"), flagged(shiftBackrefs(args(1)), flags), Literal(")")))
               builtinBuilder("regexp_replace")(
-                Seq(args(0), anchored, Literal("$1" + rep)))
+                Seq(args(0), anchored,
+                  Literal("$1" + repT.asInstanceOf[Literal].value.toString)))
             }
           }
+        }),
+      // DuckDB's regexp_split_to_table: one row per split piece
+      // (probe 25) — explode over the regex split
+      ("regexp_split_to_table",
+        info("regexp_split_to_table", "regexp_split_to_table(s, re) - one row per split piece."),
+        (args: Seq[Expression]) => {
+          require(args.length == 2,
+            s"regexp_split_to_table expects 2 arguments, got ${args.length}")
+          org.apache.spark.sql.catalyst.expressions.Explode(
+            builtinBuilder("split")(args))
         }),
       ("regexp_matches",
         info("regexp_matches", "regexp_matches(s, pat[, flags]) - partial-match test with inline flags."),

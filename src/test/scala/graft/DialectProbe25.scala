@@ -3,10 +3,25 @@ package graft
 import graft.server.Dialect
 
 /** Round-12 probe tier 25: the regex long tail — flags ('i','g','s',
-  * and DuckDB's silently-inert 'm'), the named-group struct form,
-  * group-index extract_all, full-match, escape, split-to-table/array,
-  * backreference replacement, missing/optional group semantics.
-  * DuckDB ground truth run 2026-08-15 (values in comments).
+  * and DuckDB's newline-sensitivity options), the named-group struct
+  * form, group-index extract_all, full-match, escape,
+  * split-to-table/array, backreference replacement, missing/optional
+  * group semantics. DuckDB ground truth run 2026-08-15 (values in
+  * comments).
+  *
+  * The sweep found THREE real divergences, all closed + pinned in
+  * DialectSpec probe-25:
+  *   1. RE2 rewrite backrefs: '\1' in a Java replacement is the
+  *      literal digit '1' — every DuckDB group reference was silently
+  *      dropped. Replacements now translate \N -> $N (shifted +1
+  *      under the first-match emulation, which also gains backref
+  *      support instead of the loud guard), \0 = whole match,
+  *      \\ collapse, literal $ escaped.
+  *   2. DuckDB options apply IN ORDER and cancel: 'ic' is
+  *      case-SENSITIVE; 'm'/'n'/'p' mean newline-sensitive (Java's
+  *      default), not multiline — the old (?m) mapping silently
+  *      diverged and (?p) raised at run time.
+  *   3. regexp_split_to_table was unregistered — now explode(split).
   */
 object DialectProbe25 {
   def main(args: Array[String]): Unit = {

@@ -1702,6 +1702,54 @@ class DialectSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(post("SELECT 'abc' = 0 AS c").statusCode() != 200)
   }
 
+  test("round-12 probe25 batch: regex long tail — RE2 rewrite backrefs, ordered flags, split-to-table") {
+    def one(sql: String, expect: String): Unit = {
+      val r = post(sql)
+      assert(r.statusCode() == 200, s"$sql -> ${r.body()}")
+      assert(r.body() == expect, s"$sql -> ${r.body()} (wanted $expect)")
+    }
+    // DuckDB-pinned (2026-08-15): RE2 rewrite syntax in replacements —
+    // '\N' group refs (literal '\1' in a Java replacement is the
+    // digit '1', so every DuckDB group reference was silently dropped
+    // before), '\0' whole match, '\\' collapse, literal '$' untouched
+    one("""SELECT regexp_replace('abab', 'a(b)', '[\1]', 'g') AS g""",
+      """[{"g":"[b][b]"}]""")
+    one("""SELECT regexp_replace('hello world', '(\w+) (\w+)', '\2 \1', 'g') AS s""",
+      """[{"s":"world hello"}]""")
+    one("""SELECT regexp_replace('ab', '(a)(b)', '\0|\2', 'g') AS z""",
+      """[{"z":"ab|b"}]""")
+    one("""SELECT regexp_replace('ab', 'b', 'c$d', 'g') AS d""",
+      """[{"d":"ac$d"}]""")
+    // first-match (no 'g') now carries backrefs too: the emulation
+    // shifts the replacement's group numbers alongside the pattern's
+    one("""SELECT regexp_replace('abab', 'a(b)', '[\1]') AS f""",
+      """[{"f":"[b]ab"}]""")
+    one("""SELECT regexp_replace('hello world', '(\w+) (\w+)', '\2 \1') AS s""",
+      """[{"s":"world hello"}]""")
+    one("""SELECT regexp_replace('ab', 'b', 'c$d') AS d""", """[{"d":"ac$d"}]""")
+    // options apply IN ORDER and cancel ('c' turns case sensitivity
+    // back on); DuckDB's 'm'/'n'/'p' = newline-sensitive = Java's
+    // default, NOT multiline (the old (?m) mapping silently diverged)
+    one("SELECT regexp_matches('ab', 'AB', 'ic') AS x", """[{"x":false}]""")
+    one("SELECT regexp_matches('aBc', 'abc', 'i') AS a, regexp_matches('aBc', 'abc') AS b",
+      """[{"a":true,"b":false}]""")
+    one("SELECT regexp_matches('a' || chr(10) || 'b', '^b', 'm') AS c, regexp_matches('a' || chr(10) || 'b', 'a.b', 's') AS d",
+      """[{"c":false,"d":true}]""")
+    // split-to-table generator (keeps empty pieces, like DuckDB)
+    one("SELECT regexp_split_to_table('a,b;c', '[,;]') AS p",
+      """[{"p":"a"},{"p":"b"},{"p":"c"}]""")
+    one("SELECT regexp_split_to_table('a,,b', ',') AS p",
+      """[{"p":"a"},{"p":""},{"p":"b"}]""")
+    // the rest of the probe-25 sweep matched already — pinned
+    one("SELECT regexp_full_match('abc', 'a.c') AS a, regexp_full_match('abc', 'a.') AS b",
+      """[{"a":true,"b":false}]""")
+    one("""SELECT regexp_escape('a.b*c') AS e""", """[{"e":"a\\.b\\*c"}]""")
+    one("""SELECT regexp_extract('abc', 'z', 1) AS m, regexp_extract('abc', '(a)(z)?', 2) AS o""",
+      """[{"m":"","o":""}]""")
+    // unknown options stay loud
+    assert(post("SELECT regexp_matches('ab', 'ab', 'q') AS x").statusCode() == 400)
+  }
+
   test("sandboxed server rejects dialect file sources outside allowed dirs") {
     val sandboxed = new QueryServer(spark, 0, allowedDirs = Seq("/nonexistent"))
     sandboxed.start()

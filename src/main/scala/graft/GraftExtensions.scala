@@ -804,9 +804,17 @@ object GraftExtensions {
     // signbit is plain x < 0 in DuckDB (verified signbit(-0.0) = false
     // there — it does NOT inspect the IEEE sign bit of negative zero)
     ("signbit",
-      info("signbit", "signbit(x) - x < 0 (DuckDB semantics; -0.0 is false)."),
+      info("signbit", "signbit(x) - the IEEE sign bit (probe 26: -0.0 IS true in DuckDB 1.5.2)."),
       (args: Seq[Expression]) => { one("signbit", args)
-        LessThan(D(args.head), Literal(0.0)) }),
+        val x = D(args.head)
+        // x < 0 misses negative zero; the sign of a zero survives only
+        // in its rendering ("-0.0"), and NaN renders unsigned — so the
+        // string probe covers exactly the ±0.0 hole and nothing else
+        Or(LessThan(x, Literal(0.0)),
+          And2(EqualTo(x, Literal(0.0)),
+            builtinBuilder("startswith")(Seq(
+              Cast(x, org.apache.spark.sql.types.StringType),
+              Literal("-"))))) }),
     // mad: median absolute deviation as DOUBLE (verified mad([1,2,4])
     // = 1.0, mad([1.0,2.0]) = 0.5 — quantile_cont interpolation).
     // Composed from THREE independent aggregates (count + two sorted
@@ -2505,7 +2513,20 @@ object GraftExtensions {
         (args: Seq[Expression]) => intCastBuilder(args, tryMode = false)),
       ("graft_try_int_cast",
         info("graft_try_int_cast", "graft_try_int_cast(x, 'TYPE') - TRY_CAST to an integer type with DuckDB's rounding rules."),
-        (args: Seq[Expression]) => intCastBuilder(args, tryMode = true)))
+        (args: Seq[Expression]) => intCastBuilder(args, tryMode = true)),
+      // probe 26: explicit CAST(x AS VARCHAR) carries Java's floating
+      // rendering ('1.0E8', 'NaN') where DuckDB prints '100000000.0' /
+      // 'nan' — floating sources dispatch to the DuckDB text renderer
+      ("graft_varchar_cast",
+        info("graft_varchar_cast", "graft_varchar_cast(x) - CAST to VARCHAR with DuckDB floating-point text (Dialect.rewriteVarcharCasts target)."),
+        (args: Seq[Expression]) => {
+          require(args.length == 1, s"graft_varchar_cast expects 1 argument, got ${args.length}")
+          graft.functions.VarcharCastDispatch(args.head, tryMode = false) }),
+      ("graft_try_varchar_cast",
+        info("graft_try_varchar_cast", "graft_try_varchar_cast(x) - TRY_CAST to VARCHAR with DuckDB floating-point text."),
+        (args: Seq[Expression]) => {
+          require(args.length == 1, s"graft_try_varchar_cast expects 1 argument, got ${args.length}")
+          graft.functions.VarcharCastDispatch(args.head, tryMode = true) }))
   }
 
   private def intCastBuilder(args: Seq[Expression], tryMode: Boolean): Expression = {

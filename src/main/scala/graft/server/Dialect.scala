@@ -3377,6 +3377,143 @@ object Dialect {
     out
   }
 
+  /** CAST(x AS VARCHAR) carries Java's floating rendering ('1.0E8',
+    * 'NaN') where DuckDB prints '100000000.0' / 'nan' (probe 26) —
+    * rewrite to graft_varchar_cast, whose dispatch sends DOUBLE/FLOAT
+    * children through the DuckDB text renderer and leaves every other
+    * source on Spark's cast. Same innermost-first scan discipline as
+    * rewriteIntCasts; sized VARCHAR(n) targets pass through untouched.
+    */
+  private val VarcharTargetRe =
+    """(?i)\s+AS\s+(VARCHAR|STRING|TEXT)\s*\)$""".r
+  private val ColonVarcharRe = """::\s*(?i)(VARCHAR|STRING|TEXT)\b""".r
+  private def rewriteVarcharCasts(sql: String): String = {
+    var out = sql
+    var changed = true
+    var guard = 0
+    val castRe = """(?i)\b(try_)?cast\s*\(""".r
+    while (changed && guard < 200) {
+      changed = false
+      guard += 1
+      val mask = quoteMask(out)
+      val opens = castRe.findAllMatchIn(out).filterNot(m => mask(m.start)).toList
+      val candidates = opens.reverseIterator.flatMap { m =>
+        var depth = 0; var j = m.end - 1; var close = -1
+        while (j < out.length && close < 0) {
+          if (!mask(j)) out.charAt(j) match {
+            case '(' => depth += 1
+            case ')' => depth -= 1; if (depth == 0) close = j
+            case _ => ()
+          }
+          j += 1
+        }
+        if (close < 0) None
+        else {
+          val seg = out.substring(m.start, close + 1)
+          VarcharTargetRe.findFirstMatchIn(seg).map { tm =>
+            val isTry = m.group(1) != null
+            val openParen = seg.indexOf('(')
+            val inner = seg.substring(openParen + 1, tm.start)
+            val fn = if (isTry) "graft_try_varchar_cast" else "graft_varchar_cast"
+            (m.start, close, s"$fn($inner)")
+          }
+        }
+      }
+      candidates.toSeq.headOption.foreach { case (start, close, repl) =>
+        out = out.substring(0, start) + repl + out.substring(close + 1)
+        changed = true
+      }
+      if (!changed) {
+        val mask2 = quoteMask(out)
+        ColonVarcharRe.findAllMatchIn(out).filterNot(m => mask2(m.start)).toSeq.lastOption
+          .foreach { m =>
+            val start = operandStart(out, m.start - 1)
+            val lhs = out.substring(start, m.start)
+            out = out.substring(0, start) +
+              s"graft_varchar_cast($lhs)" +
+              out.substring(m.end)
+            changed = true
+          }
+      }
+    }
+    out
+  }
+
+  /** DuckDB's default NULL order is NULLS LAST in BOTH directions
+    * (default_null_order = 'nulls_last'); Spark's ASC default is
+    * NULLS FIRST — so every plain `ORDER BY x` silently reordered
+    * NULL rows until probe 26 caught it (the COLUMNS expansion and
+    * the in-aggregate rewrite already spelled it out, but plain keys
+    * fell through). Every ORDER BY key that does not spell a NULLS
+    * order — in the outer query, subqueries, OVER(...) windows, and
+    * inside aggregate calls — gets an explicit NULLS LAST appended.
+    * Processed right-to-left so splices never invalidate earlier
+    * match positions; a key "contains NULLS" only when the word
+    * appears at its own paren depth (a subquery inside a key that
+    * already got the suffix does not mask the outer key).
+    */
+  private val OrderByRe = """(?i)\bORDER\s+BY\b""".r
+  private val OrderEndKw = Seq("LIMIT", "OFFSET", "FETCH", "ROWS", "RANGE",
+    "GROUPS", "WINDOW", "UNION", "INTERSECT", "EXCEPT", "HAVING", "QUALIFY")
+  private[graft] def rewriteOrderNulls(sql: String): String = {
+    var out = sql
+    val matches = {
+      val mask = quoteMask(out)
+      OrderByRe.findAllMatchIn(out).filterNot(m => mask(m.start))
+        .map(_.end).toList.reverse
+    }
+    matches.foreach { segStart =>
+      val mask = quoteMask(out)
+      // find the segment end: depth-0 terminator keyword, a ')' that
+      // would close the enclosing paren, ';', or end of string
+      var i = segStart
+      var depth = 0
+      var end = -1
+      while (i < out.length && end < 0) {
+        val c = out.charAt(i)
+        if (!mask(i)) c match {
+          case '(' => depth += 1; i += 1
+          case ')' => if (depth == 0) end = i else { depth -= 1; i += 1 }
+          case ';' if depth == 0 => end = i
+          case ch if depth == 0 && (ch.isLetter) &&
+              (i == 0 || !out.charAt(i - 1).isLetterOrDigit && out.charAt(i - 1) != '_') =>
+            val w = out.substring(i).takeWhile(x => x.isLetterOrDigit || x == '_')
+            if (OrderEndKw.contains(w.toUpperCase)) end = i else i += w.length
+          case _ => i += 1
+        } else i += 1
+      }
+      if (end < 0) end = out.length
+      val seg = out.substring(segStart, end)
+      val keys = splitTopLevel(seg, ',')
+      val hasNullsRe = """(?i)\bNULLS\b""".r
+      def topLevelNulls(key: String): Boolean = {
+        val km = quoteMask(key)
+        var d = 0
+        var found = false
+        hasNullsRe.findAllMatchIn(key).foreach { m =>
+          if (!km(m.start)) {
+            val before = key.substring(0, m.start)
+            val bm = quoteMask(before)
+            val dd = before.zipWithIndex.count { case (ch, ix) => ch == '(' && !bm(ix) } -
+              before.zipWithIndex.count { case (ch, ix) => ch == ')' && !bm(ix) }
+            if (dd == 0) found = true
+          }
+        }
+        d == 0 && found
+      }
+      if (keys.nonEmpty && keys.forall(_.trim.nonEmpty)) {
+        val rewritten = keys.map { k =>
+          val t = k.trim
+          if (topLevelNulls(t)) t else s"$t NULLS LAST"
+        }
+        out = out.substring(0, segStart) + " " + rewritten.mkString(", ") +
+          (if (end < out.length && out.charAt(end) == ')') "" else " ") +
+          out.substring(end)
+      }
+    }
+    out
+  }
+
   def rewrite(spark: SparkSession, sql: String,
       pathOk: String => Boolean = _ => true,
       readOnly: Boolean = false): String =
@@ -3391,14 +3528,14 @@ object Dialect {
     // reproduces the loud binder failure; `2^(3!)` = 64.0 both engines.
     handleMacroVerb(spark, sql).orElse(
       handleDdlVerb(spark, sql, pathOk, readOnly)).getOrElse(
-      rewritePositionalJoin(spark,
+      rewriteOrderNulls(rewritePositionalJoin(spark,
       rewriteDistinctOn(rewriteQualify(rewriteExclude(rewriteOffsetLimit(rewriteFactorialAbs(rewritePower(rewriteGlob(rewriteTildeOps(rewriteQuantified(rewriteAggOrder(rewriteSimilarTo(rewriteJsonOps(rewriteDateDiff(rewriteIntDiv(
         rewriteSample(rewriteStructPack(rewriteBrackets(rewriteBraces(
-          rewriteIntCasts(rewriteTypeAliases(rewriteWindowFilter(rewriteMultiUnnest(rewriteUnnestRecursive(rewriteExtractFields(rewriteExtractQuoted(
+          rewriteVarcharCasts(rewriteIntCasts(rewriteTypeAliases(rewriteWindowFilter(rewriteMultiUnnest(rewriteUnnestRecursive(rewriteExtractFields(rewriteExtractQuoted(
           rewriteUnionByName(spark, rewriteReplace(spark, rewriteColumns(spark, rewriteAsOf(rewriteGenerateSeries(rewriteSources(spark,
             rewritePivot(spark, rewriteUnpivot(rewriteSummarize(spark,
               rewritePragma(rewriteDescribe(spark, expandMacros(spark, rewriteFromFirst(rewriteStringEscapes(sql)))))))),
-            pathOk)))))))))))))))))))))))))))))))))
+            pathOk)))))))))))))))))))))))))))))))))))
 
   /** The serving plane's spark.sql: parse, then rewrite arithmetic to
     * DuckDB semantics BEFORE analysis so Catalyst's own coercion

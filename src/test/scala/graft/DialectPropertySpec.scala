@@ -45,7 +45,18 @@ class DialectPropertySpec extends AnyFunSuite {
         // while Spark's parser escapes, so the shim doubles them
         sql.contains("\\") }
       .foreach { case (name, sql) =>
-        assert(Dialect.rewrite(spark, sql) == sql, s"rewrite altered oracle of $name")
+        // probe 26 made ORDER BY itself dialect surface: DuckDB's
+        // default NULL order is NULLS LAST where Spark's ASC default
+        // is NULLS FIRST, so the rewriter appends an explicit NULLS
+        // LAST to every unspelled key (and normalizes the key list's
+        // whitespace while splicing). The identity property therefore
+        // holds modulo that normalization: strip the inserted token
+        // and collapse whitespace on both sides — any OTHER content
+        // change still fails.
+        def canon(s: String): String =
+          s.replace(" NULLS LAST", "").replaceAll("\\s+", " ").trim
+        assert(canon(Dialect.rewrite(spark, sql)) == canon(sql),
+          s"rewrite altered oracle of $name")
       }
   }
 

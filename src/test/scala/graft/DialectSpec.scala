@@ -1750,6 +1750,59 @@ class DialectSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(post("SELECT regexp_matches('ab', 'ab', 'q') AS x").statusCode() == 400)
   }
 
+  test("round-12 probe26 batch: default NULLS LAST ordering, float-edge semantics") {
+    def one(sql: String, expect: String): Unit = {
+      val r = post(sql)
+      assert(r.statusCode() == 200, s"$sql -> ${r.body()}")
+      assert(r.body() == expect, s"$sql -> ${r.body()} (wanted $expect)")
+    }
+    // DuckDB-pinned (2026-08-15): default_null_order = nulls_last in
+    // BOTH directions — Spark's ASC default is NULLS FIRST, so every
+    // plain ORDER BY silently reordered NULL rows until this round
+    one("SELECT x FROM (VALUES (1),(NULL),(2)) t(x) ORDER BY x",
+      """[{"x":1},{"x":2},{"x":null}]""")
+    one("SELECT x FROM (VALUES (1),(NULL),(2)) t(x) ORDER BY x DESC",
+      """[{"x":2},{"x":1},{"x":null}]""")
+    // explicit spellings survive the defaulting rewrite
+    one("SELECT x FROM (VALUES (1),(NULL),(2)) t(x) ORDER BY x NULLS FIRST",
+      """[{"x":null},{"x":1},{"x":2}]""")
+    // windows, frames, subquery+LIMIT, positional, CASE keys, ALL
+    one("SELECT x, row_number() OVER (ORDER BY x) AS r FROM (VALUES (1),(NULL),(2)) t(x) ORDER BY r",
+      """[{"x":1,"r":1},{"x":2,"r":2},{"x":null,"r":3}]""")
+    one("SELECT sum(x) OVER (ORDER BY x ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS s FROM (VALUES (1),(2)) t(x) ORDER BY s",
+      """[{"s":1},{"s":3}]""")
+    one("SELECT * FROM (SELECT x FROM (VALUES (3),(NULL),(1)) t(x) ORDER BY x LIMIT 2) z ORDER BY x DESC",
+      """[{"x":3},{"x":1}]""")
+    one("SELECT x, y FROM (VALUES (1, NULL),(1, 2),(NULL, 0)) t(x, y) ORDER BY ALL",
+      """[{"x":1,"y":2},{"x":1,"y":null},{"x":null,"y":0}]""")
+    one("SELECT x FROM (VALUES (1),(NULL),(2)) t(x) ORDER BY 1 DESC",
+      """[{"x":2},{"x":1},{"x":null}]""")
+    // float edges: NaN = NaN, NaN greatest, -0.0 groups with 0.0,
+    // NaN sorts before NULL, division by zero NULL even on doubles
+    one("SELECT CAST('nan' AS DOUBLE) = CAST('nan' AS DOUBLE) AS a, CAST('nan' AS DOUBLE) > 1e308 AS b",
+      """[{"a":true,"b":true}]""")
+    one("SELECT CAST(-0.0 AS DOUBLE) = CAST(0.0 AS DOUBLE) AS a, 1.0/0.0 AS b",
+      """[{"a":true,"b":null}]""")
+    one("SELECT x, count(*) AS c FROM (VALUES (CAST('nan' AS DOUBLE)),(CAST('nan' AS DOUBLE)),(CAST(0.0 AS DOUBLE)),(CAST(-0.0 AS DOUBLE))) t(x) GROUP BY x ORDER BY x",
+      """[{"x":0.0,"c":2},{"x":null,"c":2}]""")
+    one("SELECT max(x) AS mx, min(x) AS mn FROM (VALUES (CAST(1.0 AS DOUBLE)),(CAST('nan' AS DOUBLE)),(CAST('inf' AS DOUBLE))) t(x)",
+      """[{"mx":null,"mn":1.0}]""")
+    // classification: signbit(-0.0) IS true in DuckDB 1.5.2
+    one("SELECT isnan(CAST('nan' AS DOUBLE)) AS a, isinf(CAST('inf' AS DOUBLE)) AS b, isfinite(1.0) AS c, signbit(CAST('-0.0' AS DOUBLE)) AS d, signbit(CAST('nan' AS DOUBLE)) AS e",
+      """[{"a":true,"b":true,"c":true,"d":true,"e":false}]""")
+    // math domain errors stay loud like DuckDB (Java would return NaN)
+    assert(post("SELECT sqrt(-1.0) AS a").statusCode() != 200)
+    assert(post("SELECT ln(0.0) AS a").statusCode() != 200)
+    // CAST(floating AS VARCHAR) renders DuckDB text, not Java's
+    // ('1.0E8'/'NaN' were served before); other sources untouched
+    one("SELECT CAST(CAST('nan' AS DOUBLE) AS VARCHAR) AS a, CAST(CAST('inf' AS DOUBLE) AS VARCHAR) AS b, CAST(1.5e-7 AS VARCHAR) AS c",
+      """[{"a":"nan","b":"inf","c":"1.5e-07"}]""")
+    one("SELECT CAST(CAST(100000000 AS DOUBLE) AS VARCHAR) AS a, CAST(1e21 AS VARCHAR) AS c, (1e21)::VARCHAR AS d, TRY_CAST(CAST(0.25 AS DOUBLE) AS STRING) AS t",
+      """[{"a":"100000000.0","c":"1e+21","d":"1e+21","t":"0.25"}]""")
+    one("SELECT CAST(CAST(0.5 AS FLOAT) AS VARCHAR) AS f, CAST(42 AS VARCHAR) AS i, CAST(DATE '2024-01-05' AS VARCHAR) AS d",
+      """[{"f":"0.5","i":"42","d":"2024-01-05"}]""")
+  }
+
   test("sandboxed server rejects dialect file sources outside allowed dirs") {
     val sandboxed = new QueryServer(spark, 0, allowedDirs = Seq("/nonexistent"))
     sandboxed.start()

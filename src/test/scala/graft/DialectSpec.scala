@@ -1803,6 +1803,36 @@ class DialectSpec extends AnyFunSuite with BeforeAndAfterAll {
       """[{"f":"0.5","i":"42","d":"2024-01-05"}]""")
   }
 
+  test("round-12 probe27 batch: NULL-aware IN, complex-type keys, set-op duplicates") {
+    def one(sql: String, expect: String): Unit = {
+      val r = post(sql)
+      assert(r.statusCode() == 200, s"$sql -> ${r.body()}")
+      assert(r.body() == expect, s"$sql -> ${r.body()} (wanted $expect)")
+    }
+    // DuckDB-pinned (2026-08-15): three-valued IN over literal lists
+    one("SELECT 1 NOT IN (2, NULL) AS a, 1 IN (1, NULL) AS b, 1 IN (2, NULL) AS c",
+      """[{"a":null,"b":true,"c":null}]""")
+    // LIST and STRUCT group-by keys; list ordering is lexicographic
+    // with the probe-26 NULLS LAST default
+    one("SELECT x, count(*) AS c FROM (VALUES ([1,2]),([1,2]),([3])) t(x) GROUP BY x ORDER BY c DESC",
+      """[{"x":[1,2],"c":2},{"x":[3],"c":1}]""")
+    one("SELECT x, count(*) AS c FROM (VALUES ({'a':1}),({'a':1}),({'a':2})) t(x) GROUP BY x ORDER BY c DESC",
+      """[{"x":{"a":1},"c":2},{"x":{"a":2},"c":1}]""")
+    one("SELECT x FROM (VALUES ([2]),([1,5]),(NULL),([1])) t(x) ORDER BY x",
+      """[{"x":[1]},{"x":[1,5]},{"x":[2]},{"x":null}]""")
+    one("SELECT [1,2] = [1,2] AS a, [1,2] < [1,3] AS b, {'a':1} = {'a':1} AS c",
+      """[{"a":true,"b":true,"c":true}]""")
+    one("SELECT 1 IS DISTINCT FROM NULL AS a, NULL IS NOT DISTINCT FROM NULL AS b",
+      """[{"a":true,"b":true}]""")
+    one("SELECT x FROM (VALUES (1),(2),(2)) t(x) INTERSECT ALL SELECT x FROM (VALUES (2),(2),(3)) t(x) ORDER BY x",
+      """[{"x":2},{"x":2}]""")
+    one("SELECT x FROM (VALUES (1),(2),(2)) t(x) EXCEPT SELECT x FROM (VALUES (2)) t(x)",
+      """[{"x":1}]""")
+    // the documented-loud residue stays loud
+    assert(post("SELECT DISTINCT x FROM (VALUES (MAP([1],[2]))) t(x)").statusCode() != 200)
+    assert(post("SELECT * FROM (VALUES (1),(2)) t(x) LIMIT 20%").statusCode() != 200)
+  }
+
   test("sandboxed server rejects dialect file sources outside allowed dirs") {
     val sandboxed = new QueryServer(spark, 0, allowedDirs = Seq("/nonexistent"))
     sandboxed.start()

@@ -72,27 +72,31 @@ object Round11dQueries extends QueryModule {
           .agg(sum(col("n")).cast("bigint").as("w"))
         val base = games.groupBy(col("a"))
           .agg(sum(col("g")).cast("bigint").as("games"))
-          .join(wins, Seq("a"), "left")
+          .join(broadcast(wins), Seq("a"), "left")
           .select(col("a"), col("games"), coalesce(col("w"), lit(0L)).as("w"))
         // MM iteration on the k-row strength relation: denominator as
         // an exact decimal sum of 6-rounded terms (order-independent),
         // one double division, re-rounded — both engines walk the
-        // identical float sequence
+        // identical float sequence. Every relation here is k- or
+        // k²-row; BROADCAST each join side so the two MM steps plan
+        // zero shuffle exchanges — at sf0.1 the unhinted form spent
+        // ~1.5 s in pure tiny-stage scheduling (round-12 bench-tail
+        // read), and at 100 TB these relations are still model-sized
         def step(p: DataFrame): DataFrame = {
           val terms = games
-            .join(p.select(col("a"), col("p").as("pa")), Seq("a"))
-            .join(p.select(col("a").as("b"), col("p").as("pb")), Seq("b"))
+            .join(broadcast(p.select(col("a"), col("p").as("pa"))), Seq("a"))
+            .join(broadcast(p.select(col("a").as("b"), col("p").as("pb"))), Seq("b"))
             .withColumn("t", round(col("g") / (col("pa") + col("pb")), 6))
           terms.groupBy(col("a"))
             .agg(sum(col("t").cast(DecimalType(18, 6))).cast("double").as("den"))
-            .join(base.select(col("a"), col("w")), Seq("a"))
+            .join(broadcast(base.select(col("a"), col("w"))), Seq("a"))
             .select(col("a"), round(col("w") / col("den"), 6).as("p"))
         }
         val p0 = base.select(col("a"), lit(1.0).as("p"))
         val p2 = step(step(p0))
         val tot = p2.agg(
           sum(col("p").cast(DecimalType(18, 6))).cast("double").as("ptot"))
-        p2.crossJoin(broadcast(tot)).join(base, Seq("a"))
+        p2.crossJoin(broadcast(tot)).join(broadcast(base), Seq("a"))
           .select(col("a").as("item"), col("w").as("wins"),
             col("games"), round(col("p") / col("ptot"), 6).as("strength"))
           // rank over the k-row item relation; constant partition key

@@ -1833,6 +1833,30 @@ class DialectSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(post("SELECT * FROM (VALUES (1),(2)) t(x) LIMIT 20%").statusCode() != 200)
   }
 
+  test("round-12 probe28 batch: window-function long tail pinned") {
+    def one(sql: String, expect: String): Unit = {
+      val r = post(sql)
+      assert(r.statusCode() == 200, s"$sql -> ${r.body()}")
+      assert(r.body() == expect, s"$sql -> ${r.body()} (wanted $expect)")
+    }
+    // DuckDB-pinned (2026-08-15): all matched on the first sweep —
+    // pinned so they stay matched
+    one("SELECT x, ntile(3) OVER (ORDER BY x) AS n FROM (VALUES (1),(2),(3),(4),(5)) t(x) ORDER BY x",
+      """[{"x":1,"n":1},{"x":2,"n":1},{"x":3,"n":2},{"x":4,"n":2},{"x":5,"n":3}]""")
+    one("SELECT x, percent_rank() OVER (ORDER BY x) AS p, cume_dist() OVER (ORDER BY x) AS c FROM (VALUES (1),(2),(2),(4)) t(x) ORDER BY x, p",
+      """[{"x":1,"p":0.0,"c":0.25},{"x":2,"p":0.3333333333333333,"c":0.75},{"x":2,"p":0.3333333333333333,"c":0.75},{"x":4,"p":1.0,"c":1.0}]""")
+    one("SELECT x, lead(x, 2, -1) OVER (ORDER BY x) AS l, lag(x, -1) OVER (ORDER BY x) AS neg FROM (VALUES (1),(2),(3)) t(x) ORDER BY x",
+      """[{"x":1,"l":3,"neg":2},{"x":2,"l":-1,"neg":3},{"x":3,"l":-1,"neg":null}]""")
+    one("SELECT x, nth_value(x, 2) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS nv FROM (VALUES (1),(2),(3)) t(x) ORDER BY x",
+      """[{"x":1,"nv":2},{"x":2,"nv":2},{"x":3,"nv":2}]""")
+    one("SELECT x, first_value(x) OVER (ORDER BY x RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS f FROM (VALUES (1),(3),(4)) t(x) ORDER BY x",
+      """[{"x":1,"f":1},{"x":3,"f":3},{"x":4,"f":3}]""")
+    one("SELECT x, sum(x) OVER (PARTITION BY x % 2 ORDER BY x RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s FROM (VALUES (1),(2),(3),(4)) t(x) ORDER BY x",
+      """[{"x":1,"s":1},{"x":2,"s":2},{"x":3,"s":4},{"x":4,"s":6}]""")
+    // loud on both engines
+    assert(post("SELECT ntile(0) OVER (ORDER BY x) AS n FROM (VALUES (1)) t(x)").statusCode() != 200)
+  }
+
   test("sandboxed server rejects dialect file sources outside allowed dirs") {
     val sandboxed = new QueryServer(spark, 0, allowedDirs = Seq("/nonexistent"))
     sandboxed.start()

@@ -152,11 +152,18 @@ object Round12bQueries extends QueryModule {
           .withColumn("term", round(col("cb") * log(col("ca") + lit(1.0)), 8))
           .groupBy(col("train_source"), col("eval_source"))
           .agg(sum(col("term").cast(DecimalType(24, 8))).cast("double").as("sterm"))
-        val skel = broadcast(
+        // skel is the PRESERVED side of the left join below — Spark
+        // cannot build the left side of a left-outer BHJ, so a
+        // broadcast hint there is silently dropped (HintErrorLogger;
+        // round-12 verdict #1). Hint the k²-row inner relation (build
+        // right IS supported for left outer) and broadcast the k-row
+        // right arm of the crossJoin instead.
+        val skel =
           totals.select(col("source").as("train_source"), col("nt").as("na"))
-            .crossJoin(totals.select(col("source").as("eval_source"),
+            .crossJoin(broadcast(totals.select(col("source").as("eval_source"),
               col("nt").as("nb"))))
-        val h = skel.join(inner, Seq("train_source", "eval_source"), "left")
+        val h = skel.join(broadcast(inner),
+            Seq("train_source", "eval_source"), "left")
           .crossJoin(vocab)
           .withColumn("cross_entropy", round(
             log(col("na").cast("double") + col("v"))

@@ -41,6 +41,11 @@ class WarnAuditSpec extends AnyFunSuite {
               hits.synchronized { hits += current }
             else if (msg.contains("replaced a previously registered function"))
               hits.synchronized { hits += s"$current[fn-replace]" }
+            else if (msg.contains("is not supported in the query"))
+              // round-12 verdict #1: HintErrorLogger silently drops
+              // unsupported broadcast hints — the intended plan is NOT
+              // what runs. Any drop is a regression.
+              hits.synchronized { hits += s"$current[hint-drop]" }
           }
       }
     appender.start()

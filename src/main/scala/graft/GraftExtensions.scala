@@ -1917,7 +1917,16 @@ object GraftExtensions {
             if (d.isDigit) {
               require(i + 2 >= p.length || !p.charAt(i + 2).isDigit,
                 "regexp_replace: multi-digit backreferences in the replacement are unsupported")
-              sb.append('$').append((d - '0') + shift)
+              val n = d - '0'
+              // \0 = the whole user match. Under first-match emulation
+              // (shift=2) the user pattern is its own capturing group,
+              // group 2 after the lazy prefix — NOT $0, which would be
+              // prefix+match, and NOT $1, which is the prefix alone.
+              val g = if (n == 0 && shift > 0) 2 else n + shift
+              require(g <= 9,
+                s"regexp_replace: backreference \\$n cannot be renumbered for " +
+                  "first-match emulation here - use the 'g' flag")
+              sb.append('$').append(g)
             } else if (d == '\\') sb.append("\\\\")
             else throw new IllegalArgumentException(
               s"regexp_replace: unsupported escape '\\$d' in the replacement")
@@ -1930,12 +1939,14 @@ object GraftExtensions {
       case _ => None
     }
     // The first-match regexp_replace emulation prepends one capturing
-    // group, shifting every group number in the user's pattern — a
-    // backreference like '(a)\1' would silently point at the lazy
-    // prefix. For LITERAL patterns, renumber \1-\8 up by one (staying
-    // single-digit, so Java never parses '\10' ambiguously); \9 and
-    // multi-digit backrefs reject loudly. Escapes and character
-    // classes are skipped (inside [...] a \digit is not a backref).
+    // group AND wraps the user pattern in another (so the replacement's
+    // \0 has a group to reference), shifting every group number in the
+    // user's pattern by two — a backreference like '(a)\1' would
+    // silently point at the lazy prefix. For LITERAL patterns, renumber
+    // \1-\7 up by two (staying single-digit, so Java never parses
+    // '\10' ambiguously); \8, \9 and multi-digit backrefs reject
+    // loudly. Escapes and character classes are skipped (inside [...]
+    // a \digit is not a backref).
     def shiftBackrefs(pattern: Expression): Expression = pattern match {
       case Literal(s, StringType) if s != null =>
         val p = s.toString
@@ -1949,10 +1960,10 @@ object GraftExtensions {
             if (c == '\\' && i + 1 < p.length) {
               val d = p.charAt(i + 1)
               if (!inClass && d >= '1' && d <= '9') {
-                require(d != '9' && (i + 2 >= p.length || !p.charAt(i + 2).isDigit),
+                require(d <= '7' && (i + 2 >= p.length || !p.charAt(i + 2).isDigit),
                   "regexp_replace: this backreference cannot be renumbered for " +
                     "first-match emulation here - use the 'g' flag")
-                sb.append('\\').append((d + 1).toChar)
+                sb.append('\\').append((d + 2).toChar)
               } else sb.append(c).append(d)
               i += 2
             } else {
@@ -2037,17 +2048,18 @@ object GraftExtensions {
             // DuckDB's 3-arg form replaces the FIRST match only; Spark's
             // builtin is global-only (a silent divergence the round-11
             // sweep caught). First-only via the anchored lazy-prefix
-            // rewrite: ((?s)^.*?)(?:pat) -> $1rep matches at most once
+            // rewrite: ((?s)^.*?)(pat) -> $1rep matches at most once
             // (it is ^-anchored), so the global engine performs exactly
-            // one replacement. The prefix group shifts user group
-            // numbers, so replacements carrying $/\ references stay
-            // LOUD rather than silently mis-referencing.
-            val repT = duckRepLit(args(2), shift = 1).getOrElse(
+            // one replacement. The prefix + wrap groups shift user
+            // group numbers by two (and give \0 a real group to hit),
+            // so replacements carrying $/\ references stay LOUD rather
+            // than silently mis-referencing.
+            val repT = duckRepLit(args(2), shift = 2).getOrElse(
               throw new IllegalArgumentException(
                 "regexp_replace: a non-literal replacement needs the 'g' flag here " +
                   "(first-match emulation shifts group numbers)"))
             val anchored = builtinBuilder("concat")(Seq(
-              Literal("((?s)^.*?)(?:"), shiftBackrefs(args(1)), Literal(")")))
+              Literal("((?s)^.*?)("), shiftBackrefs(args(1)), Literal(")")))
             builtinBuilder("regexp_replace")(
               Seq(args(0), anchored,
                 Literal("$1" + repT.asInstanceOf[Literal].value.toString)))
@@ -2058,12 +2070,12 @@ object GraftExtensions {
               builtinBuilder("regexp_replace")(Seq(args(0), flagged(args(1), flags),
                 duckRepLit(args(2), shift = 0).getOrElse(args(2))))
             else {
-              val repT = duckRepLit(args(2), shift = 1).getOrElse(
+              val repT = duckRepLit(args(2), shift = 2).getOrElse(
                 throw new IllegalArgumentException(
                   "regexp_replace: a non-literal replacement needs the 'g' flag here " +
                     "(first-match emulation shifts group numbers)"))
               val anchored = builtinBuilder("concat")(Seq(
-                Literal("((?s)^.*?)(?:"), flagged(shiftBackrefs(args(1)), flags), Literal(")")))
+                Literal("((?s)^.*?)("), flagged(shiftBackrefs(args(1)), flags), Literal(")")))
               builtinBuilder("regexp_replace")(
                 Seq(args(0), anchored,
                   Literal("$1" + repT.asInstanceOf[Literal].value.toString)))

@@ -940,6 +940,7 @@ object Dialect {
       // (loud), never split mid-expression.
       var r = at + arrowLen
       while (r < s.length && s.charAt(r).isWhitespace) r += 1
+      var identRight = false
       val rightEnd =
         if (r < s.length && s.charAt(r) == '\'') {
           var e = r + 1
@@ -954,19 +955,41 @@ object Dialect {
           while (e < s.length && (isWordChar(s.charAt(e)) || s.charAt(e) == '.')) e += 1
           var w = e
           while (w < s.length && s.charAt(w).isWhitespace) w += 1
-          if (w < s.length && s.charAt(w) == '(') -1 else e
+          if (w < s.length && s.charAt(w) == '(') -1 else { identRight = true; e }
         } else -1
-      if (rightEnd < 0) { searchFrom = at + arrowLen; }
+      // left-operand info is needed both for the extraction rewrite
+      // and for the single-param lambda unwrap
+      var p = at - 1
+      while (p >= 0 && s.charAt(p).isWhitespace) p -= 1
+      if (p < 0) return s
+      val start = operandStart(s, p)
+      val leftOp = s.substring(start, p + 1)
+      val bareIdent = leftOp.nonEmpty && leftOp.forall(isWordChar)
+      var q = start - 1
+      while (q >= 0 && s.charAt(q).isWhitespace) q -= 1
+      val callArgPos = q >= 0 && (s.charAt(q) == '(' || s.charAt(q) == ',')
+      val parenIdent = leftOp.length > 2 &&
+        leftOp.startsWith("(") && leftOp.endsWith(")") && {
+          val inner = leftOp.substring(1, leftOp.length - 1).trim
+          inner.nonEmpty && inner.forall(isWordChar)
+        }
+      if (parenIdent && (identRight || rightEnd < 0)) {
+        // `(x) -> body` with a non-key right operand is a SINGLE-param
+        // lambda head (valid DuckDB); Spark's grammar only
+        // parenthesizes MULTI-param heads, so in a call-argument
+        // position unwrap to `x -> body` — elsewhere leave the arrow
+        // alone (loud beats a json rewrite that fails at bind).
+        // Quoted/integer right operands keep the extraction rewrite:
+        // `(j) -> 'k'` can only be a key access. (round-13 advice #3)
+        if (callArgPos) {
+          val inner = leftOp.substring(1, leftOp.length - 1).trim
+          s = s.substring(0, start) + inner + s.substring(p + 1)
+          searchFrom = start
+        } else searchFrom = at + arrowLen
+      }
+      else if (rightEnd < 0) { searchFrom = at + arrowLen }
       else {
-        var p = at - 1
-        while (p >= 0 && s.charAt(p).isWhitespace) p -= 1
-        if (p < 0) return s
-        val start = operandStart(s, p)
-        val leftOp = s.substring(start, p + 1)
-        val bareIdent = leftOp.nonEmpty && leftOp.forall(isWordChar)
-        var q = start - 1
-        while (q >= 0 && s.charAt(q).isWhitespace) q -= 1
-        val lambdaParam = bareIdent && q >= 0 && (s.charAt(q) == '(' || s.charAt(q) == ',')
+        val lambdaParam = bareIdent && callArgPos
         // `(a, b) -> …` is a MULTI-PARAM lambda head (list_reduce et
         // al.) — with identifier right operands now rewritable, a
         // top-level comma inside a parenthesized left operand must
@@ -987,7 +1010,9 @@ object Dialect {
           }
           comma
         }
-        if (lambdaParam || multiParamLambda) { searchFrom = at + arrowLen }
+        if (lambdaParam || multiParamLambda) {
+          searchFrom = at + arrowLen
+        }
         else {
           val right = s.substring(r, rightEnd)
           val fn = if (arrowLen == 3) "graft_json_extract_string" else "graft_json_extract"
@@ -3382,11 +3407,17 @@ object Dialect {
     * rewrite to graft_varchar_cast, whose dispatch sends DOUBLE/FLOAT
     * children through the DuckDB text renderer and leaves every other
     * source on Spark's cast. Same innermost-first scan discipline as
-    * rewriteIntCasts; sized VARCHAR(n) targets pass through untouched.
+    * rewriteIntCasts. Sized VARCHAR(n) targets take the same path with
+    * the size DROPPED: DuckDB ignores the length entirely
+    * (12345::VARCHAR(3) = '12345') while Spark's native varchar(n)
+    * cast enforces it — passing the size through was both a silent
+    * truncation hazard and, via ColonVarcharRe's old unguarded match,
+    * a parse error (`graft_varchar_cast(x)(10)`).
     */
   private val VarcharTargetRe =
-    """(?i)\s+AS\s+(VARCHAR|STRING|TEXT)\s*\)$""".r
-  private val ColonVarcharRe = """::\s*(?i)(VARCHAR|STRING|TEXT)\b""".r
+    """(?i)\s+AS\s+(VARCHAR|STRING|TEXT)\s*(?:\(\s*\d+\s*\))?\s*\)$""".r
+  private val ColonVarcharRe =
+    """::\s*(?i)(VARCHAR|STRING|TEXT)\b(?:\s*\(\s*\d+\s*\))?""".r
   private def rewriteVarcharCasts(sql: String): String = {
     var out = sql
     var changed = true
@@ -3478,7 +3509,32 @@ object Dialect {
           case ch if depth == 0 && (ch.isLetter) &&
               (i == 0 || !out.charAt(i - 1).isLetterOrDigit && out.charAt(i - 1) != '_') =>
             val w = out.substring(i).takeWhile(x => x.isLetterOrDigit || x == '_')
-            if (OrderEndKw.contains(w.toUpperCase)) end = i else i += w.length
+            if (OrderEndKw.contains(w.toUpperCase)) {
+              // an unquoted sort COLUMN named `range`/`rows`/`offset`
+              // used to truncate the segment here, so the whole ORDER
+              // BY silently kept Spark's NULLS FIRST. A keyword is
+              // only a real terminator when (a) it does not stand in
+              // an expression slot (right after ORDER BY or a comma),
+              // (b) what follows can continue its clause (not ','/')'
+              // /';'/ASC/DESC/NULLS/end-of-string), and (c) a frame
+              // keyword is followed by a frame operand.
+              var j = i + w.length
+              while (j < out.length && out.charAt(j).isWhitespace) j += 1
+              val nextTok = (if (j >= out.length) ""
+                else out.substring(j).takeWhile(x =>
+                  x.isLetterOrDigit || x == '_')).toUpperCase
+              val keyEnder = j >= out.length || ",);".contains(out.charAt(j)) ||
+                Seq("ASC", "DESC", "NULLS").contains(nextTok)
+              val frameKw = Seq("ROWS", "RANGE", "GROUPS").contains(w.toUpperCase)
+              val frameFollows =
+                Seq("BETWEEN", "UNBOUNDED", "CURRENT", "INTERVAL").contains(nextTok) ||
+                  (nextTok.nonEmpty && nextTok.charAt(0).isDigit)
+              var b = i - 1
+              while (b >= segStart && out.charAt(b).isWhitespace) b -= 1
+              val exprSlot = b < segStart || out.charAt(b) == ','
+              if (!exprSlot && !keyEnder && (!frameKw || frameFollows)) end = i
+              else i += w.length
+            } else i += w.length
           case _ => i += 1
         } else i += 1
       }

@@ -1871,4 +1871,38 @@ class DialectSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(r.body().contains("outside allowed directories"))
     } finally sandboxed.stop()
   }
+
+  test("round-13 advice pins: \\0 under first-match, sized VARCHAR(n), (x)-> lambda, terminator-named sort keys") {
+    def one(sql: String, expect: String): Unit = {
+      val r = post(sql)
+      assert(r.statusCode() == 200, s"$sql -> ${r.body()}")
+      assert(r.body() == expect, s"$sql -> ${r.body()} (wanted $expect)")
+    }
+    // DuckDB-pinned (2026-08-15): \0 = the whole match under FIRST-match
+    // emulation used to emit $1 (the lazy-prefix group) — 'a[a]c'
+    // instead of 'a[b]c'; the user pattern now gets its own capture
+    one("""SELECT regexp_replace('abc','b','[\0]') AS r""", """[{"r":"a[b]c"}]""")
+    one("""SELECT regexp_replace('banana','an','X\0Y') AS r""", """[{"r":"bXanYana"}]""")
+    one("""SELECT regexp_replace('abab','a(b)','<\0\1>') AS r""", """[{"r":"<abb>ab"}]""")
+    // pattern backrefs (documented Java-semantics extension) still
+    // renumber self-consistently after the shift-by-two change
+    one("""SELECT regexp_replace('aab', '(a)\1', 'X') AS r""", """[{"r":"Xb"}]""")
+    // DuckDB IGNORES the length in VARCHAR(n) (12345::VARCHAR(3) =
+    // '12345'); Spark's native varchar(n) cast enforces it — sized
+    // targets now route through the unsized renderer in both spellings
+    one("SELECT 12345::VARCHAR(3) AS r, 1.5::VARCHAR(10) AS s",
+      """[{"r":"12345","s":"1.5"}]""")
+    one("SELECT CAST(12345 AS VARCHAR(3)) AS r", """[{"r":"12345"}]""")
+    // a parenthesized SINGLE-param lambda head is not a json arrow
+    one("SELECT list_transform([1,2], (x) -> x + 1) AS r", """[{"r":[2,3]}]""")
+    one("SELECT list_filter([1,2,3], (y) -> y > 1) AS r", """[{"r":[2,3]}]""")
+    // sort keys NAMED like clause terminators must not truncate the
+    // ORDER BY segment (the NULLS LAST defaulting silently vanished)
+    one("SELECT x AS range FROM (VALUES (3),(1),(NULL)) t(x) ORDER BY range",
+      """[{"range":1},{"range":3},{"range":null}]""")
+    one("SELECT x AS rows FROM (VALUES (3),(1),(NULL)) t(x) ORDER BY rows DESC",
+      """[{"rows":3},{"rows":1},{"rows":null}]""")
+    one("SELECT x AS range FROM (VALUES (3),(1),(NULL)) t(x) ORDER BY range LIMIT 2",
+      """[{"range":1},{"range":3}]""")
+  }
 }

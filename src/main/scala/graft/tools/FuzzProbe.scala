@@ -1,0 +1,310 @@
+package graft.tools
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardOpenOption}
+
+import scala.util.Random
+
+import org.apache.spark.sql.SparkSession
+
+import graft.server.Dialect
+
+/** Round-13 verdict ask #1: grammar-fuzz the serving plane against
+  * DuckDB.
+  *
+  * The hand-curated probe tiers (1–28) plateaued — tier 28 found
+  * nothing — yet tier 19's history proves systematic blind spots
+  * survive curation (18 tiers of hand-written `[0-9]` pins missed the
+  * `\d` string-escape bug). This main is the systematic complement: a
+  * SEEDED, type-directed random expression/query generator over the
+  * implemented dialect surface. Every generated text runs through the
+  * full serving path (`Dialect.rewrite` + `Dialect.sqlServed`) and the
+  * result is dumped as canonical JSONL; `tools/fuzz_check.py` replays
+  * the identical texts in python3-duckdb and diffs values with the
+  * same tolerance discipline as tools/check.py.
+  *
+  * Usage: runMain graft.tools.FuzzProbe <out.jsonl> [n] [seed]
+  * Deterministic per (n, seed): the ledger in COVERAGE.md cites the
+  * sweep's seed so any divergence replays exactly.
+  *
+  * Generator shape:
+  *   - 70% scalar shells: `SELECT e1 AS c1 … e4 AS c4` (no FROM; one
+  *     row) — expressions are type-directed (INT/DOUBLE/STRING/BOOL)
+  *     with NULL and edge literals, nested 2–3 deep across arithmetic,
+  *     comparison, CASE, COALESCE/NULLIF, string/math functions, LIKE,
+  *     IN, BETWEEN, casts (CAST/TRY_CAST/`::`).
+  *   - 15% aggregate shells over an inline VALUES relation (typed
+  *     columns k/i/d/s with planted NULLs), GROUP BY k, total ORDER BY.
+  *   - 15% window shells over the same relation with a unique tiebreak
+  *     key so every output is deterministic.
+  *
+  * Determinism rules: no random()/uuid()/now(), integer literals
+  * bounded so int64 never overflows (DuckDB would promote to HUGEINT
+  * where Spark wraps), float comparisons left to the checker's 1e-9
+  * relative tolerance (pow/exp are ~1-ulp engine-dependent).
+  */
+object FuzzProbe {
+
+  sealed trait Ty
+  case object TI extends Ty // integral
+  case object TD extends Ty // double
+  case object TS extends Ty // string
+  case object TB extends Ty // boolean
+
+  def main(args: Array[String]): Unit = {
+    val out = if (args.nonEmpty) args(0) else "/tmp/fuzz.jsonl"
+    val n = if (args.length > 1) args(1).toInt else 5000
+    val seed = if (args.length > 2) args(2).toLong else 13L
+    val spark = graft.GraftSession.tune(
+      SparkSession.builder()
+        .master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.GraftExtensions.injectInto(spark)
+    val rng = new Random(seed)
+    val sb = new StringBuilder
+    var i = 0
+    while (i < n) {
+      val sql = genQuery(rng)
+      val line =
+        try {
+          val rows = Dialect.sqlServed(spark, Dialect.rewrite(spark, sql)).collect()
+          val cols = Dialect.sqlServed(spark, Dialect.rewrite(spark, sql)).columns
+          s"""{"id":$i,"sql":${js(sql)},"ok":true,"cols":[${cols.map(js).mkString(",")}],""" +
+            s""""rows":[${rows.map(r => renderRow(r)).mkString(",")}]}"""
+        } catch {
+          case e: Throwable =>
+            val msg = (e.getClass.getSimpleName + ": " +
+              String.valueOf(e.getMessage).takeWhile(_ != '\n')).take(300)
+            s"""{"id":$i,"sql":${js(sql)},"ok":false,"err":${js(msg)}}"""
+        }
+      sb.append(line).append('\n')
+      if (i % 500 == 0) {
+        System.err.println(s"[fuzz] $i/$n")
+        flush(out, sb, i == 0)
+      }
+      i += 1
+    }
+    flush(out, sb, append = n <= 0)
+    println(s"[fuzz] wrote $n results to $out (seed=$seed)")
+    spark.stop()
+  }
+
+  private def flush(out: String, sb: StringBuilder, append: Boolean): Unit = {
+    val opts =
+      if (append) Seq(StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+      else Seq(StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+    Files.write(Paths.get(out), sb.toString.getBytes(StandardCharsets.UTF_8), opts: _*)
+    sb.clear()
+  }
+
+  // ---------- JSON rendering (canonical; mirrored in fuzz_check.py) ----------
+
+  def js(s: String): String = "\"" + s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  def renderVal(v: Any): String = v match {
+    case null => "null"
+    case b: Boolean => b.toString
+    case b: Byte => b.toString
+    case s: Short => s.toString
+    case x: Int => x.toString
+    case x: Long => x.toString
+    case f: Float => renderVal(f.toDouble)
+    case d: Double =>
+      if (d.isNaN) "\"NaN\""
+      else if (d.isPosInfinity) "\"Infinity\""
+      else if (d.isNegInfinity) "\"-Infinity\""
+      else if (d == math.rint(d) && math.abs(d) < 1e15)
+        // integral doubles render width-free so 4.0 == 4 across engines
+        { val l = d.toLong; if (l == 0L && (1.0 / d) < 0) "-0.0" else l.toString }
+      else d.toString
+    case bd: java.math.BigDecimal => renderVal(bd.doubleValue)
+    case bd: BigDecimal => renderVal(bd.doubleValue)
+    case s: String => js(s)
+    case d: java.sql.Date => js(d.toString)
+    case t: java.sql.Timestamp => js(t.toString)
+    case d: java.time.LocalDate => js(d.toString)
+    case t: java.time.Instant => js(t.toString)
+    case a: Array[_] => a.map(renderVal).mkString("[", ",", "]")
+    case s: scala.collection.Seq[_] => s.map(renderVal).mkString("[", ",", "]")
+    case r: org.apache.spark.sql.Row =>
+      (0 until r.length).map(j => renderVal(r.get(j))).mkString("[", ",", "]")
+    case m: scala.collection.Map[_, _] =>
+      m.toSeq.map { case (k, vv) => s"[${renderVal(k)},${renderVal(vv)}]" }
+        .sorted.mkString("[", ",", "]")
+    case other => js(other.toString)
+  }
+
+  def renderRow(r: org.apache.spark.sql.Row): String =
+    (0 until r.length).map(j => renderVal(r.get(j))).mkString("[", ",", "]")
+
+  // ---------- generator ----------
+
+  private def pick[A](rng: Random, xs: Seq[A]): A = xs(rng.nextInt(xs.length))
+
+  private val IntLits = Seq("0", "1", "-1", "2", "3", "7", "-5", "42", "100", "1000", "NULL")
+  private val DblLits = Seq("0.0", "1.5", "-2.5", "0.1", "3.25", "-0.75", "100.0",
+    "12345.678", "0.001", "NULL")
+  private val StrLits = Seq("''", "'a'", "'Ab'", "'hello world'", "'Graft'",
+    "'%a_'", "'  pad  '", "'123'", "'12.5'", "'x,y;z'", "'it''s'", "'ÄbÇ'", "NULL")
+  private val BoolLits = Seq("true", "false", "NULL")
+
+  def lit(rng: Random, t: Ty): String = t match {
+    case TI => pick(rng, IntLits)
+    case TD => pick(rng, DblLits)
+    case TS => pick(rng, StrLits)
+    case TB => pick(rng, BoolLits)
+  }
+
+  /** Type-directed expression over optional column bindings. */
+  def expr(rng: Random, t: Ty, depth: Int, cols: Map[Ty, Seq[String]] = Map.empty): String = {
+    def sub(tt: Ty): String = expr(rng, tt, depth - 1, cols)
+    val colOpt = cols.getOrElse(t, Nil)
+    if (depth <= 0) {
+      if (colOpt.nonEmpty && rng.nextInt(3) == 0) pick(rng, colOpt) else lit(rng, t)
+    } else t match {
+      case TI => rng.nextInt(10) match {
+        case 0 | 1 => lit(rng, TI)
+        case 2 => s"(${sub(TI)} ${pick(rng, Seq("+", "-", "*"))} ${sub(TI)})"
+        case 3 => s"(${sub(TI)} % ${pick(rng, Seq("3", "7", "10"))})"
+        case 4 => s"${pick(rng, Seq("abs", "sign"))}(${sub(TI)})"
+        case 5 => s"length(${sub(TS)})"
+        case 6 => s"CASE WHEN ${sub(TB)} THEN ${sub(TI)} ELSE ${sub(TI)} END"
+        case 7 => s"coalesce(${sub(TI)}, ${sub(TI)})"
+        case 8 => pick(rng, Seq(
+          s"greatest(${sub(TI)}, ${sub(TI)})",
+          s"least(${sub(TI)}, ${sub(TI)})",
+          s"nullif(${sub(TI)}, ${sub(TI)})"))
+        case _ => pick(rng, Seq(
+          s"CAST(${sub(TS)} AS INTEGER)",
+          s"TRY_CAST(${sub(TS)} AS INTEGER)",
+          s"strpos(${sub(TS)}, ${sub(TS)})",
+          s"(${sub(TI)} // ${pick(rng, Seq("2", "3", "5"))})"))
+      }
+      case TD => rng.nextInt(10) match {
+        case 0 | 1 => lit(rng, TD)
+        case 2 => s"(${sub(TD)} ${pick(rng, Seq("+", "-", "*"))} ${sub(TD)})"
+        case 3 => s"(${sub(TD)} / ${sub(TD)})"
+        case 4 => s"(${sub(TI)} / ${sub(TI)})"
+        case 5 => s"${pick(rng, Seq("abs", "ceil", "floor", "sqrt", "exp", "ln"))}(${sub(TD)})"
+        case 6 => s"round(${sub(TD)}, ${rng.nextInt(4)})"
+        case 7 => s"CASE WHEN ${sub(TB)} THEN ${sub(TD)} ELSE ${sub(TD)} END"
+        case 8 => s"coalesce(${sub(TD)}, ${sub(TD)})"
+        case _ => pick(rng, Seq(
+          s"CAST(${sub(TI)} AS DOUBLE)",
+          s"TRY_CAST(${sub(TS)} AS DOUBLE)",
+          s"(${sub(TD)} ^ ${pick(rng, Seq("2", "3", "0.5"))})"))
+      }
+      case TS => rng.nextInt(10) match {
+        case 0 | 1 => lit(rng, TS)
+        case 2 => s"${pick(rng, Seq("upper", "lower", "trim", "ltrim", "rtrim", "reverse"))}(${sub(TS)})"
+        case 3 => s"(${sub(TS)} || ${sub(TS)})"
+        case 4 => s"concat(${sub(TS)}, ${sub(TS)})"
+        case 5 => s"substr(${sub(TS)}, ${1 + rng.nextInt(3)}, ${rng.nextInt(4)})"
+        case 6 => s"replace(${sub(TS)}, ${lit(rng, TS)}, ${lit(rng, TS)})"
+        case 7 => s"CASE WHEN ${sub(TB)} THEN ${sub(TS)} ELSE ${sub(TS)} END"
+        case 8 => pick(rng, Seq(
+          s"lpad(${sub(TS)}, ${rng.nextInt(8)}, 'x')",
+          s"rpad(${sub(TS)}, ${rng.nextInt(8)}, 'y')",
+          s"repeat(${sub(TS)}, ${rng.nextInt(3)})",
+          s"left(${sub(TS)}, ${rng.nextInt(4)})",
+          s"right(${sub(TS)}, ${rng.nextInt(4)})"))
+        case _ => pick(rng, Seq(
+          s"CAST(${sub(TI)} AS VARCHAR)",
+          s"CAST(${sub(TD)} AS VARCHAR)",
+          s"(${sub(TI)})::VARCHAR",
+          s"coalesce(${sub(TS)}, ${sub(TS)})",
+          s"nullif(${sub(TS)}, ${sub(TS)})"))
+      }
+      case TB => rng.nextInt(10) match {
+        case 0 => lit(rng, TB)
+        case 1 | 2 =>
+          val tt = pick(rng, Seq(TI, TD, TS))
+          s"(${sub(tt)} ${pick(rng, Seq("=", "<>", "<", "<=", ">", ">="))} ${sub(tt)})"
+        case 3 => s"(${sub(TB)} ${pick(rng, Seq("AND", "OR"))} ${sub(TB)})"
+        case 4 => s"(NOT ${sub(TB)})"
+        case 5 => s"(${sub(pick(rng, Seq(TI, TD, TS)))} IS ${if (rng.nextBoolean()) "" else "NOT "}NULL)"
+        case 6 => s"(${sub(TS)} LIKE ${pick(rng, Seq("'a%'", "'%b%'", "'_b%'", "'%'", "'%5'"))})"
+        case 7 =>
+          val v = sub(TI)
+          s"($v IN (${Seq.fill(2 + rng.nextInt(3))(lit(rng, TI)).mkString(", ")}))"
+        case 8 => s"(${sub(TI)} BETWEEN ${lit(rng, TI)} AND ${lit(rng, TI)})"
+        case _ => pick(rng, Seq(
+          s"starts_with(${sub(TS)}, ${lit(rng, TS)})",
+          s"contains(${sub(TS)}, ${lit(rng, TS)})",
+          s"regexp_matches(${sub(TS)}, ${pick(rng, Seq("'a'", "'[0-9]+'", "'\\w+'", "'^a'", "'b$$'"))})"))
+      }
+    }
+  }
+
+  /** The inline typed relation every FROM-shell uses: unique rn
+    * tiebreak, planted NULLs in every payload column. */
+  private def valuesRelation(rng: Random): String = {
+    val nRows = 5 + rng.nextInt(5)
+    val rows = (0 until nRows).map { r =>
+      val k = rng.nextInt(3)
+      val iv = if (rng.nextInt(5) == 0) "NULL" else (rng.nextInt(21) - 10).toString
+      val dv = if (rng.nextInt(5) == 0) "NULL"
+        else ((rng.nextInt(4001) - 2000) / 100.0).toString
+      val sv = if (rng.nextInt(5) == 0) "NULL" else pick(rng,
+        Seq("'a'", "'b'", "'ab'", "'zz'", "''", "'q1'"))
+      s"($r, $k, $iv, $dv, $sv)"
+    }
+    s"(VALUES ${rows.mkString(", ")}) t(rn, k, i, d, s)"
+  }
+
+  private val RelCols: Map[Ty, Seq[String]] =
+    Map(TI -> Seq("i", "k"), TD -> Seq("d"), TS -> Seq("s"))
+
+  def genQuery(rng: Random): String = rng.nextInt(20) match {
+    case x if x < 14 =>
+      val items = (1 to 4).map { j =>
+        val t = pick(rng, Seq(TI, TD, TS, TB))
+        s"${expr(rng, t, 2 + rng.nextInt(2))} AS c$j"
+      }
+      s"SELECT ${items.mkString(", ")}"
+    case x if x < 17 =>
+      val rel = valuesRelation(rng)
+      val aggs = (1 to 3).map { j =>
+        val a = rng.nextInt(8) match {
+          case 0 => s"sum(${expr(rng, TI, 1, RelCols)})"
+          case 1 => s"round(sum(${expr(rng, TD, 1, RelCols)}), 6)"
+          case 2 => s"count(${pick(rng, Seq("*", "i", "d", "s"))})"
+          case 3 => s"min(${pick(rng, Seq("i", "d", "s"))})"
+          case 4 => s"max(${pick(rng, Seq("i", "d", "s"))})"
+          case 5 => s"round(avg(${expr(rng, TD, 1, RelCols)}), 6)"
+          case 6 => s"count(DISTINCT ${pick(rng, Seq("i", "s", "k"))})"
+          case _ => pick(rng, Seq(
+            s"bool_and(${expr(rng, TB, 1, RelCols)})",
+            s"bool_or(${expr(rng, TB, 1, RelCols)})",
+            s"string_agg(s, ',' ORDER BY rn)"))
+        }
+        // sum/count can exceed int32 in DuckDB's rendering only via
+        // HUGEINT — the checker compares numerically so width is moot
+        s"$a AS a$j"
+      }
+      s"SELECT k, ${aggs.mkString(", ")} FROM $rel GROUP BY k ORDER BY k NULLS LAST"
+    case _ =>
+      val rel = valuesRelation(rng)
+      val w = rng.nextInt(6) match {
+        case 0 => "row_number() OVER (PARTITION BY k ORDER BY rn)"
+        case 1 => s"rank() OVER (ORDER BY ${pick(rng, Seq("i", "d", "s"))} NULLS LAST, rn)"
+        case 2 => s"sum(${expr(rng, TI, 1, RelCols)}) OVER (PARTITION BY k ORDER BY rn)"
+        case 3 => s"lag(${pick(rng, Seq("i", "d", "s"))}, 1) OVER (ORDER BY rn)"
+        case 4 => s"lead(${pick(rng, Seq("i", "d", "s"))}, 1) OVER (ORDER BY rn)"
+        case _ => s"round(avg(d) OVER (ORDER BY rn ROWS BETWEEN 1 PRECEDING AND CURRENT ROW), 6)"
+      }
+      s"SELECT rn, k, $w AS w FROM $rel ORDER BY rn NULLS LAST"
+  }
+}

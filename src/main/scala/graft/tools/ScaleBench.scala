@@ -188,7 +188,14 @@ object ScaleBench {
     // gram-keyed aggregate + a <=41-row tail slice (the zipf-family
     // vocab-window convention). n_bootstrap_ci is excluded: B*n draws
     // over a FIXED doc_id<300 evaluation slice by construction.
-    "n_conformal_quality_gate", "n_hill_tail_fit")
+    "n_conformal_quality_gate", "n_hill_tail_fit",
+    // round-13 TPC-H battery: every shape is keyed-join + aggregate,
+    // linear in lineitem; the six below cover the distinct plan
+    // families (correlated-min over derived partsupp, 6-way locality
+    // join, profit fan-in, outer-join distribution, IN-over-HAVING,
+    // EXISTS/NOT-EXISTS double correlation) — the other fifteen are
+    // the same operator shapes at lower fan-in
+    "tpch_q02", "tpch_q05", "tpch_q09", "tpch_q13", "tpch_q18", "tpch_q21")
 
   def main(args: Array[String]): Unit = {
     val dirA = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

@@ -448,6 +448,59 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         if (args.length == 1) graft.functions.TruncDispatch(args.head)
         else builtinBuilder("trunc")(args)
+      }),
+    // DuckDB types ceil/floor DOUBLE for every non-decimal numeric
+    // (even integers: typeof(ceil(5)) = DOUBLE) where Spark returns
+    // BIGINT — round-13 fuzz finding; values identical, type-only
+    ("ceil",
+      info("ceil", "ceil(x) - smallest integer >= x, typed DOUBLE for non-decimal inputs (DuckDB)."),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, s"ceil expects 1 argument, got ${args.length}")
+        graft.functions.CeilFloorDispatch(args.head, isCeil = true)
+      }),
+    ("ceiling",
+      info("ceiling", "ceiling(x) - alias of ceil with DuckDB result typing."),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, s"ceiling expects 1 argument, got ${args.length}")
+        graft.functions.CeilFloorDispatch(args.head, isCeil = true)
+      }),
+    ("floor",
+      info("floor", "floor(x) - largest integer <= x, typed DOUBLE for non-decimal inputs (DuckDB)."),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, s"floor expects 1 argument, got ${args.length}")
+        graft.functions.CeilFloorDispatch(args.head, isCeil = false)
+      }),
+    // DuckDB's avg is DOUBLE for every numeric input; Spark keeps
+    // DECIMAL(p, s+4) for decimal children — a VALUE divergence, not
+    // just a type one (avg of decimal-literal columns truncates at
+    // s+4 digits: round(avg(round(d,1)),6) printed -7.06667 against
+    // DuckDB's -7.066667 — round-13 fuzz finding). FmtArgCast sends
+    // DECIMAL/FLOAT through DOUBLE and everything else untouched.
+    ("avg",
+      info("avg", "avg(x) - arithmetic mean, always DOUBLE for numerics (DuckDB)."),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, s"avg expects 1 argument, got ${args.length}")
+        builtinBuilder("avg")(Seq(graft.functions.FmtArgCast(args.head)))
+      }),
+    ("mean",
+      info("mean", "mean(x) - alias of avg with DuckDB DOUBLE typing."),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, s"mean expects 1 argument, got ${args.length}")
+        builtinBuilder("avg")(Seq(graft.functions.FmtArgCast(args.head)))
+      }),
+    // DuckDB rounds the BINARY double (floor(|x|*10^n+0.5) signed);
+    // Spark rounds the shortest decimal rendering — silently different
+    // at representability boundaries (round(-17.85, 1): -17.8 vs
+    // -17.9). Decimal inputs keep Spark's exact path; the scale may be
+    // a runtime expression (DuckDB allows it, Spark's builtin doesn't).
+    ("round",
+      info("round", "round(x[, n]) - binary-value rounding like DuckDB; DOUBLE for non-decimal inputs."),
+      (args: Seq[Expression]) => {
+        require(args.length == 1 || args.length == 2,
+          s"round expects 1-2 arguments, got ${args.length}")
+        val n = if (args.length == 2) args(1)
+          else org.apache.spark.sql.catalyst.expressions.Literal(0)
+        graft.functions.RoundDispatch(args.head, n)
       }))
 
   /** Round-5 second long-tail batch. Every entry's semantics were

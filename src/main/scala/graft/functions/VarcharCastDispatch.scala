@@ -16,6 +16,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * sign ('-0.0'). The same rule set RowEncoders.fmtFloating applies
   * to bare result values (probe 12) — this is its expression face for
   * string-typed results produced INSIDE the query.
+  *
+  * Round-13 fuzz finding: the CAST text and the JSON text use
+  * DIFFERENT plain-decimal windows in DuckDB itself — casts print
+  * plain for 1e-4 <= |v| < 1e16 ('0.0001' but '1e-05'; '1e15' plain
+  * but '1e+16'), while to_json prints plain for 1e-6 <= |v| < 1e21
+  * with an unpadded exponent ('1e-7', '1e21'). The original probe-26
+  * pin generalized the JSON window to casts, so CAST(0.000001 AS
+  * VARCHAR) silently printed '0.000001' where DuckDB prints '1e-06'.
+  * This renderer now carries the CAST window; RowEncoders.fmtFloating
+  * keeps the JSON window.
   */
 object DuckFloatText {
   def render(d: Double): UTF8String =
@@ -38,7 +48,7 @@ object DuckFloatText {
     val absV = bd.abs.doubleValue
     val neg = digits.startsWith("-")
     if (bd.unscaledValue.signum == 0) if (neg) "-0.0" else "0.0"
-    else if (absV >= 1e-6 && absV < 1e21) {
+    else if (absV >= 1e-4 && absV < 1e16) {
       val plain = bd.stripTrailingZeros.toPlainString
       if (plain.contains('.')) plain else plain + ".0"
     } else {

@@ -87,9 +87,14 @@ object AsOfJoin {
     // spec). Default: one scalar min/max job over the union.
     val widthConf =
       left.sparkSession.conf.get("spark.graft.asof.bucketWidth", "").trim
+    // .cast("long") after floor: functions.floor resolves BY NAME
+    // through the session registry, and a served session's DuckDB
+    // dispatch types it DOUBLE — the bucket key must stay LONG-typed
+    // regardless of which session runs this operator (round-13: the
+    // skew spec caught the drift on an injected test session)
     val bucketCol =
       if (widthConf.nonEmpty)
-        floor(col("__t").cast("double") / lit(widthConf.toDouble))
+        floor(col("__t").cast("double") / lit(widthConf.toDouble)).cast("long")
       else if (buckets <= 1) lit(0L)
       else {
         val range = union.agg(
@@ -98,7 +103,8 @@ object AsOfJoin {
           (if (range.isNullAt(0)) 0.0 else range.getDouble(0),
            if (range.isNullAt(1)) 0.0 else range.getDouble(1))
         val width = math.max((tmax - tmin) / buckets, 1e-9)
-        least(greatest(floor((col("__t").cast("double") - lit(tmin)) / lit(width)),
+        least(greatest(
+          floor((col("__t").cast("double") - lit(tmin)) / lit(width)).cast("long"),
           lit(0L)), lit(buckets - 1L))
       }
     val bucketed = union.withColumn("__b", bucketCol)

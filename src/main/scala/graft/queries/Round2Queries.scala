@@ -19,7 +19,7 @@ object Round2Queries extends QueryModule {
     * authoring time and rendered into BOTH engines' expressions, so no
     * cross-engine hash agreement is even needed.
     */
-  private[queries] lazy val lshPlanes: Seq[Seq[Int]] = {
+  private[graft] lazy val lshPlanes: Seq[Seq[Int]] = {
     val md = java.security.MessageDigest.getInstance("MD5")
     (0 until 8).map { b =>
       (0 until 64).map { d =>

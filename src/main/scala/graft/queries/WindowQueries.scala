@@ -14,6 +14,18 @@ import org.apache.spark.sql.functions._
   */
 object WindowQueries extends QueryModule {
 
+  /** Shared by e_rank_family and its banded twin — the twin must be
+    * value-identical against the SAME oracle. */
+  private val RankFamilyOracle =
+    """SELECT o_orderstatus, o_orderkey, o_totalprice,
+        row_number() OVER w AS rn, rank() OVER w AS rk, dense_rank() OVER w AS drk,
+        round(percent_rank() OVER w, 6) AS prk, round(cume_dist() OVER w, 6) AS cd,
+        ntile(4) OVER w AS quartile
+        FROM orders WHERE o_totalprice > 450000.0
+        WINDOW w AS (PARTITION BY o_orderstatus
+          ORDER BY o_totalprice DESC NULLS LAST, o_orderkey ASC NULLS LAST)
+        ORDER BY o_orderstatus ASC NULLS LAST, rn ASC NULLS LAST"""
+
   override val queries: Seq[Q] = Seq(
     Q("e_rank_family",
       "row_number/rank/dense_rank/percent_rank/cume_dist/ntile over a partitioned ordered window.",
@@ -32,14 +44,59 @@ object WindowQueries extends QueryModule {
             col("rn"), col("rk"), col("drk"), col("prk"), col("cd"), col("quartile"))
           .orderBy(col("o_orderstatus").asc_nulls_last, col("rn").asc_nulls_last)
       },
-      Some("""SELECT o_orderstatus, o_orderkey, o_totalprice,
-        row_number() OVER w AS rn, rank() OVER w AS rk, dense_rank() OVER w AS drk,
-        round(percent_rank() OVER w, 6) AS prk, round(cume_dist() OVER w, 6) AS cd,
-        ntile(4) OVER w AS quartile
-        FROM orders WHERE o_totalprice > 450000.0
-        WINDOW w AS (PARTITION BY o_orderstatus
-          ORDER BY o_totalprice DESC NULLS LAST, o_orderkey ASC NULLS LAST)
-        ORDER BY o_orderstatus ASC NULLS LAST, rn ASC NULLS LAST""")),
+      Some(RankFamilyOracle)),
+
+    Q("e_rank_family_banded",
+      "Banded two-level-rank twin of e_rank_family (round-12 verdict #2: the plain form's window partitions on a 3-value key, capping the sort at 3 tasks at any cluster size). Value-identical against the SAME oracle, but every window here is keyed on (status, price-band) or (status, price): bands of the sort key give parallel per-band row_numbers, a broadcast running offset over the tiny (status x band) relation makes them global, the distinct-price relation gets the same treatment for dense_rank, tie aggregates derive rank/cume_dist, and ntile comes closed-form from (rn, n). Parallelism scales with the value range (the d_equidepth_hist machinery), not the partition-key cardinality.",
+      (s, dir) => {
+        val base = T(s, dir, "orders")
+          .filter(col("o_totalprice") > 450000.0)
+          .select(col("o_orderstatus"), col("o_orderkey"), col("o_totalprice"))
+        // DESC sort key: bands are walked descending; 1000-wide bands
+        // give ~50 per status at any SF (range is fixture-bounded)
+        val banded = base.withColumn("band",
+          floor(col("o_totalprice") / lit(1000.0)).cast("long"))
+        // running offset of rows in HIGHER bands, per status — a keyed
+        // window over the O(status x bands) relation, never the data
+        val offs = banded.groupBy(col("o_orderstatus"), col("band"))
+          .agg(count(lit(1)).as("bn"))
+          .withColumn("boff", coalesce(sum(col("bn")).over(
+            Window.partitionBy(col("o_orderstatus"))
+              .orderBy(col("band").desc_nulls_last)
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select(col("o_orderstatus"), col("band"), col("boff"))
+        val perStatus = broadcast(base.groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n")))
+        val rn = banded.join(broadcast(offs), Seq("o_orderstatus", "band"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("o_orderstatus"), col("band"))
+              .orderBy(col("o_totalprice").desc_nulls_last,
+                col("o_orderkey").asc_nulls_last)).cast("long") + col("boff"))
+        // the ORDER BY spec carries a UNIQUE tiebreak (o_orderkey), so
+        // no two rows are peers: rank = dense_rank = row_number and
+        // cume_dist = rn / n — the tie machinery collapses (SQL peers
+        // are rows equal on ALL sort keys, not just the price)
+        // ntile(4) closed-form: the first n%4 buckets take n div 4 + 1
+        // rows (integer `div` — Spark's `/` on longs is double)
+        rn.join(perStatus, Seq("o_orderstatus"))
+          .withColumn("rk", col("rn"))
+          .withColumn("drk", col("rn"))
+          .withColumn("prk", when(col("n") > 1,
+            round((col("rn") - 1).cast("double")
+              / (col("n") - 1).cast("double"), 6)).otherwise(lit(0.0)))
+          .withColumn("cd", round(col("rn").cast("double")
+            / col("n").cast("double"), 6))
+          .withColumn("q4", expr("n div 4"))
+          .withColumn("r4", col("n") % 4)
+          .withColumn("quartile", expr(
+            "CASE WHEN rn <= r4 * (q4 + 1) THEN (rn - 1) div (q4 + 1) + 1 " +
+              "ELSE r4 + (rn - 1 - r4 * (q4 + 1)) div q4 + 1 END"))
+          .select(col("o_orderstatus"), col("o_orderkey"), col("o_totalprice"),
+            col("rn"), col("rk"), col("drk"), col("prk"), col("cd"),
+            col("quartile"))
+          .orderBy(col("o_orderstatus").asc_nulls_last, col("rn").asc_nulls_last)
+      },
+      Some(RankFamilyOracle)),
 
     Q("e_lag_lead",
       "lag/lead with offsets and defaults over per-customer order history.",

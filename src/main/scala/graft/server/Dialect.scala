@@ -537,7 +537,25 @@ object Dialect {
           while (p >= 0 && s.charAt(p) != '`') p -= 1
           p -= 1
         case c if isWordChar(c) =>
+          val wEnd = p
           while (p >= 0 && isWordChar(s.charAt(p))) p -= 1
+          // `CASE … END` is a primary (round-13 fuzz: `CASE … END // 3`
+          // used to take the bare word END as the operand) — scan back
+          // to the matching CASE, counting nested pairs, quote-masked
+          if (s.substring(p + 1, wEnd + 1).equalsIgnoreCase("END")) {
+            var depth = 1
+            while (p >= 0 && depth > 0) {
+              if (!mask(p) && isWordChar(s.charAt(p))) {
+                val we = p
+                while (p >= 0 && isWordChar(s.charAt(p))) p -= 1
+                val w = s.substring(p + 1, we + 1)
+                if (w.equalsIgnoreCase("END")) depth += 1
+                else if (w.equalsIgnoreCase("CASE")) depth -= 1
+              } else p -= 1
+            }
+            if (depth > 0) return pEnd // unbalanced — degenerate
+            return p + 1 // CASE never chains behind '.' or a call
+          }
         case _ => done = true
       }
       // continue through '.' chains and name-before-parens
@@ -816,7 +834,24 @@ object Dialect {
           while (p < s.length && s.charAt(p) != '`') p += 1
           p += 1
         case c if isWordChar(c) =>
+          val wStart = p
           while (p < s.length && isWordChar(s.charAt(p))) p += 1
+          // forward mirror of operandStart's CASE handling: a right
+          // operand starting with CASE runs to its matching END
+          if (s.substring(wStart, p).equalsIgnoreCase("CASE")) {
+            var depth = 1
+            while (p < s.length && depth > 0) {
+              if (!mask(p) && isWordChar(s.charAt(p))) {
+                val ws = p
+                while (p < s.length && isWordChar(s.charAt(p))) p += 1
+                val w = s.substring(ws, p)
+                if (w.equalsIgnoreCase("CASE")) depth += 1
+                else if (w.equalsIgnoreCase("END")) depth -= 1
+              } else p += 1
+            }
+            if (depth > 0) return from // unbalanced — degenerate
+            return p
+          }
         case _ => done = true
       }
       if (!done) {
@@ -1312,14 +1347,51 @@ object Dialect {
           case c if wordish(c) =>
             var q = p
             while (q >= 0 && wordish(sql.charAt(q))) q -= 1
-            start = q + 1
-            p = q
+            if (sql.substring(q + 1, p + 1).equalsIgnoreCase("END")) {
+              // `CASE … END ^ 2` (round-13 fuzz): the CASE expression
+              // is the primary — scan back to its matching CASE
+              var depth = 1
+              var r2 = q
+              while (r2 >= 0 && depth > 0) {
+                if (!mask(r2) && isWordChar(sql.charAt(r2))) {
+                  val we = r2
+                  while (r2 >= 0 && isWordChar(sql.charAt(r2))) r2 -= 1
+                  val w = sql.substring(r2 + 1, we + 1)
+                  if (w.equalsIgnoreCase("END")) depth += 1
+                  else if (w.equalsIgnoreCase("CASE")) depth -= 1
+                } else r2 -= 1
+              }
+              if (depth > 0) return -1
+              start = r2 + 1
+              p = r2
+            } else { start = q + 1; p = q }
           case _ => return if (start >= 0) start else -1
         }
         // chained primary: `a.b(c)[1]` — keep consuming through '.'
         if (p >= 0 && sql.charAt(p) == '.') { p -= 1; done = false }
       }
       start
+    }
+
+    // DuckDB binds a UNARY sign TIGHTER than `^`/`**` in every form
+    // (-2.5 ^ 2 = 6.25, -x ^ 2 = 6.25, 3 * -2.5 ^ 2 = 18.75; binary
+    // 0-2.5 ^ 2 = -6.25 — all pinned 2026-08-15). A sign preceding the
+    // left primary joins the operand when its own left context cannot
+    // end an expression (operator/paren/comma/keyword/start-of-text).
+    def includeUnarySign(ls: Int): Int = {
+      var q = ls - 1
+      while (q >= 0 && sql.charAt(q).isWhitespace) q -= 1
+      if (q < 0 || (sql.charAt(q) != '-' && sql.charAt(q) != '+')) return ls
+      var r2 = q - 1
+      while (r2 >= 0 && sql.charAt(r2).isWhitespace) r2 -= 1
+      val unary =
+        if (r2 < 0) true
+        else if (isWordChar(sql.charAt(r2))) {
+          var ws = r2
+          while (ws >= 0 && isWordChar(sql.charAt(ws))) ws -= 1
+          UnaryContextKw.contains(sql.substring(ws + 1, r2 + 1).toUpperCase)
+        } else !")]'\"`".contains(sql.charAt(r2))
+      if (unary) q else ls
     }
 
     // end index (exclusive) of the primary starting at/after `after`
@@ -1341,6 +1413,20 @@ object Dialect {
         case c if wordish(c) =>
           var q = p
           while (q < sql.length && wordish(sql.charAt(q))) q += 1
+          if (sql.substring(p, q).equalsIgnoreCase("CASE")) {
+            // forward mirror: `2 ^ CASE … END` runs to the matching END
+            var depth = 1
+            while (q < sql.length && depth > 0) {
+              if (!mask(q) && isWordChar(sql.charAt(q))) {
+                val ws = q
+                while (q < sql.length && isWordChar(sql.charAt(q))) q += 1
+                val w = sql.substring(ws, q)
+                if (w.equalsIgnoreCase("CASE")) depth += 1
+                else if (w.equalsIgnoreCase("END")) depth -= 1
+              } else q += 1
+            }
+            if (depth > 0) return -1
+          }
           end = q
         case _ => return -1
       }
@@ -1379,7 +1465,8 @@ object Dialect {
             sql.charAt(p) == ']' || sql.charAt(p) == '\'' || sql.charAt(p) == '"' ||
             sql.charAt(p) == '`')
           if (binary) {
-            val ls = leftStart(i)
+            val ls0 = leftStart(i)
+            val ls = if (ls0 >= 0) includeUnarySign(ls0) else ls0
             val re = rightEnd(i + opLen)
             if (ls >= 0 && re > 0) {
               val l = sql.substring(ls, i).trim
@@ -3483,6 +3570,14 @@ object Dialect {
     * appears at its own paren depth (a subquery inside a key that
     * already got the suffix does not mask the outer key).
     */
+  /** Words whose right side is an EXPRESSION slot — a sign after one
+    * of these is unary (see rewritePower's includeUnarySign). */
+  private val UnaryContextKw = Set(
+    "SELECT", "WHERE", "WHEN", "THEN", "ELSE", "AND", "OR", "NOT", "ON",
+    "BY", "HAVING", "RETURN", "RETURNS", "AS", "IN", "LIKE", "BETWEEN",
+    "CASE", "SET", "VALUES", "DISTINCT", "ALL", "UNION", "EXCEPT",
+    "INTERSECT", "LIMIT", "OFFSET", "QUALIFY", "IS", "COALESCE", "ILIKE")
+
   private val OrderByRe = """(?i)\bORDER\s+BY\b""".r
   private val OrderEndKw = Seq("LIMIT", "OFFSET", "FETCH", "ROWS", "RANGE",
     "GROUPS", "WINDOW", "UNION", "INTERSECT", "EXCEPT", "HAVING", "QUALIFY")
@@ -3632,6 +3727,36 @@ object Dialect {
     def isDistinctCount(f: UnresolvedFunction): Boolean =
       f.isDistinct && f.nameParts.last.equalsIgnoreCase("count") &&
         f.arguments.length == 1 && f.filter.isEmpty
+    // sum/avg(DISTINCT) OVER (round-13, closing the round-12 omission
+    // row): the per-frame distinct SET is collect_set over the same
+    // spec, and for INTEGRAL elements its sum is exact and
+    // order-independent — fold with a BIGINT accumulator. A floating
+    // or decimal element makes the lambda's merge type diverge from
+    // the accumulator, so analysis rejects it LOUDLY (their sums are
+    // accumulation-order-dependent under a set rebuild — the original
+    // reason this stayed loud). Empty/all-NULL frames guard to NULL
+    // like DuckDB (pinned: sum NULL, avg NULL; sum(DISTINCT) is
+    // HUGEINT there, BIGINT here — the documented width mapping).
+    def isDistinctSumAvg(f: UnresolvedFunction): Boolean =
+      f.isDistinct &&
+        (f.nameParts.last.equalsIgnoreCase("sum") ||
+          f.nameParts.last.equalsIgnoreCase("avg")) &&
+        f.arguments.length == 1 && f.filter.isEmpty
+    def distinctFold(f: UnresolvedFunction, windowed: Expression): Expression = {
+      import org.apache.spark.sql.catalyst.expressions.{Add, GreaterThan,
+        LambdaFunction, Size, UnresolvedNamedLambdaVariable}
+      val acc = UnresolvedNamedLambdaVariable(Seq("__wda_acc"))
+      val x = UnresolvedNamedLambdaVariable(Seq("__wda_x"))
+      val total = UnresolvedFunction("aggregate",
+        Seq(windowed, Literal(0L), LambdaFunction(Add(acc, x), Seq(acc, x))),
+        isDistinct = false)
+      val n = Size(windowed)
+      val value =
+        if (f.nameParts.last.equalsIgnoreCase("sum")) total
+        else Divide(CastE(total, org.apache.spark.sql.types.DoubleType),
+          CastE(n, org.apache.spark.sql.types.DoubleType))
+      If(GreaterThan(n, Literal(0)), value, Literal(null))
+    }
     def collectSet(f: UnresolvedFunction): UnresolvedFunction =
       UnresolvedFunction("collect_set", f.arguments, isDistinct = false)
     // size/cast wrap OUTSIDE the window: the OVER child must stay a
@@ -3681,6 +3806,19 @@ object Dialect {
       cteMapped.transformAllExpressions {
         case Divide(l, r, _) =>
           UnresolvedFunction("graft_div", Seq(l, r), isDistinct = false)
+        // DuckDB accepts a bare NULL condition (`CASE WHEN NULL THEN …`
+        // falls through to ELSE); Spark's CaseWhen rejects NullType
+        // conditions outright (round-13 fuzz finding — coercion covers
+        // the branch VALUES, never the predicate slot). Retype the
+        // literal; non-literal NullType conditions (NOT NULL, x AND
+        // NULL) already coerce via the operators' own input types.
+        case cw: org.apache.spark.sql.catalyst.expressions.CaseWhen
+            if cw.branches.exists(_._1 == Literal(null)) =>
+          cw.copy(branches = cw.branches.map {
+            case (c, v) if c == Literal(null) =>
+              (Literal(null, org.apache.spark.sql.types.BooleanType), v)
+            case other => other
+          })
         case Remainder(l, r, ev) => Remainder(l, guard(r), ev)
         case IntegralDivide(l, r, ev) => IntegralDivide(l, guard(r), ev)
         case WindowExpression(f: UnresolvedFunction, spec) if isDistinctCount(f) =>
@@ -3689,6 +3827,13 @@ object Dialect {
             f: UnresolvedFunction, ref) if isDistinctCount(f) =>
           sizeOf(org.apache.spark.sql.catalyst.expressions.UnresolvedWindowExpression(
             collectSet(f), ref))
+        case WindowExpression(f: UnresolvedFunction, spec) if isDistinctSumAvg(f) =>
+          distinctFold(f, WindowExpression(collectSet(f), spec))
+        case org.apache.spark.sql.catalyst.expressions.UnresolvedWindowExpression(
+            f: UnresolvedFunction, ref) if isDistinctSumAvg(f) =>
+          distinctFold(f,
+            org.apache.spark.sql.catalyst.expressions.UnresolvedWindowExpression(
+              collectSet(f), ref))
         case WindowExpression(f: UnresolvedFunction, spec) if isListAgg(f) =>
           listWin(WindowExpression(structWrap(f), spec))
         case org.apache.spark.sql.catalyst.expressions.UnresolvedWindowExpression(

@@ -111,7 +111,82 @@ object PipelineMacros {
        SELECT doc_id, count(*) AS n_terms,
          round(CAST(sum(CAST(round(raw, 8) AS DECIMAL(20,8))) AS DOUBLE), 6) AS score
        FROM sc GROUP BY doc_id
-       ORDER BY score DESC NULLS LAST, doc_id ASC NULLS LAST LIMIT k""")
+       ORDER BY score DESC NULLS LAST, doc_id ASC NULLS LAST LIMIT k""",
+
+    // round-13 (verdict ask #6): the ANN/miner tier served. The
+    // 8-hyperplane signature is EXACTLY n_ann_lsh_portable's authored
+    // plane set (graft.queries.Round2Queries.lshPlanes), rendered into
+    // the body at install time; candidates are bucket cohabitants —
+    // the equi-join tier the _ann miners build on (multi-probe masks
+    // stay the engine path, Round12Queries)
+    s"""CREATE OR REPLACE MACRO ann_candidates(tbl) AS TABLE
+       WITH sigs AS (SELECT vec_id, $lshSigSql AS sig FROM tbl)
+       SELECT a.sig AS sig, a.vec_id AS id_a, b.vec_id AS id_b
+       FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.vec_id < b.vec_id""",
+
+    // sentence-digest decontamination screen (the Gopher/GPT-3 exact
+    // screen at sentence grain): a corpus doc is flagged when any of
+    // its >=20-char sentences digest-matches an eval-set sentence —
+    // digests cross the join, never text. Regexes carry Spark escape
+    // spelling (stored bodies splice in after rewriteStringEscapes)
+    """CREATE OR REPLACE MACRO decontam_screen(tbl, evaltbl) AS TABLE
+       WITH cs AS (SELECT doc_id, md5(trim(s)) AS dig
+                   FROM (SELECT doc_id, unnest(string_split_regex(text, '\\.\\s+')) AS s FROM tbl) z
+                   WHERE len(trim(s)) >= 20),
+         es AS (SELECT DISTINCT md5(trim(s)) AS dig
+                FROM (SELECT unnest(string_split_regex(text, '\\.\\s+')) AS s FROM evaltbl) z
+                WHERE len(trim(s)) >= 20)
+       SELECT DISTINCT cs.doc_id AS doc_id FROM cs JOIN es ON cs.dig = es.dig""",
+
+    // Bradley-Terry preference fit (Hunter 2004 MM, two iterations
+    // from p=1) — the served twin of n_pref_bradley_terry: identical
+    // comparison extraction (consecutive same-user events, higher
+    // value wins, ties dropped), identical exact-decimal denominator
+    // discipline, so PipelineMacroSpec asserts row equality
+    """CREATE OR REPLACE MACRO bradley_terry(tbl) AS TABLE
+       WITH c0 AS (SELECT event_type, value,
+             lag(event_type) OVER w AS prev_type,
+             lag(value) OVER w AS prev_value
+           FROM tbl
+           WINDOW w AS (PARTITION BY user_id
+             ORDER BY ts ASC NULLS LAST, event_id ASC NULLS LAST)),
+         comps AS (SELECT
+             CASE WHEN value > prev_value THEN event_type ELSE prev_type END AS winner,
+             CASE WHEN value > prev_value THEN prev_type ELSE event_type END AS loser
+           FROM c0 WHERE prev_type IS NOT NULL
+             AND prev_type <> event_type AND value <> prev_value),
+         pw AS (SELECT winner, loser, count(*) AS n FROM comps GROUP BY winner, loser),
+         games AS (SELECT a, b, CAST(sum(n) AS BIGINT) AS g FROM (
+             SELECT winner AS a, loser AS b, n FROM pw
+             UNION ALL SELECT loser AS a, winner AS b, n FROM pw) u GROUP BY a, b),
+         wins AS (SELECT winner AS a, CAST(sum(n) AS BIGINT) AS w FROM pw GROUP BY winner),
+         base AS (SELECT t.a, t.games, coalesce(wins.w, 0) AS w
+           FROM (SELECT a, CAST(sum(g) AS BIGINT) AS games FROM games GROUP BY a) t
+           LEFT JOIN wins ON t.a = wins.a),
+         p0 AS (SELECT a, CAST(1.0 AS DOUBLE) AS p FROM base),
+         s1 AS (SELECT t.a, round(b.w / t.den, 6) AS p FROM (
+             SELECT g.a, CAST(sum(CAST(round(g.g / (pa.p + pb.p), 6) AS DECIMAL(18,6))) AS DOUBLE) AS den
+             FROM games g JOIN p0 pa ON g.a = pa.a JOIN p0 pb ON g.b = pb.a
+             GROUP BY g.a) t JOIN base b ON t.a = b.a),
+         s2 AS (SELECT t.a, round(b.w / t.den, 6) AS p FROM (
+             SELECT g.a, CAST(sum(CAST(round(g.g / (pa.p + pb.p), 6) AS DECIMAL(18,6))) AS DOUBLE) AS den
+             FROM games g JOIN s1 pa ON g.a = pa.a JOIN s1 pb ON g.b = pb.a
+             GROUP BY g.a) t JOIN base b ON t.a = b.a),
+         tot AS (SELECT CAST(sum(CAST(p AS DECIMAL(18,6))) AS DOUBLE) AS ptot FROM s2)
+       SELECT b.a AS item, b.w AS wins, b.games AS games,
+         round(s2.p / tot.ptot, 6) AS strength,
+         row_number() OVER (ORDER BY round(s2.p / tot.ptot, 6) DESC NULLS LAST,
+           b.a ASC NULLS LAST) AS rank
+       FROM s2 JOIN base b ON s2.a = b.a CROSS JOIN tot""")
+
+  /** The authored 8-plane signature as served SQL — the same integer
+    * hyperplanes n_ann_lsh_portable renders into both engines. */
+  private def lshSigSql: String =
+    graft.queries.Round2Queries.lshPlanes.zipWithIndex.map { case (hp, b) =>
+      val lst = hp.mkString("[", ", ", "]")
+      s"""(CASE WHEN list_dot_product($lst, embedding) >= 0
+          THEN ${1L << b} ELSE 0 END)"""
+    }.mkString("\n         + ")
 
   /** Register the library into `spark`'s macro registry — the same
     * code path a posted CREATE MACRO takes (QueryServer installs this

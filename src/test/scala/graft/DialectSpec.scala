@@ -1615,10 +1615,10 @@ class DialectSpec extends AnyFunSuite with BeforeAndAfterAll {
       """[{"c":1}]""")
     one("SELECT count(DISTINCT x) OVER w AS c FROM (VALUES (1,10),(1,10)) t(p,x) WINDOW w AS (PARTITION BY p) LIMIT 1",
       """[{"c":1}]""")
-    // the negative space stays loud: `->` with a runtime key,
-    // sum(DISTINCT) over a window
+    // the negative space stays loud: `->` with a runtime key.
+    // (sum(DISTINCT) OVER was part of this negative space until round
+    // 13 closed it for integral elements — see the fuzz-pin block.)
     assert(post("""SELECT j -> k AS v FROM (VALUES ('{"a":1}', 'a')) t(j, k)""").statusCode() == 400)
-    assert(post("SELECT sum(DISTINCT x) OVER (PARTITION BY p) AS s FROM (VALUES (1,10),(1,10)) t(p,x)").statusCode() == 400)
   }
 
   test("round-12 probe23 batch: fmt alignment/fill semantics, format/printf NULL propagation") {
@@ -1904,5 +1904,86 @@ class DialectSpec extends AnyFunSuite with BeforeAndAfterAll {
       """[{"rows":3},{"rows":1},{"rows":null}]""")
     one("SELECT x AS range FROM (VALUES (3),(1),(NULL)) t(x) ORDER BY range LIMIT 2",
       """[{"range":1},{"range":3}]""")
+  }
+
+  test("round-13 fuzz pins: CASE WHEN NULL, CASE END operands, cast-text windows, ceil/floor typing, sum/avg(DISTINCT) OVER") {
+    def one(sql: String, expect: String): Unit = {
+      val r = post(sql)
+      assert(r.statusCode() == 200, s"$sql -> ${r.body()}")
+      assert(r.body() == expect, s"$sql -> ${r.body()} (wanted $expect)")
+    }
+    // DuckDB-pinned (2026-08-15), every case found by the FuzzProbe
+    // seed-13 sweep (tools/FuzzProbe + tools/fuzz_check.py):
+    // a bare NULL condition falls through to ELSE (Spark rejected the
+    // NullType predicate outright — 33 of the first 200 generated
+    // queries hit it)
+    one("SELECT CASE WHEN NULL THEN 1 ELSE 2 END AS x", """[{"x":2}]""")
+    // CASE … END is a primary for the textual operand scanners
+    one("SELECT CASE WHEN NULL THEN -1 ELSE 100 END // 3 AS c", """[{"c":33}]""")
+    one("SELECT 3 // CASE WHEN true THEN 2 ELSE 1 END AS c", """[{"c":1}]""")
+    one("SELECT CASE WHEN false THEN 2.0 ELSE 4.5 END::VARCHAR AS c",
+      """[{"c":"4.5"}]""")
+    // the CAST text window is [1e-4, 1e16) with a padded signed
+    // exponent — NOT the to_json window [1e-6, 1e21) the probe-26 pin
+    // generalized from (CAST(0.000001 AS VARCHAR) printed '0.000001'
+    // where DuckDB prints '1e-06')
+    one("SELECT CAST(CAST(0.000001 AS DOUBLE) AS VARCHAR) AS a, " +
+      "CAST(CAST(0.0001 AS DOUBLE) AS VARCHAR) AS b, " +
+      "CAST(CAST(0.000099 AS DOUBLE) AS VARCHAR) AS c",
+      """[{"a":"1e-06","b":"0.0001","c":"9.9e-05"}]""")
+    one("SELECT CAST(CAST(1e15 AS DOUBLE) AS VARCHAR) AS a, " +
+      "CAST(CAST(1e16 AS DOUBLE) AS VARCHAR) AS b",
+      """[{"a":"1000000000000000.0","b":"1e+16"}]""")
+    // ceil/floor are DOUBLE for every non-decimal numeric in DuckDB
+    // (even integers); decimal inputs keep the decimal family
+    one("SELECT ceil(CAST(1.5 AS DOUBLE)) AS a, floor(CAST(1.5 AS DOUBLE)) AS b, " +
+      "ceil(5) AS c, ceiling(CAST(2.1 AS DOUBLE)) AS d, ceil(1.5) AS e",
+      """[{"a":2.0,"b":1.0,"c":5.0,"d":3.0,"e":2}]""")
+    one("SELECT CAST(ceil((1.5 / 1.5)) AS VARCHAR) AS c", """[{"c":"1.0"}]""")
+    // sum/avg(DISTINCT) OVER: per-frame distinct fold for INTEGRAL
+    // elements (exact, order-independent); NULL on empty frames
+    one("SELECT rn, sum(DISTINCT x) OVER (ORDER BY rn) AS s, " +
+      "avg(DISTINCT x) OVER (ORDER BY rn) AS a " +
+      "FROM (VALUES (1,1),(2,2),(3,2),(4,NULL),(5,3)) t(rn,x) ORDER BY rn",
+      """[{"rn":1,"s":1,"a":1.0},{"rn":2,"s":3,"a":1.5},{"rn":3,"s":3,"a":1.5},""" +
+        """{"rn":4,"s":3,"a":1.5},{"rn":5,"s":6,"a":2.0}]""")
+    one("SELECT sum(DISTINCT x) OVER (PARTITION BY x) AS s " +
+      "FROM (VALUES (CAST(NULL AS INT))) t(x)", """[{"s":null}]""")
+    // floating elements stay LOUD: a set rebuild makes their sums
+    // accumulation-order-dependent (the original omission rationale)
+    assert(post("SELECT sum(DISTINCT x) OVER (ORDER BY x) AS s " +
+      "FROM (VALUES (1.5)) t(x)").statusCode() >= 400)
+    // a single-param lambda whose body is a CALL (rightEnd<0 path)
+    one("SELECT list_transform([1,-2], (x) -> abs(x)) AS r", """[{"r":[1,2]}]""")
+    // a UNARY sign binds TIGHTER than ^/** in DuckDB, in every form —
+    // the old operand scan made it -(2.5^2)
+    one("SELECT -2.5 ^ 2 AS a, 0-2.5 ^ 2 AS b, 3 * -2.5 ^ 2 AS c, -2 ** 2 AS d",
+      """[{"a":6.25,"b":-6.25,"c":18.75,"d":4.0}]""")
+    one("SELECT -x ^ 2 AS a FROM (VALUES (2.5)) t(x)", """[{"a":6.25}]""")
+    // CASE … END as a power operand (21 of 5000 generated queries
+    // parse-errored on this before)
+    one("SELECT (CASE WHEN false THEN 0.001 ELSE 0.1 END ^ 3) AS a, " +
+      "2 ^ CASE WHEN true THEN 3 ELSE 1 END AS b",
+      """[{"a":0.0010000000000000002,"b":8.0}]""")
+    // ceil/floor preserve NaN/Inf (Spark's long-typed Ceil made
+    // ceil(NaN) = 0, which would render 0.0 — non-finite doubles are
+    // null in the JSON encoding, the pinned probe-12 convention)
+    one("SELECT ceil((-0.75 ^ 0.5)) AS a, floor(CAST('inf' AS DOUBLE)) AS b",
+      """[{"a":null,"b":null}]""")
+    // avg over DECIMAL children is DOUBLE in DuckDB (Spark's
+    // DECIMAL(p, s+4) avg truncated the value itself)
+    one("SELECT round(avg(round(d, 1)), 6) AS a FROM " +
+      "(VALUES (17.1), (-2.88), (-35.42)) t(d)", """[{"a":-7.066667}]""")
+    // round() rounds the BINARY double, not its decimal rendering:
+    // 1.005 stores as 1.00499999…, so 2-dp rounds DOWN to 1.0 where
+    // Spark's string-path HALF_UP prints 1.01
+    one("SELECT round(CAST(-17.85 AS DOUBLE), 1) AS a, " +
+      "round(CAST(1.005 AS DOUBLE), 2) AS b, round(CAST(2.675 AS DOUBLE), 2) AS c, " +
+      "round(CAST(0.25 AS DOUBLE), 1) AS d, round(CAST(-0.001 AS DOUBLE), 1) AS e",
+      """[{"a":-17.9,"b":1.0,"c":2.68,"d":0.3,"e":-0.0}]""")
+    // round's scale may be a runtime column (Spark's builtin requires
+    // a foldable literal; DuckDB does not)
+    one("SELECT round(CAST(1.2345 AS DOUBLE), n) AS r FROM (VALUES (1),(3)) t(n) ORDER BY n",
+      """[{"r":1.2},{"r":1.235}]""")
   }
 }

@@ -29,7 +29,7 @@ class PipelineMacroSpec extends AnyFunSuite with BeforeAndAfterAll {
   private val sf = TestSpark.sf
 
   override def beforeAll(): Unit = {
-    T.views(session, sf, "documents")
+    T.views(session, sf, "documents", "events", "embeddings")
     srv = new QueryServer(session, 0)
     srv.start()
     base = s"http://localhost:${srv.boundPort}"
@@ -103,6 +103,46 @@ class PipelineMacroSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("bm25_topk(documents, 0, 10) over HTTP equals n_bm25_topk") {
     assertRowsEqual("SELECT * FROM bm25_topk(documents, 0, 10)", "n_bm25_topk")
+  }
+
+  test("bradley_terry(events) over HTTP equals n_pref_bradley_terry") {
+    // round-13 verdict ask #6: the preference-fit miner served — the
+    // macro re-expresses the identical comparison extraction and
+    // exact-decimal MM discipline, so rows must match exactly
+    assertRowsEqual(
+      "SELECT * FROM bradley_terry(events) ORDER BY rank ASC NULLS LAST",
+      "n_pref_bradley_terry")
+  }
+
+  test("ann_candidates(embeddings) pair counts equal the portable LSH bucket histogram") {
+    // candidates are bucket cohabitants, so per-bucket pair counts
+    // must be C(n, 2) of n_ann_lsh_portable's bucket sizes
+    val hist = program("n_ann_lsh_portable") // (sig, n, min_id, max_id)
+      .map(r => (r.head.toString.toLong, r(1).toString.toLong))
+      .filter(_._2 > 1).toMap
+    val (_, got) = csv(
+      "SELECT sig, count(*) AS n_pairs FROM ann_candidates(embeddings) " +
+        "GROUP BY sig ORDER BY sig ASC NULLS LAST")
+    val gotMap = got.map(r => r(0).toLong -> r(1).toLong).toMap
+    assert(gotMap == hist.map { case (s, n) => s -> n * (n - 1) / 2 },
+      s"pair counts diverge: got $gotMap")
+  }
+
+  test("decontam_screen(documents, eval_docs) flags exactly the sentence-digest matches") {
+    import org.apache.spark.sql.functions._
+    session.sql(
+      "CREATE OR REPLACE TEMPORARY VIEW eval_docs AS SELECT * FROM documents WHERE doc_id < 20")
+    val sent = T(session, sf, "documents")
+      .select(col("doc_id"), explode(split(col("text"), "\\.\\s+")).as("s"))
+      .withColumn("s", trim(col("s"))).filter(length(col("s")) >= 20)
+      .select(col("doc_id"), md5(col("s")).as("dig"))
+    val ev = sent.filter(col("doc_id") < 20).select("dig").distinct()
+    val expected = sent.join(ev, "dig").select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    val (_, got) = csv(
+      "SELECT doc_id FROM decontam_screen(documents, eval_docs) ORDER BY doc_id ASC NULLS LAST")
+    assert(got.map(_.head.toLong).toSet == expected)
+    assert(expected.nonEmpty, "fixture produced no long sentences — screen untested")
   }
 
   test("macros compose with served SQL and remain client-shadowable") {

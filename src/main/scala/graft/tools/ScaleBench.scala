@@ -195,7 +195,10 @@ object ScaleBench {
     // join, profit fan-in, outer-join distribution, IN-over-HAVING,
     // EXISTS/NOT-EXISTS double correlation) — the other fifteen are
     // the same operator shapes at lower fan-in
-    "tpch_q02", "tpch_q05", "tpch_q09", "tpch_q13", "tpch_q18", "tpch_q21")
+    "tpch_q02", "tpch_q05", "tpch_q09", "tpch_q13", "tpch_q18", "tpch_q21",
+    // the banded two-level-rank twin (VERDICT r12 #2): window
+    // parallelism scales with the value range, not the 3-value key
+    "e_rank_family_banded")
 
   def main(args: Array[String]): Unit = {
     val dirA = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

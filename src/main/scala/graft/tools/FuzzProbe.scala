@@ -50,6 +50,9 @@ object FuzzProbe {
   case object TD extends Ty // double
   case object TS extends Ty // string
   case object TB extends Ty // boolean
+  case object TDt extends Ty // date (v2 grammar)
+  case object TTs extends Ty // timestamp (v2 grammar)
+  case object TL extends Ty // list<integral> (v2 grammar)
 
   def main(args: Array[String]): Unit = {
     val out = if (args.nonEmpty) args(0) else "/tmp/fuzz.jsonl"
@@ -132,9 +135,14 @@ object FuzzProbe {
     case bd: java.math.BigDecimal => renderVal(bd.doubleValue)
     case bd: BigDecimal => renderVal(bd.doubleValue)
     case s: String => js(s)
+    // ".0" strip: java.sql.Timestamp.toString always renders at least
+    // one fractional digit; python's str(datetime) renders none when
+    // the micros are zero — canonicalize to the python form
     case d: java.sql.Date => js(d.toString)
-    case t: java.sql.Timestamp => js(t.toString)
+    case t: java.sql.Timestamp => js(t.toString.stripSuffix(".0"))
     case d: java.time.LocalDate => js(d.toString)
+    case t: java.time.LocalDateTime =>
+      js(t.toString.replace('T', ' ').stripSuffix(".0"))
     case t: java.time.Instant => js(t.toString)
     case a: Array[_] => a.map(renderVal).mkString("[", ",", "]")
     case s: scala.collection.Seq[_] => s.map(renderVal).mkString("[", ",", "]")
@@ -159,12 +167,21 @@ object FuzzProbe {
   private val StrLits = Seq("''", "'a'", "'Ab'", "'hello world'", "'Graft'",
     "'%a_'", "'  pad  '", "'123'", "'12.5'", "'x,y;z'", "'it''s'", "'ÄbÇ'", "NULL")
   private val BoolLits = Seq("true", "false", "NULL")
+  private val DateLits = Seq("DATE '2024-03-05'", "DATE '1999-12-31'",
+    "DATE '2024-02-29'", "DATE '1970-01-01'", "NULL")
+  private val TsLits = Seq("TIMESTAMP '2024-03-05 01:02:03'",
+    "TIMESTAMP '2000-01-01 00:00:00'", "TIMESTAMP '2024-12-31 23:59:59'", "NULL")
+  private val ListLits = Seq("[1, 2, 3]", "[7]", "[-5, 0, 42]", "[1, 1, 2]",
+    "[NULL, 1, 2]", "[]")
 
   def lit(rng: Random, t: Ty): String = t match {
     case TI => pick(rng, IntLits)
     case TD => pick(rng, DblLits)
     case TS => pick(rng, StrLits)
     case TB => pick(rng, BoolLits)
+    case TDt => pick(rng, DateLits)
+    case TTs => pick(rng, TsLits)
+    case TL => pick(rng, ListLits)
   }
 
   /** Type-directed expression over optional column bindings. */
@@ -174,7 +191,7 @@ object FuzzProbe {
     if (depth <= 0) {
       if (colOpt.nonEmpty && rng.nextInt(3) == 0) pick(rng, colOpt) else lit(rng, t)
     } else t match {
-      case TI => rng.nextInt(10) match {
+      case TI => rng.nextInt(11) match {
         case 0 | 1 => lit(rng, TI)
         case 2 => s"(${sub(TI)} ${pick(rng, Seq("+", "-", "*"))} ${sub(TI)})"
         case 3 => s"(${sub(TI)} % ${pick(rng, Seq("3", "7", "10"))})"
@@ -186,11 +203,19 @@ object FuzzProbe {
           s"greatest(${sub(TI)}, ${sub(TI)})",
           s"least(${sub(TI)}, ${sub(TI)})",
           s"nullif(${sub(TI)}, ${sub(TI)})"))
-        case _ => pick(rng, Seq(
+        case 9 => pick(rng, Seq(
           s"CAST(${sub(TS)} AS INTEGER)",
           s"TRY_CAST(${sub(TS)} AS INTEGER)",
           s"strpos(${sub(TS)}, ${sub(TS)})",
           s"(${sub(TI)} // ${pick(rng, Seq("2", "3", "5"))})"))
+        case _ => pick(rng, Seq(
+          s"CAST(date_part('${pick(rng, Seq("year", "month", "day", "dow", "doy", "hour"))}', ${sub(TTs)}) AS BIGINT)",
+          s"CAST(EXTRACT(${pick(rng, Seq("YEAR", "MONTH", "DAY"))} FROM ${sub(TDt)}) AS BIGINT)",
+          s"len(${sub(TL)})",
+          s"list_sum(${sub(TL)})",
+          s"(${sub(TL)})[${1 + rng.nextInt(3)}]",
+          s"list_min(${sub(TL)})",
+          s"list_max(${sub(TL)})"))
       }
       case TD => rng.nextInt(10) match {
         case 0 | 1 => lit(rng, TD)
@@ -206,7 +231,7 @@ object FuzzProbe {
           s"TRY_CAST(${sub(TS)} AS DOUBLE)",
           s"(${sub(TD)} ^ ${pick(rng, Seq("2", "3", "0.5"))})"))
       }
-      case TS => rng.nextInt(10) match {
+      case TS => rng.nextInt(11) match {
         case 0 | 1 => lit(rng, TS)
         case 2 => s"${pick(rng, Seq("upper", "lower", "trim", "ltrim", "rtrim", "reverse"))}(${sub(TS)})"
         case 3 => s"(${sub(TS)} || ${sub(TS)})"
@@ -220,12 +245,18 @@ object FuzzProbe {
           s"repeat(${sub(TS)}, ${rng.nextInt(3)})",
           s"left(${sub(TS)}, ${rng.nextInt(4)})",
           s"right(${sub(TS)}, ${rng.nextInt(4)})"))
-        case _ => pick(rng, Seq(
+        case 9 => pick(rng, Seq(
           s"CAST(${sub(TI)} AS VARCHAR)",
           s"CAST(${sub(TD)} AS VARCHAR)",
           s"(${sub(TI)})::VARCHAR",
           s"coalesce(${sub(TS)}, ${sub(TS)})",
           s"nullif(${sub(TS)}, ${sub(TS)})"))
+        case _ => pick(rng, Seq(
+          s"strftime(${sub(TDt)}, '${pick(rng, Seq("%Y-%m-%d", "%d/%m/%Y", "%Y %j"))}')",
+          s"CAST(${sub(TDt)} AS VARCHAR)",
+          s"CAST(${sub(TTs)} AS VARCHAR)",
+          s"split_part(${sub(TS)}, ',', ${1 + rng.nextInt(3)})",
+          s"translate(${sub(TS)}, 'ab', 'xy')"))
       }
       case TB => rng.nextInt(10) match {
         case 0 => lit(rng, TB)
@@ -240,10 +271,35 @@ object FuzzProbe {
           val v = sub(TI)
           s"($v IN (${Seq.fill(2 + rng.nextInt(3))(lit(rng, TI)).mkString(", ")}))"
         case 8 => s"(${sub(TI)} BETWEEN ${lit(rng, TI)} AND ${lit(rng, TI)})"
-        case _ => pick(rng, Seq(
+        case 9 => pick(rng, Seq(
           s"starts_with(${sub(TS)}, ${lit(rng, TS)})",
           s"contains(${sub(TS)}, ${lit(rng, TS)})",
           s"regexp_matches(${sub(TS)}, ${pick(rng, Seq("'a'", "'[0-9]+'", "'\\w+'", "'^a'", "'b$$'"))})"))
+        case _ => pick(rng, Seq(
+          s"(${sub(TDt)} ${pick(rng, Seq("=", "<", ">=", "<>"))} ${sub(TDt)})",
+          s"(${sub(TTs)} ${pick(rng, Seq("<", ">"))} ${sub(TTs)})",
+          s"list_contains(${sub(TL)}, ${sub(TI)})",
+          s"(${sub(TL)} = ${sub(TL)})"))
+      }
+      case TDt => rng.nextInt(4) match {
+        case 0 | 1 => lit(rng, TDt)
+        case 2 => s"(${sub(TDt)} + INTERVAL '${1 + rng.nextInt(45)}' DAY)"
+        case _ => s"CAST(${sub(TTs)} AS DATE)"
+      }
+      case TTs => rng.nextInt(5) match {
+        case 0 | 1 => lit(rng, TTs)
+        case 2 => s"(${sub(TTs)} + INTERVAL '${1 + rng.nextInt(20)}' HOUR)"
+        case 3 => s"date_trunc('${pick(rng, Seq("month", "day", "hour", "year"))}', ${sub(TTs)})"
+        case _ => s"CAST(${sub(TDt)} AS TIMESTAMP)"
+      }
+      case TL => rng.nextInt(8) match {
+        case 0 | 1 => lit(rng, TL)
+        case 2 => s"list_transform(${sub(TL)}, x -> x + ${lit(rng, TI)})"
+        case 3 => s"list_filter(${sub(TL)}, x -> x > ${pick(rng, Seq("0", "1", "-5"))})"
+        case 4 => s"list_concat(${sub(TL)}, ${sub(TL)})"
+        case 5 => s"list_distinct(${sub(TL)})"
+        case 6 => s"list_sort(${sub(TL)})"
+        case _ => s"list_reverse_sort(${sub(TL)})"
       }
     }
   }
@@ -270,7 +326,7 @@ object FuzzProbe {
   def genQuery(rng: Random): String = rng.nextInt(20) match {
     case x if x < 14 =>
       val items = (1 to 4).map { j =>
-        val t = pick(rng, Seq(TI, TD, TS, TB))
+        val t = pick(rng, Seq(TI, TD, TS, TB, TI, TD, TS, TB, TDt, TTs, TL))
         s"${expr(rng, t, 2 + rng.nextInt(2))} AS c$j"
       }
       s"SELECT ${items.mkString(", ")}"

@@ -281,9 +281,13 @@ object GraftExtensions {
       }),
     // NOT a plain alias: DuckDB's list_distinct also drops NULL
     // elements, Spark's array_distinct keeps one — compose the null
-    // filter explicitly so the alias matches DuckDB bit-for-bit.
+    // filter explicitly. Element ORDER is explicitly unspecified in
+    // DuckDB (hash-table iteration: [1,2,3] -> [3,2,1] but a 6-element
+    // concat comes back bucket-ordered — round-13 fuzz) and
+    // first-occurrence here; order-sensitive consumers must sort, as
+    // DuckDB's own docs prescribe (omissions row).
     ("list_distinct",
-      info("list_distinct", "list_distinct(arr) - distinct non-NULL elements (DuckDB semantics)."),
+      info("list_distinct", "list_distinct(arr) - distinct non-NULL elements; element order unspecified (sort to pin it)."),
       (args: Seq[Expression]) => {
         require(args.length == 1, s"list_distinct expects 1 argument, got ${args.length}")
         distinctNonNull(args.head)
@@ -1652,6 +1656,16 @@ object GraftExtensions {
                 Seq(Literal(name),
                   builtinBuilder("date_part")(Seq(Literal(name), args(1))): Expr)
               })
+            // DuckDB day numbering for the FUNCTION form too (the
+            // extract() spelling already rewrites textually): dow is
+            // Sunday=0, isodow Monday=1..7 — Spark's date_part('dow')
+            // is 1-based (round-13 fuzz)
+            case p if p.foldable && p.eval(null) != null &&
+                Seq("dow", "weekday").contains(String.valueOf(p.eval(null)).toLowerCase) =>
+              Subtract(builtinBuilder("dayofweek")(Seq(args(1))), Literal(1))
+            case p if p.foldable && p.eval(null) != null &&
+                String.valueOf(p.eval(null)).equalsIgnoreCase("isodow") =>
+              Add(builtinBuilder("weekday")(Seq(args(1))), Literal(1))
             case _ => builtinBuilder("date_part")(args)
           }
         }),
@@ -1660,8 +1674,15 @@ object GraftExtensions {
         (args: Seq[Expression]) => { two("repeat", args)
           graft.functions.RepeatDispatch(args(0), args(1)) }),
       ("datetrunc",
-        info("datetrunc", "datetrunc(part, x) - date_trunc preserving the input's DATE/TIMESTAMP type."),
+        info("datetrunc", "datetrunc(part, x) - DATE for date-grain parts, TIMESTAMP for time-grain (DuckDB)."),
         (args: Seq[Expression]) => { two("datetrunc", args)
+          graft.functions.DateTruncDispatch(args(0), args(1)) }),
+      // date_trunc itself carries the same part-dispatched result type
+      // (round-13 fuzz: Spark's builtin is TIMESTAMP-always, DuckDB
+      // returns DATE for year/quarter/month/week/day grains)
+      ("date_trunc",
+        info("date_trunc", "date_trunc(part, x) - DATE for date-grain parts, TIMESTAMP for time-grain (DuckDB)."),
+        (args: Seq[Expression]) => { two("date_trunc", args)
           graft.functions.DateTruncDispatch(args(0), args(1)) }),
       ("datesub",
         info("datesub", "datesub(part, start, end) - COMPLETE part units between start and end (DuckDB semantics; date_diff counts crossings)."),
@@ -2651,11 +2672,20 @@ object GraftExtensions {
       caseMap("lower", up = false), caseMap("lcase", up = false),
       padGuard("lpad"), padGuard("rpad"),
       ("split_part",
-        info("split_part", "split_part(s, sep, n) - DuckDB semantics: n = 0 and out-of-range yield ''."),
+        info("split_part", "split_part(s, sep, n) - DuckDB semantics: NULL string/part, n = 0 and out-of-range yield ''; a NULL separator returns the whole string; an empty separator splits per character."),
         (args: Seq[Expression]) => {
           require(args.length == 3, s"split_part expects 3 arguments, got ${args.length}")
-          If(EqualTo(args(2), Literal(0)), Literal(""),
-            builtinBuilder("split_part")(args)): Expression
+          // round-13 fuzz: DuckDB's NULL handling is NOT null-in-null-out
+          // (pinned: split_part(NULL, ',', 1) = ''; split_part('a,b',
+          // NULL, 1) = 'a,b'; split_part('a,b', ',', NULL) = '';
+          // split_part('a,b', '', 1) = 'a' — per-character split)
+          If(IsNull(args(0)), Literal(""),
+            If(IsNull(args(1)), args(0),
+              If(IsNull(args(2)), Literal(""),
+                If(EqualTo(args(2), Literal(0)), Literal(""),
+                  If(EqualTo(args(1), Literal("")),
+                    builtinBuilder("substring")(Seq(args(0), args(2), Literal(1))),
+                    builtinBuilder("split_part")(args)))))): Expression
         }),
       ("graft_div",
         info("graft_div", "graft_div(a, b) - DuckDB's / operator: always DOUBLE, NULL on zero divisor (Dialect.sqlServed target)."),

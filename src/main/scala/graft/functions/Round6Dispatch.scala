@@ -33,10 +33,19 @@ case class DateTruncDispatch(left: Expression, right: Expression)
   override lazy val replacement: Expression = {
     val tz = Some(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
     def toTs(e: Expression) = Cast(e, TimestampType, tz)
-    right.dataType match {
-      case DateType => Cast(TruncTimestamp(left, toTs(right), tz), DateType, tz)
-      case _ => TruncTimestamp(left, toTs(right), tz)
-    }
+    // round-13 fuzz: DuckDB dispatches the RESULT type on the PART,
+    // not the input — date-grain parts return DATE even for TIMESTAMP
+    // inputs, and time-grain parts return TIMESTAMP even for DATE
+    // inputs (typeof pins: ('year', ts) = DATE; ('hour', date) =
+    // TIMESTAMP). A non-foldable part keeps the input-type rule.
+    val dateGrain =
+      if (left.foldable && left.eval(null) != null) {
+        val p = String.valueOf(left.eval(null)).toLowerCase.stripSuffix("s")
+        Set("year", "isoyear", "quarter", "month", "week", "day",
+          "decade", "century", "millennium", "millenium").contains(p)
+      } else right.dataType == DateType
+    if (dateGrain) Cast(TruncTimestamp(left, toTs(right), tz), DateType, tz)
+    else TruncTimestamp(left, toTs(right), tz)
   }
   override def prettyName: String = "datetrunc"
   override protected def withNewChildrenInternal(l: Expression, r: Expression): DateTruncDispatch =

@@ -195,3 +195,22 @@ case class RoundDispatch(child: Expression, scale: Expression)
       newLeft: Expression, newRight: Expression): RoundDispatch =
     copy(child = newLeft, scale = newRight)
 }
+
+/** `date ± INTERVAL` is TIMESTAMP-typed in DuckDB for EVERY interval
+  * grain and operand order (typeof pins: +'3' DAY, +'1' MONTH,
+  * +'1' YEAR, -'1' DAY, INTERVAL+date — all TIMESTAMP); Spark keeps
+  * DATE for day-precision intervals. sqlServed wraps the date operand
+  * of a literal-interval addition in this dispatch: dates promote to
+  * TIMESTAMP, every other type passes through. (round-13 fuzz)
+  */
+case class DateToTsOperand(child: Expression)
+    extends UnaryExpression with RuntimeReplaceable {
+  override lazy val replacement: Expression = child.dataType match {
+    case DateType => Cast(child, TimestampType,
+      Some(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone))
+    case _ => child
+  }
+  override def prettyName: String = "graft_date_ts_operand"
+  override protected def withNewChildInternal(newChild: Expression): DateToTsOperand =
+    copy(child = newChild)
+}

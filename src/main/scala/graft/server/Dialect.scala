@@ -432,7 +432,14 @@ object Dialect {
         s = s.substring(0, i) + repl + s.substring(close + 1)
         from = i // literal content may itself contain brackets
       } else if (content.trim.isEmpty) {
-        from = close + 1 // `INTEGER[]` type suffix, not a subscript
+        val start0 = operandStart(s, p)
+        if (literalAfterKeyword(s.substring(start0, p + 1))) {
+          // `SELECT []` / `THEN []` — an EMPTY list literal after a
+          // bare keyword (round-13 fuzz; the type-suffix skip below
+          // used to leave it for Spark's parser to reject)
+          s = s.substring(0, i) + "array()" + s.substring(close + 1)
+          from = i
+        } else from = close + 1 // `INTEGER[]` type suffix, not a subscript
       } else {
         val start = operandStart(s, p)
         val operand = s.substring(start, p + 1)
@@ -1177,10 +1184,24 @@ object Dialect {
       val args = splitTopLevel(argsPart, ',').map(_.trim)
       if (args.isEmpty || args.length > 2) return None
       val sep = if (args.length == 2) args(1) else "','" // DuckDB's default
-      if (oneKeyPlain)
-        Some(s"listagg(${args.head}, $sep) WITHIN GROUP (ORDER BY $spec)")
-      else // multi-key / NULLS spec: render through the comparator sort
-        Some(s"array_join(${sortedValueArray(args.head, keys)}, $sep)")
+      if (args.head.toUpperCase.startsWith("DISTINCT ")) {
+        // the DISTINCT form keeps listagg (its sort key must equal the
+        // distinct expression, DuckDB's own restriction — pinned)
+        if (oneKeyPlain)
+          Some(s"listagg(${args.head}, $sep) WITHIN GROUP (ORDER BY $spec)")
+        else None
+      } else {
+        // the comparator construction for the plain form (round-13
+        // fuzz: Spark's `listagg … WITHIN GROUP` analyzer crashes with
+        // a ClassCastException when any DISTINCT aggregate shares the
+        // Aggregate — RewriteDistinctAggregates mishandles the
+        // ordering child). NULL values are skipped like DuckDB's
+        // string_agg, and an all-NULL group yields NULL, not ''
+        // (array_join alone would render the empty string).
+        val arr = sortedValueArray(args.head, keys)
+        Some(s"CASE WHEN size(filter($arr, __sv -> __sv IS NOT NULL)) = 0 " +
+          s"THEN NULL ELSE array_join($arr, $sep) END")
+      }
     } else if (fn == "first" || fn == "last" || fn == "arbitrary" || fn == "any_value") {
       // first(x ORDER BY k) is the x of the minimum k = min_by(x, k)
       // (verified: first/arbitrary/any_value pick the first sorted row,
@@ -3803,9 +3824,27 @@ object Dialect {
             rel.copy(_2 = rewriteDiv(rel._2).asInstanceOf[SubqueryAlias])
           })
       }
+      def intervalLit(e: Expression): Boolean = e.resolved && (e.dataType match {
+        case _: org.apache.spark.sql.types.DayTimeIntervalType => true
+        case _: org.apache.spark.sql.types.YearMonthIntervalType => true
+        case _ => false
+      })
+      import org.apache.spark.sql.catalyst.expressions.{Add, Subtract}
       cteMapped.transformAllExpressions {
         case Divide(l, r, _) =>
           UnresolvedFunction("graft_div", Seq(l, r), isDistinct = false)
+        // `date ± INTERVAL` is TIMESTAMP in DuckDB for every grain and
+        // operand order (round-13 fuzz); Spark keeps DATE for
+        // day-precision intervals. Promote the date operand of a
+        // LITERAL-interval arithmetic (function-produced intervals
+        // aren't detectable at parse level — those keep Spark's typing,
+        // documented residue).
+        case Add(l, r, ev) if intervalLit(r) && !intervalLit(l) =>
+          Add(graft.functions.DateToTsOperand(l), r, ev)
+        case Add(l, r, ev) if intervalLit(l) && !intervalLit(r) =>
+          Add(l, graft.functions.DateToTsOperand(r), ev)
+        case Subtract(l, r, ev) if intervalLit(r) && !intervalLit(l) =>
+          Subtract(graft.functions.DateToTsOperand(l), r, ev)
         // DuckDB accepts a bare NULL condition (`CASE WHEN NULL THEN …`
         // falls through to ELSE); Spark's CaseWhen rejects NullType
         // conditions outright (round-13 fuzz finding — coercion covers

@@ -167,10 +167,14 @@ object FuzzProbe {
   private val StrLits = Seq("''", "'a'", "'Ab'", "'hello world'", "'Graft'",
     "'%a_'", "'  pad  '", "'123'", "'12.5'", "'x,y;z'", "'it''s'", "'ÄbÇ'", "NULL")
   private val BoolLits = Seq("true", "false", "NULL")
+  // typed NULLs: DuckDB refuses untyped NULL in date arithmetic
+  // ("could not choose a best candidate") where Spark coerces — typing
+  // the literal keeps the differ comparing VALUES, not binder noise
   private val DateLits = Seq("DATE '2024-03-05'", "DATE '1999-12-31'",
-    "DATE '2024-02-29'", "DATE '1970-01-01'", "NULL")
+    "DATE '2024-02-29'", "DATE '1970-01-01'", "CAST(NULL AS DATE)")
   private val TsLits = Seq("TIMESTAMP '2024-03-05 01:02:03'",
-    "TIMESTAMP '2000-01-01 00:00:00'", "TIMESTAMP '2024-12-31 23:59:59'", "NULL")
+    "TIMESTAMP '2000-01-01 00:00:00'", "TIMESTAMP '2024-12-31 23:59:59'",
+    "CAST(NULL AS TIMESTAMP)")
   private val ListLits = Seq("[1, 2, 3]", "[7]", "[-5, 0, 42]", "[1, 1, 2]",
     "[NULL, 1, 2]", "[]")
 
@@ -297,7 +301,9 @@ object FuzzProbe {
         case 2 => s"list_transform(${sub(TL)}, x -> x + ${lit(rng, TI)})"
         case 3 => s"list_filter(${sub(TL)}, x -> x > ${pick(rng, Seq("0", "1", "-5"))})"
         case 4 => s"list_concat(${sub(TL)}, ${sub(TL)})"
-        case 5 => s"list_distinct(${sub(TL)})"
+        // list_distinct's element order is UNSPECIFIED in DuckDB
+        // (hash-table iteration) — sort to keep the compare meaningful
+        case 5 => s"list_sort(list_distinct(${sub(TL)}))"
         case 6 => s"list_sort(${sub(TL)})"
         case _ => s"list_reverse_sort(${sub(TL)})"
       }

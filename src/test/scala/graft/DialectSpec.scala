@@ -1955,6 +1955,36 @@ class DialectSpec extends AnyFunSuite with BeforeAndAfterAll {
       "FROM (VALUES (1.5)) t(x)").statusCode() >= 400)
     // a single-param lambda whose body is a CALL (rightEnd<0 path)
     one("SELECT list_transform([1,-2], (x) -> abs(x)) AS r", """[{"r":[1,2]}]""")
+    // --- v2 grammar sweep (dates/timestamps/lists), all DuckDB-pinned ---
+    // date ± INTERVAL is TIMESTAMP for every grain and operand order
+    one("SELECT CAST((DATE '2024-01-01' + INTERVAL '3' DAY) AS VARCHAR) AS a, " +
+      "CAST((DATE '2024-01-01' - INTERVAL '1' DAY) AS VARCHAR) AS b, " +
+      "CAST((DATE '2024-01-31' + INTERVAL '1' MONTH) AS VARCHAR) AS c",
+      """[{"a":"2024-01-04 00:00:00","b":"2023-12-31 00:00:00","c":"2024-02-29 00:00:00"}]""")
+    // date_trunc dispatches the RESULT type on the PART (DATE for
+    // date grains even over TIMESTAMP input; TIMESTAMP for time grains)
+    one("SELECT CAST(date_trunc('month', TIMESTAMP '2024-03-05 01:02:03') AS VARCHAR) AS a, " +
+      "CAST(date_trunc('hour', TIMESTAMP '2024-03-05 01:02:03') AS VARCHAR) AS b",
+      """[{"a":"2024-03-01","b":"2024-03-05 01:00:00"}]""")
+    // date_part's FUNCTION form carries DuckDB day numbering too
+    one("SELECT date_part('dow', DATE '2024-02-29') AS d, " +
+      "date_part('isodow', DATE '2024-02-29') AS i", """[{"d":4,"i":4}]""")
+    // split_part is NOT null-in-null-out: NULL string/part -> '',
+    // NULL separator -> the whole string, '' separator -> per-char
+    one("SELECT split_part(CAST(NULL AS VARCHAR), ',', 1) AS a, " +
+      "split_part('a,b', NULL, 1) AS b, " +
+      "split_part('a,b', ',', CAST(NULL AS INT)) AS c, " +
+      "split_part('a,b', '', 1) AS d",
+      """[{"a":"","b":"a,b","c":"","d":"a"}]""")
+    // string_agg ORDER BY beside a DISTINCT aggregate (Spark's listagg
+    // path ClassCastExceptions there — comparator construction now);
+    // all-NULL groups yield NULL, not ''
+    one("SELECT k, count(DISTINCT s) AS a2, string_agg(s, ',' ORDER BY rn) AS a3 " +
+      "FROM (VALUES (0,0,'b'),(1,0,'a'),(2,0,NULL),(3,1,NULL)) t(rn,k,s) " +
+      "GROUP BY k ORDER BY k NULLS LAST",
+      """[{"k":0,"a2":2,"a3":"b,a"},{"k":1,"a2":0,"a3":null}]""")
+    // empty list literal after a bare keyword
+    one("SELECT [] AS e, len([]) AS n", """[{"e":[],"n":0}]""")
     // a UNARY sign binds TIGHTER than ^/** in DuckDB, in every form —
     // the old operand scan made it -(2.5^2)
     one("SELECT -2.5 ^ 2 AS a, 0-2.5 ^ 2 AS b, 3 * -2.5 ^ 2 AS c, -2 ** 2 AS d",

@@ -329,13 +329,72 @@ object FuzzProbe {
   private val RelCols: Map[Ty, Seq[String]] =
     Map(TI -> Seq("i", "k"), TD -> Seq("d"), TS -> Seq("s"))
 
-  def genQuery(rng: Random): String = rng.nextInt(20) match {
+  /** A small keyed relation with planted NULL keys and values —
+    * the join/set-op shells' input. */
+  private def keyedRelation(rng: Random, keyNulls: Boolean): String = {
+    val n = 4 + rng.nextInt(4)
+    val rows = (0 until n).map { r =>
+      val id = if (keyNulls && rng.nextInt(5) == 0) "NULL" else rng.nextInt(6).toString
+      val v = if (rng.nextInt(5) == 0) "NULL" else (rng.nextInt(41) - 20).toString
+      s"($id, $v)"
+    }
+    s"(VALUES ${rows.mkString(", ")})"
+  }
+
+  def genQuery(rng: Random): String = rng.nextInt(24) match {
     case x if x < 14 =>
       val items = (1 to 4).map { j =>
         val t = pick(rng, Seq(TI, TD, TS, TB, TI, TD, TS, TB, TDt, TTs, TL))
         s"${expr(rng, t, 2 + rng.nextInt(2))} AS c$j"
       }
       s"SELECT ${items.mkString(", ")}"
+    case x if x >= 20 && x < 22 =>
+      // join shells: every join type over keyed relations with planted
+      // NULL keys (NULL never matches), deterministic total order
+      val a = keyedRelation(rng, keyNulls = true)
+      val b = keyedRelation(rng, keyNulls = true)
+      val jt = pick(rng, Seq("INNER JOIN", "LEFT JOIN", "RIGHT JOIN",
+        "FULL JOIN", "SEMI JOIN", "ANTI JOIN"))
+      if (jt == "SEMI JOIN" || jt == "ANTI JOIN")
+        s"SELECT a.id AS aid, a.v AS av FROM $a a(id, v) $jt $b b(id, w) " +
+          s"ON a.id = b.id ORDER BY aid NULLS LAST, av NULLS LAST"
+      else {
+        val cond = pick(rng, Seq("a.id = b.id", "a.id = b.id AND a.v < b.w"))
+        s"SELECT a.id AS aid, b.id AS bid, a.v AS av, b.w AS bw " +
+          s"FROM $a a(id, v) $jt $b b(id, w) ON $cond " +
+          s"ORDER BY aid NULLS LAST, bid NULLS LAST, av NULLS LAST, bw NULLS LAST"
+      }
+    case 22 =>
+      // set-op shells: duplicates + NULLs through all six variants
+      val a = keyedRelation(rng, keyNulls = true)
+      val b = keyedRelation(rng, keyNulls = true)
+      val op = pick(rng, Seq("UNION", "UNION ALL", "INTERSECT",
+        "INTERSECT ALL", "EXCEPT", "EXCEPT ALL"))
+      s"SELECT v FROM (SELECT v FROM $a t(id, v) $op SELECT w FROM $b s(id, w)) z " +
+        s"ORDER BY v NULLS LAST"
+    case _ =>
+      // subquery shells: IN / NOT IN (three-valued with NULLs) /
+      // EXISTS / NOT EXISTS / scalar aggregate
+      val a = keyedRelation(rng, keyNulls = false)
+      val b = keyedRelation(rng, keyNulls = true)
+      rng.nextInt(5) match {
+        case 0 =>
+          s"SELECT id, v FROM $a t(id, v) WHERE v IN (SELECT w FROM $b s(id, w)) " +
+            s"ORDER BY id NULLS LAST, v NULLS LAST"
+        case 1 =>
+          s"SELECT id, v FROM $a t(id, v) WHERE v NOT IN (SELECT w FROM $b s(id, w)) " +
+            s"ORDER BY id NULLS LAST, v NULLS LAST"
+        case 2 =>
+          s"SELECT id, v FROM $a t(id, v) WHERE EXISTS (SELECT 1 FROM $b s(id, w) " +
+            s"WHERE s.id = t.id) ORDER BY id NULLS LAST, v NULLS LAST"
+        case 3 =>
+          s"SELECT id, v FROM $a t(id, v) WHERE NOT EXISTS (SELECT 1 FROM $b s(id, w) " +
+            s"WHERE s.id = t.id AND s.w > t.v) ORDER BY id NULLS LAST, v NULLS LAST"
+        case _ =>
+          s"SELECT id, v, (SELECT ${pick(rng, Seq("max(w)", "min(w)", "CAST(count(w) AS BIGINT)"))} " +
+            s"FROM $b s(id, w) WHERE s.id = t.id) AS m FROM $a t(id, v) " +
+            s"ORDER BY id NULLS LAST, v NULLS LAST"
+      }
     case x if x < 17 =>
       val rel = valuesRelation(rng)
       val aggs = (1 to 3).map { j =>

@@ -372,7 +372,7 @@ object FuzzProbe {
         "INTERSECT ALL", "EXCEPT", "EXCEPT ALL"))
       s"SELECT v FROM (SELECT v FROM $a t(id, v) $op SELECT w FROM $b s(id, w)) z " +
         s"ORDER BY v NULLS LAST"
-    case _ =>
+    case 23 =>
       // subquery shells: IN / NOT IN (three-valued with NULLs) /
       // EXISTS / NOT EXISTS / scalar aggregate
       val a = keyedRelation(rng, keyNulls = false)

@@ -77,6 +77,30 @@ object GraftExtensions {
         require(args.length == 1, s"factorial expects 1 argument, got ${args.length}")
         graft.functions.FactorialDispatch(args.head)
       }),
+    // overrides Spark's builtin bit_count: DuckDB counts within the
+    // input's own width (bit_count(-1::INT) = 32), Spark sign-extends
+    // to 64 (BitCountDispatch doc has the verified overload table)
+    ("bit_count",
+      info("bit_count", "bit_count(x) - set bits within x's own integral width (DuckDB)."),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, s"bit_count expects 1 argument, got ${args.length}")
+        graft.functions.BitCountDispatch(args.head)
+      }),
+    // the dialect shim's rendering of DuckDB's << / >> operators
+    // (Spark cannot parse >> at all, and its << wraps where DuckDB is
+    // loud — ShiftDispatch doc has the verified rule table)
+    ("graft_shiftl",
+      info("graft_shiftl", "graft_shiftl(x, n) - DuckDB's << (loud on negative/overflowing shifts)."),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, s"graft_shiftl expects 2 arguments, got ${args.length}")
+        graft.functions.ShiftDispatch(args.head, args(1), isLeft = true)
+      }),
+    ("graft_shiftr",
+      info("graft_shiftr", "graft_shiftr(x, n) - DuckDB's >> (arithmetic; 0 outside [0, width))."),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, s"graft_shiftr expects 2 arguments, got ${args.length}")
+        graft.functions.ShiftDispatch(args.head, args(1), isLeft = false)
+      }),
     ("graft_slice",
       info("graft_slice", "graft_slice(x, a, b) - DuckDB bracket slice x[a:b]: 1-based end-inclusive, negative-from-end, on strings and lists."),
       (args: Seq[Expression]) => {
@@ -409,9 +433,29 @@ object GraftExtensions {
     ("regexp_extract",
       info("regexp_extract", "regexp_extract(s, re[, group]) - group defaults to 0 (DuckDB semantics)."),
       (args: Seq[Expression]) => {
-        val withIdx = if (args.length == 2)
-          args :+ org.apache.spark.sql.catalyst.expressions.Literal(0) else args
-        builtinBuilder("regexp_extract")(withIdx)
+        import org.apache.spark.sql.catalyst.expressions.{If, IsNull, Literal}
+        val withIdx = if (args.length == 2) args :+ Literal(0) else args
+        // DuckDB returns '' when the requested group exceeds the
+        // pattern's group count (regexp_extract('abc', 'b', 2) = '');
+        // Spark raises INVALID_PARAMETER_VALUE.REGEX_GROUP_INDEX
+        // (round-13 fuzz v4). Literal pattern+index short-circuit at
+        // build time; non-literal forms keep Spark's loud error.
+        val knownOverflow =
+          withIdx(1).foldable && withIdx(2).foldable && {
+            try {
+              val pat = withIdx(1).eval(null)
+              val idx = withIdx(2).eval(null) match {
+                case n: Number => n.intValue()
+                case _ => -1
+              }
+              pat != null && idx >
+                java.util.regex.Pattern.compile(pat.toString).matcher("").groupCount()
+            } catch { case _: Throwable => false }
+          }
+        if (knownOverflow)
+          If(IsNull(args.head),
+            Literal(null, org.apache.spark.sql.types.StringType), Literal(""))
+        else builtinBuilder("regexp_extract")(withIdx)
       }),
     ("regexp_extract_all",
       info("regexp_extract_all", "regexp_extract_all(s, re[, group]) - group defaults to 0 (DuckDB semantics)."),
@@ -1151,8 +1195,12 @@ object GraftExtensions {
               segments += If(GreaterThanOrEqual(Length(base), wLit), base, padded)
             } else {
               // printf-expressible: right align is printf's default,
-              // '<' is the '-' flag; numeric zero-pad passes through
-              val flag = if (effAlign == "<") "-" else ""
+              // '<' is the '-' flag; numeric zero-pad passes through.
+              // Width-less left alignment is a no-op — and Java's
+              // formatter REJECTS a bare '-' flag (fuzz v4: every
+              // served format('{}', <string>) crashed with
+              // MissingFormatWidthException before this guard)
+              val flag = if (effAlign == "<" && width.nonEmpty) "-" else ""
               segments += pf(s"%$signS$hash$flag$zero$width$precS$tyChar")
             }
           case _ => throw new IllegalArgumentException(
@@ -1622,6 +1670,31 @@ object GraftExtensions {
         info("json_valid", "json_valid(s) - true when s parses as JSON."),
         (args: Seq[Expression]) => { one("json_valid", args)
           IsNotNull(builtinBuilder("get_json_object")(Seq(args.head, Literal("$")))) }),
+      // DuckDB's json_array_length returns 0 for any VALID non-array
+      // JSON (objects, scalars, 'null') and ERRORS on malformed input;
+      // Spark's builtin returns NULL for both (round-13 fuzz v4). The
+      // 2-arg path form follows DuckDB: missing path -> NULL, non-array
+      // at the path -> 0.
+      ("json_array_length",
+        info("json_array_length", "json_array_length(j[, path]) - array length; 0 for valid non-array JSON, NULL for NULL/missing path, loud on malformed (DuckDB)."),
+        (args: Seq[Expression]) => {
+          require(args.length == 1 || args.length == 2,
+            s"json_array_length expects 1-2 arguments, got ${args.length}")
+          val doc = args.head
+          val target =
+            if (args.length == 2) builtinBuilder("get_json_object")(Seq(doc, args(1)))
+            else doc
+          val valid = IsNotNull(builtinBuilder("get_json_object")(Seq(doc, Literal("$"))))
+          CaseWhen(Seq(
+            (IsNull(doc), Literal(null, NullType)),
+            (org.apache.spark.sql.catalyst.expressions.Not(valid),
+              builtinBuilder("raise_error")(Seq(Literal(
+              "json_array_length: malformed JSON input (DuckDB raises Invalid Input Error here)")))),
+            (IsNull(target), Literal(null, NullType))),
+            Some(builtinBuilder("coalesce")(Seq(
+              builtinBuilder("json_array_length")(Seq(target)), Literal(0))))
+          )
+        }),
       ("regexp_full_match",
         info("regexp_full_match", "regexp_full_match(s, re) - whole-string regex match."),
         (args: Seq[Expression]) => { two("regexp_full_match", args)
@@ -1644,6 +1717,83 @@ object GraftExtensions {
         (args: Seq[Expression]) => { one("geometric_mean", args)
           Exp(agg(builtinBuilder("avg")(Seq(
             builtinBuilder("ln")(Seq(Cast(args.head, DoubleType))))))) }),
+      // DuckDB's skewness/kurtosis are SAMPLE-corrected estimators with
+      // small-n NULLs (skewness needs n>=3, kurtosis n>=4; zero-variance
+      // groups are NULL on both engines) where Spark's builtins are the
+      // population forms (round-13 fuzz v4; d_moments documents the
+      // difference and computes portable moments by hand). Textbook
+      // corrections over the population values:
+      //   skew_samp = g1 * sqrt(n(n-1)) / (n-2)
+      //   kurt_samp = ((n+1)*g2 + 6) * (n-1) / ((n-2)(n-3))
+      // OVER-window usage of these composite forms fails loudly
+      // (Spark can't window an arithmetic-of-aggregates) — omissions row.
+      ("skewness",
+        info("skewness", "skewness(x) - sample skewness (DuckDB's estimator; NULL when n < 3)."),
+        (args: Seq[Expression]) => { one("skewness", args)
+          import org.apache.spark.sql.catalyst.expressions.{CaseWhen, Divide, LessThan, Literal, Multiply, Sqrt, Subtract}
+          val x = Cast(args.head, DoubleType)
+          val n = Cast(agg(builtinBuilder("count")(Seq(x))), DoubleType)
+          val g1 = agg(builtinBuilder("skewness")(Seq(x)))
+          val corrected = Multiply(g1,
+            Divide(Sqrt(Multiply(n, Subtract(n, Literal(1.0)))), Subtract(n, Literal(2.0))))
+          CaseWhen(Seq((LessThan(n, Literal(3.0)), Literal(null, DoubleType))),
+            Some(builtinBuilder("nanvl")(Seq(corrected, Literal(null, DoubleType))))) }),
+      ("kurtosis",
+        info("kurtosis", "kurtosis(x) - sample excess kurtosis (DuckDB's estimator; NULL when n < 4)."),
+        (args: Seq[Expression]) => { one("kurtosis", args)
+          import org.apache.spark.sql.catalyst.expressions.{Add, CaseWhen, Divide, LessThan, Literal, Multiply, Subtract}
+          val x = Cast(args.head, DoubleType)
+          val n = Cast(agg(builtinBuilder("count")(Seq(x))), DoubleType)
+          val g2 = agg(builtinBuilder("kurtosis")(Seq(x)))
+          val corrected = Divide(
+            Multiply(Add(Multiply(Add(n, Literal(1.0)), g2), Literal(6.0)),
+              Subtract(n, Literal(1.0))),
+            Multiply(Subtract(n, Literal(2.0)), Subtract(n, Literal(3.0))))
+          CaseWhen(Seq((LessThan(n, Literal(4.0)), Literal(null, DoubleType))),
+            Some(builtinBuilder("nanvl")(Seq(corrected, Literal(null, DoubleType))))) }),
+      ("kurtosis_pop",
+        info("kurtosis_pop", "kurtosis_pop(x) - population excess kurtosis (Spark's builtin IS this estimator)."),
+        (args: Seq[Expression]) => { one("kurtosis_pop", args)
+          builtinBuilder("kurtosis")(Seq(Cast(args.head, DoubleType))) }),
+      // Spark's Atan2 adds 0.0 to both operands, normalizing a -0.0
+      // argument to +0.0 — atan2(-0.0, -1) read +pi where DuckDB (IEEE)
+      // says -pi (round-13 fuzz v4). Call java.lang.Math.atan2 raw.
+      ("atan2",
+        info("atan2", "atan2(y, x) - IEEE atan2, -0.0 preserved (DuckDB)."),
+        (args: Seq[Expression]) => {
+          require(args.length == 2, s"atan2 expects 2 arguments, got ${args.length}")
+          org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+            classOf[java.lang.Math], DoubleType, "atan2",
+            Seq(Cast(args(0), DoubleType), Cast(args(1), DoubleType)),
+            inputTypes = Seq(DoubleType, DoubleType),
+            propagateNull = true, returnNullable = false)
+        }),
+      // Spark's Corr divides by sqrt(M2x*M2y) INSIDE evaluateExpression,
+      // so a zero-variance or single-pair group throws DIVIDE_BY_ZERO
+      // under ANSI (round-13 fuzz v4) where DuckDB returns NULL. Build
+      // the coefficient from guarded primitives instead: covar_samp
+      // over the pairwise-complete columns divided by the stddev
+      // product, with the CASE keeping the division unreachable when
+      // the denominator is 0/NULL. Window usage fails loudly
+      // (composite) — omissions row.
+      ("corr",
+        info("corr", "corr(y, x) - Pearson correlation, NULL for n<2 or zero variance (DuckDB)."),
+        (args: Seq[Expression]) => {
+          require(args.length == 2, s"corr expects 2 arguments, got ${args.length}")
+          import org.apache.spark.sql.catalyst.expressions.{CaseWhen, Divide, EqualTo, If, IsNull, Literal, Multiply, Or}
+          val y = Cast(args(0), DoubleType)
+          val x = Cast(args(1), DoubleType)
+          val nullD = Literal(null, DoubleType)
+          val xp = If(IsNull(y), nullD, x)
+          val yp = If(IsNull(x), nullD, y)
+          val num = agg(builtinBuilder("covar_samp")(Seq(yp, xp)))
+          val den = Multiply(
+            agg(builtinBuilder("stddev_samp")(Seq(xp))),
+            agg(builtinBuilder("stddev_samp")(Seq(yp))))
+          CaseWhen(Seq(
+            (Or(IsNull(den), EqualTo(den, Literal(0.0))), nullD)),
+            Some(builtinBuilder("nanvl")(Seq(Divide(num, den), nullD))))
+        }),
       // DuckDB's list form: date_part(['year','month'], d) returns a
       // struct keyed by the requested parts; scalar form delegates
       ("date_part",
@@ -1752,7 +1902,22 @@ object GraftExtensions {
         builtinBuilder("slice")(Seq(sorted, Literal(1), args(1)))
       }
     def argTopN(fn: String, target: String, desc: Boolean)(args: Seq[Expression]): Expression =
-      if (args.length != 3) builtinBuilder(target)(args)
+      if (args.length == 2) {
+        // DuckDB's arg_min/arg_max (and their min_by/max_by aliases)
+        // SKIP rows whose ARG is NULL — arg_max(s, rn) over
+        // {(1,'a'),(3,NULL)} is 'a' — where Spark's max_by returns the
+        // NULL at the winning key (round-13 fuzz v4). NULLing the key
+        // when the arg is NULL makes the builtin skip those rows;
+        // all-NULL args yield NULL on both engines. DuckDB's ordered
+        // first/last/arbitrary KEEP NULL args — Dialect's ordered-agg
+        // rewrite targets graft_minby_raw/graft_maxby_raw for those.
+        val key = CaseWhen(
+          Seq((org.apache.spark.sql.catalyst.expressions.IsNull(args(0)),
+            Literal(null, org.apache.spark.sql.types.NullType))),
+          Some(args(1)))
+        builtinBuilder(target)(Seq(args(0), key))
+      }
+      else if (args.length != 3) builtinBuilder(target)(args)
       else {
         // arg_min(x, val, n)/arg_max: LIST of x for the n smallest/
         // largest val; (val, x) struct sort keeps ties deterministic
@@ -1845,6 +2010,20 @@ object GraftExtensions {
         (args: Seq[Expression]) => argTopN("min_by", "min_by", desc = false)(args)),
       ("max_by", info("max_by", "max_by(x, val[, n]) - DuckDB alias surface of arg_max."),
         (args: Seq[Expression]) => argTopN("max_by", "max_by", desc = true)(args)),
+      // raw Spark min_by/max_by (NULL args KEPT): the internal target
+      // of Dialect's ordered-agg rewrite — DuckDB's first/last/
+      // arbitrary(x ORDER BY k) keep a NULL x at the winning k, unlike
+      // its arg_min/arg_max (round-13 fuzz v4)
+      ("graft_minby_raw", info("graft_minby_raw", "graft_minby_raw(x, val) - Spark min_by, NULL args kept (internal)."),
+        (args: Seq[Expression]) => builtinBuilder("min_by")(args)),
+      ("graft_maxby_raw", info("graft_maxby_raw", "graft_maxby_raw(x, val) - Spark max_by, NULL args kept (internal)."),
+        (args: Seq[Expression]) => builtinBuilder("max_by")(args)),
+      // NOTE: DuckDB's any_value returns the first NON-NULL value, but
+      // a registry override cannot carry that: Spark's ResolveFunctions
+      // REBUILDS AnyValue/First with the parse-level ignoreNulls flag,
+      // clobbering any builder-supplied value — the serving plane sets
+      // ignoreNulls on the UnresolvedFunction instead (Dialect's
+      // pre-analysis transform, round-13 fuzz v4).
       // date_add(date, INTERVAL) is DuckDB's form; (date, int) stays
       // Spark's. Output follows Spark's +: date stays DATE for
       // day-granularity intervals where DuckDB promotes to TIMESTAMP —
@@ -2118,7 +2297,33 @@ object GraftExtensions {
       ("regexp_replace",
         info("regexp_replace", "regexp_replace(s, pat, rep[, 'g[ism]']) - FIRST-match replace like DuckDB; 'g' for global."),
         (args: Seq[Expression]) => {
-          if (args.length == 3) {
+          // RE2 REJECTS a rewrite whose backreference exceeds the
+          // pattern's group count and returns the input UNCHANGED
+          // (fuzz v4: regexp_replace('xab','ab','[\1]') = 'xab' in
+          // DuckDB; Java throws INVALID_REGEXP_REPLACE at runtime).
+          // Literal pattern+replacement detect it at build time.
+          def backrefOverflow: Boolean = (args(1), args(2)) match {
+            case (Literal(p, StringType), Literal(r, StringType))
+                if p != null && r != null =>
+              try {
+                val gc = java.util.regex.Pattern.compile(p.toString)
+                  .matcher("").groupCount()
+                val s = r.toString
+                var i = 0
+                var maxRef = 0
+                while (i < s.length - 1) {
+                  if (s.charAt(i) == '\\' && s.charAt(i + 1).isDigit) {
+                    maxRef = math.max(maxRef, s.charAt(i + 1) - '0'); i += 2
+                  } else if (s.charAt(i) == '\\') i += 2
+                  else i += 1
+                }
+                maxRef > gc
+              } catch { case _: Throwable => false }
+            case _ => false
+          }
+          if (args.length >= 3 && args.length <= 4 && backrefOverflow)
+            Cast(args(0), StringType)
+          else if (args.length == 3) {
             // DuckDB's 3-arg form replaces the FIRST match only; Spark's
             // builtin is global-only (a silent divergence the round-11
             // sweep caught). First-only via the anchored lazy-prefix
@@ -2880,9 +3085,32 @@ object GraftExtensions {
     spark.udf.register("json_contains", (h: String, n: String) =>
       if (h == null || n == null) null
       else java.lang.Boolean.valueOf(graft.functions.JsonTail.contains(h, n)))
-    spark.udf.register("jaro_similarity", nd(StringDistances.jaro))
-    spark.udf.register("jaro_winkler_similarity", nd(StringDistances.jaroWinkler))
-    spark.udf.register("damerau_levenshtein", nl(StringDistances.damerauLevenshtein))
+    // DuckDB's string-distance family operates on UTF-8 BYTES, not
+    // codepoints (round-13 fuzz v4: levenshtein('ÄbÇ','AbC') = 4 there,
+    // jaro_similarity = 0.5111 — both only explainable byte-wise).
+    // The ISO-8859-1 round-trip maps each UTF-8 byte to one char, so
+    // the char-based algorithms below become byte-based exactly.
+    def byteView(s: String): String =
+      new String(s.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        java.nio.charset.StandardCharsets.ISO_8859_1)
+    def bd(f: (String, String) => Double): (String, String) => java.lang.Double =
+      (a, b) => if (a == null || b == null) null
+        else java.lang.Double.valueOf(f(byteView(a), byteView(b)))
+    def bl(f: (String, String) => Long): (String, String) => java.lang.Long =
+      (a, b) => if (a == null || b == null) null
+        else java.lang.Long.valueOf(f(byteView(a), byteView(b)))
+    spark.udf.register("jaro_similarity", bd(StringDistances.jaro))
+    spark.udf.register("jaro_winkler_similarity", bd(StringDistances.jaroWinkler))
+    spark.udf.register("damerau_levenshtein", bl(StringDistances.damerauLevenshtein))
+    // Spark's builtin levenshtein counts codepoint edits — drop it (the
+    // chr pattern below: replacement WARNs break the warn-free-tail
+    // invariant) and register the byte-based form under both DuckDB
+    // names. DataFrame-side hot paths calling functions.levenshtein
+    // directly keep the codegen'd builtin.
+    reg.dropFunction(FunctionIdentifier("levenshtein"))
+    spark.udf.register("levenshtein", bl(StringDistances.levenshtein))
+    reg.dropFunction(FunctionIdentifier("editdist3"))
+    spark.udf.register("editdist3", bl(StringDistances.levenshtein))
     // Spark's builtin chr is byte-oriented (codepoint % 256 — chr(769)
     // silently yields ́ % 256 = \x01) while DuckDB's takes any
     // Unicode codepoint and ERRORS outside the valid range (probe 19
@@ -3081,6 +3309,29 @@ object GraftExtensions {
         da(a.charAt(i - 1)) = i
       }
       d(n + 1)(m + 1).toLong
+    }
+
+    /** Plain Levenshtein (two-row DP). Callers pass a byteView'd
+      * string, so the distance is UTF-8 byte edits like DuckDB's.
+      */
+    def levenshtein(a: String, b: String): Long = {
+      if (a.isEmpty) return b.length.toLong
+      if (b.isEmpty) return a.length.toLong
+      var prev = Array.tabulate(b.length + 1)(identity)
+      var cur = new Array[Int](b.length + 1)
+      var i = 1
+      while (i <= a.length) {
+        cur(0) = i
+        var j = 1
+        while (j <= b.length) {
+          val cost = if (a.charAt(i - 1) == b.charAt(j - 1)) 0 else 1
+          cur(j) = math.min(math.min(prev(j) + 1, cur(j - 1) + 1), prev(j - 1) + cost)
+          j += 1
+        }
+        val t = prev; prev = cur; cur = t
+        i += 1
+      }
+      prev(b.length).toLong
     }
   }
 }

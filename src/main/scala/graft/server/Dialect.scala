@@ -1204,16 +1204,27 @@ object Dialect {
       }
     } else if (fn == "first" || fn == "last" || fn == "arbitrary" || fn == "any_value") {
       // first(x ORDER BY k) is the x of the minimum k = min_by(x, k)
-      // (verified: first/arbitrary/any_value pick the first sorted row,
-      // last the final one; DESC flips — probe 17 pinned the ordered
-      // any_value form). Multi-key / NULLS specs take the
-      // comparator-sorted array's first/last element instead.
+      // (verified: first/arbitrary pick the first sorted row INCLUDING
+      // a NULL x, last the final one; DESC flips — probe 17). DuckDB's
+      // any_value is the odd one out: it returns the first NON-NULL
+      // value in the requested order (round-13 fuzz v4), which is
+      // exactly the NULL-arg-skipping min_by/max_by the arg_min family
+      // now uses; first/last/arbitrary route to the raw Spark builtins
+      // (graft_minby_raw) so their NULL-keeping semantics survive.
+      // Multi-key / NULLS specs take the comparator-sorted array's
+      // first/last element instead (filtered to non-NULLs for
+      // any_value; get() renders the all-NULL group NULL).
       val x = argsPart.trim
       if (x.toUpperCase.startsWith("DISTINCT ") || splitTopLevel(x, ',').length != 1) return None
       if (oneKeyPlain) {
         val (key, asc, _) = keys.head
         val wantMin = (fn != "last") ^ !asc
-        Some(s"${if (wantMin) "min_by" else "max_by"}($x, $key)")
+        val target =
+          if (fn == "any_value") { if (wantMin) "min_by" else "max_by" }
+          else { if (wantMin) "graft_minby_raw" else "graft_maxby_raw" }
+        Some(s"$target($x, $key)")
+      } else if (fn == "any_value") {
+        Some(s"get(filter(${sortedValueArray(x, keys)}, __av -> __av IS NOT NULL), 0)")
       } else {
         val pos = if (fn == "last") "-1" else "1"
         Some(s"element_at(${sortedValueArray(x, keys)}, $pos)")
@@ -1591,10 +1602,80 @@ object Dialect {
 
   /** DuckDB's quantified comparison over a LIST — `x = ANY(list)`,
     * `x > ALL(list)` — becomes exists/forall with the comparison in a
-    * lambda (same three-valued NULL logic). Subquery forms (inner
-    * starting with SELECT/VALUES/…) are untouched.
+    * lambda (same three-valued NULL logic).
+    *
+    * SUBQUERY forms (round-13 fuzz v4: Spark has no quantified
+    * comparison at all — every `e op ANY (SELECT …)` parse-errored)
+    * rewrite to a three-valued CASE over scalar AGGREGATES of the
+    * subquery (an array-materializing exists() form is impossible:
+    * Spark rejects subquery expressions inside higher-order functions,
+    * and outer refs inside the subquery's own aggregates trip
+    * AGGREGATE_FUNCTION_MIXED_OUTER_LOCAL_REFERENCES — the aggregate
+    * shells below keep E outside every aggregate):
+    *
+    *   E =  ANY (sub) → CASE WHEN E IN (sub) THEN true
+    *                         WHEN E IS NULL AND COUNT > 0 THEN NULL
+    *                         WHEN NULLCNT > 0 THEN NULL ELSE false END
+    *   E <> ANY (sub) → CASE WHEN COUNT = 0 THEN false
+    *                         WHEN E IS NOT NULL AND NDIST >= 2 THEN true
+    *                         WHEN E <> ONLYVAL THEN true
+    *                         WHEN E IS NULL OR NULLCNT > 0 THEN NULL
+    *                         ELSE false END
+    *   E >  ANY (sub) → CASE WHEN E > MIN THEN true
+    *                         WHEN COUNT = 0 THEN false
+    *                         WHEN E IS NULL OR NULLCNT > 0 THEN NULL
+    *                         ELSE false END     (< <= >= mirror on MAX/MIN)
+    *   ALL forms are the duals (false/NULL/true; empty subquery TRUE).
+    *
+    * Verified against DuckDB: TRUE beats NULL beats FALSE for ANY,
+    * FALSE beats NULL beats TRUE for ALL, empty is FALSE/TRUE. The
+    * aggregate shells are uncorrelated scalar subqueries, so E may
+    * carry outer references (E only ever appears OUTSIDE the
+    * subqueries), and nothing is materialized beyond O(1) aggregates —
+    * the shape a 100 TB right side would want anyway. Projected `E IN`
+    * alone renders false where DuckDB keeps NULL (probe-27 omissions
+    * row); the NULL-count arms here restore the three-valued result.
     */
   private val QuantifiedRe = """(?i)\b(ANY|ALL|SOME)\s*\(""".r
+
+  /** Extends a comparison LHS leftward over binary arithmetic/concat
+    * chains (`a + 1 = ANY(…)` must capture `a + 1`, not `1`). Absorbs
+    * `+ - * / % & | ^` (and `||`) joints while the preceding token is
+    * another primary; a joint preceded by a boundary (comma, open
+    * paren, keyword, or nothing) is a unary sign and is absorbed into
+    * the operand itself.
+    */
+  private def comparisonLhsStart(s: String, pEnd: Int): Int = {
+    var st = operandStart(s, pEnd)
+    var loop = true
+    while (loop && st > 0) {
+      var q = st - 1
+      while (q >= 0 && s.charAt(q).isWhitespace) q -= 1
+      if (q >= 0 && "+-*/%&|^".indexOf(s.charAt(q)) >= 0) {
+        var q2 = q
+        while (q2 >= 0 && "+-*/%&|^".indexOf(s.charAt(q2)) >= 0) q2 -= 1
+        var r = q2
+        while (r >= 0 && s.charAt(r).isWhitespace) r -= 1
+        val boundary =
+          if (r < 0) true
+          else if (s.charAt(r) == ',' || s.charAt(r) == '(') true
+          else if (isWordChar(s.charAt(r))) {
+            var w = r
+            while (w >= 0 && isWordChar(s.charAt(w))) w -= 1
+            literalAfterKeyword(s.substring(w + 1, r + 1))
+          } else false
+        if (boundary) {
+          // unary sign context: keep the sign with the operand, stop
+          st = q2 + 1
+          loop = false
+        } else if (r >= 0 && (isWordChar(s.charAt(r)) || s.charAt(r) == ')' ||
+            s.charAt(r) == ']' || s.charAt(r) == '`' || s.charAt(r) == '\'')) {
+          st = operandStart(s, r)
+        } else loop = false
+      } else loop = false
+    }
+    st
+  }
 
   private def rewriteQuantified(sql: String): String = {
     var s = sql
@@ -1630,7 +1711,57 @@ object Dialect {
       while (p >= 0 && "<>=!".indexOf(s.charAt(p)) >= 0) p -= 1
       val op = if (opEnd > p) s.substring(p + 1, opEnd + 1) else ""
       val validOp = Set("=", "==", "!=", "<>", "<", "<=", ">", ">=").contains(op)
-      if (subquery || !validOp) { from = m.end }
+      if (!validOp) { from = m.end }
+      else if (subquery) {
+        while (p >= 0 && s.charAt(p).isWhitespace) p -= 1
+        if (p < 0) return s
+        val start = comparisonLhsStart(s, p)
+        val e = "(" + s.substring(start, p + 1) + ")"
+        val isAll = m.group(1).equalsIgnoreCase("ALL")
+        val normOp = op match { case "==" => "=" case "!=" => "<>" case o => o }
+        val cnt = s"(SELECT count(*) FROM ($inner) __qt)"
+        val nullCnt = s"(SELECT count(*) - count(__qc) FROM ($inner) __qt(__qc))"
+        val nDist = s"(SELECT count(DISTINCT __qc) FROM ($inner) __qt(__qc))"
+        def agg(f: String) = s"(SELECT $f(__qc) FROM ($inner) __qt(__qc))"
+        val rewritten = (normOp, isAll) match {
+          case ("=", false) =>
+            s"(CASE WHEN $e IN ($inner) THEN true " +
+              s"WHEN $e IS NULL AND $cnt > 0 THEN NULL " +
+              s"WHEN $nullCnt > 0 THEN NULL ELSE false END)"
+          case ("<>", true) =>
+            s"(CASE WHEN $e IN ($inner) THEN false " +
+              s"WHEN $e IS NULL AND $cnt > 0 THEN NULL " +
+              s"WHEN $nullCnt > 0 THEN NULL ELSE true END)"
+          case ("<>", false) =>
+            s"(CASE WHEN $cnt = 0 THEN false " +
+              s"WHEN $e IS NOT NULL AND $nDist >= 2 THEN true " +
+              s"WHEN $e <> ${agg("max")} THEN true " +
+              s"WHEN $e IS NULL OR $nullCnt > 0 THEN NULL ELSE false END)"
+          case ("=", true) =>
+            s"(CASE WHEN $cnt = 0 THEN true " +
+              s"WHEN $e IS NOT NULL AND $nDist >= 2 THEN false " +
+              s"WHEN $e <> ${agg("max")} THEN false " +
+              s"WHEN $e IS NULL OR $nullCnt > 0 THEN NULL ELSE true END)"
+          case (o, false) =>
+            // op ANY: compare against the weakest witness (min for >/>=,
+            // max for </<=)
+            val ext = agg(if (o == ">" || o == ">=") "min" else "max")
+            s"(CASE WHEN $e $o $ext THEN true " +
+              s"WHEN $cnt = 0 THEN false " +
+              s"WHEN $e IS NULL OR $nullCnt > 0 THEN NULL ELSE false END)"
+          case (o, true) =>
+            // op ALL: the strongest witness must satisfy it
+            val ext = agg(if (o == ">" || o == ">=") "max" else "min")
+            s"(CASE WHEN $cnt = 0 THEN true " +
+              s"WHEN NOT ($e $o $ext) THEN false " +
+              s"WHEN $e IS NULL OR $nullCnt > 0 THEN NULL ELSE true END)"
+        }
+        // reprocess from the rewrite start: the emitted text has no
+        // ANY/ALL tokens of its own, but a nested quantifier inside
+        // the inlined subquery still needs its own pass
+        s = s.substring(0, start) + rewritten + s.substring(close + 1)
+        from = start
+      }
       else {
         while (p >= 0 && s.charAt(p).isWhitespace) p -= 1
         if (p < 0) return s
@@ -1648,6 +1779,67 @@ object Dialect {
   /** DuckDB accepts `OFFSET n LIMIT m` in either order; Spark wants
     * LIMIT first.
     */
+  /** DuckDB's `<<`/`>>` bit-shift operators → graft_shiftl/graft_shiftr
+    * (fuzz v4: Spark cannot parse `>>` at all — PARSE_SYNTAX_ERROR —
+    * and its `<<` wraps silently where DuckDB raises). Operand capture
+    * follows DuckDB's verified precedence: additive/multiplicative
+    * bind TIGHTER than shifts (`16 >> 1 + 1` = 4, `2 << 2 * 2` = 32)
+    * while `&`/`|` share the shift tier left-associatively
+    * (`1 | 2 << 2` = 12) — the LHS absorbs arithmetic/bit chains via
+    * comparisonLhsStart, the RHS absorbs `+ - * / %` joints but stops
+    * at the next same-tier operator. Runs AFTER rewritePower, so `^`
+    * is already a power() call primary. (`->>` json arrows were
+    * consumed earlier; DuckDB spells nested types with parens, not
+    * angles, so a `>>` in type-argument position cannot occur in
+    * served DuckDB SQL.)
+    */
+  private def rewriteShiftOps(sql: String): String = {
+    var s = sql
+    var from = 0
+    var guard = 0
+    while (guard < 200) {
+      guard += 1
+      val mask = quoteMask(s)
+      var i = -1
+      var j = math.max(from, 0)
+      while (j < s.length - 1 && i < 0) {
+        val c = s.charAt(j)
+        if (!mask(j) && (c == '<' || c == '>') && s.charAt(j + 1) == c &&
+            (j == 0 || (s.charAt(j - 1) != '-' && s.charAt(j - 1) != c)) &&
+            (j + 2 >= s.length || s.charAt(j + 2) != c))
+          i = j
+        else j += 1
+      }
+      if (i < 0) return s
+      val isLeft = s.charAt(i) == '<'
+      var p = i - 1
+      while (p >= 0 && s.charAt(p).isWhitespace) p -= 1
+      if (p < 0) return s
+      val start = comparisonLhsStart(s, p)
+      val lhs = s.substring(start, p + 1)
+      var e = operandEnd(s, i + 2)
+      if (e <= i + 2) { from = i + 2 }
+      else {
+        var loop = true
+        while (loop) {
+          var q = e
+          while (q < s.length && s.charAt(q).isWhitespace) q += 1
+          if (q < s.length && "+-*/%".indexOf(s.charAt(q)) >= 0 &&
+              !(q + 1 < s.length &&
+                "+-*/%<>=&|".indexOf(s.charAt(q + 1)) >= 0)) {
+            val e2 = operandEnd(s, q + 1)
+            if (e2 > q + 1) e = e2 else loop = false
+          } else loop = false
+        }
+        val rhs = s.substring(i + 2, e).trim
+        val fn = if (isLeft) "graft_shiftl" else "graft_shiftr"
+        s = s.substring(0, start) + s"$fn($lhs, $rhs)" + s.substring(e)
+        from = start
+      }
+    }
+    s
+  }
+
   private def rewriteOffsetLimit(sql: String): String = {
     val re = """(?i)\bOFFSET\s+(\d+)\s+LIMIT\s+(\d+)""".r
     val mask = quoteMask(sql)
@@ -3701,13 +3893,13 @@ object Dialect {
     handleMacroVerb(spark, sql).orElse(
       handleDdlVerb(spark, sql, pathOk, readOnly)).getOrElse(
       rewriteOrderNulls(rewritePositionalJoin(spark,
-      rewriteDistinctOn(rewriteQualify(rewriteExclude(rewriteOffsetLimit(rewriteFactorialAbs(rewritePower(rewriteGlob(rewriteTildeOps(rewriteQuantified(rewriteAggOrder(rewriteSimilarTo(rewriteJsonOps(rewriteDateDiff(rewriteIntDiv(
+      rewriteDistinctOn(rewriteQualify(rewriteExclude(rewriteOffsetLimit(rewriteFactorialAbs(rewriteShiftOps(rewritePower(rewriteGlob(rewriteTildeOps(rewriteQuantified(rewriteAggOrder(rewriteSimilarTo(rewriteJsonOps(rewriteDateDiff(rewriteIntDiv(
         rewriteSample(rewriteStructPack(rewriteBrackets(rewriteBraces(
           rewriteVarcharCasts(rewriteIntCasts(rewriteTypeAliases(rewriteWindowFilter(rewriteMultiUnnest(rewriteUnnestRecursive(rewriteExtractFields(rewriteExtractQuoted(
           rewriteUnionByName(spark, rewriteReplace(spark, rewriteColumns(spark, rewriteAsOf(rewriteGenerateSeries(rewriteSources(spark,
             rewritePivot(spark, rewriteUnpivot(rewriteSummarize(spark,
               rewritePragma(rewriteDescribe(spark, expandMacros(spark, rewriteFromFirst(rewriteStringEscapes(sql)))))))),
-            pathOk)))))))))))))))))))))))))))))))))))
+            pathOk))))))))))))))))))))))))))))))))))))
 
   /** The serving plane's spark.sql: parse, then rewrite arithmetic to
     * DuckDB semantics BEFORE analysis so Catalyst's own coercion
@@ -3858,6 +4050,22 @@ object Dialect {
               (Literal(null, org.apache.spark.sql.types.BooleanType), v)
             case other => other
           })
+        // same DuckDB rule for aggregate FILTER clauses: a bare NULL
+        // condition keeps no rows there, Spark rejects the NullType
+        // predicate (INVALID_AGGREGATE_FILTER.NOT_BOOLEAN — fuzz v4)
+        case f: UnresolvedFunction if f.filter.contains(Literal(null)) =>
+          f.copy(filter = Some(
+            Literal(null, org.apache.spark.sql.types.BooleanType)))
+        // DuckDB's any_value returns the first NON-NULL value (fuzz
+        // v4); a registry override can't carry this — Spark's parser
+        // special-cases any_value into a concrete AnyValue node before
+        // any registry lookup — so flip ignoreNulls on the node itself
+        // (the ordered any_value(x ORDER BY k) form was already
+        // rewritten to the NULL-skipping min_by/max_by at text level)
+        case av: org.apache.spark.sql.catalyst.expressions.aggregate.AnyValue
+            if !av.ignoreNulls =>
+          org.apache.spark.sql.catalyst.expressions.aggregate.AnyValue(
+            av.child, ignoreNulls = true)
         case Remainder(l, r, ev) => Remainder(l, guard(r), ev)
         case IntegralDivide(l, r, ev) => IntegralDivide(l, guard(r), ev)
         case WindowExpression(f: UnresolvedFunction, spec) if isDistinctCount(f) =>

@@ -317,8 +317,11 @@ object FuzzProbe {
     val rows = (0 until nRows).map { r =>
       val k = rng.nextInt(3)
       val iv = if (rng.nextInt(5) == 0) "NULL" else (rng.nextInt(21) - 10).toString
-      val dv = if (rng.nextInt(5) == 0) "NULL"
-        else ((rng.nextInt(4001) - 2000) / 100.0).toString
+      // d is DOUBLE-typed like every fixture float column: bare
+      // decimals type DECIMAL in DuckDB, whose quantile_cont/median
+      // truncate at the scale (documented omissions row)
+      val dv = if (rng.nextInt(5) == 0) "CAST(NULL AS DOUBLE)"
+        else s"CAST(${(rng.nextInt(4001) - 2000) / 100.0} AS DOUBLE)"
       val sv = if (rng.nextInt(5) == 0) "NULL" else pick(rng,
         Seq("'a'", "'b'", "'ab'", "'zz'", "''", "'q1'"))
       s"($r, $k, $iv, $dv, $sv)"
@@ -341,11 +344,21 @@ object FuzzProbe {
     s"(VALUES ${rows.mkString(", ")})"
   }
 
-  def genQuery(rng: Random): String = rng.nextInt(24) match {
-    case x if x < 14 =>
+  def genQuery(rng: Random): String = rng.nextInt(32) match {
+    case x if x < 12 =>
       val items = (1 to 4).map { j =>
         val t = pick(rng, Seq(TI, TD, TS, TB, TI, TD, TS, TB, TDt, TTs, TL))
         s"${expr(rng, t, 2 + rng.nextInt(2))} AS c$j"
+      }
+      s"SELECT ${items.mkString(", ")}"
+    case x if x >= 24 => genQueryV4(rng)
+    case x if x == 12 || x == 13 =>
+      // v4 scalar shells biased to the long-tail planes (regex, format,
+      // JSON arrows, struct access, bit ops) at shallow depth so the
+      // long-tail call is the outermost shape
+      val items = (1 to 4).map { j =>
+        val t = pick(rng, Seq(TI, TS, TS, TB, TI, TD))
+        s"${exprV4(rng, t)} AS c$j"
       }
       s"SELECT ${items.mkString(", ")}"
     case x if x >= 20 && x < 22 =>
@@ -427,5 +440,138 @@ object FuzzProbe {
         case _ => s"round(avg(d) OVER (ORDER BY rn ROWS BETWEEN 1 PRECEDING AND CURRENT ROW), 6)"
       }
       s"SELECT rn, k, $w AS w FROM $rel ORDER BY rn NULLS LAST"
+  }
+
+  // ---------- grammar v4: long-tail scalar planes + query shells ----------
+
+  private val JsonLits = Seq(
+    """'{"a": 1, "b": [1, 2, 3], "c": {"d": "x"}, "e": null}'""",
+    """'{"a": -7.5, "b": [], "c": {"d": ""}, "s": "it''s"}'""",
+    """'{"a": true, "b": [10], "c": {"d": "Yy"}, "n": 42}'""",
+    """'[3, 1, 2]'""",
+    """'{"a": "1", "b": [null, 4], "c": {}}'""")
+
+  private val RegexPats = Seq("'[0-9]+'", "'\\d+'", "'[a-z]+'", "'(a)(b)'",
+    "'l+'", "'^\\s*'", "'o'", "'[aeiou]'")
+  private val RegexReps = Seq("'_'", "''", "'<&>'", "'X'", "'\\2\\1'")
+
+  /** Long-tail scalar expressions: regex, format/printf, JSON arrows,
+    * struct field access, bit ops, similarity, codepoints, hashing.
+    * Leaves are v1 expr at depth 1 so the long-tail call dominates. */
+  def exprV4(rng: Random, t: Ty): String = {
+    def leaf(tt: Ty): String = expr(rng, tt, 1)
+    val j = pick(rng, JsonLits)
+    t match {
+      case TI => rng.nextInt(10) match {
+        case 0 => s"(${leaf(TI)} ${pick(rng, Seq("&", "|"))} ${leaf(TI)})"
+        case 1 => s"xor(${leaf(TI)}, ${leaf(TI)})"
+        // shifts now reproduce DuckDB rule-for-rule (ShiftDispatch):
+        // negative/overflow edges are loud on BOTH engines
+        case 2 => s"(${pick(rng, Seq("1", "3", "100", "-8", "0"))} " +
+          s"${pick(rng, Seq("<<", ">>"))} ${pick(rng, Seq("0", "1", "2", "4", "35", "-1"))})"
+        case 3 => s"ascii(${leaf(TS)})"
+        case 4 => s"levenshtein(${leaf(TS)}, ${leaf(TS)})"
+        case 5 => s"instr(${leaf(TS)}, ${lit(rng, TS)})"
+        case 6 => s"json_array_length(${pick(rng, Seq("'[1,2,3]'", "'[]'", j))})"
+        case 7 => s"bit_count(${pick(rng, Seq("0", "1", "-1", "255", "1000"))})"
+        case 8 => s"({'a': ${leaf(TI)}, 'b': ${leaf(TS)}}).a"
+        case _ => s"greatest(${leaf(TI)}, ${leaf(TI)}, ${leaf(TI)})"
+      }
+      case TD => rng.nextInt(4) match {
+        case 0 => s"round((${leaf(TD)} % ${pick(rng, Seq("2.5", "0.3", "7.0"))}), 6)"
+        case 1 => s"round(${pick(rng, Seq("pi()", "degrees(1.0)", "radians(90.0)"))}, 6)"
+        case 2 => s"round(atan2(${leaf(TD)}, ${leaf(TD)}), 6)"
+        case _ => s"round(${pick(rng, Seq("log10", "log2", "cbrt", "sin", "cos", "tan", "asin", "acos", "atan"))}(${leaf(TD)}), 6)"
+      }
+      case TS => rng.nextInt(14) match {
+        case 0 => s"regexp_extract(${leaf(TS)}, ${pick(rng, RegexPats)}, ${rng.nextInt(2)})"
+        case 1 => s"regexp_replace(${leaf(TS)}, ${pick(rng, RegexPats)}, ${pick(rng, RegexReps)})"
+        case 2 => s"regexp_replace(${leaf(TS)}, ${pick(rng, RegexPats)}, ${pick(rng, RegexReps)}, 'g')"
+        case 3 => s"format('${pick(rng, Seq("{}", "{:>6}", "{:<6}", "{:^7}", "[{}]"))}', ${leaf(pick(rng, Seq(TI, TS)))})"
+        case 4 =>
+          // DuckDB's printf is type-checked: %s with an int is a loud
+          // Invalid Input Error there — pair specifiers with their types
+          val f = pick(rng, Seq("%d", "%5d", "%s|", "%x"))
+          s"printf('$f', ${leaf(if (f == "%s|") TS else TI)})"
+        case 5 => s"chr(${65 + rng.nextInt(26)})"
+        case 6 => s"md5(${leaf(TS)})"
+        case 7 => s"(${j} ->> '${pick(rng, Seq("a", "e", "zz"))}')"
+        case 8 => s"json_extract_string(${j}, '$$.c.d')"
+        case 9 => s"json_type(${j})"
+        case 10 => s"concat_ws('${pick(rng, Seq("-", "", ","))}', ${leaf(TS)}, ${leaf(TS)}, ${leaf(TS)})"
+        case 11 => s"(string_split(${leaf(TS)}, ','))[${1 + rng.nextInt(2)}]"
+        case 12 => s"({'a': ${leaf(TI)}, 'b': ${leaf(TS)}}).b"
+        case _ => s"${pick(rng, Seq("to_hex", "to_base64"))}(${pick(rng, Seq("42", "0", "255", "'ab'"))})"
+      }
+      case TB => rng.nextInt(5) match {
+        case 0 => s"(${leaf(TS)} ILIKE ${pick(rng, Seq("'A%'", "'%B%'", "'_b%'"))})"
+        case 1 => s"regexp_matches(${leaf(TS)}, ${pick(rng, RegexPats)})"
+        case 2 => s"json_valid(${pick(rng, Seq(j, "'{'", "'null'"))})"
+        case 3 => s"(${leaf(TS)} ${if (rng.nextBoolean()) "" else "NOT "}BETWEEN ${lit(rng, TS)} AND ${lit(rng, TS)})"
+        case _ => s"(${leaf(TI)} ${pick(rng, Seq("=", "<>"))} ANY (SELECT * FROM (VALUES (1), (2), (NULL)) q(x)))"
+      }
+      case other => expr(rng, other, 2)
+    }
+  }
+
+  /** v4 query shells: HAVING/FILTER aggregates, GROUPING SETS/ROLLUP/
+    * CUBE, DISTINCT ON / QUALIFY / ORDER BY ALL, CTE pipelines. */
+  def genQueryV4(rng: Random): String = {
+    val rel = valuesRelation(rng)
+    rng.nextInt(8) match {
+      case 0 | 1 =>
+        // extended aggregates + HAVING + FILTER(WHERE)
+        val aggs = (1 to 3).map { jx =>
+          val a = rng.nextInt(10) match {
+            case 0 => s"round(stddev_samp(${pick(rng, Seq("i", "d"))}), 6)"
+            case 1 => s"round(var_samp(${pick(rng, Seq("i", "d"))}), 6)"
+            case 2 => s"round(median(d), 6)"
+            case 3 => s"round(quantile_cont(d, ${pick(rng, Seq("0.25", "0.5", "0.9"))}), 6)"
+            case 4 => s"arg_${pick(rng, Seq("min", "max"))}(${pick(rng, Seq("i", "d", "s"))}, rn)"
+            case 5 => s"sum(i) FILTER (WHERE ${expr(rng, TB, 1, RelCols)})"
+            case 6 => s"count(*) FILTER (WHERE ${expr(rng, TB, 1, RelCols)})"
+            case 7 => s"round(corr(d, i), 6)"
+            case 8 => s"round(covar_samp(d, i), 6)"
+            case _ => pick(rng, Seq("round(skewness(d), 6)", "round(kurtosis(d), 6)",
+              "round(geomean(abs(d) + 1.0), 6)", "product(CASE WHEN i % 3 = 0 THEN 2 ELSE 1 END)"))
+          }
+          s"$a AS a$jx"
+        }
+        val having = pick(rng, Seq("count(*) >= 1", "count(*) > 1",
+          "sum(i) IS NOT NULL", "min(rn) >= 0", "max(rn) < 100"))
+        s"SELECT k, ${aggs.mkString(", ")} FROM $rel GROUP BY k HAVING $having ORDER BY k NULLS LAST"
+      case 2 =>
+        val spec = pick(rng, Seq("GROUPING SETS ((k, s), (k), ())",
+          "GROUPING SETS ((k), (s))", "ROLLUP (k, s)", "CUBE (k, s)"))
+        s"SELECT k, s, GROUPING(k) AS gk, GROUPING(s) AS gs, count(*) AS c, sum(i) AS si " +
+          s"FROM $rel GROUP BY $spec " +
+          s"ORDER BY gk, gs, k NULLS LAST, s NULLS LAST, c, si NULLS LAST"
+      case 3 =>
+        s"SELECT DISTINCT ON (k) k, rn, i, d FROM $rel ORDER BY k NULLS LAST, rn"
+      case 4 =>
+        val pred = pick(rng, Seq(
+          "row_number() OVER (PARTITION BY k ORDER BY rn) <= 2",
+          "rank() OVER (ORDER BY k NULLS LAST, rn) <= 4",
+          "sum(coalesce(i, 0)) OVER (PARTITION BY k ORDER BY rn) >= 0"))
+        s"SELECT rn, k, i FROM $rel QUALIFY $pred ORDER BY rn"
+      case 5 =>
+        s"SELECT k, count(*) AS c, ${pick(rng, Seq("min(i)", "max(s)", "sum(i)"))} AS m " +
+          s"FROM $rel GROUP BY ALL ORDER BY ALL"
+      case 6 =>
+        // chained CTE pipeline: agg CTE joined back to the base
+        s"WITH base AS (SELECT * FROM $rel), " +
+          s"agg AS (SELECT k, ${pick(rng, Seq("sum(coalesce(i, 0))", "count(i)", "max(rn)"))} AS m FROM base GROUP BY k) " +
+          s"SELECT b.rn, b.k, a.m FROM base b JOIN agg a ON b.k = a.k ORDER BY b.rn"
+      case _ =>
+        // window frame long-tail over the shared relation
+        val w = rng.nextInt(5) match {
+          case 0 => s"first_value(${pick(rng, Seq("i", "d", "s"))}) OVER (PARTITION BY k ORDER BY rn ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+          case 1 => s"last_value(${pick(rng, Seq("i", "d"))}) OVER (ORDER BY rn ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)"
+          case 2 => s"nth_value(${pick(rng, Seq("i", "s"))}, 2) OVER (ORDER BY rn ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"
+          case 3 => s"ntile(${2 + rng.nextInt(3)}) OVER (ORDER BY rn)"
+          case _ => s"round(${pick(rng, Seq("percent_rank", "cume_dist"))}() OVER (ORDER BY rn), 6)"
+        }
+        s"SELECT rn, k, $w AS w FROM $rel ORDER BY rn NULLS LAST"
+    }
   }
 }

@@ -2016,4 +2016,154 @@ class DialectSpec extends AnyFunSuite with BeforeAndAfterAll {
     one("SELECT round(CAST(1.2345 AS DOUBLE), n) AS r FROM (VALUES (1),(3)) t(n) ORDER BY n",
       """[{"r":1.2},{"r":1.235}]""")
   }
+
+  test("round-13 fuzz v4 pins: arg_min/max NULL args, any_value, bit_count widths, json_array_length, quantified subqueries, sample moments, regexp group overflow, format '{}', FILTER NULL") {
+    def one(sql: String, expect: String): Unit = {
+      val r = post(sql)
+      assert(r.statusCode() == 200, s"$sql -> ${r.body()}")
+      assert(r.body() == expect, s"$sql -> ${r.body()} (wanted $expect)")
+    }
+    // DuckDB-pinned (2026-08-16), found by the FuzzProbe v4 grammar
+    // (long-tail scalar planes + HAVING/FILTER/grouping-set/QUALIFY/
+    // CTE shells):
+    // arg_min/arg_max (and min_by/max_by aliases) SKIP rows whose arg
+    // is NULL; all-NULL args yield NULL
+    one("SELECT arg_max(s, rn) AS a, arg_min(s, rn) AS b, max_by(s, rn) AS c, " +
+      "min_by(s, rn) AS d FROM (VALUES (1,'a'),(2,NULL),(3,'b'),(4,NULL)) t(rn,s)",
+      """[{"a":"b","b":"a","c":"b","d":"a"}]""")
+    one("SELECT arg_max(s, rn) AS a FROM (VALUES (1, CAST(NULL AS VARCHAR))) t(rn,s)",
+      """[{"a":null}]""")
+    // …but ordered first/last/arbitrary KEEP a NULL at the winning key
+    one("SELECT first(s ORDER BY rn) AS f, last(s ORDER BY rn) AS l, " +
+      "arbitrary(s ORDER BY rn) AS ar FROM (VALUES (1,NULL),(2,'b'),(3,NULL)) t(rn,s)",
+      """[{"f":null,"l":null,"ar":null}]""")
+    // …and any_value is the first NON-NULL value, plain and ordered
+    // (multi-key specs go through the sorted-array path)
+    one("SELECT any_value(s) AS u, any_value(s ORDER BY rn) AS o, " +
+      "any_value(s ORDER BY rn DESC) AS od " +
+      "FROM (VALUES (1,NULL),(2,'b'),(3,'c')) t(rn,s)",
+      """[{"u":"b","o":"b","od":"c"}]""")
+    one("SELECT any_value(s ORDER BY k ASC, rn DESC) AS m " +
+      "FROM (VALUES (1,0,NULL),(2,0,'x'),(3,1,'y')) t(rn,k,s)",
+      """[{"m":"x"}]""")
+    // bit_count counts within the input's own width (Spark's builtin
+    // sign-extended everything to 64 bits)
+    one("SELECT bit_count(-1) AS a, bit_count(CAST(-1 AS BIGINT)) AS b, " +
+      "bit_count(CAST(-1 AS SMALLINT)) AS c, bit_count(CAST(-1 AS TINYINT)) AS d, " +
+      "bit_count(255) AS e",
+      """[{"a":32,"b":64,"c":16,"d":8,"e":8}]""")
+    // json_array_length: 0 for valid non-array JSON, NULL in / NULL
+    // out, 2-arg path form (missing path NULL, non-array at path 0),
+    // malformed input LOUD
+    one("""SELECT json_array_length('[1,2,3]') AS a, json_array_length('{"a":1}') AS b, """ +
+      """json_array_length('"x"') AS c, json_array_length(NULL) AS d, """ +
+      """json_array_length('{"a":[1,2],"b":3}','$.a') AS e, """ +
+      """json_array_length('{"a":[1,2]}','$.zz') AS f, """ +
+      """json_array_length('{"a":3}','$.a') AS g""",
+      """[{"a":3,"b":0,"c":0,"d":null,"e":2,"f":null,"g":0}]""")
+    assert(post("SELECT json_array_length('{') AS a").statusCode() >= 400)
+    // quantified subquery comparisons (Spark has none): three-valued —
+    // TRUE beats NULL beats FALSE for ANY, dual for ALL, empty is
+    // FALSE/TRUE; the LHS may be an arithmetic chain or an outer column
+    one("SELECT 7 = ANY (SELECT * FROM (VALUES (1),(2),(NULL)) q(x)) AS p",
+      """[{"p":null}]""")
+    one("SELECT 1 = ANY (SELECT * FROM (VALUES (1),(2),(NULL)) q(x)) AS p",
+      """[{"p":true}]""")
+    one("SELECT 7 = ANY (SELECT x FROM (VALUES (1)) q(x) WHERE false) AS p",
+      """[{"p":false}]""")
+    one("SELECT 7 <> ANY (SELECT * FROM (VALUES (7),(NULL)) q(x)) AS p",
+      """[{"p":null}]""")
+    one("SELECT 7 <> ANY (SELECT * FROM (VALUES (7)) q(x)) AS p",
+      """[{"p":false}]""")
+    one("SELECT 7 > ANY (SELECT * FROM (VALUES (5),(NULL)) q(x)) AS p",
+      """[{"p":true}]""")
+    one("SELECT 7 > ALL (SELECT * FROM (VALUES (5),(NULL)) q(x)) AS p",
+      """[{"p":null}]""")
+    one("SELECT 7 > ALL (SELECT x FROM (VALUES (1)) q(x) WHERE false) AS p",
+      """[{"p":true}]""")
+    one("SELECT NULL = ANY (SELECT * FROM (VALUES (1)) q(x)) AS p",
+      """[{"p":null}]""")
+    one("SELECT 1 + 1 = ANY (SELECT * FROM (VALUES (2)) q(x)) AS p",
+      """[{"p":true}]""")
+    one("SELECT v, v = ANY (SELECT x FROM (VALUES (1),(NULL)) q(x)) AS p " +
+      "FROM (VALUES (1),(7)) t(v) ORDER BY v",
+      """[{"v":1,"p":true},{"v":7,"p":null}]""")
+    one("SELECT 7 = ALL (SELECT * FROM (VALUES (7),(7)) q(x)) AS a, " +
+      "7 = ALL (SELECT * FROM (VALUES (7),(NULL)) q(x)) AS b, " +
+      "3 <> ALL (SELECT * FROM (VALUES (1),(2)) q(x)) AS c",
+      """[{"a":true,"b":null,"c":true}]""")
+    one("SELECT 4 < ANY (SELECT * FROM (VALUES (5),(NULL)) q(x)) AS a, " +
+      "4 <= ALL (SELECT * FROM (VALUES (5),(4)) q(x)) AS b",
+      """[{"a":true,"b":true}]""")
+    // skewness/kurtosis are DuckDB's SAMPLE estimators: NULL below
+    // n=3/n=4, NULL for zero variance; kurtosis_pop is the population
+    // form (= Spark's builtin)
+    one("SELECT round(skewness(x),6) AS s, kurtosis(x) AS k " +
+      "FROM (VALUES (1.0),(2.0),(4.0)) t(x)",
+      """[{"s":0.93522,"k":null}]""")
+    one("SELECT round(skewness(x),6) AS s, round(kurtosis(x),6) AS k " +
+      "FROM (VALUES (1.0),(2.0),(4.0),(9.0)) t(x)",
+      """[{"s":1.330938,"k":1.5}]""")
+    one("SELECT skewness(x) AS s, kurtosis(x) AS k, kurtosis_pop(x) AS kp " +
+      "FROM (VALUES (1.0),(2.0)) t(x)",
+      """[{"s":null,"k":null,"kp":-2.0}]""")
+    one("SELECT skewness(x) AS s FROM (VALUES (2.0),(2.0),(2.0)) t(x)",
+      """[{"s":null}]""")
+    // regexp_extract with a group index beyond the pattern's groups is
+    // '' in DuckDB (NULL input still NULL); Spark raised
+    one("SELECT regexp_extract('abc', 'b', 2) AS a, " +
+      "regexp_extract('  x', '^\\s*', 1) AS b, " +
+      "regexp_extract(NULL, 'b', 2) AS c",
+      """[{"a":"","b":"","c":null}]""")
+    // width-less '{}' on a STRING argument (the '-' flag without a
+    // width crashed Java's formatter)
+    one("SELECT format('{}', 'ab') AS a, format('[{}]', 'x') AS b, format('{}', 42) AS c",
+      """[{"a":"ab","b":"[x]","c":"42"}]""")
+    // FILTER (WHERE NULL) keeps no rows (Spark rejected the NullType
+    // predicate)
+    one("SELECT count(*) FILTER (WHERE NULL) AS c, sum(x) FILTER (WHERE NULL) AS s " +
+      "FROM (VALUES (1),(2)) t(x)",
+      """[{"c":0,"s":null}]""")
+    // bit-shift operators: Spark cannot parse >> at all; precedence is
+    // DuckDB's (additive/multiplicative tighter than shifts, &/| share
+    // the shift tier left-assoc); >> is arithmetic with 0 outside
+    // [0, width); << is LOUD on negative operands/overflow
+    one("SELECT (3 << 4) AS a, 16 >> 1 + 1 AS b, 2 << 2 * 2 AS c, " +
+      "1 | 2 << 2 AS d, 16 >> 2 >> 1 AS e, -8 >> 1 AS f, 8 >> -1 AS g, " +
+      "100 >> 50 AS h, 0 << 35 AS i, CAST(1 AS BIGINT) << 40 AS j",
+      """[{"a":48,"b":4,"c":32,"d":12,"e":2,"f":-4,"g":0,"h":0,"i":0,"j":1099511627776}]""")
+    assert(post("SELECT -8 << 1 AS a").statusCode() >= 400)
+    assert(post("SELECT 1 << 31 AS a").statusCode() >= 400)
+    assert(post("SELECT 8 << -1 AS a").statusCode() >= 400)
+    // string-distance family is UTF-8 BYTE-based in DuckDB (two-byte
+    // chars count twice)
+    one("SELECT levenshtein('ÄbÇ','AbC') AS a, editdist3('ÄbÇ','AbC') AS b, " +
+      "damerau_levenshtein('ÄbÇ','AbC') AS c, levenshtein('abc','acb') AS d, " +
+      "round(jaro_similarity('ÄbÇ','AbC'),6) AS e, " +
+      "round(jaro_winkler_similarity('ÄbÇ','AbC'),6) AS f, " +
+      "levenshtein(NULL,'x') AS g",
+      """[{"a":4,"b":4,"c":4,"d":2,"e":0.511111,"f":0.511111,"g":null}]""")
+    // corr: NULL for n<2 pairs / zero variance (Spark's Corr threw
+    // DIVIDE_BY_ZERO under ANSI); pairwise-complete like DuckDB
+    one("SELECT corr(y,x) AS a FROM (VALUES (1.0,2.0)) t(x,y)", """[{"a":null}]""")
+    one("SELECT corr(y,x) AS a FROM (VALUES (1.0,2.0),(1.0,3.0)) t(x,y)", """[{"a":null}]""")
+    one("SELECT corr(y,x) AS a FROM (VALUES (CAST(NULL AS DOUBLE),2.0),(2.0,3.0)) t(x,y)",
+      """[{"a":null}]""")
+    one("SELECT round(corr(y,x),6) AS a FROM (VALUES (1.0,1.0),(2.0,3.0),(3.0,2.0)) t(x,y)",
+      """[{"a":0.5}]""")
+    // (round: the covar/stddev composition is ~1-ulp off the fused
+    // two-pass corr on perfectly-correlated pairs)
+    one("SELECT round(corr(y,x),6) AS a FROM (VALUES (1.0,2.0),(2.0,3.0)) t(x,y)",
+      """[{"a":1.0}]""")
+    // atan2 preserves -0.0 (Spark's builtin normalizes it to +0.0)
+    one("SELECT round(atan2(0.0/-0.75, -1.0),6) AS a, round(atan2(0.0, -1.0),6) AS b",
+      """[{"a":-3.141593,"b":3.141593}]""")
+    // a backreference beyond the pattern's group count makes RE2
+    // reject the whole rewrite — DuckDB returns the input UNCHANGED
+    // (Java threw INVALID_REGEXP_REPLACE at runtime)
+    one("SELECT regexp_replace('xab','ab','[\\1]') AS a, " +
+      "regexp_replace('12.5','\\d+','\\2\\1','g') AS b, " +
+      "regexp_replace('  pad  hello world', '[a-z]+', '\\2\\1') AS c",
+      """[{"a":"xab","b":"12.5","c":"  pad  hello world"}]""")
+  }
 }

@@ -75,6 +75,23 @@ object ExtraQueries extends QueryModule {
                                       WHERE o2.o_custkey = o.o_custkey)
         ORDER BY o.o_orderkey ASC NULLS LAST""")),
 
+    Q("b_subquery_quantified",
+      "Quantified subquery comparisons (> ALL in WHERE, = ANY projected) — Spark has no quantified comparison at all, so the dialect's three-valued aggregate-shell rewrite (round-13 fuzz v4) carries both; DuckDB runs the native syntax.",
+      (s, dir) => {
+        T.views(s, dir, "supplier", "nation")
+        s.sql(graft.server.Dialect.rewrite(s,
+          """SELECT s_suppkey, s_acctbal,
+               s_nationkey = ANY (SELECT n_nationkey FROM nation WHERE n_regionkey = 1) AS in_region1
+             FROM supplier
+             WHERE s_acctbal > ALL (SELECT avg(s_acctbal) FROM supplier GROUP BY s_nationkey)
+             ORDER BY s_suppkey ASC NULLS LAST"""))
+      },
+      Some("""SELECT s_suppkey, s_acctbal,
+          s_nationkey = ANY (SELECT n_nationkey FROM nation WHERE n_regionkey = 1) AS in_region1
+        FROM supplier
+        WHERE s_acctbal > ALL (SELECT avg(s_acctbal) FROM supplier GROUP BY s_nationkey)
+        ORDER BY s_suppkey ASC NULLS LAST""")),
+
     Q("d_mode",
       "mode(): deterministic modal value (smallest value among the most frequent — ties resolved identically on both engines).",
       (s, dir) => {

@@ -499,7 +499,11 @@ object FuzzProbe {
         case 8 => s"json_extract_string(${j}, '$$.c.d')"
         case 9 => s"json_type(${j})"
         case 10 => s"concat_ws('${pick(rng, Seq("-", "", ","))}', ${leaf(TS)}, ${leaf(TS)}, ${leaf(TS)})"
-        case 11 => s"(string_split(${leaf(TS)}, ','))[${1 + rng.nextInt(2)}]"
+        case 11 => pick(rng, Seq(
+          s"(string_split(${leaf(TS)}, ','))[${1 + rng.nextInt(2)}]",
+          // implicit-cast concat: DuckDB stringifies the numeric side
+          s"(${leaf(TI)} || ${leaf(TS)})",
+          s"(${leaf(TS)} || ${leaf(TI)})"))
         case 12 => s"({'a': ${leaf(TI)}, 'b': ${leaf(TS)}}).b"
         case _ => s"${pick(rng, Seq("to_hex", "to_base64"))}(${pick(rng, Seq("42", "0", "255", "'ab'"))})"
       }
@@ -531,7 +535,15 @@ object FuzzProbe {
             case 5 => s"sum(i) FILTER (WHERE ${expr(rng, TB, 1, RelCols)})"
             case 6 => s"count(*) FILTER (WHERE ${expr(rng, TB, 1, RelCols)})"
             case 7 => s"round(corr(d, i), 6)"
-            case 8 => s"round(covar_samp(d, i), 6)"
+            case 8 => pick(rng, Seq(
+              "round(covar_samp(d, i), 6)", "round(covar_pop(d, i), 6)",
+              "round(var_pop(d), 6)", "round(stddev_pop(d), 6)",
+              // regr_* degenerate groups verified IDENTICAL on both
+              // engines (n=1 / zero-variance -> NULL; sxx/syy/sxy 0.0)
+              "round(regr_slope(d, i), 6)", "round(regr_intercept(d, i), 6)",
+              "round(regr_r2(d, i), 6)", "regr_count(d, i)",
+              "round(regr_sxx(d, i), 6)", "round(regr_avgx(d, i), 6)",
+              s"bit_${pick(rng, Seq("and", "or", "xor"))}(i)"))
             case _ => pick(rng, Seq("round(skewness(d), 6)", "round(kurtosis(d), 6)",
               "round(geomean(abs(d) + 1.0), 6)", "product(CASE WHEN i % 3 = 0 THEN 2 ELSE 1 END)"))
           }
@@ -564,12 +576,19 @@ object FuzzProbe {
           s"SELECT b.rn, b.k, a.m FROM base b JOIN agg a ON b.k = a.k ORDER BY b.rn"
       case _ =>
         // window frame long-tail over the shared relation
-        val w = rng.nextInt(5) match {
+        val w = rng.nextInt(8) match {
           case 0 => s"first_value(${pick(rng, Seq("i", "d", "s"))}) OVER (PARTITION BY k ORDER BY rn ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
           case 1 => s"last_value(${pick(rng, Seq("i", "d"))}) OVER (ORDER BY rn ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)"
           case 2 => s"nth_value(${pick(rng, Seq("i", "s"))}, 2) OVER (ORDER BY rn ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"
           case 3 => s"ntile(${2 + rng.nextInt(3)}) OVER (ORDER BY rn)"
-          case _ => s"round(${pick(rng, Seq("percent_rank", "cume_dist"))}() OVER (ORDER BY rn), 6)"
+          case 4 => s"round(${pick(rng, Seq("percent_rank", "cume_dist"))}() OVER (ORDER BY rn), 6)"
+          case 5 => s"sum(coalesce(i, 0)) OVER (ORDER BY rn RANGE BETWEEN ${1 + rng.nextInt(3)} PRECEDING AND CURRENT ROW)"
+          case 6 =>
+            val cl = pick(rng, Seq("i", "s"))
+            val dflt = if (cl == "s") pick(rng, Seq("'zz'", "''", "NULL"))
+              else pick(rng, Seq("0", "-1", "NULL"))
+            s"lag($cl, ${1 + rng.nextInt(2)}, $dflt) OVER (ORDER BY rn)"
+          case _ => s"${pick(rng, Seq("min", "max"))}(${pick(rng, Seq("i", "d", "s"))}) OVER (PARTITION BY k ORDER BY rn)"
         }
         s"SELECT rn, k, $w AS w FROM $rel ORDER BY rn NULLS LAST"
     }

@@ -1725,8 +1725,10 @@ object GraftExtensions {
       // corrections over the population values:
       //   skew_samp = g1 * sqrt(n(n-1)) / (n-2)
       //   kurt_samp = ((n+1)*g2 + 6) * (n-1) / ((n-2)(n-3))
-      // OVER-window usage of these composite forms fails loudly
-      // (Spark can't window an arithmetic-of-aggregates) — omissions row.
+      // OVER-window usage cannot route through these composites (Spark
+      // can't window an arithmetic-of-aggregates) — the serving plane
+      // rebuilds the same correction over per-spec window aggregates
+      // in Dialect.sqlServed (momentWin).
       ("skewness",
         info("skewness", "skewness(x) - sample skewness (DuckDB's estimator; NULL when n < 3)."),
         (args: Seq[Expression]) => { one("skewness", args)
@@ -1770,12 +1772,14 @@ object GraftExtensions {
         }),
       // Spark's Corr divides by sqrt(M2x*M2y) INSIDE evaluateExpression,
       // so a zero-variance or single-pair group throws DIVIDE_BY_ZERO
-      // under ANSI (round-13 fuzz v4) where DuckDB returns NULL. Build
-      // the coefficient from guarded primitives instead: covar_samp
-      // over the pairwise-complete columns divided by the stddev
-      // product, with the CASE keeping the division unreachable when
-      // the denominator is 0/NULL. Window usage fails loudly
-      // (composite) — omissions row.
+      // under ANSI (round-13 fuzz v4) where DuckDB returns NULL — and
+      // the nullOnDivideByZero constructor flag only guards the n==1
+      // arm, not the n>=2 zero-variance division. Build the
+      // coefficient from guarded primitives instead: covar_samp over
+      // the pairwise-complete columns divided by the stddev product,
+      // with the CASE keeping the division unreachable when the
+      // denominator is 0/NULL. The OVER form rebuilds the same shape
+      // over per-spec window aggregates (Dialect.sqlServed momentWin).
       ("corr",
         info("corr", "corr(y, x) - Pearson correlation, NULL for n<2 or zero variance (DuckDB)."),
         (args: Seq[Expression]) => {

@@ -3983,6 +3983,58 @@ object Dialect {
     // struct-wrap the element (a struct row survives collect_list even
     // when its field is NULL), collect over the same spec, and unwrap
     // + empty-guard OUTSIDE the window.
+    // skewness/kurtosis under OVER: the registry's sample-corrected
+    // composites (fuzz v4) cannot sit inside a WindowExpression, but
+    // the correction is expressible as arithmetic over SEVERAL window
+    // aggregates sharing the spec — same trick as the distinct-count
+    // fold above. The population aggregates are constructed directly
+    // (a registry lookup would return the composite again);
+    // nullOnDivideByZero carries the zero-variance NULL.
+    def isMoment(f: UnresolvedFunction): Boolean =
+      !f.isDistinct && f.filter.isEmpty &&
+        ((f.arguments.length == 1 &&
+          (f.nameParts.last.equalsIgnoreCase("skewness") ||
+            f.nameParts.last.equalsIgnoreCase("kurtosis"))) ||
+         (f.arguments.length == 2 && f.nameParts.last.equalsIgnoreCase("corr")))
+    def momentWin(f: UnresolvedFunction, wrap: Expression => Expression): Expression = {
+      import org.apache.spark.sql.catalyst.expressions.{Add, CaseWhen,
+        EqualTo, IsNull, LessThan, Multiply, Or, Sqrt, Subtract}
+      import org.apache.spark.sql.catalyst.expressions.aggregate.{Count,
+        CovSample, Kurtosis, Skewness, StddevSamp}
+      import org.apache.spark.sql.types.DoubleType
+      val nullD = Literal(null, DoubleType)
+      if (f.nameParts.last.equalsIgnoreCase("corr")) {
+        // corr OVER: covar_samp / stddev product over the
+        // pairwise-complete columns, per-spec window aggregates
+        val y = CastE(f.arguments(0), DoubleType)
+        val x = CastE(f.arguments(1), DoubleType)
+        val xp = If(IsNull(y), nullD, x)
+        val yp = If(IsNull(x), nullD, y)
+        val num = wrap(CovSample(yp, xp, nullOnDivideByZero = true).toAggregateExpression())
+        val den = Multiply(
+          wrap(StddevSamp(xp, nullOnDivideByZero = true).toAggregateExpression()),
+          wrap(StddevSamp(yp, nullOnDivideByZero = true).toAggregateExpression()))
+        return CaseWhen(Seq(
+          (Or(IsNull(den), EqualTo(den, Literal(0.0))), nullD)),
+          Some(UnresolvedFunction("nanvl", Seq(Divide(num, den), nullD),
+            isDistinct = false)))
+      }
+      val x = CastE(f.arguments.head, DoubleType)
+      val n = CastE(wrap(Count(Seq(x)).toAggregateExpression()), DoubleType)
+      if (f.nameParts.last.equalsIgnoreCase("skewness")) {
+        val g1 = wrap(Skewness(x, nullOnDivideByZero = true).toAggregateExpression())
+        val corrected = Multiply(g1, Divide(
+          Sqrt(Multiply(n, Subtract(n, Literal(1.0)))), Subtract(n, Literal(2.0))))
+        CaseWhen(Seq((LessThan(n, Literal(3.0)), nullD)), Some(corrected))
+      } else {
+        val g2 = wrap(Kurtosis(x, nullOnDivideByZero = true).toAggregateExpression())
+        val corrected = Divide(
+          Multiply(Add(Multiply(Add(n, Literal(1.0)), g2), Literal(6.0)),
+            Subtract(n, Literal(1.0))),
+          Multiply(Subtract(n, Literal(2.0)), Subtract(n, Literal(3.0))))
+        CaseWhen(Seq((LessThan(n, Literal(4.0)), nullD)), Some(corrected))
+      }
+    }
     def isListAgg(f: UnresolvedFunction): Boolean =
       !f.isDistinct && f.filter.isEmpty && f.arguments.length == 1 &&
         (f.nameParts.last.equalsIgnoreCase("list") ||
@@ -4081,6 +4133,12 @@ object Dialect {
           distinctFold(f,
             org.apache.spark.sql.catalyst.expressions.UnresolvedWindowExpression(
               collectSet(f), ref))
+        case WindowExpression(f: UnresolvedFunction, spec) if isMoment(f) =>
+          momentWin(f, e => WindowExpression(e, spec))
+        case org.apache.spark.sql.catalyst.expressions.UnresolvedWindowExpression(
+            f: UnresolvedFunction, ref) if isMoment(f) =>
+          momentWin(f,
+            e => org.apache.spark.sql.catalyst.expressions.UnresolvedWindowExpression(e, ref))
         case WindowExpression(f: UnresolvedFunction, spec) if isListAgg(f) =>
           listWin(WindowExpression(structWrap(f), spec))
         case org.apache.spark.sql.catalyst.expressions.UnresolvedWindowExpression(

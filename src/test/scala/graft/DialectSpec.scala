@@ -2158,6 +2158,16 @@ class DialectSpec extends AnyFunSuite with BeforeAndAfterAll {
     // atan2 preserves -0.0 (Spark's builtin normalizes it to +0.0)
     one("SELECT round(atan2(0.0/-0.75, -1.0),6) AS a, round(atan2(0.0, -1.0),6) AS b",
       """[{"a":-3.141593,"b":3.141593}]""")
+    // the sample moments + corr also work OVER windows: skew/kurt via
+    // arithmetic over several window aggregates sharing the spec,
+    // corr via the nullOnDivideByZero-guarded single aggregate
+    one("SELECT rn, round(skewness(x) OVER w,6) AS s, round(kurtosis(x) OVER w,6) AS k, " +
+      "round(corr(y, x) OVER w,6) AS c " +
+      "FROM (VALUES (1,1.0,1.0),(2,2.0,3.0),(3,4.0,2.0),(4,9.0,5.0)) t(rn,x,y) " +
+      "WINDOW w AS (ORDER BY rn ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) ORDER BY rn",
+      """[{"rn":1,"s":null,"k":null,"c":null},{"rn":2,"s":null,"k":null,"c":1.0},""" +
+        """{"rn":3,"s":0.93522,"k":null,"c":0.327327},""" +
+        """{"rn":4,"s":1.330938,"k":1.5,"c":0.877454}]""")
     // a backreference beyond the pattern's group count makes RE2
     // reject the whole rewrite — DuckDB returns the input UNCHANGED
     // (Java threw INVALID_REGEXP_REPLACE at runtime)

@@ -1719,10 +1719,27 @@ object Dialect {
         val e = "(" + s.substring(start, p + 1) + ")"
         val isAll = m.group(1).equalsIgnoreCase("ALL")
         val normOp = op match { case "==" => "=" case "!=" => "<>" case o => o }
-        val cnt = s"(SELECT count(*) FROM ($inner) __qt)"
-        val nullCnt = s"(SELECT count(*) - count(__qc) FROM ($inner) __qt(__qc))"
-        val nDist = s"(SELECT count(DISTINCT __qc) FROM ($inner) __qt(__qc))"
-        def agg(f: String) = s"(SELECT $f(__qc) FROM ($inner) __qt(__qc))"
+        // ONE struct-producing scalar subquery carries every aggregate
+        // the CASE arms need; its text repeats per reference, but the
+        // identical plans collapse under ReuseSubquery, so the inner
+        // relation is scanned once for the aggregates (plus the
+        // semi-join pass for the IN arms) — the shape a 100 TB right
+        // side wants. Fields are per-operator so ordering comparisons
+        // never pay the count(DISTINCT) expand.
+        def stats(fields: (String, String)*): String => String = {
+          val st = s"(SELECT named_struct(" +
+            fields.map { case (n, e) => s"'$n', $e" }.mkString(", ") +
+            s") FROM ($inner) __qt(__qc))"
+          (f: String) => s"$st.$f"
+        }
+        val basic = stats("c" -> "count(*)", "nc" -> "count(*) - count(__qc)")
+        val cnt = basic("c")
+        val nullCnt = basic("nc")
+        lazy val distinctStats = stats("c" -> "count(*)",
+          "nc" -> "count(*) - count(__qc)", "nd" -> "count(DISTINCT __qc)",
+          "mx" -> "max(__qc)")
+        def ordStats(ext: String) = stats("c" -> "count(*)",
+          "nc" -> "count(*) - count(__qc)", "ext" -> s"$ext(__qc)")
         val rewritten = (normOp, isAll) match {
           case ("=", false) =>
             s"(CASE WHEN $e IN ($inner) THEN true " +
@@ -1733,28 +1750,30 @@ object Dialect {
               s"WHEN $e IS NULL AND $cnt > 0 THEN NULL " +
               s"WHEN $nullCnt > 0 THEN NULL ELSE true END)"
           case ("<>", false) =>
-            s"(CASE WHEN $cnt = 0 THEN false " +
-              s"WHEN $e IS NOT NULL AND $nDist >= 2 THEN true " +
-              s"WHEN $e <> ${agg("max")} THEN true " +
-              s"WHEN $e IS NULL OR $nullCnt > 0 THEN NULL ELSE false END)"
+            val d = distinctStats
+            s"(CASE WHEN ${d("c")} = 0 THEN false " +
+              s"WHEN $e IS NOT NULL AND ${d("nd")} >= 2 THEN true " +
+              s"WHEN $e <> ${d("mx")} THEN true " +
+              s"WHEN $e IS NULL OR ${d("nc")} > 0 THEN NULL ELSE false END)"
           case ("=", true) =>
-            s"(CASE WHEN $cnt = 0 THEN true " +
-              s"WHEN $e IS NOT NULL AND $nDist >= 2 THEN false " +
-              s"WHEN $e <> ${agg("max")} THEN false " +
-              s"WHEN $e IS NULL OR $nullCnt > 0 THEN NULL ELSE true END)"
+            val d = distinctStats
+            s"(CASE WHEN ${d("c")} = 0 THEN true " +
+              s"WHEN $e IS NOT NULL AND ${d("nd")} >= 2 THEN false " +
+              s"WHEN $e <> ${d("mx")} THEN false " +
+              s"WHEN $e IS NULL OR ${d("nc")} > 0 THEN NULL ELSE true END)"
           case (o, false) =>
             // op ANY: compare against the weakest witness (min for >/>=,
             // max for </<=)
-            val ext = agg(if (o == ">" || o == ">=") "min" else "max")
-            s"(CASE WHEN $e $o $ext THEN true " +
-              s"WHEN $cnt = 0 THEN false " +
-              s"WHEN $e IS NULL OR $nullCnt > 0 THEN NULL ELSE false END)"
+            val d = ordStats(if (o == ">" || o == ">=") "min" else "max")
+            s"(CASE WHEN $e $o ${d("ext")} THEN true " +
+              s"WHEN ${d("c")} = 0 THEN false " +
+              s"WHEN $e IS NULL OR ${d("nc")} > 0 THEN NULL ELSE false END)"
           case (o, true) =>
             // op ALL: the strongest witness must satisfy it
-            val ext = agg(if (o == ">" || o == ">=") "max" else "min")
-            s"(CASE WHEN $cnt = 0 THEN true " +
-              s"WHEN NOT ($e $o $ext) THEN false " +
-              s"WHEN $e IS NULL OR $nullCnt > 0 THEN NULL ELSE true END)"
+            val d = ordStats(if (o == ">" || o == ">=") "max" else "min")
+            s"(CASE WHEN ${d("c")} = 0 THEN true " +
+              s"WHEN NOT ($e $o ${d("ext")}) THEN false " +
+              s"WHEN $e IS NULL OR ${d("nc")} > 0 THEN NULL ELSE true END)"
         }
         // reprocess from the rewrite start: the emitted text has no
         // ANY/ALL tokens of its own, but a nested quantifier inside

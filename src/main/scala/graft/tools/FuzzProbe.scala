@@ -588,7 +588,11 @@ object FuzzProbe {
             val dflt = if (cl == "s") pick(rng, Seq("'zz'", "''", "NULL"))
               else pick(rng, Seq("0", "-1", "NULL"))
             s"lag($cl, ${1 + rng.nextInt(2)}, $dflt) OVER (ORDER BY rn)"
-          case _ => s"${pick(rng, Seq("min", "max"))}(${pick(rng, Seq("i", "d", "s"))}) OVER (PARTITION BY k ORDER BY rn)"
+          case _ => pick(rng, Seq(
+            s"${pick(rng, Seq("min", "max"))}(${pick(rng, Seq("i", "d", "s"))}) OVER (PARTITION BY k ORDER BY rn)",
+            // sample moments + corr under OVER (momentWin rewrite)
+            s"round(${pick(rng, Seq("skewness", "kurtosis"))}(d) OVER (ORDER BY rn ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)",
+            s"round(corr(d, i) OVER (ORDER BY rn ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)"))
         }
         s"SELECT rn, k, $w AS w FROM $rel ORDER BY rn NULLS LAST"
     }

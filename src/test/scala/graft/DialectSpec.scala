@@ -2168,6 +2168,12 @@ class DialectSpec extends AnyFunSuite with BeforeAndAfterAll {
       """[{"rn":1,"s":null,"k":null,"c":null},{"rn":2,"s":null,"k":null,"c":1.0},""" +
         """{"rn":3,"s":0.93522,"k":null,"c":0.327327},""" +
         """{"rn":4,"s":1.330938,"k":1.5,"c":0.877454}]""")
+    // asin/acos: NaN passes through (Spark orders NaN greater than
+    // every double, so the bounds guard used to trap it); real
+    // out-of-range inputs stay loud like DuckDB
+    one("SELECT asin(-0.75 ^ 0.5) AS a, acos(-0.75 ^ 0.5) AS b",
+      """[{"a":null,"b":null}]""")
+    assert(post("SELECT asin(1.5) AS a").statusCode() >= 400)
     // a backreference beyond the pattern's group count makes RE2
     // reject the whole rewrite — DuckDB returns the input UNCHANGED
     // (Java threw INVALID_REGEXP_REPLACE at runtime)

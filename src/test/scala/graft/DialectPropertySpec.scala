@@ -25,6 +25,9 @@ class DialectPropertySpec extends AnyFunSuite {
     SparkEntry.oracleSql
       .filterNot { case (_, sql) =>
         Seq("[", "{", "//", ":=", "ASOF", "BY NAME", "SIMILAR",
+            // quantified comparisons are dialect surface since fuzz v4
+            // (b_subquery_quantified's oracle uses native ANY/ALL)
+            "ANY (", "ALL (",
             "date_diff('", "datediff('", "string_agg", "array_agg",
             "list(", "->", "::JSON",
             // DuckDB type aliases in cast positions are dialect surface

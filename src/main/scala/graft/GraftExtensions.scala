@@ -1827,6 +1827,13 @@ object GraftExtensions {
             case p if p.foldable && p.eval(null) != null &&
                 String.valueOf(p.eval(null)).equalsIgnoreCase("isodow") =>
               Add(builtinBuilder("weekday")(Seq(args(1))), Literal(1))
+            // yearweek = ISO year * 100 + ISO week (fuzz v6; Spark's
+            // extract has no such field but carries both halves)
+            case p if p.foldable && p.eval(null) != null &&
+                String.valueOf(p.eval(null)).equalsIgnoreCase("yearweek") =>
+              Add(Multiply(builtinBuilder("date_part")(
+                  Seq(Literal("yearofweek"), args(1))), Literal(100)),
+                builtinBuilder("weekofyear")(Seq(args(1))))
             case _ => builtinBuilder("date_part")(args)
           }
         }),

@@ -46,11 +46,22 @@ case class BoundaryDateDiff(unit: String, start: Expression, end: Expression)
       case "month" =>
         Subtract(calendarIndex(end, 12, Month), calendarIndex(start, 12, Month))
       case "week" =>
-        // ISO weeks: Spark trunc(date, 'week') is Monday, like DuckDB
-        IntegralDivide(i64(DateDiff(
-          TruncDate(asDate(end), Literal(UTF8String.fromString("week"), StringType)),
-          TruncDate(asDate(start), Literal(UTF8String.fromString("week"), StringType)))),
+        // ISO weeks: Spark trunc(date, 'week') is Monday, like DuckDB —
+        // but DuckDB's crossing count is wI(end) - wI(start) where
+        // wI(d) = epochDays(truncMonday(d)) / 7 under TRUNC-toward-zero
+        // division (fuzz v6, verified): because the epoch is a
+        // Thursday, Monday-truncated days are ≡ 4 (mod 7), and the
+        // truncation merges the two Monday-weeks straddling the epoch
+        // (days -3 and +4 both index 0) — date_diff('week',
+        // '1969-12-29', '1970-01-05') is 0 there, and every
+        // epoch-spanning pair is one less than the plain
+        // Monday-crossing count. A subtract-then-divide formula missed
+        // exactly those pairs.
+        def wI(e: Expression) = IntegralDivide(
+          i64(UnixDate(TruncDate(asDate(e),
+            Literal(UTF8String.fromString("week"), StringType)))),
           Literal(7L))
+        Subtract(wI(end), wI(start))
       case "day" => i64(DateDiff(asDate(end), asDate(start)))
       case "hour" => truncDiffMicros("hour", 3600000000L)
       case "minute" => truncDiffMicros("minute", 60000000L)

@@ -4093,7 +4093,35 @@ object Dialect {
         case _ => false
       })
       import org.apache.spark.sql.catalyst.expressions.{Add, Subtract}
+      // DuckDB propagates an UNTYPED SQLNULL through null-intolerant
+      // arithmetic — typeof(NULL * 0.0) is "NULL" there, so the dead
+      // branch never influences type unification (coalesce(100.0,
+      // NULL*0.0) stays DECIMAL(4,1) and renders '100.0') and untyped
+      // bitwise operands are legal (3 | abs(NULL) is NULL). Spark
+      // types the subtree eagerly (DECIMAL widening; bitwise ops
+      // reject VOID outright — fuzz v4/v6). Fold definitely-null
+      // arithmetic back to the bare untyped literal BEFORE analysis;
+      // the whitelist keeps the fold to null-in-null-out shapes.
+      def isNullPoisoned(e: Expression): Boolean = e match {
+        case l: org.apache.spark.sql.catalyst.expressions.Literal =>
+          l.value == null && l.dataType == org.apache.spark.sql.types.NullType
+        case b: org.apache.spark.sql.catalyst.expressions.BinaryArithmetic =>
+          isNullPoisoned(b.left) || isNullPoisoned(b.right)
+        case u: org.apache.spark.sql.catalyst.expressions.UnaryMinus =>
+          isNullPoisoned(u.child)
+        case f: UnresolvedFunction
+            if f.nameParts.length == 1 && !f.isDistinct && f.filter.isEmpty &&
+              Set("abs", "sign", "signum", "xor", "graft_div", "graft_intdiv")
+                .contains(f.nameParts.head.toLowerCase(java.util.Locale.ROOT)) =>
+          f.arguments.exists(isNullPoisoned)
+        case _ => false
+      }
       cteMapped.transformAllExpressions {
+        case e: org.apache.spark.sql.catalyst.expressions.BinaryArithmetic
+            if isNullPoisoned(e) => Literal(null)
+        case u: org.apache.spark.sql.catalyst.expressions.UnaryMinus
+            if isNullPoisoned(u) => Literal(null)
+        case f: UnresolvedFunction if isNullPoisoned(f) => Literal(null)
         case Divide(l, r, _) =>
           UnresolvedFunction("graft_div", Seq(l, r), isDistinct = false)
         // `date ± INTERVAL` is TIMESTAMP in DuckDB for every grain and

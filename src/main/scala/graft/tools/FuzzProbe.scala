@@ -165,7 +165,10 @@ object FuzzProbe {
   private val DblLits = Seq("0.0", "1.5", "-2.5", "0.1", "3.25", "-0.75", "100.0",
     "12345.678", "0.001", "NULL")
   private val StrLits = Seq("''", "'a'", "'Ab'", "'hello world'", "'Graft'",
-    "'%a_'", "'  pad  '", "'123'", "'12.5'", "'x,y;z'", "'it''s'", "'ÄbÇ'", "NULL")
+    "'%a_'", "'  pad  '", "'123'", "'12.5'", "'x,y;z'", "'it''s'", "'ÄbÇ'",
+    // v6: the hard Unicode case-mapping codepoints (sharp s, dotted
+    // capital I, capital sigma — CaseMapDispatch's simple-mapping rules)
+    "'ß'", "'İs'", "'ΑΣ'", "NULL")
   private val BoolLits = Seq("true", "false", "NULL")
   // typed NULLs: DuckDB refuses untyped NULL in date arithmetic
   // ("could not choose a best candidate") where Spark coerces — typing
@@ -462,7 +465,20 @@ object FuzzProbe {
     def leaf(tt: Ty): String = expr(rng, tt, 1)
     val j = pick(rng, JsonLits)
     t match {
-      case TI => rng.nextInt(10) match {
+      case TI => rng.nextInt(12) match {
+        case 10 =>
+          // v6: boundary-counting date_diff + epoch + extract long tail
+          pick(rng, Seq(
+            s"date_diff('${pick(rng, Seq("day", "month", "year", "week", "quarter"))}', ${leaf(TDt)}, ${leaf(TDt)})",
+            s"CAST(epoch(${leaf(TTs)}) AS BIGINT)",
+            s"CAST(date_part('${pick(rng, Seq("quarter", "week", "isodow", "yearweek"))}', ${leaf(TDt)}) AS BIGINT)"))
+        case 11 =>
+          // v6: list long tail
+          pick(rng, Seq(
+            s"CAST(list_aggregate(${leaf(TL)}, 'sum') AS BIGINT)",
+            s"len(list_distinct(${leaf(TL)}))",
+            s"list_position(${leaf(TL)}, ${lit(rng, TI)})",
+            s"len(flatten([${leaf(TL)}, ${leaf(TL)}]))"))
         case 0 => s"(${leaf(TI)} ${pick(rng, Seq("&", "|"))} ${leaf(TI)})"
         case 1 => s"xor(${leaf(TI)}, ${leaf(TI)})"
         // shifts now reproduce DuckDB rule-for-rule (ShiftDispatch):
@@ -483,7 +499,23 @@ object FuzzProbe {
         case 2 => s"round(atan2(${leaf(TD)}, ${leaf(TD)}), 6)"
         case _ => s"round(${pick(rng, Seq("log10", "log2", "cbrt", "sin", "cos", "tan", "asin", "acos", "atan"))}(${leaf(TD)}), 6)"
       }
-      case TS => rng.nextInt(14) match {
+      case TS => rng.nextInt(16) match {
+        case 14 =>
+          // v6: calendar-name + strftime long tail
+          pick(rng, Seq(
+            s"dayname(${leaf(TDt)})",
+            s"monthname(${leaf(TDt)})",
+            s"strftime(${leaf(TTs)}, '${pick(rng, Seq("%H:%M:%S", "%Y-%m-%dT%H:%M", "%j/%Y", "%A %B"))}')",
+            s"CAST(last_day(${leaf(TDt)}) AS VARCHAR)",
+            s"CAST(make_date(2024, ${1 + rng.nextInt(12)}, ${1 + rng.nextInt(28)}) AS VARCHAR)"))
+        case 15 =>
+          // v6: JSON path forms + chained arrows
+          val jj = pick(rng, JsonLits)
+          pick(rng, Seq(
+            s"json_extract_string($jj, '$$.b[${rng.nextInt(3)}]')",
+            s"json_extract_string($jj, '/c/d')",
+            s"($jj -> 'c' ->> 'd')",
+            s"($jj ->> '${pick(rng, Seq("a", "b", "c"))}')"))
         case 0 => s"regexp_extract(${leaf(TS)}, ${pick(rng, RegexPats)}, ${rng.nextInt(2)})"
         case 1 => s"regexp_replace(${leaf(TS)}, ${pick(rng, RegexPats)}, ${pick(rng, RegexReps)})"
         case 2 => s"regexp_replace(${leaf(TS)}, ${pick(rng, RegexPats)}, ${pick(rng, RegexReps)}, 'g')"
@@ -522,7 +554,26 @@ object FuzzProbe {
     * CUBE, DISTINCT ON / QUALIFY / ORDER BY ALL, CTE pipelines. */
   def genQueryV4(rng: Random): String = {
     val rel = valuesRelation(rng)
-    rng.nextInt(8) match {
+    rng.nextInt(10) match {
+      case 8 =>
+        // v6: expression GROUP BY keys (NULL keys group together on
+        // both engines)
+        s"SELECT (i % 3) AS g, count(*) AS c, sum(coalesce(i, 0)) AS s, " +
+          s"${pick(rng, Seq("min(d)", "max(s)", "count(d)"))} AS m " +
+          s"FROM $rel GROUP BY (i % 3) ORDER BY g NULLS LAST"
+      case 9 =>
+        if (rng.nextBoolean()) {
+          // v6: set-op + ORDER BY + LIMIT/OFFSET shell
+          val a = keyedRelation(rng, keyNulls = true)
+          val b = keyedRelation(rng, keyNulls = true)
+          val op = pick(rng, Seq("UNION ALL", "UNION", "EXCEPT", "INTERSECT"))
+          s"SELECT v FROM (SELECT v FROM $a t(id, v) $op SELECT w FROM $b s(id, w)) z " +
+            s"ORDER BY v NULLS LAST LIMIT ${2 + rng.nextInt(5)} OFFSET ${rng.nextInt(3)}"
+        } else
+          // v6: nested windows (window over a windowed subquery)
+          s"SELECT rn, r, sum(r) OVER (ORDER BY rn) AS s2 FROM " +
+            s"(SELECT rn, rank() OVER (ORDER BY coalesce(i, -99), rn) AS r FROM $rel) z " +
+            s"ORDER BY rn"
       case 0 | 1 =>
         // extended aggregates + HAVING + FILTER(WHERE)
         val aggs = (1 to 3).map { jx =>

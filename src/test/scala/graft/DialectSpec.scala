@@ -2168,6 +2168,27 @@ class DialectSpec extends AnyFunSuite with BeforeAndAfterAll {
       """[{"rn":1,"s":null,"k":null,"c":null},{"rn":2,"s":null,"k":null,"c":1.0},""" +
         """{"rn":3,"s":0.93522,"k":null,"c":0.327327},""" +
         """{"rn":4,"s":1.330938,"k":1.5,"c":0.877454}]""")
+    // date_part's yearweek field = ISO year * 100 + ISO week (fuzz v6)
+    one("SELECT date_part('yearweek', DATE '1999-12-31') AS a, " +
+      "date_part('yearweek', DATE '2024-02-29') AS b",
+      """[{"a":199952,"b":202409}]""")
+    // date_diff('week', …) counts DuckDB's truncating epoch-relative
+    // week indexes, not plain Monday crossings: the two Monday-weeks
+    // straddling the (Thursday) epoch share index 0, so every
+    // epoch-spanning pair reads one less (fuzz v6)
+    one("SELECT date_diff('week', DATE '1969-12-29', DATE '1970-01-05') AS a, " +
+      "date_diff('week', DATE '1969-12-28', DATE '1970-01-01') AS b, " +
+      "date_diff('week', DATE '2024-02-29', DATE '1970-01-01') AS c, " +
+      "date_diff('week', DATE '2024-02-26', DATE '2024-03-04') AS d, " +
+      "date_diff('week', DATE '2024-02-26', DATE '2024-02-29') AS e",
+      """[{"a":0,"b":1,"c":-2825,"d":1,"e":0}]""")
+    // untyped-NULL propagation: DuckDB types NULL*0.0 as bare SQLNULL,
+    // so the dead branch never widens coalesce's decimal scale, and
+    // bitwise ops accept the untyped operand (fuzz v6/v4)
+    one("SELECT CAST(coalesce(100.0, NULL * 0.0) AS VARCHAR) AS a, " +
+      "(3 | abs(NULL)) AS b, xor((NULL * NULL), (7 % 3)) AS c, " +
+      "((-1 % 10) | NULL) AS d",
+      """[{"a":"100.0","b":null,"c":null,"d":null}]""")
     // asin/acos: NaN passes through (Spark orders NaN greater than
     // every double, so the bounds guard used to trap it); real
     // out-of-range inputs stay loud like DuckDB

@@ -455,7 +455,18 @@ object GraftExtensions {
         if (knownOverflow)
           If(IsNull(args.head),
             Literal(null, org.apache.spark.sql.types.StringType), Literal(""))
-        else builtinBuilder("regexp_extract")(withIdx)
+        else if (!withIdx(1).foldable || !withIdx(2).foldable) {
+          // per-row pattern (or index): the overflow check must run at
+          // runtime — DuckDB evaluates it row by row ('' for the rows
+          // that overflow, the extraction for the rest). The If guard
+          // keeps the builtin unevaluated on overflow rows, so Spark's
+          // loud REGEX_GROUP_INDEX never fires for them.
+          import org.apache.spark.sql.catalyst.expressions.GreaterThan
+          If(GreaterThan(withIdx(2), graft.functions.RegexGroupCount(withIdx(1))),
+            If(IsNull(args.head),
+              Literal(null, org.apache.spark.sql.types.StringType), Literal("")),
+            builtinBuilder("regexp_extract")(withIdx))
+        } else builtinBuilder("regexp_extract")(withIdx)
       }),
     ("regexp_extract_all",
       info("regexp_extract_all", "regexp_extract_all(s, re[, group]) - group defaults to 0 (DuckDB semantics)."),
@@ -2339,6 +2350,24 @@ object GraftExtensions {
               } catch { case _: Throwable => false }
             case _ => false
           }
+          // highest \N in a LITERAL replacement — drives the runtime
+          // overflow guard for per-row patterns (0 = no backrefs or a
+          // non-literal replacement)
+          val maxRefInRep: Int = args.lift(2) match {
+            case Some(Literal(r, StringType)) if r != null =>
+              val s = r.toString
+              var i = 0
+              var m = 0
+              while (i < s.length - 1) {
+                if (s.charAt(i) == '\\' && s.charAt(i + 1).isDigit) {
+                  m = math.max(m, s.charAt(i + 1) - '0'); i += 2
+                } else if (s.charAt(i) == '\\') i += 2
+                else i += 1
+              }
+              m
+            case _ => 0
+          }
+          val built: Expression =
           if (args.length >= 3 && args.length <= 4 && backrefOverflow)
             Cast(args(0), StringType)
           else if (args.length == 3) {
@@ -2378,6 +2407,17 @@ object GraftExtensions {
                   Literal("$1" + repT.asInstanceOf[Literal].value.toString)))
             }
           }
+          // per-row pattern + literal backrefs in the replacement:
+          // DuckDB/RE2 rejects an overflowing rewrite ROW BY ROW and
+          // returns that row's input unchanged; Java would raise
+          // INVALID_REGEXP_REPLACE. Guard at runtime so only the
+          // overflow rows short-circuit (round-13 ADVICE item).
+          if (args.length >= 3 && maxRefInRep > 0 && !args(1).foldable) {
+            import org.apache.spark.sql.catalyst.expressions.GreaterThan
+            If(GreaterThan(Literal(maxRefInRep),
+                graft.functions.RegexGroupCount(args(1))),
+              Cast(args(0), StringType), built)
+          } else built
         }),
       // DuckDB's regexp_split_to_table: one row per split piece
       // (probe 25) — explode over the regex split

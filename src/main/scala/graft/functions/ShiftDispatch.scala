@@ -37,7 +37,13 @@ case class ShiftDispatch(left: Expression, right: Expression, isLeft: Boolean)
     val (w, max) = widthAndMax
     val useLong = left.dataType == LongType
     val x = Cast(left, if (useLong) LongType else IntegerType)
-    val n = Cast(right, IntegerType)
+    // range-check the amount at LongType: a BIGINT amount outside int
+    // range must reach the n >= width / n < 0 arms (x >> 5e9 is 0 in
+    // DuckDB, x << 5e9 its out-of-range error), not ANSI CAST_OVERFLOW.
+    // The narrowed int amount is only evaluated in branches where the
+    // long-typed guards already proved 0 <= n < width <= 64.
+    val nL = Cast(right, LongType)
+    val n = Cast(nL, IntegerType)
     // replacement is built AFTER analysis, so no TypeCoercion runs on
     // it — the VOID-typed raise_error must be cast to the branch type
     // by hand or CaseWhen rejects the mixed input types
@@ -52,7 +58,7 @@ case class ShiftDispatch(left: Expression, right: Expression, isLeft: Boolean)
     // x=0 shortcut's 0)
     val anyNull = Or(
       org.apache.spark.sql.catalyst.expressions.IsNull(x),
-      org.apache.spark.sql.catalyst.expressions.IsNull(n))
+      org.apache.spark.sql.catalyst.expressions.IsNull(nL))
     val nullRes: Expression =
       Literal(null, if (useLong) LongType else IntegerType)
     val body: Expression =
@@ -60,12 +66,12 @@ case class ShiftDispatch(left: Expression, right: Expression, isLeft: Boolean)
         val maxLit: Expression = if (useLong) Literal(max) else Literal(max.toInt)
         CaseWhen(Seq(
           (anyNull, nullRes),
-          (LessThan(n, Literal(0)),
+          (LessThan(nL, Literal(0L)),
             err("<<: cannot left-shift by a negative number (DuckDB Out of Range)")),
           (EqualTo(x, zero), zero),
           (LessThan(x, zero),
             err("<<: cannot left-shift a negative number (DuckDB Out of Range)")),
-          (GreaterThanOrEqual(n, Literal(w)),
+          (GreaterThanOrEqual(nL, Literal(w.toLong)),
             err(s"<<: shift amount out of range for the ${w}-bit operand (DuckDB Out of Range)")),
           (GreaterThan(x, ShiftRight(maxLit, n)),
             err("<<: overflow in left shift (DuckDB Out of Range)"))),
@@ -73,7 +79,7 @@ case class ShiftDispatch(left: Expression, right: Expression, isLeft: Boolean)
       } else {
         CaseWhen(Seq(
           (anyNull, nullRes),
-          (Or(LessThan(n, Literal(0)), GreaterThanOrEqual(n, Literal(w))), zero)),
+          (Or(LessThan(nL, Literal(0L)), GreaterThanOrEqual(nL, Literal(w.toLong))), zero)),
           Some(shifted))
       }
     if (left.dataType == IntegerType || left.dataType == LongType) body

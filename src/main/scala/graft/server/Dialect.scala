@@ -1659,6 +1659,11 @@ object Dialect {
         val boundary =
           if (r < 0) true
           else if (s.charAt(r) == ',' || s.charAt(r) == '(') true
+          // a comparison operator char before the sign run means the
+          // run is a unary sign (`x <> -5 << 2` must keep the `-` with
+          // the 5 so graft_shiftl(-5, 2) raises DuckDB's negative-
+          // left-shift error, not compute -(5 << 2))
+          else if ("<>=!".indexOf(s.charAt(r)) >= 0) true
           else if (isWordChar(s.charAt(r))) {
             var w = r
             while (w >= 0 && isWordChar(s.charAt(w))) w -= 1
@@ -3912,7 +3917,11 @@ object Dialect {
     handleMacroVerb(spark, sql).orElse(
       handleDdlVerb(spark, sql, pathOk, readOnly)).getOrElse(
       rewriteOrderNulls(rewritePositionalJoin(spark,
-      rewriteDistinctOn(rewriteQualify(rewriteExclude(rewriteOffsetLimit(rewriteFactorialAbs(rewriteShiftOps(rewritePower(rewriteGlob(rewriteTildeOps(rewriteQuantified(rewriteAggOrder(rewriteSimilarTo(rewriteJsonOps(rewriteDateDiff(rewriteIntDiv(
+      // rewriteQuantified runs AFTER rewriteShiftOps (and power/glob):
+      // `a << 1 = ANY (SELECT …)` must see graft_shiftl(a, 1) as an
+      // absorbable primary when capturing the comparison LHS, not bind
+      // the quantified CASE as the shift's right operand
+      rewriteDistinctOn(rewriteQualify(rewriteExclude(rewriteOffsetLimit(rewriteFactorialAbs(rewriteQuantified(rewriteShiftOps(rewritePower(rewriteGlob(rewriteTildeOps(rewriteAggOrder(rewriteSimilarTo(rewriteJsonOps(rewriteDateDiff(rewriteIntDiv(
         rewriteSample(rewriteStructPack(rewriteBrackets(rewriteBraces(
           rewriteVarcharCasts(rewriteIntCasts(rewriteTypeAliases(rewriteWindowFilter(rewriteMultiUnnest(rewriteUnnestRecursive(rewriteExtractFields(rewriteExtractQuoted(
           rewriteUnionByName(spark, rewriteReplace(spark, rewriteColumns(spark, rewriteAsOf(rewriteGenerateSeries(rewriteSources(spark,

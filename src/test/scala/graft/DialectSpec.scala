@@ -1906,6 +1906,49 @@ class DialectSpec extends AnyFunSuite with BeforeAndAfterAll {
       """[{"range":1},{"range":3}]""")
   }
 
+  test("round-14 advice pins: shift-before-quantified, long shift amounts, sign runs after comparison chars") {
+    def one(sql: String, expect: String): Unit = {
+      val r = post(sql)
+      assert(r.statusCode() == 200, s"$sql -> ${r.body()}")
+      assert(r.body() == expect, s"$sql -> ${r.body()} (wanted $expect)")
+    }
+    // DuckDB-pinned (2026-08-16): a shifted LHS before a quantified
+    // comparison — rewriteShiftOps now runs BEFORE rewriteQuantified,
+    // so the LHS capture absorbs graft_shiftl(a, 1) instead of feeding
+    // the rewritten CASE into the shift as its right operand
+    one("SELECT 3 << 1 = ANY (SELECT 6) AS r", """[{"r":true}]""")
+    one("SELECT 3 << 1 = ANY (SELECT 5) AS r", """[{"r":false}]""")
+    one("SELECT 2 << 1 > ALL (SELECT * FROM (VALUES (1),(3)) t(x)) AS r",
+      """[{"r":true}]""")
+    // list-form ANY with a shifted LHS (the operandStart path)
+    one("SELECT 3 << 1 = ANY([5, 6]) AS r", """[{"r":true}]""")
+    // BIGINT shift amounts outside int range reach the range arms, not
+    // ANSI CAST_OVERFLOW: x >> 5e9 = 0 in DuckDB, x << 5e9 its error
+    one("SELECT 1024 >> 5000000000 AS r", """[{"r":0}]""")
+    assert(post("SELECT 1 << 5000000000").statusCode() == 400)
+    // a sign run straight after a comparison operator stays with the
+    // operand: DuckDB raises the negative-left-shift error here
+    assert(post("SELECT 2 <> -5 << 2").statusCode() == 400)
+    // ...and a signed additive chain under the shift keeps the sign
+    // inside the LHS: 5 <> ((-1 + 2) << 3) = 5 <> 8
+    one("SELECT 5 <> -1 + 2 << 3 AS r", """[{"r":true}]""")
+    one("SELECT 5 <> 3 << 2 AS r", """[{"r":true}]""")
+    // per-row regex PATTERNS: group overflow is decided row by row —
+    // '' for the overflow rows (extract), input unchanged (replace) —
+    // instead of Spark's loud REGEX_GROUP_INDEX / INVALID_REGEXP_REPLACE
+    one("SELECT regexp_extract(s, p, 2) AS r " +
+      "FROM (VALUES ('abc','b'),('abc','(a)(b)'),(NULL,'x')) t(s,p)",
+      """[{"r":""},{"r":"b"},{"r":null}]""")
+    one("""SELECT regexp_replace(s, p, '[\2]', 'g') AS r """ +
+      "FROM (VALUES ('xab','ab'),('xab','(a)(b)')) t(s,p)",
+      """[{"r":"xab"},{"r":"x[b]"}]""")
+    // ...and through the first-match emulation (replacement groups are
+    // renumbered for the prepended prefix/wrap groups)
+    one("""SELECT regexp_replace(s, p, '[\1]') AS r """ +
+      "FROM (VALUES ('xab','ab'),('xab','(a)(b)')) t(s,p)",
+      """[{"r":"xab"},{"r":"x[a]"}]""")
+  }
+
   test("round-13 fuzz pins: CASE WHEN NULL, CASE END operands, cast-text windows, ceil/floor typing, sum/avg(DISTINCT) OVER") {
     def one(sql: String, expect: String): Unit = {
       val r = post(sql)

@@ -63,19 +63,29 @@ object Round12Queries extends QueryModule {
     0 +: ((0 until 8).map(1 << _) ++
       (for { i <- 0 until 8; j <- (i + 1) until 8 } yield (1 << i) | (1 << j)))
 
-  /** Append the 8-bit portable signature of `vec` as column `sig`. */
-  private[graft] def withSig(df: DataFrame, vec: String): DataFrame = {
-    var d = df
-    annPlanes.zipWithIndex.foreach { case (hp, b) =>
-      d = d.withColumn(s"hp$b", typedLit(hp))
-    }
-    val sig = annPlanes.indices.map { b =>
+  /** Append the 8-bit portable signature of `vec` as column `sig`.
+    *
+    * Round 14: the composed HOF form (8 typedLit plane arrays + 8
+    * interpreted aggregate/zip_with chains, referenced up to 3× per
+    * pipelined stage) was the round-13 bench tail's 2–3 MiB
+    * task-binary class; the native PlaneSignature expression ships
+    * the plane matrix once as a reference object and fuses the dot
+    * products into one codegen loop. Value-identical (left-to-right
+    * double accumulation per plane — PlaneSignatureSpec pins equality
+    * against the HOF form over the corpus).
+    */
+  private[graft] def withSig(df: DataFrame, vec: String): DataFrame =
+    df.withColumn("sig",
+      graft.functions.PlaneSignature(col(vec), annPlanes))
+
+  /** The pre-round-14 higher-order-function spelling — kept as the
+    * pure-builtins reference for the equality spec. */
+  private[graft] def sigHof(vec: String): org.apache.spark.sql.Column =
+    annPlanes.zipWithIndex.map { case (hp, b) =>
       when(expr(
-        s"aggregate(zip_with(hp$b, $vec, (p, q) -> CAST(p AS DOUBLE) * CAST(q AS DOUBLE)), 0D, (a, b) -> a + b)")
+        s"aggregate(zip_with(${hp.mkString("array(", ", ", ")")}, $vec, (p, q) -> CAST(p AS DOUBLE) * CAST(q AS DOUBLE)), 0D, (a, b) -> a + b)")
         >= 0, lit(1 << b)).otherwise(lit(0))
     }.reduce(_ + _)
-    d.withColumn("sig", sig).drop(annPlanes.indices.map(b => s"hp$b"): _*)
-  }
 
   /** DuckDB spelling of the same signature over column `vec`. */
   private def sigSql(vec: String): String =

@@ -3957,6 +3957,9 @@ object Dialect {
     import org.apache.spark.sql.types.{LongType => LongT}
     def guard(r: Expression): Expression =
       If(EqualTo(r, Literal(0)), Literal(null), r)
+    // set when a sum/avg(DISTINCT) OVER fold was built — gates the
+    // one-shot floating rebuild below
+    var usedDistinctFold = false
     // DuckDB runs `count(DISTINCT x) OVER (…)` where Spark's window
     // exec refuses DISTINCT aggregates. Per-frame distinct count IS
     // size(collect_set(x) OVER same-spec) — identical on every frame
@@ -3971,25 +3974,41 @@ object Dialect {
     // sum/avg(DISTINCT) OVER (round-13, closing the round-12 omission
     // row): the per-frame distinct SET is collect_set over the same
     // spec, and for INTEGRAL elements its sum is exact and
-    // order-independent — fold with a BIGINT accumulator. A floating
-    // or decimal element makes the lambda's merge type diverge from
-    // the accumulator, so analysis rejects it LOUDLY (their sums are
-    // accumulation-order-dependent under a set rebuild — the original
-    // reason this stayed loud). Empty/all-NULL frames guard to NULL
-    // like DuckDB (pinned: sum NULL, avg NULL; sum(DISTINCT) is
-    // HUGEINT there, BIGINT here — the documented width mapping).
+    // order-independent — fold with a BIGINT accumulator. Empty/
+    // all-NULL frames guard to NULL like DuckDB (pinned: sum NULL,
+    // avg NULL; sum(DISTINCT) is HUGEINT there, BIGINT here — the
+    // documented width mapping).
+    //
+    // FLOATING elements (round-14 ask #6, closing the r13 omission
+    // row): the element type is unknown at parse level, so the
+    // integral fold is built first; if ANALYSIS rejects the BIGINT
+    // accumulator against a float/decimal element, sqlServed rebuilds
+    // once with the floating fold — the distinct set sorted ascending
+    // (array_sort: a canonical order, so the result is DETERMINISTIC)
+    // and folded with a DOUBLE accumulator. DuckDB's own accumulation
+    // order over its hash set can differ in the last ulp; the pinned
+    // frames use binary-exact values and the oracle compares float
+    // results at 1e-9 relative tolerance. Decimal elements take the
+    // same DOUBLE path (DuckDB keeps DECIMAL — the documented width
+    // mapping, values equal).
     def isDistinctSumAvg(f: UnresolvedFunction): Boolean =
       f.isDistinct &&
         (f.nameParts.last.equalsIgnoreCase("sum") ||
           f.nameParts.last.equalsIgnoreCase("avg")) &&
         f.arguments.length == 1 && f.filter.isEmpty
-    def distinctFold(f: UnresolvedFunction, windowed: Expression): Expression = {
+    def distinctFold(f: UnresolvedFunction, windowed: Expression,
+        floating: Boolean): Expression = {
       import org.apache.spark.sql.catalyst.expressions.{Add, GreaterThan,
         LambdaFunction, Size, UnresolvedNamedLambdaVariable}
       val acc = UnresolvedNamedLambdaVariable(Seq("__wda_acc"))
       val x = UnresolvedNamedLambdaVariable(Seq("__wda_x"))
+      val setExpr =
+        if (floating) UnresolvedFunction("array_sort", Seq(windowed), isDistinct = false)
+        else windowed
+      val seed: Expression =
+        if (floating) Literal(0.0) else Literal(0L)
       val total = UnresolvedFunction("aggregate",
-        Seq(windowed, Literal(0L), LambdaFunction(Add(acc, x), Seq(acc, x))),
+        Seq(setExpr, seed, LambdaFunction(Add(acc, x), Seq(acc, x))),
         isDistinct = false)
       val n = Size(windowed)
       val value =
@@ -4089,11 +4108,13 @@ object Dialect {
     // children) or SubqueryExpression inner plans, so `/` in
     // `WITH q AS (SELECT 5.0/2 AS r) ...` kept Spark's DECIMAL and
     // ANSI-on-zero semantics — descend into both explicitly.
-    def rewriteDiv(plan: LogicalPlan): LogicalPlan = {
+    def rewriteDiv(plan: LogicalPlan,
+        floatingDistinct: Boolean = false): LogicalPlan = {
       val cteMapped = plan.transformDown {
         case w: UnresolvedWith =>
           w.copy(cteRelations = w.cteRelations.map { rel =>
-            rel.copy(_2 = rewriteDiv(rel._2).asInstanceOf[SubqueryAlias])
+            rel.copy(_2 = rewriteDiv(rel._2, floatingDistinct)
+              .asInstanceOf[SubqueryAlias])
           })
       }
       def intervalLit(e: Expression): Boolean = e.resolved && (e.dataType match {
@@ -4183,12 +4204,14 @@ object Dialect {
           sizeOf(org.apache.spark.sql.catalyst.expressions.UnresolvedWindowExpression(
             collectSet(f), ref))
         case WindowExpression(f: UnresolvedFunction, spec) if isDistinctSumAvg(f) =>
-          distinctFold(f, WindowExpression(collectSet(f), spec))
+          usedDistinctFold = true
+          distinctFold(f, WindowExpression(collectSet(f), spec), floatingDistinct)
         case org.apache.spark.sql.catalyst.expressions.UnresolvedWindowExpression(
             f: UnresolvedFunction, ref) if isDistinctSumAvg(f) =>
+          usedDistinctFold = true
           distinctFold(f,
             org.apache.spark.sql.catalyst.expressions.UnresolvedWindowExpression(
-              collectSet(f), ref))
+              collectSet(f), ref), floatingDistinct)
         case WindowExpression(f: UnresolvedFunction, spec) if isMoment(f) =>
           momentWin(f, e => WindowExpression(e, spec))
         case org.apache.spark.sql.catalyst.expressions.UnresolvedWindowExpression(
@@ -4201,12 +4224,26 @@ object Dialect {
             f: UnresolvedFunction, ref) if isListAgg(f) =>
           listWin(org.apache.spark.sql.catalyst.expressions.UnresolvedWindowExpression(
             structWrap(f), ref))
-        case sub: SubqueryExpression => sub.withNewPlan(rewriteDiv(sub.plan))
+        case sub: SubqueryExpression =>
+          sub.withNewPlan(rewriteDiv(sub.plan, floatingDistinct))
       }
     }
     val parsed = spark.sessionState.sqlParser.parsePlan(sql)
+    usedDistinctFold = false
     val guarded = rewriteDiv(parsed)
-    val df = org.apache.spark.sql.graft.ColumnBridge.ofRows(spark, guarded)
+    // the integral distinct fold is built blind to the element type;
+    // when analysis rejects its BIGINT accumulator (float/decimal
+    // elements), rebuild ONCE with the canonical-order DOUBLE fold.
+    // Unrelated analysis failures fail in both builds — the original
+    // error is what the caller sees.
+    val df =
+      try org.apache.spark.sql.graft.ColumnBridge.ofRows(spark, guarded)
+      catch {
+        case first: org.apache.spark.sql.AnalysisException if usedDistinctFold =>
+          try org.apache.spark.sql.graft.ColumnBridge.ofRows(
+            spark, rewriteDiv(parsed, floatingDistinct = true))
+          catch { case _: Throwable => throw first }
+      }
     // DuckDB types DATE - DATE as BIGINT days (probe tier 16:
     // DATE '2024-03-05' - DATE '2024-02-28' = 6) where Spark yields
     // INTERVAL '6' DAY. Flip the resolved SubtractDates node to

@@ -58,6 +58,12 @@ object FuzzProbe {
     val out = if (args.nonEmpty) args(0) else "/tmp/fuzz.jsonl"
     val n = if (args.length > 1) args(1).toInt else 5000
     val seed = if (args.length > 2) args(2).toLong else 13L
+    // grammar v7 (round-14 ask #3): a 4th arg names a fixture dir —
+    // the sweep then generates RELATIONAL shells over the real parquet
+    // tables (scan/pushdown, joins with planted NULL keys, aggregates/
+    // windows/subqueries over real columns); fuzz_check.py --sf <dir>
+    // registers the same files as DuckDB views.
+    val sfDir = if (args.length > 3) Some(args(3)) else None
     val spark = graft.GraftSession.tune(
       SparkSession.builder()
         .master("local[4]")
@@ -67,23 +73,13 @@ object FuzzProbe {
         .getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
     graft.GraftExtensions.injectInto(spark)
+    sfDir.foreach(registerFixtures(spark, _))
     val rng = new Random(seed)
     val sb = new StringBuilder
     var i = 0
     while (i < n) {
-      val sql = genQuery(rng)
-      val line =
-        try {
-          val rows = Dialect.sqlServed(spark, Dialect.rewrite(spark, sql)).collect()
-          val cols = Dialect.sqlServed(spark, Dialect.rewrite(spark, sql)).columns
-          s"""{"id":$i,"sql":${js(sql)},"ok":true,"cols":[${cols.map(js).mkString(",")}],""" +
-            s""""rows":[${rows.map(r => renderRow(r)).mkString(",")}]}"""
-        } catch {
-          case e: Throwable =>
-            val msg = (e.getClass.getSimpleName + ": " +
-              String.valueOf(e.getMessage).takeWhile(_ != '\n')).take(300)
-            s"""{"id":$i,"sql":${js(sql)},"ok":false,"err":${js(msg)}}"""
-        }
+      val sql = if (sfDir.isDefined) genQueryV7(rng) else genQuery(rng)
+      val line = lineFor(spark, i, sql)
       sb.append(line).append('\n')
       if (i % 500 == 0) {
         System.err.println(s"[fuzz] $i/$n")
@@ -95,6 +91,22 @@ object FuzzProbe {
     println(s"[fuzz] wrote $n results to $out (seed=$seed)")
     spark.stop()
   }
+
+  /** One generated query through the full serving path, rendered as the
+    * canonical JSONL line (shared by main and FuzzRegressionSpec). */
+  def lineFor(spark: SparkSession, i: Int, sql: String): String =
+    try {
+      val df = Dialect.sqlServed(spark, Dialect.rewrite(spark, sql))
+      val cols = df.columns
+      val rows = df.collect()
+      s"""{"id":$i,"sql":${js(sql)},"ok":true,"cols":[${cols.map(js).mkString(",")}],""" +
+        s""""rows":[${rows.map(r => renderRow(r)).mkString(",")}]}"""
+    } catch {
+      case e: Throwable =>
+        val msg = (e.getClass.getSimpleName + ": " +
+          String.valueOf(e.getMessage).takeWhile(_ != '\n')).take(300)
+        s"""{"id":$i,"sql":${js(sql)},"ok":false,"err":${js(msg)}}"""
+    }
 
   private def flush(out: String, sb: StringBuilder, append: Boolean): Unit = {
     val opts =
@@ -445,6 +457,211 @@ object FuzzProbe {
       s"SELECT rn, k, $w AS w FROM $rel ORDER BY rn NULLS LAST"
   }
 
+  // ---------- grammar v7: relational shells over the real fixtures ----------
+
+  def registerFixtures(spark: SparkSession, dir: String): Unit =
+    Seq("lineitem", "orders", "customer", "events", "documents").foreach { t =>
+      spark.read.parquet(s"$dir/$t.parquet").createOrReplaceTempView(t)
+    }
+
+  /** Predicates over lineitem's real columns — numeric ranges, date
+    * bounds, string membership, modulus selectors, and planted-NULL
+    * forms (a CASE that nulls a fraction of keys, exercising
+    * three-valued filtering over a real scan). */
+  private def linePred(rng: Random): String = pick(rng, Seq(
+    s"l_quantity > ${pick(rng, Seq("10", "25", "45", "49.5"))}",
+    s"l_extendedprice BETWEEN ${pick(rng, Seq("1000.0", "5000.0"))} AND ${pick(rng, Seq("20000.0", "50000.0"))}",
+    s"l_shipdate >= TIMESTAMP '${pick(rng, Seq("1996-06-01", "1998-01-01", "2000-03-15"))} 00:00:00'",
+    s"l_shipdate < TIMESTAMP '${pick(rng, Seq("1996-01-01", "1999-07-01"))} 00:00:00'",
+    s"l_returnflag ${pick(rng, Seq("= 'A'", "= 'N'", "IN ('A', 'R')", "<> 'N'"))}",
+    s"l_discount <= ${pick(rng, Seq("0.02", "0.05", "0.08"))}",
+    s"l_orderkey % ${pick(rng, Seq("7", "13", "41"))} = 0",
+    s"(CASE WHEN l_orderkey % 37 = 0 THEN NULL ELSE l_quantity END) > ${pick(rng, Seq("25", "40"))}",
+    s"l_linestatus = 'O' AND l_tax < 0.05",
+    s"NOT (l_returnflag = 'R' OR l_quantity < ${pick(rng, Seq("5", "20"))})"))
+
+  /** Projections over lineitem that route through the textual rewrite
+    * planes (`::`, `//`, `^`, shifts, concat) with real columns. */
+  private def lineExpr(rng: Random): String = pick(rng, Seq(
+    "round(l_extendedprice * (1 - l_discount), 4)",
+    "l_quantity::INTEGER",
+    "(l_extendedprice // 1000)",
+    "(l_quantity ^ 2)",
+    "(l_linenumber << 2)",
+    "(l_returnflag || '/' || l_linestatus)",
+    "CAST(date_part('year', l_shipdate) AS BIGINT)",
+    "date_trunc('month', l_shipdate)",
+    "CASE WHEN l_quantity > 25 THEN 'hi' ELSE 'lo' END",
+    "coalesce(nullif(l_returnflag, 'N'), '?')",
+    "levenshtein(l_returnflag, l_linestatus)",
+    "greatest(l_quantity, l_discount * 100)"))
+
+  private def lineAgg(rng: Random): String = pick(rng, Seq(
+    "count(*)", "count(DISTINCT l_orderkey)", "count(DISTINCT l_returnflag)",
+    "sum(l_quantity)", "sum(l_extendedprice)", "min(l_extendedprice)",
+    "max(l_extendedprice)", "avg(l_quantity)", "avg(l_discount)",
+    "stddev_samp(l_quantity)", "min(l_shipdate)", "max(l_shipdate)",
+    "sum(l_extendedprice * (1 - l_discount))",
+    "count(*) FILTER (WHERE l_quantity > 25)",
+    "max(l_returnflag || l_linestatus)"))
+
+  /** Group keys: real low-cardinality columns plus computed keys with
+    * planted NULLs (NULL keys group together on both engines). */
+  private def lineKey(rng: Random): String = pick(rng, Seq(
+    "l_returnflag", "l_linestatus", "(l_orderkey % 5)",
+    "CAST(date_part('year', l_shipdate) AS BIGINT)",
+    "(CASE WHEN l_suppkey % 11 = 0 THEN NULL ELSE l_returnflag END)"))
+
+  def genQueryV7(rng: Random): String = rng.nextInt(14) match {
+    case 0 | 1 =>
+      // scan/pushdown/project: filters reach the parquet scan, the
+      // projection routes real columns through the rewrite planes
+      val preds = (1 to (1 + rng.nextInt(2)))
+        .map(_ => linePred(rng)).mkString(s" ${pick(rng, Seq("AND", "OR"))} ")
+      s"SELECT l_orderkey AS k1, l_linenumber AS k2, ${lineExpr(rng)} AS e " +
+        s"FROM lineitem WHERE $preds ORDER BY k1, k2 LIMIT 20"
+    case 2 | 3 =>
+      // grouped aggregates over the full 60k-row scan
+      val keys = Seq(lineKey(rng)) ++ (if (rng.nextBoolean()) Seq(lineKey(rng)) else Nil)
+      val distinctKeys = keys.distinct
+      val ks = distinctKeys.zipWithIndex.map { case (k, i) => s"$k AS g${i + 1}" }
+      val gs = distinctKeys.indices.map(i => s"g${i + 1}")
+      val aggs = (1 to 3).map(j => s"${lineAgg(rng)} AS a$j")
+      val having = if (rng.nextInt(3) == 0)
+        s" HAVING ${pick(rng, Seq("count(*) > 100", "sum(l_quantity) > 0", "min(l_orderkey) >= 0"))}" else ""
+      val where = if (rng.nextBoolean()) s" WHERE ${linePred(rng)}" else ""
+      s"SELECT ${ks.mkString(", ")}, ${aggs.mkString(", ")} FROM lineitem$where " +
+        s"GROUP BY ${gs.mkString(", ")}$having ORDER BY ${gs.map(_ + " NULLS LAST").mkString(", ")}"
+    case 4 | 5 =>
+      // joins on the real FK — inner/left/semi/anti, planted-NULL key
+      // variants (NULL never matches), aggregated to a small result
+      rng.nextInt(5) match {
+        case 0 =>
+          s"SELECT o_orderstatus AS st, count(*) AS c, sum(l_quantity) AS sq " +
+            s"FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+            s"WHERE ${linePred(rng)} GROUP BY st ORDER BY st"
+        case 1 =>
+          // planted NULL join key: a fraction of lineitem keys never match
+          s"SELECT o_orderstatus AS st, count(*) AS c " +
+            s"FROM lineitem JOIN orders ON " +
+            s"(CASE WHEN l_orderkey % 13 = 0 THEN NULL ELSE l_orderkey END) = o_orderkey " +
+            s"GROUP BY st ORDER BY st"
+        case 2 =>
+          // left join against a filtered build side: unmatched rows count
+          s"SELECT o_orderstatus AS st, count(*) AS c, count(l.l_orderkey) AS cm " +
+            s"FROM orders LEFT JOIN (SELECT * FROM lineitem WHERE l_quantity > ${pick(rng, Seq("45", "48", "49.5"))}) l " +
+            s"ON o_orderkey = l.l_orderkey GROUP BY st ORDER BY st"
+        case 3 =>
+          val jt = pick(rng, Seq("SEMI", "ANTI"))
+          s"SELECT o_orderstatus AS st, count(*) AS c FROM orders $jt JOIN " +
+            s"(SELECT * FROM lineitem WHERE ${linePred(rng)}) l ON o_orderkey = l.l_orderkey " +
+            s"GROUP BY st ORDER BY st"
+        case _ =>
+          // 3-table: customer -> orders -> lineitem
+          s"SELECT c_mktsegment AS seg, count(*) AS c, sum(l_extendedprice) AS sp " +
+            s"FROM customer JOIN orders ON c_custkey = o_custkey " +
+            s"JOIN lineitem ON o_orderkey = l_orderkey " +
+            s"WHERE ${pick(rng, Seq("o_totalprice > 100000", "o_orderstatus = 'F'", "l_quantity > 40"))} " +
+            s"GROUP BY seg ORDER BY seg"
+      }
+    case 6 =>
+      // windows over real partitions with a unique tiebreak
+      val w = rng.nextInt(5) match {
+        case 0 => "row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber)"
+        case 1 => "rank() OVER (ORDER BY l_quantity DESC, l_orderkey, l_linenumber)"
+        case 2 => "sum(l_quantity) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber)"
+        case 3 => "lag(l_quantity, 1) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber)"
+        case _ => "avg(l_extendedprice) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber ROWS BETWEEN 1 PRECEDING AND CURRENT ROW)"
+      }
+      s"SELECT k1, k2, w FROM (SELECT l_orderkey AS k1, l_linenumber AS k2, $w AS w " +
+        s"FROM lineitem WHERE l_orderkey % ${pick(rng, Seq("29", "31"))} = 0) z " +
+        s"ORDER BY k1, k2 LIMIT 25"
+    case 7 =>
+      // subqueries: correlated scalar / IN / NOT IN with planted NULLs
+      // (three-valued NOT IN over a real scan) / EXISTS
+      rng.nextInt(4) match {
+        case 0 =>
+          s"SELECT o_orderkey AS k, (SELECT max(l_quantity) FROM lineitem " +
+            s"WHERE l_orderkey = o_orderkey) AS m FROM orders " +
+            s"WHERE o_orderkey % 59 = 0 ORDER BY k LIMIT 25"
+        case 1 =>
+          s"SELECT o_orderkey AS k FROM orders WHERE o_orderkey IN " +
+            s"(SELECT l_orderkey FROM lineitem WHERE ${linePred(rng)}) " +
+            s"AND o_orderkey % 17 = 0 ORDER BY k LIMIT 25"
+        case 2 =>
+          // the inner CASE plants NULLs: NOT IN over a set containing
+          // NULL is never TRUE — both engines must return zero rows
+          // when the planted class intersects, few rows otherwise
+          s"SELECT count(*) AS c FROM orders WHERE o_orderkey NOT IN " +
+            s"(SELECT CASE WHEN l_orderkey % ${pick(rng, Seq("53", "997"))} = 0 THEN NULL ELSE l_orderkey END " +
+            s"FROM lineitem WHERE l_quantity > ${pick(rng, Seq("49", "45"))})"
+        case _ =>
+          s"SELECT o_orderstatus AS st, count(*) AS c FROM orders WHERE " +
+            s"${if (rng.nextBoolean()) "" else "NOT "}EXISTS (SELECT 1 FROM lineitem " +
+            s"WHERE l_orderkey = o_orderkey AND l_quantity > ${pick(rng, Seq("47", "49"))}) " +
+            s"GROUP BY st ORDER BY st"
+      }
+    case 8 =>
+      // events: time bucketing, epoch arithmetic, real-JSON props
+      rng.nextInt(3) match {
+        case 0 =>
+          s"SELECT date_trunc('${pick(rng, Seq("day", "month"))}', ts) AS d, event_type AS t, " +
+            s"count(*) AS c, sum(value) AS sv FROM events " +
+            s"WHERE event_type ${pick(rng, Seq("= 'click'", "IN ('view', 'purchase')", "<> 'error'"))} " +
+            s"GROUP BY d, t ORDER BY d, t LIMIT 30"
+        case 1 =>
+          s"SELECT user_id AS u, count(*) AS c, max(CAST(props ->> 'k' AS INTEGER)) AS mk " +
+            s"FROM events WHERE user_id % ${pick(rng, Seq("97", "53"))} = 0 " +
+            s"GROUP BY u ORDER BY u LIMIT 25"
+        case _ =>
+          s"SELECT event_id AS e, value AS v, " +
+            s"sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rv " +
+            s"FROM events WHERE user_id % 101 = 0 ORDER BY e LIMIT 25"
+      }
+    case 9 =>
+      // documents: string functions over real text
+      rng.nextInt(3) match {
+        case 0 =>
+          s"SELECT lang, count(*) AS c, sum(n_chars) AS s, max(length(text)) AS m " +
+            s"FROM documents GROUP BY lang ORDER BY lang"
+        case 1 =>
+          s"SELECT doc_id AS id, ${pick(rng, Seq("lower", "upper"))}(substr(text, 1, ${5 + rng.nextInt(15)})) AS t " +
+            s"FROM documents WHERE doc_id % ${pick(rng, Seq("17", "23"))} = 0 ORDER BY id LIMIT 15"
+        case _ =>
+          s"SELECT source AS src, count(*) FILTER (WHERE contains(text, '${pick(rng, Seq("the", "data", "e"))}')) AS c " +
+            s"FROM documents GROUP BY src ORDER BY src LIMIT 25"
+      }
+    case 10 =>
+      // set ops over real key relations (natural duplicates in lineitem)
+      val op = pick(rng, Seq("UNION", "UNION ALL", "INTERSECT", "EXCEPT",
+        "INTERSECT ALL", "EXCEPT ALL"))
+      s"SELECT k FROM (SELECT l_orderkey AS k FROM lineitem WHERE l_quantity > ${pick(rng, Seq("49", "49.5"))} " +
+        s"$op SELECT o_orderkey FROM orders WHERE o_totalprice < ${pick(rng, Seq("2000", "5000"))}) z " +
+        s"ORDER BY k LIMIT 25"
+    case 11 =>
+      // DISTINCT / DISTINCT ON over naturally duplicated real columns
+      if (rng.nextBoolean())
+        s"SELECT DISTINCT l_returnflag AS f, l_linestatus AS st FROM lineitem ORDER BY f, st"
+      else
+        s"SELECT DISTINCT ON (l_returnflag) l_returnflag AS f, l_orderkey AS k, l_linenumber AS n " +
+          s"FROM lineitem ORDER BY l_returnflag, l_extendedprice DESC, l_orderkey, l_linenumber"
+    case 12 =>
+      // duplicate amplification: UNION ALL self-append then re-aggregate
+      s"SELECT k, count(*) AS c FROM (SELECT l_returnflag AS k FROM lineitem " +
+        s"UNION ALL SELECT l_returnflag FROM lineitem WHERE ${linePred(rng)}) z " +
+        s"GROUP BY k ORDER BY k"
+    case _ =>
+      // orders-plane aggregates with computed/planted-NULL keys
+      val key = pick(rng, Seq(
+        "o_orderstatus", "o_orderpriority",
+        "CAST(date_part('year', o_orderdate) AS BIGINT)",
+        "(CASE WHEN o_custkey % 7 = 0 THEN NULL ELSE o_orderstatus END)"))
+      s"SELECT $key AS g, count(*) AS c, sum(o_totalprice) AS sp, " +
+        s"${pick(rng, Seq("min(o_orderdate)", "max(o_orderdate)", "avg(o_totalprice)", "count(DISTINCT o_custkey)"))} AS m " +
+        s"FROM orders${if (rng.nextBoolean()) s" WHERE o_totalprice > ${pick(rng, Seq("50000", "200000"))}" else ""} " +
+        s"GROUP BY g ORDER BY g NULLS LAST"
+  }
+
   // ---------- grammar v4: long-tail scalar planes + query shells ----------
 
   private val JsonLits = Seq(
@@ -643,7 +860,12 @@ object FuzzProbe {
             s"${pick(rng, Seq("min", "max"))}(${pick(rng, Seq("i", "d", "s"))}) OVER (PARTITION BY k ORDER BY rn)",
             // sample moments + corr under OVER (momentWin rewrite)
             s"round(${pick(rng, Seq("skewness", "kurtosis"))}(d) OVER (ORDER BY rn ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)",
-            s"round(corr(d, i) OVER (ORDER BY rn ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)"))
+            s"round(corr(d, i) OVER (ORDER BY rn ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)",
+            // r14: distinct folds under OVER — integral exact, floating
+            // via the canonical-order DOUBLE fold (round to absorb ulp)
+            s"sum(DISTINCT ${pick(rng, Seq("i", "k"))}) OVER (PARTITION BY k)",
+            s"round(${pick(rng, Seq("sum", "avg"))}(DISTINCT d) OVER (PARTITION BY k), 6)",
+            s"count(DISTINCT ${pick(rng, Seq("i", "d", "s"))}) OVER (PARTITION BY k)"))
         }
         s"SELECT rn, k, $w AS w FROM $rel ORDER BY rn NULLS LAST"
     }

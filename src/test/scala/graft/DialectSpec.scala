@@ -1949,6 +1949,41 @@ class DialectSpec extends AnyFunSuite with BeforeAndAfterAll {
       """[{"r":"xab"},{"r":"x[a]"}]""")
   }
 
+  test("round-14: floating sum/avg(DISTINCT) OVER folds the sorted distinct set") {
+    def one(sql: String, expect: String): Unit = {
+      val r = post(sql)
+      assert(r.statusCode() == 200, s"$sql -> ${r.body()}")
+      assert(r.body() == expect, s"$sql -> ${r.body()} (wanted $expect)")
+    }
+    // DuckDB-pinned (2026-08-16), binary-exact element values so the
+    // fold order cannot move the result: the distinct SET per frame is
+    // sorted ascending and folded with a DOUBLE accumulator (the r13
+    // loud path engaged only when analysis rejects the integral fold)
+    one("SELECT rn, sum(DISTINCT d) OVER (ORDER BY rn) AS s, " +
+      "avg(DISTINCT d) OVER (ORDER BY rn) AS a " +
+      "FROM (VALUES (1, 0.5::DOUBLE), (2, 0.25::DOUBLE), (3, 0.5::DOUBLE), " +
+      "(4, CAST(NULL AS DOUBLE)), (5, 1.75::DOUBLE)) t(rn, d) ORDER BY rn",
+      """[{"rn":1,"s":0.5,"a":0.5},{"rn":2,"s":0.75,"a":0.375},""" +
+        """{"rn":3,"s":0.75,"a":0.375},{"rn":4,"s":0.75,"a":0.375},""" +
+        """{"rn":5,"s":2.5,"a":0.8333333333333334}]""")
+    // all-NULL partition stays NULL; duplicates collapse before summing
+    one("SELECT k, rn, sum(DISTINCT d) OVER (PARTITION BY k) AS s " +
+      "FROM (VALUES (1, 1, 2.5::DOUBLE), (1, 2, 2.5::DOUBLE), (1, 3, -0.5::DOUBLE), " +
+      "(2, 4, CAST(NULL AS DOUBLE)), (2, 5, CAST(NULL AS DOUBLE))) t(k, rn, d) " +
+      "ORDER BY k, rn",
+      """[{"k":1,"rn":1,"s":2.0},{"k":1,"rn":2,"s":2.0},{"k":1,"rn":3,"s":2.0},""" +
+        """{"k":2,"rn":4,"s":null},{"k":2,"rn":5,"s":null}]""")
+    // decimal elements take the DOUBLE path (documented width mapping;
+    // DuckDB keeps DECIMAL — values render identically here)
+    one("SELECT rn, sum(DISTINCT d) OVER (ORDER BY rn) AS s " +
+      "FROM (VALUES (1, 1.5), (2, 2.5), (3, 1.5)) t(rn, d) ORDER BY rn",
+      """[{"rn":1,"s":1.5},{"rn":2,"s":4.0},{"rn":3,"s":4.0}]""")
+    // the integral fold still takes the exact BIGINT path
+    one("SELECT rn, sum(DISTINCT i) OVER (ORDER BY rn) AS s " +
+      "FROM (VALUES (1, 5), (2, 5), (3, 2)) t(rn, i) ORDER BY rn",
+      """[{"rn":1,"s":5},{"rn":2,"s":5},{"rn":3,"s":7}]""")
+  }
+
   test("round-13 fuzz pins: CASE WHEN NULL, CASE END operands, cast-text windows, ceil/floor typing, sum/avg(DISTINCT) OVER") {
     def one(sql: String, expect: String): Unit = {
       val r = post(sql)

@@ -30,6 +30,10 @@ class WarnAuditSpec extends AnyFunSuite {
     // use, which would silently drop an appender attached earlier
     spark.range(1).collect()
     val hits = ArrayBuffer[String]()
+    // (query, MiB) for every large-task-binary warn — bounded against
+    // the per-query runtime-bloom-filter budget after the sweep
+    val binHits = ArrayBuffer[(String, Double)]()
+    val bloomCounts = scala.collection.mutable.Map[String, Int]()
     @volatile var current = "<init>"
     val appender: AbstractAppender =
       new AbstractAppender("graft-warn-audit", null, null, true,
@@ -46,6 +50,27 @@ class WarnAuditSpec extends AnyFunSuite {
               // unsupported broadcast hints — the intended plan is NOT
               // what runs. Any drop is a regression.
               hits.synchronized { hits += s"$current[hint-drop]" }
+            else if (msg.contains("Broadcasting large task binary")) {
+              // round-13 verdict #2 / round-14 attribution: the 2–3 MiB
+              // task binaries in the bench tail are Spark's RUNTIME
+              // BLOOM FILTERS (InjectRuntimeFilter): each injected
+              // filter embeds its 8388608-bit ≈ 1 MiB bitmap in the
+              // stage that applies it (measured: 2 filters → 2.1 MiB,
+              // 3 → 3.1 MiB on the ANN-tier joins) — the filter is
+              // data-independent (conf-bounded) and prunes the probe
+              // scan, the right trade at scale. The audit therefore
+              // bounds each query's binaries at 2 MiB of NON-bloom
+              // payload plus 1.1 MiB per might_contain in its
+              // optimized plan; anything beyond that is new closure/
+              // codegen bloat and fails, naming the query.
+              val mib = """([0-9.]+)\s*(KiB|MiB)""".r.findFirstMatchIn(msg).map {
+                m =>
+                  val v = m.group(1).toDouble
+                  if (m.group(2) == "KiB") v / 1024.0 else v
+              }.getOrElse(0.0)
+              if (mib > 2.0)
+                binHits.synchronized { binHits += (current -> mib) }
+            }
           }
       }
     appender.start()
@@ -61,7 +86,13 @@ class WarnAuditSpec extends AnyFunSuite {
       GraftExtensions.injectInto(spark)
       SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
         current = name
-        fn(spark, sf).collect()
+        val df = fn(spark, sf)
+        // bloom allowance must be counted on the plan AS EXECUTED in
+        // this sweep — a re-derived plan sees materialized caches and
+        // loses the injected filters
+        bloomCounts(name) = "might_contain".r
+          .findAllIn(df.queryExecution.optimizedPlan.toString).size
+        df.collect()
       }
     } finally {
       cfg.getRootLogger.removeAppender("graft-warn-audit")
@@ -72,5 +103,17 @@ class WarnAuditSpec extends AnyFunSuite {
       .view.mapValues(_.size).toSeq.sortBy(-_._2)
     assert(byQuery.isEmpty,
       s"unpartitioned windows planned by: ${byQuery.mkString(", ")}")
+    // task-binary budget check: worst observed size per query vs its
+    // runtime-bloom-filter allowance (2 MiB base + 1.1 MiB per
+    // might_contain in the optimized plan)
+    val worst = binHits.synchronized { binHits.toSeq }
+      .groupBy(_._1).view.mapValues(_.map(_._2).max).toSeq.sortBy(-_._2)
+    val over = worst.flatMap { case (q, mib) =>
+      val nBloom = bloomCounts.getOrElse(q, 0)
+      val allowed = 2.0 + 1.1 * nBloom
+      if (mib > allowed) Some(f"$q: $mib%.1f MiB > allowed $allowed%.1f ($nBloom bloom filters)")
+      else None
+    }
+    assert(over.isEmpty, s"task binaries beyond the bloom-filter budget: ${over.mkString("; ")}")
   }
 }

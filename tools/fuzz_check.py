@@ -88,6 +88,13 @@ def main():
     if "--max-report" in sys.argv:
         max_report = int(sys.argv[sys.argv.index("--max-report") + 1])
     con = duckdb.connect()
+    # grammar v7: --sf <dir> registers the same parquet fixtures the
+    # FuzzProbe relational sweep ran over as DuckDB views
+    if "--sf" in sys.argv:
+        sf = sys.argv[sys.argv.index("--sf") + 1]
+        for t in ("lineitem", "orders", "customer", "events", "documents"):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
     counts = {"agree": 0, "both_err": 0, "VALUE": 0, "SHAPE": 0,
               "SPARK_ERR": 0, "DUCK_ERR": 0}
     reports = []

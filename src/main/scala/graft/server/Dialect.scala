@@ -250,11 +250,60 @@ object Dialect {
     if (fromAt < 0) return sql
     val selectList = body.substring(0, fromAt).trim
     val rest = body.substring(fromAt)
-    s"""SELECT * EXCEPT (__rn) FROM (
-       |  SELECT $selectList,
+    // DuckDB resolves the outer ORDER BY against the FROM scope, but
+    // the rewrite's outer query only sees the (possibly aliased)
+    // select list — `DISTINCT ON (f) f0 AS f ... ORDER BY f0` used to
+    // fail UNRESOLVED_COLUMN (grammar-v7 finding). Sort keys that are
+    // not output columns are projected as hidden __obN columns inside
+    // the subquery and excluded with __rn.
+    val outNames: Set[String] = splitTopLevel(selectList, ',').map(_.trim).map { it =>
+      val up = it.toUpperCase(java.util.Locale.ROOT)
+      val asAt = up.lastIndexOf(" AS ")
+      val nm =
+        if (asAt >= 0) it.substring(asAt + 4).trim
+        else it.substring(it.lastIndexOf('.') + 1).trim
+      nm.stripPrefix("`").stripSuffix("`").toLowerCase(java.util.Locale.ROOT)
+    }.toSet
+    val hasStar = selectList.contains("*")
+    var obCount = 0
+    val hidden = new scala.collection.mutable.ArrayBuffer[String]()
+    val outerTail =
+      if (ordAt < 0) tail.trim
+      else {
+        val afterOrder = tail.substring(ordAt)
+        val cut = Seq("LIMIT", "OFFSET").map(k => lastTopLevel(afterOrder, k))
+          .filter(_ >= 0).sorted.headOption
+        val (orderTxt, limitTxt) = cut match {
+          case Some(c) => (afterOrder.substring("ORDER BY".length + 1, c), afterOrder.substring(c))
+          case None => (afterOrder.substring("ORDER BY".length + 1), "")
+        }
+        val items = splitTopLevel(orderTxt, ',').map(_.trim).filter(_.nonEmpty).map { item =>
+          val sufRe = """(?i)\s+(ASC|DESC)(\s+NULLS\s+(FIRST|LAST))?\s*$|\s+NULLS\s+(FIRST|LAST)\s*$""".r
+          val suffix = sufRe.findFirstIn(item).getOrElse("")
+          val keyExpr = item.substring(0, item.length - suffix.length).trim
+          val bare = keyExpr.substring(keyExpr.lastIndexOf('.') + 1)
+            .stripPrefix("`").stripSuffix("`").toLowerCase(java.util.Locale.ROOT)
+          val isOut = outNames.contains(bare) ||
+            (hasStar && keyExpr.matches("""[A-Za-z_`][A-Za-z0-9_.`]*"""))
+          if (isOut) item
+          else {
+            val nm = s"__ob$obCount"; obCount += 1
+            hidden += s"($keyExpr) AS $nm"
+            s"$nm$suffix"
+          }
+        }
+        val pre = tail.substring(0, ordAt).trim
+        (if (pre.nonEmpty) pre + " " else "") +
+          s"ORDER BY ${items.mkString(", ")}" +
+          (if (limitTxt.nonEmpty) " " + limitTxt.trim else "")
+      }
+    val hiddenSel = if (hidden.isEmpty) "" else hidden.mkString(", ", ", ", "")
+    val exceptCols = ("__rn" +: (0 until obCount).map(i => s"__ob$i")).mkString(", ")
+    s"""SELECT * EXCEPT ($exceptCols) FROM (
+       |  SELECT $selectList$hiddenSel,
        |    row_number() OVER (PARTITION BY $keys ORDER BY ${windowOrder.trim}) AS __rn
        |  $rest) __distinct_on
-       |WHERE __rn = 1 ${tail.trim}""".stripMargin.trim
+       |WHERE __rn = 1 $outerTail""".stripMargin.trim
   }
 
   /** `SUMMARIZE <table>` → a select over the profiled view
@@ -1031,7 +1080,12 @@ object Dialect {
       }
       else if (rightEnd < 0) { searchFrom = at + arrowLen }
       else {
-        val lambdaParam = bareIdent && callArgPos
+        // `->>` is never a lambda arrow (DuckDB lambdas use `->`), so
+        // the call-argument ambiguity guard only applies to the 2-char
+        // form: `max(props ->> 'k')` rewrites, `f(x -> 'k')` stays a
+        // lambda (grammar-v7 finding: the guard parse-failed every
+        // json ->> on a bare column inside an aggregate call)
+        val lambdaParam = bareIdent && callArgPos && arrowLen == 2
         // `(a, b) -> …` is a MULTI-PARAM lambda head (list_reduce et
         // al.) — with identifier right operands now rewritable, a
         // top-level comma inside a parenthesized left operand must

@@ -153,8 +153,14 @@ object FuzzProbe {
     case d: java.sql.Date => js(d.toString)
     case t: java.sql.Timestamp => js(t.toString.stripSuffix(".0"))
     case d: java.time.LocalDate => js(d.toString)
+    // LocalDateTime.toString omits :00 seconds entirely (ISO-8601),
+    // where python's str(datetime) always prints them — format with
+    // explicit seconds, fractional part only when nonzero (grammar-v7
+    // finding: TIMESTAMP_NTZ parquet columns collect as LocalDateTime)
     case t: java.time.LocalDateTime =>
-      js(t.toString.replace('T', ' ').stripSuffix(".0"))
+      js(t.format(java.time.format.DateTimeFormatter.ofPattern(
+        if (t.getNano == 0) "yyyy-MM-dd HH:mm:ss"
+        else "yyyy-MM-dd HH:mm:ss.SSSSSS")))
     case t: java.time.Instant => js(t.toString)
     case a: Array[_] => a.map(renderVal).mkString("[", ",", "]")
     case s: scala.collection.Seq[_] => s.map(renderVal).mkString("[", ",", "]")
@@ -518,8 +524,11 @@ object FuzzProbe {
       // projection routes real columns through the rewrite planes
       val preds = (1 to (1 + rng.nextInt(2)))
         .map(_ => linePred(rng)).mkString(s" ${pick(rng, Seq("AND", "OR"))} ")
+      // (l_orderkey, l_linenumber) is NOT unique in the fixture —
+      // sorting by every output column makes any LIMIT cut
+      // deterministic (fully tied rows are identical in the output)
       s"SELECT l_orderkey AS k1, l_linenumber AS k2, ${lineExpr(rng)} AS e " +
-        s"FROM lineitem WHERE $preds ORDER BY k1, k2 LIMIT 20"
+        s"FROM lineitem WHERE $preds ORDER BY k1, k2, e NULLS LAST LIMIT 20"
     case 2 | 3 =>
       // grouped aggregates over the full 60k-row scan
       val keys = Seq(lineKey(rng)) ++ (if (rng.nextBoolean()) Seq(lineKey(rng)) else Nil)
@@ -565,17 +574,37 @@ object FuzzProbe {
             s"GROUP BY seg ORDER BY seg"
       }
     case 6 =>
-      // windows over real partitions with a unique tiebreak
-      val w = rng.nextInt(5) match {
-        case 0 => "row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber)"
-        case 1 => "rank() OVER (ORDER BY l_quantity DESC, l_orderkey, l_linenumber)"
-        case 2 => "sum(l_quantity) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber)"
-        case 3 => "lag(l_quantity, 1) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber)"
-        case _ => "avg(l_extendedprice) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber ROWS BETWEEN 1 PRECEDING AND CURRENT ROW)"
+      // windows: lineitem keys are NOT unique, so order-sensitive
+      // functions (row_number, lag, ROWS frames) run over ORDERS
+      // (o_orderkey unique = total order); lineitem keeps the
+      // tie-stable shapes (rank; running sum under the DEFAULT
+      // tie-aware RANGE frame)
+      rng.nextInt(5) match {
+        case 0 =>
+          s"SELECT k, w FROM (SELECT o_orderkey AS k, row_number() OVER " +
+            s"(PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey) AS w " +
+            s"FROM orders WHERE o_orderkey % ${pick(rng, Seq("13", "17"))} = 0) z " +
+            s"ORDER BY k LIMIT 25"
+        case 1 =>
+          s"SELECT k1, k2, w FROM (SELECT l_orderkey AS k1, l_linenumber AS k2, " +
+            s"rank() OVER (ORDER BY l_quantity DESC, l_orderkey, l_linenumber) AS w " +
+            s"FROM lineitem WHERE l_orderkey % ${pick(rng, Seq("29", "31"))} = 0) z " +
+            s"ORDER BY k1, k2, w LIMIT 25"
+        case 2 =>
+          s"SELECT k1, k2, w FROM (SELECT l_orderkey AS k1, l_linenumber AS k2, " +
+            s"sum(l_quantity) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS w " +
+            s"FROM lineitem WHERE l_orderkey % ${pick(rng, Seq("29", "31"))} = 0) z " +
+            s"ORDER BY k1, k2, w LIMIT 25"
+        case 3 =>
+          s"SELECT k, w FROM (SELECT o_orderkey AS k, " +
+            s"lag(o_totalprice, 1) OVER (ORDER BY o_orderkey) AS w " +
+            s"FROM orders WHERE o_orderkey % 19 = 0) z ORDER BY k LIMIT 25"
+        case _ =>
+          s"SELECT k, w FROM (SELECT o_orderkey AS k, " +
+            s"avg(o_totalprice) OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey " +
+            s"ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS w " +
+            s"FROM orders WHERE o_orderkey % 11 = 0) z ORDER BY k LIMIT 25"
       }
-      s"SELECT k1, k2, w FROM (SELECT l_orderkey AS k1, l_linenumber AS k2, $w AS w " +
-        s"FROM lineitem WHERE l_orderkey % ${pick(rng, Seq("29", "31"))} = 0) z " +
-        s"ORDER BY k1, k2 LIMIT 25"
     case 7 =>
       // subqueries: correlated scalar / IN / NOT IN with planted NULLs
       // (three-valued NOT IN over a real scan) / EXISTS

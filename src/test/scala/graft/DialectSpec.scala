@@ -1949,6 +1949,32 @@ class DialectSpec extends AnyFunSuite with BeforeAndAfterAll {
       """[{"r":"xab"},{"r":"x[a]"}]""")
   }
 
+  test("round-14 grammar-v7 dialect fixes: ->> in call-arg position, DISTINCT ON with aliased sort keys") {
+    def one(sql: String, expect: String): Unit = {
+      val r = post(sql)
+      assert(r.statusCode() == 200, s"$sql -> ${r.body()}")
+      assert(r.body() == expect, s"$sql -> ${r.body()} (wanted $expect)")
+    }
+    // `->>` can never be a lambda arrow, so a bare column as the first
+    // argument of a call is a json extraction, not a lambda param
+    // (used to PARSE-fail; DuckDB-pinned 2026-08-16)
+    one("""SELECT max(CAST(j ->> 'a' AS INTEGER)) AS m """ +
+      """FROM (VALUES ('{"a": 3}'),('{"a": 7}')) t(j)""", """[{"m":7}]""")
+    // DISTINCT ON whose outer ORDER BY names FROM-scope columns the
+    // aliased select list hides: sort keys become hidden projections
+    one("SELECT DISTINCT ON (k) k AS f, v AS w " +
+      "FROM (VALUES (1,'a'),(1,'b'),(2,'c')) t(k,v) ORDER BY k, v DESC",
+      """[{"f":1,"w":"b"},{"f":2,"w":"c"}]""")
+    // ...and LIMIT survives the hidden-column rebuild
+    one("SELECT DISTINCT ON (k) v AS w " +
+      "FROM (VALUES (1,'a'),(1,'b'),(2,'c')) t(k,v) ORDER BY k, v DESC LIMIT 1",
+      """[{"w":"b"}]""")
+    // the unaliased spelling keeps working
+    one("SELECT DISTINCT ON (k) k, v FROM (VALUES (1,'a'),(1,'b'),(2,'c')) t(k,v) " +
+      "ORDER BY k, v",
+      """[{"k":1,"v":"a"},{"k":2,"v":"c"}]""")
+  }
+
   test("round-14: floating sum/avg(DISTINCT) OVER folds the sorted distinct set") {
     def one(sql: String, expect: String): Unit = {
       val r = post(sql)

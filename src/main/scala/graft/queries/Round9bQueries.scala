@@ -602,19 +602,33 @@ object Round9bQueries extends QueryModule {
 
   private lazy val rerankQueries: Seq[Q] = Seq(
     Q("n_mmr_rerank",
-      "Maximal-Marginal-Relevance diversified top-5 (λ=0.7) over each probe's cosine top-20 shortlist: the greedy loop unrolls as five relational steps — each step anti-joins the selected set, takes the max pair-similarity to it, and argmaxes the rounded MMR score — so BOTH engines run the identical declarative chain (no driver state at all). Candidate generation is the distributed part; the rerank touches only q×20 rows regardless of corpus size — the standard retrieval/diverse-sampling shape.",
+      "Maximal-Marginal-Relevance diversified top-5 (λ=0.7) over each probe's cosine top-20 shortlist: the greedy loop unrolls as five relational steps — each step anti-joins the selected set, takes the max pair-similarity to it, and argmaxes the rounded MMR score — so BOTH engines run the identical declarative chain (no driver state at all). Candidate generation is the distributed part (a FIXED probe workload × corpus scan — linear); the rerank touches only q×20 rows regardless of corpus size — the standard retrieval/diverse-sampling shape.",
       (s, dir) => {
         val lam = 0.7d
         val e = T(s, dir, "embeddings").select(col("vec_id"),
           expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+        // the probe WORKLOAD is fixed (first 200 probe ids): production
+        // rerank load is the number of user queries, independent of
+        // corpus size — an uncapped `% 150` slice scales WITH the
+        // corpus and turns candidate generation quadratic (the round-14
+        // 100× fence caught exactly that: a >78 GB window-sort spill).
+        // LIMIT 200 is a no-op at every real fixture size (≤14 probes)
         val probes = e.filter(col("vec_id") % 150 === 0)
+          .orderBy(col("vec_id")).limit(200)
           .select(col("vec_id").as("qid"), col("v").as("qv"))
         val wq = Window.partitionBy(col("qid"))
           .orderBy(col("simq").desc_nulls_last, col("vec_id").asc_nulls_last)
+        // the shortlist RANK runs over (qid, vec_id, simq) only — the
+        // 64-dim vector re-joins AFTER the top-20 cut, so the window
+        // sort moves ~30-byte rows instead of carrying the embedding
+        // through the shuffle (the other 100×-fence spill amplifier)
         val cand = DedupQueries.retain(
           e.join(broadcast(probes), col("vec_id") =!= col("qid"))
-            .withColumn("simq", round(SimilarityQueries.cosineHof("qv", "v"), 6))
+            .select(col("qid"), col("vec_id"),
+              round(SimilarityQueries.cosineHof("qv", "v"), 6).as("simq"))
             .withColumn("rn", row_number().over(wq)).filter(col("rn") <= 20)
+            .drop("rn")
+            .join(e, Seq("vec_id"))
             .select(col("qid"), col("vec_id"), col("simq"), col("v")))
         val pairs = DedupQueries.retain(cand.select(col("qid"), col("vec_id").as("ca"), col("v").as("va"))
           .join(cand.select(col("qid"), col("vec_id").as("cb"), col("v").as("vb")), "qid")
@@ -758,7 +772,8 @@ object Round9bQueries extends QueryModule {
             WHERE sl2.qid = c.qid AND sl2.vec_id = c.vec_id)) t
         WHERE rn = 1)"""
     s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-      q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 150 = 0),
+      q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 150 = 0
+        ORDER BY vec_id LIMIT 200),
       c AS (SELECT qid, vec_id, simq, v FROM (
           SELECT q.qid, e.vec_id, ${cos("q.qv", "e.v")} AS simq, e.v,
             row_number() OVER (PARTITION BY q.qid

@@ -62,7 +62,9 @@ object ScaleBench {
     "n_fuzzy_join_edit1",
     // map-only epoch hashing + 8-group rollup + doc-keyed self-join
     "n_epoch_shuffle",
-    // MMR: probe count scales with the corpus, shortlist stays 20;
+    // MMR: probe workload FIXED (first 200 probe ids — the round-14
+    // 100× fence caught the uncapped slice going quadratic), candidate
+    // generation is fixed-probes × corpus = linear, shortlist stays 20;
     // Zipf: token aggregate + vocab-bound regression
     "n_mmr_rerank", "n_zipf_fit",
     // round-10 sketches: bloom/cms are linear scans into bounded-state
@@ -232,12 +234,23 @@ object ScaleBench {
       T.all.foreach(t => T(spark, dir, t).queryExecution.toRdd.count())
       val out = sweep.map { name =>
         val fn = SparkEntry.queries(name)
+        System.err.println(s"[scale] $name @ $dir")
         def once(): Double = {
           val t0 = System.nanoTime()
           fn(spark, dir).queryExecution.toRdd.count()
           (System.nanoTime() - t0) / 1e9
         }
-        name -> math.min(once(), once())
+        // a query that cannot complete at the target scale records -1
+        // instead of killing the sweep — the emitted JSON names it and
+        // the fence treats it as a pathology to fix, not to hide
+        val v = try math.min(once(), once()) catch {
+          case e: Throwable =>
+            System.err.println(s"[scale] FAILED $name @ $dir: " +
+              String.valueOf(e.getMessage).takeWhile(_ != '\n').take(200))
+            -1.0
+        }
+        System.err.println(f"[scale] $name @ $dir -> $v%.2f s")
+        name -> v
       }.toMap
       graft.queries.DedupQueries.release(spark)
       out

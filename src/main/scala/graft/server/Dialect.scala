@@ -347,12 +347,17 @@ object Dialect {
     * rule: an error beats silently-different results).
     */
   private def rewritePivot(spark: SparkSession, sql: String): String = {
+    // the ORDER BY / LIMIT tail is part of DuckDB's simplified-PIVOT
+    // statement (docs lead with `PIVOT … GROUP BY … ORDER BY … LIMIT n`);
+    // Spark accepts the same tail after its PIVOT clause verbatim
     val m = ("""(?is)^\s*PIVOT\s+([A-Za-z_][A-Za-z0-9_.]*)\s+ON\s+([A-Za-z_][A-Za-z0-9_]*)""" +
       """(?:\s+IN\s*\(([^)]*)\))?""" +
       """\s+USING\s+([A-Za-z_][A-Za-z0-9_]*)\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)""" +
-      """(?:\s+GROUP\s+BY\s+([A-Za-z0-9_,\s]+?))?\s*;?\s*$""").r
+      """(?:\s+GROUP\s+BY\s+([A-Za-z0-9_,\s]+?))?""" +
+      """(?:\s+ORDER\s+BY\s+([A-Za-z0-9_,.\s"]+?))?""" +
+      """(?:\s+LIMIT\s+(\d+))?\s*;?\s*$""").r
     sql match {
-      case m(table, onCol, explicitIn, aggFn, aggArg, groupBy) =>
+      case m(table, onCol, explicitIn, aggFn, aggArg, groupBy, orderBy, limit) =>
         // an explicit `ON c IN (v1, v2)` list skips value enumeration
         // entirely (DuckDB's spelling for a fixed spreading list)
         val inList = Option(explicitIn).map(_.trim).filter(_.nonEmpty).getOrElse {
@@ -369,7 +374,9 @@ object Dialect {
           case Some(g) => s"(SELECT $g, $onCol, $aggArg FROM $table)"
           case None => table
         }
-        s"SELECT * FROM $src PIVOT ($aggFn($aggArg) FOR $onCol IN ($inList))"
+        val tail = Option(orderBy).map(o => s" ORDER BY ${o.trim}").getOrElse("") +
+          Option(limit).map(l => s" LIMIT $l").getOrElse("")
+        s"SELECT * FROM $src PIVOT ($aggFn($aggArg) FOR $onCol IN ($inList))$tail"
       case _ => sql
     }
   }
@@ -2630,9 +2637,41 @@ object Dialect {
     if (!containsUnquoted(sql, "UNION")) return sql
     val un = """(?is)\bUNION\s+(ALL\s+)?BY\s+NAME\b""".r
     val m = un.findFirstMatchIn(sql).getOrElse(return sql)
-    // only the single top-level union form is covered; nested/chained
-    // BY NAME unions pass through and fail loudly
-    if (firstTopLevel(sql, "UNION") != m.start) return sql
+    // a BY NAME union nested inside a paren span (derived table,
+    // IN-subquery, CTE body — round-14 fuzz v8) rewrites by applying
+    // this same function to the innermost enclosing span's content,
+    // where the union IS top-level; repeat until no nested match is
+    // left or a span makes no progress (then pass through loud)
+    if (firstTopLevel(sql, "UNION") != m.start) {
+      val mask = quoteMask(sql)
+      var depth = 0; var j = 0
+      val stack = new Array[Int](sql.length)
+      while (j < m.start) {
+        if (!mask(j)) sql.charAt(j) match {
+          case '(' => stack(depth) = j; depth += 1
+          case ')' => if (depth > 0) depth -= 1
+          case _ => ()
+        }
+        j += 1
+      }
+      if (depth == 0) return sql
+      val open = stack(depth - 1)
+      var d = 0; var k = open; var close = -1
+      while (k < sql.length && close < 0) {
+        if (!mask(k)) sql.charAt(k) match {
+          case '(' => d += 1
+          case ')' => d -= 1; if (d == 0) close = k
+          case _ => ()
+        }
+        k += 1
+      }
+      if (close < 0) return sql
+      val inner = sql.substring(open + 1, close)
+      val rewritten = rewriteUnionByName(spark, inner)
+      if (rewritten == inner) return sql
+      return rewriteUnionByName(spark,
+        sql.substring(0, open + 1) + rewritten + sql.substring(close))
+    }
     val all = m.group(1) != null
     val left = sql.substring(0, m.start).trim
     var right = sql.substring(m.end).trim.stripSuffix(";")
@@ -3470,6 +3509,188 @@ object Dialect {
     "string_agg", "group_concat", "listagg", "array_agg", "list",
     "bit_and", "bit_or", "bit_xor", "bool_and", "bool_or", "fsum", "favg")
   private val FilterWhereRe = """(?i)\bfilter\s*\(\s*where\b""".r
+  /** DuckDB window-frame `EXCLUDE CURRENT ROW / GROUP / TIES` (round-14
+    * fuzz v8 — Spark has no EXCLUDE syntax at all, so these were loud
+    * 400s where DuckDB runs them). The DECOMPOSABLE aggregates rewrite
+    * into arithmetic over window aggregates sharing the same spec:
+    *
+    *   sum(x) OVER (spec EXCLUDE e)
+    *     = CASE WHEN kept-nonnull-count = 0 THEN NULL
+    *            ELSE sum(x) OVER spec' − excluded-sum END
+    *   count(x)/count(*) subtract the excluded counts (0 on empty);
+    *   avg = decomposed sum / decomposed count.
+    *
+    * The excluded GROUP/TIES terms are aggregates over the PEER frame
+    * (`RANGE BETWEEN CURRENT ROW AND CURRENT ROW` under the same
+    * partition/order — exactly the peer set), so GROUP/TIES support
+    * RANGE frames and the default frame (both peer-aligned: a RANGE
+    * frame containing the current row contains ALL its peers) plus the
+    * whole-partition `ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED
+    * FOLLOWING` form; a bounded ROWS frame can cover a peer group
+    * PARTIALLY, which no decomposition can observe — stays loud.
+    * EXCLUDE CURRENT ROW is exact on every frame; when the bounds
+    * don't straddle the current row the clause removes nothing and
+    * just drops (DuckDB semantics). `EXCLUDE NO OTHERS` is the no-op
+    * spelling. min/max/other non-decomposable aggregates stay loud
+    * (Spark's parse error names the EXCLUDE text) — loud beats wrong.
+    * Pinned vs DuckDB 1.5.2 in DialectSpec (partition-edge frames,
+    * empty-after-exclusion → sum NULL / count 0, all-NULL peers).
+    */
+  private def rewriteFrameExclude(sql: String): String = {
+    if (!containsUnquoted(sql, "EXCLUDE")) return sql
+    val mask = quoteMask(sql)
+    val upper = sql.toUpperCase
+    // ---- locate an EXCLUDE that terminates an OVER ( … ) spec ----
+    var i = 0
+    while (i < sql.length) {
+      val atKw = !mask(i) && upper.startsWith("EXCLUDE", i) &&
+        (i == 0 || !isWordChar(sql.charAt(i - 1))) &&
+        (i + 7 >= sql.length || !isWordChar(sql.charAt(i + 7)))
+      if (atKw) {
+        // innermost unclosed '(' enclosing position i
+        var depth = 0; var open = -1; var j = 0
+        val stack = new Array[Int](sql.length)
+        while (j < i) {
+          if (!mask(j)) sql.charAt(j) match {
+            case '(' => stack(depth) = j; depth += 1
+            case ')' => if (depth > 0) depth -= 1
+            case _ => ()
+          }
+          j += 1
+        }
+        if (depth > 0) open = stack(depth - 1)
+        // the '(' must belong to an OVER clause
+        val isOver = open >= 0 && {
+          val before = sql.substring(0, open).reverse.dropWhile(_.isWhitespace)
+          before.length >= 4 && before.substring(0, 4).equalsIgnoreCase("revo") &&
+            (before.length == 4 || !isWordChar(before.charAt(4)))
+        }
+        if (isOver) {
+          // matching close of the OVER paren
+          var d = 0; var k = open; var close = -1
+          while (k < sql.length && close < 0) {
+            if (!mask(k)) sql.charAt(k) match {
+              case '(' => d += 1
+              case ')' => d -= 1; if (d == 0) close = k
+              case _ => ()
+            }
+            k += 1
+          }
+          // the aggregate call before OVER: `name ( args ) OVER (`
+          val beforeOver = {
+            var p = open - 1
+            while (p >= 0 && sql.charAt(p).isWhitespace) p -= 1
+            p -= 4 // step past "OVER" (p sat on its last char)
+            while (p >= 0 && sql.charAt(p).isWhitespace) p -= 1
+            p
+          }
+          var fnClose = beforeOver
+          var argOpen = -1
+          if (fnClose >= 0 && sql.charAt(fnClose) == ')') {
+            var d2 = 0; var q = fnClose
+            while (q >= 0 && argOpen < 0) {
+              if (!mask(q)) sql.charAt(q) match {
+                case ')' => d2 += 1
+                case '(' => d2 -= 1; if (d2 == 0) argOpen = q
+                case _ => ()
+              }
+              q -= 1
+            }
+          }
+          var ns = argOpen - 1
+          while (ns >= 0 && sql.charAt(ns).isWhitespace) ns -= 1
+          val nameEnd = ns + 1
+          while (ns >= 0 && isWordChar(sql.charAt(ns))) ns -= 1
+          val fn = if (argOpen > 0) sql.substring(ns + 1, nameEnd).toLowerCase else ""
+          // EXCLUDE terminates the frame grammar, so the remainder of
+          // the spec IS the kind phrase (anything else -> unsupported,
+          // loud downstream)
+          val kindOpt = if (close < 0) None
+            else sql.substring(i + 7, close).trim
+              .replaceAll("\\s+", " ").toUpperCase match {
+              case "CURRENT ROW" => Some("CUR")
+              case "GROUP" => Some("GROUP")
+              case "TIES" => Some("TIES")
+              case "NO OTHERS" => Some("NOOP")
+              case _ => None
+            }
+          if (close > 0 && kindOpt.isDefined &&
+              Set("sum", "count", "avg").contains(fn)) {
+            val x = sql.substring(argOpen + 1, fnClose).trim
+            val specNE = sql.substring(open + 1, i).trim
+            // frame analysis over the EXCLUDE-free spec
+            val specU = specNE.toUpperCase
+            def kwAt(kw: String): Int = firstTopLevel(specNE, kw)
+            val frameAt = Seq(kwAt("ROWS"), kwAt("RANGE"), kwAt("GROUPS"))
+              .filter(_ >= 0).sorted.headOption.getOrElse(-1)
+            val frameTxt = if (frameAt >= 0)
+              specU.substring(frameAt).replaceAll("\\s+", " ").trim else ""
+            val isRows = frameTxt.startsWith("ROWS")
+            val isGroups = frameTxt.startsWith("GROUPS")
+            val wholeRows = frameTxt ==
+              "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING"
+            // does the frame contain the current row? (bounds straddle)
+            val fb = """BETWEEN (UNBOUNDED PRECEDING|\d+ PRECEDING|CURRENT ROW|\d+ FOLLOWING) AND (UNBOUNDED FOLLOWING|\d+ FOLLOWING|CURRENT ROW|\d+ PRECEDING)""".r
+            val shorthand = """(ROWS|RANGE) (UNBOUNDED PRECEDING|\d+ PRECEDING|CURRENT ROW)$""".r
+            val contains =
+              if (frameTxt.isEmpty) true // default frame: UNBOUNDED PRECEDING..CURRENT ROW
+              else fb.findFirstMatchIn(frameTxt) match {
+                case Some(m) => !m.group(1).endsWith("FOLLOWING") && !m.group(2).endsWith("PRECEDING")
+                case None => shorthand.findFirstMatchIn(frameTxt).isDefined
+              }
+            val parseable = frameTxt.isEmpty ||
+              fb.findFirstMatchIn(frameTxt).isDefined ||
+              shorthand.findFirstMatchIn(frameTxt).isDefined
+            val hasOrder = kwAt("ORDER") >= 0
+            val kindK = kindOpt.get
+            // DuckDB requires an explicit frame clause before EXCLUDE
+            // (`ORDER BY k EXCLUDE GROUP` is a parse error there) —
+            // stay loud on the frameless spelling for parity
+            val supported = frameAt >= 0 && parseable && !isGroups &&
+              (kindK match {
+                case "NOOP" => true
+                case "CUR" => true
+                case _ => hasOrder && (!isRows || wholeRows)
+              })
+            if (supported) {
+              val peerSpec = (if (frameAt >= 0) specNE.substring(0, frameAt)
+                else specNE).trim + " RANGE BETWEEN CURRENT ROW AND CURRENT ROW"
+              val star = x == "*"
+              def full(f: String) = s"$f($x) OVER ($specNE)"
+              def peer(f: String) = s"$f($x) OVER ($peerSpec)"
+              val xNN = if (star) "1" else s"(CASE WHEN ($x) IS NULL THEN 0 ELSE 1 END)"
+              val xV0 = s"(CASE WHEN ($x) IS NULL THEN 0 ELSE ($x) END)"
+              val dropOnly = kindK == "NOOP" || !contains
+              val keptCnt = kindK match {
+                case _ if dropOnly => full("count")
+                case "CUR" => s"(${full("count")} - $xNN)"
+                case "GROUP" => s"(${full("count")} - ${peer("count")})"
+                case "TIES" => s"(${full("count")} - ${peer("count")} + $xNN)"
+              }
+              val replacement = fn match {
+                case _ if dropOnly => full(fn)
+                case "count" => keptCnt
+                case "sum" | "avg" =>
+                  val sumKept = kindK match {
+                    case "CUR" => s"${full("sum")} - $xV0"
+                    case "GROUP" => s"${full("sum")} - coalesce(${peer("sum")}, 0)"
+                    case _ => s"${full("sum")} - coalesce(${peer("sum")}, 0) + $xV0"
+                  }
+                  val guarded = s"(CASE WHEN $keptCnt = 0 THEN NULL ELSE $sumKept END)"
+                  if (fn == "sum") guarded
+                  else s"($guarded / nullif($keptCnt, 0))"
+              }
+              return rewriteFrameExclude(
+                sql.substring(0, ns + 1) + replacement + sql.substring(close + 1))
+            }
+          }
+        }
+      }
+      i += 1
+    }
+    sql
+  }
+
   private def rewriteWindowFilter(sql: String): String = {
     var out = sql
     var changed = true
@@ -3977,11 +4198,11 @@ object Dialect {
       // the quantified CASE as the shift's right operand
       rewriteDistinctOn(rewriteQualify(rewriteExclude(rewriteOffsetLimit(rewriteFactorialAbs(rewriteQuantified(rewriteShiftOps(rewritePower(rewriteGlob(rewriteTildeOps(rewriteAggOrder(rewriteSimilarTo(rewriteJsonOps(rewriteDateDiff(rewriteIntDiv(
         rewriteSample(rewriteStructPack(rewriteBrackets(rewriteBraces(
-          rewriteVarcharCasts(rewriteIntCasts(rewriteTypeAliases(rewriteWindowFilter(rewriteMultiUnnest(rewriteUnnestRecursive(rewriteExtractFields(rewriteExtractQuoted(
+          rewriteVarcharCasts(rewriteIntCasts(rewriteTypeAliases(rewriteFrameExclude(rewriteWindowFilter(rewriteMultiUnnest(rewriteUnnestRecursive(rewriteExtractFields(rewriteExtractQuoted(
           rewriteUnionByName(spark, rewriteReplace(spark, rewriteColumns(spark, rewriteAsOf(rewriteGenerateSeries(rewriteSources(spark,
             rewritePivot(spark, rewriteUnpivot(rewriteSummarize(spark,
               rewritePragma(rewriteDescribe(spark, expandMacros(spark, rewriteFromFirst(rewriteStringEscapes(sql)))))))),
-            pathOk))))))))))))))))))))))))))))))))))))
+            pathOk)))))))))))))))))))))))))))))))))))))
 
   /** The serving plane's spark.sql: parse, then rewrite arithmetic to
     * DuckDB semantics BEFORE analysis so Catalyst's own coercion

@@ -64,6 +64,11 @@ object FuzzProbe {
     // windows/subqueries over real columns); fuzz_check.py --sf <dir>
     // registers the same files as DuckDB views.
     val sfDir = if (args.length > 3) Some(args(3)) else None
+    // grammar v8 (round-14 second sweep): a 5th `v8` argument selects
+    // the rewrite-heavy relational tail over the same fixtures; the
+    // 4-arg form stays grammar v7 so the documented v7 sweep seeds
+    // replay unchanged.
+    val grammar = if (args.length > 4) args(4) else "v7"
     val spark = graft.GraftSession.tune(
       SparkSession.builder()
         .master("local[4]")
@@ -78,7 +83,10 @@ object FuzzProbe {
     val sb = new StringBuilder
     var i = 0
     while (i < n) {
-      val sql = if (sfDir.isDefined) genQueryV7(rng) else genQuery(rng)
+      val sql =
+        if (sfDir.isDefined && grammar == "v8") genQueryV8(rng)
+        else if (sfDir.isDefined) genQueryV7(rng)
+        else genQuery(rng)
       val line = lineFor(spark, i, sql)
       sb.append(line).append('\n')
       if (i % 500 == 0) {
@@ -689,6 +697,182 @@ object FuzzProbe {
         s"${pick(rng, Seq("min(o_orderdate)", "max(o_orderdate)", "avg(o_totalprice)", "count(DISTINCT o_custkey)"))} AS m " +
         s"FROM orders${if (rng.nextBoolean()) s" WHERE o_totalprice > ${pick(rng, Seq("50000", "200000"))}" else ""} " +
         s"GROUP BY g ORDER BY g NULLS LAST"
+  }
+
+  // ---------- grammar v8: the rewrite-heavy relational tail over real fixtures ----------
+
+  /** Round-14 second relational sweep: every family below routes
+    * through a NONTRIVIAL serving-plane rewrite — QUALIFY subquery
+    * wrap, GROUPS/EXCLUDE frame rewrites, COLUMNS()/star-modifier
+    * expansion, UNION BY NAME, the quantified-comparison CASE rewrite,
+    * the simplified-PIVOT statement, in-aggregate ORDER BY comparators,
+    * GROUPING SETS shells — applied ON TOP of real parquet scans, while
+    * DuckDB runs each shape natively over the same files. Grammar v7
+    * fuzzed the scan/join/agg planes themselves; v8 fuzzes the
+    * rewrites composed over them. Determinism: every output carries a
+    * total ORDER BY (grouping ids disambiguate subtotal NULLs from
+    * planted data NULLs; in-aggregate sorts order by the aggregated
+    * value itself so ties concatenate identically). */
+  def genQueryV8(rng: Random): String = rng.nextInt(14) match {
+    case 0 =>
+      // GROUPING SETS / ROLLUP / CUBE + GROUPING() over real keys
+      val spec = pick(rng, Seq(
+        "GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())",
+        "GROUPING SETS ((l_returnflag), (l_linestatus))",
+        "ROLLUP (l_returnflag, l_linestatus)",
+        "CUBE (l_returnflag, l_linestatus)"))
+      val where = if (rng.nextBoolean()) s" WHERE ${linePred(rng)}" else ""
+      s"SELECT l_returnflag AS g1, l_linestatus AS g2, " +
+        s"grouping(l_returnflag) AS i1, grouping(l_linestatus) AS i2, count(*) AS c, " +
+        s"${pick(rng, Seq("sum(l_quantity)", "round(sum(l_extendedprice), 4)", "min(l_shipdate)"))} AS a " +
+        s"FROM lineitem$where GROUP BY $spec " +
+        s"ORDER BY i1, i2, g1 NULLS LAST, g2 NULLS LAST"
+    case 1 =>
+      // GROUP BY ALL over orders (with a computed second key sometimes)
+      val keys = Seq(pick(rng, Seq("o_orderstatus", "o_orderpriority"))) ++
+        (if (rng.nextBoolean()) Seq("CAST(date_part('year', o_orderdate) AS BIGINT)") else Nil)
+      val ks = keys.zipWithIndex.map { case (k, i) => s"$k AS g${i + 1}" }
+      val gs = keys.indices.map(i => s"g${i + 1}")
+      s"SELECT ${ks.mkString(", ")}, count(*) AS c, round(sum(o_totalprice), 4) AS sp " +
+        s"FROM orders${if (rng.nextBoolean()) s" WHERE o_totalprice > ${pick(rng, Seq("50000", "150000"))}" else ""} " +
+        s"GROUP BY ALL ORDER BY ${gs.mkString(", ")}"
+    case 2 =>
+      // QUALIFY (the subquery-wrap rewrite); the admitted SET is
+      // value-determined even for rank() ties
+      val wf = pick(rng, Seq(
+        "row_number() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey)",
+        "rank() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC)",
+        "row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey)"))
+      s"SELECT o_orderkey AS k, o_orderstatus AS st FROM orders " +
+        s"${if (rng.nextBoolean()) s"WHERE o_orderkey % ${pick(rng, Seq("3", "7"))} = 0 " else ""}" +
+        s"QUALIFY $wf <= ${2 + rng.nextInt(4)} ORDER BY k"
+    case 3 =>
+      // FULL / RIGHT outer joins with disjoint-modulus sides, aggregated
+      val a = s"(SELECT l_orderkey AS k, l_quantity AS q FROM lineitem " +
+        s"WHERE l_orderkey % ${pick(rng, Seq("3", "5"))} = ${rng.nextInt(2)})"
+      val b = s"(SELECT o_orderkey AS k, o_totalprice AS p FROM orders " +
+        s"WHERE o_orderkey % ${pick(rng, Seq("2", "7"))} = ${rng.nextInt(2)})"
+      val jt = pick(rng, Seq("FULL JOIN", "RIGHT JOIN"))
+      s"SELECT count(*) AS c, count(a.k) AS ca, count(b.k) AS cb, " +
+        s"round(sum(a.q), 4) AS sq, round(sum(b.p), 4) AS sp FROM $a a $jt $b b ON a.k = b.k"
+    case 4 =>
+      // USING / NATURAL join forms over renamed real keys
+      val a = s"(SELECT l_orderkey AS k, l_quantity AS q FROM lineitem WHERE ${linePred(rng)}) a"
+      val b = "(SELECT o_orderkey AS k, o_totalprice AS p FROM orders) b"
+      if (rng.nextBoolean())
+        s"SELECT count(*) AS c, round(sum(q), 4) AS s1, round(sum(p), 2) AS s2 FROM $a NATURAL JOIN $b"
+      else
+        s"SELECT k, count(*) AS c FROM $a ${pick(rng, Seq("JOIN", "LEFT JOIN"))} $b USING (k) " +
+          s"GROUP BY k ORDER BY k LIMIT 20"
+    case 5 =>
+      // CTE chain joined back (WITH name reuse through USING)
+      s"WITH big AS (SELECT o_orderkey AS k, o_totalprice AS p FROM orders " +
+        s"WHERE o_totalprice > ${pick(rng, Seq("100000", "200000"))}), " +
+        s"agg AS (SELECT l_orderkey AS k, sum(l_quantity) AS sq, count(*) AS n " +
+        s"FROM lineitem GROUP BY k) " +
+        s"SELECT count(*) AS c, sum(sq) AS s, max(n) AS m FROM big JOIN agg USING (k)" +
+        (if (rng.nextBoolean()) " WHERE sq > 50" else "")
+    case 6 =>
+      // GROUPS frames and EXCLUDE clauses (the frame rewrites) over
+      // orders; GROUPS/EXCLUDE-GROUP/TIES order by the tied date key,
+      // ROWS+EXCLUDE CURRENT ROW by the unique key
+      val filt = s"WHERE o_orderkey % ${pick(rng, Seq("43", "59"))} = 0"
+      rng.nextInt(4) match {
+        case 0 =>
+          s"SELECT o_orderkey AS k, sum(o_totalprice) OVER (ORDER BY o_orderdate " +
+            s"GROUPS BETWEEN 1 PRECEDING AND ${pick(rng, Seq("CURRENT ROW", "1 FOLLOWING"))}) AS w " +
+            s"FROM orders $filt ORDER BY k LIMIT 25"
+        case 1 =>
+          s"SELECT o_orderkey AS k, sum(o_totalprice) OVER (ORDER BY o_orderkey " +
+            s"ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE CURRENT ROW) AS w " +
+            s"FROM orders $filt ORDER BY k LIMIT 25"
+        case 2 =>
+          s"SELECT o_orderkey AS k, count(*) OVER (ORDER BY o_orderdate " +
+            s"RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW EXCLUDE GROUP) AS w " +
+            s"FROM orders $filt ORDER BY k LIMIT 25"
+        case _ =>
+          s"SELECT o_orderkey AS k, sum(o_totalprice) OVER (ORDER BY o_orderdate " +
+            s"ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING EXCLUDE TIES) AS w " +
+            s"FROM orders $filt ORDER BY k LIMIT 25"
+      }
+    case 7 =>
+      // COLUMNS(regex) + star EXCLUDE/REPLACE expansion over real schemas
+      rng.nextInt(3) match {
+        case 0 =>
+          s"SELECT ${pick(rng, Seq("sum", "min", "max"))}(COLUMNS('l_(quantity|discount|tax)')) " +
+            s"FROM lineitem WHERE ${linePred(rng)}"
+        case 1 =>
+          s"SELECT * EXCLUDE (o_custkey, o_orderpriority) " +
+            s"REPLACE ((o_totalprice // 100) AS o_totalprice) FROM orders " +
+            s"WHERE o_orderkey % ${pick(rng, Seq("499", "997"))} = 0 ORDER BY o_orderkey LIMIT 15"
+        case _ =>
+          s"SELECT COLUMNS('o_order(key|status)') FROM orders " +
+            s"WHERE o_orderkey % ${pick(rng, Seq("599", "797"))} = 0 ORDER BY o_orderkey LIMIT 15"
+      }
+    case 8 =>
+      // quantified ANY/ALL comparisons (the three-valued CASE rewrite)
+      // over real subqueries
+      rng.nextInt(3) match {
+        case 0 =>
+          s"SELECT count(*) AS c FROM orders WHERE o_totalprice " +
+            s"${pick(rng, Seq(">", ">=", "<"))} ${pick(rng, Seq("ALL", "ANY"))} " +
+            s"(SELECT l_extendedprice FROM lineitem WHERE l_quantity > 49.5)"
+        case 1 =>
+          s"SELECT o_orderkey AS k FROM orders WHERE o_orderkey = ANY " +
+            s"(SELECT l_orderkey FROM lineitem WHERE ${linePred(rng)}) " +
+            s"AND o_orderkey % ${pick(rng, Seq("31", "53"))} = 0 ORDER BY k LIMIT 20"
+        case _ =>
+          s"SELECT count(*) AS c FROM lineitem WHERE l_quantity <> ALL " +
+            s"(SELECT o_orderkey % 50 FROM orders WHERE o_orderkey % 977 = 0)"
+      }
+    case 9 =>
+      // in-aggregate ORDER BY (the lexicographic comparator rewrite);
+      // sort keys end with the element or a unique key so ties
+      // concatenate identically on both engines
+      rng.nextInt(3) match {
+        case 0 =>
+          s"SELECT l_returnflag AS g, string_agg(DISTINCT l_linestatus, '|' ORDER BY l_linestatus) AS s " +
+            s"FROM lineitem GROUP BY g ORDER BY g"
+        case 1 =>
+          s"SELECT o_orderstatus AS g, string_agg(CAST(o_orderkey AS VARCHAR), ',' " +
+            s"ORDER BY o_totalprice DESC, o_orderkey) AS s FROM orders " +
+            s"WHERE o_orderkey % ${pick(rng, Seq("199", "299"))} = 0 GROUP BY g ORDER BY g"
+        case _ =>
+          s"SELECT c_mktsegment AS g, array_agg(c_custkey ORDER BY c_acctbal DESC, c_custkey) AS a " +
+            s"FROM customer WHERE c_custkey % 97 = 0 GROUP BY g ORDER BY g"
+      }
+    case 10 =>
+      // NULLS FIRST + OFFSET over a planted-NULL computed sort key
+      s"SELECT k, e FROM (SELECT o_orderkey AS k, " +
+        s"CASE WHEN o_custkey % 7 = 0 THEN NULL ELSE o_totalprice END AS e FROM orders " +
+        s"WHERE o_orderkey % ${pick(rng, Seq("23", "29"))} = 0) z " +
+        s"ORDER BY e ${pick(rng, Seq("NULLS FIRST", "DESC NULLS FIRST"))}, k " +
+        s"LIMIT 20 OFFSET ${5 + rng.nextInt(10)}"
+    case 11 =>
+      // UNION [ALL] BY NAME with reordered select lists
+      s"SELECT a, b FROM (SELECT l_returnflag AS a, count(*) AS b FROM lineitem GROUP BY a " +
+        s"UNION ${if (rng.nextBoolean()) "ALL " else ""}BY NAME " +
+        s"SELECT count(*) AS b, o_orderstatus AS a FROM orders GROUP BY a) z ORDER BY a, b"
+    case 12 =>
+      // LATERAL correlated derived table (comma + LATERAL spelling).
+      // The body always carries a count(*) column: DuckDB's inner-
+      // lateral decorrelation DROPS zero-input groups for non-count
+      // aggregates (sum-only body: order 249 vanishes) but keeps them
+      // with 0/NULL when any count appears — the classic count-bug
+      // surface, measured 2026-08-16 and documented in the omissions
+      // table; with the count present both engines agree INCLUDING
+      // the zero-input rows, so the family pins the kept values
+      s"SELECT o_orderkey AS k, z.m AS m, z.c AS c FROM orders, LATERAL " +
+        s"(SELECT ${pick(rng, Seq("max(l_quantity)", "min(l_quantity)", "round(sum(l_extendedprice), 4)"))} AS m, " +
+        s"count(*) AS c FROM lineitem WHERE l_orderkey = o_orderkey) z " +
+        s"WHERE o_orderkey % ${pick(rng, Seq("61", "83"))} = 0 ORDER BY k LIMIT 20"
+    case _ =>
+      // the simplified PIVOT statement (value enumeration + the
+      // round-14 ORDER BY/LIMIT tail)
+      s"PIVOT lineitem ON l_linestatus USING " +
+        s"${pick(rng, Seq("sum(l_quantity)", "min(l_extendedprice)", "max(l_extendedprice)"))} " +
+        s"GROUP BY l_returnflag ORDER BY l_returnflag" +
+        (if (rng.nextBoolean()) " LIMIT 3" else "")
   }
 
   // ---------- grammar v4: long-tail scalar planes + query shells ----------

@@ -41,7 +41,12 @@ class DialectPropertySpec extends AnyFunSuite {
             // extract long tail likewise)
             "AS INT", "AS TINYINT", "AS SMALLINT", "AS BIGINT",
             "::INT", "::TINYINT", "::SMALLINT", "::BIGINT",
-            "FILTER", "extract(epoch", "extract(dow", "recursive :=")
+            "FILTER", "extract(epoch", "extract(dow", "recursive :=",
+            // round-14: window-frame EXCLUDE clauses rewrite into the
+            // sum/count decomposition (rewriteFrameExclude), so any
+            // oracle spelling them is dialect surface now
+            "EXCLUDE CURRENT ROW", "EXCLUDE GROUP", "EXCLUDE TIES",
+            "EXCLUDE NO OTHERS")
           .exists(Dialect.hasUnquoted(sql, _)) ||
         // backslashes inside literals are dialect surface since probe
         // 19: DuckDB literals are standard SQL (no escape processing)

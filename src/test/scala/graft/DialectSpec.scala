@@ -2010,6 +2010,74 @@ class DialectSpec extends AnyFunSuite with BeforeAndAfterAll {
       """[{"rn":1,"s":5},{"rn":2,"s":5},{"rn":3,"s":7}]""")
   }
 
+  test("round-14 fuzz-v8 pins: frame EXCLUDE decomposition, PIVOT ORDER BY tail, nested UNION BY NAME") {
+    def one(sql: String, expect: String): Unit = {
+      val r = post(sql)
+      assert(r.statusCode() == 200, s"$sql -> ${r.body()}")
+      assert(r.body() == expect, s"$sql -> ${r.body()} (wanted $expect)")
+    }
+    def loud(sql: String): Unit =
+      assert(post(sql).statusCode() == 400, s"wanted 400: $sql")
+    val rel = "(VALUES (1, 10.0::DOUBLE, 'a'), (2, CAST(NULL AS DOUBLE), 'a'), " +
+      "(3, 10.0::DOUBLE, 'b'), (4, 20.0::DOUBLE, 'b'), (5, 30.0::DOUBLE, 'b')) t(k, v, g)"
+    // every expectation below is the DuckDB 1.5.2 value (measured
+    // 2026-08-16); Spark has no EXCLUDE syntax at all — the rewrite
+    // decomposes sum/count/avg into window aggregates over the same
+    // spec plus the peer frame (RANGE CURRENT ROW..CURRENT ROW)
+    one(s"SELECT k, sum(v) OVER (ORDER BY k ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING " +
+      s"EXCLUDE CURRENT ROW) AS w FROM $rel ORDER BY k",
+      """[{"k":1,"w":null},{"k":2,"w":20.0},{"k":3,"w":20.0},""" +
+        """{"k":4,"w":40.0},{"k":5,"w":20.0}]""")
+    // a frame that empties after exclusion is NULL, not 0
+    one(s"SELECT k, sum(v) OVER (ORDER BY k ROWS BETWEEN CURRENT ROW AND CURRENT ROW " +
+      s"EXCLUDE CURRENT ROW) AS w FROM $rel ORDER BY k",
+      """[{"k":1,"w":null},{"k":2,"w":null},{"k":3,"w":null},""" +
+        """{"k":4,"w":null},{"k":5,"w":null}]""")
+    // EXCLUDE GROUP on a RANGE frame: peers (equal sort keys) leave
+    one(s"SELECT k, count(*) OVER (ORDER BY g RANGE BETWEEN UNBOUNDED PRECEDING AND " +
+      s"CURRENT ROW EXCLUDE GROUP) AS w FROM $rel ORDER BY k",
+      """[{"k":1,"w":0},{"k":2,"w":0},{"k":3,"w":2},{"k":4,"w":2},{"k":5,"w":2}]""")
+    // EXCLUDE TIES keeps the current row itself (whole-partition ROWS)
+    one(s"SELECT k, sum(v) OVER (ORDER BY g ROWS BETWEEN UNBOUNDED PRECEDING AND " +
+      s"UNBOUNDED FOLLOWING EXCLUDE TIES) AS w FROM $rel ORDER BY k",
+      """[{"k":1,"w":70.0},{"k":2,"w":60.0},{"k":3,"w":20.0},""" +
+        """{"k":4,"w":30.0},{"k":5,"w":40.0}]""")
+    // count(expr) subtracts only a NON-NULL current row
+    one(s"SELECT k, count(v) OVER (ORDER BY k ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING " +
+      s"EXCLUDE CURRENT ROW) AS w FROM $rel ORDER BY k",
+      """[{"k":1,"w":0},{"k":2,"w":2},{"k":3,"w":1},{"k":4,"w":2},{"k":5,"w":1}]""")
+    // bounds that never contain the current row: EXCLUDE removes
+    // nothing and the clause just drops (DuckDB semantics)
+    one(s"SELECT k, sum(v) OVER (ORDER BY k ROWS BETWEEN 2 PRECEDING AND 1 PRECEDING " +
+      s"EXCLUDE CURRENT ROW) AS w FROM $rel ORDER BY k",
+      """[{"k":1,"w":null},{"k":2,"w":10.0},{"k":3,"w":10.0},""" +
+        """{"k":4,"w":10.0},{"k":5,"w":30.0}]""")
+    // EXCLUDE NO OTHERS is the explicit no-op spelling
+    one(s"SELECT k, sum(v) OVER (ORDER BY k ROWS BETWEEN 1 PRECEDING AND CURRENT ROW " +
+      s"EXCLUDE NO OTHERS) AS w FROM $rel ORDER BY k",
+      """[{"k":1,"w":10.0},{"k":2,"w":10.0},{"k":3,"w":10.0},""" +
+        """{"k":4,"w":30.0},{"k":5,"w":50.0}]""")
+    // loud parity: DuckDB requires an explicit frame before EXCLUDE;
+    // non-decomposable aggregates (min) stay loud too
+    loud(s"SELECT k, sum(v) OVER (ORDER BY g EXCLUDE GROUP) AS w FROM $rel ORDER BY k")
+    loud(s"SELECT k, min(v) OVER (ORDER BY g RANGE BETWEEN UNBOUNDED PRECEDING AND " +
+      s"CURRENT ROW EXCLUDE GROUP) AS w FROM $rel ORDER BY k")
+    // a bounded ROWS frame can cover a peer group partially — no
+    // decomposition can see that; stays loud
+    loud(s"SELECT k, sum(v) OVER (ORDER BY g ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING " +
+      s"EXCLUDE GROUP) AS w FROM $rel ORDER BY k")
+    // the simplified-PIVOT statement accepts DuckDB's ORDER BY/LIMIT tail
+    spark.sql("SELECT * FROM VALUES ('A','x',1),('A','y',2),('B','x',3),('B','y',4)," +
+      "('C','x',5) p(r, c, n)").createOrReplaceTempView("pvt14")
+    one("PIVOT pvt14 ON c USING sum(n) GROUP BY r ORDER BY r LIMIT 2",
+      """[{"r":"A","x":1,"y":2},{"r":"B","x":3,"y":4}]""")
+    // UNION BY NAME nested inside a derived table (fuzz v8: was a
+    // loud 400 where DuckDB runs it)
+    one("SELECT a, b FROM (SELECT 1 AS a, 2 AS b UNION ALL BY NAME " +
+      "SELECT 4 AS b, 3 AS a) z ORDER BY a",
+      """[{"a":1,"b":2},{"a":3,"b":4}]""")
+  }
+
   test("round-13 fuzz pins: CASE WHEN NULL, CASE END operands, cast-text windows, ceil/floor typing, sum/avg(DISTINCT) OVER") {
     def one(sql: String, expect: String): Unit = {
       val r = post(sql)
@@ -2053,10 +2121,12 @@ class DialectSpec extends AnyFunSuite with BeforeAndAfterAll {
         """{"rn":4,"s":3,"a":1.5},{"rn":5,"s":6,"a":2.0}]""")
     one("SELECT sum(DISTINCT x) OVER (PARTITION BY x) AS s " +
       "FROM (VALUES (CAST(NULL AS INT))) t(x)", """[{"s":null}]""")
-    // floating elements stay LOUD: a set rebuild makes their sums
-    // accumulation-order-dependent (the original omission rationale)
-    assert(post("SELECT sum(DISTINCT x) OVER (ORDER BY x) AS s " +
-      "FROM (VALUES (1.5)) t(x)").statusCode() >= 400)
+    // floating elements were LOUD when this tier was pinned (the
+    // accumulation-order rationale); round-14 ask #6 closed them with
+    // the canonical-order DOUBLE fold — the analysis-retry now serves
+    // the value the r13 build refused (see the round-14 pins above)
+    one("SELECT sum(DISTINCT x) OVER (ORDER BY x) AS s " +
+      "FROM (VALUES (1.5)) t(x)", """[{"s":1.5}]""")
     // a single-param lambda whose body is a CALL (rightEnd<0 path)
     one("SELECT list_transform([1,-2], (x) -> abs(x)) AS r", """[{"r":[1,2]}]""")
     // --- v2 grammar sweep (dates/timestamps/lists), all DuckDB-pinned ---

@@ -22,7 +22,8 @@ object SparkEntry {
     Round6Queries, Round8Queries, Round9Queries, Round9bQueries,
     Round10Queries, Round11Queries, Round11bQueries, Round11cQueries,
     Round11dQueries, Round11eQueries, Round11gQueries, Round11hQueries, Round11iQueries,
-    Round12Queries, Round12bQueries, Round12cQueries, TpchQueries)
+    Round12Queries, Round12bQueries, Round12cQueries, TpchQueries,
+    Round14Queries)
 
   private lazy val allQueries: Seq[Q] = {
     val qs = modules.flatMap(_.queries)

@@ -359,15 +359,21 @@ object Dialect {
     sql match {
       case m(table, onCol, explicitIn, aggFn, aggArg, groupBy, orderBy, limit) =>
         // an explicit `ON c IN (v1, v2)` list skips value enumeration
-        // entirely (DuckDB's spelling for a fixed spreading list)
-        val inList = Option(explicitIn).map(_.trim).filter(_.nonEmpty).getOrElse {
-          val vals = spark.table(table).select(onCol).distinct().na.drop()
-            .orderBy(onCol).collect().map(_.get(0))
-          vals.map {
-            case s: String => "'" + s.replace("'", "''") + "'"
-            case v => String.valueOf(v)
-          }.mkString(", ")
+        // entirely (DuckDB's spelling for a fixed spreading list).
+        // Enumeration failure (missing table/column) passes the text
+        // through UNREWRITTEN — the loud table-not-found belongs to
+        // analysis, not to a rewrite-time crash
+        val inListOpt = Option(explicitIn).map(_.trim).filter(_.nonEmpty).orElse {
+          try {
+            val vals = spark.table(table).select(onCol).distinct().na.drop()
+              .orderBy(onCol).collect().map(_.get(0))
+            Some(vals.map {
+              case s: String => "'" + s.replace("'", "''") + "'"
+              case v => String.valueOf(v)
+            }.mkString(", "))
+          } catch { case scala.util.control.NonFatal(_) => None }
         }
+        val inList = inListOpt.getOrElse(return sql)
         val src = Option(groupBy).map(_.trim).filter(_.nonEmpty) match {
           // explicit GROUP BY → project exactly (groups, on, arg): Spark
           // pivots group by all remaining columns

@@ -46,7 +46,10 @@ class DialectPropertySpec extends AnyFunSuite {
             // sum/count decomposition (rewriteFrameExclude), so any
             // oracle spelling them is dialect surface now
             "EXCLUDE CURRENT ROW", "EXCLUDE GROUP", "EXCLUDE TIES",
-            "EXCLUDE NO OTHERS")
+            "EXCLUDE NO OTHERS",
+            // the top-level simplified-PIVOT statement rewrites to
+            // Spark's PIVOT clause (i_pivot_tail_served's oracle)
+            "PIVOT ")
           .exists(Dialect.hasUnquoted(sql, _)) ||
         // backslashes inside literals are dialect surface since probe
         // 19: DuckDB literals are standard SQL (no escape processing)

@@ -2681,6 +2681,23 @@ object Dialect {
     val all = m.group(1) != null
     val left = sql.substring(0, m.start).trim
     var right = sql.substring(m.end).trim.stripSuffix(";")
+    // CHAINED set ops after the BY NAME branch (round-14): set ops of
+    // equal precedence bind LEFT-assoc, so `A UNION BY NAME B UNION C`
+    // is `(A ubn B) UNION C` — rewrite only the (left, first-segment)
+    // pair, wrap it as a derived table, and recurse over the remainder.
+    // INTERSECT binds tighter than UNION/EXCEPT and stays inside the
+    // segment; a following UNION or EXCEPT ends it.
+    val segEnd = Seq(firstTopLevel(right, "UNION"), firstTopLevel(right, "EXCEPT"))
+      .filter(_ >= 0).sorted.headOption
+    segEnd.foreach { at =>
+      val seg = right.substring(0, at).trim
+      val rest = right.substring(at)
+      val pair = s"$left UNION ${if (all) "ALL " else ""}BY NAME $seg"
+      val combined = rewriteUnionByName(spark, pair)
+      if (combined == pair) return sql
+      return rewriteUnionByName(spark,
+        s"SELECT * FROM ($combined) __ubn_c $rest")
+    }
     // hoist a trailing top-level ORDER BY / LIMIT / OFFSET
     val tailAt = Seq("ORDER", "LIMIT", "OFFSET")
       .map(k => firstTopLevel(right, k)).filter(_ >= 0).sorted.headOption

@@ -2076,6 +2076,18 @@ class DialectSpec extends AnyFunSuite with BeforeAndAfterAll {
     one("SELECT a, b FROM (SELECT 1 AS a, 2 AS b UNION ALL BY NAME " +
       "SELECT 4 AS b, 3 AS a) z ORDER BY a",
       """[{"a":1,"b":2},{"a":3,"b":4}]""")
+    // CHAINED BY NAME binds left-assoc (the former documented residue;
+    // all three DuckDB-measured 2026-08-16) — pure chain, a plain
+    // UNION ALL continuation, and an EXCEPT continuation
+    one("SELECT a, b FROM (SELECT 1 AS a, 2 AS b UNION ALL BY NAME " +
+      "SELECT 4 AS b, 3 AS a UNION ALL BY NAME SELECT 5 AS a, 6 AS b) z ORDER BY a",
+      """[{"a":1,"b":2},{"a":3,"b":4},{"a":5,"b":6}]""")
+    one("SELECT a FROM (SELECT 1 AS a UNION ALL BY NAME SELECT 2 AS a " +
+      "UNION ALL SELECT 3) z ORDER BY a",
+      """[{"a":1},{"a":2},{"a":3}]""")
+    one("SELECT a FROM (SELECT 1 AS a UNION ALL BY NAME SELECT 2 AS a " +
+      "EXCEPT SELECT 2) z ORDER BY a",
+      """[{"a":1}]""")
   }
 
   test("round-13 fuzz pins: CASE WHEN NULL, CASE END operands, cast-text windows, ceil/floor typing, sum/avg(DISTINCT) OVER") {

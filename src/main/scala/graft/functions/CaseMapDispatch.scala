@@ -38,11 +38,16 @@ case class CaseMapDispatch(child: Expression, toUpper: Boolean)
   override def prettyName: String = if (toUpper) "upper" else "lower"
 
   override def nullSafeEval(input: Any): Any =
-    CaseMapDispatch.map(input.asInstanceOf[UTF8String], toUpper)
+    CaseMapDispatch.mapCase(input.asInstanceOf[UTF8String], toUpper)
 
+  // The helper must NOT be named `map`: the case class inherits
+  // TreeNode.map, so Scala emits no static forwarder for a companion
+  // `map` and Janino resolves the call against TreeNode.map(Function1)
+  // — a compile failure that silently drops the whole projection to
+  // interpreted execution. `mapCase` keeps its static forwarder.
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
-      s"graft.functions.CaseMapDispatch.map($c, $toUpper)")
+      s"graft.functions.CaseMapDispatch.mapCase($c, $toUpper)")
 
   override protected def withNewChildInternal(newChild: Expression): CaseMapDispatch =
     copy(child = newChild)
@@ -50,7 +55,7 @@ case class CaseMapDispatch(child: Expression, toUpper: Boolean)
 
 object CaseMapDispatch {
   /** Unicode simple case mapping with DuckDB's utf8proc deltas. */
-  def map(s: UTF8String, toUpper: Boolean): UTF8String = {
+  def mapCase(s: UTF8String, toUpper: Boolean): UTF8String = {
     val in = s.toString
     val sb = new java.lang.StringBuilder(in.length)
     var i = 0

@@ -28,8 +28,13 @@ import graft.{Q, QueryModule, T}
   */
 object Round14Queries extends QueryModule {
 
+  // the FULL serving pipeline, as QueryServer.scala:380 runs it: text
+  // rewrite + the parse-level plane (DuckDB division semantics,
+  // null-poison folds, DISTINCT-over folds). Routing through
+  // Dialect.rewrite alone would skip the parse plane and silently
+  // diverge for future rows copied from this module (round-14 advice).
   private def served(s: org.apache.spark.sql.SparkSession, sql: String) =
-    s.sql(graft.server.Dialect.rewrite(s, sql))
+    graft.server.Dialect.sqlServed(s, graft.server.Dialect.rewrite(s, sql))
 
   // every window is PARTITIONED (the project's zero-single-task-window
   // contract, WarnAuditSpec); the global-ORDER EXCLUDE shapes are

@@ -2660,7 +2660,20 @@ object Dialect {
         }
         j += 1
       }
-      if (depth == 0) return sql
+      if (depth == 0) {
+        // BY NAME is top-level but NOT the first top-level set op
+        // (round-14 advice: `A UNION B UNION ALL BY NAME C` passed
+        // through unrewritten → loud 400 while DuckDB serves it).
+        // Set ops bind left-assoc, so the plain-op prefix is the BY
+        // NAME's left branch — wrap it as a derived table and
+        // recurse; the BY NAME is then the first top-level op. A
+        // top-level WITH stays loud: its CTEs may be referenced on
+        // BOTH sides and wrapping the prefix would break scoping.
+        val prefix = sql.substring(0, m.start).trim
+        if (prefix.isEmpty || prefix.toUpperCase.startsWith("WITH")) return sql
+        return rewriteUnionByName(spark,
+          s"SELECT * FROM ($prefix) __ubn_p ${sql.substring(m.start)}")
+      }
       val open = stack(depth - 1)
       var d = 0; var k = open; var close = -1
       while (k < sql.length && close < 0) {
@@ -3558,6 +3571,17 @@ object Dialect {
     * (Spark's parse error names the EXCLUDE text) — loud beats wrong.
     * Pinned vs DuckDB 1.5.2 in DialectSpec (partition-edge frames,
     * empty-after-exclusion → sum NULL / count 0, all-NULL peers).
+    *
+    * MULTI-EVALUATION CONSTRAINT (round-14 advice): the rewrite
+    * splices the aggregate's argument text into the replacement up to
+    * ~6 times (full/peer sums and counts, the null-count and current-
+    * row terms). For a DETERMINISTIC operand the copies are
+    * value-identical and the decomposition is exact; a
+    * non-deterministic operand (random()) would draw independently
+    * per copy — different from DuckDB's single evaluation — so those
+    * bail to the loud path below. Query-text size also multiplies
+    * with the argument length; acceptable for the served surface
+    * (256 KiB request cap bounds it).
     */
   private def rewriteFrameExclude(sql: String): String = {
     if (!containsUnquoted(sql, "EXCLUDE")) return sql
@@ -3637,8 +3661,21 @@ object Dialect {
               case "NO OTHERS" => Some("NOOP")
               case _ => None
             }
+          // the decomposition evaluates the argument text up to ~6
+          // times — exact only for deterministic operands; a random()
+          // draw per copy would silently diverge from DuckDB's single
+          // evaluation, so those stay loud (see scaladoc)
+          def nondeterministicArg(a: String): Boolean = {
+            val u = a.toUpperCase
+            Seq("RANDOM", "UUID", "GEN_RANDOM_UUID", "RAND", "UUIDV4", "UUIDV7")
+              .exists { f =>
+                val r = (s"""\\b$f\\s*\\(""").r
+                r.findFirstIn(u).isDefined
+              }
+          }
           if (close > 0 && kindOpt.isDefined &&
-              Set("sum", "count", "avg").contains(fn)) {
+              Set("sum", "count", "avg").contains(fn) &&
+              !nondeterministicArg(sql.substring(argOpen + 1, fnClose))) {
             val x = sql.substring(argOpen + 1, fnClose).trim
             val specNE = sql.substring(open + 1, i).trim
             // frame analysis over the EXCLUDE-free spec

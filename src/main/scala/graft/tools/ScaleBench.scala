@@ -242,9 +242,12 @@ object ScaleBench {
         }
         // a query that cannot complete at the target scale records -1
         // instead of killing the sweep — the emitted JSON names it and
-        // the fence treats it as a pathology to fix, not to hide
+        // the fence treats it as a pathology to fix, not to hide.
+        // NonFatal only: after an OOM/StackOverflow the JVM and Spark
+        // state are unreliable, so remaining timings would be garbage —
+        // let fatal errors kill the sweep loudly (round-14 advice).
         val v = try math.min(once(), once()) catch {
-          case e: Throwable =>
+          case scala.util.control.NonFatal(e) =>
             System.err.println(s"[scale] FAILED $name @ $dir: " +
               String.valueOf(e.getMessage).takeWhile(_ != '\n').take(200))
             -1.0

@@ -2066,6 +2066,12 @@ class DialectSpec extends AnyFunSuite with BeforeAndAfterAll {
     // decomposition can see that; stays loud
     loud(s"SELECT k, sum(v) OVER (ORDER BY g ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING " +
       s"EXCLUDE GROUP) AS w FROM $rel ORDER BY k")
+    // round-15: a NON-DETERMINISTIC operand bails to the loud path —
+    // the decomposition splices the argument up to ~6 times, which
+    // would draw random() independently per copy vs DuckDB's single
+    // evaluation (silent divergence beats nothing; loud beats silent)
+    loud(s"SELECT k, sum(v + random()) OVER (ORDER BY g ROWS BETWEEN 2 PRECEDING AND " +
+      s"2 FOLLOWING EXCLUDE CURRENT ROW) AS w FROM $rel ORDER BY k")
     // the simplified-PIVOT statement accepts DuckDB's ORDER BY/LIMIT tail
     spark.sql("SELECT * FROM VALUES ('A','x',1),('A','y',2),('B','x',3),('B','y',4)," +
       "('C','x',5) p(r, c, n)").createOrReplaceTempView("pvt14")
@@ -2088,6 +2094,18 @@ class DialectSpec extends AnyFunSuite with BeforeAndAfterAll {
     one("SELECT a FROM (SELECT 1 AS a UNION ALL BY NAME SELECT 2 AS a " +
       "EXCEPT SELECT 2) z ORDER BY a",
       """[{"a":1}]""")
+    // round-15 (r14 advice): BY NAME as the SECOND+ top-level set op —
+    // the plain-op prefix binds first (left-assoc) and becomes the BY
+    // NAME's left branch; all three DuckDB-measured 2026-08-16
+    one("SELECT a, b FROM (SELECT 1 AS a UNION ALL SELECT 2 " +
+      "UNION ALL BY NAME SELECT 3 AS b) z ORDER BY a NULLS LAST, b",
+      """[{"a":1,"b":null},{"a":2,"b":null},{"a":null,"b":3}]""")
+    one("SELECT a, b FROM (SELECT 1 AS a, 2 AS b UNION SELECT 1, 2 " +
+      "UNION ALL BY NAME SELECT 9 AS b, 8 AS a) z ORDER BY a",
+      """[{"a":1,"b":2},{"a":8,"b":9}]""")
+    one("SELECT a, b FROM (SELECT 1 AS a EXCEPT SELECT 2 " +
+      "UNION BY NAME SELECT 7 AS b) z ORDER BY a NULLS LAST",
+      """[{"a":1,"b":null},{"a":null,"b":7}]""")
   }
 
   test("round-13 fuzz pins: CASE WHEN NULL, CASE END operands, cast-text windows, ceil/floor typing, sum/avg(DISTINCT) OVER") {

@@ -50,6 +50,15 @@ class WarnAuditSpec extends AnyFunSuite {
               // unsupported broadcast hints — the intended plan is NOT
               // what runs. Any drop is a regression.
               hits.synchronized { hits += s"$current[hint-drop]" }
+            else if (msg.contains("falling back to interpreter mode") ||
+                     msg.contains("Expr codegen error"))
+              // round-14 verdict #1: a custom Expression whose doGenCode
+              // emits Java that Janino cannot compile silently drops the
+              // WHOLE projection to interpreted execution (values stay
+              // correct, the plan degrades). Third silent-degradation
+              // class after hint drops and task binaries — any fallback
+              // is a regression, naming the query that triggered it.
+              hits.synchronized { hits += s"$current[codegen-fallback]" }
             else if (msg.contains("Broadcasting large task binary")) {
               // round-13 verdict #2 / round-14 attribution: the 2–3 MiB
               // task binaries in the bench tail are Spark's RUNTIME

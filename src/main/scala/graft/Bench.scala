@@ -12,10 +12,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     codegen/scheduler before timing anything;
   *   - run queries in sorted-name order (deterministic cross-round
   *     per-query comparison regardless of Map hash order);
-  *   - any query whose first timing is slow gets a second run and we
-  *     report the min — steady-state cost is what a cluster sees,
-  *     first-hit JIT and contention spikes are what the driver box
-  *     adds. Failures print and never produce a fake-fast timing.
+  *   - TWO FULL PASSES, per-query min-of-2 (round-15; the drift-pin
+  *     method from bench/drift_r14): a contention spike must hit the
+  *     same query in both passes, minutes apart, to reach the record.
+  *     Steady-state cost is what a cluster sees; first-hit JIT and
+  *     contention spikes are what the driver box adds. Sub-2 s rows
+  *     whose passes disagree >15% get a third run. Failures print and
+  *     never produce a fake-fast timing. Loadavg is logged at start /
+  *     between passes / end so a contended run self-identifies.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -66,24 +70,26 @@ object Bench {
     val tsStart = java.time.Instant.now().toString
 
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
-    // Pass 1 doubles as JIT warm-up for the query shapes.
-    val first = ordered.map { case (n, f) => (n, f, once(n, f)) }
-    // Anything slow on first hit gets one re-run; keep the min. 0.3 s
-    // catches the mid-band that box contention inflates most — at sf0.1
-    // that is ~1/3 of the suite, and steady-state min is the documented
-    // measurement discipline (first-hit JIT + contention spikes are the
-    // driver box's, not the operator's). Round-11 addition (verdict #4):
-    // sub-2 s queries whose two timings DISAGREE by >15% get a third run
-    // — d_cube has measured 1.2 s clean and 23.9 s contended on an
-    // identical plan, and min-of-3 only where needed keeps the extra
-    // cost bounded to the noisy minority instead of the whole suite.
-    val results = first.map { case (n, f, t1) =>
-      var best = t1
-      if (t1 > 0.3) {
-        val t2 = once(n, f); best = math.min(best, t2)
-        if (best < 2.0 && math.abs(t1 - t2) > 0.15 * best)
-          best = math.min(best, once(n, f))
-      }
+    // Round-15 (verdict r14 #3): the RECORD drifted 0.446→0.514→0.610
+    // s/query across three rounds with zero code cause — single-pass
+    // timings inherit whatever the box is doing that minute, and each
+    // round burned a verdict cycle proving it. The bench now does what
+    // the round-14 drift pin did: TWO FULL PASSES over the suite in
+    // sorted order, per-query min-of-2, loadavg logged per pass — a
+    // contention spike has to hit the SAME query in BOTH passes
+    // (minutes apart) to survive into the record. Pass 1 doubles as
+    // JIT warm-up for the query shapes. Round-11 rule kept: sub-2 s
+    // queries whose two timings DISAGREE by >15% get a third run
+    // (d_cube has measured 1.2 s clean / 23.9 s contended on an
+    // identical plan), bounding extra cost to the noisy minority.
+    val pass1 = ordered.map { case (n, f) => (n, f, once(n, f)) }
+    val loadMid = loadavg
+    val pass2map = ordered.map { case (n, f) => n -> once(n, f) }.toMap
+    val results = pass1.map { case (n, f, t1) =>
+      val t2 = pass2map(n)
+      var best = math.min(t1, t2)
+      if (best < 2.0 && math.abs(t1 - t2) > 0.15 * best)
+        best = math.min(best, once(n, f))
       n -> best
     }
     graft.queries.DedupQueries.release(spark)
@@ -100,8 +106,9 @@ object Bench {
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("target/bench_full.json"),
       s"""{"total":${fmt(total)},"queries":${jsonMap(results)},""" +
-        s""""first_hit":${jsonMap(first.map(t => t._1 -> t._3))},""" +
-        s""""loadavg_start":${fmt(loadStart)},"loadavg_end":${fmt(loadEnd)},""" +
+        s""""pass1":${jsonMap(pass1.map(t => t._1 -> t._3))},""" +
+        s""""pass2":${jsonMap(pass2map)},""" +
+        s""""loadavg_start":${fmt(loadStart)},"loadavg_mid":${fmt(loadMid)},"loadavg_end":${fmt(loadEnd)},""" +
         s""""ts":"$tsStart","sf":"$sfDir"}""")
     catch { case _: Throwable => }
     val headline = Vector(
@@ -111,7 +118,7 @@ object Bench {
       "n_dedup_ngram_jaccard", "n_cosine_topk_bruteforce")
     val rmap = results.toMap
     val qs = jsonMap(headline.flatMap(k => rmap.get(k).map(k -> _)))
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"loadavg_start":${fmt(loadStart)},"loadavg_end":${fmt(loadEnd)},"ts":"$tsStart","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"loadavg_start":${fmt(loadStart)},"loadavg_mid":${fmt(loadMid)},"loadavg_end":${fmt(loadEnd)},"ts":"$tsStart","sf":"$sfDir"}""")
     spark.stop()
   }
 }

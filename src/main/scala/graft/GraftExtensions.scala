@@ -1537,6 +1537,24 @@ object GraftExtensions {
         Literal(0.0),
         LambdaFunction(Add(acc, v), Seq(acc, v))))
     }
+    def containsInfo(n: String) =
+      info(n, s"$n(l, v) - true/false membership; NULL only on NULL inputs (DuckDB semantics).")
+    // NOT a RuntimeReplaceable dispatch: a lambda-bearing list operand
+    // (list_contains(list_transform(..), v)) leaves the cached lazy
+    // replacement unresolved ("Cannot resolve the runtime replaceable
+    // expression", v9 seed-156 sweep) — the inline tree analyzes fine.
+    // A null-TYPED needle (which ArrayContains rejects at analysis) is
+    // handled for the overwhelmingly common LITERAL NULL spelling by
+    // folding to NULL here; a null-typed non-literal still fails loud.
+    val duckContains: Seq[Expression] => Expression = { args =>
+      two("list_contains", args)
+      if (args.exists(a => a.isInstanceOf[Literal] && a.dataType == NullType))
+        Literal.create(null, BooleanType)
+      else
+        CaseWhen(Seq((Or(IsNull(args(0)), IsNull(args(1))),
+          Literal.create(null, BooleanType))),
+          Some(Coalesce(Seq(ArrayContains(args(0), args(1)), Literal(false)))))
+    }
     def dot(a: Expression, b: Expression): Expression =
       fold2(a, b)(Multiply(_, _))
     Seq(
@@ -1600,6 +1618,16 @@ object GraftExtensions {
         info("list_intersect", "list_intersect(a, b) - distinct elements present in both lists (order unspecified, as DuckDB's)."),
         (args: Seq[Expression]) => { two("list_intersect", args)
           builtinBuilder("array_intersect")(args) }),
+      // DuckDB list_contains (= array_contains = array_has = list_has
+      // there): NULL list or NULL needle -> NULL, but an ABSENT needle
+      // returns FALSE even when the list carries NULL elements —
+      // Spark's ArrayContains returns NULL there (SQL three-valued).
+      // Grammar-v9 finding over the parquet-read nested fixture
+      // (round 15); the plain alias hid the divergence for 8 rounds.
+      ("list_contains", containsInfo("list_contains"), duckContains),
+      ("array_contains", containsInfo("array_contains"), duckContains),
+      ("array_has", containsInfo("array_has"), duckContains),
+      ("list_has", containsInfo("list_has"), duckContains),
       ("list_has_all",
         info("list_has_all", "list_has_all(a, b) - true when every non-NULL element of b is in a (empty b -> true)."),
         (args: Seq[Expression]) => { two("list_has_all", args)
@@ -2140,6 +2168,17 @@ object GraftExtensions {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
     import org.apache.spark.sql.types._
     def lv(n: String) = UnresolvedNamedLambdaVariable(Seq(n))
+    def mapExtractInfo(n: String) =
+      info(n, s"$n(m, k) - [value] when the key exists, else [] (DuckDB; maps only).")
+    val mapExtractBuilder: Seq[Expression] => Expression = { args =>
+      require(args.length == 2, s"map_extract expects 2 arguments, got ${args.length}")
+      builtinBuilder("slice")(Seq(
+        CreateArray(Seq(builtinBuilder("try_element_at")(args))),
+        Literal(1),
+        If(builtinBuilder("coalesce")(Seq(
+            builtinBuilder("map_contains_key")(args), Literal(false))),
+          Literal(1), Literal(0))))
+    }
     def aggE(e: Expression): Expression = e match {
       case f: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateFunction =>
         f.toAggregateExpression()
@@ -2308,15 +2347,21 @@ object GraftExtensions {
                 Literal("value"), Cast(Size(builtinBuilder("filter")(Seq(all,
                   LambdaFunction(org.apache.spark.sql.catalyst.expressions.EqualTo(e, k), Seq(e))))),
                   LongType))), Seq(k)))))) }),
-      // map_extract returns a LIST: [value] or [] when absent (DuckDB)
-      ("map_extract",
-        info("map_extract", "map_extract(m, k) - [value] when the key exists, else [] (DuckDB)."),
+      // map_extract returns a LIST: [value] or [] when absent (DuckDB).
+      // element_at is DuckDB's second spelling of the SAME map-only
+      // function (lists are a binder error there — map_contains_key
+      // keeps that loud here too); NULL map/key also yield [] (measured
+      // on the oracle, round-15 grammar v9). Spark's builtin
+      // element_at(list, i) is shadowed on the served path only.
+      ("map_extract", mapExtractInfo("map_extract"), mapExtractBuilder),
+      // element_at dispatches on type: maps take the DuckDB list form
+      // above; arrays keep Spark's native semantics (the library's own
+      // query modules use element_at(arr, i) on the same session)
+      ("element_at",
+        mapExtractInfo("element_at"),
         (args: Seq[Expression]) => {
-          require(args.length == 2, s"map_extract expects 2 arguments, got ${args.length}")
-          builtinBuilder("slice")(Seq(
-            CreateArray(Seq(builtinBuilder("try_element_at")(args))),
-            Literal(1),
-            If(builtinBuilder("map_contains_key")(args), Literal(1), Literal(0))))
+          require(args.length == 2, s"element_at expects 2 arguments, got ${args.length}")
+          graft.functions.ElementAtDispatch(args.head, args(1))
         }),
       // regex flag forms. NOTE: DuckDB's 3-arg regexp_replace replaces
       // the FIRST match and needs 'g' for global; Spark's builtin is
@@ -2691,7 +2736,10 @@ object GraftExtensions {
     "list_transform" -> "transform",
     "list_filter" -> "filter",
     "list_sort" -> "array_sort",
-    "list_contains" -> "array_contains",
+    // list_contains/array_contains/array_has/list_has are real
+    // registrations now (round-15 grammar-v9 finding: DuckDB returns
+    // FALSE for an absent needle in a NULL-carrying list; the plain
+    // alias inherited Spark's three-valued NULL)
     // list_append/list_concat deliberately NOT aliased: DuckDB skips
     // NULL list inputs (list_append(NULL, 3) = [3]) where Spark's
     // array_append/concat return NULL — the silent-divergence class
@@ -2747,10 +2795,8 @@ object GraftExtensions {
     "list_reverse" -> "reverse",
     "json_keys" -> "json_object_keys",
     "group_concat" -> "listagg",
-    // round-8 probe6/7: array_has is DuckDB's third list_contains
-    // spelling; list_apply = list_transform; to/from_base64 and
+    // round-8 probe6/7: list_apply = list_transform; to/from_base64 and
     // array_to_string map onto Spark's identical builtins (verified)
-    "array_has" -> "array_contains",
     "list_apply" -> "transform",
     // round-10 probe10: Spark's split is regex-based, same as DuckDB's
     // str_split_regex (string_split_regex already aliased above)

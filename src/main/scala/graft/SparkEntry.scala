@@ -23,7 +23,7 @@ object SparkEntry {
     Round10Queries, Round11Queries, Round11bQueries, Round11cQueries,
     Round11dQueries, Round11eQueries, Round11gQueries, Round11hQueries, Round11iQueries,
     Round12Queries, Round12bQueries, Round12cQueries, TpchQueries,
-    Round14Queries)
+    Round14Queries, Round15Queries)
 
   private lazy val allQueries: Seq[Q] = {
     val qs = modules.flatMap(_.queries)

@@ -59,8 +59,8 @@ case class SliceDispatch(child: Expression, from: Expression, to: Expression)
 /** DuckDB's bracket element access `x[i]`: on strings a ONE-CHARACTER
   * slice ('' when out of range or i = 0, -1 = last); on lists 1-based
   * with NULL at 0 / out-of-range and negative-from-end (Spark's
-  * try_element_at semantics plus the 0 edge); on maps the value lookup
-  * (documented divergence: DuckDB yields a one-element list).
+  * try_element_at semantics plus the 0 edge); on maps the one-element
+  * LIST lookup ([value] / [], DuckDB's map_extract shape).
   */
 case class AtDispatch(child: Expression, index: Expression)
     extends BinaryExpression with RuntimeReplaceable {
@@ -82,7 +82,17 @@ case class AtDispatch(child: Expression, index: Expression)
         Literal.create(null, et),
         ElementAt(child, Cast(index, IntegerType), None, failOnError = false))
     case MapType(_, _, _) =>
-      ElementAt(child, index, None, failOnError = false)
+      // DuckDB map[k] yields a ONE-ELEMENT LIST: [value] on a hit
+      // (including [NULL] for a NULL value), [] on a miss AND on a
+      // NULL map or key — the map_extract shape (measured on the
+      // oracle, DuckDB 1.0; round-15 grammar-v9 finding over
+      // parquet-read map columns — was a documented bare-value
+      // divergence before).
+      Slice(
+        CreateArray(Seq(ElementAt(child, index, None, failOnError = false))),
+        Literal(1),
+        If(Coalesce(Seq(MapContainsKey(child, index), Literal(false))),
+          Literal(1), Literal(0)))
     case _: StructType =>
       // struct['field'] — DuckDB's bracket spelling of struct_extract
       ExtractValue(child, index,

@@ -557,11 +557,15 @@ object Round11Queries extends QueryModule {
         FROM j GROUP BY lang ORDER BY lang ASC NULLS LAST""")),
 
     Q("n_label_noise",
-      "Label-noise audit by k-NN majority vote (the confident-learning-style check run before trusting a labeled set: a point whose neighbors overwhelmingly carry a different label is a suspect annotation): each probe's cosine top-5 neighborhood votes, the majority label (count desc, label asc tiebreak) compares against the probe's own label, and disagreements flag for review. Scale shape: probes broadcast once against the corpus (the n_knn_join_topk candidate discipline — at 100 TB the neighbor set comes from the ANN tier, not brute force), the vote is a probe-keyed 5-row aggregate.",
+      "Label-noise audit by k-NN majority vote (the confident-learning-style check run before trusting a labeled set: a point whose neighbors overwhelmingly carry a different label is a suspect annotation): each probe's cosine top-5 neighborhood votes, the majority label (count desc, label asc tiebreak) compares against the probe's own label, and disagreements flag for review. Scale shape: the audit WORKLOAD is a fixed probe batch (first 200 probe ids — an uncapped % slice scales WITH the corpus and turns scoring quadratic, the n_mmr_rerank precedent), broadcast once against the corpus; at 100 TB the neighbor set comes from the ANN tier, not brute force; the vote is a probe-keyed 5-row aggregate.",
       (s, dir) => {
         val emb = T(s, dir, "embeddings")
           .select(col("vec_id"), col("label"), col("embedding"))
+        // fixed probe workload (no-op at every real fixture size,
+        // ≤40 probes): audit batch size is a production knob
+        // independent of corpus size — see n_mmr_rerank / SCALE.md
         val probes = emb.filter(col("vec_id") % 50 === 0)
+          .orderBy(col("vec_id")).limit(200)
           .select(col("vec_id").as("qid"), col("label").as("own"),
             col("embedding").as("qv"))
         val w = Window.partitionBy(col("qid"))
@@ -583,7 +587,7 @@ object Round11Queries extends QueryModule {
       },
       Some("""WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
         p AS (SELECT vec_id AS qid, label AS own, embedding AS qv
-              FROM e WHERE vec_id % 50 = 0),
+              FROM e WHERE vec_id % 50 = 0 ORDER BY vec_id LIMIT 200),
         sc AS (SELECT p.qid, p.own, e.vec_id, e.label,
             round(list_sum(list_transform(list_zip(qv, embedding),
                 z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))

@@ -33,20 +33,26 @@ object Round11eQueries extends QueryModule {
   override val queries: Seq[Q] = Seq(
 
     Q("n_record_linkage",
-      "Fellegi-Sunter probabilistic record linkage (Fellegi & Sunter 1969 — the model under Splink/dedupe-style entity resolution): candidate part pairs block on (p_brand, p_size), three field comparisons (type equality, name head-word equality, retail price within 50.0) score log2(m/u) on agreement and log2((1-m)/(1-u)) on disagreement, with u-probabilities for type and head ESTIMATED from the data (chance-agreement rate sum n_v*(n_v-1)/(N*(N-1)) over the value-frequency relation) and fixed priors m=(0.95,0.9,0.8), u_price=0.05; total weight classifies match / possible / non_match. Scale shape: pairs exist only inside (brand,size) blocks — never all-pairs; the u-estimates are one-row aggregates over value-frequency relations broadcast back; at 100 TB the block key is the knob (finer keys cap block width) and the comparison relation partial-aggregates per block.",
+      "Fellegi-Sunter probabilistic record linkage (Fellegi & Sunter 1969 — the model under Splink/dedupe-style entity resolution): an incoming BATCH (the 2000 lowest part keys — linkage load is the arriving-records rate, independent of reference-corpus size; an unbounded self-join's pair space grows quadratically with the data, the n_mmr_rerank precedent) links against the full corpus; candidate pairs block on (p_brand, p_size), three field comparisons (type equality, name head-word equality, retail price within 50.0) score log2(m/u) on agreement and log2((1-m)/(1-u)) on disagreement, with u-probabilities for type and head ESTIMATED from the data (chance-agreement rate sum n_v*(n_v-1)/(N*(N-1)) over the value-frequency relation) and fixed priors m=(0.95,0.9,0.8), u_price=0.05; total weight classifies match / possible / non_match. Scale shape: pairs exist only inside (brand,size) blocks and only batch×corpus — never corpus all-pairs; the u-estimates are one-row aggregates over value-frequency relations broadcast back; at 100 TB the batch bound AND the block key are the knobs.",
       (s, dir) => {
         val p = T(s, dir, "part").select(
           col("p_partkey").as("k"), col("p_brand").as("brand"),
           col("p_size").as("size"), col("p_type").as("ptype"),
           split(col("p_name"), " ").getItem(0).as("head"),
           col("p_retailprice").as("price"))
+        // the fixed incoming batch: a no-op at the sf0.01 correctness
+        // fixture (2000 parts exactly); caps the pair space linearly
+        // at scale. batch = lowest keys, so every (batch, corpus) pair
+        // satisfies ak < bk and within-batch pairs count once — the
+        // unordered-pair output is complete for the batch.
+        val batch = p.orderBy(col("k")).limit(2000)
         val n = p.agg(count(lit(1)).cast("bigint").as("n_rows"))
         def uEst(c: String) = p.groupBy(col(c)).agg(count(lit(1)).as("cnt"))
           .agg(sum(col("cnt") * (col("cnt") - 1)).cast("bigint").as("agree"))
           .crossJoin(broadcast(n))
           .select(round(col("agree").cast("double")
             / (col("n_rows") * (col("n_rows") - 1)), 6).as(s"u_$c"))
-        val a = p.select(col("k").as("ak"), col("brand"), col("size"),
+        val a = batch.select(col("k").as("ak"), col("brand"), col("size"),
           col("ptype").as("at"), col("head").as("ah"), col("price").as("ap"))
         val b = p.select(col("k").as("bk"), col("brand"), col("size"),
           col("ptype").as("bt"), col("head").as("bh"), col("price").as("bp"))
@@ -90,12 +96,13 @@ object Round11eQueries extends QueryModule {
                  / (n_rows * (n_rows - 1)), 6) AS u_head
                FROM (SELECT head, count(*) AS cnt FROM p GROUP BY head), n
                GROUP BY n_rows),
+        batch AS (SELECT * FROM p ORDER BY k LIMIT 2000),
         pairs AS (
           SELECT a.k AS ak, b.k AS bk, a.brand, a.size,
             CASE WHEN a.ptype = b.ptype THEN 1 ELSE 0 END AS ag_type,
             CASE WHEN a.head = b.head THEN 1 ELSE 0 END AS ag_head,
             CASE WHEN abs(a.price - b.price) <= 50.0 THEN 1 ELSE 0 END AS ag_price
-          FROM p a JOIN p b ON a.brand = b.brand AND a.size = b.size AND a.k < b.k),
+          FROM batch a JOIN p b ON a.brand = b.brand AND a.size = b.size AND a.k < b.k),
         w AS (
           SELECT pairs.*, ut.u_ptype, uh.u_head,
             CASE WHEN ag_type = 1 THEN round(log2(0.95 / u_ptype), 6)

@@ -55,11 +55,14 @@ object Round9Queries extends QueryModule {
 
   override val queries: Seq[Q] = Seq(
     Q("n_knn_join_topk",
-      "Batched k-NN similarity join: every probe (vec_id % 50 = 0) gets its cosine top-10 via a mergeable per-partition top-k aggregate — the shuffle carries q·k summaries, not the q·n scored pairs a window sort would move.",
+      "Batched k-NN similarity join with a FIXED probe batch (first 200 of the vec_id % 50 slice — retrieval query load is independent of corpus size, the n_mmr_rerank precedent): each probe gets its cosine top-10 via a mergeable per-partition top-k aggregate — the shuffle carries q·k summaries, not the q·n scored pairs a window sort would move; candidate generation is fixed-probes × corpus = linear.",
       (s, dir) => {
         import s.implicits._
         val emb = T(s, dir, "embeddings")
+        // no-op at every real fixture size (≤40 probes); caps the pair
+        // space linearly at scale — see SCALE.md round-15
         val probes = emb.filter(col("vec_id") % 50 === 0)
+          .orderBy(col("vec_id")).limit(200)
           .select(col("vec_id").as("qid"), col("embedding").as("qv"))
         val scored = emb.join(broadcast(probes), col("vec_id") =!= col("qid"))
           .select(col("qid"),
@@ -75,7 +78,8 @@ object Round9Queries extends QueryModule {
             col("col._2").as("vec_id"), col("col._1").as("sim"))
           .orderBy(col("qid").asc_nulls_last, col("rk").asc_nulls_last)
       },
-      Some("""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0),
+      Some("""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+                WHERE vec_id % 50 = 0 ORDER BY vec_id LIMIT 200),
         scored AS (
           SELECT qid, vec_id,
             round(

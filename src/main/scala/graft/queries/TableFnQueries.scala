@@ -197,11 +197,12 @@ object TableFnQueries extends QueryModule {
         ORDER BY c_mktsegment ASC NULLS LAST, rn ASC NULLS LAST""")),
 
     Q("i_summarize",
-      "DuckDB SUMMARIZE → df.summary(): per-column profile. Oracle-exempt: profile layout is engine-specific; twin=i_profile_portable (oracle-passing SQL-expressible profile).",
+      "DuckDB SUMMARIZE → per-column profile (operators.SummaryProfile — Dataset.summary's semantics on raw catalyst aggregates, immune to session-registry name interception; round 15). Oracle-exempt: profile layout is engine-specific; twin=i_profile_portable (oracle-passing SQL-expressible profile).",
       (s, dir) =>
-        T(s, dir, "lineitem")
-          .select(col("l_quantity"), col("l_extendedprice"), col("l_discount"))
-          .summary("count", "min", "max", "mean"),
+        graft.operators.SummaryProfile.of(
+          T(s, dir, "lineitem")
+            .select(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+          Seq("count", "min", "max", "mean")),
       None),
 
     Q("i_sample_seeded",

@@ -192,15 +192,45 @@ object RowEncoders {
       out.write('\n')
     }
 
+  /** DuckDB's VARCHAR rendering of NESTED values (oracle-measured,
+    * round-15 bytes fuzz): lists `[1, NULL, 3]` (", " separator,
+    * NULL uppercase, strings bare), structs `{'k': v}` (keys
+    * single-quoted, values bare), maps `{k=v}`. Scalars inside reuse
+    * the CSV scalar conventions (timestamps, doubles with trailing
+    * .0) — this is what the reference's CSV carries for nested
+    * columns, since it streams DuckDB's own text conversion.
+    */
+  private[server] def duckTextValue(v: Any): String = v match {
+    case null => "NULL"
+    case seq: scala.collection.Seq[_] =>
+      seq.map(duckTextValue).mkString("[", ", ", "]")
+    case m: scala.collection.Map[_, _] =>
+      m.map { case (k, x) => s"${duckTextValue(k)}=${duckTextValue(x)}" }
+        .mkString("{", ", ", "}")
+    case r: Row =>
+      r.schema.fieldNames.zip(r.toSeq)
+        .map { case (n, x) => s"'$n': ${duckTextValue(x)}" }
+        .mkString("{", ", ", "}")
+    case t: java.sql.Timestamp => fmtTimestamp(t)
+    case d: java.lang.Double =>
+      if (d.isNaN || d.isInfinite) d.toString
+      else fmtFloating(java.lang.Double.toString(d), forCsv = true)
+    case f: java.lang.Float =>
+      if (f.isNaN || f.isInfinite) f.toString
+      else fmtFloating(java.lang.Float.toString(f), forCsv = true)
+    case other => intervalText(other, None).getOrElse(other.toString)
+  }
+
   private def csvField(v: Any, dt: Option[org.apache.spark.sql.types.DataType]): String = v match {
     case null => ""
     case t: java.sql.Timestamp => fmtTimestamp(t)
     case s =>
-      // nested values stringify as JSON, agreeing with the JSON and
-      // Arrow-utf8-fallback paths (not Scala's "WrappedArray(...)")
+      // nested values render as DuckDB's VARCHAR conversion (round-15
+      // bytes fuzz closed the old compact-JSON divergence: the oracle
+      // writes `[1, NULL, 3]`, not `[1,null,3]`)
       val str = s match {
         case _: scala.collection.Seq[_] | _: scala.collection.Map[_, _] | _: Row =>
-          jsonFallback(s)
+          duckTextValue(s)
         case d: java.lang.Double =>
           if (d.isNaN || d.isInfinite) d.toString
           else fmtFloating(java.lang.Double.toString(d), forCsv = true)

@@ -67,7 +67,9 @@ object FuzzProbe {
     // grammar v8 (round-14 second sweep): a 5th `v8` argument selects
     // the rewrite-heavy relational tail over the same fixtures; the
     // 4-arg form stays grammar v7 so the documented v7 sweep seeds
-    // replay unchanged.
+    // replay unchanged. Grammar v9 (round-15): the nested-type plane —
+    // a nested parquet fixture is materialized to target/fuzz_nested
+    // and fuzz_check.py registers it with --nested.
     val grammar = if (args.length > 4) args(4) else "v7"
     val spark = graft.GraftSession.tune(
       SparkSession.builder()
@@ -78,13 +80,17 @@ object FuzzProbe {
         .getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
     graft.GraftExtensions.injectInto(spark)
-    sfDir.foreach(registerFixtures(spark, _))
+    sfDir.foreach { d =>
+      if (grammar == "v9") registerFixturesV9(spark, d, "target/fuzz_nested")
+      else registerFixtures(spark, d)
+    }
     val rng = new Random(seed)
     val sb = new StringBuilder
     var i = 0
     while (i < n) {
       val sql =
-        if (sfDir.isDefined && grammar == "v8") genQueryV8(rng)
+        if (sfDir.isDefined && grammar == "v9") genQueryV9(rng)
+        else if (sfDir.isDefined && grammar == "v8") genQueryV8(rng)
         else if (sfDir.isDefined) genQueryV7(rng)
         else genQuery(rng)
       val line = lineFor(spark, i, sql)
@@ -777,7 +783,7 @@ object FuzzProbe {
       // orders; GROUPS/EXCLUDE-GROUP/TIES order by the tied date key,
       // ROWS+EXCLUDE CURRENT ROW by the unique key
       val filt = s"WHERE o_orderkey % ${pick(rng, Seq("43", "59"))} = 0"
-      rng.nextInt(4) match {
+      rng.nextInt(6) match {
         case 0 =>
           s"SELECT o_orderkey AS k, sum(o_totalprice) OVER (ORDER BY o_orderdate " +
             s"GROUPS BETWEEN 1 PRECEDING AND ${pick(rng, Seq("CURRENT ROW", "1 FOLLOWING"))}) AS w " +
@@ -790,9 +796,24 @@ object FuzzProbe {
           s"SELECT o_orderkey AS k, count(*) OVER (ORDER BY o_orderdate " +
             s"RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW EXCLUDE GROUP) AS w " +
             s"FROM orders $filt ORDER BY k LIMIT 25"
-        case _ =>
+        case 3 =>
           s"SELECT o_orderkey AS k, sum(o_totalprice) OVER (ORDER BY o_orderdate " +
             s"ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING EXCLUDE TIES) AS w " +
+            s"FROM orders $filt ORDER BY k LIMIT 25"
+        case 4 =>
+          // round-15: min/max EXCLUDE CURRENT ROW (the collected-frame
+          // decomposition with one instance removed)
+          s"SELECT o_orderkey AS k, ${pick(rng, Seq("min", "max"))}(o_totalprice) OVER " +
+            s"(ORDER BY o_orderkey ROWS BETWEEN ${1 + rng.nextInt(3)} PRECEDING AND " +
+            s"${1 + rng.nextInt(3)} FOLLOWING EXCLUDE CURRENT ROW) AS w " +
+            s"FROM orders $filt ORDER BY k LIMIT 25"
+        case _ =>
+          // round-15: min/max EXCLUDE GROUP/TIES over a tied date key
+          // (null-safe peer filter over the collected (key, value) frame)
+          s"SELECT o_orderkey AS k, ${pick(rng, Seq("min", "max"))}(o_totalprice) OVER " +
+            s"(ORDER BY o_orderdate RANGE BETWEEN UNBOUNDED PRECEDING AND " +
+            s"${pick(rng, Seq("CURRENT ROW", "UNBOUNDED FOLLOWING"))} " +
+            s"EXCLUDE ${pick(rng, Seq("GROUP", "TIES"))}) AS w " +
             s"FROM orders $filt ORDER BY k LIMIT 25"
       }
     case 7 =>
@@ -873,6 +894,195 @@ object FuzzProbe {
         s"${pick(rng, Seq("sum(l_quantity)", "min(l_extendedprice)", "max(l_extendedprice)"))} " +
         s"GROUP BY l_returnflag ORDER BY l_returnflag" +
         (if (rng.nextBoolean()) " LIMIT 3" else "")
+  }
+
+  // ---------- grammar v9: the nested-type plane over real parquet ----------
+
+  /** v9 fixture: a NESTED parquet table materialized from the real
+    * fixtures (arrays derived from events + a real float-vector column
+    * joined from embeddings; struct/map/JSON from events), then read
+    * back FROM PARQUET by BOTH engines — v7 fuzzed flat relational
+    * columns and v8 the rewrites; nested types read from parquet had
+    * never been fuzzed end-to-end (round-14 verdict ask #4). Columns:
+    *   nid    BIGINT                          unique key
+    *   ints   ARRAY<BIGINT>   1–5 elems, planted NULL elems + NULL rows
+    *   strs   ARRAY<STRING>   planted NULL elems
+    *   st     STRUCT<a BIGINT, b STRING, c DOUBLE>  planted NULL rows
+    *   mp     MAP<STRING,BIGINT>  fixed keys t/n, planted NULL values
+    *   js     STRING          real JSON text (events.props)
+    *   emb    ARRAY<FLOAT>    real embedding vectors, planted NULL rows
+    * Deterministic (pure arithmetic on event_id), regenerated per sweep
+    * (cheap), written single-file so DuckDB's glob sees one footer.
+    */
+  def registerFixturesV9(spark: SparkSession, dir: String, out: String): Unit = {
+    registerFixtures(spark, dir)
+    spark.read.parquet(s"$dir/embeddings.parquet").createOrReplaceTempView("embeddings")
+    spark.sql(
+      """SELECT e.event_id AS nid,
+        |  CASE WHEN e.event_id % 11 = 0 THEN NULL ELSE
+        |    transform(sequence(1, CAST(e.event_id % 5 AS INT) + 1),
+        |      x -> CASE WHEN (CAST(e.event_id AS INT) + x) % 7 = 0 THEN CAST(NULL AS BIGINT)
+        |           ELSE CAST((e.event_id * x) % 97 - 13 AS BIGINT) END)
+        |  END AS ints,
+        |  CASE WHEN e.event_id % 13 = 0 THEN array(CAST(NULL AS STRING), e.event_type)
+        |       ELSE array(e.event_type, substring(e.event_type, 1, 2),
+        |                  CAST(e.user_id % 5 AS STRING)) END AS strs,
+        |  CASE WHEN e.event_id % 17 = 0 THEN CAST(NULL AS STRUCT<a: BIGINT, b: STRING, c: DOUBLE>)
+        |       ELSE named_struct('a', e.user_id, 'b', e.event_type, 'c', round(e.value, 3)) END AS st,
+        |  map('t', e.user_id % 10,
+        |      'n', CASE WHEN e.event_id % 19 = 0 THEN CAST(NULL AS BIGINT) ELSE e.event_id % 7 END) AS mp,
+        |  e.props AS js,
+        |  CASE WHEN e.event_id % 23 = 0 THEN NULL ELSE emb.embedding END AS emb
+        |FROM events e LEFT JOIN embeddings emb ON e.event_id % 500 = emb.vec_id
+        |WHERE e.event_id % 2 = 0""".stripMargin)
+      .coalesce(1).write.mode("overwrite").parquet(out)
+    spark.read.parquet(out).createOrReplaceTempView("nested")
+  }
+
+  /** Deterministic filters over the nested fixture. */
+  private def nestPred(rng: Random): String = pick(rng, Seq(
+    s"nid % ${pick(rng, Seq("3", "7", "13"))} = 0",
+    "st.a % 5 = 0",
+    "len(ints) >= 3",
+    "list_sum(ints) > 20",
+    "st.b IN ('click', 'view')",
+    "strs[1] IS NOT NULL",
+    "emb IS NOT NULL AND nid % 9 = 0",
+    "ints IS NULL OR nid % 21 = 0"))
+
+  def genQueryV9(rng: Random): String = rng.nextInt(14) match {
+    case 0 =>
+      // list lambdas folded to scalars (transform/filter + sum/min/max)
+      val lam = pick(rng, Seq("x -> x * 2 + 1", "x -> x % 5", "x -> -x",
+        "x -> x + nid", "x -> abs(x)"))
+      val fold = pick(rng, Seq("list_sum", "list_min", "list_max"))
+      s"SELECT nid, $fold(list_transform(ints, $lam)) AS a, " +
+        s"len(list_filter(ints, x -> x ${pick(rng, Seq("> 0", "< 10", "% 2 = 0"))})) AS b " +
+        s"FROM nested WHERE ${nestPred(rng)} ORDER BY nid LIMIT 25"
+    case 1 =>
+      // subscripts and slices on parquet-read lists (1-based, negative,
+      // out-of-bounds-NULL, clamped slices — the DuckDB semantics)
+      val ix = pick(rng, Seq("1", "2", "3", "9", "-1"))
+      s"SELECT nid, ints[$ix] AS a, ints[${1 + rng.nextInt(2)}:${2 + rng.nextInt(3)}] AS sl, " +
+        s"strs[${pick(rng, Seq("1", "2", "-1"))}] AS s2 " +
+        s"FROM nested WHERE ${nestPred(rng)} ORDER BY nid LIMIT 25"
+    case 2 =>
+      // unnest of a parquet-read list in the select list (+ regroup)
+      if (rng.nextBoolean())
+        s"SELECT nid, unnest(ints) AS u FROM nested " +
+          s"WHERE nid % ${pick(rng, Seq("37", "53"))} = 0 ORDER BY nid, u NULLS LAST LIMIT 30"
+      else
+        s"SELECT count(*) AS c, sum(u) AS s, count(u) AS cu FROM " +
+          s"(SELECT unnest(${pick(rng, Seq("ints", "list_transform(ints, x -> x % 11)"))}) AS u " +
+          s"FROM nested WHERE ${nestPred(rng)}) z"
+    case 3 =>
+      // struct field access through filter/sort/group planes
+      rng.nextInt(3) match {
+        case 0 =>
+          s"SELECT nid, st.a AS a, st.b AS b, round(st.c, 2) AS c FROM nested " +
+            s"WHERE st.a % ${pick(rng, Seq("3", "4"))} = 0 ORDER BY nid LIMIT 25"
+        case 1 =>
+          s"SELECT st.b AS g, count(*) AS c, sum(st.a) AS s, round(sum(st.c), 4) AS sc " +
+            s"FROM nested GROUP BY st.b ORDER BY g NULLS LAST"
+        case _ =>
+          s"SELECT nid, CASE WHEN st IS NULL THEN 'none' ELSE st.b END AS b " +
+            s"FROM nested WHERE nid % ${pick(rng, Seq("19", "29"))} = 0 ORDER BY nid LIMIT 25"
+      }
+    case 4 =>
+      // map subscript / keys / cardinality (DuckDB 1.0 map[k] is
+      // LIST-valued: [] on miss — the dialect must reproduce or stay
+      // loud, never silently return the bare value)
+      rng.nextInt(3) match {
+        case 0 =>
+          s"SELECT nid, mp['${pick(rng, Seq("t", "n", "zz"))}'] AS v, cardinality(mp) AS c " +
+            s"FROM nested WHERE ${nestPred(rng)} ORDER BY nid LIMIT 25"
+        case 1 =>
+          s"SELECT nid, list_sort(map_keys(mp)) AS ks FROM nested " +
+            s"WHERE nid % ${pick(rng, Seq("31", "41"))} = 0 ORDER BY nid LIMIT 25"
+        case _ =>
+          // the grouped key is SCALARIZED ([1] on the list-valued map
+          // extract): ORDER BY over raw lists with NULL elements is a
+          // measured collation divergence (Spark sorts a NULL element
+          // low, DuckDB high — COVERAGE.md omissions)
+          s"SELECT element_at(mp, '${pick(rng, Seq("t", "n"))}')[1] AS v, count(*) AS c " +
+            s"FROM nested GROUP BY v ORDER BY v NULLS LAST"
+      }
+    case 5 =>
+      // JSON chains over the real props text, composed with casts
+      rng.nextInt(3) match {
+        case 0 =>
+          s"SELECT nid, js->>'k' AS k1, CAST(js->>'k' AS INTEGER) % 10 AS k2 " +
+            s"FROM nested WHERE ${nestPred(rng)} ORDER BY nid LIMIT 25"
+        case 1 =>
+          s"SELECT CAST(js->>'k' AS INTEGER) % ${pick(rng, Seq("5", "7"))} AS g, count(*) AS c " +
+            s"FROM nested GROUP BY g ORDER BY g NULLS LAST"
+        case _ =>
+          s"SELECT nid, json_extract_string(js, '$$.k') AS k1 FROM nested " +
+            s"WHERE nid % ${pick(rng, Seq("43", "59"))} = 0 ORDER BY nid LIMIT 25"
+      }
+    case 6 =>
+      // string-list ops (join/contains/position) with planted NULL elems
+      s"SELECT nid, array_to_string(strs, '${pick(rng, Seq(",", "|"))}') AS j, " +
+        s"list_contains(strs, '${pick(rng, Seq("click", "view", "zz"))}') AS c, " +
+        s"list_position(strs, '${pick(rng, Seq("signup", "error"))}') AS p " +
+        s"FROM nested WHERE ${nestPred(rng)} ORDER BY nid LIMIT 25"
+    case 7 =>
+      // the real float-vector column: double-cast folds (norms, dots
+      // against a constant plane) — unrounded, the checker's 1e-9
+      // relative tolerance absorbs engine ulp
+      s"SELECT nid, list_sum(list_transform(emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm, " +
+        s"len(emb) AS d FROM nested WHERE emb IS NOT NULL AND nid % ${pick(rng, Seq("27", "39"))} = 0 " +
+        s"ORDER BY nid LIMIT 20"
+    case 8 =>
+      // nested ops composed with the v8 rewrite planes (// ^ << ::)
+      s"SELECT nid, (list_sum(ints) // ${pick(rng, Seq("3", "5"))}) AS a, " +
+        s"(len(strs) << ${1 + rng.nextInt(2)}) AS b, " +
+        s"(coalesce(ints[1], 0) ^ 2)::BIGINT AS p " +
+        s"FROM nested WHERE ${nestPred(rng)} ORDER BY nid LIMIT 25"
+    case 9 =>
+      // whole-list outputs with pinned order: sort / distinct-sorted /
+      // slice render as lists on both sides
+      rng.nextInt(3) match {
+        case 0 =>
+          s"SELECT nid, list_sort(ints) AS s FROM nested " +
+            s"WHERE nid % ${pick(rng, Seq("33", "47"))} = 0 ORDER BY nid LIMIT 25"
+        case 1 =>
+          s"SELECT nid, list_sort(list_distinct(ints)) AS d FROM nested " +
+            s"WHERE nid % ${pick(rng, Seq("35", "49"))} = 0 ORDER BY nid LIMIT 25"
+        case _ =>
+          s"SELECT nid, list_sort(ints, 'DESC') AS s FROM nested " +
+            s"WHERE nid % ${pick(rng, Seq("51", "63"))} = 0 ORDER BY nid LIMIT 25"
+      }
+    case 10 =>
+      // aggregates whose inputs are nested-derived scalars
+      s"SELECT ${pick(rng, Seq("st.b", "(nid % 4)"))} AS g, count(*) AS c, " +
+        s"sum(list_sum(ints)) AS s, max(len(strs)) AS m, " +
+        s"round(avg(coalesce(ints[1], 0)), 6) AS a " +
+        s"FROM nested GROUP BY 1 ORDER BY g NULLS LAST"
+    case 11 =>
+      // joins keyed on nested-derived values (struct field, map value)
+      if (rng.nextBoolean())
+        s"SELECT a.nid AS n1, b.nid AS n2 FROM nested a JOIN nested b " +
+          s"ON a.st.a = b.st.a AND a.nid + ${1 + rng.nextInt(3)} = b.nid " +
+          s"WHERE a.nid % ${pick(rng, Seq("57", "71"))} = 0 ORDER BY n1, n2 LIMIT 25"
+      else
+        s"SELECT o.o_orderkey AS k, n.nid FROM orders o JOIN nested n " +
+          s"ON o.o_orderkey = n.nid WHERE n.st.a % 7 = 0 ORDER BY k LIMIT 25"
+    case 12 =>
+      // windows over nested-derived keys and values
+      s"SELECT nid, row_number() OVER (PARTITION BY st.b ORDER BY list_sum(ints) " +
+        s"${pick(rng, Seq("ASC", "DESC"))} NULLS LAST, nid) AS rn " +
+        s"FROM nested WHERE nid % ${pick(rng, Seq("9", "15"))} = 0 ORDER BY nid LIMIT 30"
+    case _ =>
+      // list containment / quantified membership in predicates
+      rng.nextInt(2) match {
+        case 0 =>
+          s"SELECT nid FROM nested WHERE list_contains(list_transform(ints, x -> x % 5), " +
+            s"${rng.nextInt(5)}) ORDER BY nid LIMIT 25"
+        case _ =>
+          s"SELECT count(*) AS c FROM nested WHERE coalesce(ints[1], 0) IN " +
+            s"(SELECT nid % 20 FROM nested WHERE nid % 101 = 0)"
+      }
   }
 
   // ---------- grammar v4: long-tail scalar planes + query shells ----------

@@ -36,21 +36,19 @@ object ScaleBench {
     "n_dup_span_extract", "n_dup_span_apply", "n_embed_covariance",
     // round-9 additions: k-means is broadcast-assign + k·d-key aggs,
     // logreg is three map-combined gradient aggregates — both linear.
-    // n_knn_join_topk is deliberately absent: its probe set scales
-    // WITH the corpus (vec_id % 50), so the brute-force q·n pair space
-    // grows ~100× for 10× data by construction — the documented scale
-    // path swaps in bucketed candidate generation (SCALE.md), which is
-    // what the ANN rows already measure.
-    "n_kmeans_lloyd", "n_quality_logreg",
+    // n_knn_join_topk joined in round 15 once its probe workload was
+    // FIXED (first 200 probe ids): fixed-probes × corpus = linear.
+    "n_kmeans_lloyd", "n_quality_logreg", "n_knn_join_topk",
     // round-9 late additions: BPE trains on the vocab aggregate (one
     // corpus scan), entropy is a row-local codegen kernel
     "n_bpe_train", "n_char_entropy",
     // round-9 second batch: BM25 statistics are token-keyed aggregates,
     // BPE encode does its string surgery on the vocab relation (docs
     // just sum through a token-keyed join), PCA is two O(d)-state
-    // passes over the corpus. n_ann_pq is absent for the same reason
-    // as n_knn_join_topk: its probe set scales WITH the corpus.
-    "n_bm25_topk", "n_bpe_encode", "n_pca_power",
+    // passes over the corpus. n_ann_pq joined in round 15 once its
+    // probe workload was FIXED (first 200 probe ids — the n_mmr_rerank
+    // precedent): the ADC join is now fixed-probes × corpus = linear.
+    "n_bm25_topk", "n_bpe_encode", "n_pca_power", "n_ann_pq",
     // bigram LM: model aggregates + co-partitioned rejoin, linear in
     // tokens (n_rand_proj is excluded: fixed 50-vector output slice)
     "n_bigram_lm",
@@ -144,12 +142,12 @@ object ScaleBench {
     // round-11e: DoReMi is the unigram-LM chain + a source rollup;
     // the encoding audit is row-local counters into a source rollup;
     // packing is a 3-way broadcast cross of one linear scan.
-    // n_record_linkage is excluded like n_sorted_neighborhood's
-    // quadratic cousin would be: at FIXED block-key cardinality
-    // (brand x size = 1250) block width grows with the data, so pairs
-    // grow ~100x for 10x — the documented scale path is a finer block
-    // key (the Fellegi-Sunter knob), not a faster join.
+    // n_record_linkage joined in round 15 once its A side became a
+    // FIXED incoming batch (2000 lowest keys — linkage load is the
+    // arriving-records rate): pairs are batch × block cohabitants,
+    // linear in the corpus.
     "n_doremi_reweight", "n_encoding_audit", "n_packing_efficiency",
+    "n_record_linkage",
     // round-11g: LOO influence is the DoReMi token-keyed chain plus a
     // co-partitioned (source, token) join; the epoch plan is a
     // source-count rollup x 3-row broadcast. n_quality_kendall is
@@ -168,16 +166,16 @@ object ScaleBench {
     // per language + exact-integer sums
     "n_pref_consistency", "n_trimmed_stats",
     // round-12: the retrieval eval harness scans the corpus against 5
-    // FIXED probes across three arms — linear. n_label_noise stays
-    // excluded (probes are vec_id % 50 = a corpus-scaling slice, the
-    // n_knn_join_topk reason). n_bitext_mining_ann /
+    // FIXED probes across three arms — linear. n_label_noise joined in
+    // round 15 once its probe workload was fixed (first 200 probe
+    // ids): scoring is fixed-probes × corpus. n_bitext_mining_ann /
     // n_decontam_semantic_ann are excluded from the RUNTIME sweep for
-    // the same fixture reason (both sides scale with the corpus), but
+    // a fixture reason (both sides scale with the corpus), but
     // their candidate-volume scaling — the thing the ANN tier actually
     // controls — is measured directly in SCALE.md: at 10× data the
     // 8→16-bit signature widening holds candidate growth to ~5× (vs
     // 100× at fixed width), the executable form of the log2(n) dial.
-    "n_retrieval_eval",
+    "n_retrieval_eval", "n_label_noise",
     // round-12b: the Heaps fit is two linear aggregates + an O(log n)
     // broadcast inequality join; the transfer matrix is a token-keyed
     // self-join amplified by k=#sources (k fixed at 20 in the fixture);

@@ -98,9 +98,13 @@ class DialectSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("DuckDB struct and MAP literals become named_struct/map") {
-    val r = post("SELECT {'a': 1, 'b': 'x'}.a AS sa, MAP {'k': 41 + 1}['k'] AS mv")
+    // map[k] is LIST-valued ([42], [] on miss) — DuckDB's map_extract
+    // shape, measured on the oracle (round-15 grammar-v9 fix; the old
+    // bare-value pin encoded a documented divergence)
+    val r = post("SELECT {'a': 1, 'b': 'x'}.a AS sa, MAP {'k': 41 + 1}['k'] AS mv, " +
+      "MAP {'k': 1}['zz'] AS miss")
     assert(r.statusCode() == 200)
-    assert(r.body() == "[{\"sa\":1,\"mv\":42}]")
+    assert(r.body() == "[{\"sa\":1,\"mv\":[42],\"miss\":[]}]")
     // nested: struct inside list inside struct
     val r2 = post("SELECT {'xs': [{'y': 7}]}.xs[1].y AS v")
     assert(r2.statusCode() == 200 && r2.body() == "[{\"v\":7}]")
@@ -2057,11 +2061,44 @@ class DialectSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"EXCLUDE NO OTHERS) AS w FROM $rel ORDER BY k",
       """[{"k":1,"w":10.0},{"k":2,"w":10.0},{"k":3,"w":10.0},""" +
         """{"k":4,"w":30.0},{"k":5,"w":50.0}]""")
-    // loud parity: DuckDB requires an explicit frame before EXCLUDE;
-    // non-decomposable aggregates (min) stay loud too
+    // loud parity: DuckDB requires an explicit frame before EXCLUDE
     loud(s"SELECT k, sum(v) OVER (ORDER BY g EXCLUDE GROUP) AS w FROM $rel ORDER BY k")
-    loud(s"SELECT k, min(v) OVER (ORDER BY g RANGE BETWEEN UNBOUNDED PRECEDING AND " +
-      s"CURRENT ROW EXCLUDE GROUP) AS w FROM $rel ORDER BY k")
+    // round-15 (r14 ask #7): min/max EXCLUDE now SERVES via the
+    // collected-frame decomposition (the r14 residue row) — every
+    // expectation DuckDB-measured 2026-08-16
+    one(s"SELECT k, min(v) OVER (ORDER BY g RANGE BETWEEN UNBOUNDED PRECEDING AND " +
+      s"CURRENT ROW EXCLUDE GROUP) AS w FROM $rel ORDER BY k",
+      """[{"k":1,"w":null},{"k":2,"w":null},{"k":3,"w":10.0},""" +
+        """{"k":4,"w":10.0},{"k":5,"w":10.0}]""")
+    one(s"SELECT k, min(v) OVER (ORDER BY k ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING " +
+      s"EXCLUDE CURRENT ROW) AS w FROM $rel ORDER BY k",
+      """[{"k":1,"w":null},{"k":2,"w":10.0},{"k":3,"w":20.0},""" +
+        """{"k":4,"w":10.0},{"k":5,"w":20.0}]""")
+    one(s"SELECT k, max(v) OVER (ORDER BY k ROWS BETWEEN 2 PRECEDING AND CURRENT ROW " +
+      s"EXCLUDE CURRENT ROW) AS w FROM $rel ORDER BY k",
+      """[{"k":1,"w":null},{"k":2,"w":10.0},{"k":3,"w":10.0},""" +
+        """{"k":4,"w":10.0},{"k":5,"w":20.0}]""")
+    one(s"SELECT k, max(v) OVER (ORDER BY g RANGE BETWEEN UNBOUNDED PRECEDING AND " +
+      s"UNBOUNDED FOLLOWING EXCLUDE TIES) AS w FROM $rel ORDER BY k",
+      """[{"k":1,"w":30.0},{"k":2,"w":30.0},{"k":3,"w":10.0},""" +
+        """{"k":4,"w":20.0},{"k":5,"w":30.0}]""")
+    one(s"SELECT k, min(v) OVER (ORDER BY g ROWS BETWEEN UNBOUNDED PRECEDING AND " +
+      s"UNBOUNDED FOLLOWING EXCLUDE GROUP) AS w FROM $rel ORDER BY k",
+      """[{"k":1,"w":10.0},{"k":2,"w":10.0},{"k":3,"w":10.0},""" +
+        """{"k":4,"w":10.0},{"k":5,"w":10.0}]""")
+    // a frame that empties after exclusion is NULL; strings fold too
+    one(s"SELECT k, min(v) OVER (ORDER BY k ROWS BETWEEN CURRENT ROW AND CURRENT ROW " +
+      s"EXCLUDE CURRENT ROW) AS w FROM $rel ORDER BY k",
+      """[{"k":1,"w":null},{"k":2,"w":null},{"k":3,"w":null},""" +
+        """{"k":4,"w":null},{"k":5,"w":null}]""")
+    one(s"SELECT k, max(g) OVER (ORDER BY k ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING " +
+      s"EXCLUDE CURRENT ROW) AS w FROM $rel ORDER BY k",
+      """[{"k":1,"w":"a"},{"k":2,"w":"b"},{"k":3,"w":"b"},""" +
+        """{"k":4,"w":"b"},{"k":5,"w":"b"}]""")
+    // multi-key ORDER BY under min/max GROUP/TIES stays loud (the
+    // peer test re-evaluates a single key expression)
+    loud(s"SELECT k, min(v) OVER (ORDER BY g, k RANGE BETWEEN UNBOUNDED PRECEDING AND " +
+      s"UNBOUNDED FOLLOWING EXCLUDE GROUP) AS w FROM $rel ORDER BY k")
     // a bounded ROWS frame can cover a peer group partially — no
     // decomposition can see that; stays loud
     loud(s"SELECT k, sum(v) OVER (ORDER BY g ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING " +
@@ -2106,6 +2143,25 @@ class DialectSpec extends AnyFunSuite with BeforeAndAfterAll {
     one("SELECT a, b FROM (SELECT 1 AS a EXCEPT SELECT 2 " +
       "UNION BY NAME SELECT 7 AS b) z ORDER BY a NULLS LAST",
       """[{"a":1,"b":null},{"a":null,"b":7}]""")
+    // round-15 grammar-v9 pins (all oracle-measured): DuckDB's
+    // contains family returns FALSE for an absent needle even when
+    // the list carries NULL elements (Spark's three-valued
+    // ArrayContains said NULL — the silent divergence the v9 sweep
+    // caught); NULL list or needle stays NULL
+    one("SELECT list_contains([NULL, 1, 2], 3) AS a, " +
+      "list_contains([NULL, 1], 1) AS b, " +
+      "array_has([NULL, 'x'], 'y') AS c, " +
+      "list_contains([1, 2], NULL) AS d, " +
+      "list_contains(nullif([1], [1]), 1) AS e",
+      """[{"a":false,"b":true,"c":false,"d":null,"e":null}]""")
+    // map subscript / element_at are LIST-valued like map_extract:
+    // [value] on a hit, [] on a miss AND on NULL map/key, [NULL] for
+    // a stored NULL value
+    one("SELECT MAP {'t': 5}['t'] AS a, MAP {'t': 5}['z'] AS b, " +
+      "element_at(MAP {'t': 5}, 't') AS c, " +
+      "element_at(CASE WHEN 1 = 0 THEN MAP {'t': 5} END, 't') AS d, " +
+      "MAP {'t': CAST(NULL AS BIGINT)}['t'] AS e",
+      """[{"a":[5],"b":[],"c":[5],"d":[],"e":[null]}]""")
   }
 
   test("round-13 fuzz pins: CASE WHEN NULL, CASE END operands, cast-text windows, ceil/floor typing, sum/avg(DISTINCT) OVER") {

@@ -70,11 +70,18 @@ class ServerSpec extends AnyFunSuite with BeforeAndAfterAll {
       "Id,Name,Description\n1,Rust,\"Safe, concurrent, performant systems language\"\n")
   }
 
-  test("CSV stringifies nested values as JSON, consistent with the JSON path") {
+  test("CSV renders nested values as DuckDB's text conversion (round-15 bytes fuzz)") {
     val r = post("SELECT array(1, 2) AS arr, named_struct('k', 7) AS st", accept = "text/csv")
     assert(r.statusCode() == 200)
-    // JSON text contains a comma → RFC-4180 quoted; never Scala toString
-    assert(new String(r.body(), "UTF-8") == "arr,st\n\"[1,2]\",\"{\"\"k\"\":7}\"\n")
+    // DuckDB's VARCHAR forms — `[1, 2]` / `{'k': 7}` (oracle-measured
+    // via COPY CSV 2026-08-17), RFC-4180 quoted where the text holds a
+    // comma; never compact JSON, never Scala toString
+    assert(new String(r.body(), "UTF-8") == "arr,st\n\"[1, 2]\",{'k': 7}\n")
+  }
+  test("CSV nested NULL elements spell NULL like the oracle") {
+    val r = post("SELECT [1, NULL, 3] AS a, ['x,y', 'b'] AS b", accept = "text/csv")
+    assert(r.statusCode() == 200)
+    assert(new String(r.body(), "UTF-8") == "a,b\n\"[1, NULL, 3]\",\"[x,y, b]\"\n")
   }
 
   test("JSON Lines format") {

@@ -92,9 +92,17 @@ def main():
     # FuzzProbe relational sweep ran over as DuckDB views
     if "--sf" in sys.argv:
         sf = sys.argv[sys.argv.index("--sf") + 1]
-        for t in ("lineitem", "orders", "customer", "events", "documents"):
+        for t in ("lineitem", "orders", "customer", "events", "documents",
+                  "embeddings"):
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    # grammar v9: --nested <dir> registers the Spark-materialized nested
+    # parquet fixture (target/fuzz_nested) so DuckDB reads the SAME
+    # nested files the sweep ran over
+    if "--nested" in sys.argv:
+        nd = sys.argv[sys.argv.index("--nested") + 1]
+        con.execute(
+            f"CREATE VIEW nested AS SELECT * FROM '{nd}/*.parquet'")
     counts = {"agree": 0, "both_err": 0, "VALUE": 0, "SHAPE": 0,
               "SPARK_ERR": 0, "DUCK_ERR": 0}
     reports = []

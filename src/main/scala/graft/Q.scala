@@ -85,12 +85,48 @@ object T {
     }
   }
 
+  /** Scale-adaptive parallel scan (round-15, optimization guide §2.5):
+    * when the source arrives as fewer splits than the session has cores
+    * — the fixture's single-row-group parquet is unsplittable, so every
+    * scan stage and all row-local CPU fused into it (tokenize, explode,
+    * hash, decimal casts) runs on ONE core — repartition immediately
+    * after the read to spread that work. At production scale a table
+    * has >= cores splits and this is a passthrough with zero added
+    * exchange, so nothing here is tuned to local[32]; the trigger is
+    * the observed scan parallelism itself. Use where per-row CPU after
+    * the scan dominates; plain column-pruned scans that feed a cheap
+    * aggregate don't need (or want) the extra exchange.
+    */
+  def par(spark: SparkSession, dir: String, name: String): DataFrame =
+    spread(apply(spark, dir, name))
+
+  /** Same trigger as [[par]] for an already-projected plan: repartition
+    * only when the plan's scan side yields fewer partitions than the
+    * session has cores (i.e. the input is effectively unsplittable).
+    * Project/filter BEFORE spreading so the exchange carries only the
+    * needed columns (guide §2.3).
+    */
+  def spread(df: DataFrame): DataFrame = {
+    val slots = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < slots) df.repartition(slots) else df
+  }
+
   /** Register tables as temp views for spark.sql entry points (the
     * reference's only API is SQL text over POST /, so a slice of the
     * inventory is deliberately declared via spark.sql).
     */
   def views(spark: SparkSession, dir: String, names: String*): Unit =
     names.foreach(n => apply(spark, dir, n).createOrReplaceTempView(n))
+
+  /** Like [[views]], but registers the [[par]] (spread) scan — for
+    * SQL-text queries whose per-row work would otherwise fuse into an
+    * unsplittable single-split scan (r15; guide §2.5). Safe only for
+    * queries whose aggregates are order-independent (exact decimal /
+    * integer sums — the repo's oracle-parity discipline); each opt-in
+    * site is oracle-reverified at every fixture SF.
+    */
+  def viewsPar(spark: SparkSession, dir: String, names: String*): Unit =
+    names.foreach(n => par(spark, dir, n).createOrReplaceTempView(n))
 }
 
 /** Session tuning shared by Verify/Bench/tests. Mirrors what we'd set

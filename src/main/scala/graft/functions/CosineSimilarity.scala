@@ -27,23 +27,32 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
-    val ok = left.dataType == ArrayType(FloatType, containsNull = false) ||
-      left.dataType == ArrayType(FloatType, containsNull = true)
-    val ok2 = right.dataType == ArrayType(FloatType, containsNull = false) ||
-      right.dataType == ArrayType(FloatType, containsNull = true)
-    if (ok && ok2) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    // r15: accept float or double element types on either side — the
+    // k-means recomputed centroids are array<double> (rounded means)
+    // while embeddings are array<float>; accumulation reads each
+    // element as double exactly like the HOF's CAST(x AS DOUBLE).
+    def ok(t: DataType): Boolean = t match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-      s"cosine_sim expects two array<float> inputs, got ${left.dataType} / ${right.dataType}")
+      s"cosine_sim expects two array<float|double> inputs, got ${left.dataType} / ${right.dataType}")
   }
+
+  private def isFloat(t: DataType): Boolean =
+    t.asInstanceOf[ArrayType].elementType == FloatType
 
   @inline private def compute(a: ArrayData, b: ArrayData): Any = {
     val n = a.numElements()
     if (n == 0 || n != b.numElements()) return null
+    val fa = isFloat(left.dataType); val fb = isFloat(right.dataType)
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
-      val x = a.getFloat(i).toDouble
-      val y = b.getFloat(i).toDouble
+      val x = if (fa) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (fb) b.getFloat(i).toDouble else b.getDouble(i)
       dot += x * y; na += x * x; nb += y * y
       i += 1
     }
@@ -56,6 +65,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      val getterA = if (isFloat(left.dataType)) "getFloat" else "getDouble"
+      val getterB = if (isFloat(right.dataType)) "getFloat" else "getDouble"
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val dot = ctx.freshName("dot")
@@ -71,8 +82,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
         } else {
           double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
           for (int $i = 0; $i < $n; $i++) {
-            final double $x = (double) $a.getFloat($i);
-            final double $y = (double) $b.getFloat($i);
+            final double $x = (double) $a.$getterA($i);
+            final double $y = (double) $b.$getterB($i);
             $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
           }
           final double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);

@@ -261,7 +261,11 @@ object AggQueries extends QueryModule {
     Q("d_approx_count_distinct",
       "approx_count_distinct (HLL sketch). The raw estimate is engine-specific, so the compared surface is the exact count plus the sketch-landed-within-10% boolean (true for any sane HLL at these cardinalities).",
       (s, dir) =>
-        T(s, dir, "lineitem")
+        // r15: measured both ways — a spread here LOSES (1.5 s → 4.9 s):
+        // round-robin repartition pays a local sort of the 600k rows
+        // (SPARK-23207) that outweighs parallelizing the cheap
+        // HLL+distinct partials. Left single-split deliberately.
+        T(s, dir, "lineitem").select(col("l_partkey"))
           .agg(
             approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
             countDistinct(col("l_partkey")).as("exact_parts"))

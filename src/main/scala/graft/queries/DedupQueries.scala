@@ -135,7 +135,9 @@ object DedupQueries extends QueryModule {
     * all consumers.
     */
   def gramPositions(s: SparkSession, dir: String): DataFrame =
-    retain(T(s, dir, "documents")
+    // r15: spread the single-split doc scan so the gram explode
+    // parallelizes (guide §2.5, same as buildShingles below)
+    retain(T.par(s, dir, "documents")
       .select(col("doc_id"), col("lang"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= 5)
       .select(col("doc_id"),

@@ -148,7 +148,10 @@ object LayoutQueries extends QueryModule {
             col("lo") + (col("hi") - col("lo")) * (col("h") - floor(col("h"))))
           .agg(expr("transform(array_sort(collect_list(struct(d, bound))), s -> s.bound)")
             .as("bounds")))
-        xs.crossJoin(bounds)
+        // r15: pass 2's per-row bucketing (an interpreted HOF filter
+        // over the 9-value bounds array) ran inside the single-split
+        // scan stage — spread it (guide §2.5)
+        T.spread(xs).crossJoin(bounds)
           .withColumn("bucket",
             expr("CAST(size(filter(bounds, v -> x > v)) AS INT)"))
           .groupBy(col("bucket"))

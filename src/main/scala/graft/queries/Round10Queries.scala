@@ -116,7 +116,9 @@ object Round10Queries extends QueryModule {
     * Round10Spec's exact-rerank cross-check.
     */
   private[graft] def tfidfWeights(s: SparkSession, dir: String): DataFrame = {
-    val t = T(s, dir, "documents")
+    // r15: spread the single-split doc scan so the bigram explode
+    // parallelizes (guide §2.5)
+    val t = T.par(s, dir, "documents")
       .select(col("doc_id"),
         filter(split(col("text"), " "), w => length(w) > 0).as("w"))
     val tf = t
@@ -722,7 +724,8 @@ object Round10Queries extends QueryModule {
     Q("n_silhouette",
       "Simplified silhouette (Hruschka et al.) cluster-quality evaluation of the embedding label clustering — the score a pipeline reads before trusting cluster-balanced sampling or SemDeDup cells: a(i) = cosine distance to the OWN cluster centroid, b(i) = min distance to any other centroid, s(i) = (b-a)/max(a,b), reported as exact-decimal per-cluster means. The simplified form is the scale-correct choice: classic silhouette is quadratic in cluster sizes, this one is one dimension-keyed centroid aggregate (k x d rows of model state, broadcast back) plus a map-side distance per (point, centroid) — linear in n with a k-fold fan-out. All products round to 8 decimals before exact decimal sums, so both engines rank identical values.",
       (s, dir) => {
-        val e = T(s, dir, "embeddings").filter(col("vec_id") < 150)
+        // r15: spread the single-split scan before the per-dim explode
+        val e = T.par(s, dir, "embeddings").filter(col("vec_id") < 150)
           .select(col("vec_id"), col("label"),
             posexplode(col("embedding")).as(Seq("dim", "vf")))
           .select(col("vec_id"), col("label"), col("dim"),
@@ -782,7 +785,7 @@ object Round10Queries extends QueryModule {
           case (df, (_, l, r, _, _)) =>
             df.withColumn("spaced", Round9Queries.applyMerge(col("spaced"), l, r))
         }.select(col("w"), size(split(col("spaced"), " ")).as("n_toks"))
-        T(s, dir, "documents")
+        T.par(s, dir, "documents")
           .select(col("lang"), explode(split(col("text"), " ")).as("w"))
           .filter(length(col("w")) > 0)
           .join(wordToks, "w")
@@ -797,7 +800,8 @@ object Round10Queries extends QueryModule {
     Q("n_distinct_ngrams",
       "Distinct-n diversity ratios per source (the distinct-1/2/3 metric synthetic-data pipelines watch for mode collapse — a generated slice whose bigram ratio drifts below the organic sources' is recycling phrasing): for n in 1..3, distinct n-grams over total n-grams, per source slice. Scale shape: three gram streams, each one partial-combined (source, gram)-keyed distinct + a source-keyed rollup; grams could shuffle as digests at 100 TB, and the metric needs no text beyond the gram identity.",
       (s, dir) => {
-        val t = T(s, dir, "documents")
+        // r15: spread the single-split doc scan before the gram explodes
+        val t = T.par(s, dir, "documents")
           .select(col("source"), col("doc_id"),
             filter(split(col("text"), " "), w => length(w) > 0).as("w"))
         def grams(n: Int): DataFrame = t

@@ -76,8 +76,10 @@ object Round11Queries extends QueryModule {
     h52("graft-qsk:", eventId.cast("string"))
 
   /** Whitespace tokens with empties dropped, as (doc_id, w). */
+  // r15: spread the single-split doc scan so the token explode
+  // parallelizes (guide §2.5)
   private def tokens(s: SparkSession, dir: String) =
-    T(s, dir, "documents")
+    T.par(s, dir, "documents")
       .select(col("doc_id"),
         explode(filter(split(col("text"), " "), w => length(w) > 0)).as("w"))
 
@@ -132,7 +134,7 @@ object Round11Queries extends QueryModule {
         val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
         // retained: the filter build, the probe side, the exact truth
         // set and the n_build aggregate all read this digest relation
-        val sh = DedupQueries.retain(T(s, dir, "documents")
+        val sh = DedupQueries.retain(T.par(s, dir, "documents")
           .select(col("doc_id"), posexplode(filter(split(col("text"), " "),
             x => length(x) > 0)).as(Seq("pos", "w")))
           .withColumn("w1", lead(col("w"), 1).over(w))
@@ -359,7 +361,9 @@ object Round11Queries extends QueryModule {
       "Content-defined chunking (the Rabin/FastCDC family LLM file-dedup pipelines run before chunk-level hashing): a chunk boundary falls AFTER any word whose portable 52-bit hash satisfies gh % 8 == 0 (expected chunk ~8 words), so an insertion re-aligns every following chunk where fixed-width windows would shift them all; chunk digests are md5 over the in-chunk words, a chunk is novel where its digest first appears (min doc_id — one gram-keyed aggregate), and each doc reports chunk count, mean width, and its duplicated-chunk share. Scale shape: boundaries are a doc-partitioned window, digests (never text) shuffle once, and the novelty aggregate is digest-keyed.",
       (s, dir) => {
         val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-        val words = T(s, dir, "documents")
+        // r15: spread the single-split doc scan — the word explode and
+        // the per-word md5 boundary hash are the query's CPU (guide §2.5)
+        val words = T.par(s, dir, "documents")
           .select(col("doc_id"), posexplode(filter(split(col("text"), " "),
             x => length(x) > 0)).as(Seq("pos", "w")))
           .withColumn("cut",
@@ -408,7 +412,7 @@ object Round11Queries extends QueryModule {
     Q("n_js_divergence",
       "Jensen-Shannon divergence of each source's unigram distribution vs the pooled corpus (the mixture-drift monitor a curated pipeline runs per ingestion source): per-source and corpus token distributions are token-keyed aggregates, the cross-entropy terms decompose so only SOURCE-PRESENT tokens need the join (absent-token mass folds into the closed-form q*ln2 tail, added as a constant), and per-term products round to fixed-scale decimals so both engines sum identical operands. Scale shape: one token-keyed co-partitioned join + a 20-row source rollup; totals are broadcast one-row aggregates.",
       (s, dir) => {
-        val tokS = T(s, dir, "documents")
+        val tokS = T.par(s, dir, "documents")
           .select(col("source"),
             explode(filter(split(col("text"), " "), x => length(x) > 0)).as("w"))
         val tcs = tokS.groupBy(col("source"), col("w")).agg(count(lit(1)).as("cs"))
@@ -570,9 +574,15 @@ object Round11Queries extends QueryModule {
             col("embedding").as("qv"))
         val w = Window.partitionBy(col("qid"))
           .orderBy(col("simr").desc, col("vec_id").asc)
-        val top5 = emb.join(broadcast(probes), col("vec_id") =!= col("qid"))
+        // r15: the corpus×probe scoring loop was an interpreted HOF
+        // running inside the single-split scan stage (one core,
+        // measured 1.65 s at sf0.1); the codegen'd CosineSimilarity
+        // kernel (CosineSpec pins value equality vs the HOF spelling)
+        // over the spread scan reads 0.42 s — guide §2.5 + §4.1.
+        val top5 = T.spread(emb)
+          .join(broadcast(probes), col("vec_id") =!= col("qid"))
           .withColumn("simr",
-            round(SimilarityQueries.cosineHof("qv", "embedding"), 6))
+            round(SimilarityQueries.cosine("qv", "embedding"), 6))
           .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
           .select(col("qid"), col("own"), col("label"))
         val wV = Window.partitionBy(col("qid"))
@@ -660,12 +670,16 @@ object Round11Queries extends QueryModule {
         val emb = T(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
         val probes = emb.filter(col("vec_id") < 10)
           .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        // r15: native codegen cosine replaces the interpreted HOF
+        // (bit-identical; CosineSpec). A spread was measured and LOST
+        // (1.2 s → 3.1 s) — the retained t5 makes the scan single-pass
+        // and the exchange outweighed the fan-out CPU.
         val scored = emb.join(broadcast(probes), col("vec_id") =!= col("qid"))
           .select(col("qid"), col("vec_id").as("nid"), col("embedding"), col("qv"),
             explode(array(Seq(8, 16, 32, 64).map(lit): _*)).as("k"))
           .withColumn("pv", expr("slice(embedding, 1, k)"))
           .withColumn("pq", expr("slice(qv, 1, k)"))
-          .withColumn("simr", round(SimilarityQueries.cosineHof("pq", "pv"), 6))
+          .withColumn("simr", round(SimilarityQueries.cosine("pq", "pv"), 6))
         val w = Window.partitionBy(col("qid"), col("k"))
           .orderBy(col("simr").desc, col("nid").asc)
         val t5 = DedupQueries.retain(scored
@@ -875,17 +889,14 @@ object Round11Queries extends QueryModule {
     Q("n_cluster_metrics",
       "Clustering-agreement metrics (the evaluation a pipeline runs on ANY unsupervised partition before trusting it): purity, Rand index and NMI between the embedding ground-truth labels and the portable random-hyperplane LSH partition (the same authored hyperplanes n_ann_lsh_portable buckets with, so the contingency is bit-identical cross-engine). Everything reduces over the CONTINGENCY relation — one (label, bucket)-keyed count whose size is #labels x #buckets, not the corpus — pair counts stay in exact integers (C(x,2) via the even product x(x-1)/2), and entropy terms round to fixed-scale decimals before summing. Scale shape: one linear assignment pass, one tiny contingency rollup.",
       (s, dir) => {
-        var df = T(s, dir, "embeddings").select(col("label"), col("embedding"))
-        Round2Queries.lshPlanes.zipWithIndex.foreach { case (hp, b) =>
-          df = df.withColumn(s"hp$b", typedLit(hp))
-        }
-        val sig = Round2Queries.lshPlanes.indices.map { b =>
-          when(expr(
-            s"aggregate(zip_with(hp$b, embedding, (p, q) -> CAST(p AS DOUBLE) * CAST(q AS DOUBLE)), 0D, (a, b) -> a + b)")
-            >= 0, lit(1L << b)).otherwise(lit(0L))
-        }.reduce(_ + _)
+        // r15: HOF 8-plane signature -> fused codegen PlaneSignature
+        // over the spread scan (PlaneSignatureSpec pins equality;
+        // guide §2.5 + §4.1); sig cast keeps the original LONG type.
+        val df = T.par(s, dir, "embeddings").select(col("label"), col("embedding"))
         // the contingency relation: everything below aggregates this
-        val ct = DedupQueries.retain(df.withColumn("sig", sig)
+        val ct = DedupQueries.retain(df.withColumn("sig",
+            graft.functions.PlaneSignature(col("embedding"),
+              Round2Queries.lshPlanes).cast("long"))
           .groupBy(col("label"), col("sig")).agg(count(lit(1)).as("nij")))
         val nn = broadcast(ct.agg(sum(col("nij")).cast("long").as("n")))
         val pure = broadcast(ct.groupBy(col("sig")).agg(max(col("nij")).as("mx"))

@@ -50,8 +50,10 @@ import org.apache.spark.sql.types.DecimalType
 object Round11bQueries extends QueryModule {
 
   /** Whitespace words with empties dropped. */
+  // r15: spread the single-split doc scan — every consumer runs
+  // row-local tokenize/HOF CPU straight off this projection (guide §2.5)
   private def withWords(s: SparkSession, dir: String) =
-    T(s, dir, "documents")
+    T.par(s, dir, "documents")
       .select(col("doc_id"), col("lang"), col("source"), col("text"),
         filter(split(col("text"), " "), w => length(w) > 0).as("words"))
 
@@ -461,21 +463,30 @@ object Round11bQueries extends QueryModule {
       "Reciprocal-rank fusion (RRF, k=60) of a lexical and a semantic ranking — the standard hybrid-search combiner: BM25 top-20 for doc 0's terms (the n_bm25_topk scorer) fused with cosine top-20 against vec 0's embedding (doc_id i <-> vec_id i by fixture convention), rrf = 1/(60+r_lex) + 1/(60+r_sem) with absent-list contributions 0, final top-10. Ranks come from rounded scores so tie order is cross-engine identical. Scale shape: both rankings end in TakeOrderedAndProject top-20 relations; the fusion is a 40-row outer join.",
       (s, dir) => {
         // lexical arm: the n_bm25_topk scorer, kept verbatim (k1=1.2 b=0.75)
-        val docs = T(s, dir, "documents")
+        // r15: spread the single-split doc scan so tokenize+explode
+        // parallelize (guide §2.5)
+        val docs = T.par(s, dir, "documents")
           .select(col("doc_id"),
             filter(split(col("text"), " "), w => length(w) > 0).as("words"))
           .withColumn("dl", size(col("words")))
         val stats = docs.agg(count(lit(1)).as("n_docs"),
           (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+        val qterms = docs.filter(col("doc_id") === 0)
+          .select(explode(col("words")).as("w")).distinct()
+        // r15 (guide §2.3/§3.2): only probe terms reach the scorer —
+        // semi-filter the token stream by the broadcast probe
+        // vocabulary BEFORE the tf aggregate, so the full-vocab
+        // (~4M-group) tf and df aggregates shrink to the probe-term
+        // slice; df for surviving terms still counts ALL docs, so
+        // every score is identical.
         val tf = docs
           .select(col("doc_id"), col("dl"), explode(col("words")).as("w"))
+          .join(broadcast(qterms), "w")
           .groupBy(col("doc_id"), col("dl"), col("w"))
           .agg(count(lit(1)).as("tf"))
         val dfreq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
-        val qterms = docs.filter(col("doc_id") === 0)
-          .select(explode(col("words")).as("w")).distinct()
-        val bm25 = tf.join(broadcast(qterms), "w")
-          .join(broadcast(dfreq.join(broadcast(qterms), "w")), "w")
+        val bm25 = tf
+          .join(broadcast(dfreq), "w")
           .crossJoin(broadcast(stats))
           .withColumn("idf",
             round(log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0), 8))
@@ -724,20 +735,31 @@ object Round11bQueries extends QueryModule {
     Q("n_retrieval_eval",
       "Retrieval-quality evaluation (the harness read before choosing a retriever for RAG/dedup): precision@5 and MRR@5 of the BM25 lexical arm, the cosine semantic arm, and their RRF fusion, for 5 probes against the label ground truth (doc_id i <-> vec_id i; relevant = same embedding label). Reciprocal ranks round to fixed-scale decimals before the probe-mean so both engines sum identical operands. Scale shape: the arms are the n_bm25_topk / n_cosine_topk shapes batched over the probe relation; metrics reduce 25 rows per method.",
       (s, dir) => {
-        val docs = T(s, dir, "documents")
+        // r15: spread the single-split doc scan so tokenize+explode
+        // parallelize (guide §2.5)
+        val docs = T.par(s, dir, "documents")
           .select(col("doc_id"),
             filter(split(col("text"), " "), w => length(w) > 0).as("words"))
           .withColumn("dl", size(col("words")))
         val labels = T(s, dir, "embeddings").select(col("vec_id"), col("label"))
         val stats = docs.agg(count(lit(1)).as("n_docs"),
           (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+        val qterms = docs.filter(col("doc_id") < 5)
+          .select(col("doc_id").as("qid"), explode(col("words")).as("w")).distinct()
+        // r15 (guide §2.3/§3.2): only probe terms ever reach the BM25
+        // scorer, so semi-filter the exploded token stream by the
+        // broadcast probe vocabulary BEFORE the tf aggregate — the
+        // full-vocab tf (5M rows → 4M groups) and the full-vocab dfreq
+        // broadcast (~4M rows forced to the driver) both shrink to the
+        // probe-term slice. df values for surviving terms are computed
+        // over ALL docs exactly as before, so every score is identical.
+        val qvocab = qterms.select(col("w")).distinct()
         val tf = docs
           .select(col("doc_id"), col("dl"), explode(col("words")).as("w"))
+          .join(broadcast(qvocab), "w")
           .groupBy(col("doc_id"), col("dl"), col("w"))
           .agg(count(lit(1)).as("tf"))
         val dfreq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
-        val qterms = docs.filter(col("doc_id") < 5)
-          .select(col("doc_id").as("qid"), explode(col("words")).as("w")).distinct()
         val bm25 = tf.join(broadcast(qterms), "w")
           .filter(col("doc_id") =!= col("qid"))
           .join(broadcast(dfreq), "w")
@@ -757,7 +779,8 @@ object Round11bQueries extends QueryModule {
         val emb = T(s, dir, "embeddings")
         val probes = emb.filter(col("vec_id") < 5)
           .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-        val cosScored = emb.join(broadcast(probes), col("vec_id") =!= col("qid"))
+        // r15: spread the corpus side of the probe scoring join
+        val cosScored = T.spread(emb).join(broadcast(probes), col("vec_id") =!= col("qid"))
           .withColumn("score", round(SimilarityQueries.cosine("qv", "embedding"), 6))
           .select(col("qid"), col("vec_id").as("id"), col("score"))
         val wc = Window.partitionBy(col("qid"))

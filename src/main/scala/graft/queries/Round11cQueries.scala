@@ -287,7 +287,8 @@ object Round11cQueries extends QueryModule {
     Q("n_boilerplate_extract",
       "jusText-style boilerplate removal (the content-extraction step between raw crawl HTML and the quality battery): docs segment into 12-word blocks, a block is GOOD when it has >= 6 words and >= 1 stopword (the length + stopword-density rules), a bad block flanked by good blocks on BOTH sides is PROMOTED (the jusText neighborhood rule — short navigation-like runs inside real prose survive), and surviving text reassembles in order to a digest. Scale shape: segmentation and classification are row-local array ops; the neighborhood rule is a lag/lead window over doc-bounded partitions (row-local after one doc-keyed sort); no shuffle carries text except the per-doc reassembly of kept segments.",
       (s, dir) => {
-        val segs = T(s, dir, "documents")
+        // r15: spread the single-split doc scan (guide §2.5)
+        val segs = T.par(s, dir, "documents")
           .select(col("doc_id"),
             filter(split(col("text"), " "), w => length(w) > 0).as("ws"))
           .select(col("doc_id"), posexplode(expr(

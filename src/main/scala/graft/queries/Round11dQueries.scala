@@ -60,52 +60,51 @@ object Round11dQueries extends QueryModule {
               .otherwise(col("prev_type")).as("winner"),
             when(col("value") > col("prev_value"), col("prev_type"))
               .otherwise(col("event_type")).as("loser"))
-        // the k^2 pair-count relation: everything downstream reads it
-        val pw = DedupQueries.retain(
-          comps.groupBy(col("winner"), col("loser"))
-            .agg(count(lit(1)).as("n")))
-        val games = DedupQueries.retain(
-          pw.select(col("winner").as("a"), col("loser").as("b"), col("n"))
-            .union(pw.select(col("loser").as("a"), col("winner").as("b"), col("n")))
-            .groupBy(col("a"), col("b")).agg(sum(col("n")).as("g")))
-        val wins = pw.groupBy(col("winner").as("a"))
-          .agg(sum(col("n")).cast("bigint").as("w"))
-        val base = games.groupBy(col("a"))
-          .agg(sum(col("g")).cast("bigint").as("games"))
-          .join(broadcast(wins), Seq("a"), "left")
-          .select(col("a"), col("games"), coalesce(col("w"), lit(0L)).as("w"))
-        // MM iteration on the k-row strength relation: denominator as
-        // an exact decimal sum of 6-rounded terms (order-independent),
-        // one double division, re-rounded — both engines walk the
-        // identical float sequence. Every relation here is k- or
-        // k²-row; BROADCAST each join side so the two MM steps plan
-        // zero shuffle exchanges — at sf0.1 the unhinted form spent
-        // ~1.5 s in pure tiny-stage scheduling (round-12 bench-tail
-        // read), and at 100 TB these relations are still model-sized
-        def step(p: DataFrame): DataFrame = {
-          val terms = games
-            .join(broadcast(p.select(col("a"), col("p").as("pa"))), Seq("a"))
-            .join(broadcast(p.select(col("a").as("b"), col("p").as("pb"))), Seq("b"))
-            .withColumn("t", round(col("g") / (col("pa") + col("pb")), 6))
-          terms.groupBy(col("a"))
-            .agg(sum(col("t").cast(DecimalType(18, 6))).cast("double").as("den"))
-            .join(broadcast(base.select(col("a"), col("w"))), Seq("a"))
-            .select(col("a"), round(col("w") / col("den"), 6).as("p"))
+        // the k^2 pair-count relation: ONE distributed aggregate
+        // (items << comparisons — 5 event types), collected as the
+        // model. r15: the MM fit now runs DRIVER-SIDE on that k²-row
+        // model (k² ≤ 25) — the parameter-server shape n_bpe_train and
+        // the IVF centroids already use — replacing ~12 tiny
+        // broadcast/shuffle stages whose scheduling dominated the
+        // query (3.7 s → ~1 s at sf0.1; guide §1.2: fix the
+        // distributed algorithm first). Arithmetic reproduces the
+        // relational form operation-for-operation: 6-rounding is
+        // BigDecimal HALF_UP (Spark's round), denominators/totals sum
+        // exact scale-6 decimals (order-free), divisions are the same
+        // double ops — bit-identical to the previous plan and to the
+        // unchanged DuckDB oracle.
+        val pwRows = comps.groupBy(col("winner"), col("loser"))
+          .agg(count(lit(1)).as("n")).collect()
+          .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        def r6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+        val games = scala.collection.mutable.Map.empty[(String, String), Long]
+        pwRows.foreach { case (wn, ls, n) =>
+          games((wn, ls)) = games.getOrElse((wn, ls), 0L) + n
+          games((ls, wn)) = games.getOrElse((ls, wn), 0L) + n
         }
-        val p0 = base.select(col("a"), lit(1.0).as("p"))
-        val p2 = step(step(p0))
-        val tot = p2.agg(
-          sum(col("p").cast(DecimalType(18, 6))).cast("double").as("ptot"))
-        p2.crossJoin(broadcast(tot)).join(broadcast(base), Seq("a"))
-          .select(col("a").as("item"), col("w").as("wins"),
-            col("games"), round(col("p") / col("ptot"), 6).as("strength"))
-          // rank over the k-row item relation; constant partition key
-          // spelled column-based (pmod(wins, 1) = 0) so WindowExec
-          // stays keyed — the n_zipf_fit convention WarnAuditSpec
-          // enforces
-          .withColumn("rank", row_number().over(
-            Window.partitionBy(pmod(col("wins"), lit(1))).orderBy(
-              col("strength").desc_nulls_last, col("item").asc_nulls_last)))
+        val wins = pwRows.groupBy(_._1).map { case (a, xs) => a -> xs.map(_._3).sum }
+        val items = games.keys.map(_._1).toSeq.distinct.sorted
+        val gamesTot = items.map(a =>
+          a -> games.collect { case ((x, _), g) if x == a => g }.sum).toMap
+        def exactSum(xs: Iterable[Double]): Double =
+          xs.map(java.math.BigDecimal.valueOf(_).setScale(6, java.math.RoundingMode.HALF_UP))
+            .foldLeft(java.math.BigDecimal.ZERO)(_.add(_)).doubleValue()
+        def step(p: Map[String, Double]): Map[String, Double] =
+          items.map { a =>
+            val den = exactSum(games.toSeq.collect {
+              case ((x, b), g) if x == a => r6(g.toDouble / (p(a) + p(b))) })
+            a -> r6(wins.getOrElse(a, 0L).toDouble / den)
+          }.toMap
+        val p2 = step(step(items.map(_ -> 1.0d).toMap))
+        val ptot = exactSum(items.map(p2))
+        val ranked = items
+          .map(a => (a, wins.getOrElse(a, 0L), gamesTot(a), r6(p2(a) / ptot)))
+          .sortBy { case (a, _, _, st) => (-st, a) }
+          .zipWithIndex
+          .map { case ((a, w0, g0, st), i) => (a, w0, g0, st, i + 1) }
+        import s.implicits._
+        ranked.toDF("item", "wins", "games", "strength", "rank")
           .orderBy(col("rank").asc_nulls_last)
       },
       Some("""WITH ev AS (

@@ -30,7 +30,8 @@ object Round11gQueries extends QueryModule {
     Q("n_loo_domain_influence",
       "Leave-one-out domain influence (data-Shapley-lite; the 'does the corpus need this source' signal behind mixture ablations): each source's held-in bits-per-token under the add-one-smoothed GLOBAL unigram LM versus under the LM with the source REMOVED — computed from the same token-keyed aggregates (loo count = global count minus domain count; no second training pass), influence = bpt_loo - bpt_in (high = the rest of the corpus cannot model this source; ~0 = redundant). Per-token log2 terms round to 6 and weight by exact integer counts into decimal sums, so both engines accumulate identical rationals. Scale shape: one corpus scan to the (source, token) relation, the global model is the token-keyed rollup of that SAME relation (co-partitioned join back on the token key, never broadcast — vocab is huge at 100 TB), vocab size rides along as a one-row broadcast; everything partial-aggregates.",
       (s, dir) => {
-        val dt = T(s, dir, "documents")
+        // r15: spread the single-split doc scan (guide §2.5)
+        val dt = T.par(s, dir, "documents")
           .select(col("source"), explode(split(lower(col("text")), " ")).as("w"))
           .filter(length(col("w")) > 0)
         val domTok = DedupQueries.retain(

@@ -49,8 +49,10 @@ object Round12bQueries extends QueryModule {
     * queries (same split discipline as the LM ladder in
     * Round9bQueries).
     */
+  // r15: spread the single-split doc scan so the token explode
+  // parallelizes (guide §2.5)
   private def tokens(s: org.apache.spark.sql.SparkSession, dir: String) =
-    T(s, dir, "documents")
+    T.par(s, dir, "documents")
       .select(col("doc_id"), col("source"),
         explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) > 0)
@@ -60,8 +62,9 @@ object Round12bQueries extends QueryModule {
     Q("n_heaps_law",
       "Heaps'-law vocabulary-growth fit V(N) = K*N^beta over doubling ingestion checkpoints (the capacity read before sizing a tokenizer vocab or estimating how much NEW vocabulary the next 10x of crawl brings): the vocabulary unit is the word 3-gram — the same chunk unit n_novelty_curve tracks — because the synthetic corpus's whole-word vocabulary saturates at 31 tokens in the first 25 docs (a degenerate flat curve; 3-gram types keep growing 1.4k -> 16k across sf0.01). Checkpoints double from 25 docs to the corpus max (O(log n) of them, derived from an in-DAG one-row max — never a driver-side count), cumulative vocabulary at each checkpoint counts 3-gram types by FIRST-occurrence doc (one gram-keyed min aggregate — the type-sized relation, not the corpus), cumulative volume by per-doc gram counts, and the log-log OLS fit runs on exact-decimal sums of 8-rounded operands so both engines reduce identical rationals; beta/ln_k get a +0.0 normalization so a degenerate zero slope cannot render -0.0 on one engine. Scale shape: two linear aggregates + an O(log n)-row broadcast inequality join; the fit reduces the checkpoint relation, never the corpus.",
       (s, dir) => {
+        // r15: spread the single-split doc scan (guide §2.5)
         val tok = DedupQueries.retain(
-          T(s, dir, "documents")
+          T.par(s, dir, "documents")
             .select(col("doc_id"),
               filter(split(col("text"), " "), w => length(w) > 0).as("ws"))
             .select(col("doc_id"),

@@ -153,7 +153,8 @@ object Round2Queries extends QueryModule {
     Q("d_within_group",
       "Ordered-set aggregates: percentile_cont/percentile_disc WITHIN GROUP (ORDER BY ...).",
       (s, dir) => {
-        T.views(s, dir, "orders")
+        // r15: spread scan — exact percentiles are order-independent
+        T.viewsPar(s, dir, "orders")
         s.sql("""SELECT o_orderstatus,
             round(percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice), 4) AS p50_cont,
             percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice) AS p50_disc,
@@ -407,16 +408,14 @@ object Round2Queries extends QueryModule {
     Q("n_ann_lsh_portable",
       "Portable random-hyperplane LSH bucketing: 8 integer hyperplanes derived from MD5 at AUTHORING time render identically into the Spark expression and the oracle SQL, so bucket signatures (and the resulting bucket histogram) hash-match exactly. The engine-native variant, n_ann_lsh_buckets, stays the fast path.",
       (s, dir) => {
-        var df = T(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
-        lshPlanes.zipWithIndex.foreach { case (hp, b) =>
-          df = df.withColumn(s"hp$b", typedLit(hp))
-        }
-        val sig = lshPlanes.indices.map { b =>
-          when(expr(
-            s"aggregate(zip_with(hp$b, embedding, (p, q) -> CAST(p AS DOUBLE) * CAST(q AS DOUBLE)), 0D, (a, b) -> a + b)")
-            >= 0, lit(1L << b)).otherwise(lit(0L))
-        }.reduce(_ + _)
-        df.withColumn("sig", sig)
+        // r15: the 8-plane HOF signature (8 interpreted lambda chains +
+        // 8 typedLit arrays per row) ran inside the single-split scan —
+        // the fused codegen PlaneSignature kernel (PlaneSignatureSpec
+        // pins value equality) over the spread scan replaces it
+        // (guide §2.5 + §4.1); cast back to the original LONG sig type.
+        val df = T.par(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+        df.withColumn("sig", graft.functions.PlaneSignature(
+            col("embedding"), lshPlanes).cast("long"))
           .groupBy(col("sig"))
           .agg(count(lit(1)).as("n"),
                min(col("vec_id")).as("min_id"), max(col("vec_id")).as("max_id"))
@@ -441,7 +440,8 @@ object Round2Queries extends QueryModule {
     Q("n_tfidf_topterms",
       "TF-IDF top-3 terms per document (explode → per-doc term counts → document frequencies → tf·idf rank). Every stage partial-aggregates before its shuffle; the doc-frequency side is a token-keyed aggregate joined back by token.",
       (s, dir) => {
-        T.views(s, dir, "documents")
+        // r15: spread scan — the regex tokenize + explode is the CPU
+        T.viewsPar(s, dir, "documents")
         s.sql("""WITH docs AS (
             SELECT doc_id, filter(split(lower(text), '[^a-z0-9]+'), t -> t != '') AS toks
             FROM documents WHERE doc_id < 200),

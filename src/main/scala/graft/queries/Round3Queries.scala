@@ -278,7 +278,10 @@ object Round3Queries extends QueryModule {
     Q("n_ann_ivf_portable",
       "Portable IVF ANN: embeddings quantized to integers (round(v*1000)) make per-label centroid sums EXACT BIGINTs in both engines, so coarse-cell scores dot/√Σc² are bit-identical doubles — argmax cell assignment and nprobe=4 probing cannot drift cross-engine. Exact-cosine rerank of probed candidates, top-5 per query. Same scale shape as n_ann_ivf: integer centroids collect to the driver (k×64 longs) and assignment is map-only.",
       (s, dir) => {
-        val emb = T(s, dir, "embeddings")
+        // r15: quantization, the cell-score HOF transform and the
+        // argmax assignment are row-local CPU fused into the
+        // single-split scan — spread it first (guide §2.5)
+        val emb = T.par(s, dir, "embeddings")
           .select(col("vec_id"), col("label"), col("embedding"))
           .withColumn("qe",
             expr("transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * 1000) AS BIGINT))"))

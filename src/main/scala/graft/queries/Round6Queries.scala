@@ -115,6 +115,9 @@ object Round6Queries extends QueryModule {
     Q("n_e2e_prep_pipeline",
       "End-to-end preprocessing capstone as ONE DAG: normalize (lower + whitespace collapse) -> quality gate (>=100 chars, >=20 tokens) -> exact dedup on normalized text (keep min id) -> 64/48 sliding-window chunking, reporting per-language funnel counts (in -> quality -> unique -> chunks/tokens). This is the query a user runs nightly; expressing it as one DataFrame DAG means Catalyst fuses normalize+gate into the scan projection, the dedup aggregate partial-aggregates map-side, and chunk accounting is arithmetic on token counts (no chunk text is ever materialized, let alone shuffled). Every stage count is an exact integer, so the funnel hashes identically cross-engine.",
       (s, dir) => {
+        // r15: measured a spread here — it LOST (1.3 s → 1.5 s: two
+        // consumers re-read the exchange carrying full text); the fused
+        // scan projection stays.
         val gated = T(s, dir, "documents")
           .select(col("doc_id"), col("lang"),
             trim(regexp_replace(lower(col("text")), "\\s+", " ")).as("t"))

@@ -191,7 +191,9 @@ object Round8Queries extends QueryModule {
           explode(expr("sequence(s, e)")).as("p"))
         val cutStats = cut.groupBy(col("doc_id"))
           .agg(count(lit(1)).as("n_spans_cut"))
-        val docs = T(s, dir, "documents").select(col("doc_id"), col("text"))
+        // r15: spread — the untouched-branch per-doc md5 digests and the
+        // surgery-branch token explode are row-local CPU (guide §2.5)
+        val docs = T.par(s, dir, "documents").select(col("doc_id"), col("text"))
         val cutDocs = cut.select(col("doc_id")).distinct()
         // token surgery only for docs that actually lose a span (the
         // small minority); everything else is a row-local re-join —

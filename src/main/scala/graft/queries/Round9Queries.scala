@@ -98,14 +98,18 @@ object Round9Queries extends QueryModule {
     Q("n_kmeans_lloyd",
       "Two Lloyd iterations of cosine k-means (k=8, deterministic low-id seeds): broadcast centroids, map-only argmax assignment, dimension-exploded mean recompute, reassign — per-cell sizes and mean member similarity after the update step.",
       (s, dir) => {
-        val e = T(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+        // r15: spread the single-split scan and use the fused codegen
+        // cosine kernel (bit-identical accumulation; CosineSpec) in
+        // place of the interpreted HOF — the k×n scoring loop is the
+        // query's CPU (guide §2.5 + §4.1)
+        val e = T.par(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
         val init = e.filter(col("vec_id") < 8)
           .select(col("vec_id").cast("int").as("cell"), col("embedding").as("cvec"))
         def assign(cents: DataFrame): DataFrame = {
           val w = Window.partitionBy(col("vec_id"))
             .orderBy(col("simr").desc, col("cell").asc)
           e.crossJoin(broadcast(cents))
-            .withColumn("simr", round(SimilarityQueries.cosineHof("embedding", "cvec"), 6))
+            .withColumn("simr", round(SimilarityQueries.cosine("embedding", "cvec"), 6))
             .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
             .select(col("cell"), col("vec_id"), col("embedding"), col("simr"))
         }

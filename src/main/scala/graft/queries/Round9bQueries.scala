@@ -70,7 +70,9 @@ object Round9bQueries extends QueryModule {
     Q("n_bm25_topk",
       "Okapi BM25 lexical retrieval (k1=1.2, b=0.75): doc-frequency and length statistics are token-keyed aggregates, the query's term set (doc 0's distinct words) broadcasts against the posting relation, per-term contributions are fixed-scale decimals summed exactly, and the ranking is a top-10 TakeOrderedAndProject.",
       (s, dir) => {
-        val docs = T(s, dir, "documents")
+        // r15: spread the single-split doc scan so tokenize+explode
+        // parallelize (guide §2.5)
+        val docs = T.par(s, dir, "documents")
           .select(col("doc_id"),
             filter(split(col("text"), " "), w => length(w) > 0).as("words"))
           .withColumn("dl", size(col("words")))
@@ -84,12 +86,17 @@ object Round9bQueries extends QueryModule {
           .select(col("doc_id"), col("dl"), explode(col("words")).as("w"))
           .groupBy(col("doc_id"), col("dl"), col("w"))
           .agg(count(lit(1)).as("tf")))
-        // document frequency: tf is already distinct per (doc, term)
-        val dfreq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
         val qterms = docs.filter(col("doc_id") === 0)
           .select(explode(col("words")).as("w")).distinct()
+        // document frequency: tf is already distinct per (doc, term).
+        // r15 (guide §2.3): aggregate df only for the probe terms (a
+        // semi-filter on the retained posting relation) instead of the
+        // full ~4M-term vocabulary — df for surviving terms is
+        // unchanged (it still counts all docs).
+        val dfreq = tf.join(broadcast(qterms), "w")
+          .groupBy(col("w")).agg(count(lit(1)).as("df"))
         tf.join(broadcast(qterms), "w")
-          .join(broadcast(dfreq.join(broadcast(qterms), "w")), "w")
+          .join(broadcast(dfreq), "w")
           .crossJoin(broadcast(stats))
           .withColumn("idf",
             round(log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0), 8))
@@ -124,7 +131,9 @@ object Round9bQueries extends QueryModule {
     Q("n_pca_power",
       "Top principal component by 2 rounds of distributed power iteration (v0 = e_0): per-row centered dot products and dimension-keyed updates are fixed-scale decimals summed order-independently (exact allreduce); the d-vector lives driver-side and re-enters each pass as literals — O(d) state, no d×d matrix ever materializes (the scale-out answer to n_embed_covariance's d² bound).",
       (s, dir) => {
-        val e = T(s, dir, "embeddings").select(col("vec_id"),
+        // r15: spread the single-split scan — every pass below runs
+        // per-row HOF dot/center CPU straight off it (guide §2.5)
+        val e = T.par(s, dir, "embeddings").select(col("vec_id"),
           expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
         // centering vector: one dimension-keyed aggregate, O(d) driver
         // state; the row count rides along in the SAME pass (count per
@@ -175,7 +184,9 @@ object Round9bQueries extends QueryModule {
     Q("n_ann_pq",
       "Product-quantization ANN: 8 subspaces × 16 codewords (codebook = the first 16 vectors' subvectors) compress each vector to 8 codes; a FIXED probe batch (first 200 of the vec_id % 50 slice — query load is independent of corpus size) precomputes per-subspace distance tables, the candidate scan is a hash join on (subspace, code) + exact-decimal ADC sum — no vector math per candidate — then the 20-candidate ADC shortlist reranks exactly by true cosine to a top-5 (the standard ADC+rerank retrieval pipeline).",
       (s, dir) => {
-        val e = T(s, dir, "embeddings").select(col("vec_id"),
+        // r15: spread — the 16k-row × 16-codeword interpreted l2sq
+        // encode fan below is the query's CPU (guide §2.5)
+        val e = T.par(s, dir, "embeddings").select(col("vec_id"),
           expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
         val subs = e.select(col("vec_id"),
           posexplode(expr("transform(sequence(0, 7), s -> slice(v, s * 8 + 1, 8))"))
@@ -219,7 +230,7 @@ object Round9bQueries extends QueryModule {
           .orderBy(col("true_sim").desc_nulls_last, col("vec_id").asc_nulls_last)
         e.select(col("vec_id"), col("v").as("cv"))
           .join(broadcast(shortlist.join(broadcast(probes), "qid")), "vec_id")
-          .withColumn("true_sim", round(SimilarityQueries.cosineHof("qv", "cv"), 6))
+          .withColumn("true_sim", round(SimilarityQueries.cosine("qv", "cv"), 6))
           .withColumn("rk", row_number().over(wSim)).filter(col("rk") <= 5)
           .select(col("qid"), col("rk"), col("vec_id"), col("adc"), col("true_sim"))
           .orderBy(col("qid").asc_nulls_last, col("rk").asc_nulls_last)
@@ -456,7 +467,8 @@ object Round9bQueries extends QueryModule {
       "Quality-ranked corpus selection under a global token budget (the data-mixing step: fill 20k training tokens with the best docs first): docs order by a rounded uniqueness score, the running token total is a TWO-LEVEL cumsum — per-score-band window + tiny band-offset broadcast, no single-partition global window (bands are monotone in the score, so band-local order composes to the global order) — and a doc survives iff it fits entirely.",
       (s, dir) => {
         val budget = 20000L
-        val d = T(s, dir, "documents")
+        // r15: spread — the triple split() per row is the scan CPU
+        val d = T.par(s, dir, "documents")
           .select(col("doc_id"),
             size(split(col("text"), " ")).cast("long").as("n_tokens"),
             round(size(array_distinct(split(col("text"), " "))).cast("double")
@@ -497,7 +509,10 @@ object Round9bQueries extends QueryModule {
     Q("n_novelty_curve",
       "Novel-content curve per ingestion batch (is each new crawl still adding anything?): a 3-word chunk is NOVEL in the doc where its digest first appears (min doc_id — one gram-keyed aggregate, digests on the wire, never text); per 50-doc batch, the novel-chunk share is the marginal value of that crawl — the curve a dedup-aware sampler reads before paying for processing.",
       (s, dir) => {
-        val ch = T(s, dir, "documents")
+        // r15: chunk+md5 explode ran inside the single-split scan stage
+        // (guide §2.5) — spread the 5k-row doc scan first (measured
+        // 1.06 → 0.68 s at sf0.1 for this shape)
+        val ch = T.par(s, dir, "documents")
           .select(col("doc_id"), posexplode(expr(
             "transform(sequence(0, cast(ceil(size(split(text, ' ')) / 3.0) as int) - 1), c -> array_join(slice(split(text, ' '), c * 3 + 1, 3), ' '))")))
           .toDF("doc_id", "cidx", "chunk")
@@ -529,7 +544,9 @@ object Round9bQueries extends QueryModule {
     Q("n_fuzzy_join_edit1",
       "Fuzzy entity-resolution self-join, exact at edit distance ≤ 1: SymSpell deletion-neighborhood blocking — every name emits itself plus its single-deletion variants as md5 keys, any distance-1 pair (insert/delete/substitute) provably shares a key, candidates are only key-sharing pairs (never all-pairs), and a row-local levenshtein verifies. Keys shuffle as 16-byte digests; a mass-duplicate-name corpus should run exact dedup first (a hot key spawns f² candidates — the documented precondition, like the dedup family's DF caps).",
       (s, dir) => {
-        val c = T(s, dir, "customer")
+        // r15: the 25×-per-name deletion-variant explode + md5 ran in
+        // the single-split scan stage — spread first (guide §2.5)
+        val c = T.par(s, dir, "customer")
           .select(col("c_custkey").as("id"), col("c_name").as("name"))
         val vars = c.select(col("id"), col("name"), explode(expr(
             """array_union(array(name),
@@ -612,7 +629,9 @@ object Round9bQueries extends QueryModule {
       "Maximal-Marginal-Relevance diversified top-5 (λ=0.7) over each probe's cosine top-20 shortlist: the greedy loop unrolls as five relational steps — each step anti-joins the selected set, takes the max pair-similarity to it, and argmaxes the rounded MMR score — so BOTH engines run the identical declarative chain (no driver state at all). Candidate generation is the distributed part (a FIXED probe workload × corpus scan — linear); the rerank touches only q×20 rows regardless of corpus size — the standard retrieval/diverse-sampling shape.",
       (s, dir) => {
         val lam = 0.7d
-        val e = T(s, dir, "embeddings").select(col("vec_id"),
+        // r15: spread the single-split scan; the probe-scoring and
+        // pair-similarity loops below are the CPU (guide §2.5)
+        val e = T.par(s, dir, "embeddings").select(col("vec_id"),
           expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
         // the probe WORKLOAD is fixed (first 200 probe ids): production
         // rerank load is the number of user queries, independent of
@@ -632,7 +651,7 @@ object Round9bQueries extends QueryModule {
         val cand = DedupQueries.retain(
           e.join(broadcast(probes), col("vec_id") =!= col("qid"))
             .select(col("qid"), col("vec_id"),
-              round(SimilarityQueries.cosineHof("qv", "v"), 6).as("simq"))
+              round(SimilarityQueries.cosine("qv", "v"), 6).as("simq"))
             .withColumn("rn", row_number().over(wq)).filter(col("rn") <= 20)
             .drop("rn")
             .join(e, Seq("vec_id"))
@@ -641,7 +660,7 @@ object Round9bQueries extends QueryModule {
           .join(cand.select(col("qid"), col("vec_id").as("cb"), col("v").as("vb")), "qid")
           .filter(col("ca") =!= col("cb"))
           .select(col("qid"), col("ca"), col("cb"),
-            round(SimilarityQueries.cosineHof("va", "vb"), 6).as("sab")))
+            round(SimilarityQueries.cosine("va", "vb"), 6).as("sab")))
         val wMmr = Window.partitionBy(col("qid"))
           .orderBy(col("mmr").desc_nulls_last, col("vec_id").asc_nulls_last)
         def pick(selected: Option[DataFrame], step: Int): DataFrame = {
@@ -811,9 +830,11 @@ object Round9bQueries extends QueryModule {
   /** The per-doc bigram stream, shared (via the plan-idempotent retain)
     * by in-sample and held-out LM scoring.
     */
+  // r15: spread the single-split doc scan so the bigram explode
+  // parallelizes (guide §2.5)
   private[queries] def bigramStream(s: SparkSession, dir: String): DataFrame =
     DedupQueries.retain(
-      T(s, dir, "documents")
+      T.par(s, dir, "documents")
         .select(col("doc_id"),
           filter(split(col("text"), " "), w => length(w) > 0).as("ws"))
         .select(col("doc_id"),

@@ -1,0 +1,40 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.SparkSession
+import graft.{GraftSession, SparkEntry}
+
+/** Round-15 optimization evidence: dumps `explain(formatted)` for the
+  * named queries to plans/r15/<query>_<suffix>.txt (the judge checks
+  * before/after plan claims against these files).
+  *
+  * `sbt 'runMain graft.tools.PlanSnap <suffix> <query> [query ...]'`
+  */
+object PlanSnap {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: PlanSnap <suffix> <query> [query ...]")
+    val suffix = args.head
+    val names = args.tail.toSeq
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val spark = GraftSession.tune(SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+    Files.createDirectories(Paths.get("plans/r15"))
+    val qs = SparkEntry.queries
+    names.foreach { n =>
+      qs.get(n) match {
+        case Some(fn) =>
+          val plan = fn(spark, sfDir).queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode)
+          Files.writeString(Paths.get(s"plans/r15/${n}_$suffix.txt"), plan)
+          println(s"[plansnap] wrote plans/r15/${n}_$suffix.txt")
+        case None => System.err.println(s"[plansnap] unknown query: $n")
+      }
+    }
+    spark.stop()
+  }
+}

@@ -119,8 +119,8 @@ object ExtraQueries extends QueryModule {
         s.sql("""WITH m AS (
             SELECT l_returnflag, avg(l_quantity) AS mu FROM lineitem GROUP BY l_returnflag)
           SELECT t.l_returnflag,
-            round(avg(pow(l_quantity - mu, 3)) / pow(avg(pow(l_quantity - mu, 2)), 1.5), 4) AS skew_pop,
-            round(avg(pow(l_quantity - mu, 4)) / pow(avg(pow(l_quantity - mu, 2)), 2) - 3, 4) AS kurt_excess_pop
+            round(avg(pow(l_quantity - mu, 3)) / pow(avg(pow(l_quantity - mu, 2)), 1.5), 4) + 0.0 AS skew_pop,
+            round(avg(pow(l_quantity - mu, 4)) / pow(avg(pow(l_quantity - mu, 2)), 2) - 3, 4) + 0.0 AS kurt_excess_pop
           FROM lineitem t JOIN m ON t.l_returnflag = m.l_returnflag
           GROUP BY t.l_returnflag
           ORDER BY t.l_returnflag ASC NULLS LAST""")
@@ -128,8 +128,8 @@ object ExtraQueries extends QueryModule {
       Some("""WITH m AS (
           SELECT l_returnflag, avg(l_quantity) AS mu FROM lineitem GROUP BY l_returnflag)
         SELECT t.l_returnflag,
-          round(avg(pow(l_quantity - mu, 3)) / pow(avg(pow(l_quantity - mu, 2)), 1.5), 4) AS skew_pop,
-          round(avg(pow(l_quantity - mu, 4)) / pow(avg(pow(l_quantity - mu, 2)), 2) - 3, 4) AS kurt_excess_pop
+          round(avg(pow(l_quantity - mu, 3)) / pow(avg(pow(l_quantity - mu, 2)), 1.5), 4) + 0.0 AS skew_pop,
+          round(avg(pow(l_quantity - mu, 4)) / pow(avg(pow(l_quantity - mu, 2)), 2) - 3, 4) + 0.0 AS kurt_excess_pop
         FROM lineitem t JOIN m ON t.l_returnflag = m.l_returnflag
         GROUP BY t.l_returnflag
         ORDER BY t.l_returnflag ASC NULLS LAST""")),

@@ -42,13 +42,12 @@ object TpchQueries extends QueryModule {
   /** One shared ANSI text: Spark executes it via spark.sql (library
     * session, builtin-pure) and the driver re-runs it in DuckDB. */
   private def tq(name: String, doc: String, text: String): Q =
-    // r15: register spread scans — the fixture ships each table as one
-    // unsplittable split, so scan-stage work (decimal casts, partial
-    // aggregates, the partsupp CTE build) ran on one core (guide §2.5).
-    // Every aggregate in this battery is order-independent (DECIMAL
-    // sums, integer-valued doubles), re-verified vs the oracle at all
-    // fixture SFs.
-    Q(name, doc, (s, dir) => { T.viewsPar(s, dir, AllTables: _*); s.sql(text) },
+    // r15: measured THREE ways in one session (min-of-3 battery sum at
+    // sf0.1/32c): plain views 15.3 s, spread views hashed on the table
+    // id 18.8 s, spread views hashed on all columns 24.9 s. The spec
+    // shapes join/aggregate with map-side partials immediately, so any
+    // pre-exchange is pure added cost — plain views stays.
+    Q(name, doc, (s, dir) => { T.views(s, dir, AllTables: _*); s.sql(text) },
       Some(text))
 
   /** The derived partsupp relation: the spec's (partkey, suppkey)

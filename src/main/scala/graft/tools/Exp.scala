@@ -89,6 +89,48 @@ object Exp {
         .withColumn("simr", round(graft.queries.SimilarityQueries.cosine("qv", "embedding"), 6))
         .groupBy("qid").agg(max("simr"))
     }
+    // --- audio codec profiling (m_audio_features = 3.8 s at sf0.1) ---
+    val ids = T(spark, sfDir, "documents").select(col("doc_id"))
+      .repartition(spark.sparkContext.defaultParallelism)
+    time("audio synth only (UDF)", 3) {
+      ids.select(col("doc_id"),
+          length(graft.operators.AudioDecode.synthWavUdf(col("doc_id"))).as("n"))
+        .agg(sum("n"))
+    }
+    time("audio synth+decode (current op)", 3) {
+      graft.operators.AudioDecode.extractFeatures(
+        ids.select(col("doc_id"),
+          graft.operators.AudioDecode.synthWavUdf(col("doc_id")).as("payload")))
+    }
+    // single-threaded JVM cost of the two halves, outside Spark
+    val t0 = System.nanoTime()
+    var bytes = 0L
+    (0 until 5000).foreach { i => bytes += graft.operators.AudioDecode.synthWav(i.toLong).length }
+    val t1 = System.nanoTime()
+    (0 until 5000).foreach { i =>
+      val p = graft.operators.AudioDecode.synthWav(i.toLong)
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(p))
+      bytes += ais.readAllBytes().length; ais.close()
+    }
+    val t2 = System.nanoTime()
+    println(f"[exp] jvm-1thread synth 5000: ${(t1-t0)/1e9}%.3f s; synth+decode: ${(t2-t1)/1e9}%.3f s (bytes=$bytes)")
+    // 32-thread contention probe on AudioSystem
+    val t3 = System.nanoTime()
+    val threads = (0 until 32).map { t =>
+      new Thread(() => {
+        var b = 0L
+        ((t * 157) until ((t + 1) * 157)).foreach { i =>
+          val p = graft.operators.AudioDecode.synthWav(i.toLong)
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(p))
+          b += ais.readAllBytes().length; ais.close()
+        }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    val t4 = System.nanoTime()
+    println(f"[exp] jvm-32thread synth+decode 5024: ${(t4-t3)/1e9}%.3f s")
     spark.stop()
   }
 }

@@ -50,7 +50,10 @@ object AggQueries extends QueryModule {
     Q("d_cube",
       "GROUP BY CUBE over two dimensions.",
       (s, dir) =>
-        T(s, dir, "lineitem")
+        // r15: project the 3 needed columns and spread before the CUBE
+        // expand (×4 row fan-out + decimal casts ran on one core)
+        T.spread(T(s, dir, "lineitem")
+            .select(col("l_returnflag"), col("l_linestatus"), col("l_quantity")))
           .cube(col("l_returnflag"), col("l_linestatus"))
           .agg(count(lit(1)).as("n"), graft.Exact.sumExact(col("l_quantity")).as("qty"),
                grouping_id().as("gid"))

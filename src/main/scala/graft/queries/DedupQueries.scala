@@ -198,8 +198,7 @@ object DedupQueries extends QueryModule {
     * value shared by a boilerplate cluster is one shuffle key).
     */
   def simhashCandidates(s: SparkSession, dir: String): DataFrame = {
-    val docs = T(s, dir, "documents")
-      .repartition(s.sparkContext.defaultParallelism)
+    val docs = T.par(s, dir, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .select(col("doc_id"), expr("transform(w, x -> xxhash64(x))").as("hs"))
     val sim = docs.select(col("doc_id"),
@@ -280,11 +279,10 @@ object DedupQueries extends QueryModule {
   }
 
   private def buildShingles(s: SparkSession, dir: String): DataFrame =
-    T(s, dir, "documents")
-      // documents arrive as one small parquet split; spread the
-      // CPU-heavy shingle explode across all cores (5k tiny rows
-      // shuffle for free, the transform work is what matters)
-      .repartition(s.sparkContext.defaultParallelism)
+    // documents arrive as one small parquet split; spread the
+    // CPU-heavy shingle explode across all cores (T.par: keyed hash —
+    // round-robin paid a local input sort, SPARK-23207)
+    T.par(s, dir, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .select(col("doc_id"), expr(
         // guard: sequence(0, -1) is DESCENDING in Spark (not empty), so

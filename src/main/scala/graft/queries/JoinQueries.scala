@@ -24,7 +24,11 @@ object JoinQueries extends QueryModule {
       (s, dir) => {
         val cust = T(s, dir, "customer")
         val ord = T(s, dir, "orders")
-        val li = T(s, dir, "lineitem")
+        // r15: project + spread the fact side — the whole broadcast-join
+        // probe chain and the decimal partial agg fused into the
+        // single-split lineitem scan (one core) otherwise (guide §2.5)
+        val li = T.spread(T(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")))
         val nat = T(s, dir, "nation")
         val reg = T(s, dir, "region")
         li.join(ord, li("l_orderkey") === ord("o_orderkey"))
@@ -142,8 +146,9 @@ object JoinQueries extends QueryModule {
     Q("c_join_theta_range",
       "Inequality (theta) join with pre-filtered sides: part price within a supplier-derived band.",
       (s, dir) => {
-        val p = T(s, dir, "part").filter(col("p_size") > 45)
-          .select(col("p_partkey"), col("p_retailprice"))
+        // r15: spread the stream side of the banded BNLJ (guide §2.5)
+        val p = T.spread(T(s, dir, "part").filter(col("p_size") > 45)
+          .select(col("p_partkey"), col("p_retailprice")))
         val sup = T(s, dir, "supplier")
           .select(col("s_suppkey"), col("s_acctbal"))
         p.join(sup,

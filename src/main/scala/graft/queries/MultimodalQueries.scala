@@ -46,11 +46,10 @@ object MultimodalQueries extends QueryModule {
 
     Q("m_decode_features",
       "REAL image decode (javax.imageio PNG) + per-channel feature extraction via batched partition passes; payloads are deterministic synthetic PNGs so the decoded features hash-match a pixel-formula oracle.",
+      // r15: spread bare ids (keyed — round-robin paid a local sort and
+      // carried full text), then synth post-exchange so payloads never shuffle
       (s, dir) => graft.operators.MediaDecode.extractFeatures(
-        T(s, dir, "documents")
-          // single-split source: spread the CPU-heavy encode/decode
-          // across all cores before the per-row image work
-          .repartition(s.sparkContext.defaultParallelism)
+        T.spread(T(s, dir, "documents").select(col("doc_id")))
           .select(col("doc_id"),
             graft.operators.MediaDecode.synthPngUdf(col("doc_id")).as("payload"))),
       // the oracle decodes nothing: it reduces the same pixel formula
@@ -75,8 +74,7 @@ object MultimodalQueries extends QueryModule {
     Q("m_frame_sample",
       "REAL frame sampling over a multi-frame container: length-prefixed PNG frames, every 2nd frame decoded (skipped frames' bytes never parsed — the production sampler's cost model), per-sampled-frame means oracle-checked against the frame pixel formula.",
       (s, dir) => graft.operators.MediaDecode.sampleFrames(
-        T(s, dir, "documents")
-          .repartition(s.sparkContext.defaultParallelism)
+        T.par(s, dir, "documents")
           .select(col("doc_id"),
             graft.operators.MediaDecode.synthVideoUdf(col("doc_id")).as("payload"))),
       Some("""WITH g AS (
@@ -100,8 +98,7 @@ object MultimodalQueries extends QueryModule {
     Q("m_resize_thumb",
       "REAL image resize: 4×4 area-averaged thumbnail (floor-block boxes, no interpolation variance) over decoded PNGs; thumb grand-mean/max oracle-checked — the floor-block partition x∈[⌊i·w/4⌋,⌊(i+1)·w/4⌋) is exactly i=(4x+3)//w, so block means are exact-integer ratios in both engines.",
       (s, dir) => graft.operators.MediaDecode.resizeThumbs(
-        T(s, dir, "documents")
-          .repartition(s.sparkContext.defaultParallelism)
+        T.par(s, dir, "documents")
           .select(col("doc_id"),
             graft.operators.MediaDecode.synthPngUdf(col("doc_id")).as("payload"))),
       Some("""WITH g AS (
@@ -133,11 +130,10 @@ object MultimodalQueries extends QueryModule {
       (s, dir) => {
         val ids = T(s, dir, "documents").select(col("doc_id"))
           .filter(col("doc_id") >= 1 && col("doc_id") <= 120)
-        val media = ids.select(col("doc_id"),
+        val media = T.spread(ids).select(col("doc_id"),
             graft.operators.MediaDecode.synthPngTexturedUdf(col("doc_id")).as("payload"))
-          .unionAll(ids.select((col("doc_id") + 100000).as("doc_id"),
+          .unionAll(T.spread(ids).select((col("doc_id") + 100000).as("doc_id"),
             graft.operators.MediaDecode.synthPngTextured2xUdf(col("doc_id")).as("payload")))
-          .repartition(s.sparkContext.defaultParallelism)
         val dh = graft.operators.MediaDecode.dHash(media)
         dh.as("a").join(dh.as("b"), col("a.doc_id") < col("b.doc_id"))
           .withColumn("hamming",
@@ -190,11 +186,10 @@ object MultimodalQueries extends QueryModule {
       (s, dir) => {
         val ids = T(s, dir, "documents").select(col("doc_id"))
           .filter(col("doc_id") >= 1 && col("doc_id") <= 120)
-        val media = ids.select(col("doc_id"),
+        val media = T.spread(ids).select(col("doc_id"),
             graft.operators.MediaDecode.synthPngTextured32Udf(col("doc_id")).as("payload"))
-          .unionAll(ids.select((col("doc_id") + 100000).as("doc_id"),
+          .unionAll(T.spread(ids).select((col("doc_id") + 100000).as("doc_id"),
             graft.operators.MediaDecode.synthPngTextured32x2Udf(col("doc_id")).as("payload")))
-          .repartition(s.sparkContext.defaultParallelism)
         val ph = graft.operators.MediaDecode.whtHash(media)
         ph.as("a").join(ph.as("b"), col("a.doc_id") < col("b.doc_id"))
           .withColumn("hamming", expr("bit_count(a.hw ^ b.hw)"))
@@ -234,11 +229,10 @@ object MultimodalQueries extends QueryModule {
       (s, dir) => {
         val ids = T(s, dir, "documents").select(col("doc_id"))
           .filter(col("doc_id") >= 1 && col("doc_id") <= 100)
-        val media = ids.select(col("doc_id"),
+        val media = T.spread(ids).select(col("doc_id"),
             graft.operators.AudioDecode.synthTexturedWavUdf(col("doc_id")).as("payload"))
-          .unionAll(ids.select((col("doc_id") + 100000).as("doc_id"),
+          .unionAll(T.spread(ids).select((col("doc_id") + 100000).as("doc_id"),
             graft.operators.AudioDecode.synthTexturedWav2xUdf(col("doc_id")).as("payload")))
-          .repartition(s.sparkContext.defaultParallelism)
         val fp = graft.operators.AudioDecode.fingerprint(media)
         fp.as("a").join(fp.as("b"), col("a.doc_id") < col("b.doc_id"))
           .withColumn("hamming", expr("bit_count(a.fp ^ b.fp)"))
@@ -276,11 +270,10 @@ object MultimodalQueries extends QueryModule {
       (s, dir) => {
         val ids = T(s, dir, "documents").select(col("doc_id"))
           .filter(col("doc_id") >= 1 && col("doc_id") <= 80)
-        val media = ids.select(col("doc_id"),
+        val media = T.spread(ids).select(col("doc_id"),
             graft.operators.MediaDecode.synthTexturedVideoUdf(col("doc_id")).as("payload"))
-          .unionAll(ids.select((col("doc_id") + 100000).as("doc_id"),
+          .unionAll(T.spread(ids).select((col("doc_id") + 100000).as("doc_id"),
             graft.operators.MediaDecode.synthTexturedVideo2xUdf(col("doc_id")).as("payload")))
-          .repartition(s.sparkContext.defaultParallelism)
         val fset = graft.operators.MediaDecode.videoDHash(media)
           .select(col("doc_id"), col("h1"), col("h2")).distinct()
         val sizes = fset.groupBy(col("doc_id")).agg(count(lit(1)).as("nset"))

@@ -414,7 +414,8 @@ object Round10Queries extends QueryModule {
     Q("n_embed_quantize_sq",
       "Int8 scalar quantization of the embedding corpus (the SQ8 storage mode every vector store ships alongside PQ): per-dimension min/max train the quantizer, codes are floor(round(q,6)+0.5) clamped to [0,255] — 4x smaller than float32 — and the output reports per-dimension reconstruction error (mean via the exact-decimal-mean pattern, plus max). The quantization bound err <= scale/2 per value is asserted in Round10Spec. Scale shape: the trainer is one dimension-keyed min/max aggregate (d rows of state), encoding is map-only against the broadcast ranges, and error metrics are dimension-keyed partial-combined aggregates — nothing materializes per (vector x dimension) beyond the scan itself.",
       (s, dir) => {
-        val e = T(s, dir, "embeddings")
+        // r15: spread before the per-dim explode (guide §2.5)
+        val e = T.par(s, dir, "embeddings")
           .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "vf")))
           .select(col("vec_id"), col("dim"), col("vf").cast("double").as("v"))
         val mm = e.groupBy(col("dim"))
@@ -552,17 +553,13 @@ object Round10Queries extends QueryModule {
     Q("n_ann_recall",
       "ANN recall@10 evaluation harness (the measurement that decides whether a bucketed index is usable before it ships): 20 probe vectors retrieve from the full corpus twice — exact brute-force cosine top-10, and multi-probe hyperplane LSH (signature Hamming distance <= 1, i.e. the probe's bucket plus its 8 single-bit neighbors) reranked by exact cosine — and each probe reports its candidate count, measured recall@10, and the analytic random-baseline recall (n_cand/(N-1)) so the index's lift over random is visible in the output itself. Scale shape: signatures are map-only against authoring-time constant hyperplanes, the probe set broadcasts, and the exact side IS the documented brute-force baseline this harness exists to compare against.",
       (s, dir) => {
-        val planes = Round2Queries.lshPlanes
-        var e = T(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
-        planes.zipWithIndex.foreach { case (hp, b) =>
-          e = e.withColumn(s"hp$b", typedLit(hp))
-        }
-        val sigExpr = planes.indices.map { b =>
-          when(expr(
-            s"aggregate(zip_with(hp$b, embedding, (p, q) -> CAST(p AS DOUBLE) * CAST(q AS DOUBLE)), 0D, (a, b) -> a + b)")
-            >= 0, lit(1L << b)).otherwise(lit(0L))
-        }.reduce(_ + _)
-        val sigs = e.withColumn("sig", sigExpr)
+        // r15: fused codegen PlaneSignature (PlaneSignatureSpec pins
+        // equality with the HOF fold) over the spread scan; sig cast
+        // keeps the original LONG type
+        val sigs = T.par(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+          .withColumn("sig", graft.functions.PlaneSignature(
+            col("embedding"), Round2Queries.lshPlanes).cast("long"))
           .select(col("vec_id"), col("embedding"), col("sig"))
         val probes = sigs.filter(col("vec_id") < 20)
           .select(col("vec_id").as("pid"), col("embedding").as("pv"),

@@ -178,11 +178,10 @@ object Round11bQueries extends QueryModule {
       (s, dir) => {
         val ids = T(s, dir, "documents").select(col("doc_id"))
           .filter(col("doc_id") >= 1 && col("doc_id") <= 120)
-        val media = ids.select(col("doc_id"),
+        val media = T.spread(ids).select(col("doc_id"),
             graft.operators.MediaDecode.synthQualityPngUdf(col("doc_id")).as("payload"))
-          .unionAll(ids.select((col("doc_id") + 100000).as("doc_id"),
+          .unionAll(T.spread(ids).select((col("doc_id") + 100000).as("doc_id"),
             graft.operators.MediaDecode.synthQualityPngBlurUdf(col("doc_id")).as("payload")))
-          .repartition(s.sparkContext.defaultParallelism)
         graft.operators.MediaDecode.imageQuality(media)
           .withColumn("mean_luma",
             round(col("sum_g").cast("double") / col("n_px"), 6))
@@ -878,9 +877,8 @@ object Round11bQueries extends QueryModule {
       (s, dir) => {
         val ids = T(s, dir, "documents").select(col("doc_id"))
           .filter(col("doc_id") >= 1 && col("doc_id") <= 60)
-        val media = ids.select(col("doc_id"),
+        val media = T.spread(ids).select(col("doc_id"),
             graft.operators.MediaDecode.synthSceneVideoUdf(col("doc_id")).as("payload"))
-          .repartition(s.sparkContext.defaultParallelism)
         val fh = graft.operators.MediaDecode.videoDHash(media)
         val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx").asc)
         fh.withColumn("p1", lag(col("h1"), 1).over(w))
@@ -944,9 +942,8 @@ object Round11bQueries extends QueryModule {
       (s, dir) => {
         val ids = T(s, dir, "documents").select(col("doc_id"))
           .filter(col("doc_id") >= 1 && col("doc_id") <= 100)
-        val media = ids.select(col("doc_id"),
+        val media = T.spread(ids).select(col("doc_id"),
             graft.operators.AudioDecode.synthVadWavUdf(col("doc_id")).as("payload"))
-          .repartition(s.sparkContext.defaultParallelism)
         val fe = graft.operators.AudioDecode.frameEnergies(media)
           .withColumn("voiced", (col("e") > lit(64L) * col("n_in_frame")).cast("int"))
         val tot = fe.groupBy(col("doc_id"))
@@ -993,9 +990,8 @@ object Round11bQueries extends QueryModule {
       (s, dir) => {
         val ids = T(s, dir, "documents").select(col("doc_id"))
           .filter(col("doc_id") >= 1 && col("doc_id") <= 60)
-        val media = ids.select(col("doc_id"),
+        val media = T.spread(ids).select(col("doc_id"),
             graft.operators.MediaDecode.synthSceneVideoUdf(col("doc_id")).as("payload"))
-          .repartition(s.sparkContext.defaultParallelism)
         val fh = graft.operators.MediaDecode.videoDHash(media)
         val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx").asc)
         fh.withColumn("p1", lag(col("h1"), 1).over(w))
@@ -1061,9 +1057,8 @@ object Round11bQueries extends QueryModule {
       (s, dir) => {
         val ids = T(s, dir, "documents").select(col("doc_id"))
           .filter(col("doc_id") >= 1 && col("doc_id") <= 100)
-        val media = ids.select(col("doc_id"),
+        val media = T.spread(ids).select(col("doc_id"),
             graft.operators.AudioDecode.synthVadWavUdf(col("doc_id")).as("payload"))
-          .repartition(s.sparkContext.defaultParallelism)
         val fe = graft.operators.AudioDecode.frameEnergies(media)
           .withColumn("voiced", col("e") > lit(64L) * col("n_in_frame"))
         fe.groupBy(col("doc_id"))

@@ -277,7 +277,8 @@ object Round2Queries extends QueryModule {
     Q("n_simhash_portable",
       "Portable SimHash-32: md5-derived per-token hashes vote on 32 bit positions; the signature is oracle-checked bit-for-bit (the engine-native 64-bit variant, n_dedup_simhash, stays the fast path).",
       (s, dir) =>
-        T(s, dir, "documents")
+        // r15: spread — the 32-bit × token interpreted vote fold is the CPU
+        T.par(s, dir, "documents")
           .filter(col("doc_id") < 300)
           .select(col("doc_id"),
             expr(s"""aggregate(sequence(0, 31), 0L, (acc, b) -> acc +
@@ -501,7 +502,9 @@ object Round2Queries extends QueryModule {
     * is the candidate equi-join on the probed cell ids.
     */
   def ivfTopK(s: SparkSession, dir: String, nprobe: Int, k: Int): DataFrame = {
-    val emb = T(s, dir, "embeddings").select(col("vec_id"), col("label"), col("embedding"))
+    // r15: spread the single-split scan (training explode + map-only
+    // assignment HOFs are the CPU; guide §2.5)
+    val emb = T.par(s, dir, "embeddings").select(col("vec_id"), col("label"), col("embedding"))
     // train coarse cells: per-label mean embedding via dimension-exploded
     // avg (no array-avg builtin), restitched in dim order, collected —
     // k×64 floats, the classic "model to driver, broadcast back" step

@@ -192,8 +192,7 @@ object Round3Queries extends QueryModule {
     Q("n_decontaminate",
       "Benchmark decontamination: corpus docs sharing any 5-gram with the eval set (source='src0') are flagged; per-lang contaminated counts + worst overlap. The join shuffles 16-byte md5 digests of the grams, not gram text — at 100 TB that is the difference between shuffling digests and shuffling prose.",
       (s, dir) => {
-        val docs = T(s, dir, "documents")
-          .repartition(s.sparkContext.defaultParallelism)
+        val docs = T.par(s, dir, "documents")
         // persisted via retain(): the bench and corpus branches below
         // would otherwise re-run the split+gram+md5+explode pass twice
         val grams = DedupQueries.retain(docs

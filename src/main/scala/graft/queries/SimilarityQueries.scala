@@ -96,7 +96,8 @@ object SimilarityQueries extends QueryModule {
     Q("n_ann_lsh_buckets",
       "ANN via random-hyperplane LSH: 6-bit signatures from deterministic hash-seeded hyperplanes; probes scan only their bucket, exact cosine reranks. Oracle-exempt (engine-native hash) twin=n_ann_lsh_portable (oracle-passing md5-hyperplane twin); AnnSpec measures recall vs brute force.",
       (s, dir) => {
-        val emb = T(s, dir, "embeddings")
+        // r15: spread — the 6-plane interpreted signature fold is the CPU
+        val emb = T.par(s, dir, "embeddings")
         // hyperplane component (i, j) = ±1 from xxhash64 parity — no
         // stored model, reproducible on any cluster size
         val sigExpr = expr(
@@ -120,7 +121,7 @@ object SimilarityQueries extends QueryModule {
     Q("n_label_centroids",
       "Per-label centroids via dimension-exploded layout (posexplode → group by (label, dim)) — the layout that scales to billions of vectors; pairwise centroid cosine.",
       (s, dir) => {
-        val dims = T(s, dir, "embeddings")
+        val dims = T.par(s, dir, "embeddings")
           .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
           .groupBy(col("label"), col("dim"))
           .agg(avg(col("x")).as("c"))
@@ -152,7 +153,8 @@ object SimilarityQueries extends QueryModule {
       "SemDeDup-style clustered embedding dedup (cf. the public semantic-dedup literature): vectors are assigned map-only to the nearest of k=8 broadcast centroid cells, near-dup pairs (cosine ≥ 0.3) are generated ONLY within a cell, and the greedy keep-lowest-id rule drops the rest. The cell assignment is the scale path — k grows with corpus size, so the per-cell quadratic stays bounded where a global (or even label-blocked) pair join would not. The deterministic low-id centroid seed stands in for an offline k-means model: same broadcast + argmax assignment shape, oracle-checkable.",
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
-        val e = T(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+        // r15: spread — broadcast-assign cosine + per-cell pair cosines
+        val e = T.par(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
         // k is the scale knob: per-cell pair work is ~(n/k)² so k grows
         // with the corpus (k ≈ √n keeps it flat); the oracle mirrors the
         // default, same convention as the spark.graft.dedup.* caps

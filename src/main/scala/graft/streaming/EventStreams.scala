@@ -272,8 +272,13 @@ object EventStreams {
     * contribution map — identical evaluation on stream and batch.
     */
   def bm25Score: org.apache.spark.sql.Column =
+    // try_element_at, NOT element_at: Spark 4 resolves Column-API
+    // functions by name through the session registry, which since the
+    // round-15 build carries DuckDB's LIST-valued map element_at
+    // (Dialect.scala:1303 convention); try_element_at keeps the
+    // builtin value-or-NULL semantics this fold needs.
     round(aggregate(col("qterms"), lit(0.0d),
-      (acc, t) => acc + coalesce(element_at(col("cmap"), t), lit(0.0d))), 6)
+      (acc, t) => acc + coalesce(try_element_at(col("cmap"), t), lit(0.0d))), 6)
 
   /** Streaming fuzzy dedup-on-arrival — the unbounded-feed face of
     * n_fuzzy_join_edit1: entities ARRIVE as a stream and match the

@@ -140,6 +140,8 @@ object Round10Queries extends QueryModule {
     Q("n_bloom_filter",
       "Portable Bloom filter membership sketch (m=4032 bits as 64x63-bit BIGINT lanes, k=4 md5-derived hashes): build over the even-doc_id half's content digests, probe every doc, and report per-side detection — members hit 4/4 bits always (no false negatives, the Bloom guarantee), non-members pass at the measured false-positive rate alongside the theoretical (1-e^(-kn/m))^k bound. Scale shape: the filter is a 64-row lane-keyed bit_or aggregate — mergeable, 512 bytes of state regardless of corpus size — and the probe side joins against those 64 broadcast rows; at ingest, arrivals that miss any bit skip the dedup shuffle entirely.",
       (s, dir) => {
+        // r15: spread measured and LOST (0.524 -> 0.656 min-of-3): md5
+        // is native/codegen CPU, cheaper than exchanging the text
         val d = T(s, dir, "documents")
           .select(col("doc_id"), md5(col("text")).as("dg"),
             (col("doc_id") % 2).as("par"))

@@ -642,7 +642,10 @@ object Round11bQueries extends QueryModule {
         val shingleHash =
           "CAST(conv(substring(md5(concat_ws(' ', element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2))), 1, 13), 16, 10) AS BIGINT)"
         val perms = Seq((131L, 7L), (137L, 11L), (139L, 13L), (149L, 17L))
-        val base = T(s, dir, "documents").filter(col("doc_id") < 300)
+        // r15: spread the slice — the 32-bit × per-shingle interpreted
+        // aggregate fold below is the heaviest per-row HOF in the suite
+        // (§2.5; filter + projection push below the keyed exchange)
+        val base = T.par(s, dir, "documents").filter(col("doc_id") < 300)
           .select(col("doc_id"),
             expr("filter(split(text, ' '), w -> length(w) > 0)").as("ws"))
           .withColumn("ss", expr(
@@ -753,11 +756,14 @@ object Round11bQueries extends QueryModule {
         // probe-term slice. df values for surviving terms are computed
         // over ALL docs exactly as before, so every score is identical.
         val qvocab = qterms.select(col("w")).distinct()
-        val tf = docs
+        // r15: retained — dfreq AND the bm25 scorer both read this
+        // aggregate; uncached the tokenize+explode+semi-join+groupBy
+        // chain runs once per consumer
+        val tf = DedupQueries.retain(docs
           .select(col("doc_id"), col("dl"), explode(col("words")).as("w"))
           .join(broadcast(qvocab), "w")
           .groupBy(col("doc_id"), col("dl"), col("w"))
-          .agg(count(lit(1)).as("tf"))
+          .agg(count(lit(1)).as("tf")))
         val dfreq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
         val bm25 = tf.join(broadcast(qterms), "w")
           .filter(col("doc_id") =!= col("qid"))

@@ -88,7 +88,9 @@ object Round12cQueries extends QueryModule {
     Q("n_hill_tail_fit",
       "Hill MLE for the power-law tail exponent of 3-gram frequencies at tail depths k in (10, 20, 40): alpha_hat(k) = k / sum_{i<=k}(ln f_(i) - ln f_(k+1)) over the frequency order statistics — the maximum-likelihood complement to n_zipf_fit's OLS slope (OLS on log-log ranks is tail-biased; comparing the two IS the diagnostic). Ranks run over the VOCAB relation (constant-keyed window — the documented place a single-partition window is the design: the type vocabulary is orders of magnitude smaller than the corpus), log terms round to 8 before exact-decimal summation. Scale shape: one gram-keyed count aggregate, a k<=40-row tail slice joined to a 3-row depth relation.",
       (s, dir) => {
-        val freq = T(s, dir, "documents")
+        // r15: spread the single-split scan so the 3-gram zip explode
+        // parallelizes (guide §2.5 — the n_heaps_law shape)
+        val freq = T.par(s, dir, "documents")
           .select(col("doc_id"),
             filter(split(col("text"), " "), w => length(w) > 0).as("ws"))
           .select(

@@ -58,6 +58,9 @@ object Round9Queries extends QueryModule {
       "Batched k-NN similarity join with a FIXED probe batch (first 200 of the vec_id % 50 slice — retrieval query load is independent of corpus size, the n_mmr_rerank precedent): each probe gets its cosine top-10 via a mergeable per-partition top-k aggregate — the shuffle carries q·k summaries, not the q·n scored pairs a window sort would move; candidate generation is fixed-probes × corpus = linear.",
       (s, dir) => {
         import s.implicits._
+        // r15: spread measured and LOST (0.599 -> 0.682 min-of-3): the
+        // codegen cosine kernel is cheap enough that shipping 256-dim
+        // arrays through the exchange outweighs the parallelism
         val emb = T(s, dir, "embeddings")
         // no-op at every real fixture size (≤40 probes); caps the pair
         // space linearly at scale — see SCALE.md round-15
@@ -252,7 +255,9 @@ object Round9Queries extends QueryModule {
     * the trainer and the calibration evaluator.
     */
   private[queries] def logregFeatures(s: SparkSession, dir: String): DataFrame =
-    T(s, dir, "documents")
+    // r15: spread the single-split scan — the tokenize + distinct-ratio
+    // feature chain re-runs per GD iteration and per consumer (§2.5)
+    T.par(s, dir, "documents")
       .withColumn("words", split(col("text"), " "))
       .select(
         when(col("n_chars") >= 300, 1.0d).otherwise(0.0d).as("y"),

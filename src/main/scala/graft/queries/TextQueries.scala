@@ -107,7 +107,9 @@ object TextQueries extends QueryModule {
             size(expr(s"filter(words, w -> array_contains(array($arr), w))")).as("score"),
             lit(lg).as("lang")).as(s"s_$lg")
         }
-        T(s, dir, "documents")
+        // r15: spread the single-split scan — the per-language stopword
+        // HOF scoring is interpreted per-row CPU (§2.5)
+        T.par(s, dir, "documents")
           .withColumn("words", split(col("text"), " "))
           .withColumn("cand", array(scoreCols: _*))
           // max by (score desc, lang asc): sort by (-score, lang) and take head

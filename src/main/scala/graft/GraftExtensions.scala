@@ -3096,10 +3096,36 @@ object GraftExtensions {
   // registrations6 AFTER the aliases: its full-arity list_sort /
   // arg_min / arg_max / min / max builders must override the plain
   // alias entries (later registration wins in the registry).
+  // round-15 optimization: fused kernels emitted by
+  // Dialect.rewriteFrameExclude's min/max decomposition (one collected
+  // frame + one primitive loop instead of 4 windows / 2 interpreted
+  // HOF passes per row — see functions/FrameExcludeMinMax.scala).
+  private val registrations12: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = {
+    def boolLit(e: Expression, what: String): Boolean = e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(b: Boolean, org.apache.spark.sql.types.BooleanType) => b
+      case other => throw new IllegalArgumentException(s"$what must be a boolean literal, got $other")
+    }
+    Seq(
+      ("fe_mm_excl_cur",
+        info("fe_mm_excl_cur", "fe_mm_excl_cur(frame, cur, is_min) - min/max of the collected frame with ONE instance of cur removed (window EXCLUDE CURRENT ROW rewrite kernel)."),
+        (args: Seq[Expression]) => {
+          require(args.length == 3, s"fe_mm_excl_cur expects 3 arguments, got ${args.length}")
+          graft.functions.FeMinMaxExclCur(args(0), args(1), boolLit(args(2), "is_min"))
+        }),
+      ("fe_mm_excl_peers",
+        info("fe_mm_excl_peers", "fe_mm_excl_peers(frame, key, self, is_min, ties) - min/max of the collected (k,v) frame excluding the current peer group, TIES re-adds self (window EXCLUDE GROUP/TIES rewrite kernel)."),
+        (args: Seq[Expression]) => {
+          require(args.length == 5, s"fe_mm_excl_peers expects 5 arguments, got ${args.length}")
+          graft.functions.FeMinMaxExclPeers(args(0), args(1), args(2),
+            boolLit(args(3), "is_min"), boolLit(args(4), "ties"))
+        }))
+  }
+
   private[graft] def allRegistrations: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] =
     registrations ++ registrations2 ++ registrations3 ++ registrations4 ++
       registrations5 ++ aliasRegistrations ++ registrations6 ++ registrations7 ++
-      registrations8 ++ registrations9 ++ registrations10 ++ registrations11
+      registrations8 ++ registrations9 ++ registrations10 ++ registrations11 ++
+      registrations12
 
   private val txidCounter = new java.util.concurrent.atomic.AtomicLong(0L)
 
@@ -3136,6 +3162,29 @@ object GraftExtensions {
   private val injectedSessions =
     java.util.Collections.synchronizedMap(
       new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+
+  /** Register ONLY the frame-EXCLUDE min/max kernels (round-15): the
+    * declared-query path runs Dialect.sqlServed on the SHARED library
+    * session, where the full injectInto would rebind builtins to
+    * DuckDB semantics for every other query on that session (the
+    * round-15-build element_at incident). These two names are novel —
+    * no builtin is shadowed — so the narrow registration is safe
+    * anywhere. Guarded per session; drop-then-register keeps the
+    * warn-free-tail invariant on re-entry.
+    */
+  private val feKernelSessions =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+
+  def injectFrameExcludeKernels(spark: SparkSession): Unit = {
+    if (feKernelSessions.put(spark, java.lang.Boolean.TRUE) != null) return
+    val reg = spark.sessionState.functionRegistry
+    registrations12.foreach { case (name, inf, builder) =>
+      val id = FunctionIdentifier(name)
+      reg.dropFunction(id)
+      reg.registerFunction(id, inf, builder)
+    }
+  }
 
   def injectInto(spark: SparkSession): Unit = {
     if (injectedSessions.put(spark, java.lang.Boolean.TRUE) != null) return

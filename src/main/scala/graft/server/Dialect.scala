@@ -3771,11 +3771,9 @@ object Dialect {
                   // subtraction-decomposable, so the kept set is
                   // materialized as a COLLECTED frame (collect_list
                   // skips NULLs, matching min/max's NULL-ignoring):
-                  //   CUR — sort the frame's values; if the minimum
-                  //     (maximum) differs from the current row's value
-                  //     it survives, else the 2nd element is the
-                  //     answer with exactly ONE instance removed
-                  //     (duplicates keep the value; empty → NULL).
+                  //   CUR — remove exactly ONE instance of the current
+                  //     row's value (duplicates keep the value; empty
+                  //     → NULL; a NULL current value removes nothing).
                   //   GROUP — collect (key, value) pairs, drop the
                   //     current row's PEERS (null-safe key equality —
                   //     DuckDB treats NULL order keys as peers), fold.
@@ -3783,26 +3781,27 @@ object Dialect {
                   // O(frame) state per row vs sum's O(1) — the price
                   // of an exact non-decomposable EXCLUDE; pinned vs
                   // the oracle in DialectSpec.
-                  val arr = s"array_sort(collect_list($x) OVER ($specNE))"
-                  def el(i: Int) = s"try_element_at($arr, $i)"
+                  // r15 optimization: the reduction over the collected
+                  // frame is a fused codegen kernel
+                  // (functions/FrameExcludeMinMax.scala) — ONE window
+                  // expression and one primitive loop per row, where
+                  // the build-phase spelling planned 4 identical
+                  // collect_list windows + per-row array_sorts (CUR)
+                  // or 2 interpreted HOF passes with intermediate
+                  // arrays (GROUP/TIES). Values identical: the kernel
+                  // compares through Spark's own genComp/ordering —
+                  // the same primitives array_sort/array_min/`<`/`<=>`
+                  // compiled to — and DialectSpec + fuzz pins re-ran
+                  // green on the kernel path.
+                  val isMin = fn == "min"
                   kindK match {
                     case "CUR" =>
-                      val (p1, p2, cmp) =
-                        if (fn == "min") (el(1), el(2), "<") else (el(-1), el(-2), ">")
-                      Some(s"(CASE WHEN ($x) IS NULL THEN $p1 " +
-                        s"WHEN $p1 $cmp ($x) THEN $p1 ELSE $p2 END)")
+                      Some(s"fe_mm_excl_cur(collect_list($x) OVER ($specNE), ($x), $isMin)")
                     case _ =>
                       orderKey.map { k =>
-                        val amm = if (fn == "min") "array_min" else "array_max"
-                        val nonpeers = s"transform(filter(collect_list(" +
+                        s"fe_mm_excl_peers(collect_list(" +
                           s"CASE WHEN ($x) IS NULL THEN NULL ELSE named_struct('k', ($k), 'v', ($x)) END" +
-                          s") OVER ($specNE), __fe_p -> NOT (__fe_p.k <=> ($k))), __fe_q -> __fe_q.v)"
-                        // flatten(array(a, b)), not concat: the served
-                        // registry rebinds concat to DuckDB's string
-                        // concat, which would stringify both arrays
-                        if (kindK == "GROUP") s"$amm($nonpeers)"
-                        else s"$amm(flatten(array($nonpeers, " +
-                          s"filter(array(($x)), __fe_s -> __fe_s IS NOT NULL))))"
+                          s") OVER ($specNE), ($k), ($x), $isMin, ${kindK == "TIES"})"
                       }
                   }
                 case _ => None
@@ -4357,6 +4356,12 @@ object Dialect {
     * differ — pathological input, accepted.
     */
   def sqlServed(spark: SparkSession, sql: String): org.apache.spark.sql.DataFrame = {
+    // r15: the frame-EXCLUDE min/max rewrite emits the fused kernels
+    // fe_mm_excl_cur/fe_mm_excl_peers — ensure they resolve on every
+    // sqlServed session (the server session already has them via
+    // injectInto; the declared-query path runs on the shared library
+    // session, where only this narrow additive registration is safe)
+    graft.GraftExtensions.injectFrameExcludeKernels(spark)
     import org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
     import org.apache.spark.sql.catalyst.expressions.{Cast => CastE, Divide, EqualTo, Expression, If, IntegralDivide, Literal, Remainder, SubqueryExpression, WindowExpression}
     import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, SubqueryAlias, UnresolvedWith}

@@ -100,4 +100,63 @@ class CodegenCompileSpec extends AnyFunSuite {
     compiled(FloatingVarchar(dbl(0)), InternalRow(0.1))
     compiled(FloatingVarchar(dbl(0)), InternalRow(1e300))
   }
+
+  test("FeMinMaxExclCur codegen compiles and matches interpreted (r15 EXCLUDE kernel)") {
+    val at = ArrayType(DoubleType, containsNull = true)
+    val arr = BoundReference(0, at, nullable = true)
+    val cur = dbl(1)
+    def row(vals: Array[Any], c: Any) = InternalRow(new GenericArrayData(vals), c)
+    // min survives removal of one instance of cur
+    assert(compiled(FeMinMaxExclCur(arr, cur, isMin = true),
+      row(Array[Any](3.0, 1.0, 2.0), 2.0)) == 1.0)
+    // cur IS the minimum: second-smallest answers
+    assert(compiled(FeMinMaxExclCur(arr, cur, isMin = true),
+      row(Array[Any](1.0, 3.0, 2.0), 1.0)) == 2.0)
+    // duplicate minimum: removing one instance keeps the value
+    assert(compiled(FeMinMaxExclCur(arr, cur, isMin = true),
+      row(Array[Any](1.0, 1.0, 2.0), 1.0)) == 1.0)
+    // single-element frame empties to NULL
+    assert(compiled(FeMinMaxExclCur(arr, cur, isMin = true),
+      row(Array[Any](5.0), 5.0)) == null)
+    // NULL current value removes nothing
+    assert(compiled(FeMinMaxExclCur(arr, cur, isMin = true),
+      row(Array[Any](4.0, 2.0), null)) == 2.0)
+    // max mirror
+    assert(compiled(FeMinMaxExclCur(arr, cur, isMin = false),
+      row(Array[Any](1.0, 3.0, 2.0), 3.0)) == 2.0)
+    // string elements (UTF8String comparison path)
+    val sat = ArrayType(StringType, containsNull = true)
+    val sArr = BoundReference(0, sat, nullable = true)
+    val got = compiled(FeMinMaxExclCur(sArr, str(1), isMin = true), InternalRow(
+      new GenericArrayData(Array[Any](UTF8String.fromString("b"), UTF8String.fromString("a"))),
+      UTF8String.fromString("a")))
+    assert(got.asInstanceOf[UTF8String].toString == "b")
+  }
+
+  test("FeMinMaxExclPeers codegen compiles and matches interpreted (r15 EXCLUDE kernel)") {
+    val entry = StructType(Seq(
+      StructField("k", LongType, nullable = true),
+      StructField("v", DoubleType, nullable = false)))
+    val at = ArrayType(entry, containsNull = true)
+    val arr = BoundReference(0, at, nullable = true)
+    val key = BoundReference(1, LongType, nullable = true)
+    val self = dbl(2)
+    def e(k: Any, v: Double) = InternalRow(k, v)
+    def row(es: Array[Any], k: Any, s: Any) = InternalRow(new GenericArrayData(es), k, s)
+    // GROUP: peers (k = 2) drop, others fold
+    assert(compiled(FeMinMaxExclPeers(arr, key, self, isMin = true, ties = false),
+      row(Array[Any](e(1L, 5.0), e(2L, 1.0), e(3L, 4.0)), 2L, 1.0)) == 4.0)
+    // all entries are peers → NULL
+    assert(compiled(FeMinMaxExclPeers(arr, key, self, isMin = true, ties = false),
+      row(Array[Any](e(2L, 1.0), e(2L, 3.0)), 2L, 1.0)) == null)
+    // TIES: self re-enters the reduction
+    assert(compiled(FeMinMaxExclPeers(arr, key, self, isMin = true, ties = true),
+      row(Array[Any](e(1L, 5.0), e(2L, 1.0), e(2L, 3.0)), 2L, 1.0)) == 1.0)
+    // NULL order keys are peers of a NULL current key (null-safe test)
+    assert(compiled(FeMinMaxExclPeers(arr, key, self, isMin = true, ties = false),
+      row(Array[Any](e(null, 1.0), e(7L, 6.0)), null, 1.0)) == 6.0)
+    // max mirror with TIES and a NULL self (nothing re-enters)
+    assert(compiled(FeMinMaxExclPeers(arr, key, self, isMin = false, ties = true),
+      row(Array[Any](e(1L, 5.0), e(2L, 9.0)), 2L, null)) == 5.0)
+  }
 }

@@ -196,10 +196,14 @@ object Round10Queries extends QueryModule {
     Q("n_cms_freq",
       "Count-Min sketch token frequencies (Cormode-Muthukrishnan, d=4 rows x w=256 counters, md5-derived column hashes): the sketch is one (row,col)-keyed exact-integer aggregate built from the token-count relation (identical to per-occurrence increments, folded map-side), point estimates for the 20 most frequent tokens take the min over the 4 rows, and the output carries est - true as the measured over-count (the CMS guarantee: est >= true always, over-count bounded by the colliding mass). Scale shape: d*w = 1024 counters of state however many tokens stream through — the sketch merges by cellwise addition across shards, and the heavy-hitter probe joins 20 tokens against <=1024 broadcast cells.",
       (s, dir) => {
-        val tc = T(s, dir, "documents")
+        // r15: spread the single-split scan before the token explode,
+        // and retain the token-count relation — pos's two consumers
+        // (sketch build, heavy-hitter probe) plus the top-20 rank
+        // otherwise re-run the explode+aggregate chain three times
+        val tc = DedupQueries.retain(T.par(s, dir, "documents")
           .select(explode(filter(split(col("text"), " "),
             w => length(w) > 0)).as("tok"))
-          .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+          .groupBy(col("tok")).agg(count(lit(1)).as("cnt")))
         val pos = tc
           .select(col("tok"), col("cnt"),
             explode(array((0 until 4).map(lit): _*)).as("i"))
@@ -656,6 +660,10 @@ object Round10Queries extends QueryModule {
         // vocab size as an in-DAG one-row broadcast aggregate — not a
         // plan-build-time .count(), which would run a second full corpus
         // scan per invocation even when the query is only being planned
+        // r15: spread measured and LOST badly (0.68 -> 3.08 min-of-3):
+        // an exchange inside a broadcast-subtree one-row aggregate
+        // serializes the whole broadcast build behind a shuffle —
+        // never spread under broadcast()
         val vocab = broadcast(T(s, dir, "documents")
           .select(explode(split(col("text"), " ")).as("w"))
           .filter(length(col("w")) > 0)

@@ -837,6 +837,9 @@ object Round11Queries extends QueryModule {
     Q("n_ks_drift",
       "Two-sample Kolmogorov-Smirnov drift statistic between crawl halves (the distribution-shift monitor a pipeline runs before mixing an old and a new scrape): per-doc token counts split by source half, the two ECDFs evaluate at every DISTINCT value via the banded two-level cumsum (per-band window + constant-pmod offset window over the tiny band relation — the n_token_budget discipline, never a data-sized single-partition window; the oracle IS the global window, proving the decomposition), and D = max |F_a - F_b| reduces in one aggregate. Integer counts end to end; only the final ECDF ratios are doubles.",
       (s, dir) => {
+        // r15: spread measured and LOST (0.58 -> 1.15 min-of-3): the
+        // single-pass tokenize+size feeds a tiny aggregate — the
+        // exchange costs more than the per-row CPU it parallelizes
         val d = T(s, dir, "documents")
           .select((expr("CAST(substr(source, 4, 10) AS INT)") % 2).as("side"),
             size(filter(split(col("text"), " "), x => length(x) > 0))

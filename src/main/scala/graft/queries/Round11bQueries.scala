@@ -738,11 +738,13 @@ object Round11bQueries extends QueryModule {
       "Retrieval-quality evaluation (the harness read before choosing a retriever for RAG/dedup): precision@5 and MRR@5 of the BM25 lexical arm, the cosine semantic arm, and their RRF fusion, for 5 probes against the label ground truth (doc_id i <-> vec_id i; relevant = same embedding label). Reciprocal ranks round to fixed-scale decimals before the probe-mean so both engines sum identical operands. Scale shape: the arms are the n_bm25_topk / n_cosine_topk shapes batched over the probe relation; metrics reduce 25 rows per method.",
       (s, dir) => {
         // r15: spread the single-split doc scan so tokenize+explode
-        // parallelize (guide §2.5)
-        val docs = T.par(s, dir, "documents")
+        // parallelize (guide §2.5); retained — stats, the probe-term
+        // extraction and the tf stream all read the tokenized relation
+        // (three full tokenize passes uncached)
+        val docs = DedupQueries.retain(T.par(s, dir, "documents")
           .select(col("doc_id"),
             filter(split(col("text"), " "), w => length(w) > 0).as("words"))
-          .withColumn("dl", size(col("words")))
+          .withColumn("dl", size(col("words"))))
         val labels = T(s, dir, "embeddings").select(col("vec_id"), col("label"))
         val stats = docs.agg(count(lit(1)).as("n_docs"),
           (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))

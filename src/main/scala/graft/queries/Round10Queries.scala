@@ -121,13 +121,16 @@ object Round10Queries extends QueryModule {
     val t = T.par(s, dir, "documents")
       .select(col("doc_id"),
         filter(split(col("text"), " "), w => length(w) > 0).as("w"))
-    val tf = t
+    // r15: retained — the document-frequency aggregate AND the final
+    // weight join both read the tf relation; uncached the bigram
+    // explode + (doc, bg) aggregate ran twice per materialization
+    val tf = DedupQueries.retain(t
       .select(col("doc_id"), col("w"),
         explode(sequence(lit(1), size(col("w")) - 1)).as("i"))
       .select(col("doc_id"),
         concat_ws(" ", element_at(col("w"), col("i")),
           element_at(col("w"), col("i") + 1)).as("bg"))
-      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("tf"))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("tf")))
     val dfq = tf.groupBy(col("bg")).agg(count(lit(1)).as("df"))
     val n = t.agg(count(lit(1)).as("nd"))
     tf.join(dfq, Seq("bg")).crossJoin(broadcast(n))

@@ -287,9 +287,15 @@ object Round11Queries extends QueryModule {
         val big = Round9bQueries.bigramStream(s, dir)
         val bc = big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
         val uc = big.groupBy(col("w1")).agg(count(lit(1)).as("cu"))
-        val tc = tokens(s, dir).groupBy(col("w")).agg(count(lit(1)).as("cw"))
-        val nv = broadcast(tokens(s, dir)
-          .agg(count(lit(1)).as("nt"), countDistinct(col("w")).as("v")))
+        // r15: retained — the scoring join reads tc and the (nt, v)
+        // broadcast is DERIVED from it (nt = sum of per-word counts,
+        // v = word-type row count — algebraically identical), replacing
+        // a second full corpus token explode with a 1-row aggregate
+        // over the cached vocabulary relation
+        val tc = DedupQueries.retain(
+          tokens(s, dir).groupBy(col("w")).agg(count(lit(1)).as("cw")))
+        val nv = broadcast(tc
+          .agg(sum(col("cw")).as("nt"), count(lit(1)).as("v")))
         big.join(bc, Seq("w1", "w2")).join(uc, Seq("w1"))
           .join(tc.withColumnRenamed("w", "w2"), Seq("w2"))
           .crossJoin(nv)
@@ -457,7 +463,11 @@ object Round11Queries extends QueryModule {
       "Interpolated Kneser-Ney bigram LM (Kneser-Ney 1995 / Chen-Goodman's interpolated form, d=0.75 — the third rung of the smoothing ladder after add-1 and Jelinek-Mercer): the discounted bigram term max(c-d,0)/c(w1) backs off into the CONTINUATION probability (how many distinct contexts each word follows — the famous 'San Francisco' fix: 'Francisco' is frequent but predictable), and all four model relations (bigram counts, left-context totals, fan-out N1+(w1,*), continuation counts N1+(*,w2)) are token-keyed aggregates co-partitioned with the scoring join. Per-doc mean NLL in exact decimals; the bigram-type total is an in-DAG broadcast one-row aggregate.",
       (s, dir) => {
         val big = Round9bQueries.bigramStream(s, dir)
-        val bc = big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+        // r15: retained — the fan-out (n1f), continuation (n1p) and
+        // type-total (nbt) relations plus the scoring join all read the
+        // bigram-count aggregate; uncached it re-ran four times
+        val bc = DedupQueries.retain(
+          big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb")))
         val uc = big.groupBy(col("w1")).agg(count(lit(1)).as("cu"))
         val n1f = bc.groupBy(col("w1")).agg(count(lit(1)).as("n1f"))
         val n1p = bc.groupBy(col("w2")).agg(count(lit(1)).as("n1p"))

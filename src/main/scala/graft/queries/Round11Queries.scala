@@ -421,10 +421,16 @@ object Round11Queries extends QueryModule {
         val tokS = T.par(s, dir, "documents")
           .select(col("source"),
             explode(filter(split(col("text"), " "), x => length(x) > 0)).as("w"))
-        val tcs = tokS.groupBy(col("source"), col("w")).agg(count(lit(1)).as("cs"))
+        // r15: the (source, token) counts are the sufficient statistic —
+        // per-source totals, pooled token counts and the corpus total
+        // are all algebraically derivable from them (sum(cs) per source
+        // / per token / overall), so retain tcs once instead of running
+        // the corpus token explode four times
+        val tcs = DedupQueries.retain(
+          tokS.groupBy(col("source"), col("w")).agg(count(lit(1)).as("cs")))
         val ns = tcs.groupBy(col("source")).agg(sum(col("cs")).as("ns"))
-        val tc = tokS.groupBy(col("w")).agg(count(lit(1)).as("c"))
-        val nt = broadcast(tokS.agg(count(lit(1)).as("n")))
+        val tc = tcs.groupBy(col("w")).agg(sum(col("cs")).as("c"))
+        val nt = broadcast(tcs.agg(sum(col("cs")).as("n")))
         tcs.join(broadcast(ns), Seq("source"))
           .join(tc, Seq("w")).crossJoin(nt)
           .withColumn("p", col("cs") / col("ns"))

@@ -146,8 +146,12 @@ object Round12bQueries extends QueryModule {
         val cnt = DedupQueries.retain(tokens(s, dir)
           .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c")))
         val totals = cnt.groupBy(col("source")).agg(sum(col("c")).as("nt"))
+        // r15: the shared vocabulary size is derivable from the retained
+        // (source, token) counts (distinct w across sources) — replaces
+        // a second full corpus token explode with an aggregate over the
+        // cache
         val vocab = broadcast(
-          tokens(s, dir).agg(countDistinct(col("w")).cast("double").as("v")))
+          cnt.agg(countDistinct(col("w")).cast("double").as("v")))
         val inner = cnt
           .select(col("source").as("train_source"), col("w"), col("c").as("ca"))
           .join(cnt.select(col("source").as("eval_source"), col("w"),

@@ -121,19 +121,25 @@ object LayoutQueries extends QueryModule {
         // band-count relation (O(bands) rows), never the data — keyed
         // with the constant-pmod trick so the zero-unkeyed-window
         // invariant holds (same as n_token_budget / n_seq_packing)
-        val offs = banded.groupBy(col("band")).agg(count(lit(1)).as("bn"))
-          .withColumn("boff",
-            coalesce(sum(col("bn")).over(
-              Window.partitionBy(pmod(col("band"), lit(1))).orderBy(col("band"))
-                .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-          .select(col("band"), col("boff"))
+        // r15: retained — the rank probe and the order-statistic targets
+        // both read the ~105-row band relation; uncached its scan+agg
+        // chain re-ran per consumer
+        val offs = DedupQueries.retain(
+          banded.groupBy(col("band")).agg(count(lit(1)).as("bn"))
+            .withColumn("boff",
+              coalesce(sum(col("bn")).over(
+                Window.partitionBy(pmod(col("band"), lit(1))).orderBy(col("band"))
+                  .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+            .select(col("band"), col("bn"), col("boff")))
         val ranked = banded.join(broadcast(offs), "band")
           .withColumn("r", row_number().over(
             Window.partitionBy(col("band")).orderBy(col("x"))).cast("long")
             - 1 + col("boff"))
           .select(col("x"), col("r"))
         // the 18 needed order-statistic ranks, from the in-DAG count
-        val want = broadcast(xs.agg(count(lit(1)).as("n"))
+        // r15: the row count is the sum of the retained per-band counts —
+        // no third scan of the column
+        val want = broadcast(offs.agg(sum(col("bn")).as("n"))
           .select(explode(sequence(lit(1), lit(9))).as("d"), col("n"))
           .withColumn("h", col("d") / 10.0 * (col("n") - 1))
           .select(col("d"), col("h"), explode(array(

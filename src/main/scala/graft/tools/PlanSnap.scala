@@ -16,9 +16,15 @@ object PlanSnap {
     val suffix = args.head
     val names = args.tail.toSeq
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    // PLANSNAP_EXEC=1: run the query before dumping so the file carries
+    // the AQE FINAL plan (isFinalPlan=true) — runtime rewrites like
+    // SMJ->SHJ under maxShuffledHashJoinLocalMapThreshold and coalesced
+    // AQEShuffleReads are invisible in the initial plan.
+    val exec = sys.env.get("PLANSNAP_EXEC").contains("1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = GraftSession.tune(SparkSession.builder()
-      .master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate())
@@ -28,7 +34,9 @@ object PlanSnap {
     names.foreach { n =>
       qs.get(n) match {
         case Some(fn) =>
-          val plan = fn(spark, sfDir).queryExecution.explainString(
+          val qe = fn(spark, sfDir).queryExecution
+          if (exec) qe.toRdd.count()
+          val plan = qe.explainString(
             org.apache.spark.sql.execution.FormattedMode)
           Files.writeString(Paths.get(s"plans/r15/${n}_$suffix.txt"), plan)
           println(s"[plansnap] wrote plans/r15/${n}_$suffix.txt")

@@ -134,7 +134,10 @@ object MultimodalQueries extends QueryModule {
             graft.operators.MediaDecode.synthPngTexturedUdf(col("doc_id")).as("payload"))
           .unionAll(T.spread(ids).select((col("doc_id") + 100000).as("doc_id"),
             graft.operators.MediaDecode.synthPngTextured2xUdf(col("doc_id")).as("payload")))
-        val dh = graft.operators.MediaDecode.dHash(media)
+        // r15: retain the tiny (doc_id, h1, h2) hash relation — both
+        // sides of the all-pairs join otherwise recompute the full PNG
+        // synth+decode chain (the query's dominant CPU) once each
+        val dh = DedupQueries.retain(graft.operators.MediaDecode.dHash(media))
         dh.as("a").join(dh.as("b"), col("a.doc_id") < col("b.doc_id"))
           .withColumn("hamming",
             expr("bit_count(a.h1 ^ b.h1) + bit_count(a.h2 ^ b.h2)"))
@@ -190,7 +193,8 @@ object MultimodalQueries extends QueryModule {
             graft.operators.MediaDecode.synthPngTextured32Udf(col("doc_id")).as("payload"))
           .unionAll(T.spread(ids).select((col("doc_id") + 100000).as("doc_id"),
             graft.operators.MediaDecode.synthPngTextured32x2Udf(col("doc_id")).as("payload")))
-        val ph = graft.operators.MediaDecode.whtHash(media)
+        // r15: retain — see m_image_dhash_dedup (2x decode otherwise)
+        val ph = DedupQueries.retain(graft.operators.MediaDecode.whtHash(media))
         ph.as("a").join(ph.as("b"), col("a.doc_id") < col("b.doc_id"))
           .withColumn("hamming", expr("bit_count(a.hw ^ b.hw)"))
           .filter(col("hamming") <= 4)
@@ -233,7 +237,8 @@ object MultimodalQueries extends QueryModule {
             graft.operators.AudioDecode.synthTexturedWavUdf(col("doc_id")).as("payload"))
           .unionAll(T.spread(ids).select((col("doc_id") + 100000).as("doc_id"),
             graft.operators.AudioDecode.synthTexturedWav2xUdf(col("doc_id")).as("payload")))
-        val fp = graft.operators.AudioDecode.fingerprint(media)
+        // r15: retain — see m_image_dhash_dedup (2x decode otherwise)
+        val fp = DedupQueries.retain(graft.operators.AudioDecode.fingerprint(media))
         fp.as("a").join(fp.as("b"), col("a.doc_id") < col("b.doc_id"))
           .withColumn("hamming", expr("bit_count(a.fp ^ b.fp)"))
           .filter(col("hamming") <= 2)
@@ -274,6 +279,11 @@ object MultimodalQueries extends QueryModule {
             graft.operators.MediaDecode.synthTexturedVideoUdf(col("doc_id")).as("payload"))
           .unionAll(T.spread(ids).select((col("doc_id") + 100000).as("doc_id"),
             graft.operators.MediaDecode.synthTexturedVideo2xUdf(col("doc_id")).as("payload")))
+        // r15: retain measured and LOST here (1.05 -> 1.80 min-of-3):
+        // the cache barrier serializes the three consumers' branches,
+        // which outweighs re-decoding the bounded 160-container set —
+        // unlike the all-pairs hash queries above, whose decode is the
+        // dominant CPU. Kept uncached deliberately.
         val fset = graft.operators.MediaDecode.videoDHash(media)
           .select(col("doc_id"), col("h1"), col("h2")).distinct()
         val sizes = fset.groupBy(col("doc_id")).agg(count(lit(1)).as("nset"))

@@ -952,6 +952,9 @@ object Round11bQueries extends QueryModule {
           .filter(col("doc_id") >= 1 && col("doc_id") <= 100)
         val media = T.spread(ids).select(col("doc_id"),
             graft.operators.AudioDecode.synthVadWavUdf(col("doc_id")).as("payload"))
+        // r15: retain measured and LOST here (0.55 -> 0.62 min-of-3) —
+        // the 100-clip decode is cheaper than the cache barrier. Kept
+        // uncached deliberately.
         val fe = graft.operators.AudioDecode.frameEnergies(media)
           .withColumn("voiced", (col("e") > lit(64L) * col("n_in_frame")).cast("int"))
         val tot = fe.groupBy(col("doc_id"))

@@ -810,10 +810,11 @@ object Round10Queries extends QueryModule {
     Q("n_distinct_ngrams",
       "Distinct-n diversity ratios per source (the distinct-1/2/3 metric synthetic-data pipelines watch for mode collapse — a generated slice whose bigram ratio drifts below the organic sources' is recycling phrasing): for n in 1..3, distinct n-grams over total n-grams, per source slice. Scale shape: three gram streams, each one partial-combined (source, gram)-keyed distinct + a source-keyed rollup; grams could shuffle as digests at 100 TB, and the metric needs no text beyond the gram identity.",
       (s, dir) => {
-        // r15: spread the single-split doc scan before the gram explodes
-        val t = T.par(s, dir, "documents")
+        // r15: spread the single-split doc scan before the gram explodes;
+        // retain — grams(1..3) otherwise re-run the tokenize pass 3x
+        val t = DedupQueries.retain(T.par(s, dir, "documents")
           .select(col("source"), col("doc_id"),
-            filter(split(col("text"), " "), w => length(w) > 0).as("w"))
+            filter(split(col("text"), " "), w => length(w) > 0).as("w")))
         def grams(n: Int): DataFrame = t
           .select(col("source"), col("w"),
             explode(sequence(lit(1), size(col("w")) - (n - 1))).as("i"))

@@ -143,6 +143,10 @@ object Round11Queries extends QueryModule {
           .select((col("doc_id") % 2).as("par"),
             md5(concat_ws(" ", col("w"), col("w1"), col("w2"))).as("dg"))
           .distinct())
+        // r15: retain(pos) measured and LOST (1.79 -> 1.98 min-of-4,
+        // after-first): the h52 fan-out is codegen CPU over the already-
+        // retained sh, cheaper than writing a 3x-wider cache. Kept
+        // uncached deliberately.
         val pos = sh.select(col("par"), col("dg"),
             explode(array((0 until 3).map(lit): _*)).as("i"))
           .withColumn("h",

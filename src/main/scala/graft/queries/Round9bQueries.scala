@@ -548,13 +548,17 @@ object Round9bQueries extends QueryModule {
         // the single-split scan stage — spread first (guide §2.5)
         val c = T.par(s, dir, "customer")
           .select(col("c_custkey").as("id"), col("c_name").as("name"))
-        val vars = c.select(col("id"), col("name"), explode(expr(
+        // r15: retain — the self-join broadcasts one side (no exchange
+        // reuse), so unretained BOTH sides re-run the 25x-per-name
+        // deletion explode + md5 + distinct
+        val vars = DedupQueries.retain(
+          c.select(col("id"), col("name"), explode(expr(
             """array_union(array(name),
               transform(sequence(1, length(name)),
                 i -> concat(substring(name, 1, i - 1),
                             substring(name, i + 1, length(name) - i))))""")).as("v"))
           .select(col("id"), col("name"), md5(col("v")).as("k"))
-          .distinct()
+          .distinct())
         val a = vars.select(col("id").as("id_a"), col("name").as("name_a"), col("k"))
         val b = vars.select(col("id").as("id_b"), col("name").as("name_b"), col("k"))
         // verify BEFORE the pair-dedup: the row-local levenshtein is
@@ -656,42 +660,65 @@ object Round9bQueries extends QueryModule {
             .drop("rn")
             .join(e, Seq("vec_id"))
             .select(col("qid"), col("vec_id"), col("simq"), col("v")))
-        val pairs = DedupQueries.retain(cand.select(col("qid"), col("vec_id").as("ca"), col("v").as("va"))
+        val pairs = cand.select(col("qid"), col("vec_id").as("ca"), col("v").as("va"))
           .join(cand.select(col("qid"), col("vec_id").as("cb"), col("v").as("vb")), "qid")
           .filter(col("ca") =!= col("cb"))
           .select(col("qid"), col("ca"), col("cb"),
-            round(SimilarityQueries.cosine("va", "vb"), 6).as("sab")))
-        val wMmr = Window.partitionBy(col("qid"))
-          .orderBy(col("mmr").desc_nulls_last, col("vec_id").asc_nulls_last)
-        def pick(selected: Option[DataFrame], step: Int): DataFrame = {
-          val base = selected match {
-            case None =>
-              cand.withColumn("mmr", round(col("simq") * lam, 6))
-            case Some(sel) =>
-              val ms = pairs.join(sel.select(col("qid"), col("vec_id").as("cb")),
-                  Seq("qid", "cb"))
-                .groupBy(col("qid"), col("ca")).agg(max(col("sab")).as("ms"))
-                .withColumnRenamed("ca", "vec_id")
-              cand.join(sel.select(col("qid"), col("vec_id")), Seq("qid", "vec_id"),
-                  "left_anti")
-                .join(ms, Seq("qid", "vec_id"))
-                // lit(0.3), never (1.0 - lam): the IEEE value of 1.0-0.7
-                // is 0.30000000000000004 while the oracle spells 0.3
-                .withColumn("mmr",
-                  round(col("simq") * lam - lit(0.3) * col("ms"), 6))
+            round(SimilarityQueries.cosine("va", "vb"), 6).as("sab"))
+        // r15: the greedy 5-step selection runs DRIVER-SIDE on the
+        // collected shortlist model (≤200 probes × 20 candidates, pure
+        // scalars — the n_pref_bradley_terry parameter-server
+        // precedent): the relational unroll planned five window rounds
+        // with a cache barrier per step (~12 tiny jobs of scheduling
+        // floor on q×20 rows). Candidate generation and the pair-
+        // similarity relation — the corpus-scan parts — stay
+        // distributed. Arithmetic reproduces the relational form
+        // op-for-op: round(x, 6) is BigDecimal.valueOf HALF_UP
+        // (Spark's Round on double), mmr = simq*0.7 and
+        // simq*0.7 - 0.3*ms in the same double ops (lit(0.3), never
+        // 1.0-lam: the IEEE value of 1.0-0.7 is 0.30000000000000004
+        // while the oracle spells 0.3), max(sab) and the argmax mirror
+        // Spark's double ordering via Double.compare (NaN-largest,
+        // -0.0 < 0.0), tie-break vec_id ascending; a candidate with no
+        // pair to the selected set drops out exactly like the old
+        // inner join on ms.
+        def r6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+        val candRows = cand.select(col("qid"), col("vec_id"), col("simq"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        val simTo = pairs.collect()
+          .map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)), r.getDouble(3)))
+          .toMap
+        val picked = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Long, Double)]
+        candRows.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (qid, cs) =>
+          var selected = List.empty[Long]
+          for (step <- 1 to 5) {
+            val scored = cs.iterator
+              .filter(c => !selected.contains(c._2))
+              .flatMap { case (_, vid, simq) =>
+                if (step == 1) Iterator((vid, r6(simq * lam)))
+                else {
+                  val sims = selected.flatMap(sb => simTo.get((qid, vid, sb)))
+                  if (sims.isEmpty) Iterator.empty
+                  else {
+                    val ms = sims.reduce((a, b) =>
+                      if (java.lang.Double.compare(a, b) >= 0) a else b)
+                    Iterator((vid, r6(simq * lam - 0.3 * ms)))
+                  }
+                }
+              }.toSeq
+            if (scored.nonEmpty) {
+              val best = scored.reduce { (x, y) =>
+                val c = java.lang.Double.compare(x._2, y._2)
+                if (c > 0 || (c == 0 && x._1 < y._1)) x else y
+              }
+              picked += ((qid, step, best._1, best._2))
+              selected = best._1 :: selected
+            }
           }
-          base.withColumn("rn", row_number().over(wMmr)).filter(col("rn") === 1)
-            .select(col("qid"), lit(step).as("step"), col("vec_id"), col("mmr"))
         }
-        // each step's selection is retained before the next references
-        // it: without the materialization the union chain re-executes
-        // every prior pick's subtree exponentially (step 5 would embed
-        // 2⁴ copies of step 1) — the same per-iteration checkpoint
-        // discipline as the connected-components loop
-        var sel = DedupQueries.retain(pick(None, 1))
-        for (i <- 2 to 5)
-          sel = DedupQueries.retain(sel.union(pick(Some(sel), i)))
-        sel.select(col("qid"), col("step"), col("vec_id"), col("mmr"))
+        import s.implicits._
+        picked.toSeq.toDF("qid", "step", "vec_id", "mmr")
           .orderBy(col("qid").asc_nulls_last, col("step").asc_nulls_last)
       },
       Some(mmrOracle)),

@@ -921,37 +921,45 @@ object Round11Queries extends QueryModule {
             graft.functions.PlaneSignature(col("embedding"),
               Round2Queries.lshPlanes).cast("long"))
           .groupBy(col("label"), col("sig")).agg(count(lit(1)).as("nij")))
-        val nn = broadcast(ct.agg(sum(col("nij")).cast("long").as("n")))
-        val pure = broadcast(ct.groupBy(col("sig")).agg(max(col("nij")).as("mx"))
-          .agg(sum(col("mx")).cast("long").as("pure")))
-        val sij = broadcast(ct.agg(
-          sum(expr("(nij * (nij - 1)) div 2")).cast("long").as("sij")))
-        val ra = ct.groupBy(col("label")).agg(sum(col("nij")).as("ni"))
-        val cb = ct.groupBy(col("sig")).agg(sum(col("nij")).as("nj"))
-        val si = broadcast(ra.agg(
-          sum(expr("(ni * (ni - 1)) div 2")).cast("long").as("si"),
-          count(lit(1)).as("n_labels")))
-        val sj = broadcast(cb.agg(
-          sum(expr("(nj * (nj - 1)) div 2")).cast("long").as("sj"),
-          count(lit(1)).as("n_buckets")))
-        def ent(rel: org.apache.spark.sql.DataFrame, c: String, out: String) =
-          broadcast(rel.crossJoin(nn).agg(
-            sum(round(-(col(c) / col("n")) * log(col(c) / col("n")), 12)
-              .cast(DecimalType(30, 12))).as(out)))
-        val ha = ent(ra, "ni", "ha")
-        val hb = ent(cb, "nj", "hb")
-        val hab = ent(ct, "nij", "hab")
-        nn.crossJoin(pure).crossJoin(sij).crossJoin(si).crossJoin(sj)
-          .crossJoin(ha).crossJoin(hb).crossJoin(hab)
-          .withColumn("cn2", expr("(n * (n - 1)) div 2"))
-          .select(col("n"), col("n_labels"), col("n_buckets"),
-            round(col("pure").cast("double") / col("n"), 6).as("purity"),
-            round((col("cn2") + lit(2) * col("sij") - col("si") - col("sj"))
-              .cast("double") / col("cn2"), 6).as("rand_index"),
-            round((col("ha").cast("double") + col("hb").cast("double")
-              - col("hab").cast("double"))
-              / sqrt(col("ha").cast("double") * col("hb").cast("double")), 6)
-              .as("nmi"))
+        // r15: every metric reduces the collected contingency MODEL
+        // (#labels x #buckets rows, corpus-independent) — the eight
+        // broadcast aggregates + seven crossJoins were ~9 tiny jobs of
+        // scheduling floor (the n_pref_bradley_terry parameter-server
+        // precedent). The linear assignment pass (scan + PlaneSignature
+        // + groupBy) stays distributed. Arithmetic reproduces the
+        // relational form op-for-op: integer pair counts via the same
+        // `div 2` longs, entropy terms round(-(c/n)*ln(c/n), 12) as
+        // BigDecimal HALF_UP summed exactly (order-free), Decimal->
+        // double casts via BigDecimal.doubleValue (Spark's
+        // Decimal.toDouble), final 6-roundings on identical doubles.
+        val ctRows = ct.collect()
+          .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+        def r6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+        def r12bd(x: Double): java.math.BigDecimal = java.math.BigDecimal
+          .valueOf(x).setScale(12, java.math.RoundingMode.HALF_UP)
+        val n = ctRows.map(_._3).sum
+        val pure = ctRows.groupBy(_._2).map(_._2.map(_._3).max).sum
+        val sij = ctRows.map(t => (t._3 * (t._3 - 1)) / 2).sum
+        val ra = ctRows.groupBy(_._1).map { case (_, xs) => xs.map(_._3).sum }.toSeq
+        val cb2 = ctRows.groupBy(_._2).map { case (_, xs) => xs.map(_._3).sum }.toSeq
+        val si = ra.map(ni => (ni * (ni - 1)) / 2).sum
+        val sj = cb2.map(nj => (nj * (nj - 1)) / 2).sum
+        def entSum(cs: Iterable[Long]): java.math.BigDecimal =
+          cs.map { c =>
+            val p = c.toDouble / n
+            r12bd(-p * math.log(p))
+          }.foldLeft(java.math.BigDecimal.ZERO)(_.add(_))
+        val ha = entSum(ra).doubleValue()
+        val hb = entSum(cb2).doubleValue()
+        val hab = entSum(ctRows.map(_._3)).doubleValue()
+        val cn2 = (n * (n - 1)) / 2
+        import s.implicits._
+        Seq((n, ra.size.toLong, cb2.size.toLong,
+          r6(pure.toDouble / n),
+          r6((cn2 + 2 * sij - si - sj).toDouble / cn2),
+          r6((ha + hb - hab) / math.sqrt(ha * hb))))
+          .toDF("n", "n_labels", "n_buckets", "purity", "rand_index", "nmi")
       },
       Some {
         val bits = Round2Queries.lshPlanes.zipWithIndex.map { case (hp, b) =>

@@ -794,36 +794,63 @@ object Round11bQueries extends QueryModule {
           .orderBy(col("score").desc_nulls_last, col("id").asc_nulls_last)
         val sem = cosScored.withColumn("rk", row_number().over(wc)).filter(col("rk") <= 20)
           .select(col("qid"), col("id"), col("rk"))
-        val rrf = lex.select(col("qid"), col("id"), col("rk").as("rl"))
-          .join(sem.select(col("qid"), col("id"), col("rk").as("rs")),
-            Seq("qid", "id"), "full_outer")
-          .withColumn("score", round(
-            coalesce(lit(1.0) / (lit(60) + col("rl")), lit(0.0))
-              + coalesce(lit(1.0) / (lit(60) + col("rs")), lit(0.0)), 8))
-          .select(col("qid"), col("id"), col("score"))
-        val wr = Window.partitionBy(col("qid"))
-          .orderBy(col("score").desc_nulls_last, col("id").asc_nulls_last)
-        val fus = rrf.withColumn("rk", row_number().over(wr)).filter(col("rk") <= 20)
-          .select(col("qid"), col("id"), col("rk"))
-        val ranked = lex.withColumn("method", lit("bm25"))
-          .unionAll(sem.withColumn("method", lit("cosine")))
-          .unionAll(fus.withColumn("method", lit("rrf")))
-          .filter(col("rk") <= 5)
-        val qlab = labels.filter(col("vec_id") < 5)
-          .select(col("vec_id").as("qid"), col("label").as("qlabel"))
-        val judged = ranked
-          .join(broadcast(qlab), "qid")
-          .join(labels.withColumnRenamed("vec_id", "id"), "id")
-          .withColumn("rel", (col("label") === col("qlabel")).cast("int"))
-        val perProbe = judged.groupBy(col("method"), col("qid"))
-          .agg(sum(col("rel")).as("n_rel"),
-            round(coalesce(
-              lit(1.0) / min(when(col("rel") === 1, col("rk"))), lit(0.0)), 6).as("rr"))
-        perProbe.groupBy(col("method"))
-          .agg(count(lit(1)).as("n_probes"),
-            round(sum(col("n_rel")).cast("double") / (count(lit(1)) * 5), 6).as("p_at_5"),
-            round(sum(col("rr").cast(DecimalType(18, 6))).cast("double") / count(lit(1)), 6)
-              .as("mrr"))
+        // r15: everything downstream of the two ranking arms operates on
+        // <= 5 probes x 20 rows — the RRF fusion, the label judgment and
+        // the P@5/MRR reductions now run DRIVER-SIDE on the collected
+        // shortlists (the n_pref_bradley_terry / n_mmr_rerank parameter-
+        // server precedent), replacing a full_outer join + a third
+        // window + two joins + two groupBys (~8 tiny jobs of scheduling
+        // floor). The corpus-scan arms (tokenize/tf/bm25 chain, probe x
+        // corpus cosine) stay distributed. Arithmetic reproduces the
+        // relational form op-for-op: rrf score round(1/(60+rl)+1/(60+rs),
+        // 8) with 0.0 for the missing arm (full-outer coalesce), rank
+        // ordering mirrors desc_nulls_last via Double.compare with id
+        // tie-break, rel/min-rank/sum semantics identical, rr as
+        // HALF_UP-6 BigDecimals summed exactly for the MRR mean, and the
+        // label joins keep inner semantics (ids absent from embeddings
+        // drop, exactly like the old join).
+        def r(x: Double, sc: Int): Double = java.math.BigDecimal.valueOf(x)
+          .setScale(sc, java.math.RoundingMode.HALF_UP).doubleValue()
+        val lexRows = lex.collect().map(r0 => (r0.getLong(0), r0.getLong(1), r0.getInt(2)))
+        val semRows = sem.collect().map(r0 => (r0.getLong(0), r0.getLong(1), r0.getInt(2)))
+        val labMap = labels.collect().map(r0 => r0.getLong(0) -> r0.getInt(1)).toMap
+        val rl = lexRows.map(t => (t._1, t._2) -> t._3).toMap
+        val rs = semRows.map(t => (t._1, t._2) -> t._3).toMap
+        val fus = (rl.keySet ++ rs.keySet).toSeq.map { case (qid, id) =>
+          val sc = r(rl.get((qid, id)).map(k => 1.0 / (60 + k)).getOrElse(0.0)
+            + rs.get((qid, id)).map(k => 1.0 / (60 + k)).getOrElse(0.0), 8)
+          (qid, id, sc)
+        }.groupBy(_._1).toSeq.flatMap { case (qid, xs) =>
+          xs.sortWith { (a, b) =>
+            val c = java.lang.Double.compare(a._3, b._3)
+            c > 0 || (c == 0 && a._2 < b._2)
+          }.take(20).zipWithIndex.map { case ((_, id, _), i) => (qid, id, i + 1) }
+        }
+        val ranked =
+          lexRows.toSeq.map { case (q, i, k) => ("bm25", q, i, k) } ++
+          semRows.toSeq.map { case (q, i, k) => ("cosine", q, i, k) } ++
+          fus.map { case (q, i, k) => ("rrf", q, i, k) }
+        val judged = ranked.filter(_._4 <= 5).flatMap { case (m, qid, id, rk) =>
+          for (ql <- labMap.get(qid); l <- labMap.get(id))
+            yield (m, qid, rk, if (l == ql) 1 else 0)
+        }
+        val out = judged.groupBy(t => (t._1, t._2)).toSeq
+          .map { case ((m, _), xs) =>
+            val nRel = xs.map(_._4.toLong).sum
+            val minRk = xs.collect { case (_, _, rk, 1) => rk }
+            val rr = r(if (minRk.isEmpty) 0.0 else 1.0 / minRk.min, 6)
+            (m, nRel, rr)
+          }
+          .groupBy(_._1).toSeq.map { case (m, xs) =>
+            val np = xs.size.toLong
+            val p5 = r(xs.map(_._2).sum.toDouble / (np * 5), 6)
+            val mrr = r(xs.map(x => java.math.BigDecimal.valueOf(x._3)
+                .setScale(6, java.math.RoundingMode.HALF_UP))
+              .foldLeft(java.math.BigDecimal.ZERO)(_.add(_)).doubleValue() / np, 6)
+            (m, np, p5, mrr)
+          }.sortBy(_._1)
+        import s.implicits._
+        out.toDF("method", "n_probes", "p_at_5", "mrr")
           .orderBy(col("method").asc_nulls_last)
       },
       Some("""WITH d AS (SELECT doc_id, list_filter(string_split(text, ' '), w -> len(w) > 0) AS words FROM documents),

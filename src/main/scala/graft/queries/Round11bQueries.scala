@@ -811,9 +811,23 @@ object Round11bQueries extends QueryModule {
         // drop, exactly like the old join).
         def r(x: Double, sc: Int): Double = java.math.BigDecimal.valueOf(x)
           .setScale(sc, java.math.RoundingMode.HALF_UP).doubleValue()
-        val lexRows = lex.collect().map(r0 => (r0.getLong(0), r0.getLong(1), r0.getInt(2)))
-        val semRows = sem.collect().map(r0 => (r0.getLong(0), r0.getLong(1), r0.getInt(2)))
-        val labMap = labels.collect().map(r0 => r0.getLong(0) -> r0.getInt(1)).toMap
+        // the three collects are independent jobs — submit them from
+        // driver threads so the lexical arm's tail back-fills the
+        // semantic arm's cores (guide §2.6 overlap; measured on
+        // n_rank_fusion: serializing previously-concurrent arms costs
+        // more than the removed tail jobs save)
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        import scala.concurrent.duration.Duration
+        val lexF = Future(lex.collect()
+          .map(r0 => (r0.getLong(0), r0.getLong(1), r0.getInt(2))))
+        val semF = Future(sem.collect()
+          .map(r0 => (r0.getLong(0), r0.getLong(1), r0.getInt(2))))
+        val labF = Future(labels.collect()
+          .map(r0 => r0.getLong(0) -> r0.getInt(1)).toMap)
+        val lexRows = Await.result(lexF, Duration.Inf)
+        val semRows = Await.result(semF, Duration.Inf)
+        val labMap = Await.result(labF, Duration.Inf)
         val rl = lexRows.map(t => (t._1, t._2) -> t._3).toMap
         val rs = semRows.map(t => (t._1, t._2) -> t._3).toMap
         val fus = (rl.keySet ++ rs.keySet).toSeq.map { case (qid, id) =>

@@ -159,28 +159,41 @@ object Round12bQueries extends QueryModule {
           .withColumn("term", round(col("cb") * log(col("ca") + lit(1.0)), 8))
           .groupBy(col("train_source"), col("eval_source"))
           .agg(sum(col("term").cast(DecimalType(24, 8))).cast("double").as("sterm"))
-        // skel is the PRESERVED side of the left join below — Spark
-        // cannot build the left side of a left-outer BHJ, so a
-        // broadcast hint there is silently dropped (HintErrorLogger;
-        // round-12 verdict #1). Hint the k²-row inner relation (build
-        // right IS supported for left outer) and broadcast the k-row
-        // right arm of the crossJoin instead.
-        val skel =
-          totals.select(col("source").as("train_source"), col("nt").as("na"))
-            .crossJoin(broadcast(totals.select(col("source").as("eval_source"),
-              col("nt").as("nb"))))
-        val h = skel.join(broadcast(inner),
-            Seq("train_source", "eval_source"), "left")
-          .crossJoin(vocab)
-          .withColumn("cross_entropy", round(
-            log(col("na").cast("double") + col("v"))
-              - coalesce(col("sterm"), lit(0.0)) / col("nb").cast("double"), 6))
-        val diag = h.filter(col("train_source") === col("eval_source"))
-          .select(col("eval_source"), col("cross_entropy").as("h_self"))
-        h.join(diag, Seq("eval_source"))
-          .select(col("train_source"), col("eval_source"),
-            col("nb").cast("long").as("n_tokens_eval"), col("cross_entropy"),
-            round(col("cross_entropy") - col("h_self"), 6).as("transfer_gap"))
+        // r15: the k×k matrix assembly (cross skeleton, left-join of the
+        // inner sums, diagonal self-entropy, gap) runs DRIVER-SIDE on
+        // the collected k-row totals / k²-row inner / 1-row vocab
+        // models (the parameter-server precedent) — was a crossJoin +
+        // left join + diagonal self-join + sort over ≤400 rows across
+        // ~5 tiny jobs. The corpus-scan parts (retained (source, token)
+        // counts, the token-keyed self-join aggregate) stay distributed;
+        // the three model collects are independent jobs submitted
+        // concurrently (guide §2.6). Arithmetic reproduces the
+        // relational form op-for-op: ce = round(ln(na + v) -
+        // coalesce(sterm, 0)/nb, 6) on the same doubles, gap =
+        // round(ce - ce_self, 6), HALF_UP rounding.
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        import scala.concurrent.duration.Duration
+        val innerF = Future(inner.collect()
+          .map(r => ((r.getString(0), r.getString(1)), r.getDouble(2))).toMap)
+        val totalsF = Future(totals.collect()
+          .map(r => r.getString(0) -> r.getLong(1)))
+        val vocabF = Future(vocab.collect().head.getDouble(0))
+        val sterm = Await.result(innerF, Duration.Inf)
+        val tot = Await.result(totalsF, Duration.Inf)
+        val v = Await.result(vocabF, Duration.Inf)
+        def r6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+        def ce(tr: String, na: Long, ev: String, nb: Long): Double =
+          r6(math.log(na.toDouble + v)
+            - sterm.getOrElse((tr, ev), 0.0) / nb.toDouble)
+        val rows = for ((tr, na) <- tot; (ev, nb) <- tot) yield
+          (tr, ev, nb, ce(tr, na, ev, nb),
+            r6(ce(tr, na, ev, nb) - ce(ev, nb, ev, nb)))
+        import s.implicits._
+        rows.toSeq
+          .toDF("train_source", "eval_source", "n_tokens_eval",
+            "cross_entropy", "transfer_gap")
           .orderBy(col("train_source").asc_nulls_last,
             col("eval_source").asc_nulls_last)
       },

@@ -124,12 +124,20 @@ object Round10Queries extends QueryModule {
     // r15: retained — the document-frequency aggregate AND the final
     // weight join both read the tf relation; uncached the bigram
     // explode + (doc, bg) aggregate ran twice per materialization
+    // r15 session 2: cluster the tf aggregate by doc_id alone (doc
+    // clustering satisfies the (doc, bg) grouping) so the retained
+    // relation — and w8, which joins the tiny 931-row df side
+    // broadcast — carries doc-hash partitioning into every consumer:
+    // n_tfidf_cosine's norm aggregate and top-5 window then need NO
+    // re-exchange (guide §2.4: two operations keyed the same way share
+    // one exchange).
     val tf = DedupQueries.retain(t
       .select(col("doc_id"), col("w"),
         explode(sequence(lit(1), size(col("w")) - 1)).as("i"))
       .select(col("doc_id"),
         concat_ws(" ", element_at(col("w"), col("i")),
           element_at(col("w"), col("i") + 1)).as("bg"))
+      .repartition(col("doc_id"))
       .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("tf")))
     val dfq = tf.groupBy(col("bg")).agg(count(lit(1)).as("df"))
     val n = t.agg(count(lit(1)).as("nd"))

@@ -77,37 +77,60 @@ object Round12bQueries extends QueryModule {
               concat_ws(" ", col("p.a1"), col("p.a2"), col("p.a3")).as("w")))
         val firsts = tok.groupBy(col("w")).agg(min(col("doc_id")).as("fd"))
         val perdoc = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("ntok"))
-        val thr = broadcast(T(s, dir, "documents")
+        // r15 session 2: the O(log n) thresholds are a model (≤ a dozen
+        // longs) — collect them once, then replace BOTH row-multiplying
+        // inequality joins (type-relation × thresholds, doc-relation ×
+        // thresholds) with a codegen CASE bucket (smallest threshold ≥
+        // the key) + a driver-side cumulative sum over the ≤12 bucket
+        // rows: count(fd <= t) ≡ Σ_{bucket b <= t} count(bucket = b)
+        // exactly, because the buckets partition [1, max(doc_id)]. The
+        // two bucket aggregates are independent jobs submitted
+        // concurrently (guide §2.6); the 10-row OLS fit runs driver-side
+        // with the same exact-decimal arithmetic (HALF_UP roundings,
+        // BigDecimal sums, identical double ops, +0.0 normalization).
+        val thrVals = T(s, dir, "documents")
           .agg(max(col("doc_id")).as("mx"))
           .select(col("mx"), explode(sequence(lit(0),
             (floor(log2(col("mx") / lit(25.0))) + 1).cast("int"))).as("i"))
           .select(expr("least(25L * shiftleft(1L, i), mx)").as("t"))
-          .distinct())
-        val vt = firsts.join(thr, col("fd") <= col("t"))
-          .groupBy(col("t")).agg(count(lit(1)).as("n_types"))
-        val nt = perdoc.join(thr, col("doc_id") <= col("t"))
-          .groupBy(col("t")).agg(sum(col("ntok")).as("n_grams"))
-        val curve = nt.join(vt, Seq("t"))
-          .select(col("t").as("doc_cap"), col("n_grams"), col("n_types"),
-            round(log(col("n_grams").cast("double")), 8).as("x"),
-            round(log(col("n_types").cast("double")), 8).as("y"))
-        val fit = curve.agg(
-            count(lit(1)).cast("double").as("n"),
-            sum(col("x").cast(DecimalType(20, 8))).cast("double").as("sx"),
-            sum(col("y").cast(DecimalType(20, 8))).cast("double").as("sy"),
-            sum(round(col("x") * col("y"), 10).cast(DecimalType(24, 10)))
-              .cast("double").as("sxy"),
-            sum(round(col("x") * col("x"), 10).cast(DecimalType(24, 10)))
-              .cast("double").as("sxx"))
-          .withColumn("slope_raw",
-            (col("n") * col("sxy") - col("sx") * col("sy"))
-              / (col("n") * col("sxx") - col("sx") * col("sx")))
-          .select((round(col("slope_raw"), 6) + lit(0.0)).as("beta"),
-            (round((col("sy") - col("slope_raw") * col("sx")) / col("n"), 6)
-              + lit(0.0)).as("ln_k"))
-        curve.crossJoin(broadcast(fit))
-          .select(col("doc_cap"), col("n_grams"), col("n_types"),
-            col("beta"), col("ln_k"))
+          .distinct().collect().map(_.getLong(0)).sorted
+        def bucketOf(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+          thrVals.init.foldRight(lit(thrVals.last): org.apache.spark.sql.Column)(
+            (t, acc) => when(c <= t, lit(t)).otherwise(acc))
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        import scala.concurrent.duration.Duration
+        val vtF = Future(firsts.groupBy(bucketOf(col("fd")).as("t"))
+          .agg(count(lit(1)).as("c")).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap)
+        val ntF = Future(perdoc.groupBy(bucketOf(col("doc_id")).as("t"))
+          .agg(sum(col("ntok")).as("s")).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap)
+        val vtB = Await.result(vtF, Duration.Inf)
+        val ntB = Await.result(ntF, Duration.Inf)
+        def r(x: Double, sc: Int): Double = java.math.BigDecimal.valueOf(x)
+          .setScale(sc, java.math.RoundingMode.HALF_UP).doubleValue()
+        var (cumT, cumN) = (0L, 0L)
+        val curve = thrVals.map { t =>
+          cumT += vtB.getOrElse(t, 0L); cumN += ntB.getOrElse(t, 0L)
+          (t, cumN, cumT, r(math.log(cumN.toDouble), 8),
+            r(math.log(cumT.toDouble), 8))
+        }
+        def dsum(xs: Iterable[Double], sc: Int): Double =
+          xs.map(java.math.BigDecimal.valueOf(_)
+              .setScale(sc, java.math.RoundingMode.HALF_UP))
+            .foldLeft(java.math.BigDecimal.ZERO)(_.add(_)).doubleValue()
+        val n = curve.length.toDouble
+        val sx = dsum(curve.map(_._4), 8)
+        val sy = dsum(curve.map(_._5), 8)
+        val sxy = dsum(curve.map(c => r(c._4 * c._5, 10)), 10)
+        val sxx = dsum(curve.map(c => r(c._4 * c._4, 10)), 10)
+        val slopeRaw = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        val beta = r(slopeRaw, 6) + 0.0
+        val lnK = r((sy - slopeRaw * sx) / n, 6) + 0.0
+        import s.implicits._
+        curve.toSeq.map { case (t, ng, nty, _, _) => (t, ng, nty, beta, lnK) }
+          .toDF("doc_cap", "n_grams", "n_types", "beta", "ln_k")
           .orderBy(col("doc_cap").asc_nulls_last)
       },
       Some("""WITH t3 AS (SELECT doc_id,

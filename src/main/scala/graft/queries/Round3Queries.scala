@@ -297,30 +297,23 @@ object Round3Queries extends QueryModule {
           .collect().toSeq
           .map(r => (r.getInt(0), r.getLong(2), r.getSeq[Long](1)))
           .sortBy(_._1)
-        val cLit = typedLit(cells)
-        // score of a row against cell x: dot_int / √ss — every operand
-        // an exact integer, so the double division and sqrt are IEEE-
-        // deterministic in any engine
-        val cellScores =
-          """transform(C, x -> named_struct(
-               's', CAST(aggregate(zip_with(x._3, qe, (p, q) -> p * q), 0L, (a, b) -> a + b) AS DOUBLE)
-                    / sqrt(CAST(x._2 AS DOUBLE)),
-               'c', x._1))"""
-        val withC = emb.withColumn("C", cLit)
+        // r15 session 2: the k-cell score/argmax ran as a typedLit cell
+        // matrix + k interpreted lambda chains of d multiply-adds per
+        // row (`transform(C, aggregate(zip_with(...)))`); the fused
+        // codegen IvfCellTopK kernel ranks cells by the identical
+        // (dot_long/√ss DESC, cell ASC) comparator in one primitive
+        // loop, matrix shipped once as a reference object (the
+        // PlaneSignature shape; IvfCellTopKSpec pins codegen ==
+        // interpreted and the HOF equality, the oracle pins values).
         // map-only argmax assignment; ties prefer the smaller cell id
-        // (max over (s, -c) structs = lexicographic argmax)
-        val assigned = withC
-          .withColumn("nc",
-            expr(s"array_max(transform($cellScores, y -> named_struct('s', y.s, 'nc', -y.c))).nc"))
-          .select(col("vec_id"), (-col("nc")).as("cell"), col("embedding"))
+        val assigned = emb
+          .withColumn("cell",
+            graft.functions.IvfCellTopK(col("qe"), cells, 1).getItem(0))
+          .select(col("vec_id"), col("cell"), col("embedding"))
         // probes scan their nprobe=4 best cells only (sorted per row)
-        val byScoreDesc =
-          "(l, r) -> CASE WHEN l.s > r.s THEN -1 WHEN l.s < r.s THEN 1 WHEN l.c < r.c THEN -1 ELSE 1 END"
-        val probes = withC.filter(col("vec_id") < 5)
+        val probes = emb.filter(col("vec_id") < 5)
           .select(col("vec_id").as("qid"), col("embedding").as("qv"),
-            explode(expr(
-              s"transform(slice(array_sort($cellScores, $byScoreDesc), 1, 4), x -> x.c)"))
-              .as("cell"))
+            explode(graft.functions.IvfCellTopK(col("qe"), cells, 4)).as("cell"))
         // exact rerank inside the probed cells
         val wTop = Window.partitionBy(col("qid"))
           .orderBy(col("sim").desc_nulls_last, col("vec_id").asc_nulls_last)

@@ -97,9 +97,39 @@ object T {
     * the scan dominates; plain column-pruned scans that feed a cheap
     * aggregate don't need (or want) the extra exchange.
     */
+  /** Scale-adaptive exchange width (r16, verdict r15 #4). The r15
+    * spreads used flat `defaultParallelism`; the driver's own
+    * 8c-vs-32c record (suite 154.3 s at 8 cores vs 199.9 s at 32,
+    * every headline ratio <= 1) showed 32-way exchanges over the
+    * 0.5–11 MB fixture tables are net task-scheduling overhead, not
+    * parallelism. Derive the width from the plan's estimated bytes:
+    * one partition per SPARK_GRAFT_SPREAD_QUANTUM_KB (default 64 KiB —
+    * far below a cluster target on purpose: these exchanges exist to
+    * spread row-local CPU that is orders of magnitude heavier than the
+    * bytes, so the quantum prices CPU-per-byte, not I/O), capped at
+    * `defaultParallelism`. At production scale the byte estimate is
+    * >> cores, the cap binds, and the splits>=cores trigger already
+    * makes the whole spread a passthrough — so this only changes
+    * behaviour where the input is small relative to the machine.
+    * Sites whose per-row CPU is unbounded relative to input bytes
+    * (media synthesis over a bare id column) opt out via `cpuDense`
+    * and keep the full machine width.
+    */
+  private def spreadWidth(df: DataFrame): Int = {
+    val slots = df.sparkSession.sparkContext.defaultParallelism
+    val quantum =
+      sys.env.getOrElse("SPARK_GRAFT_SPREAD_QUANTUM_KB", "64").toLong * 1024L
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (bytes <= 0 || bytes > BigInt(Long.MaxValue)) slots
+    else {
+      val byBytes = (bytes.toLong + quantum - 1L) / quantum
+      math.max(1L, math.min(slots.toLong, byBytes)).toInt
+    }
+  }
+
   def par(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = apply(spark, dir, name)
-    val slots = spark.sparkContext.defaultParallelism
+    val slots = spreadWidth(df)
     if (df.rdd.getNumPartitions < slots)
       // hash on the table's FIRST column (the high-cardinality id in
       // every fixture table) rather than the whole row: column pruning
@@ -120,8 +150,10 @@ object T {
     * Project/filter BEFORE spreading so the exchange carries only the
     * needed columns (guide §2.3).
     */
-  def spread(df: DataFrame): DataFrame = {
-    val slots = df.sparkSession.sparkContext.defaultParallelism
+  def spread(df: DataFrame, cpuDense: Boolean = false): DataFrame = {
+    val slots =
+      if (cpuDense) df.sparkSession.sparkContext.defaultParallelism
+      else spreadWidth(df)
     if (df.rdd.getNumPartitions < slots)
       // hash-partition on every projected column rather than
       // round-robin: round-robin repartition first SORTS its input
@@ -192,6 +224,22 @@ object GraftSession {
     val c = spark.conf
     c.set("spark.sql.adaptive.enabled", "true")
     c.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    // r16 (verdict r15 #6, guide §2.2): with parallelismFirst=true
+    // (the default) AQE only coalesces post-shuffle partitions below
+    // minPartitionSize (1 MB) and otherwise keeps ~defaultParallelism
+    // partitions — on this suite that means 32-way micro-tasks over
+    // MB-scale shuffles, and the driver's own record shows the whole
+    // suite running FASTER on 8 cores than 32 (154.3 vs 199.9 s).
+    // parallelismFirst=false makes AQE honor the advisory target size,
+    // deriving each post-shuffle partition count from observed bytes —
+    // the input-adaptive behaviour the optimization guide recommends
+    // and the setting Spark's own docs advise for production. The
+    // advisory size is env-tunable; 8m locally (CPU-dense workloads
+    // want narrower partitions than a 64m I/O-bound cluster target).
+    c.set("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+      sys.env.getOrElse("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "false"))
+    c.set("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      sys.env.getOrElse("SPARK_GRAFT_AQE_ADVISORY", "8m"))
     c.set("spark.sql.adaptive.skewJoin.enabled", "true")
     c.set("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
     c.set("spark.sql.parquet.filterPushdown", "true")
@@ -202,11 +250,12 @@ object GraftSession {
     // planner's size conditions hold instead of always sorting both
     // sides, and let AQE rewrite a planned SMJ to SHJ when every
     // post-shuffle partition's build side is under the local-map
-    // threshold. Measured r15 (min-of-k A/B, sf0.1/32c): tpch_q02
-    // 1.51→1.13, q09 2.15→1.66, q11 1.46→1.22, q16 1.42→0.90,
-    // n_dedup_minhash_lsh 1.71→1.42, n_tfidf_cosine 2.63→2.29,
-    // n_retrieval_eval 3.20→2.76; no query regressed beyond noise.
-    // Scale posture: SHJ is per-partition — the planner still requires
+    // threshold. Honest record (r15 ledger, commit 911e2a9): the
+    // sequential A/B wins first attributed to these confs were
+    // run-order artifacts — a reversed A/B and byte-identical executed
+    // plans (plans/r15/*_smj_before vs *_shj_after) showed they are
+    // DEAD CONFIG at the fixture SFs. They are kept for scale posture
+    // only. Scale posture: SHJ is per-partition — the planner still requires
     // the build side to fit (canBuildLocalHashMap vs the broadcast
     // threshold × partitions), AQE's 64m local-map bound is a per-task
     // budget independent of cluster size, and skew-split still applies.

@@ -49,7 +49,7 @@ object MultimodalQueries extends QueryModule {
       // r15: spread bare ids (keyed — round-robin paid a local sort and
       // carried full text), then synth post-exchange so payloads never shuffle
       (s, dir) => graft.operators.MediaDecode.extractFeatures(
-        T.spread(T(s, dir, "documents").select(col("doc_id")))
+        T.spread(T(s, dir, "documents").select(col("doc_id")), cpuDense = true)
           .select(col("doc_id"),
             graft.operators.MediaDecode.synthPngUdf(col("doc_id")).as("payload"))),
       // the oracle decodes nothing: it reduces the same pixel formula
@@ -130,9 +130,9 @@ object MultimodalQueries extends QueryModule {
       (s, dir) => {
         val ids = T(s, dir, "documents").select(col("doc_id"))
           .filter(col("doc_id") >= 1 && col("doc_id") <= 120)
-        val media = T.spread(ids).select(col("doc_id"),
+        val media = T.spread(ids, cpuDense = true).select(col("doc_id"),
             graft.operators.MediaDecode.synthPngTexturedUdf(col("doc_id")).as("payload"))
-          .unionAll(T.spread(ids).select((col("doc_id") + 100000).as("doc_id"),
+          .unionAll(T.spread(ids, cpuDense = true).select((col("doc_id") + 100000).as("doc_id"),
             graft.operators.MediaDecode.synthPngTextured2xUdf(col("doc_id")).as("payload")))
         // r15: retain the tiny (doc_id, h1, h2) hash relation — both
         // sides of the all-pairs join otherwise recompute the full PNG
@@ -189,9 +189,9 @@ object MultimodalQueries extends QueryModule {
       (s, dir) => {
         val ids = T(s, dir, "documents").select(col("doc_id"))
           .filter(col("doc_id") >= 1 && col("doc_id") <= 120)
-        val media = T.spread(ids).select(col("doc_id"),
+        val media = T.spread(ids, cpuDense = true).select(col("doc_id"),
             graft.operators.MediaDecode.synthPngTextured32Udf(col("doc_id")).as("payload"))
-          .unionAll(T.spread(ids).select((col("doc_id") + 100000).as("doc_id"),
+          .unionAll(T.spread(ids, cpuDense = true).select((col("doc_id") + 100000).as("doc_id"),
             graft.operators.MediaDecode.synthPngTextured32x2Udf(col("doc_id")).as("payload")))
         // r15: retain — see m_image_dhash_dedup (2x decode otherwise)
         val ph = DedupQueries.retain(graft.operators.MediaDecode.whtHash(media))
@@ -233,9 +233,9 @@ object MultimodalQueries extends QueryModule {
       (s, dir) => {
         val ids = T(s, dir, "documents").select(col("doc_id"))
           .filter(col("doc_id") >= 1 && col("doc_id") <= 100)
-        val media = T.spread(ids).select(col("doc_id"),
+        val media = T.spread(ids, cpuDense = true).select(col("doc_id"),
             graft.operators.AudioDecode.synthTexturedWavUdf(col("doc_id")).as("payload"))
-          .unionAll(T.spread(ids).select((col("doc_id") + 100000).as("doc_id"),
+          .unionAll(T.spread(ids, cpuDense = true).select((col("doc_id") + 100000).as("doc_id"),
             graft.operators.AudioDecode.synthTexturedWav2xUdf(col("doc_id")).as("payload")))
         // r15: retain — see m_image_dhash_dedup (2x decode otherwise)
         val fp = DedupQueries.retain(graft.operators.AudioDecode.fingerprint(media))
@@ -275,9 +275,9 @@ object MultimodalQueries extends QueryModule {
       (s, dir) => {
         val ids = T(s, dir, "documents").select(col("doc_id"))
           .filter(col("doc_id") >= 1 && col("doc_id") <= 80)
-        val media = T.spread(ids).select(col("doc_id"),
+        val media = T.spread(ids, cpuDense = true).select(col("doc_id"),
             graft.operators.MediaDecode.synthTexturedVideoUdf(col("doc_id")).as("payload"))
-          .unionAll(T.spread(ids).select((col("doc_id") + 100000).as("doc_id"),
+          .unionAll(T.spread(ids, cpuDense = true).select((col("doc_id") + 100000).as("doc_id"),
             graft.operators.MediaDecode.synthTexturedVideo2xUdf(col("doc_id")).as("payload")))
         // r15: retain measured and LOST here (1.05 -> 1.80 min-of-3):
         // the cache barrier serializes the three consumers' branches,

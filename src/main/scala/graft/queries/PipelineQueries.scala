@@ -417,7 +417,7 @@ object PipelineQueries extends QueryModule {
       // payload no longer round-trips through two UnsafeRow copies
       // (measured 3.8 s → ~1 s at sf0.1; same codec, same features).
       (s, dir) => graft.operators.AudioDecode.synthAndExtract(
-        T.spread(T(s, dir, "documents").select(col("doc_id")))),
+        T.spread(T(s, dir, "documents").select(col("doc_id")), cpuDense = true)),
       // the oracle decodes nothing: it reduces the same sample formula
       // the synthesizer used (PCM WAV is lossless, so decode ≡ formula)
       Some("""WITH g AS (SELECT doc_id, CAST(800 + doc_id % 401 AS INTEGER) AS n FROM documents),

@@ -178,9 +178,9 @@ object Round11bQueries extends QueryModule {
       (s, dir) => {
         val ids = T(s, dir, "documents").select(col("doc_id"))
           .filter(col("doc_id") >= 1 && col("doc_id") <= 120)
-        val media = T.spread(ids).select(col("doc_id"),
+        val media = T.spread(ids, cpuDense = true).select(col("doc_id"),
             graft.operators.MediaDecode.synthQualityPngUdf(col("doc_id")).as("payload"))
-          .unionAll(T.spread(ids).select((col("doc_id") + 100000).as("doc_id"),
+          .unionAll(T.spread(ids, cpuDense = true).select((col("doc_id") + 100000).as("doc_id"),
             graft.operators.MediaDecode.synthQualityPngBlurUdf(col("doc_id")).as("payload")))
         graft.operators.MediaDecode.imageQuality(media)
           .withColumn("mean_luma",
@@ -823,11 +823,22 @@ object Round11bQueries extends QueryModule {
           .map(r0 => (r0.getLong(0), r0.getLong(1), r0.getInt(2))))
         val semF = Future(sem.collect()
           .map(r0 => (r0.getLong(0), r0.getLong(1), r0.getInt(2))))
-        val labF = Future(labels.collect()
-          .map(r0 => r0.getLong(0) -> r0.getInt(1)).toMap)
         val lexRows = Await.result(lexF, Duration.Inf)
         val semRows = Await.result(semF, Duration.Inf)
-        val labMap = Await.result(labF, Duration.Inf)
+        // r16 (verdict r15 #3): the label relation is corpus-sized —
+        // collecting it whole was the one unbounded driver collect in
+        // the round-15 rewrites. Only labels for the <=5 probe qids and
+        // the <=q x 40 shortlisted ids are ever consulted, so filter to
+        // that id set (known once the arms land) BEFORE collecting; the
+        // In-filter pushes into the parquet scan. Inner-join semantics
+        // are unchanged: ids absent from embeddings were Map misses
+        // before and stay Map misses now.
+        val neededIds = (lexRows.iterator.flatMap(t => Iterator(t._1, t._2))
+          ++ semRows.iterator.flatMap(t => Iterator(t._1, t._2)))
+          .toSet.toSeq.sorted
+        val labMap = labels
+          .filter(col("vec_id").isin(neededIds: _*))
+          .collect().map(r0 => r0.getLong(0) -> r0.getInt(1)).toMap
         val rl = lexRows.map(t => (t._1, t._2) -> t._3).toMap
         val rs = semRows.map(t => (t._1, t._2) -> t._3).toMap
         val fus = (rl.keySet ++ rs.keySet).toSeq.map { case (qid, id) =>
@@ -926,7 +937,7 @@ object Round11bQueries extends QueryModule {
       (s, dir) => {
         val ids = T(s, dir, "documents").select(col("doc_id"))
           .filter(col("doc_id") >= 1 && col("doc_id") <= 60)
-        val media = T.spread(ids).select(col("doc_id"),
+        val media = T.spread(ids, cpuDense = true).select(col("doc_id"),
             graft.operators.MediaDecode.synthSceneVideoUdf(col("doc_id")).as("payload"))
         val fh = graft.operators.MediaDecode.videoDHash(media)
         val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx").asc)
@@ -991,7 +1002,7 @@ object Round11bQueries extends QueryModule {
       (s, dir) => {
         val ids = T(s, dir, "documents").select(col("doc_id"))
           .filter(col("doc_id") >= 1 && col("doc_id") <= 100)
-        val media = T.spread(ids).select(col("doc_id"),
+        val media = T.spread(ids, cpuDense = true).select(col("doc_id"),
             graft.operators.AudioDecode.synthVadWavUdf(col("doc_id")).as("payload"))
         // r15: retain measured and LOST here (0.55 -> 0.62 min-of-3) —
         // the 100-clip decode is cheaper than the cache barrier. Kept
@@ -1042,7 +1053,7 @@ object Round11bQueries extends QueryModule {
       (s, dir) => {
         val ids = T(s, dir, "documents").select(col("doc_id"))
           .filter(col("doc_id") >= 1 && col("doc_id") <= 60)
-        val media = T.spread(ids).select(col("doc_id"),
+        val media = T.spread(ids, cpuDense = true).select(col("doc_id"),
             graft.operators.MediaDecode.synthSceneVideoUdf(col("doc_id")).as("payload"))
         val fh = graft.operators.MediaDecode.videoDHash(media)
         val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx").asc)
@@ -1109,7 +1120,7 @@ object Round11bQueries extends QueryModule {
       (s, dir) => {
         val ids = T(s, dir, "documents").select(col("doc_id"))
           .filter(col("doc_id") >= 1 && col("doc_id") <= 100)
-        val media = T.spread(ids).select(col("doc_id"),
+        val media = T.spread(ids, cpuDense = true).select(col("doc_id"),
             graft.operators.AudioDecode.synthVadWavUdf(col("doc_id")).as("payload"))
         val fe = graft.operators.AudioDecode.frameEnergies(media)
           .withColumn("voiced", col("e") > lit(64L) * col("n_in_frame"))

@@ -38,7 +38,11 @@ object MicroBench {
             try fn(spark, sfDir).queryExecution.toRdd.count()
             catch { case e: Throwable =>
               System.err.println(s"[micro] $n FAILED: ${e.getMessage}") }
-            (System.nanoTime() - t0) / 1e9
+            val dt = (System.nanoTime() - t0) / 1e9
+            // r16 (verdict r15 #2): iterations 2+ must not read
+            // iteration 1's retained cache — min-of-k is cold-cache
+            graft.queries.DedupQueries.release(spark)
+            dt
           }
           println(f"[micro] $n%-34s min=${times.min}%8.3f  runs=${times.map(t => f"$t%.3f").mkString(",")}")
         case None => System.err.println(s"[micro] unknown query: $n")

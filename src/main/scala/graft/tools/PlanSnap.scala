@@ -29,7 +29,8 @@ object PlanSnap {
       .config("spark.ui.enabled", "false")
       .getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
-    Files.createDirectories(Paths.get("plans/r15"))
+    val plansDir = sys.env.getOrElse("GRAFT_PLANS_DIR", "plans/r16")
+    Files.createDirectories(Paths.get(plansDir))
     val qs = SparkEntry.queries
     names.foreach { n =>
       qs.get(n) match {
@@ -38,8 +39,8 @@ object PlanSnap {
           if (exec) qe.toRdd.count()
           val plan = qe.explainString(
             org.apache.spark.sql.execution.FormattedMode)
-          Files.writeString(Paths.get(s"plans/r15/${n}_$suffix.txt"), plan)
-          println(s"[plansnap] wrote plans/r15/${n}_$suffix.txt")
+          Files.writeString(Paths.get(s"${plansDir}/${n}_$suffix.txt"), plan)
+          println(s"[plansnap] wrote ${plansDir}/${n}_$suffix.txt")
         case None => System.err.println(s"[plansnap] unknown query: $n")
       }
     }

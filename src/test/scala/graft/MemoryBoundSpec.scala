@@ -17,11 +17,14 @@ import graft.server.QueryServer
   * time) feeding each streaming encoder (ArrowIpcEncoder additionally
   * caps batches at 1024 rows). This spec makes the property FALSIFIABLE
   * instead of asserted: it first pins heap ballast so the JVM's free
-  * slack is ~1.2 GiB, then streams a ~3 GiB result through each of the
-  * four encoders. A server that buffered the response — or an encoder
-  * that materialized the iterator — would need 2.5× the available
-  * heap and die with OOM; completion with the full byte count IS the
-  * proof, GC-timing-independent.
+  * slack is ~600 MiB, then streams a ~1.5 GiB result through each of
+  * the four encoders. A server that buffered the response — or an
+  * encoder that materialized the iterator — would need 2.5× the
+  * available heap and die with OOM; streaming more bytes than the
+  * pinned free heap IS the proof, GC-timing-independent. Sizes and the
+  * per-encoder wall budget are env-tunable (GRAFT_MEMBOUND_*) so a
+  * contended box can bound the suite's runtime without losing the
+  * property.
   */
 class MemoryBoundSpec extends AnyFunSuite with BeforeAndAfterAll {
   import TestSpark._
@@ -30,8 +33,25 @@ class MemoryBoundSpec extends AnyFunSuite with BeforeAndAfterAll {
   private var base: String = _
   private val client = HttpClient.newHttpClient()
 
-  // ~3 GiB of payload: 3M rows x 1 KiB string (+ the id column)
-  private val Rows = 3000000L
+  // Round-16 (verdict r15 #1): the r15 driver run stalled ~26 min in
+  // this spec — 4 encoders x 3 GiB under ~40% hypervisor steal exceeds
+  // the harness budget even though the property holds. Bound the spec
+  // three ways, keeping it falsifiable:
+  //   - result size env-scaled (default halved to ~1.5 GiB/encoder);
+  //   - ballast slack scaled with it (600 MiB keeps the same 2.5x
+  //     result/heap falsification ratio the 3 GiB/1.2 GiB version had);
+  //   - a per-encoder wall budget: when it expires mid-stream the test
+  //     stops reading and accepts a PARTIAL proof iff the bytes already
+  //     streamed exceed 1.25x the pinned free slack — a server that
+  //     buffered the response could not have produced more bytes than
+  //     the heap it had, so the bounded-memory property is still the
+  //     thing asserted; a slow box just proves it on fewer bytes.
+  private val Rows =
+    sys.env.get("GRAFT_MEMBOUND_ROWS").map(_.toLong).getOrElse(1500000L)
+  private val BudgetSecs =
+    sys.env.get("GRAFT_MEMBOUND_BUDGET_S").map(_.toLong).getOrElse(120L)
+  private val SlackMiB =
+    sys.env.get("GRAFT_MEMBOUND_SLACK_MIB").map(_.toLong).getOrElse(600L)
   private val Query =
     s"SELECT id, repeat('x', 1000) AS payload FROM range($Rows)"
   private val MinBytes = Rows * 1000L // payload alone, any encoding
@@ -51,7 +71,7 @@ class MemoryBoundSpec extends AnyFunSuite with BeforeAndAfterAll {
     System.gc()
     val ballast = new java.util.ArrayList[Array[Byte]]()
     val block = 64 * 1024 * 1024
-    val targetSlack = 1200L * 1024 * 1024
+    val targetSlack = SlackMiB * 1024 * 1024
     var free = rt.maxMemory - (rt.totalMemory - rt.freeMemory)
     while (free - block > targetSlack) {
       ballast.add(new Array[Byte](block))
@@ -60,36 +80,51 @@ class MemoryBoundSpec extends AnyFunSuite with BeforeAndAfterAll {
     ballast
   }
 
-  private def streamedBytes(accept: String): Long = {
+  /** Streams the response until EOF or the wall budget expires.
+    * @return (bytes streamed, reached EOF)
+    */
+  private def streamedBytes(accept: String): (Long, Boolean) = {
     val req = HttpRequest.newBuilder(URI.create(s"$base/"))
       .header("Accept", accept).header("Content-Type", "text/plain")
       .POST(HttpRequest.BodyPublishers.ofString(Query)).build()
     val resp = client.send(req, HttpResponse.BodyHandlers.ofInputStream())
     assert(resp.statusCode() == 200, s"$accept -> ${resp.statusCode()}")
     val in = resp.body()
+    val deadline = System.nanoTime() + BudgetSecs * 1000000000L
     val buf = new Array[Byte](1 << 20)
     var total = 0L
     var n = in.read(buf)
-    while (n >= 0) { total += n; n = in.read(buf) }
-    in.close()
-    total
+    while (n >= 0 && System.nanoTime() < deadline) {
+      total += n; n = in.read(buf)
+    }
+    val eof = n < 0
+    in.close() // early close on budget expiry; pool health re-checked below
+    (total, eof)
   }
 
-  test("a ~3 GiB result streams through all four encoders with ~1.2 GiB free heap") {
+  test("a result far beyond free heap streams through all four encoders") {
     val ballast = pinBallast()
     val rt = Runtime.getRuntime
-    val slackMiB =
-      (rt.maxMemory - (rt.totalMemory - rt.freeMemory)) / (1024 * 1024)
-    info(s"ballast pinned: ${ballast.size()} x 64 MiB, free slack ~${slackMiB} MiB")
+    val slackBytes =
+      rt.maxMemory - (rt.totalMemory - rt.freeMemory)
+    info(s"ballast pinned: ${ballast.size()} x 64 MiB, free slack ~${slackBytes / (1024 * 1024)} MiB")
+    // partial-proof floor: more bytes than a fully-buffering server
+    // could have held in the pinned free heap
+    val proofBytes = slackBytes * 5 / 4
     try {
       for (accept <- Seq("text/csv", "application/json",
           "application/jsonlines", "application/vnd.apache.arrow.stream")) {
         val t0 = System.nanoTime()
-        val bytes = streamedBytes(accept)
+        val (bytes, eof) = streamedBytes(accept)
         val secs = (System.nanoTime() - t0) / 1e9
-        info(f"$accept%-38s ${bytes / 1e9}%.2f GB in $secs%.1f s")
-        assert(bytes > MinBytes,
-          s"$accept streamed only $bytes bytes (expected > $MinBytes)")
+        info(f"$accept%-38s ${bytes / 1e9}%.2f GB in $secs%.1f s eof=$eof")
+        if (eof)
+          assert(bytes > MinBytes,
+            s"$accept streamed only $bytes bytes (expected > $MinBytes)")
+        else
+          assert(bytes > proofBytes,
+            s"$accept hit the ${BudgetSecs}s budget after only $bytes bytes " +
+              s"(needed > $proofBytes = 1.25x free slack to prove unbuffered streaming)")
       }
     } finally {
       ballast.clear()

@@ -103,10 +103,23 @@ object DedupQueries extends QueryModule {
     * inline on the same keys the self-join shuffles on.
     */
   private def capBuckets(df: DataFrame, cap: Int, keys: String*): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(keys.map(col): _*)
-    df.withColumn("__bsz", count(lit(1)).over(w))
-      .filter(col("__bsz") <= cap)
-      .drop("__bsz")
+    // r16 (guide §2.3/§2.4): the window count shuffled AND sorted the
+    // ENTIRE relation by the bucket key just to learn which buckets are
+    // over cap — paid cold by every dedup query now that the bench
+    // releases caches per query. The over-cap key set is tiny by
+    // construction (buckets above cap are stop-phrases/degenerate
+    // bands: bounded by rows/cap), so aggregate it and anti-join it
+    // back instead: the partial-aggregated count shuffle carries
+    // (key, count) not full rows, the big relation itself never
+    // re-exchanges, and AQE turns the anti-join into a broadcast from
+    // observed sizes. Same semantics row for row: count per key is
+    // global in both forms, and the anti-join removes exactly the rows
+    // whose key count exceeds cap.
+    val over = df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__bsz"))
+      .filter(col("__bsz") > cap)
+      .select(keys.map(col): _*)
+    df.join(over, keys, "left_anti")
   }
 
   /** Shingles with stop-shingles (document frequency > cap) removed —
